@@ -1,0 +1,56 @@
+"""Scalar column-expression helpers (SURVEY.md §2.8).
+
+Everything here is a pure Catalyst expression — no Python UDFs — so it stays
+inside whole-stage codegen. Each helper re-expresses a scalar pattern from
+the reference pipeline:
+
+- clip            <- np.clip to [-3,3]/[0,100] (ref build_pbsi.py:143,152,162)
+- safe_div        <- ratio with +-inf -> NaN (ref postjoin_enricher.py:39-51)
+- pipe_split      <- "Happy | Content" -> array (ref som_from_autoexport.py:171-183)
+- sorted_set_join <- ", ".join(sorted(set(x))) (ref meds_from_extracted.py:328)
+- hash64_md5      <- deterministic 60-bit int hash, engine-portable (used by
+                     MinHash/SimHash so the DuckDB oracle can reproduce it)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def clip(col: Column, lo: float, hi: float) -> Column:
+    """least(greatest(col, lo), hi) — np.clip equivalent."""
+    return F.least(F.greatest(col, F.lit(float(lo))), F.lit(float(hi)))
+
+
+def safe_div(num: Column, den: Column) -> Column:
+    """num/den with den==0 (or null) -> null instead of +-inf."""
+    return F.when(den.isNotNull() & (den != 0), num / den)
+
+
+def pipe_split(col: Column) -> Column:
+    """Split 'A | B | C' into a trimmed, de-duplicated string array."""
+    parts = F.split(col, r"\|")
+    trimmed = F.transform(parts, lambda x: F.trim(x))
+    return F.array_distinct(F.filter(trimmed, lambda x: x != F.lit("")))
+
+
+def sorted_set_join(col: Column, sep: str = ", ") -> Column:
+    """Aggregate expression: comma-joined sorted set of values."""
+    return F.array_join(F.array_sort(F.collect_set(col)), sep)
+
+
+def hash64_md5(col: Column) -> Column:
+    """Deterministic 60-bit integer hash of a string.
+
+    First 15 hex chars of md5 parsed base-16 (fits in int64: 16^15 = 2^60).
+    Chosen over xxhash64 because DuckDB can reproduce it exactly
+    (``('0x' || substr(md5(x),1,15))::BIGINT``), giving dedup/LSH operators
+    an exact SQL oracle.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def hash_bits_md5(col: Column, n_hex: int = 7) -> Column:
+    """Small deterministic int hash (n_hex hex chars = 4*n_hex bits)."""
+    return F.conv(F.substring(F.md5(col), 1, n_hex), 16, 10).cast("bigint")

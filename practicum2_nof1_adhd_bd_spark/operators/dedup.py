@@ -1,0 +1,288 @@
+"""Deduplication operators for training-data pipelines (brief §"Beyond").
+
+Exact dedup, MinHash+LSH, SimHash, and n-gram Jaccard over a
+`documents(doc_id, text)` table. Design notes for 100 TB:
+
+- Exact dedup is a hash-groupBy on a fingerprint column — one shuffle of
+  (hash, id), never of full text.
+- MinHash signatures are computed per-row with array expressions (no UDF,
+  no explode of shingles through a shuffle); LSH banding turns the O(n^2)
+  pair problem into a bucket-equijoin, and only candidate pairs are
+  Jaccard-verified.
+- All hashes are md5-derived (functions.hash64_md5) so the DuckDB oracle can
+  reproduce them bit-exactly — xxhash64 would be Spark-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import hash64_md5
+from .textops import tokens
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per distinct normalized text,
+    keeping the smallest id as canonical and counting duplicates."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.select(F.md5(norm).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles as an array of strings (distinct).
+
+    Built with transform(sequence(...)) over the token array — stays inside
+    codegen; no explode, so shingling adds zero shuffle.
+    """
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    # guard: Spark sequence(1, 0) is DESCENDING, not empty — short docs get
+    # an explicit empty array.
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(col: Column, n_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature: array of n_hashes min-over-shingles hashes.
+
+    Hash family h_i(s) = hash64_md5(i || ':' || s) — a salted md5, exactly
+    reproducible in SQL. Empty-shingle docs get nulls.
+    """
+    sh = word_shingles(col, k)
+
+    # NB: the hash fn must be built via a closure factory — a 2-arg lambda
+    # (`lambda s, i=i: ...`) would make pyspark pass the ARRAY INDEX as the
+    # second argument, silently replacing the seed.
+    def salted(seed: int):
+        return lambda s: hash64_md5(F.concat(F.lit(f"{seed}:"), s))
+
+    sig = F.array(
+        *[F.array_min(F.transform(sh, salted(i))) for i in range(n_hashes)]
+    )
+    return sig
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs.
+
+    signature -> split into `bands` bands of n_hashes/bands rows -> band
+    bucket key = md5 of the band slice -> self-equijoin on (band, bucket)
+    with id< id to emit each pair once. At scale the join key is
+    (band_id, bucket_hash): uniform, shuffle-friendly; no O(n^2) compare.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(F.col(text_col), n_hashes, k)
+    with_sig = df.select(F.col(id_col), sig.alias("sig")).filter(
+        ~F.array_contains(F.transform(F.col("sig"), lambda x: x.isNull()), True)
+    )
+    banded = with_sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Verify candidate pairs with exact k-shingle Jaccard similarity."""
+    sh = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("sh")
+    )
+    a = sh.alias("da")
+    b = sh.alias("db")
+    joined = (
+        pairs.join(a, pairs.id_a == F.col(f"da.{id_col}"))
+        .join(b, pairs.id_b == F.col(f"db.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("da.sh", "db.sh")).alias("n_inter"),
+            F.size(F.array_union("da.sh", "db.sh")).alias("n_union"),
+        )
+    )
+    jac = F.col("n_inter") / F.col("n_union")
+    return joined.withColumn("jaccard", F.round(jac, 6)).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash32(col: Column) -> Column:
+    """32-bit SimHash over word tokens.
+
+    Per token: 28-bit md5-derived hash; for each bit position, sum +1/-1;
+    final fingerprint sets bit where the sum is positive. Expressed with
+    aggregate over a bit-index sequence — no UDF, and bit arithmetic that
+    DuckDB reproduces exactly (32-bit keeps us clear of int64 sign issues).
+    """
+    toks = F.array_distinct(tokens(F.lower(col)))
+    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("bigint"))
+    bits = F.sequence(F.lit(0), F.lit(27))
+    # shiftright/shiftleft need literal shift amounts, so bit extraction is
+    # arithmetic: 2^b is exact in double up to b=27, cast back to bigint.
+    bit_vals = F.transform(
+        bits,
+        lambda b: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(
+                    (h / F.pow(F.lit(2.0), b).cast("bigint")).cast("bigint") % 2 == 1,
+                    1,
+                ).otherwise(-1),
+            )
+            > 0,
+            F.pow(F.lit(2.0), b).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(bit_vals, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash fingerprint per document."""
+    return df.select(F.col(id_col), simhash32(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance.
+
+    Candidate generation: 4 bands of 7 bits each (pigeonhole: any pair with
+    <= 3 differing bits shares at least one exact band) — bucket equijoin,
+    then exact hamming filter via bit_count(xor).
+    """
+    fp = simhash_fingerprints(df, text_col, id_col)
+    banded = fp.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 7)
+                        .bitwiseAND(F.lit(0x7F))
+                        .alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cols: list[str] | None = None,
+    k: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs within blocking buckets.
+
+    Blocking (default: same `lang` + length bucket) bounds the pair
+    explosion; within a bucket, pairs are verified with exact shingle
+    Jaccard. At 100 TB the bucket key must be chosen so buckets stay small —
+    this operator is the exact-verify tail behind MinHash/SimHash candidates.
+    """
+    bucket_cols = bucket_cols or ["lang"]
+    sh = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in bucket_cols],
+        word_shingles(F.col(text_col), k).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    joined = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        (
+            F.size(F.array_intersect("a.sh", "b.sh"))
+            / F.size(F.array_union("a.sh", "b.sh"))
+        ).alias("jac"),
+    )
+    return joined.filter(F.col("jac") >= threshold).select(
+        "id_a", "id_b", F.round("jac", 6).alias("jaccard")
+    )

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (brief §"Beyond").
+
+Brute-force cosine top-k as the correctness baseline, plus a numpy-batched
+`mapInPandas` variant as the scale path (same exact results — it's still
+exact top-k, just vectorized per partition then merged). An LSH-bucketed
+approximate variant provides the sub-linear candidate path.
+
+Scale design: the query side is a broadcast (one or few vectors); the corpus
+side streams through executors; per-partition top-k keeps only k rows per
+partition before the final merge, so the shuffle is O(partitions * k).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two double-array columns (sequential fold,
+    deterministic summation order — oracle-reproducible)."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors of one corpus vector (self excluded).
+
+    The 1-row query frame is broadcast; similarity is a codegen'd array fold;
+    top-k is orderBy+limit which Spark executes as per-partition TakeOrdered
+    (no full sort shuffle).
+    """
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(F.col(id_col), dvec.alias("v"))
+    query = base.filter(F.col(id_col) == query_id).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = base.join(F.broadcast(query), F.col(id_col) != F.col("query_id"))
+    return (
+        scored.select(
+            id_col,
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_vectorized(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: numpy matrix-multiply per Arrow batch via mapInPandas,
+    per-batch top-k, then global top-k. Exact same results as brute force."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    qrow = (
+        embeddings.filter(F.col(id_col) == query_id)
+        .select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+        .collect()
+    )
+    if not qrow:
+        raise ValueError(f"query id {query_id} not found")
+    q = np.asarray(qrow[0]["v"], dtype="float64")
+    qn = q / np.sqrt((q * q).sum())
+    bq = spark.sparkContext.broadcast(qn)
+
+    out_schema = StructType.fromDDL(f"{id_col} bigint, cosine double")
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qv = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].map(lambda a: np.asarray(a, dtype="float64")))
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            sims = (mat @ qv) / np.where(norms == 0, 1.0, norms)
+            res = pd.DataFrame({id_col: pdf[id_col], "cosine": np.round(sims, 6)})
+            res = res[pdf[id_col] != query_id]
+            yield res.nlargest(min(k, len(res)), "cosine")
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(score, out_schema)
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def random_hyperplane_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-LSH bucketing: n_planes deterministic pseudo-random hyperplanes
+    (seeded numpy), bucket = sign bit pattern. ANN queries only compare
+    within the query's bucket (and optionally neighboring buckets)."""
+    import numpy as np
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(F.col(id_col), dvec.alias("v"))
+    bucket = None
+    for i in range(n_planes):
+        plane = F.array([F.lit(float(x)) for x in planes[i]])
+        bit = (_dot(F.col("v"), plane) > 0).cast("int")
+        term = bit * F.lit(2**i)
+        bucket = term if bucket is None else bucket + term
+    return base.withColumn("bucket", bucket).select(id_col, "bucket")
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to the query's
+    LSH bucket. Sub-linear candidate set at scale (corpus partitioned by
+    bucket); recall tunable via n_planes."""
+    buckets = random_hyperplane_buckets(embeddings, n_planes, id_col, vec_col, seed)
+    qb = buckets.filter(F.col(id_col) == query_id).select(
+        F.col("bucket").alias("qbucket")
+    )
+    cands = buckets.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket")).select(
+        id_col
+    )
+    corpus = embeddings.join(cands, id_col, "left_semi")
+    return cosine_topk_bruteforce(corpus, query_id, k, id_col, vec_col)

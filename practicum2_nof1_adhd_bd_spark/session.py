@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The engine targets a large multi-executor cluster (the reference is
+single-node pandas; see BASELINE.md). Defaults here are chosen so the same
+logical plans survive a 100x scale-up:
+
+- AQE on (runtime coalescing of shuffle partitions, skew-join splitting).
+- Arrow on (any Pandas-UDF escape hatch pays batch transfer, not per-row).
+- Session timezone pinned to UTC so date truncation is deterministic and
+  matches the DuckDB oracle (naive timestamps interpreted identically).
+- shuffle partitions default to the local core count; on a real cluster this
+  is expected to be overridden (or left to AQE's coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Exact, stable broadcast threshold; small dims (region/nation/daily
+    # scalar frames) broadcast, big tables never do.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Keep plans in whole-stage codegen as much as possible.
+    "spark.sql.codegen.wholeStage": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    # Testdata events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
+    # type, so read as long and convert in the Catalog layer.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "practicum2-nof1-spark",
+    master: str | None = None,
+    **conf_overrides: str,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster callers pass nothing and spark-submit supplies the master.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf.update({k: str(v) for k, v in conf_overrides.items()})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,101 @@
+"""Sources — SURVEY.md §2.1 S5-S8.
+
+- Catalog: named-table discovery over a directory of parquet files
+  (ref discover_zepp_tables, parse_zepp_export.py:31 — glob -> table map).
+- read_csv_permissive: the reference's defensive CSV path — encoding
+  fallback, bad-line skip, alias-resolved columns, unit coercion
+  (ref stage_csv_aggregation.py:848-871; som_from_autoexport.py:236-290) —
+  re-expressed as PERMISSIVE mode + explicit schema + a rename/cast layer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+TESTDATA_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+class Catalog:
+    """Named parquet tables rooted at a scale-factor directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def table(self, name: str) -> DataFrame:
+        df = self.spark.read.parquet(os.path.join(self.root, f"{name}.parquet"))
+        # TIMESTAMP(NANOS) parquet columns surface as long (nanosAsLong);
+        # integer-divide to micros (exact — the generator writes micro
+        # precision) and convert. `div` keeps it in int64: a double division
+        # would corrupt epoch-nanos (~1.7e18 > 2^53).
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TESTDATA_TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return Catalog(spark, sf_dir).table(name)
+
+
+def read_csv_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    alias_map: dict[str, list[str]] | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """S5/S6 — permissive CSV read with corrupt-record capture and
+    alias-resolved column normalization.
+
+    ``alias_map`` maps canonical name -> candidate source names; the first
+    candidate present in the file wins (ref cardio_from_extracted.py:438-448
+    probes ('value','heartrate','hr','bpm')). Extra/phantom columns are
+    dropped by the explicit schema (ref som trailing-comma repair).
+    """
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    schema = schema.add("_corrupt_record", "string")
+    df = (
+        spark.read.option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("encoding", "UTF-8")
+        .schema(schema)
+        .csv(path)
+    )
+    if alias_map:
+        present = set(df.columns)
+        renames = {}
+        for canonical, candidates in alias_map.items():
+            for cand in candidates:
+                if cand in present:
+                    renames[cand] = canonical
+                    break
+        df = df.withColumnsRenamed(renames)
+    return df
+
+
+def coerce_hours(df: DataFrame, col: str) -> DataFrame:
+    """The 'max>24 => values are minutes' unit heuristic
+    (ref sleep_from_extracted.py:263-270). Data-dependent scalar: computed
+    as an agg broadcast back via cross-join, never a driver collect."""
+    mx = df.agg(F.max(col).alias("_mx"))
+    return (
+        df.crossJoin(F.broadcast(mx))
+        .withColumn(
+            col,
+            F.when(F.col("_mx") > 24, F.col(col) / 60.0).otherwise(F.col(col)),
+        )
+        .drop("_mx")
+    )
