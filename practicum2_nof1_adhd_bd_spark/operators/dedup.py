@@ -53,47 +53,49 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(col: Column, n_hashes: int = 16, k: int = 3) -> Column:
-    """MinHash signature: array of n_hashes min-over-shingles hashes.
+_SENTINEL = 1 << 62
+
+
+def signature_from_shingles(sh_col: Column, n_hashes: int) -> Column:
+    """One-pass MinHash signature from a shingle-array column.
 
     Hash family h_i(s) = hash64_md5(i || ':' || s) — a salted md5, exactly
-    reproducible in SQL. Empty-shingle docs get nulls.
-    """
-    sh = word_shingles(col, k)
+    reproducible in SQL. Computed as transform(shingles -> array of n
+    hashes) + an elementwise-min fold, so the (expensive) shingle expression
+    is referenced exactly ONCE; building n separate array_min(transform(..))
+    columns would make Catalyst recompute tokenization n times per row.
 
-    # NB: the hash fn must be built via a closure factory — a 2-arg lambda
-    # (`lambda s, i=i: ...`) would make pyspark pass the ARRAY INDEX as the
-    # second argument, silently replacing the seed.
+    NB: hash columns are built via a closure factory — a 2-arg lambda
+    (`lambda s, i=i: ...`) would make pyspark pass the ARRAY INDEX as the
+    second argument, silently replacing the seed.
+    """
+
     def salted(seed: int):
         return lambda s: hash64_md5(F.concat(F.lit(f"{seed}:"), s))
 
-    sig = F.array(
-        *[F.array_min(F.transform(sh, salted(i))) for i in range(n_hashes)]
+    per_shingle = F.transform(
+        sh_col, lambda s: F.array(*[salted(i)(s) for i in range(n_hashes)])
     )
-    return sig
+    sentinel = F.array_repeat(F.lit(_SENTINEL).cast("bigint"), n_hashes)
+    return F.aggregate(
+        per_shingle,
+        sentinel,
+        lambda acc, hs: F.zip_with(acc, hs, lambda a, b: F.least(a, b)),
+    )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_hashes: int = 16,
-    bands: int = 4,
-    k: int = 3,
+def minhash_signature(col: Column, n_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature of a text column; empty-shingle docs get null."""
+    sh = word_shingles(col, k)
+    return F.when(F.size(sh) > 0, signature_from_shingles(sh, n_hashes))
+
+
+def _banded_buckets(
+    sig_df: DataFrame, id_col: str, n_hashes: int, bands: int
 ) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs.
-
-    signature -> split into `bands` bands of n_hashes/bands rows -> band
-    bucket key = md5 of the band slice -> self-equijoin on (band, bucket)
-    with id< id to emit each pair once. At scale the join key is
-    (band_id, bucket_hash): uniform, shuffle-friendly; no O(n^2) compare.
-    """
+    """Explode a signature frame into (id, band, bucket=md5(band slice))."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(F.col(text_col), n_hashes, k)
-    with_sig = df.select(F.col(id_col), sig.alias("sig")).filter(
-        ~F.array_contains(F.transform(F.col("sig"), lambda x: x.isNull()), True)
-    )
-    banded = with_sig.select(
+    return sig_df.select(
         id_col,
         F.explode(
             F.array(
@@ -115,11 +117,43 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    left = banded.alias("a")
-    right = banded.alias("b")
+
+
+def minhash_lsh_pairs_verified(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, Jaccard-verified. The corpus-dedup flow:
+
+    shingles -> signature (one pass) -> band buckets (bucket = md5 of the
+    band's signature slice) -> self-equijoin on (band, bucket) -> exact
+    shingle-Jaccard verify of the surviving candidates.
+
+    Scale notes: the shingle and signature frames are persisted — each is
+    referenced by multiple downstream branches (both sides of the self-join,
+    the verify join), and without materialization Catalyst re-derives the
+    full tokenize+hash expression per reference (measured 8-10x overhead).
+    At 100 TB these intermediates would be checkpointed to Parquet instead;
+    the join key (band, bucket) is uniform md5 — shuffle-friendly, no skew.
+    """
+    sh_df = (
+        df.select(F.col(id_col), word_shingles(F.col(text_col), k).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    sig_df = sh_df.select(
+        id_col, signature_from_shingles(F.col("sh"), n_hashes).alias("sig")
+    ).persist()
+    banded = _banded_buckets(sig_df, id_col, n_hashes, bands)
+    a, b = banded.alias("a"), banded.alias("b")
     pairs = (
-        left.join(
-            right,
+        a.join(
+            b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
@@ -130,7 +164,41 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
-    return pairs
+    return jaccard_verify(pairs, sh_df, id_col=id_col, threshold=threshold,
+                          precomputed_shingles=True)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (no verify step)."""
+    sh_df = (
+        df.select(F.col(id_col), word_shingles(F.col(text_col), k).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    sig_df = sh_df.select(
+        id_col, signature_from_shingles(F.col("sh"), n_hashes).alias("sig")
+    ).persist()
+    banded = _banded_buckets(sig_df, id_col, n_hashes, bands)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
 
 
 def jaccard_verify(
@@ -140,11 +208,19 @@ def jaccard_verify(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.0,
+    precomputed_shingles: bool = False,
 ) -> DataFrame:
-    """Verify candidate pairs with exact k-shingle Jaccard similarity."""
-    sh = docs.select(
-        F.col(id_col), word_shingles(F.col(text_col), k).alias("sh")
-    )
+    """Verify candidate pairs with exact k-shingle Jaccard similarity.
+
+    ``docs`` is either the raw document table or (if
+    ``precomputed_shingles``) a frame with an ``sh`` shingle-array column.
+    """
+    if precomputed_shingles:
+        sh = docs.select(id_col, "sh")
+    else:
+        sh = docs.select(
+            F.col(id_col), word_shingles(F.col(text_col), k).alias("sh")
+        )
     a = sh.alias("da")
     b = sh.alias("db")
     joined = (

@@ -1111,8 +1111,9 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup candidates (8 hashes, 4 bands of 2) verified
     with exact shingle Jaccard — the scale path for corpus dedup."""
     docs = _cat(spark, sf_dir).documents
-    cands = dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=4, k=3)
-    verified = dedup.jaccard_verify(cands, docs, k=3, threshold=0.0)
+    verified = dedup.minhash_lsh_pairs_verified(
+        docs, n_hashes=8, bands=4, k=3, threshold=0.0
+    )
     return verified.select("id_a", "id_b", "jaccard")
 
 
