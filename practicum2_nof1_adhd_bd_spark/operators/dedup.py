@@ -346,18 +346,21 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         *[F.col(c) for c in bucket_cols],
         word_shingles(F.col(text_col), k).alias("sh"),
-    )
+    ).filter(F.size("sh") > 0)
     a, b = sh.alias("a"), sh.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for c in bucket_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    n_union = F.size(F.array_union("a.sh", "b.sh"))
+    # when() guard: ANSI mode errors on 0/0, and predicate pushdown may
+    # evaluate the division before the id/bucket conjuncts.
+    jac = F.when(
+        n_union > 0, F.size(F.array_intersect("a.sh", "b.sh")) / n_union
+    )
     joined = a.join(b, cond).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        (
-            F.size(F.array_intersect("a.sh", "b.sh"))
-            / F.size(F.array_union("a.sh", "b.sh"))
-        ).alias("jac"),
+        jac.alias("jac"),
     )
     return joined.filter(F.col("jac") >= threshold).select(
         "id_a", "id_b", F.round("jac", 6).alias("jaccard")

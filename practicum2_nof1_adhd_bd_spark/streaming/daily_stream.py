@@ -1,0 +1,81 @@
+"""Structured Streaming surface — SURVEY.md §2.9.
+
+The reference is batch-only; its daily aggregation (A1-A6) is semantically a
+1-day tumbling event-time window, and its snapshot cutoff (F4) is
+watermarking done by hand. This module exposes the same operators over a
+streaming DataFrame so the engine can serve a live events feed:
+
+- daily_stats_stream: watermarked 1-day tumbling window of the A1 stats.
+- sessionize_stream: session windows per user (the streaming twin of the
+  W6 gap segmenter).
+
+Both take any streaming DataFrame with (ts, value[, user_id]) — file
+source, Kafka, rate — and are tested with a file source + availableNow
+trigger against the batch operators' results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def daily_stats_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """A1 as a watermarked tumbling window.
+
+    Late rows beyond the watermark are dropped (the streaming analogue of
+    the reference's snapshot cutoff F4). Output schema mirrors the batch
+    daily_stats: one row per closed day.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(value_col), 6).alias("value_mean"),
+            F.min(value_col).alias("value_min"),
+            F.max(value_col).alias("value_max"),
+            F.round(F.stddev_samp(value_col), 6).alias("value_std"),
+        )
+        .select(F.to_date("w.start").alias("date"), "n_events", "value_mean",
+                "value_min", "value_max", "value_std")
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """W6 at event grain as a session window (gap-based, per user).
+
+    session_window closes a session when no event arrives within ``gap`` —
+    exactly the batch sessionize() rule, evaluated incrementally with state
+    cleaned up past the watermark.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), gap).alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("value_sum"),
+        )
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )

@@ -1,0 +1,101 @@
+"""Dedup (exact / MinHash / SimHash / Jaccard) and similarity search."""
+
+from pyspark.sql import functions as F
+
+from practicum2_nof1_adhd_bd_spark.operators import dedup, similarity
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        (2, "the quick brown fox jumps over the lazy dog again tomorrow"),  # near-dup of 1
+        (3, "completely different words about spark query engines and scale"),
+        (4, "the quick brown fox jumps over the lazy dog again today"),  # exact dup of 1
+        (5, "tiny"),  # too short for 3-shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    out = {r["canonical_id"]: r["n_copies"]
+           for r in dedup.exact_dedup_groups(_docs(spark)).collect()}
+    assert out[1] == 2  # docs 1 and 4
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_word_shingles_short_doc_empty(spark):
+    df = _docs(spark).select("doc_id", dedup.word_shingles(F.col("text"), 3).alias("sh"))
+    by_id = {r["doc_id"]: r["sh"] for r in df.collect()}
+    assert by_id[5] == []
+    assert "the quick brown" in by_id[1]
+
+
+def test_minhash_identical_docs_equal_signatures(spark):
+    sig = dedup.minhash_signature(F.col("text"), n_hashes=8, k=3)
+    out = {r["doc_id"]: r["s"] for r in _docs(spark).select("doc_id", sig.alias("s")).collect()}
+    assert out[1] == out[4]
+    assert out[1] != out[3]
+    assert out[5] is None  # no shingles
+    # near-dups share most minhash components
+    agree = sum(a == b for a, b in zip(out[1], out[2]))
+    assert agree >= 4
+
+
+def test_minhash_lsh_finds_near_and_exact_dups(spark):
+    pairs = dedup.minhash_lsh_pairs_verified(_docs(spark), n_hashes=8, bands=4, k=3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 4)] == 1.0
+    assert (1, 2) in got and 0.5 < got[(1, 2)] < 1.0
+
+
+def test_simhash_near_dup_hamming(spark):
+    out = dedup.simhash_near_dups(_docs(spark), max_hamming=10)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert pairs[(1, 4)] == 0  # identical text -> identical fingerprint
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 10
+
+
+def test_ngram_jaccard_pairs_blocked(spark):
+    docs = _docs(spark).withColumn("lang", F.lit("en"))
+    out = dedup.ngram_jaccard_pairs(docs, bucket_cols=["lang"], k=3, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert got[(1, 4)] == 1.0 and (1, 2) in got
+    assert (1, 3) not in got
+
+
+def _embeddings(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+        (4, [0.7, 0.7, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_bruteforce_order(spark):
+    out = similarity.cosine_topk_bruteforce(_embeddings(spark), query_id=0, k=3).collect()
+    ids = [r["vec_id"] for r in out]
+    assert ids == [1, 4, 2]
+    assert out[0]["cosine"] > 0.99
+    assert all(r["vec_id"] != 0 for r in out)  # self excluded
+
+
+def test_cosine_topk_vectorized_matches_bruteforce(spark):
+    bf = similarity.cosine_topk_bruteforce(_embeddings(spark), 0, 3).collect()
+    vec = similarity.cosine_topk_vectorized(_embeddings(spark), 0, 3).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in bf] == [
+        (r["vec_id"], r["cosine"]) for r in vec
+    ]
+
+
+def test_ann_lsh_topk_returns_bucket_subset(spark):
+    out = similarity.ann_topk_lsh(_embeddings(spark), query_id=0, k=3, n_planes=2)
+    rows = out.collect()
+    assert all(r["vec_id"] != 0 for r in rows)
+    assert len(rows) <= 3
+    # exact near neighbor must land in the query's bucket with 2 planes
+    bf_top = similarity.cosine_topk_bruteforce(_embeddings(spark), 0, 1).collect()[0]
+    if rows:
+        assert rows[0]["cosine"] <= bf_top["cosine"] + 1e-9

@@ -1,0 +1,30 @@
+"""Driver-contract invariants: entry/queries/oracle_sql shape + determinism."""
+
+import __spark_entry__ as entrymod
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every query is callable
+    assert all(callable(f) for f in qs.values())
+    # substantial coverage: at least 40 queries, at most 5 without oracle
+    assert len(qs) >= 40
+    assert len(set(qs) - set(oracles)) <= 5
+
+
+def test_entry_runs_and_is_deterministic(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == entrymod.entry(spark).columns
+    again = entrymod.entry(spark).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_sample_queries_run_at_sf0001(spark, sf_dir):
+    qs = entrymod.queries()
+    for name in ("daily_event_stats", "pbsi_composite", "gaps_islands_segments"):
+        out = qs[name](spark, sf_dir)
+        assert out.count() > 0, name

@@ -1,0 +1,68 @@
+"""Sources: XML record scan (S4), permissive CSV (S5/S6), unit heuristic."""
+
+import textwrap
+
+from pyspark.sql import functions as F
+
+from practicum2_nof1_adhd_bd_spark.sources.readers import coerce_hours, read_csv_permissive
+from practicum2_nof1_adhd_bd_spark.sources.xml_records import (
+    hr_events_from_xml,
+    read_xml_records,
+)
+
+XML = textwrap.dedent("""\
+    <?xml version="1.0" encoding="UTF-8"?>
+    <HealthData locale="en_US">
+     <ExportDate value="2024-06-01 10:00:00 +0000"/>
+     <Record type="HKQuantityTypeIdentifierHeartRate" sourceName="Watch" unit="count/min" value="72" startDate="2024-01-15 10:30:45 +0000" endDate="2024-01-15 10:30:45 +0000"/>
+     <Record type="HKQuantityTypeIdentifierHeartRate" sourceName="Watch" unit="count/min" value="85" startDate="2024-01-15 11:00:00 +0000" endDate="2024-01-15 11:00:00 +0000"/>
+     <Record type="HKCategoryTypeIdentifierSleepAnalysis" value="HKCategoryValueSleepAnalysisAsleep" startDate="2024-01-15 23:00:00 +0000" endDate="2024-01-16 06:00:00 +0000"/>
+     <Record type="HKQuantityTypeIdentifierStepCount" value="523" startDate="2024-01-15 12:00:00 +0000" endDate="2024-01-15 13:00:00 +0000"/>
+    </HealthData>
+""")
+
+
+def test_read_xml_records_typed_filter(spark, tmp_path):
+    p = tmp_path / "export.xml"
+    p.write_text(XML)
+    all_recs = read_xml_records(spark, str(p))
+    assert all_recs.count() == 4
+    hr = read_xml_records(spark, str(p), record_type="HKQuantityTypeIdentifierHeartRate")
+    assert hr.count() == 2
+    assert {r["value"] for r in hr.collect()} == {"72", "85"}
+
+
+def test_hr_events_from_xml_parses_ts_and_value(spark, tmp_path):
+    p = tmp_path / "export.xml"
+    p.write_text(XML)
+    out = hr_events_from_xml(spark, str(p)).orderBy("ts").collect()
+    assert [r["hr_value"] for r in out] == [72.0, 85.0]
+    assert out[0]["ts"].hour == 10 and out[0]["ts"].minute == 30
+
+
+CSV = "time,heartRate,junk\n2024-01-01 10:00:00,72,x\n2024-01-01 11:00:00,notanumber,y\n"
+
+
+def test_read_csv_permissive_alias_and_corrupt(spark, tmp_path):
+    p = tmp_path / "hr.csv"
+    p.write_text(CSV)
+    df = read_csv_permissive(
+        spark,
+        str(p),
+        "time string, heartRate double, junk string",
+        alias_map={"ts": ["timestamp", "time"], "hr": ["value", "heartRate", "bpm"]},
+    )
+    assert "ts" in df.columns and "hr" in df.columns
+    rows = df.orderBy("ts").collect()
+    assert rows[0]["hr"] == 72.0
+    assert rows[1]["hr"] is None  # coerced, corrupt record captured
+    assert rows[1]["_corrupt_record"] is not None
+
+
+def test_coerce_hours_minutes_heuristic(spark):
+    mins = spark.createDataFrame([(480.0,), (360.0,)], "dur double")
+    out = sorted(r["dur"] for r in coerce_hours(mins, "dur").collect())
+    assert out == [6.0, 8.0]  # max>24 -> values were minutes
+    hours = spark.createDataFrame([(8.0,), (6.0,)], "dur double")
+    out2 = sorted(r["dur"] for r in coerce_hours(hours, "dur").collect())
+    assert out2 == [6.0, 8.0]  # untouched
