@@ -19,8 +19,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import daily, dedup, drift, folds, joins, labels
-from .operators import similarity as sim
+from .operators import biomarkers, daily, dedup, drift, folds, impute, joins, labels
+from .operators import multimodal, similarity as sim
 from .operators import textops, windows
 from .sources.readers import Catalog
 
@@ -1017,6 +1017,145 @@ def q_adwin_changes(spark, sf_dir):
     )
 
 QUERIES["adwin_changes"] = q_adwin_changes
+
+
+# ---------------------------------------------------------------------------
+# biomarkers (A3 / A12) + per-segment imputation (A13)
+# ---------------------------------------------------------------------------
+
+@register(
+    "hrv_time_domain",
+    """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS date, ts, 60000.0 / value AS nn
+        FROM events WHERE event_type = 'click' AND value > 0
+    ), l AS (
+        SELECT date, nn,
+               nn - lag(nn) OVER (PARTITION BY date ORDER BY ts) AS nn_diff
+        FROM d
+    ), a AS (
+        SELECT date, count(nn) AS n_samples,
+               round(stddev_samp(nn), 6) AS sdnn,
+               round(sqrt(avg(nn_diff * nn_diff)), 6) AS rmssd,
+               round(avg(CASE WHEN nn_diff IS NULL THEN NULL
+                              WHEN abs(nn_diff) > 50 THEN 1.0 ELSE 0.0 END) * 100, 6)
+                   AS pnn50,
+               round(stddev_samp(nn) / avg(nn) * 100, 6) AS cv_pct
+        FROM l GROUP BY date
+    )
+    SELECT * FROM a WHERE n_samples >= 10
+    """,
+)
+def q_hrv_time_domain(spark, sf_dir):
+    """A12: per-day HRV time-domain chain (NN intervals -> lag diffs ->
+    SDNN/RMSSD/pNN50/CV) as pure window+groupBy algebra
+    (ref src/biomarkers/hrv.py:44-170)."""
+    ev = _cat(spark, sf_dir).events.filter(F.col("event_type") == "click")
+    return biomarkers.hrv_time_domain(ev, "ts", "value", min_samples=10)
+
+
+@register(
+    "interval_efficiency",
+    """
+    WITH s AS (
+        SELECT CAST(ts AS DATE) AS date,
+               round(coalesce(sum(value) FILTER (WHERE event_type = 'click'), 0), 2)
+                   AS active_min,
+               round(coalesce(sum(value) FILTER (WHERE event_type IN ('click', 'view')), 0), 2)
+                   AS total_min
+        FROM events GROUP BY 1
+    )
+    SELECT date, active_min, total_min,
+           round(least(greatest(CASE WHEN total_min != 0
+                 THEN active_min * 100.0 / total_min END, 0.0), 100.0), 6) AS efficiency
+    FROM s
+    """,
+)
+def q_interval_efficiency(spark, sf_dir):
+    """A3: per-day state-duration sums + efficiency = active/total*100
+    clipped to [0,100] (ref stage_csv_aggregation.py:162-215)."""
+    ev = _cat(spark, sf_dir).events
+    return biomarkers.interval_efficiency(
+        ev, "ts", "event_type", "value", "click", ["click", "view"]
+    )
+
+
+def q_impute_segments(spark, sf_dir):
+    """A13: per-segment iterative (MICE-style) imputation with global-median
+    fallback, as grouped applyInPandas (ref run_full_pipeline.py:910-969).
+    Missingness is injected deterministically (every 7th day) so the operator
+    has gaps to fill; iterative ridge regression is not SQL-expressible ->
+    rows-only check."""
+    ev = _cat(spark, sf_dir).events
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.round(F.avg("value"), 6).alias("value_mean"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+    d = d.withColumn(
+        "value_mean",
+        F.when(F.dayofmonth("date") % 7 == 0, None).otherwise(F.col("value_mean")),
+    ).withColumn("segment_id", F.month("date"))
+    out = impute.impute_per_segment(
+        d, ["value_mean", "n_events", "value_sum"], "segment_id"
+    )
+    return out.select(
+        "date", "segment_id",
+        F.round("value_mean", 6).alias("value_mean"),
+        F.round("n_events", 2).alias("n_events"),
+        F.round("value_sum", 2).alias("value_sum"),
+    )
+
+QUERIES["impute_segments"] = q_impute_segments
+
+
+# ---------------------------------------------------------------------------
+# multimodal blob plumbing (brief §"Beyond": decode / resize / frame-sample)
+# ---------------------------------------------------------------------------
+
+@register(
+    "media_decode_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN length(text) % 3 = 0 THEN 'image'
+                WHEN length(text) % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           md5(text) AS content_md5,
+           round((('0x' || substr(md5(text), 1, 8))::BIGINT % 256) / 255.0, 6) AS mean_px,
+           round((('0x' || substr(md5(text), 9, 8))::BIGINT % 256) / 255.0, 6) AS std_px,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_media_decode_features(spark, sf_dir):
+    """Multimodal decode/feature-extract over Arrow batches (mapInPandas).
+    The codec is a deterministic md5-derived stub (no image libs in this
+    container) so the whole chain stays oracle-checkable; the Spark-side
+    schema/batching/partitioning is the real contract."""
+    docs = _cat(spark, sf_dir).documents
+    blobs = multimodal.text_to_blob_table(docs)
+    return multimodal.decode_features(blobs)
+
+
+@register(
+    "media_frame_sample",
+    """
+    WITH v AS (
+        SELECT doc_id AS media_id,
+               CAST(length(text) % 120 + 1 AS INT) AS n_frames
+        FROM documents WHERE length(text) % 3 = 2
+    )
+    SELECT media_id, n_frames,
+           CAST(unnest(generate_series(0, n_frames - 1, 10)) AS INT) AS frame_idx
+    FROM v
+    """,
+)
+def q_media_frame_sample(spark, sf_dir):
+    """Video frame sampling: explode only the sampled frame indices (the
+    decode happens downstream on narrow rows, never on whole frames)."""
+    docs = _cat(spark, sf_dir).documents
+    blobs = multimodal.text_to_blob_table(docs)
+    return multimodal.sample_frames(blobs, every_n=10)
 
 
 # ---------------------------------------------------------------------------

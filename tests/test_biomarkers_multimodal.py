@@ -1,0 +1,128 @@
+"""Unit tests — biomarkers (A3/A12), multimodal plumbing, imputation (A13)."""
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from practicum2_nof1_adhd_bd_spark.operators import biomarkers, impute, multimodal
+
+
+def _hr_events(spark, hrs, day="2024-01-01"):
+    base = dt.datetime.fromisoformat(day)
+    rows = [(base + dt.timedelta(minutes=i), float(h)) for i, h in enumerate(hrs)]
+    return spark.createDataFrame(rows, "ts timestamp, value double")
+
+
+def test_hrv_known_values(spark):
+    # constant HR -> SDNN = 0, RMSSD = 0, pNN50 = 0
+    out = biomarkers.hrv_time_domain(
+        _hr_events(spark, [60.0] * 12), min_samples=10
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_samples"] == 12
+    assert r["sdnn"] == 0.0 and r["rmssd"] == 0.0 and r["pnn50"] == 0.0
+
+
+def test_hrv_rmssd_alternating(spark):
+    # alternate 60 <-> 75 bpm: NN alternates 1000 <-> 800 ms, |diff| = 200 > 50
+    out = biomarkers.hrv_time_domain(
+        _hr_events(spark, [60.0, 75.0] * 6), min_samples=10
+    ).collect()[0]
+    assert out["rmssd"] == 200.0
+    assert out["pnn50"] == 100.0
+
+
+def test_hrv_min_sample_gate(spark):
+    out = biomarkers.hrv_time_domain(
+        _hr_events(spark, [60.0] * 5), min_samples=10
+    ).collect()
+    assert out == []
+
+
+def test_interval_efficiency_clip(spark):
+    rows = [
+        ("2024-01-01T00:00:00", "asleep", 400.0),
+        ("2024-01-01T01:00:00", "inbed", 100.0),
+        ("2024-01-02T00:00:00", "asleep", 0.0),
+        ("2024-01-02T01:00:00", "inbed", 480.0),
+    ]
+    df = spark.createDataFrame(rows, "ts string, state string, mins double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        str(r["date"]): r
+        for r in biomarkers.interval_efficiency(
+            df, "ts", "state", "mins", "asleep", ["asleep", "inbed"]
+        ).collect()
+    }
+    # 400/500 = 80%; clip keeps it; day 2: 0/480 = 0
+    assert out["2024-01-01"]["efficiency"] == 80.0
+    assert out["2024-01-02"]["efficiency"] == 0.0
+
+
+def test_decode_features_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark engine"), (3, "hello world")],
+        "doc_id bigint, text string",
+    )
+    blobs = multimodal.text_to_blob_table(docs)
+    out = {r["media_id"]: r for r in multimodal.decode_features(blobs).collect()}
+    assert out[1]["content_md5"] == out[3]["content_md5"]
+    assert out[1]["n_bytes"] == len("hello world")
+    assert 0.0 <= out[2]["mean_px"] <= 1.0
+    # run twice -> identical (determinism)
+    again = {r["media_id"]: r for r in multimodal.decode_features(blobs).collect()}
+    assert all(out[k] == again[k] for k in out)
+
+
+def test_frame_sample_counts(spark):
+    docs = spark.createDataFrame(
+        # length 23 -> 23 % 3 = 2 -> video, n_frames = 23 % 120 + 1 = 24
+        [(1, "x" * 23), (2, "y" * 24)],  # 24 % 3 = 0 -> image, excluded
+        "doc_id bigint, text string",
+    )
+    blobs = multimodal.text_to_blob_table(docs)
+    out = multimodal.sample_frames(blobs, every_n=10).collect()
+    idx = sorted(r["frame_idx"] for r in out)
+    assert idx == [0, 10, 20]
+    assert {r["media_id"] for r in out} == {1}
+
+
+def test_resize_preserves_blob(spark):
+    docs = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
+    blobs = multimodal.text_to_blob_table(docs)
+    out = multimodal.resize_stub(blobs, 224, 224).collect()[0]
+    assert out["meta"]["width"] == 224 and out["meta"]["height"] == 224
+    assert bytes(out["blob"]) == b"abc"
+
+
+def test_impute_fills_all_nulls(spark):
+    rows = []
+    for seg in (1, 2):
+        for i in range(10):
+            x = float(i) if i % 3 else None
+            rows.append((seg, i, x, float(2 * i)))
+    df = spark.createDataFrame(rows, "segment_id int, idx int, x double, y double")
+    out = impute.impute_per_segment(df, ["x", "y"], "segment_id")
+    got = out.collect()
+    assert len(got) == 20
+    assert all(r["x"] is not None and not math.isnan(r["x"]) for r in got)
+    # x ~ linear in y -> imputed values should be near the linear fit
+    by_key = {(r["segment_id"], r["idx"]): r["x"] for r in got}
+    assert by_key[(1, 3)] == pytest.approx(3.0, abs=0.75)
+
+
+def test_impute_small_segment_median_fallback(spark):
+    rows = [
+        (1, 0, 10.0), (1, 1, 20.0), (1, 2, 30.0), (1, 3, 40.0), (1, 4, 50.0),
+        (2, 0, None), (2, 1, 100.0),  # segment of 2 < min_rows -> global median
+    ]
+    df = spark.createDataFrame(rows, "segment_id int, idx int, x double")
+    out = {
+        (r["segment_id"], r["idx"]): r["x"]
+        for r in impute.impute_per_segment(df, ["x"], "segment_id").collect()
+    }
+    assert out[(2, 0)] == 35.0  # exact median of [10..50, 100]
