@@ -1,0 +1,86 @@
+"""Classification-metric aggregation — SURVEY.md §2.4 A14.
+
+The reference element-wise sums confusion matrices across folds and reports
+mean +- std per metric (ref src/etl/ml_metrics_extended.py:276-399). Here the
+confusion matrix IS a groupBy((y_true, y_pred)).count() — a tiny relational
+table — and the per-class precision/recall/F1 derive from three aggregations
+of it. Everything after the first groupBy runs on a frame with at most
+n_classes^2 rows, so the heavy input scan happens exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import safe_div
+
+
+def confusion_matrix(
+    df: DataFrame, y_true: str = "y_true", y_pred: str = "y_pred"
+) -> DataFrame:
+    """CM as a relational table: one row per (true, pred) cell with count."""
+    return df.filter(
+        F.col(y_true).isNotNull() & F.col(y_pred).isNotNull()
+    ).groupBy(y_true, y_pred).agg(F.count(F.lit(1)).alias("n"))
+
+
+def per_class_report(
+    df: DataFrame,
+    y_true: str = "y_true",
+    y_pred: str = "y_pred",
+    round_dp: int = 6,
+) -> DataFrame:
+    """A14 — per-class TP/FP/FN + precision/recall/F1.
+
+    Classes = union of observed true and predicted labels. Division by zero
+    (a class never predicted / never occurring) yields null, matching
+    sklearn's undefined-metric semantics before zero_division coercion.
+    """
+    cm = confusion_matrix(df, y_true, y_pred)
+    classes = (
+        cm.select(F.col(y_true).alias("label"))
+        .union(cm.select(F.col(y_pred).alias("label")))
+        .distinct()
+    )
+    tp = cm.filter(F.col(y_true) == F.col(y_pred)).select(
+        F.col(y_true).alias("label"), F.col("n").alias("tp")
+    )
+    n_true = cm.groupBy(F.col(y_true).alias("label")).agg(
+        F.sum("n").alias("n_true")
+    )
+    n_pred = cm.groupBy(F.col(y_pred).alias("label")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    out = (
+        classes.join(tp, "label", "left")
+        .join(n_true, "label", "left")
+        .join(n_pred, "label", "left")
+        .fillna(0, subset=["tp", "n_true", "n_pred"])
+    )
+    precision = safe_div(F.col("tp").cast("double"), F.col("n_pred"))
+    recall = safe_div(F.col("tp").cast("double"), F.col("n_true"))
+    out = out.withColumn("precision", F.round(precision, round_dp)).withColumn(
+        "recall", F.round(recall, round_dp)
+    )
+    f1 = safe_div(
+        2 * F.col("precision") * F.col("recall"),
+        F.col("precision") + F.col("recall"),
+    )
+    return out.withColumn("f1", F.round(f1, round_dp)).withColumn(
+        "fp", F.col("n_pred") - F.col("tp")
+    ).withColumn("fn", F.col("n_true") - F.col("tp"))
+
+
+def macro_summary(report: DataFrame, round_dp: int = 6) -> DataFrame:
+    """Macro-averaged precision/recall/F1 + accuracy-style totals from a
+    per-class report (mean over classes, null metrics excluded — sklearn
+    macro semantics)."""
+    return report.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.round(F.avg("precision"), round_dp).alias("macro_precision"),
+        F.round(F.avg("recall"), round_dp).alias("macro_recall"),
+        F.round(F.avg("f1"), round_dp).alias("macro_f1"),
+        F.sum("tp").alias("total_tp"),
+        F.sum(F.col("tp") + F.col("fn")).alias("total_support"),
+    )

@@ -219,6 +219,109 @@ def sessionize(
     return df.withColumn(id_col, F.sum(is_new).over(cum))
 
 
+def auto_segment_triggers(
+    df: DataFrame,
+    date_col: str,
+    value_col: str,
+    partition_cols: list[str] | None = None,
+    shift_threshold: float = 8.0,
+    min_gap_days: int = 3,
+    window: int = 7,
+    min_density: int = 5,
+    id_col: str = "segment_id",
+) -> DataFrame:
+    """W7 — rule-based auto-segmentation (ref src/labels/auto_segment.py:29-228).
+
+    Declarative re-expression of the reference's trigger scan: a new segment
+    starts on (a) gap recovery — the previous observed day is >= min_gap_days
+    behind; (b) sustained signal shift — |mean(next `window` rows) -
+    mean(prev `window` rows)| >= shift_threshold with both windows at least
+    `min_density` dense. (The reference's 60-day fallback depends on the
+    previous boundary — inherently sequential — and is intentionally not
+    reproduced; gaps-and-islands covers calendar resets.) Emits
+    `trigger_reason` plus a running 1-indexed segment id.
+    """
+    parts = partition_cols or []
+    base = Window.partitionBy(*parts).orderBy(date_col)
+    w_prev = base.rowsBetween(-window, -1)
+    w_next = base.rowsBetween(0, window - 1)
+    prev_day = F.lag(date_col).over(base)
+    gap = F.datediff(F.col(date_col), prev_day) >= min_gap_days
+    shift = (
+        (F.count(value_col).over(w_prev) >= min_density)
+        & (F.count(value_col).over(w_next) >= min_density)
+        & (
+            F.abs(F.avg(value_col).over(w_next) - F.avg(value_col).over(w_prev))
+            >= shift_threshold
+        )
+    )
+    reason = (
+        F.when(prev_day.isNull(), "start")
+        .when(gap, "gap_recovery")
+        .when(shift, "signal_shift")
+    )
+    out = df.withColumn("trigger_reason", reason)
+    cum = base.rowsBetween(Window.unboundedPreceding, 0)
+    return out.withColumn(
+        id_col,
+        F.sum(F.col("trigger_reason").isNotNull().cast("int")).over(cum),
+    )
+
+
+def anchor_first_qualifying(
+    df: DataFrame,
+    date_col: str,
+    label_col: str,
+    window_rows: int = 180,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """W11 — first date whose next-`window_rows` window holds >= 2 distinct
+    labels (ref ml7_analysis.py:172-183). Distinctness over the forward frame
+    is expressed as max != min (labels are ordinal -1/0/+1), which both
+    engines evaluate without a distinct-over-window. Returns one row per
+    partition (or one row total) with the anchor date."""
+    parts = partition_cols or []
+    fwd = Window.partitionBy(*parts).orderBy(date_col).rowsBetween(0, window_rows - 1)
+    qual = (
+        (F.count(label_col).over(fwd) == window_rows)
+        & (F.max(label_col).over(fwd) != F.min(label_col).over(fwd))
+    )
+    flagged = df.withColumn("_qual", qual)
+    return (
+        flagged.filter(F.col("_qual"))
+        .groupBy(*parts)
+        .agg(F.min(date_col).alias("anchor_date"))
+    )
+
+
+def rolling_modal_label(
+    df: DataFrame,
+    order_col: str,
+    label_col: str,
+    window: int = 7,
+    partition_cols: list[str] | None = None,
+    out_col: str = "modal_label",
+) -> DataFrame:
+    """W13 — trailing `window`-row modal label EXCLUDING the current row
+    (the reference's fallback predictor when the previous day is missing,
+    ref pipeline_overview.md:284-292). Labels are the ordinal set -1/0/+1;
+    the mode is an argmax over three conditional counts with ties broken
+    toward the smaller label — deterministic, and identical CASE logic runs
+    on the SQL oracle."""
+    w = _w(order_col, partition_cols, -window, -1)
+    lab = F.col(label_col)
+    c_neg = F.count(F.when(lab == -1, 1)).over(w)
+    c_zero = F.count(F.when(lab == 0, 1)).over(w)
+    c_pos = F.count(F.when(lab == 1, 1)).over(w)
+    modal = (
+        F.when(c_neg + c_zero + c_pos == 0, F.lit(None).cast("int"))
+        .when((c_neg >= c_zero) & (c_neg >= c_pos), -1)
+        .when(c_zero >= c_pos, 0)
+        .otherwise(1)
+    )
+    return df.withColumn(out_col, modal)
+
+
 def lag_baseline(
     df: DataFrame,
     order_col: str,

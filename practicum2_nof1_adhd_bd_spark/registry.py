@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import biomarkers, daily, dedup, drift, folds, impute, joins, labels
-from .operators import multimodal, similarity as sim
+from .operators import metrics, multimodal, similarity as sim
 from .operators import textops, windows
 from .sources.readers import Catalog
 
@@ -1017,6 +1017,223 @@ def q_adwin_changes(spark, sf_dir):
     )
 
 QUERIES["adwin_changes"] = q_adwin_changes
+
+
+# ---------------------------------------------------------------------------
+# W7 / W11 / W13 / A14 / A15 — segmentation triggers, anchors, modal labels,
+# classification metrics, consecutive blocks
+# ---------------------------------------------------------------------------
+
+_DAILY_LABELED = f"""
+    d AS ({_DAILY_MEAN}),
+    t AS (SELECT quantile_cont(value_mean, 0.25) AS p_lo,
+                 quantile_cont(value_mean, 0.75) AS p_hi
+          FROM d),
+    lab AS (
+        SELECT date, value_mean,
+               CASE WHEN value_mean <= p_lo THEN -1
+                    WHEN value_mean >= p_hi THEN 1
+                    ELSE 0 END AS label_3cls
+        FROM d, t
+    )
+"""
+
+def _daily_labeled(spark, sf_dir) -> DataFrame:
+    return labels.quantile_3way_label(_daily_mean(spark, sf_dir), "value_mean")
+
+
+@register(
+    "auto_segment_triggers",
+    f"""
+    WITH d AS ({_DAILY_MEAN}),
+    m AS (
+        SELECT date, value_mean,
+               lag(date) OVER (ORDER BY date) AS prev_day,
+               count(value_mean) OVER wp AS pn,
+               count(value_mean) OVER wn AS nn,
+               avg(value_mean) OVER wp AS pm,
+               avg(value_mean) OVER wn AS nm
+        FROM d
+        WINDOW wp AS (ORDER BY date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+               wn AS (ORDER BY date ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)
+    ),
+    r AS (
+        SELECT date, value_mean,
+               CASE WHEN prev_day IS NULL THEN 'start'
+                    WHEN date_diff('day', prev_day, date) >= 3 THEN 'gap_recovery'
+                    WHEN pn >= 5 AND nn >= 5 AND abs(nm - pm) >= 5.0 THEN 'signal_shift'
+               END AS trigger_reason
+        FROM m
+    )
+    SELECT date, value_mean, trigger_reason,
+           CAST(count(trigger_reason) OVER (ORDER BY date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment_id
+    FROM r
+    """,
+)
+def q_auto_segment_triggers(spark, sf_dir):
+    """W7: rule-based auto-segmentation — gap-recovery + density-gated
+    sustained-shift triggers over adjacent 7-row windows, then a running
+    segment id (ref src/labels/auto_segment.py:29-228)."""
+    d = _daily_mean(spark, sf_dir)
+    return windows.auto_segment_triggers(
+        d, "date", "value_mean", shift_threshold=5.0, min_gap_days=3
+    )
+
+
+@register(
+    "anchor_first_window",
+    f"""
+    WITH {_DAILY_LABELED},
+    q AS (
+        SELECT date,
+               count(label_3cls) OVER wf AS n_rows,
+               max(label_3cls) OVER wf AS mx,
+               min(label_3cls) OVER wf AS mn
+        FROM lab
+        WINDOW wf AS (ORDER BY date ROWS BETWEEN CURRENT ROW AND 13 FOLLOWING)
+    )
+    SELECT min(date) AS anchor_date FROM q WHERE n_rows = 14 AND mx != mn
+    """,
+)
+def q_anchor_first_window(spark, sf_dir):
+    """W11: first date whose next-14-row window holds >= 2 distinct labels
+    (ref ml7_analysis.py:172-183; distinctness as max != min over the
+    forward frame since labels are ordinal)."""
+    lab = _daily_labeled(spark, sf_dir)
+    return windows.anchor_first_qualifying(lab, "date", "label_3cls", window_rows=14)
+
+
+@register(
+    "rolling_modal_label",
+    f"""
+    WITH {_DAILY_LABELED}
+    SELECT date, label_3cls,
+           CASE WHEN cn + cz + cp = 0 THEN NULL
+                WHEN cn >= cz AND cn >= cp THEN -1
+                WHEN cz >= cp THEN 0
+                ELSE 1 END AS modal_label
+    FROM (
+        SELECT date, label_3cls,
+               count(CASE WHEN label_3cls = -1 THEN 1 END) OVER w AS cn,
+               count(CASE WHEN label_3cls = 0 THEN 1 END) OVER w AS cz,
+               count(CASE WHEN label_3cls = 1 THEN 1 END) OVER w AS cp
+        FROM lab
+        WINDOW w AS (ORDER BY date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    """,
+)
+def q_rolling_modal_label(spark, sf_dir):
+    """W13: trailing 7-row modal label (excluding current row) with
+    deterministic smaller-label tie-break — the reference's fallback
+    predictor (ref pipeline_overview.md:284-292)."""
+    lab = _daily_labeled(spark, sf_dir)
+    out = windows.rolling_modal_label(lab, "date", "label_3cls", window=7)
+    return out.select("date", "label_3cls", "modal_label")
+
+
+@register(
+    "per_class_metrics",
+    f"""
+    WITH {_DAILY_LABELED},
+    p AS (
+        SELECT label_3cls AS y_true,
+               lag(label_3cls) OVER (ORDER BY date) AS y_pred
+        FROM lab
+    ),
+    cm AS (
+        SELECT y_true, y_pred, count(*) AS n FROM p
+        WHERE y_true IS NOT NULL AND y_pred IS NOT NULL GROUP BY 1, 2
+    ),
+    classes AS (
+        SELECT DISTINCT label FROM (
+            SELECT y_true AS label FROM cm UNION ALL SELECT y_pred FROM cm
+        )
+    ),
+    tpt AS (SELECT y_true AS label, n AS tp FROM cm WHERE y_true = y_pred),
+    nt AS (SELECT y_true AS label, sum(n) AS n_true FROM cm GROUP BY 1),
+    np AS (SELECT y_pred AS label, sum(n) AS n_pred FROM cm GROUP BY 1),
+    j AS (
+        SELECT c.label,
+               coalesce(tp, 0) AS tp,
+               coalesce(n_true, 0) AS n_true,
+               coalesce(n_pred, 0) AS n_pred
+        FROM classes c
+        LEFT JOIN tpt USING (label) LEFT JOIN nt USING (label) LEFT JOIN np USING (label)
+    ),
+    pr AS (
+        SELECT label, tp, n_true, n_pred,
+               round(CASE WHEN n_pred != 0 THEN CAST(tp AS DOUBLE) / n_pred END, 6)
+                   AS precision,
+               round(CASE WHEN n_true != 0 THEN CAST(tp AS DOUBLE) / n_true END, 6)
+                   AS recall
+        FROM j
+    )
+    SELECT label, tp, n_true, n_pred, precision, recall,
+           round(CASE WHEN precision + recall != 0
+                 THEN 2 * precision * recall / (precision + recall) END, 6) AS f1,
+           n_pred - tp AS fp,
+           n_true - tp AS fn
+    FROM pr
+    """,
+)
+def q_per_class_metrics(spark, sf_dir):
+    """A14: confusion matrix as a relational table + per-class
+    precision/recall/F1, scored on the persistence baseline vs the quantile
+    labels (ref ml_metrics_extended.py:276-399)."""
+    lab = _daily_labeled(spark, sf_dir)
+    pred = windows.lag_baseline(lab, "date", "label_3cls")
+    pairs = pred.select(
+        F.col("label_3cls").alias("y_true"),
+        F.col("label_3cls_pred").alias("y_pred"),
+    )
+    return metrics.per_class_report(pairs)
+
+
+@register(
+    "high_activity_blocks",
+    f"""
+    WITH d AS ({_DAILY_MEAN}),
+    t AS (SELECT quantile_cont(value_mean, 0.5) AS med FROM d),
+    q AS (SELECT date FROM d, t WHERE value_mean >= med),
+    m AS (
+        SELECT date,
+               CASE WHEN lag(date) OVER (ORDER BY date) IS NULL
+                         OR date_diff('day', lag(date) OVER (ORDER BY date), date) > 1
+                    THEN 1 ELSE 0 END AS is_new
+        FROM q
+    ),
+    s AS (
+        SELECT date,
+               CAST(sum(is_new) OVER (ORDER BY date
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS block_id
+        FROM m
+    )
+    SELECT block_id, min(date) AS date_start, max(date) AS date_end,
+           count(*) AS n_days,
+           CAST(date_diff('day', min(date), max(date)) + 1 AS BIGINT) AS duration_days
+    FROM s GROUP BY 1
+    """,
+)
+def q_high_activity_blocks(spark, sf_dir):
+    """A15: consecutive-block detection on an intensity mask — days at or
+    above the exact median form gaps-and-islands blocks
+    (ref src/biomarkers/activity.py:176-290 sedentary/active block metrics).
+    The median threshold is a broadcast scalar, never a driver collect."""
+    d = _daily_mean(spark, sf_dir)
+    med = d.agg(F.expr("percentile(value_mean, 0.5)").alias("_med"))
+    q = (
+        d.crossJoin(F.broadcast(med))
+        .filter(F.col("value_mean") >= F.col("_med"))
+        .select("date")
+    )
+    seg = windows.gaps_and_islands(
+        q, "date", [], max_gap_days=1, break_on_month=False, id_col="block_id"
+    )
+    summ = windows.segment_summary(seg, "date", [], id_col="block_id")
+    return summ.withColumn(
+        "duration_days", F.col("duration_days").cast("bigint")
+    ).withColumn("block_id", F.col("block_id").cast("bigint"))
 
 
 # ---------------------------------------------------------------------------
