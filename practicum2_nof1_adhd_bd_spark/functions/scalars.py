@@ -40,6 +40,24 @@ def sorted_set_join(col: Column, sep: str = ", ") -> Column:
     return F.array_join(F.array_sort(F.collect_set(col)), sep)
 
 
+def tz_cutover_localize(
+    ts_col: Column, cutover_date: str, tz_before: str, tz_after: str
+) -> Column:
+    """Timezone cutover rule — the source switches home timezone at a date,
+    so UTC events localize differently before/after the cutover
+    (ref src/domains/extract_screen_time.py:20-32)."""
+    return F.when(
+        F.to_date(ts_col) < F.lit(cutover_date),
+        F.from_utc_timestamp(ts_col, tz_before),
+    ).otherwise(F.from_utc_timestamp(ts_col, tz_after))
+
+
+def parse_timestamp_multi(col: Column, formats: list[str]) -> Column:
+    """Multi-format timestamp parse: first format that parses wins, null if
+    none do (ref som_from_autoexport.py:132-168 probes format candidates)."""
+    return F.coalesce(*[F.try_to_timestamp(col, F.lit(f)) for f in formats])
+
+
 def hash64_md5(col: Column) -> Column:
     """Deterministic 60-bit integer hash of a string.
 

@@ -1020,6 +1020,172 @@ QUERIES["adwin_changes"] = q_adwin_changes
 
 
 # ---------------------------------------------------------------------------
+# §2.8 scalar surface — JSON parse, tz cutover, multi-format timestamps,
+# pipe-split set union, data-dependent unit coercion
+# ---------------------------------------------------------------------------
+
+@register(
+    "json_props_daily",
+    """
+    WITH j AS (
+        SELECT ts, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events
+    )
+    SELECT CAST(ts AS DATE) AS date,
+           count(k) AS n_k,
+           round(avg(k), 6) AS k_mean,
+           min(k) AS k_min,
+           max(k) AS k_max,
+           CAST(sum(k) AS BIGINT) AS k_sum
+    FROM j GROUP BY 1
+    """,
+)
+def q_json_props_daily(spark, sf_dir):
+    """§2.8 embedded-JSON parse: from_json with an explicit schema over the
+    events props column, then daily stats of the extracted field
+    (ref sleep_from_extracted.py:435-467 naps JSON)."""
+    ev = _cat(spark, sf_dir).events
+    j = ev.select("ts", F.from_json("props", "k INT").getField("k").alias("k"))
+    return j.groupBy(F.to_date("ts").alias("date")).agg(
+        F.count("k").alias("n_k"),
+        F.round(F.avg("k"), 6).alias("k_mean"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.sum("k").alias("k_sum"),
+    )
+
+
+@register(
+    "tz_cutover_daily",
+    """
+    SELECT CAST(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN ts
+                     ELSE ts - INTERVAL 3 HOUR END AS DATE) AS local_date,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def q_tz_cutover_daily(spark, sf_dir):
+    """§2.8 timezone cutover: before 2024-01-16 events localize as UTC,
+    after as America/Sao_Paulo (UTC-3, fixed since 2019) — the reference's
+    tz-switch-at-a-date rule (ref extract_screen_time.py:20-32). The oracle
+    uses explicit offset arithmetic so it is session-timezone independent."""
+    from .functions.scalars import tz_cutover_localize
+
+    ev = _cat(spark, sf_dir).events
+    local = tz_cutover_localize(F.col("ts"), "2024-01-16", "UTC", "America/Sao_Paulo")
+    return ev.groupBy(F.to_date(local).alias("local_date")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "multiformat_ts_parse",
+    """
+    WITH s AS (
+        SELECT ts,
+               CASE WHEN event_id % 2 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+                    ELSE strftime(ts, '%m/%d/%Y %H:%M:%S') END AS raw
+        FROM events
+    ), p AS (
+        SELECT ts,
+               coalesce(try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+                        try_strptime(raw, '%m/%d/%Y %H:%M:%S')) AS parsed
+        FROM s
+    )
+    SELECT CAST(parsed AS DATE) AS date,
+           count(parsed) AS n_parsed,
+           count(CASE WHEN parsed = date_trunc('second', ts) THEN 1 END) AS n_exact
+    FROM p GROUP BY 1
+    """,
+)
+def q_multiformat_ts_parse(spark, sf_dir):
+    """§2.8 multi-format timestamp parsing: serialize each event's ts in one
+    of two formats, parse back via try-parse coalesce, verify the round trip
+    (ref som_from_autoexport.py:132-168)."""
+    from .functions.scalars import parse_timestamp_multi
+
+    ev = _cat(spark, sf_dir).events
+    raw = F.when(
+        F.col("event_id") % 2 == 0, F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    ).otherwise(F.date_format("ts", "MM/dd/yyyy HH:mm:ss"))
+    s = ev.select("ts", raw.alias("raw"))
+    p = s.withColumn(
+        "parsed",
+        parse_timestamp_multi(
+            F.col("raw"), ["yyyy-MM-dd HH:mm:ss", "MM/dd/yyyy HH:mm:ss"]
+        ),
+    )
+    return p.groupBy(F.to_date("parsed").alias("date")).agg(
+        F.count("parsed").alias("n_parsed"),
+        F.count(
+            F.when(F.col("parsed") == F.date_trunc("second", F.col("ts")), 1)
+        ).alias("n_exact"),
+    )
+
+
+@register(
+    "pipe_split_union",
+    r"""
+    WITH pu AS (
+        SELECT CAST(ts AS DATE) AS date, user_id,
+               array_to_string(list_sort(list(DISTINCT event_type)), ' | ') AS labels_raw
+        FROM events GROUP BY 1, 2
+    )
+    SELECT date,
+           array_to_string(list_sort(list_distinct(flatten(
+               list(regexp_split_to_array(labels_raw, '\s*\|\s*'))))), ', ') AS labels,
+           count(*) AS n_users
+    FROM pu GROUP BY date
+    """,
+)
+def q_pipe_split_union(spark, sf_dir):
+    """§2.8 + A6: pipe-joined label strings split back to arrays, set-union
+    across the day, sorted comma join (ref som_from_autoexport.py:171-183,
+    383-384 'Happy | Content' handling)."""
+    from .functions.scalars import pipe_split
+
+    ev = _cat(spark, sf_dir).events
+    pu = ev.groupBy(F.to_date("ts").alias("date"), "user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), " | ").alias(
+            "labels_raw"
+        )
+    )
+    return pu.groupBy("date").agg(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list(pipe_split(F.col("labels_raw")))))
+            ),
+            ", ",
+        ).alias("labels"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
+@register(
+    "unit_coercion_hours",
+    """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS date, round(sum(value), 6) AS v
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ), m AS (SELECT max(v) AS mx FROM d)
+    SELECT date, round(CASE WHEN mx > 24 THEN v / 60.0 ELSE v END, 6) AS v_hours
+    FROM d, m
+    """,
+)
+def q_unit_coercion_hours(spark, sf_dir):
+    """§2.8 data-dependent unit heuristic: 'max > 24 => values are minutes,
+    convert to hours' — an agg broadcast back via cross-join, never a driver
+    collect (ref sleep_from_extracted.py:263-270)."""
+    from .sources.readers import coerce_hours
+
+    ev = _cat(spark, sf_dir).events
+    d = ev.filter(F.col("event_type") == "view").groupBy(
+        F.to_date("ts").alias("date")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    out = coerce_hours(d, "v")
+    return out.select("date", F.round("v", 6).alias("v_hours"))
+
+
+# ---------------------------------------------------------------------------
 # W7 / W11 / W13 / A14 / A15 — segmentation triggers, anchors, modal labels,
 # classification metrics, consecutive blocks
 # ---------------------------------------------------------------------------
