@@ -104,6 +104,84 @@ def cosine_topk_vectorized(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocking buckets.
+
+    The quadratic self-join runs only inside each block (at 100 TB the block
+    key is an LSH bucket or cluster id, here the embeddings' label column),
+    so the join shuffles on the block key and never crosses blocks. Pairs
+    are canonical (id_a < id_b)."""
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(
+        F.col(id_col), F.col(block_col).alias("block"), dvec.alias("v")
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("block"), F.col("v").alias("va")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("block"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, ["block"]).filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine")
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_probe: int = 2,
+    coarse_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = per-partition centroid (elementwise
+    mean embedding per `coarse_col`), probe the n_probe nearest centroids,
+    exact-rank only their members.
+
+    At scale the centroid table is tiny (one row per cell) and broadcast;
+    the corpus scan prunes to probed cells via a semi-join, so the exact
+    ranking touches ~n_probe/n_cells of the data. Deterministic given the
+    (pre-assigned) cell column, so it keeps an exact SQL oracle."""
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(
+        F.col(id_col), F.col(coarse_col).alias("cell"), dvec.alias("v")
+    )
+    # elementwise centroid per cell: posexplode -> per-(cell,pos) mean -> array
+    ex = base.select("cell", F.posexplode("v").alias("pos", "val"))
+    cm = ex.groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+    cent = cm.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    )
+    q = base.filter(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
+    probes = (
+        cent.crossJoin(F.broadcast(q))
+        .select("cell", cosine(F.col("cv"), F.col("qv")).alias("_cs"))
+        .orderBy(F.desc("_cs"), F.asc("cell"))
+        .limit(n_probe)
+        .select("cell")
+    )
+    corpus = base.join(F.broadcast(probes), "cell", "left_semi")
+    scored = corpus.crossJoin(F.broadcast(q)).filter(F.col(id_col) != query_id)
+    return (
+        scored.select(
+            id_col, F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def random_hyperplane_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,

@@ -1822,6 +1822,86 @@ def q_ann_lsh_topk(spark, sf_dir):
 QUERIES["ann_lsh_topk"] = q_ann_lsh_topk
 
 
+@register(
+    "embedding_near_dup",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.v, b.v)
+                 / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))),
+                 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_inner_product(a.v, b.v)
+                / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))),
+                6) >= 0.3
+    """,
+)
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs inside blocking buckets (the
+    label column stands in for an LSH/cluster block key) — the quadratic
+    join never crosses blocks, so it shuffles on the block key only."""
+    emb = _cat(spark, sf_dir).embeddings
+    return sim.embedding_near_dup_pairs(emb, threshold=0.3, block_col="label")
+
+
+@register(
+    "ivf_ann_topk",
+    """
+    WITH e AS (SELECT vec_id, label AS cell, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM e),
+    cm AS (SELECT cell, pos, avg(val) AS m FROM u GROUP BY 1, 2),
+    c AS (SELECT cell, list(m ORDER BY pos) AS cv FROM cm GROUP BY 1),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    p AS (
+        SELECT cell FROM c, q
+        ORDER BY list_inner_product(cv, qv)
+                 / (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product(qv, qv)))
+                 DESC, cell ASC
+        LIMIT 2
+    )
+    SELECT vec_id,
+           round(list_inner_product(v, qv)
+                 / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))),
+                 6) AS cosine
+    FROM e JOIN p USING (cell), q
+    WHERE vec_id != 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF-style ANN: per-cell centroids (elementwise mean), probe the 2
+    nearest cells, exact-rank only their members — the sub-linear scale path
+    when the corpus is pre-clustered."""
+    emb = _cat(spark, sf_dir).embeddings
+    return sim.ivf_topk(emb, query_id=0, k=10, n_probe=2, coarse_col="label")
+
+
+def q_logreg_fold_cv(spark, sf_dir):
+    """§7 ML tail: MLlib LogisticRegression per rolling-origin temporal fold
+    over the daily feature frame, per-fold accuracy + macro-F1. Training is
+    distributed lbfgs (deterministic); no SQL oracle -> rows-only check."""
+    from .operators import ml
+
+    ev = _cat(spark, sf_dir).events
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.round(F.avg("value"), 6).alias("value_mean"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+    )
+    lab = labels.quantile_3way_label(d, "value_mean")
+    return ml.logreg_fold_cv(
+        lab,
+        ["value_mean", "n_events", "n_users"],
+        "label_3cls",
+        train_days=7,
+        gap_days=0,
+        val_days=3,
+    )
+
+QUERIES["logreg_fold_cv"] = q_logreg_fold_cv
+
+
 # ---------------------------------------------------------------------------
 # entry points for the driver
 # ---------------------------------------------------------------------------

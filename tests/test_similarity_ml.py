@@ -1,0 +1,58 @@
+"""Unit tests — embedding near-dup, IVF ANN, MLlib fold CV."""
+
+import datetime as dt
+
+from practicum2_nof1_adhd_bd_spark.operators import ml, similarity as sim
+
+
+def _emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0], 0),   # near-dup of 0, same block
+        (2, [0.0, 1.0, 0.0], 0),    # orthogonal, same block
+        (3, [1.0, 0.05, 0.0], 1),   # near 0 but different block
+        (4, [0.0, 0.98, 0.2], 1),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+
+
+def test_near_dup_blocked(spark):
+    out = sim.embedding_near_dup_pairs(_emb(spark), threshold=0.9, block_col="label")
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 1) in pairs           # same block, high cosine
+    assert (0, 3) not in pairs       # high cosine but cross-block
+    assert (0, 2) not in pairs       # same block, low cosine
+    assert all(a < b for a, b in pairs)
+
+
+def test_ivf_probes_nearest_cells(spark):
+    out = sim.ivf_topk(_emb(spark), query_id=0, k=3, n_probe=1, coarse_col="label")
+    got = [r["vec_id"] for r in out.collect()]
+    # probe 1 cell: query's own cluster (centroid nearest to [1,0,0]) -> only block 0
+    assert got[0] == 1
+    assert 3 not in got and 4 not in got
+
+
+def test_ivf_two_probes_cover_all(spark):
+    out = sim.ivf_topk(_emb(spark), query_id=0, k=4, n_probe=2, coarse_col="label")
+    got = {r["vec_id"] for r in out.collect()}
+    assert got == {1, 2, 3, 4}
+
+
+def test_logreg_separable(spark):
+    # 30 days, y depends deterministically on x -> near-perfect folds
+    d0 = dt.date(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        x = float(i % 3 - 1)  # -1, 0, 1 cycling
+        rows.append((d0 + dt.timedelta(days=i), x, x * 2.0, int(x)))
+    df = spark.createDataFrame(rows, "date date, f1 double, f2 double, label int")
+    out = ml.logreg_fold_cv(
+        df, ["f1", "f2"], "label", train_days=7, gap_days=0, val_days=3
+    ).collect()
+    assert len(out) == 3
+    usable = [r for r in out if r["usable"] == 1]
+    assert usable, "at least one fold should train"
+    assert all(r["accuracy"] == 1.0 for r in usable)
