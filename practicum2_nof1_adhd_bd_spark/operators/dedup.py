@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalars import hash64_md5
+from ..sources.readers import fan_out
 from .textops import tokens
 
 
@@ -55,26 +56,43 @@ def word_shingles(col: Column, k: int = 3) -> Column:
 
 _SENTINEL = 1 << 62
 
+# Universal hash family over the Mersenne prime 2^31 - 1: h_i(s) =
+# (A_i * base(s) + B_i) mod P where base = hash64_md5(s) mod P. One md5 per
+# shingle (the expensive part); each extra hash function is two integer ops.
+# Products stay < P^2 < 2^62 — no int64 overflow, and DuckDB reproduces the
+# arithmetic bit-exactly.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (A_i, B_i) pairs, A_i != 0 mod P (Knuth-style LCG
+    constants; shared with the SQL oracle builder)."""
+    return [
+        ((i * 2654435761 + 1) % MINHASH_P, (i * 40503 + 9973) % MINHASH_P)
+        for i in range(n_hashes)
+    ]
+
 
 def signature_from_shingles(sh_col: Column, n_hashes: int) -> Column:
     """One-pass MinHash signature from a shingle-array column.
 
-    Hash family h_i(s) = hash64_md5(i || ':' || s) — a salted md5, exactly
-    reproducible in SQL. Computed as transform(shingles -> array of n
-    hashes) + an elementwise-min fold, so the (expensive) shingle expression
-    is referenced exactly ONCE; building n separate array_min(transform(..))
-    columns would make Catalyst recompute tokenization n times per row.
-
-    NB: hash columns are built via a closure factory — a 2-arg lambda
-    (`lambda s, i=i: ...`) would make pyspark pass the ARRAY INDEX as the
-    second argument, silently replacing the seed.
+    The md5-derived base hash is computed ONCE per shingle; the n hash
+    functions are affine transforms of it (see minhash_coeffs). Folded with
+    an elementwise-min so the shingle expression is referenced exactly once —
+    n separate array_min(transform(..)) columns would make Catalyst
+    recompute tokenization n times per row.
     """
+    coeffs = minhash_coeffs(n_hashes)
+    p = F.lit(MINHASH_P).cast("bigint")
 
-    def salted(seed: int):
-        return lambda s: hash64_md5(F.concat(F.lit(f"{seed}:"), s))
-
+    # two nested transforms: the outer one materializes the md5 base hash
+    # exactly once per shingle (CSE inside lambda bodies is not guaranteed)
+    bases = F.transform(sh_col, lambda s: hash64_md5(s) % p)
     per_shingle = F.transform(
-        sh_col, lambda s: F.array(*[salted(i)(s) for i in range(n_hashes)])
+        bases,
+        lambda h: F.array(
+            *[(h * F.lit(a).cast("bigint") + F.lit(b)) % p for a, b in coeffs]
+        ),
     )
     sentinel = F.array_repeat(F.lit(_SENTINEL).cast("bigint"), n_hashes)
     return F.aggregate(
@@ -142,7 +160,8 @@ def minhash_lsh_pairs_verified(
     the join key (band, bucket) is uniform md5 — shuffle-friendly, no skew.
     """
     sh_df = (
-        df.select(F.col(id_col), word_shingles(F.col(text_col), k).alias("sh"))
+        fan_out(df, id_col)
+        .select(F.col(id_col), word_shingles(F.col(text_col), k).alias("sh"))
         .filter(F.size("sh") > 0)
         .persist()
     )
@@ -178,7 +197,8 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (no verify step)."""
     sh_df = (
-        df.select(F.col(id_col), word_shingles(F.col(text_col), k).alias("sh"))
+        fan_out(df, id_col)
+        .select(F.col(id_col), word_shingles(F.col(text_col), k).alias("sh"))
         .filter(F.size("sh") > 0)
     )
     sig_df = sh_df.select(
@@ -273,7 +293,9 @@ def simhash32(col: Column) -> Column:
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """SimHash fingerprint per document."""
-    return df.select(F.col(id_col), simhash32(F.col(text_col)).alias("simhash"))
+    return fan_out(df, id_col).select(
+        F.col(id_col), simhash32(F.col(text_col)).alias("simhash")
+    )
 
 
 def simhash_near_dups(
@@ -342,7 +364,7 @@ def ngram_jaccard_pairs(
     this operator is the exact-verify tail behind MinHash/SimHash candidates.
     """
     bucket_cols = bucket_cols or ["lang"]
-    sh = df.select(
+    sh = fan_out(df, id_col).select(
         F.col(id_col),
         *[F.col(c) for c in bucket_cols],
         word_shingles(F.col(text_col), k).alias("sh"),

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import clip
+from ..sources.readers import fan_out
 
 
 def segment_zscore(
@@ -56,8 +57,14 @@ def exact_quantile_thresholds(
 ) -> DataFrame:
     """A8 first pass — EXACT interpolated percentiles as a 1-row frame
     (ref build_pbsi.py:233-239 uses pandas quantile = linear interpolation;
-    percentile_approx would not hash-match the oracle)."""
-    return df.agg(
+    percentile_approx would not hash-match the oracle).
+
+    The partial phase of exact percentile builds a value-count map over every
+    row, so the single column is fanned out first: partial maps build in
+    parallel and only the merge is single-task. (At 100 TB you'd switch to
+    approx_percentile and a tolerance-based gate; exactness is the oracle
+    contract here.)"""
+    return fan_out(df.select(value_col)).agg(
         F.expr(f"percentile({value_col}, {probs[0]})").alias("p_lo"),
         F.expr(f"percentile({value_col}, {probs[1]})").alias("p_hi"),
     )

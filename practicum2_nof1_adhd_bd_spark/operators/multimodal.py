@@ -103,7 +103,11 @@ def decode_features(blobs: DataFrame) -> DataFrame:
                 }
             )
 
-    return blobs.select("media_id", "blob", "meta").mapInPandas(extract, schema)
+    from ..sources.readers import fan_out
+
+    return fan_out(
+        blobs.select("media_id", "blob", "meta"), "media_id"
+    ).mapInPandas(extract, schema)
 
 
 def resize_stub(blobs: DataFrame, width: int, height: int) -> DataFrame:

@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from ..sources.readers import fan_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -100,7 +102,10 @@ def cosine_topk_vectorized(
             res = res[pdf[id_col] != query_id]
             yield res.nlargest(min(k, len(res)), "cosine")
 
-    scored = embeddings.select(id_col, vec_col).mapInPandas(score, out_schema)
+    scored = (
+        fan_out(embeddings.select(id_col, vec_col), id_col)
+        .mapInPandas(score, out_schema)
+    )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 

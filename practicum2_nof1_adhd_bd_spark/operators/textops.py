@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.readers import fan_out
+
 # Small English function-word list for the n-gram/stopword heuristic.
 EN_STOPWORDS = [
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
@@ -26,7 +28,7 @@ def tokens(col: Column) -> Column:
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: n_tokens, n_chars, avg token length, distinct ratio."""
     toks = tokens(F.col(text_col))
-    return df.select(
+    return fan_out(df, 'doc_id').select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.length(text_col).alias("n_chars_measured"),
@@ -50,7 +52,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     sw = F.array([F.lit(w) for w in EN_STOPWORDS])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     ratio = hits / F.greatest(F.size(toks), F.lit(1))
-    return df.select(
+    return fan_out(df, 'doc_id').select(
         "doc_id",
         F.round(ratio, 6).alias("stopword_ratio"),
         F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
@@ -77,7 +79,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.2) * F.least(stop_ratio * 10, F.lit(1.0))
         + F.lit(0.2) * distinct_ratio
     )
-    return df.select(
+    return fan_out(df, 'doc_id').select(
         "doc_id",
         n_tok.alias("n_tokens"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
@@ -92,7 +94,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     (stable across engines), plus length and first token."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     toks = tokens(F.col(text_col))
-    return df.select(
+    return fan_out(df, 'doc_id').select(
         "doc_id",
         F.md5(norm).alias("fp_md5"),
         F.length(norm).alias("fp_len"),

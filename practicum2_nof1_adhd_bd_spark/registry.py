@@ -1551,11 +1551,14 @@ _SHINGLES = (
     "i -> array_to_string(words[i:i+2], ' ')))"
 )
 
-def _mh_expr(seed: int) -> str:
-    """DuckDB twin of functions.hash64_md5 minhash for one seed."""
+def _mh_expr(i: int, n_hashes: int = 8) -> str:
+    """DuckDB twin of dedup.signature_from_shingles for hash function i:
+    affine transform of the md5 base hash over the Mersenne prime."""
+    a, b = dedup.minhash_coeffs(n_hashes)[i]
+    p = dedup.MINHASH_P
+    base = f"(('0x' || substr(md5(s), 1, 15))::BIGINT % {p})"
     return (
-        "list_min(list_transform(shingles, "
-        f"s -> ('0x' || substr(md5('{seed}:' || s), 1, 15))::BIGINT))"
+        f"list_min(list_transform(shingles, s -> ({base} * {a} + {b}) % {p}))"
     )
 
 

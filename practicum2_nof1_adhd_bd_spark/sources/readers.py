@@ -48,6 +48,24 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     return Catalog(spark, sf_dir).table(name)
 
 
+def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Widen a narrow input for compute-heavy per-row stages.
+
+    Small parquet files arrive as a single partition (one row group), which
+    serializes expensive per-row expressions (shingling, hashing, decode
+    UDFs) onto one core. When the input has fewer partitions than the
+    cluster's default parallelism, repartition up (hash on ``key_cols`` when
+    given, round-robin otherwise). At real scale file scans already produce
+    >= parallelism splits, so this is a no-op — no extra shuffle.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if key_cols:
+        return df.repartition(target, *[F.col(c) for c in key_cols])
+    return df.repartition(target)
+
+
 def read_csv_permissive(
     spark: SparkSession,
     path: str,
