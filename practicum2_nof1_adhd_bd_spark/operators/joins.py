@@ -133,3 +133,30 @@ def missing_days(df: DataFrame, date_col: str = "date") -> DataFrame:
     )
     present = df.select(F.col(date_col).cast("date").alias(date_col)).distinct()
     return all_days.join(present, on=date_col, how="left_anti")
+
+
+def asof_latest(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    cutoff,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """S2/J10 — deterministic as-of selection: per key, the single latest row
+    with ts <= cutoff (ref run_full_pipeline.py:265-359 picks the newest
+    candidate file whose parsed date <= snapshot; same max-by-under-predicate
+    shape at row scale).
+
+    Expressed as a groupBy max_by — one shuffle on the key, no window sort;
+    at 100 TB the cutoff predicate prunes partitions before the shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    value_cols = value_cols or [
+        c for c in df.columns if c not in key_cols and c != ts_col
+    ]
+    pruned = df.filter(F.col(ts_col) <= cutoff)
+    return pruned.groupBy(*key_cols).agg(
+        F.max(ts_col).alias(f"{ts_col}_latest"),
+        *[F.expr(f"max_by({c}, {ts_col})").alias(f"{c}_at") for c in value_cols],
+    )

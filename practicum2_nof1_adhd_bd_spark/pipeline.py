@@ -1,0 +1,116 @@
+"""Medallion pipeline — the engine's lifecycle surface (SURVEY.md §3).
+
+The reference runs 10 sequential stages with file-materialized handoff
+(ref scripts/run_full_pipeline.py:2231+; stage boundaries at :551, :589,
+:618, :651, :723). Here each stage is a lazy DataFrame graph and the layer
+boundaries are partitioned Parquet tables, preserving the reference's
+re-entrancy (`--start-from-etl`): any layer can be rebuilt from the previous
+one without recomputing upstream.
+
+Layers (all snappy Parquet, written under ``<out_dir>/<layer>``):
+
+- bronze/events          raw events, partitioned by event_date (partition
+                         pruning for every downstream temporal filter)
+- silver/daily           per-day per-type stats (A1 pivot fusion)
+- gold/unified           date-spine join of the daily domains (J2)
+- gold/labeled           z-scores + PBSI composite + exact-quantile labels
+                         (A7/A8, build_pbsi.py:139-176)
+- gold/segments          gaps-and-islands segment table (W6)
+
+At 100 TB: bronze is the only full-size layer and is written once,
+partitioned on the date key every later stage filters or joins on; silver
+and gold are daily-grain (thousands of rows per participant) and cheap.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import joins, labels, windows
+from .sources.readers import Catalog
+
+
+def build_bronze(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Ingest events to the partitioned bronze table (S7 event cache)."""
+    path = os.path.join(out_dir, "bronze", "events")
+    ev = Catalog(spark, sf_dir).events
+    (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .repartition(F.col("event_date"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+    return path
+
+
+def build_silver(spark: SparkSession, bronze_path: str, out_dir: str) -> str:
+    """Daily per-type metrics from bronze (A1/A4 pivot fusion; S7 daily
+    cache — the reference's 180x-speedup layer)."""
+    path = os.path.join(out_dir, "silver", "daily")
+    ev = spark.read.parquet(bronze_path)
+    daily = (
+        ev.groupBy(F.col("event_date").alias("date"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("value_mean"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .groupBy("date")
+        .pivot("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("value_mean").alias("mean"),
+            F.first("value_sum").alias("sum"),
+        )
+    )
+    daily.write.mode("overwrite").parquet(path)
+    return path
+
+
+def build_gold(spark: SparkSession, silver_path: str, out_dir: str) -> dict[str, str]:
+    """Unified + labeled + segments gold layers (J2, A7/A8, W6)."""
+    daily = spark.read.parquet(silver_path)
+    num_cols = [c for c in daily.columns if c.endswith("_mean")][:3]
+
+    unified_path = os.path.join(out_dir, "gold", "unified")
+    spine = daily.select("date").distinct()
+    unified = joins.spine_left_join(spine, [daily])
+    unified.write.mode("overwrite").parquet(unified_path)
+
+    labeled_path = os.path.join(out_dir, "gold", "labeled")
+    unified = spark.read.parquet(unified_path)
+    z = windows.global_zscore(unified, num_cols)
+    zcols = {
+        f"z_{c}": round(1.0 / max(len(num_cols), 1), 2) for c in num_cols
+    }
+    comp = labels.weighted_composite(z, zcols, "pbsi_score")
+    labeled = labels.quantile_3way_label(comp, "pbsi_score")
+    labeled.write.mode("overwrite").parquet(labeled_path)
+
+    segments_path = os.path.join(out_dir, "gold", "segments")
+    seg = windows.gaps_and_islands(
+        labeled.select("date"), "date", [], max_gap_days=1
+    )
+    windows.segment_summary(seg, "date", []).write.mode("overwrite").parquet(
+        segments_path
+    )
+    return {
+        "unified": unified_path,
+        "labeled": labeled_path,
+        "segments": segments_path,
+    }
+
+
+def run_medallion(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, str]:
+    """Full lifecycle: bronze -> silver -> gold, file-materialized like the
+    reference's stage handoff. Returns the layer paths. Each build_* step is
+    independently re-runnable from the prior layer (re-entrancy contract,
+    ref run_full_pipeline.py --start-stage)."""
+    bronze = build_bronze(spark, sf_dir, out_dir)
+    silver = build_silver(spark, bronze, out_dir)
+    gold = build_gold(spark, silver, out_dir)
+    return {"bronze": bronze, "silver": silver, **gold}

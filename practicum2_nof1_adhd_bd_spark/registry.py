@@ -430,6 +430,30 @@ def q_missing_days_per_user(spark, sf_dir):
 
 
 @register(
+    "asof_snapshot_select",
+    """
+    SELECT user_id,
+           max(ts) AS ts_latest,
+           arg_max(value, ts) AS value_at,
+           arg_max(event_id, ts) AS event_id_at
+    FROM events
+    WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY user_id
+    """,
+)
+def q_asof_snapshot_select(spark, sf_dir):
+    """S2/J10: deterministic as-of selection — per key the latest row at or
+    before the snapshot cutoff, as max-by under a pruning predicate
+    (ref run_full_pipeline.py:265-359 latest-candidate-<=-snapshot rule)."""
+    ev = _cat(spark, sf_dir).events
+    out = joins.asof_latest(
+        ev, ["user_id"], "ts", F.lit("2024-01-20 00:00:00").cast("timestamp"),
+        value_cols=["value", "event_id"],
+    )
+    return out
+
+
+@register(
     "dedup_by_key",
     """
     SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n_rows

@@ -1,0 +1,65 @@
+"""Medallion lifecycle tests — layer materialization + re-entrancy."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from practicum2_nof1_adhd_bd_spark import pipeline
+from practicum2_nof1_adhd_bd_spark.operators import joins
+
+
+def test_medallion_end_to_end(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "lake")
+    paths = pipeline.run_medallion(spark, sf_dir, out)
+    assert set(paths) == {"bronze", "silver", "unified", "labeled", "segments"}
+    for p in paths.values():
+        assert os.path.isdir(p), p
+
+    bronze = spark.read.parquet(paths["bronze"])
+    assert "event_date" in bronze.columns  # partition column survives
+    labeled = spark.read.parquet(paths["labeled"])
+    assert "pbsi_score" in labeled.columns and "label_3cls" in labeled.columns
+    assert labeled.filter(F.col("label_3cls").isNull()).count() == 0
+    # quantile labels: both extremes occupied
+    classes = {r["label_3cls"] for r in labeled.select("label_3cls").distinct().collect()}
+    assert {-1, 1} <= classes
+
+    segs = spark.read.parquet(paths["segments"])
+    assert segs.count() >= 1
+    # re-entrancy: gold can be rebuilt from silver alone, identically
+    gold2 = pipeline.build_gold(spark, paths["silver"], str(tmp_path / "lake2"))
+    l2 = spark.read.parquet(gold2["labeled"])
+    assert sorted(map(str, l2.collect())) == sorted(map(str, labeled.collect()))
+
+
+def test_bronze_partition_pruning(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "lake")
+    bronze_path = pipeline.build_bronze(spark, sf_dir, out)
+    bronze = spark.read.parquet(bronze_path)
+    plan = (
+        bronze.filter(F.col("event_date") == "2024-01-05")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the date filter must reach the scan as a partition filter
+    assert "PartitionFilters: [" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_asof_latest(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 10.0),
+        (1, "2024-01-05 00:00:00", 20.0),
+        (1, "2024-01-25 00:00:00", 99.0),  # after cutoff
+        (2, "2024-01-03 00:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        r["user_id"]: r
+        for r in joins.asof_latest(
+            df, ["user_id"], "ts", F.lit("2024-01-20 00:00:00").cast("timestamp")
+        ).collect()
+    }
+    assert out[1]["value_at"] == 20.0  # post-cutoff row excluded
+    assert out[2]["value_at"] == 7.0
