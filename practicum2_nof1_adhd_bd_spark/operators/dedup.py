@@ -148,26 +148,29 @@ def minhash_lsh_pairs_verified(
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, Jaccard-verified. The corpus-dedup flow:
 
-    shingles -> signature (one pass) -> band buckets (bucket = md5 of the
-    band's signature slice) -> self-equijoin on (band, bucket) -> exact
-    shingle-Jaccard verify of the surviving candidates.
+    shingles -> signature (one fused pass over the corpus) -> band buckets
+    (bucket = md5 of the band's signature slice) -> self-equijoin on
+    (band, bucket) -> exact shingle-Jaccard verify of the candidates.
 
-    Scale notes: the shingle and signature frames are persisted — each is
-    referenced by multiple downstream branches (both sides of the self-join,
-    the verify join), and without materialization Catalyst re-derives the
-    full tokenize+hash expression per reference (measured 8-10x overhead).
-    At 100 TB these intermediates would be checkpointed to Parquet instead;
-    the join key (band, bucket) is uniform md5 — shuffle-friendly, no skew.
+    Scale notes: the full corpus is tokenized exactly ONCE (the signature
+    pass); the verify stage re-shingles only the documents that appear in a
+    candidate pair (a semi-join — at healthy thresholds a tiny fraction of
+    the corpus). Caching the corpus-wide shingle arrays instead costs more
+    than the recompute (columnar cache build of the string arrays measured
+    4x the shingle pass itself). The join key (band, bucket) is uniform
+    md5 — shuffle-friendly, no skew.
     """
-    sh_df = (
-        fan_out(df, id_col)
-        .select(F.col(id_col), word_shingles(F.col(text_col), k).alias("sh"))
+    wide = fan_out(df, id_col)
+    # persist the SIGNATURES (n_hashes longs per doc — tiny), never the
+    # shingle string arrays (columnar-caching those measured 4x the cost of
+    # the shingle pass itself). The self-join + every downstream reference
+    # then reuses the one tokenize+hash pass.
+    sig_df = (
+        wide.select(F.col(id_col), word_shingles(F.col(text_col), k).alias("sh"))
         .filter(F.size("sh") > 0)
+        .select(id_col, signature_from_shingles(F.col("sh"), n_hashes).alias("sig"))
         .persist()
     )
-    sig_df = sh_df.select(
-        id_col, signature_from_shingles(F.col("sh"), n_hashes).alias("sig")
-    ).persist()
     banded = _banded_buckets(sig_df, id_col, n_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
@@ -182,8 +185,19 @@ def minhash_lsh_pairs_verified(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
+        .persist()  # referenced 3x below (two id branches + verify join)
     )
-    return jaccard_verify(pairs, sh_df, id_col=id_col, threshold=threshold,
+    # verify only candidate documents: semi-join then re-shingle the few
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_sh = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), word_shingles(F.col(text_col), k).alias("sh"))
+    )
+    return jaccard_verify(pairs, cand_sh, id_col=id_col, threshold=threshold,
                           precomputed_shingles=True)
 
 

@@ -123,18 +123,27 @@ def embedding_near_dup_pairs(
     so the join shuffles on the block key and never crosses blocks. Pairs
     are canonical (id_a < id_b)."""
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # norms are computed once per VECTOR (n rows) before the pair join, not
+    # once per PAIR (n^2/blocks rows) — same float expression, 3x fewer
+    # array folds on the quadratic side.
     base = embeddings.select(
         F.col(id_col), F.col(block_col).alias("block"), dvec.alias("v")
-    )
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     a = base.select(
-        F.col(id_col).alias("id_a"), F.col("block"), F.col("v").alias("va")
+        F.col(id_col).alias("id_a"), F.col("block"),
+        F.col("v").alias("va"), F.col("nrm").alias("nrm_a"),
     )
     b = base.select(
-        F.col(id_col).alias("id_b"), F.col("block"), F.col("v").alias("vb")
+        F.col(id_col).alias("id_b"), F.col("block"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nrm_b"),
     )
     pairs = a.join(b, ["block"]).filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.select(
-        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine")
+        "id_a",
+        "id_b",
+        F.round(
+            _dot(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+        ).alias("cosine"),
     )
     return scored.filter(F.col("cosine") >= threshold)
 

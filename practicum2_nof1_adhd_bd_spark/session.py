@@ -35,7 +35,10 @@ _DEFAULTS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # local[32] runs all executor threads in the driver JVM; higher-order
+    # array expressions are allocation-heavy, so give the collector room
+    # (the host has 128 GiB; override via SPARK_GRAFT_DRIVER_MEM).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
 }
 
 
