@@ -1,0 +1,70 @@
+"""Skew management — salting for hot keys (100 TB design note made concrete).
+
+A grouped aggregation on a skewed key funnels the hot key's rows through one
+reducer. Salted two-phase aggregation spreads each key over ``n_salts``
+sub-keys, partially aggregates, then merges the partials — the classic
+map-side-combine extension that AQE's skew handling does not cover for
+aggregations (AQE only splits skewed JOIN partitions).
+
+Only ALGEBRAIC aggregates can be salted (sum/count/min/max and anything
+derivable from them, e.g. mean = sum/count); the helpers here expose exactly
+that contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    n_salts: int = 16,
+    sum_cols: list[str] | None = None,
+    count: bool = True,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: per-(key, salt) partials, then a
+    cheap merge over at most ``n_salts`` rows per key.
+
+    The salt is deterministic (row hash mod n_salts) so repeated runs
+    partition identically. Output: key_cols + sum_<c> per sum col + n_rows.
+    """
+    sum_cols = sum_cols or []
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)
+    ).alias("_salt")
+    phase1 = (
+        df.select(*df.columns, salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            *[F.sum(c).alias(f"_sum_{c}") for c in sum_cols],
+        )
+    )
+    aggs = [F.sum("_cnt").alias("n_rows")] if count else []
+    aggs += [F.sum(f"_sum_{c}").alias(f"sum_{c}") for c in sum_cols]
+    return phase1.groupBy(*key_cols).agg(*aggs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: the fact side gets a random-but-deterministic
+    salt, the (small) dim side is EXPLODED n_salts times so every salted
+    fact key finds its partner. Use when the dim is too big to broadcast
+    but the fact key is skewed; shuffle partitions then hold at most
+    1/n_salts of any hot key.
+    """
+    salted_fact = fact.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)),
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_fact.join(salted_dim, [key, "_salt"])
+    return out.drop("_salt")

@@ -1,3 +1,4 @@
 from .daily_stream import daily_stats_stream, sessionize_stream
+from .stateful import shift_detector_stream
 
-__all__ = ["daily_stats_stream", "sessionize_stream"]
+__all__ = ["daily_stats_stream", "sessionize_stream", "shift_detector_stream"]

@@ -1,0 +1,76 @@
+"""Tests — stateful streaming shift detector and skew-salting helpers."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from practicum2_nof1_adhd_bd_spark.functions.skew import salted_agg, salted_join
+from practicum2_nof1_adhd_bd_spark.streaming.stateful import shift_detector_stream
+
+
+def test_shift_detector_across_microbatches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    base = dt.datetime(2024, 1, 1)
+    # batch file 1: mean 10; batch file 2: mean 50 -> shift 40 >= 10
+    b1 = [(base + dt.timedelta(minutes=i), "hr", 10.0) for i in range(20)]
+    b2 = [(base + dt.timedelta(hours=1, minutes=i), "hr", 50.0) for i in range(20)]
+    schema = "ts timestamp, event_type string, value double"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(src)
+    )
+    q = (
+        shift_detector_stream(stream, threshold=10.0)
+        .writeStream.format("memory")
+        .queryName("shift_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = sorted(
+        spark.sql("SELECT * FROM shift_t").collect(), key=lambda r: r["prev_n"]
+    )
+    assert len(rows) == 2
+    first, second = rows
+    assert first["prev_n"] == 0 and first["changed"] is False
+    assert second["prev_n"] == 20 and second["prev_mean"] == 10.0
+    assert second["batch_mean"] == 50.0 and second["changed"] is True
+    assert second["shift"] == 40.0
+
+
+def test_salted_agg_matches_plain(spark):
+    rows = [(i % 3, float(i)) for i in range(1000)] + [(0, 1.0)] * 500  # key 0 hot
+    df = spark.createDataFrame(rows, "k int, v double")
+    got = {
+        r["k"]: r
+        for r in salted_agg(df, ["k"], n_salts=8, sum_cols=["v"]).collect()
+    }
+    want = {
+        r["k"]: r
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n_rows"] == want[k]["n_rows"]
+        assert abs(got[k]["sum_v"] - want[k]["sum_v"]) < 1e-6
+
+
+def test_salted_join_matches_plain(spark):
+    fact = spark.createDataFrame(
+        [(i % 2, float(i)) for i in range(100)], "k int, v double"
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k int, name string")
+    got = salted_join(fact, dim, "k", n_salts=4)
+    want = fact.join(dim, "k")
+    assert got.count() == want.count() == 100
+    assert got.groupBy("name").count().orderBy("name").collect() == (
+        want.groupBy("name").count().orderBy("name").collect()
+    )
