@@ -1,0 +1,123 @@
+"""Data-quality audit framework — SURVEY.md §5 (the reference's test
+strategy made an engine operator).
+
+The reference replaced its pytest suite with a domain-audit system
+(ref src/etl/etl_audit.py:40-1741, class ETLAuditor): duplicate-date
+detection, date-span vs unique-days monotonicity, fabrication detection
+(suspiciously constant daily stats), domain-coverage profiling, each with a
+CRITICAL/WARNING/INFO severity. Here each check is one aggregation over the
+daily frame and the report is itself a DataFrame — auditable tables instead
+of log lines, and SQL-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _row(df: DataFrame, check: str, severity, metric, threshold) -> DataFrame:
+    return df.select(
+        F.lit(check).alias("check_name"),
+        severity.alias("severity"),
+        F.round(metric, 6).alias("metric"),
+        F.lit(float(threshold)).alias("threshold"),
+    )
+
+
+def audit_daily_frame(
+    daily: DataFrame,
+    date_col: str = "date",
+    mean_col: str = "value_mean",
+    min_col: str = "value_min",
+    std_col: str = "value_std",
+    fabrication_pct_max: float = 10.0,
+    missing_pct_max: float = 5.0,
+) -> DataFrame:
+    """Audit a daily metric frame; one row per check.
+
+    Checks (ref etl_audit.py):
+    - duplicate_dates: rows − distinct dates must be 0 (CRITICAL, :168-175)
+    - span_coverage: % of calendar days in [min,max] that are present;
+      missing % above threshold is a WARNING (:283-302)
+    - fabrication_min_eq_mean: % days with min == mean (a constant-signal
+      smell) must stay under threshold (WARNING, :458-480)
+    - fabrication_zero_std: % days with std == 0 under threshold (:458-480)
+    """
+    base = daily.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(date_col).alias("n_dates"),
+        F.min(date_col).alias("d0"),
+        F.max(date_col).alias("d1"),
+        F.avg((F.col(min_col) == F.col(mean_col)).cast("double")).alias("pct_min_eq_mean"),
+        F.avg((F.col(std_col) == 0).cast("double")).alias("pct_zero_std"),
+    )
+
+    dup = _row(
+        base,
+        "duplicate_dates",
+        F.when(F.col("n_rows") > F.col("n_dates"), "CRITICAL").otherwise("OK"),
+        (F.col("n_rows") - F.col("n_dates")).cast("double"),
+        0.0,
+    )
+    span_missing = (
+        (F.datediff("d1", "d0") + 1 - F.col("n_dates"))
+        * 100.0
+        / (F.datediff("d1", "d0") + 1)
+    )
+    span = _row(
+        base,
+        "span_missing_pct",
+        F.when(span_missing > missing_pct_max, "WARNING").otherwise("OK"),
+        span_missing,
+        missing_pct_max,
+    )
+    fab_mm = _row(
+        base,
+        "fabrication_min_eq_mean_pct",
+        F.when(F.col("pct_min_eq_mean") * 100 > fabrication_pct_max, "WARNING")
+        .otherwise("OK"),
+        F.col("pct_min_eq_mean") * 100,
+        fabrication_pct_max,
+    )
+    fab_std = _row(
+        base,
+        "fabrication_zero_std_pct",
+        F.when(F.col("pct_zero_std") * 100 > fabrication_pct_max, "WARNING")
+        .otherwise("OK"),
+        F.col("pct_zero_std") * 100,
+        fabrication_pct_max,
+    )
+    return reduce(DataFrame.unionByName, [dup, span, fab_mm, fab_std])
+
+
+def reaggregation_consistency(
+    events: DataFrame,
+    daily: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    date_col: str = "date",
+    mean_col: str = "value_mean",
+    count_col: str = "n_events",
+    tol: float = 1e-9,
+) -> DataFrame:
+    """Golden re-aggregation QC (ref hr_daily_aggregation_consistency_check
+    .py; README.md:227-252: reload events, re-aggregate, diff under
+    tolerance — the reference reports max diff 2.8e-14). Returns per-day
+    diffs with a boolean `consistent`; an empty `filter(~consistent)` is
+    the pass condition."""
+    re_agg = events.groupBy(F.to_date(ts_col).alias(date_col)).agg(
+        F.avg(value_col).alias("_re_mean"),
+        F.count(value_col).alias("_re_n"),
+    )
+    j = daily.join(re_agg, date_col, "full_outer")
+    mean_diff = F.abs(F.col(mean_col) - F.col("_re_mean"))
+    n_diff = F.abs(F.col(count_col) - F.col("_re_n"))
+    return j.select(
+        date_col,
+        F.round(mean_diff, 12).alias("mean_abs_diff"),
+        n_diff.alias("count_abs_diff"),
+        ((mean_diff <= tol) & (n_diff == 0)).alias("consistent"),
+    )

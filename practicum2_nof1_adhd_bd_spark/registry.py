@@ -1044,6 +1044,108 @@ QUERIES["adwin_changes"] = q_adwin_changes
 
 
 # ---------------------------------------------------------------------------
+# §5 audit framework — the reference's QC system as engine operators
+# ---------------------------------------------------------------------------
+
+_DAILY_FULL_STATS = """
+    SELECT CAST(ts AS DATE) AS date,
+           avg(value) AS value_mean,
+           min(value) AS value_min,
+           stddev_samp(value) AS value_std
+    FROM events GROUP BY 1
+"""
+
+@register(
+    "etl_audit_report",
+    f"""
+    WITH d AS ({_DAILY_FULL_STATS}),
+    b AS (
+        SELECT count(*) AS n_rows,
+               count(DISTINCT date) AS n_dates,
+               min(date) AS d0, max(date) AS d1,
+               avg(CASE WHEN value_min IS NULL OR value_mean IS NULL THEN NULL
+                        WHEN value_min = value_mean THEN 1.0 ELSE 0.0 END) AS pmm,
+               avg(CASE WHEN value_std IS NULL THEN NULL
+                        WHEN value_std = 0 THEN 1.0 ELSE 0.0 END) AS pzs
+        FROM d
+    )
+    SELECT 'duplicate_dates' AS check_name,
+           CASE WHEN n_rows > n_dates THEN 'CRITICAL' ELSE 'OK' END AS severity,
+           round(CAST(n_rows - n_dates AS DOUBLE), 6) AS metric,
+           CAST(0.0 AS DOUBLE) AS threshold
+    FROM b
+    UNION ALL
+    SELECT 'span_missing_pct',
+           CASE WHEN (date_diff('day', d0, d1) + 1 - n_dates) * 100.0
+                     / (date_diff('day', d0, d1) + 1) > 5.0
+                THEN 'WARNING' ELSE 'OK' END,
+           round((date_diff('day', d0, d1) + 1 - n_dates) * 100.0
+                 / (date_diff('day', d0, d1) + 1), 6),
+           CAST(5.0 AS DOUBLE)
+    FROM b
+    UNION ALL
+    SELECT 'fabrication_min_eq_mean_pct',
+           CASE WHEN pmm * 100 > 10.0 THEN 'WARNING' ELSE 'OK' END,
+           round(pmm * 100, 6), CAST(10.0 AS DOUBLE)
+    FROM b
+    UNION ALL
+    SELECT 'fabrication_zero_std_pct',
+           CASE WHEN pzs * 100 > 10.0 THEN 'WARNING' ELSE 'OK' END,
+           round(pzs * 100, 6), CAST(10.0 AS DOUBLE)
+    FROM b
+    """,
+)
+def q_etl_audit_report(spark, sf_dir):
+    """§5 audit framework: duplicate-date, span-coverage, and fabrication
+    checks over the daily frame, one severity-tagged row per check
+    (ref src/etl/etl_audit.py:168-175,283-302,458-480)."""
+    from .operators import audit
+
+    ev = _cat(spark, sf_dir).events
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.avg("value").alias("value_mean"),
+        F.min("value").alias("value_min"),
+        F.stddev_samp("value").alias("value_std"),
+    )
+    return audit.audit_daily_frame(d)
+
+
+@register(
+    "reagg_consistency",
+    f"""
+    WITH d AS ({_DAILY_FULL_STATS}),
+    r AS (
+        SELECT CAST(ts AS DATE) AS date,
+               avg(value) AS re_mean, count(value) AS re_n
+        FROM events GROUP BY 1
+    ),
+    c AS (
+        SELECT CAST(ts AS DATE) AS date, count(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT d.date,
+           round(abs(d.value_mean - r.re_mean), 12) AS mean_abs_diff,
+           abs(c.n_events - r.re_n) AS count_abs_diff,
+           abs(d.value_mean - r.re_mean) <= 1e-9 AND c.n_events = r.re_n
+               AS consistent
+    FROM d JOIN r USING (date) JOIN c USING (date)
+    """,
+)
+def q_reagg_consistency(spark, sf_dir):
+    """§5 golden re-aggregation QC: reload events, re-aggregate daily, diff
+    against the pipeline's daily layer under tolerance (ref
+    hr_daily_aggregation_consistency_check.py; README.md:227-252)."""
+    from .operators import audit
+
+    ev = _cat(spark, sf_dir).events
+    daily = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.avg("value").alias("value_mean"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return audit.reaggregation_consistency(ev, daily)
+
+
+# ---------------------------------------------------------------------------
 # §2.8 scalar surface — JSON parse, tz cutover, multi-format timestamps,
 # pipe-split set union, data-dependent unit coercion
 # ---------------------------------------------------------------------------

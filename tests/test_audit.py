@@ -1,0 +1,72 @@
+"""Audit framework tests — checks fire on planted defects."""
+
+import datetime as dt
+
+from practicum2_nof1_adhd_bd_spark.operators import audit
+
+
+def _daily(spark, rows):
+    return spark.createDataFrame(
+        rows, "date date, value_mean double, value_min double, value_std double"
+    )
+
+
+def test_audit_clean_frame_all_ok(spark):
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        (d0 + dt.timedelta(days=i), 50.0 + i, 40.0 + i, 5.0) for i in range(10)
+    ]
+    rep = {r["check_name"]: r for r in audit.audit_daily_frame(_daily(spark, rows)).collect()}
+    assert len(rep) == 4
+    assert all(r["severity"] == "OK" for r in rep.values())
+
+
+def test_audit_duplicate_dates_critical(spark):
+    d = dt.date(2024, 1, 1)
+    rows = [(d, 1.0, 0.5, 1.0), (d, 2.0, 1.0, 1.0)]
+    rep = {r["check_name"]: r for r in audit.audit_daily_frame(_daily(spark, rows)).collect()}
+    assert rep["duplicate_dates"]["severity"] == "CRITICAL"
+    assert rep["duplicate_dates"]["metric"] == 1.0
+
+
+def test_audit_fabrication_fires(spark):
+    # constant signal: min == mean and std == 0 on every day
+    d0 = dt.date(2024, 1, 1)
+    rows = [(d0 + dt.timedelta(days=i), 60.0, 60.0, 0.0) for i in range(10)]
+    rep = {r["check_name"]: r for r in audit.audit_daily_frame(_daily(spark, rows)).collect()}
+    assert rep["fabrication_min_eq_mean_pct"]["severity"] == "WARNING"
+    assert rep["fabrication_min_eq_mean_pct"]["metric"] == 100.0
+    assert rep["fabrication_zero_std_pct"]["severity"] == "WARNING"
+
+
+def test_audit_span_gap_warning(spark):
+    d0 = dt.date(2024, 1, 1)
+    # 5 present days across a 30-day span -> ~83% missing
+    rows = [(d0 + dt.timedelta(days=i * 7), 50.0, 40.0, 2.0) for i in range(5)]
+    rep = {r["check_name"]: r for r in audit.audit_daily_frame(_daily(spark, rows)).collect()}
+    assert rep["span_missing_pct"]["severity"] == "WARNING"
+    assert rep["span_missing_pct"]["metric"] > 80
+
+
+def test_reagg_consistency_detects_corruption(spark):
+    import pyspark.sql.functions as F
+
+    ev = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, h), float(h)) for h in range(10)]
+        + [(dt.datetime(2024, 1, 2, h), 5.0) for h in range(4)],
+        "ts timestamp, value double",
+    )
+    good = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.avg("value").alias("value_mean"), F.count("value").alias("n_events")
+    )
+    out = audit.reaggregation_consistency(ev, good)
+    assert out.filter(~F.col("consistent")).count() == 0
+    # corrupt one day's mean -> exactly one inconsistent row
+    bad = good.withColumn(
+        "value_mean",
+        F.when(F.col("date") == "2024-01-01", F.col("value_mean") + 1).otherwise(
+            F.col("value_mean")
+        ),
+    )
+    out2 = audit.reaggregation_consistency(ev, bad)
+    assert out2.filter(~F.col("consistent")).count() == 1

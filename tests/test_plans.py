@@ -1,0 +1,65 @@
+"""Physical-plan assertions — the optimizations we rely on must actually
+appear in the executed plan (pushdown, pruning, broadcast, no stray
+shuffles), not just be hoped for."""
+
+from pyspark.sql import functions as F
+
+from practicum2_nof1_adhd_bd_spark import registry
+from practicum2_nof1_adhd_bd_spark.sources.readers import Catalog
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_filter_pushed_to_scan(spark, sf_dir):
+    df = registry.QUERIES["daily_event_stats"](spark, sf_dir)
+    plan = _plan(df)
+    # the 30..220 predicate must reach the parquet reader
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "GreaterThanOrEqual(value,30" in pushed
+    assert "LessThanOrEqual(value,220" in pushed
+
+
+def test_column_pruning_projects_only_needed(spark, sf_dir):
+    li = Catalog(spark, sf_dir).lineitem
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    plan = _plan(df)
+    schema_part = plan.split("ReadSchema")[1][:200]
+    assert "l_returnflag" in schema_part and "l_quantity" in schema_part
+    # a pruned scan must not read unrelated wide columns
+    assert "l_comment" not in schema_part
+    assert "l_extendedprice" not in schema_part
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(registry.QUERIES["region_revenue"](spark, sf_dir))
+    # all three dimension joins must be broadcast (no shuffle of the fact)
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(registry.QUERIES["topk_customers"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scalar_thresholds_broadcast_not_collected(spark, sf_dir):
+    # two-pass quantile labeling: threshold frame joins via broadcast
+    plan = _plan(registry.QUERIES["quantile_3way_label"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf_dir):
+    # codegen'd operators carry the "*(n)" stage marker; AQE only finalizes
+    # the plan on execution, so run the query first
+    df = registry.QUERIES["pricing_summary"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "*(1)" in plan, plan[:500]
+
+
+def test_left_semi_for_missing_days(spark, sf_dir):
+    plan = _plan(registry.QUERIES["missing_days_per_user"](spark, sf_dir))
+    assert "LeftAnti" in plan
