@@ -1043,6 +1043,49 @@ def q_adwin_changes(spark, sf_dir):
 QUERIES["adwin_changes"] = q_adwin_changes
 
 
+@register(
+    "som_daily_agg",
+    """
+    WITH base AS (
+        SELECT CAST(ts AS DATE) AS date,
+               round(avg(value), 6) AS valence_mean,
+               arg_max(value, ts) AS valence_last,
+               count(*) AS n_entries,
+               array_to_string(list_sort(list(DISTINCT event_type)), ', ') AS labels
+        FROM events GROUP BY 1
+    ), counted AS (
+        SELECT CAST(ts AS DATE) AS date, event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT date, event_type,
+               row_number() OVER (PARTITION BY date ORDER BY cnt DESC, event_type ASC) AS rn
+        FROM counted
+    )
+    SELECT base.date, valence_mean, valence_last, n_entries,
+           ranked.event_type AS modal_kind, labels
+    FROM base JOIN ranked ON base.date = ranked.date AND ranked.rn = 1
+    """,
+)
+def q_som_daily_agg(spark, sf_dir):
+    """A6 complete: the reference's state-of-mind daily aggregation in one
+    operator — mean valence, LAST valence by timestamp (max_by, not implicit
+    sort order), entry count, deterministic modal kind, and the sorted
+    set-union of labels (ref som_from_autoexport.py:348-385)."""
+    ev = _cat(spark, sf_dir).events
+    base = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.round(F.avg("value"), 6).alias("valence_mean"),
+        F.expr("max_by(value, ts)").alias("valence_last"),
+        F.count(F.lit(1)).alias("n_entries"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ", ").alias("labels"),
+    )
+    mode = daily.deterministic_mode(
+        ev, F.to_date("ts").alias("date"), "event_type"
+    ).select(
+        F.col("key").alias("date"), F.col("modal_category").alias("modal_kind")
+    )
+    return base.join(mode, "date")
+
+
 # ---------------------------------------------------------------------------
 # §5 audit framework — the reference's QC system as engine operators
 # ---------------------------------------------------------------------------

@@ -28,6 +28,12 @@ def read_xml_records(
     any further parsing — the moral equivalent of the reference's typed
     regex prefilter).
     """
+    # A custom-lineSep text scan IS splittable. Split size comes from
+    # spark.sql.files.maxPartitionBytes (a session conf, not a reader
+    # option): at the 128 MB default a 1.5 GB export becomes only ~12
+    # tasks; callers scanning one big file on a wide executor pool should
+    # lower it (tools/scale_probe.py measures 3x end-to-end from 8 MB
+    # splits on a 210 MB file at local[32]).
     raw = spark.read.option("lineSep", "<Record").text(path)
     # Rows before the first <Record (header/prolog) have no attributes.
     rec = raw.filter(F.col("value").contains("="))

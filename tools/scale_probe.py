@@ -1,0 +1,180 @@
+"""Scale probe — evidence that the plans survive a scale-up.
+
+Two experiments, both against generated data under /tmp (testdata is
+read-only):
+
+1. XML scan throughput: synthesize an Apple-Health-style export.xml
+   (~``--xml-mb`` MB), scan it with sources.xml_records (distributed text
+   scan with '<Record' line separator + regexp_extract), aggregate daily HR
+   stats, and report MB/s and records/s. BASELINE.md pins the reference at
+   ~500 MB/s regex scan and ~68k rec/s end-to-end single-core.
+
+2. Scaling linearity: replicate sf0.1's events/documents tables ``--factor``
+   times (ids and timestamps shifted per replica so keys stay distinct),
+   run headline queries at 1x and Nx, and report the time ratio. A ratio
+   near N/cores-bounded-linear means no super-linear blowup (shuffle or
+   quadratic pair explosion) hides in the plan.
+
+Usage: python tools/scale_probe.py [--xml-mb 200] [--factor 10]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RECORD = (
+    '<Record type="HKQuantityTypeIdentifierHeartRate" '
+    'sourceName="probe" unit="count/min" value="{v}" '
+    'startDate="2024-01-{d:02d} {h:02d}:{m:02d}:{s:02d} +0000" '
+    'endDate="2024-01-{d:02d} {h:02d}:{m:02d}:{s:02d} +0000"/>\n'
+)
+
+
+def gen_xml(path: str, target_mb: int) -> tuple[int, float]:
+    target = target_mb * 1024 * 1024
+    n = 0
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0"?><HealthData>\n')
+        size = 0
+        while size < target:
+            chunk = []
+            for i in range(20000):
+                k = n + i
+                chunk.append(
+                    RECORD.format(
+                        v=60 + (k * 7) % 100,
+                        d=1 + (k // 86400) % 28,
+                        h=(k // 3600) % 24,
+                        m=(k // 60) % 60,
+                        s=k % 60,
+                    )
+                )
+            blob = "".join(chunk)
+            f.write(blob)
+            size += len(blob)
+            n += 20000
+        f.write("</HealthData>\n")
+    return n, os.path.getsize(path) / 1e6
+
+
+def probe_xml(spark, tmp: str, xml_mb: int) -> dict:
+    from practicum2_nof1_adhd_bd_spark.operators import daily
+    from practicum2_nof1_adhd_bd_spark.sources.xml_records import hr_events_from_xml
+
+    path = os.path.join(tmp, "export_probe.xml")
+    n_records, real_mb = gen_xml(path, xml_mb)
+    # one big file on a wide local pool: use fine-grained splits
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+    times = []
+    for _ in range(2):  # cold (page cache + codegen) then warm
+        t0 = time.time()
+        events = hr_events_from_xml(spark, path)
+        stats = daily.daily_stats(events, ts_col="ts", value_col="hr_value")
+        n_days = stats.count()
+        times.append(time.time() - t0)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    dt = times[-1]
+    return {
+        "xml_mb": round(real_mb, 1),
+        "xml_records": n_records,
+        "xml_scan_agg_cold_sec": round(times[0], 2),
+        "xml_scan_agg_warm_sec": round(dt, 2),
+        "xml_mb_per_sec": round(real_mb / dt, 1),
+        "xml_records_per_sec": int(n_records / dt),
+        "n_days": n_days,
+    }
+
+
+def replicate(spark, src: str, dst: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    for name, id_col in (("events", "event_id"), ("documents", "doc_id")):
+        df = spark.read.parquet(os.path.join(src, f"{name}.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        n = df.count()
+        rep = spark.range(factor).select(F.col("id").alias("_rep"))
+        out = df.crossJoin(rep).withColumn(
+            id_col, F.col(id_col) + F.col("_rep") * (n * 10)
+        )
+        if name == "events":
+            # shift each replica by seconds so timestamps stay distinct
+            out = out.withColumn(
+                "ts", F.col("ts") + F.make_interval(secs=F.col("_rep"))
+            )
+        out.drop("_rep").repartition(32).write.mode("overwrite").parquet(
+            os.path.join(dst, f"{name}.parquet")
+        )
+    for name in (
+        "region nation customer supplier part orders lineitem embeddings"
+    ).split():
+        spark.read.parquet(os.path.join(src, f"{name}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(dst, f"{name}.parquet"))
+
+
+QUERIES = [
+    "daily_event_stats",
+    "pbsi_composite",
+    "gaps_islands_segments",
+    "ks_drift",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "som_daily_agg",
+]
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    from practicum2_nof1_adhd_bd_spark import registry
+
+    out = {}
+    for name in QUERIES:
+        t0 = time.time()
+        registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[name] = round(time.time() - t0, 2)
+        spark.catalog.clearCache()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--xml-mb", type=int, default=200)
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    from practicum2_nof1_adhd_bd_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    result: dict = {}
+    with tempfile.TemporaryDirectory(prefix="scale_probe_") as tmp:
+        result.update(probe_xml(spark, tmp, args.xml_mb))
+
+        scaled = os.path.join(tmp, "scaled")
+        replicate(spark, args.sf_dir, scaled, args.factor)
+        base = time_queries(spark, args.sf_dir)
+        big = time_queries(spark, scaled)
+        result["factor"] = args.factor
+        result["queries_1x_sec"] = base
+        result["queries_Nx_sec"] = big
+        result["scaling_ratio"] = {
+            k: round(big[k] / base[k], 2) if base[k] > 0 else None for k in base
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
