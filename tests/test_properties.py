@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) — operator invariants that must hold
+for ANY input, not just the fixtures."""
+
+import datetime as dt
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from practicum2_nof1_adhd_bd_spark.operators import dedup, windows
+
+_settings = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=10), min_size=1, max_size=8)
+)
+@_settings
+def test_gaps_islands_segment_count(spark, gaps):
+    """#segments == #breaks+1 where a break is any gap > 1 day or a month
+    boundary between consecutive dates."""
+    d = dt.date(2024, 1, 1)
+    dates = [d]
+    for g in gaps:
+        d = d + dt.timedelta(days=g)
+        dates.append(d)
+    df = spark.createDataFrame([(x,) for x in dates], "date date")
+    seg = windows.gaps_and_islands(df, "date", [], max_gap_days=1)
+    n_segments = seg.agg(F.max("segment_id")).collect()[0][0]
+    breaks = sum(
+        1
+        for a, b in zip(dates, dates[1:])
+        if (b - a).days > 1 or a.month != b.month or a.year != b.year
+    )
+    assert n_segments == breaks + 1
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(min_value=-100, max_value=100)),
+        min_size=2,
+        max_size=15,
+    )
+)
+@_settings
+def test_interpolation_bounded_and_exact_at_knots(spark, vals):
+    d0 = dt.date(2024, 1, 1)
+    rows = [(d0 + dt.timedelta(days=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "date date, v double")
+    out = {
+        r["date"]: r["v_interp"]
+        for r in windows.linear_interpolate(df, "date", "v").collect()
+    }
+    known = [v for v in vals if v is not None]
+    for i, v in enumerate(vals):
+        got = out[d0 + dt.timedelta(days=i)]
+        if v is not None:
+            assert got is not None and abs(got - round(v, 6)) < 1e-6
+        elif known:
+            # interpolated values never leave the observed range
+            assert got is None or (
+                min(known) - 1e-6 <= got <= max(known) + 1e-6
+            )
+
+
+@given(
+    text=st.text(
+        alphabet=st.sampled_from("abc defg "), min_size=0, max_size=80
+    )
+)
+@_settings
+def test_minhash_identity_and_shingle_bounds(spark, text):
+    df = spark.createDataFrame([(1, text), (2, text)], "doc_id int, text string")
+    sig = dedup.minhash_signature(F.col("text"), n_hashes=4, k=3)
+    rows = df.select("doc_id", sig.alias("s")).collect()
+    s1, s2 = rows[0]["s"], rows[1]["s"]
+    assert s1 == s2  # identical docs -> identical signatures
+    n_words = len(text.split())
+    if n_words < 3:
+        assert s1 is None  # too short to shingle
+    else:
+        assert len(s1) == 4
+        assert all(0 <= h < dedup.MINHASH_P for h in s1)
+
+
+@given(
+    a=st.lists(st.floats(min_value=-50, max_value=50), min_size=3, max_size=3),
+    b=st.lists(st.floats(min_value=-50, max_value=50), min_size=3, max_size=3),
+)
+@_settings
+def test_cosine_range_and_symmetry(spark, a, b):
+    from practicum2_nof1_adhd_bd_spark.operators.similarity import cosine
+
+    if all(abs(x) < 1e-6 for x in a) or all(abs(x) < 1e-6 for x in b):
+        return  # zero vectors: cosine undefined
+    df = spark.createDataFrame([(a, b)], "va array<double>, vb array<double>")
+    row = df.select(
+        cosine(F.col("va"), F.col("vb")).alias("ab"),
+        cosine(F.col("vb"), F.col("va")).alias("ba"),
+    ).collect()[0]
+    assert row["ab"] is not None and not math.isnan(row["ab"])
+    assert abs(row["ab"] - row["ba"]) < 1e-9  # symmetric
+    assert -1.000001 <= row["ab"] <= 1.000001  # Cauchy-Schwarz
