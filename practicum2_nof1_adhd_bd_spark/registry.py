@@ -1044,6 +1044,54 @@ QUERIES["adwin_changes"] = q_adwin_changes
 
 
 @register(
+    "quality_adjusted_label",
+    """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS date,
+               round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS v_click,
+               round(avg(CASE WHEN event_type = 'error' THEN value END), 6) AS v_error,
+               round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS v_purchase
+        FROM events GROUP BY 1
+    ), m AS (
+        SELECT date, v_click,
+               CASE WHEN v_click IS NULL THEN 1 ELSE 0 END
+               + CASE WHEN v_error IS NULL THEN 1 ELSE 0 END
+               + CASE WHEN v_purchase IS NULL THEN 1 ELSE 0 END AS n_missing
+        FROM d
+    )
+    SELECT date,
+           CASE WHEN v_click <= 45 THEN -1 WHEN v_click >= 55 THEN 1 ELSE 0 END
+               AS label_3cls,
+           round(greatest(power(0.8, n_missing), 0.5), 6) AS quality
+    FROM m
+    """,
+)
+def q_quality_adjusted_label(spark, sf_dir):
+    """§2.8: fixed-threshold 3-way classifier (ref som_from_autoexport.py:
+    186-203) + per-missing-domain quality multiplier floored at 0.5
+    (ref build_pbsi.py:179-186)."""
+    ev = _cat(spark, sf_dir).events
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        *[
+            F.round(
+                F.avg(F.when(F.col("event_type") == t, F.col("value"))), 6
+            ).alias(f"v_{t}")
+            for t in ("click", "error", "purchase")
+        ]
+    )
+    flags = d.select(
+        "date",
+        "v_click",
+        *[F.col(f"v_{t}").isNull().alias(f"miss_{t}") for t in ("click", "error", "purchase")],
+    )
+    lab = labels.threeway_threshold_label(flags, "v_click", lo=45, hi=55)
+    out = labels.quality_multiplier(
+        lab, [f"miss_{t}" for t in ("click", "error", "purchase")]
+    )
+    return out.select("date", "label_3cls", "quality")
+
+
+@register(
     "som_daily_agg",
     """
     WITH base AS (
