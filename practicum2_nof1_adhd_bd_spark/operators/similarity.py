@@ -196,6 +196,46 @@ def ivf_topk(
     )
 
 
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: MLlib KMeans (seeded) builds
+    the cell centroids, vectors are assigned to cells, the query probes its
+    n_probe nearest cells and exact-ranks their members.
+
+    This is the full index-build path (`ivf_topk` assumes pre-assigned
+    cells). At scale the KMeans fit runs on a sample, the tiny centroid
+    table broadcasts, and cell assignment is a narrow map — the corpus
+    shuffles only once, on write, if the index is persisted cell-partitioned.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(F.col(id_col), dvec.alias("v")).withColumn(
+        "_features", array_to_vector(F.col("v"))
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="cell")
+    model = km.fit(base)
+    assigned = model.transform(base).select(id_col, "cell", "v")
+    return ivf_topk(
+        assigned.withColumnRenamed("v", vec_col),
+        query_id,
+        k=k,
+        n_probe=n_probe,
+        coarse_col="cell",
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 def random_hyperplane_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,

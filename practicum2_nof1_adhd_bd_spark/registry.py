@@ -2097,6 +2097,17 @@ def q_ivf_ann_topk(spark, sf_dir):
     return sim.ivf_topk(emb, query_id=0, k=10, n_probe=2, coarse_col="label")
 
 
+def q_ivf_kmeans_topk(spark, sf_dir):
+    """IVF ANN with a trained (seeded MLlib KMeans) coarse quantizer —
+    index build + probe + exact rank. KMeans is not SQL-expressible ->
+    rows-only check; the pre-clustered variant ivf_ann_topk carries the
+    exact oracle for the probe/rank math."""
+    emb = _cat(spark, sf_dir).embeddings
+    return sim.ivf_kmeans_topk(emb, query_id=0, k=10, n_cells=8, n_probe=2)
+
+QUERIES["ivf_kmeans_topk"] = q_ivf_kmeans_topk
+
+
 def q_logreg_fold_cv(spark, sf_dir):
     """§7 ML tail: MLlib LogisticRegression per rolling-origin temporal fold
     over the daily feature frame, per-fold accuracy + macro-F1. Training is

@@ -56,3 +56,21 @@ def test_logreg_separable(spark):
     usable = [r for r in out if r["usable"] == 1]
     assert usable, "at least one fold should train"
     assert all(r["accuracy"] == 1.0 for r in usable)
+
+
+def test_ivf_kmeans_full_index_path(spark):
+    import random
+
+    random.seed(7)
+    # two tight clusters far apart; kmeans with k=2 must separate them
+    rows = []
+    for i in range(20):
+        rows.append((i, [10.0 + random.random(), 0.0, 0.0], 0))
+    for i in range(20, 40):
+        rows.append((i, [0.0, 10.0 + random.random(), 0.0], 0))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = sim.ivf_kmeans_topk(emb, query_id=0, k=5, n_cells=2, n_probe=1)
+    got = [r["vec_id"] for r in out.collect()]
+    assert len(got) == 5
+    # probing 1 cell from a query in cluster A returns only cluster-A ids
+    assert all(g < 20 for g in got)
