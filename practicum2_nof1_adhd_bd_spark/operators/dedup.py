@@ -185,13 +185,12 @@ def minhash_lsh_pairs_verified(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
-        .persist()  # referenced 3x below (two id branches + verify join)
     )
-    # verify only candidate documents: semi-join then re-shingle the few
-    cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # verify only candidate documents: semi-join then re-shingle the few.
+    # No distinct on the id union — the semi-join tolerates duplicates, so
+    # that shuffle is pure overhead.
+    cand_ids = pairs.select(F.col("id_a").alias(id_col)).union(
+        pairs.select(F.col("id_b").alias(id_col))
     )
     cand_sh = (
         df.join(cand_ids, id_col, "left_semi")
