@@ -50,8 +50,8 @@ def logreg_fold_cv(
     scaler = StandardScaler(
         inputCol="_feat_raw", outputCol="_feat", withMean=True, withStd=True
     )
-    results = []
-    for fid in fold_ids:
+
+    def run_fold(fid):
         train = folded.filter(
             (F.col("fold_id") == fid) & (F.col("split") == "train")
         )
@@ -59,8 +59,7 @@ def logreg_fold_cv(
         n_train, n_val = train.count(), val.count()
         n_classes = train.select("label_idx").distinct().count()
         if n_train < 2 or n_val < 1 or n_classes < 2:
-            results.append((int(fid), n_train, n_val, 0, None, None))
-            continue
+            return (int(fid), n_train, n_val, 0, None, None)
         scaler_model = scaler.fit(assembler.transform(train))
         tr_assembled = scaler_model.transform(assembler.transform(train))
         model = LogisticRegression(
@@ -81,16 +80,22 @@ def logreg_fold_cv(
         macro = metrics_mod.macro_summary(
             metrics_mod.per_class_report(pred)
         ).collect()[0]
-        results.append(
-            (
-                int(fid),
-                n_train,
-                n_val,
-                1,
-                round(float(acc_row["acc"]), 6),
-                float(macro["macro_f1"]) if macro["macro_f1"] is not None else None,
-            )
+        return (
+            int(fid),
+            n_train,
+            n_val,
+            1,
+            round(float(acc_row["acc"]), 6),
+            float(macro["macro_f1"]) if macro["macro_f1"] is not None else None,
         )
+
+    # folds are independent: submit them as concurrent Spark jobs (the
+    # scheduler interleaves their stages across the executor pool; the
+    # reference trains folds strictly sequentially)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, max(1, len(fold_ids)))) as pool:
+        results = list(pool.map(run_fold, fold_ids))
     folded.unpersist()
     return spark.createDataFrame(
         results,

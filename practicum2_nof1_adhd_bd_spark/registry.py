@@ -1516,6 +1516,33 @@ def q_rolling_modal_label(spark, sf_dir):
 
 
 @register(
+    "fold_class_check",
+    f"""
+    WITH {_DAILY_LABELED},
+    a AS (SELECT min(date) AS d0 FROM lab),
+    folded AS (
+        SELECT label_3cls,
+               CAST(floor(date_diff('day', d0, date) / 10.0) AS BIGINT) AS fold_id,
+               CASE WHEN date_diff('day', d0, date) % 10 < 7 THEN 'train'
+                    ELSE 'val' END AS split
+        FROM lab, a
+    )
+    SELECT fold_id,
+           count(DISTINCT label_3cls) AS n_classes,
+           CAST(count(DISTINCT label_3cls) >= 2 AS INT) AS usable
+    FROM folded WHERE split = 'val' GROUP BY fold_id
+    """,
+)
+def q_fold_class_check(spark, sf_dir):
+    """W10 class-coverage gate: folds whose validation split holds < 2
+    distinct labels are flagged unusable (ref ml7_analysis.py:208-214).
+    Day-grain rolling-origin folds (7 train / 3 val)."""
+    lab = _daily_labeled(spark, sf_dir)
+    folded = folds.day_folds(lab, "date", train_days=7, gap_days=0, val_days=3)
+    return folds.fold_class_check(folded, "label_3cls")
+
+
+@register(
     "per_class_metrics",
     f"""
     WITH {_DAILY_LABELED},
