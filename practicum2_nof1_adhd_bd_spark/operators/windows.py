@@ -30,17 +30,20 @@ def rolling_mean(
     window: int = 7,
     partition_cols: list[str] | None = None,
     min_periods: int = 1,
-    round_dp: int = 6,
+    round_dp: int | None = 6,
 ) -> DataFrame:
     """W1 — trailing k-row rolling mean, min_periods=1
-    (ref prejoin_enricher.py:71-92: rolling(7, min_periods=1).mean())."""
+    (ref prejoin_enricher.py:71-92: rolling(7, min_periods=1).mean()).
+    round_dp=None leaves the raw double (caller handles presentation)."""
     w = _w(order_col, partition_cols, -(window - 1), 0)
     out = df
     for c in value_cols:
         mean = F.avg(c).over(w)
         if min_periods > 1:
             mean = F.when(F.count(c).over(w) >= min_periods, mean)
-        out = out.withColumn(f"{c}_roll{window}", F.round(mean, round_dp))
+        if round_dp is not None:
+            mean = F.round(mean, round_dp)
+        out = out.withColumn(f"{c}_roll{window}", mean)
     return out
 
 

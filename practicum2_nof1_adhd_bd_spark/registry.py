@@ -502,6 +502,43 @@ def q_rolling_7d_mean(spark, sf_dir):
 
 
 @register(
+    "rolling_7d_mean_by_user",
+    """
+    WITH d AS (
+        SELECT user_id, CAST(ts AS DATE) AS date, round(avg(value), 6) AS value_mean
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, date, value_mean,
+           CAST(round(avg(value_mean) OVER (PARTITION BY user_id ORDER BY date
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 10000, 0) AS BIGINT)
+               AS roll7_x1e4
+    FROM d
+    """,
+)
+def q_rolling_7d_mean_by_user(spark, sf_dir):
+    """W1 at scale: the rolling mean PARTITIONED BY entity — the form every
+    event-grain window takes at 100 TB (an unpartitioned ordered window is
+    a single-task bottleneck; acceptable only for daily-grain frames).
+
+    Short windows divide 6dp values by 2, landing EXACTLY on decimal
+    rounding boundaries where Spark (BigDecimal expansion of the double)
+    and DuckDB (scaled-double rounding) disagree. Scaling FIRST and
+    rounding to an integer makes both engines decide the boundary on the
+    same double — boundary-proof comparison."""
+    ev = _cat(spark, sf_dir).events
+    d = ev.groupBy("user_id", F.to_date("ts").alias("date")).agg(
+        F.round(F.avg("value"), 6).alias("value_mean")
+    )
+    rolled = windows.rolling_mean(
+        d, "date", ["value_mean"], 7, partition_cols=["user_id"], round_dp=None
+    )
+    return rolled.select(
+        "user_id", "date", "value_mean",
+        F.round(F.col("value_mean_roll7") * 10000, 0).cast("bigint").alias("roll7_x1e4"),
+    )
+
+
+@register(
     "global_zscore",
     """
     WITH s AS (SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sd FROM orders)
