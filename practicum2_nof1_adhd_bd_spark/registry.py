@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import biomarkers, daily, dedup, drift, folds, impute, joins, labels
@@ -725,6 +725,75 @@ def q_gaps_islands_segments(spark, sf_dir):
     seg = windows.gaps_and_islands(d, "date", ["user_id"], max_gap_days=1)
     summ = windows.segment_summary(seg, "date", ["user_id"])
     return summ.withColumn("duration_days", F.col("duration_days").cast("bigint"))
+
+
+@register(
+    "user_sessions",
+    """
+    WITH m AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT user_id, ts,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+        FROM m
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_user_sessions(spark, sf_dir):
+    """W6 at event grain: per-user sessionization with a 30-minute gap rule
+    — the entity-partitioned gaps-and-islands form that scales horizontally
+    (generalizes run_full_pipeline.py:664-708 to timestamps)."""
+    ev = _cat(spark, sf_dir).events
+    sess = windows.sessionize(ev, "ts", "user_id", gap_minutes=30)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "topk_per_group",
+    """
+    WITH j AS (
+        SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), r AS (
+        SELECT segment, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        FROM j
+    )
+    SELECT segment, CAST(rnk AS INT) AS rnk, o_orderkey, o_totalprice
+    FROM r WHERE rnk <= 3
+    """,
+)
+def q_topk_per_group(spark, sf_dir):
+    """§2.6 per-partition top-k: rank inside each group with a deterministic
+    tie-break, keep k — the partitioned form of top-k that never sorts
+    globally (each group ranks inside its own shuffle partition)."""
+    c = _cat(spark, sf_dir)
+    j = c.orders.join(
+        F.broadcast(c.customer), F.col("o_custkey") == F.col("c_custkey")
+    ).select(F.col("c_mktsegment").alias("segment"), "o_orderkey", "o_totalprice")
+    w = Window.partitionBy("segment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("segment", "rnk", "o_orderkey", "o_totalprice")
+    )
 
 
 @register(
