@@ -105,6 +105,42 @@ def build_gold(spark: SparkSession, silver_path: str, out_dir: str) -> dict[str,
     }
 
 
+def main(argv: list[str] | None = None) -> None:
+    """Module CLI, mirroring the reference's per-stage entry points
+    (ref stage_csv_aggregation.py:1294-1308 etc.):
+    ``python -m practicum2_nof1_adhd_bd_spark.pipeline --sf-dir ... --out ...``
+    """
+    import argparse
+
+    from .session import get_spark
+
+    ap = argparse.ArgumentParser(description="Run the medallion pipeline")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", required=True)
+    ap.add_argument(
+        "--from-layer",
+        choices=["bronze", "silver", "gold"],
+        default="bronze",
+        help="re-entrancy: resume from an existing earlier layer",
+    )
+    args = ap.parse_args(argv)
+    spark = get_spark("medallion")
+    spark.sparkContext.setLogLevel("WARN")
+    if args.from_layer == "bronze":
+        paths = run_medallion(spark, args.sf_dir, args.out)
+    elif args.from_layer == "silver":
+        silver = build_silver(
+            spark, os.path.join(args.out, "bronze", "events"), args.out
+        )
+        paths = {"silver": silver, **build_gold(spark, silver, args.out)}
+    else:
+        paths = build_gold(
+            spark, os.path.join(args.out, "silver", "daily"), args.out
+        )
+    for layer, path in paths.items():
+        print(f"{layer}: {path}")
+
+
 def run_medallion(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, str]:
     """Full lifecycle: bronze -> silver -> gold, file-materialized like the
     reference's stage handoff. Returns the layer paths. Each build_* step is
@@ -114,3 +150,7 @@ def run_medallion(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, s
     silver = build_silver(spark, bronze, out_dir)
     gold = build_gold(spark, silver, out_dir)
     return {"bronze": bronze, "silver": silver, **gold}
+
+
+if __name__ == "__main__":
+    main()
