@@ -27,12 +27,17 @@ def salted_agg(
     """Two-phase skew-safe aggregation: per-(key, salt) partials, then a
     cheap merge over at most ``n_salts`` rows per key.
 
-    The salt is deterministic (row hash mod n_salts) so repeated runs
-    partition identically. Output: key_cols + sum_<c> per sum col + n_rows.
+    The salt mixes a per-row id (monotonically_increasing_id) into the hash
+    so IDENTICAL duplicate rows — the typical hot key at scale — still
+    spread across all n_salts sub-keys; a pure row-content hash would send
+    every copy to one reducer. The aggregate RESULT is independent of salt
+    assignment, so run-to-run salt variation cannot change output.
+    Output: key_cols + sum_<c> per sum col + n_rows.
     """
     sum_cols = sum_cols or []
     salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)
+        F.xxhash64(F.monotonically_increasing_id(), *[F.col(c) for c in df.columns]),
+        F.lit(n_salts),
     ).alias("_salt")
     phase1 = (
         df.select(*df.columns, salt)
@@ -42,9 +47,12 @@ def salted_agg(
             *[F.sum(c).alias(f"_sum_{c}") for c in sum_cols],
         )
     )
-    aggs = [F.sum("_cnt").alias("n_rows")] if count else []
+    # always aggregate the count internally: groupBy().agg() with an empty
+    # list is an error, and the merge needs at least one expression
+    aggs = [F.sum("_cnt").alias("n_rows")]
     aggs += [F.sum(f"_sum_{c}").alias(f"sum_{c}") for c in sum_cols]
-    return phase1.groupBy(*key_cols).agg(*aggs)
+    out = phase1.groupBy(*key_cols).agg(*aggs)
+    return out if count else out.drop("n_rows")
 
 
 def salted_join(
@@ -53,15 +61,21 @@ def salted_join(
     key: str,
     n_salts: int = 8,
 ) -> DataFrame:
-    """Skew-safe equi-join: the fact side gets a random-but-deterministic
-    salt, the (small) dim side is EXPLODED n_salts times so every salted
-    fact key finds its partner. Use when the dim is too big to broadcast
-    but the fact key is skewed; shuffle partitions then hold at most
-    1/n_salts of any hot key.
+    """Skew-safe equi-join: the fact side gets a per-row salt (id-mixed, so
+    identical duplicate rows still spread), the (small) dim side is EXPLODED
+    n_salts times so every salted fact key finds its partner. Use when the
+    dim is too big to broadcast but the fact key is skewed; shuffle
+    partitions then hold at most ~1/n_salts of any hot key. Join output is
+    independent of salt assignment.
     """
     salted_fact = fact.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)),
+        F.pmod(
+            F.xxhash64(
+                F.monotonically_increasing_id(), *[F.col(c) for c in fact.columns]
+            ),
+            F.lit(n_salts),
+        ),
     )
     salted_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -115,9 +115,14 @@ def reaggregation_consistency(
     j = daily.join(re_agg, date_col, "full_outer")
     mean_diff = F.abs(F.col(mean_col) - F.col("_re_mean"))
     n_diff = F.abs(F.col(count_col) - F.col("_re_n"))
+    # a date present on only ONE side (fabricated or missing day) must read
+    # as inconsistent, not null-propagate through the comparison
+    consistent = F.coalesce(
+        (mean_diff <= tol) & (n_diff == 0), F.lit(False)
+    )
     return j.select(
         date_col,
         F.round(mean_diff, 12).alias("mean_abs_diff"),
         n_diff.alias("count_abs_diff"),
-        ((mean_diff <= tol) & (n_diff == 0)).alias("consistent"),
+        consistent.alias("consistent"),
     )

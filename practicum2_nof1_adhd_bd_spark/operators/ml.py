@@ -94,9 +94,11 @@ def logreg_fold_cv(
     # reference trains folds strictly sequentially)
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(4, max(1, len(fold_ids)))) as pool:
-        results = list(pool.map(run_fold, fold_ids))
-    folded.unpersist()
+    try:
+        with ThreadPoolExecutor(max_workers=min(4, max(1, len(fold_ids)))) as pool:
+            results = list(pool.map(run_fold, fold_ids))
+    finally:
+        folded.unpersist()
     return spark.createDataFrame(
         results,
         "fold_id int, n_train bigint, n_val bigint, usable int, "

@@ -25,7 +25,8 @@ from pyspark.sql.types import StructType
 
 _OUT_DDL = (
     "key string, batch_n bigint, batch_mean double, prev_n bigint, "
-    "prev_mean double, shift double, changed boolean"
+    "prev_mean double, prev_std double, shift double, shift_z double, "
+    "changed boolean"
 )
 _STATE_DDL = "n bigint, mean double, m2 double"
 
@@ -38,10 +39,12 @@ def shift_detector_stream(
 ) -> DataFrame:
     """Per-key sustained-shift detector over a streaming DataFrame.
 
-    Emits one row per (key, micro-batch) with the batch mean, the
-    pre-batch historical mean, and whether the shift crossed the threshold;
-    state then absorbs the batch (Welford merge — numerically stable and
-    associative, so late re-partitioning cannot change results).
+    Emits one row per (key, micro-batch) with the batch mean, the pre-batch
+    historical mean/std, the absolute shift, its z-score against the
+    historical std (the m2 Welford component earns its keep here), and
+    whether the absolute shift crossed the threshold; state then absorbs
+    the batch (Welford/Chan merge — numerically stable and associative, so
+    late re-partitioning cannot change results).
     """
     out_schema = StructType.fromDDL(_OUT_DDL)
     state_schema = StructType.fromDDL(_STATE_DDL)
@@ -62,6 +65,8 @@ def shift_detector_stream(
         else:
             p_n, p_mean, p_m2 = 0, 0.0, 0.0
         shift = abs(b_mean - p_mean) if p_n > 0 else 0.0
+        p_std = (p_m2 / (p_n - 1)) ** 0.5 if p_n > 1 else None
+        shift_z = shift / p_std if p_std else None
         changed = bool(p_n > 0 and shift >= threshold)
         # Welford/Chan parallel merge of (prev, batch)
         n = p_n + b_n
@@ -76,7 +81,9 @@ def shift_detector_stream(
                 "batch_mean": [round(b_mean, 6)],
                 "prev_n": [p_n],
                 "prev_mean": [round(p_mean, 6)],
+                "prev_std": [round(p_std, 6) if p_std is not None else None],
                 "shift": [round(shift, 6)],
+                "shift_z": [round(shift_z, 6) if shift_z is not None else None],
                 "changed": [changed],
             }
         )

@@ -70,3 +70,10 @@ def test_reagg_consistency_detects_corruption(spark):
     )
     out2 = audit.reaggregation_consistency(ev, bad)
     assert out2.filter(~F.col("consistent")).count() == 1
+    # a fabricated day (present in daily, absent in events) must read
+    # inconsistent, not null-propagate to a silent pass
+    fabricated = good.union(
+        spark.createDataFrame([(dt.date(2024, 2, 1), 1.0, 5)], good.schema)
+    )
+    out3 = audit.reaggregation_consistency(ev, fabricated)
+    assert out3.filter(~F.col("consistent")).count() == 1

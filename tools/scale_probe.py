@@ -72,6 +72,9 @@ def probe_xml(spark, tmp: str, xml_mb: int) -> dict:
     path = os.path.join(tmp, "export_probe.xml")
     n_records, real_mb = gen_xml(path, xml_mb)
     # one big file on a wide local pool: use fine-grained splits
+    prev_split = spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+    )
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
     times = []
     for _ in range(2):  # cold (page cache + codegen) then warm
@@ -80,7 +83,7 @@ def probe_xml(spark, tmp: str, xml_mb: int) -> dict:
         stats = daily.daily_stats(events, ts_col="ts", value_col="hr_value")
         n_days = stats.count()
         times.append(time.time() - t0)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
     dt = times[-1]
     return {
         "xml_mb": round(real_mb, 1),
