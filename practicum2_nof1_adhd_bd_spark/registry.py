@@ -1649,6 +1649,166 @@ def q_fold_class_check(spark, sf_dir):
 
 
 @register(
+    "label_halves_drift",
+    f"""
+    WITH {_DAILY_LABELED},
+    midq AS (SELECT quantile_cont(CAST(date_diff('day', DATE '1970-01-01', date) AS DOUBLE), 0.5)
+              AS mid FROM lab),
+    halves AS (
+        SELECT label_3cls,
+               CASE WHEN date_diff('day', DATE '1970-01-01', date) <= mid
+                    THEN 'first' ELSE 'second' END AS half
+        FROM lab, midq
+    ), cnts AS (
+        SELECT half, label_3cls, count(*) AS n FROM halves GROUP BY 1, 2
+    ), tot AS (
+        SELECT half, sum(n) AS total FROM cnts GROUP BY 1
+    )
+    SELECT cnts.half, label_3cls, n,
+           round(CAST(n AS DOUBLE) / total, 6) AS frac
+    FROM cnts JOIN tot ON cnts.half = tot.half
+    """,
+)
+def q_label_halves_drift(spark, sf_dir):
+    """A9 + halves drift: class distribution of the first vs second half of
+    the timeline, normalized — the reference's distribution-shift report
+    (ref run_full_pipeline.py:1575-1588). The midpoint is the exact median
+    of the day offset, broadcast back (never collected)."""
+    lab = _daily_labeled(spark, sf_dir)
+    days = lab.withColumn(
+        "day_off", F.datediff("date", F.lit("1970-01-01")).cast("double")
+    )
+    mid = days.agg(F.expr("percentile(day_off, 0.5)").alias("mid"))
+    halves = days.crossJoin(F.broadcast(mid)).withColumn(
+        "half",
+        F.when(F.col("day_off") <= F.col("mid"), "first").otherwise("second"),
+    )
+    c = halves.groupBy("half", "label_3cls").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("half").agg(F.sum("n").alias("total"))
+    return (
+        c.join(t, "half")
+        .withColumn("frac", F.round(F.col("n") / F.col("total"), 6))
+        .select("half", "label_3cls", "n", "frac")
+    )
+
+
+def _mode_case_sql(prefix: str) -> str:
+    """CASE-expression argmax over the per-type window counts; first WHEN
+    in type order wins ties (alphabetical — matches the Spark side)."""
+    total = " + ".join(f"{prefix}_{t}" for t in _EVENT_TYPES)
+    whens = []
+    for t in _EVENT_TYPES:
+        conds = " AND ".join(
+            f"{prefix}_{t} >= {prefix}_{u}" for u in _EVENT_TYPES if u != t
+        )
+        whens.append(f"WHEN {conds} THEN '{t}'")
+    return f"CASE WHEN {total} = 0 THEN NULL " + " ".join(whens) + " END"
+
+
+@register(
+    "dominant_source_change",
+    """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS date, event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    px AS (
+        SELECT date, """
+    + ", ".join(
+        f"coalesce(sum(cnt) FILTER (WHERE event_type = '{t}'), 0) AS c_{t}"
+        for t in _EVENT_TYPES
+    )
+    + """
+        FROM d GROUP BY date
+    ),
+    w AS (
+        SELECT date, """
+    + ", ".join(
+        f"coalesce(sum(c_{t}) OVER wp, 0) AS p_{t}, "
+        f"coalesce(sum(c_{t}) OVER wn, 0) AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    + """
+        FROM px
+        WINDOW wp AS (ORDER BY date ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING),
+               wn AS (ORDER BY date ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+    )
+    SELECT date, prev_mode, next_mode,
+           CAST(prev_mode IS NOT NULL AND next_mode IS NOT NULL
+                AND prev_mode != next_mode AS INT) AS mode_changed
+    FROM (
+        SELECT date,
+               """
+    + _mode_case_sql("p")
+    + """ AS prev_mode,
+               """
+    + _mode_case_sql("n")
+    + """ AS next_mode
+        FROM w
+    )
+    """,
+)
+def q_dominant_source_change(spark, sf_dir):
+    """W7 (dominant-source trigger): the rolling-mode comparison — modal
+    category over the previous 5 days vs the next 5 days, flagging days
+    where the dominant source flips (ref auto_segment.py:29-103's
+    dominant-source change over +-5d windows). Mode = argmax of per-type
+    window counts with the alphabetically-first type winning ties, so both
+    engines agree deterministically."""
+    ev = _cat(spark, sf_dir).events
+    from pyspark.sql import Window as W
+
+    px = (
+        ev.groupBy(F.to_date("ts").alias("date"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("date")
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("event_type") == t, F.col("cnt"))), F.lit(0)
+                ).alias(f"c_{t}")
+                for t in _EVENT_TYPES
+            ]
+        )
+    )
+    wp = W.orderBy("date").rowsBetween(-5, -1)
+    wn = W.orderBy("date").rowsBetween(0, 4)
+    cols = {}
+    for t in _EVENT_TYPES:
+        cols[f"p_{t}"] = F.coalesce(F.sum(f"c_{t}").over(wp), F.lit(0))
+        cols[f"n_{t}"] = F.coalesce(F.sum(f"c_{t}").over(wn), F.lit(0))
+    w = px.select("date", *[v.alias(k) for k, v in cols.items()])
+
+    def argmax(prefix):
+        total = None
+        for t in _EVENT_TYPES:
+            c = F.col(f"{prefix}_{t}")
+            total = c if total is None else total + c
+        expr = F.when(total == 0, F.lit(None).cast("string"))
+        for t in _EVENT_TYPES:
+            cond = None
+            for u in _EVENT_TYPES:
+                if u == t:
+                    continue
+                ge = F.col(f"{prefix}_{t}") >= F.col(f"{prefix}_{u}")
+                cond = ge if cond is None else cond & ge
+            expr = expr.when(cond, t)
+        return expr
+
+    out = w.select(
+        "date", argmax("p").alias("prev_mode"), argmax("n").alias("next_mode")
+    )
+    return out.withColumn(
+        "mode_changed",
+        (
+            F.col("prev_mode").isNotNull()
+            & F.col("next_mode").isNotNull()
+            & (F.col("prev_mode") != F.col("next_mode"))
+        ).cast("int"),
+    )
+
+
+@register(
     "per_class_metrics",
     f"""
     WITH {_DAILY_LABELED},
