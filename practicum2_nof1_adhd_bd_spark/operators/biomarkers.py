@@ -50,6 +50,35 @@ def hrv_time_domain(
     return out.filter(F.col("n_samples") >= min_samples)
 
 
+def circadian_midpoint_variability(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: int = 7,
+) -> DataFrame:
+    """A15 (circadian) — daily event-midpoint hour and its trailing
+    variability (ref src/biomarkers/circadian.py:30-196: sleep-midpoint
+    variability as a rhythm-stability marker).
+
+    midpoint = mean second-of-day / 3600; variability = stddev of the
+    midpoint over the trailing `window` days. Outputs are scaled integers
+    (x1e4) so the oracle comparison is rounding-boundary-proof (see
+    registry.rolling_7d_mean_by_user note).
+    """
+    sec_of_day = F.unix_timestamp(ts_col) % 86400
+    daily = df.groupBy(F.to_date(ts_col).alias("date")).agg(
+        (F.avg(sec_of_day) / 3600.0).alias("_mid_h"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.orderBy("date").rowsBetween(-(window - 1), 0)
+    out = daily.withColumn("_var_h", F.stddev_samp("_mid_h").over(w))
+    return out.select(
+        "date",
+        "n_events",
+        F.round(F.col("_mid_h") * 10000, 0).cast("bigint").alias("midpoint_h_x1e4"),
+        F.round(F.col("_var_h") * 10000, 0).cast("bigint").alias("roll_std_x1e4"),
+    )
+
+
 def interval_efficiency(
     df: DataFrame,
     ts_col: str,

@@ -1948,6 +1948,31 @@ def q_hrv_time_domain(spark, sf_dir):
 
 
 @register(
+    "circadian_midpoint",
+    """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS date,
+               avg(CAST(floor(epoch(ts)) AS BIGINT) % 86400) / 3600.0 AS mid_h,
+               count(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT date, n_events,
+           CAST(round(mid_h * 10000, 0) AS BIGINT) AS midpoint_h_x1e4,
+           CAST(round(stddev_samp(mid_h) OVER (ORDER BY date
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 10000, 0) AS BIGINT)
+               AS roll_std_x1e4
+    FROM d
+    """,
+)
+def q_circadian_midpoint(spark, sf_dir):
+    """A15 (circadian): daily event-midpoint hour + trailing 7-day
+    variability — the rhythm-stability marker
+    (ref src/biomarkers/circadian.py:30-196)."""
+    ev = _cat(spark, sf_dir).events
+    return biomarkers.circadian_midpoint_variability(ev, "ts", window=7)
+
+
+@register(
     "interval_efficiency",
     """
     WITH s AS (

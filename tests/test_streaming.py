@@ -68,3 +68,45 @@ def test_sessionize_stream_gap_rule(spark, tmp_path):
     assert u1[2]["n_events"] == 2 and u1[2]["value_sum"] == 70.0
     u2 = [r for r in rows if r["user_id"] == 2]
     assert len(u2) == 1 and u2[0]["n_events"] == 1
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """F4-as-watermark: once the watermark closes and evicts a window, a
+    very-late row for that window is DROPPED — the emitted count is final
+    and no duplicate window row appears. (A late row arriving while the
+    window state is still live merges normally; finalization happens at
+    eviction, which is the contract append mode exposes.)"""
+    import time
+
+    src = str(tmp_path / "late_src")
+    batches = [
+        # advances watermark to Jan 4 after this batch
+        [(dt.datetime(2024, 1, 1, 12), 1, 10.0), (dt.datetime(2024, 1, 5, 12), 1, 20.0)],
+        # watermark -> Jan 5; Jan-1 window closes, emits, state evicted
+        [(dt.datetime(2024, 1, 6, 12), 1, 30.0)],
+        # VERY LATE Jan-1 row (post-eviction) -> dropped, no duplicate emit
+        [(dt.datetime(2024, 1, 1, 14), 1, 99.0), (dt.datetime(2024, 1, 7, 12), 1, 40.0)],
+    ]
+    for i, b in enumerate(batches):
+        mode = "overwrite" if i == 0 else "append"
+        spark.createDataFrame(b, SCHEMA).coalesce(1).write.mode(mode).parquet(src)
+        time.sleep(1.1)  # distinct mtimes keep file->micro-batch order stable
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        daily_stats_stream(stream, watermark="1 day")
+        .writeStream.format("memory")
+        .queryName("late_t")
+        .outputMode("append")  # emits only watermark-closed windows
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = sorted(
+        [(str(r["date"]), r["n_events"], r["value_mean"]) for r in
+         spark.sql("SELECT * FROM late_t").collect()]
+    )
+    # Jan-1 emitted EXACTLY ONCE, without the very-late 99.0 row
+    assert rows == [("2024-01-01", 1, 10.0), ("2024-01-05", 1, 20.0)]
