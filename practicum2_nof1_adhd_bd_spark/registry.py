@@ -1096,6 +1096,67 @@ def q_region_revenue(spark, sf_dir):
     )
 
 
+@register(
+    "rollup_nation_year",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(GROUPING(n.n_name, year(o.o_orderdate)) AS INT) AS gid,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP(n.n_name, year(o.o_orderdate))
+    """,
+)
+def q_rollup_nation_year(spark, sf_dir):
+    """§2.4 note — grouping-sets rollup (nation, year) with subtotal and
+    grand-total rows (Catalyst expands the rollup into one Expand + single
+    aggregate: no per-level re-scan). Bit-layout of grouping_id matches
+    DuckDB's GROUPING() exactly (first arg = MSB)."""
+    c = _cat(spark, sf_dir)
+    return (
+        c.orders.join(F.broadcast(c.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            "o_totalprice",
+        )
+        .rollup("nation", "o_year")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# One ANSI text, two engines: the engine's SQL surface is plain spark.sql
+# over registered views, so any reference user's SQL runs verbatim.
+_SQL_TOP_ORDER = """
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice FROM ranked WHERE rn = 1
+"""
+
+
+@register("sql_top_order_per_customer", _SQL_TOP_ORDER)
+def q_sql_top_order_per_customer(spark, sf_dir):
+    """SQL-surface parity: the exact oracle text runs through spark.sql on a
+    registered view — demonstrating the engine's second API (ref notebooks /
+    module CLIs read the same tables through SQL-ish frontends). The window
+    ranks within each customer partition; Catalyst plans it as one shuffle
+    on o_custkey."""
+    _cat(spark, sf_dir).orders.createOrReplaceTempView("orders")
+    return spark.sql(_SQL_TOP_ORDER)
+
+
 # ---------------------------------------------------------------------------
 # drift (W12 / KS)
 # ---------------------------------------------------------------------------
