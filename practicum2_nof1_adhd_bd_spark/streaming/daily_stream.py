@@ -47,6 +47,40 @@ def daily_stats_stream(
     )
 
 
+def enriched_daily_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    key_col: str = "user_id",
+    group_col: str = "grp",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-static enrichment: J6 (lookup join) over a live feed.
+
+    Each micro-batch joins against the STATIC dimension — Spark re-plans the
+    join per batch with no streaming state for the dim side, and the explicit
+    broadcast keeps the stream from ever shuffling on the join key (at scale
+    the dim is the small side by construction: user/device metadata vs an
+    event firehose). Downstream: watermarked 1-day tumbling counts per
+    dimension group.
+    """
+    enriched = (
+        events.withWatermark(ts_col, watermark)
+        .join(F.broadcast(dim.select(key_col, group_col)), key_col, "left")
+    )
+    return (
+        enriched.groupBy(
+            F.window(F.col(ts_col), "1 day").alias("w"), F.col(group_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("value_sum"),
+        )
+        .select(F.to_date("w.start").alias("date"), group_col, "n_events", "value_sum")
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     ts_col: str = "ts",

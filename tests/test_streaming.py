@@ -70,6 +70,45 @@ def test_sessionize_stream_gap_rule(spark, tmp_path):
     assert len(u2) == 1 and u2[0]["n_events"] == 1
 
 
+def test_stream_static_join_foreachbatch(spark, tmp_path):
+    """Stream-static broadcast enrichment (J6 over a feed) delivered through
+    a foreachBatch sink — results must equal the batch join+agg twin."""
+    from practicum2_nof1_adhd_bd_spark.streaming import enriched_daily_stream
+
+    src, batch = _write_source(spark, tmp_path)
+    dim = spark.createDataFrame(
+        [(1, "clinical"), (2, "control")], "user_id int, grp string"
+    )
+    collected = []
+
+    def sink(bdf, _bid):
+        collected.extend(bdf.collect())
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        enriched_daily_stream(stream, dim)
+        .writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((str(r["date"]), r["grp"], r["n_events"], r["value_sum"]) for r in collected)
+    expect = sorted(
+        (str(r["date"]), r["grp"], r["n_events"], r["value_sum"])
+        for r in (
+            batch.join(dim, "user_id", "left")
+            .groupBy(F.to_date("ts").alias("date"), "grp")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("value_sum"),
+            )
+        ).collect()
+    )
+    assert got == expect and len(got) == 3
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """F4-as-watermark: once the watermark closes and evicts a window, a
     very-late row for that window is DROPPED — the emitted count is final
