@@ -385,6 +385,70 @@ def simhash_near_dups(
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
+def corpus_clean_summary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    jaccard_threshold: float = 0.5,
+    quality_threshold: float = 0.5,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """End-to-end corpus cleaning: the training-data pipeline composite.
+
+    exact dedup (keep min-id per normalized text) -> MinHash-LSH near-dup
+    removal (drop the larger id of every verified pair with jaccard >=
+    threshold) -> quality gate (composite score >= threshold), reported as
+    per-language survivor counts at each stage.
+
+    Scale shape: every stage passes only ID frames between steps (semi/anti
+    joins — the full text never reshuffles after its one hashing pass per
+    stage), and the tiny ID frames are persisted so reuse across the three
+    stage counts doesn't re-execute the dedup subtrees.
+    """
+    from .textops import quality_score
+
+    surv1_ids = (
+        exact_dedup_groups(df, text_col, id_col)
+        .select(F.col("canonical_id").alias(id_col))
+        .persist()
+    )
+    surv1 = df.join(surv1_ids, id_col, "left_semi")
+    pairs = minhash_lsh_pairs_verified(
+        surv1, text_col, id_col, n_hashes=n_hashes, bands=bands, k=k,
+        threshold=jaccard_threshold,
+    )
+    drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct().persist()
+    surv2 = surv1.join(drop_ids, id_col, "left_anti")
+    surv3_ids = (
+        quality_score(surv2, text_col)
+        .filter(F.col("quality_score") >= quality_threshold)
+        .select(id_col)
+        .persist()
+    )
+    surv3 = surv2.join(surv3_ids, id_col, "left_semi")
+
+    def _cnt(d: DataFrame, name: str) -> DataFrame:
+        return d.groupBy(lang_col).agg(F.count(F.lit(1)).alias(name))
+
+    zero = F.lit(0).cast("bigint")
+    return (
+        _cnt(df, "n_docs")
+        .join(_cnt(surv1, "_e"), lang_col, "left")
+        .join(_cnt(surv2, "_n"), lang_col, "left")
+        .join(_cnt(surv3, "_q"), lang_col, "left")
+        .select(
+            lang_col,
+            "n_docs",
+            F.coalesce(F.col("_e"), zero).alias("n_exact_survivors"),
+            F.coalesce(F.col("_n"), zero).alias("n_near_survivors"),
+            F.coalesce(F.col("_q"), zero).alias("n_quality_survivors"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -2383,6 +2383,96 @@ def q_doc_fingerprint(spark, sf_dir):
     return out.withColumn("fp_len", F.col("fp_len").cast("int"))
 
 
+def _corpus_clean_oracle(
+    jaccard_threshold: float = 0.5,
+    quality_threshold: float = 0.5,
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> str:
+    rows = n_hashes // bands
+    sig_cols = ",\n               ".join(
+        f"{_mh_expr(i, n_hashes)} AS mh{i}" for i in range(n_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH norm AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+        FROM documents
+    ),
+    keep1 AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY h),
+    d1 AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+    w AS (SELECT doc_id, {_WORDS} AS words FROM d1),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sig AS (SELECT doc_id, {sig_cols} FROM sh),
+    banded AS ({band_rows}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT id_a, id_b,
+               round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                     / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+                   AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+    ),
+    keep2 AS (
+        SELECT doc_id FROM d1
+        WHERE doc_id NOT IN (
+            SELECT DISTINCT id_b FROM verified WHERE jaccard >= {jaccard_threshold}
+        )
+    ),
+    d2 AS (SELECT d.* FROM documents d JOIN keep2 USING (doc_id)),
+    t AS (SELECT doc_id, text, {_LTOKENS_SQL} AS toks FROM d2),
+    m AS (
+        SELECT doc_id,
+               least(len(toks) / 50.0, 1.0) AS len_score,
+               CAST(len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)
+                   / greatest(len(toks), 1) AS stop_ratio,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS alpha_ratio,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS distinct_ratio
+        FROM t
+    ),
+    keep3 AS (
+        SELECT doc_id FROM m
+        WHERE round(0.3 * len_score + 0.3 * alpha_ratio
+                    + 0.2 * least(stop_ratio * 10, 1.0)
+                    + 0.2 * distinct_ratio, 6) >= {quality_threshold}
+    )
+    SELECT d.lang AS lang,
+           count(*) AS n_docs,
+           count(s1.doc_id) AS n_exact_survivors,
+           count(s2.doc_id) AS n_near_survivors,
+           count(s3.doc_id) AS n_quality_survivors
+    FROM documents d
+    LEFT JOIN keep1 s1 ON d.doc_id = s1.doc_id
+    LEFT JOIN keep2 s2 ON d.doc_id = s2.doc_id
+    LEFT JOIN (SELECT doc_id FROM keep2 WHERE doc_id IN (SELECT doc_id FROM keep3)) s3
+           ON d.doc_id = s3.doc_id
+    GROUP BY d.lang
+    """
+
+
+@register("corpus_clean", _corpus_clean_oracle())
+def q_corpus_clean(spark, sf_dir):
+    """Training-data pipeline composite: exact dedup -> MinHash-LSH near-dup
+    removal (jaccard >= 0.5) -> quality gate (score >= 0.5), as per-language
+    survivor counts. Only ID frames flow between stages (semi/anti joins)."""
+    docs = _cat(spark, sf_dir).documents
+    return dedup.corpus_clean_summary(docs)
+
+
 _COSINE_ORACLE = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

@@ -99,3 +99,28 @@ def test_ann_lsh_topk_returns_bucket_subset(spark):
     bf_top = similarity.cosine_topk_bruteforce(_embeddings(spark), 0, 1).collect()[0]
     if rows:
         assert rows[0]["cosine"] <= bf_top["cosine"] + 1e-9
+
+
+def test_corpus_clean_summary(spark):
+    extra = spark.createDataFrame(
+        [(6, "111 222 333 444")], "doc_id long, text string"  # no alpha chars
+    )
+    docs = _docs(spark).unionByName(extra).withColumn(
+        "lang", F.when(F.col("doc_id") <= 4, "en").otherwise("und")
+    )
+    out = {r["lang"]: r for r in dedup.corpus_clean_summary(docs).collect()}
+    en = out["en"]
+    # doc 4 is an exact dup of 1 -> 3 exact survivors of 4
+    assert en["n_docs"] == 4 and en["n_exact_survivors"] == 3
+    # doc 2 is a near-dup of 1 (jaccard >= 0.5) -> dropped next
+    assert en["n_near_survivors"] == 2
+    # survivor counts are monotone non-increasing at every stage
+    for r in out.values():
+        assert (
+            r["n_docs"] >= r["n_exact_survivors"]
+            >= r["n_near_survivors"] >= r["n_quality_survivors"]
+        )
+    # 'tiny' survives everything (alpha-heavy single token scores 0.506);
+    # the digits-only doc survives dedup but fails the quality gate
+    und = out["und"]
+    assert und["n_near_survivors"] == 2 and und["n_quality_survivors"] == 1
