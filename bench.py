@@ -29,6 +29,7 @@ HEADLINE = [
     "ks_drift",
     "exact_dedup",
     "minhash_lsh_pairs",
+    "corpus_clean",
     "cosine_topk_vectorized",
     "hrv_time_domain",
     "embedding_near_dup",
