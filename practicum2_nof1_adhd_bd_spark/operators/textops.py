@@ -100,3 +100,79 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(norm).alias("fp_len"),
         F.element_at(toks, 1).alias("first_token"),
     )
+
+
+# GPT-2-style pre-tokenizer regex: contractions, letter runs, digit runs,
+# punctuation runs (each optionally preceded by one space). Pure RE2-safe
+# syntax (no lookarounds) so Java regex (Spark) and RE2 (DuckDB) produce the
+# IDENTICAL token stream.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}']+"
+
+
+def bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer (brief §"Beyond": token
+    counting = whitespace + a BPE-ish regex).
+
+    Counts BPE-style pre-tokens (the unit a GPT-2-family tokenizer would
+    split further), whitespace tokens, and their ratio — the standard
+    tokens-per-word expansion estimate used for corpus budgeting.
+    """
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
+    ws = tokens(F.col(text_col))
+    return fan_out(df, "doc_id").select(
+        "doc_id",
+        F.size(bpe).cast("int").alias("n_bpe_tokens"),
+        F.size(ws).cast("int").alias("n_ws_tokens"),
+        F.round(
+            F.size(bpe) / F.greatest(F.size(ws), F.lit(1)), 6
+        ).alias("bpe_per_word"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (brief §"Beyond";
+    Schleimer et al., MOSS): hash every char k-gram of the normalized text,
+    then keep the minimum hash of each sliding window of ``window``
+    consecutive k-grams. The distinct minima are the document's fingerprint
+    set — robust to local edits, standard for plagiarism/near-dup detection.
+
+    The k-gram hashes are md5-derived (oracle-reproducible); a true
+    incremental Rabin-Karp rolling hash is an implementation optimization
+    the declarative form doesn't need — the column algebra expresses the
+    same fingerprint-set semantics and stays in the JVM.
+    Output: per doc, gram/fingerprint counts + md5 of the sorted
+    fingerprint set (compact, hash-comparable).
+    """
+    from ..functions.scalars import hash64_md5
+
+    p = F.lit((1 << 31) - 1).cast("bigint")
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    out = fan_out(df, "doc_id").select("doc_id", norm.alias("_norm"))
+    n = F.length("_norm")
+    gram_idx = F.sequence(F.lit(1), n - (k - 1))
+    hashes = F.transform(
+        gram_idx, lambda i: hash64_md5(F.col("_norm").substr(i, F.lit(k))) % p
+    )
+    out = out.select(
+        "doc_id",
+        F.when(n >= k, hashes).otherwise(F.array().cast("array<bigint>")).alias("_h"),
+    )
+    m = F.size("_h")
+    win_idx = F.sequence(F.lit(1), m - (window - 1))
+    fps = F.array_distinct(
+        F.transform(win_idx, lambda i: F.array_min(F.slice("_h", i, window)))
+    )
+    fps = F.when(m >= window, fps).otherwise(F.array_distinct("_h"))
+    return out.select(
+        "doc_id",
+        m.cast("int").alias("n_grams"),
+        F.size(fps).cast("int").alias("n_fingerprints"),
+        F.md5(
+            F.concat_ws(",", F.transform(F.array_sort(fps), lambda x: x.cast("string")))
+        ).alias("fp_set_md5"),
+    )

@@ -2383,6 +2383,72 @@ def q_doc_fingerprint(spark, sf_dir):
     return out.withColumn("fp_len", F.col("fp_len").cast("int"))
 
 
+_BPE_RE_SQL = textops.BPE_PRETOKEN_RE.replace("'", "''")
+
+
+@register(
+    "bpe_token_stats",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS n_bpe,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_bpe AS INT) AS n_bpe_tokens,
+           CAST(n_ws AS INT) AS n_ws_tokens,
+           round(CAST(n_bpe AS DOUBLE) / greatest(n_ws, 1), 6) AS bpe_per_word
+    FROM t
+    """,
+)
+def q_bpe_token_stats(spark, sf_dir):
+    """Token counting with a GPT-2-style pre-tokenizer regex (RE2-safe, so
+    Spark's Java regex and DuckDB's RE2 split identically) — the
+    tokens-per-word expansion estimate for corpus budgeting."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.bpe_token_stats(docs)
+
+
+@register(
+    "winnow_fingerprints",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CASE WHEN length(norm) >= 5 THEN
+                   list_transform(range(1, length(norm) - 3),
+                       i -> ('0x' || substr(md5(substr(norm, i, 5)), 1, 15))::BIGINT
+                            % 2147483647)
+               ELSE []::BIGINT[] END AS hs
+        FROM t
+    ),
+    f AS (
+        SELECT doc_id, len(hs) AS n_grams,
+               CASE WHEN len(hs) >= 4 THEN
+                   list_distinct(list_transform(range(1, len(hs) - 2),
+                       i -> list_min(hs[i:i+3])))
+               ELSE list_distinct(hs) END AS fps
+        FROM h
+    )
+    SELECT doc_id,
+           CAST(n_grams AS INT) AS n_grams,
+           CAST(len(fps) AS INT) AS n_fingerprints,
+           md5(array_to_string(list_sort(fps), ',')) AS fp_set_md5
+    FROM f
+    """,
+)
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowed rolling-hash fingerprints (MOSS-style: min hash per sliding
+    window of char 5-gram hashes) — edit-robust document fingerprinting."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.winnow_fingerprints(docs, k=5, window=4)
+
+
 def _corpus_clean_oracle(
     jaccard_threshold: float = 0.5,
     quality_threshold: float = 0.5,

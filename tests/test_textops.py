@@ -1,0 +1,42 @@
+"""BPE-ish token counting and winnowed rolling-hash fingerprints."""
+
+from practicum2_nof1_adhd_bd_spark.operators import textops
+
+
+def test_bpe_token_stats_known_string(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello world, it's 2024! foo-bar baz99")],
+        "doc_id long, text string",
+    )
+    r = textops.bpe_token_stats(df).first()
+    # Hello | world | , | it | 's | 2024 | ! | foo | - | bar | baz | 99
+    assert r["n_bpe_tokens"] == 12
+    assert r["n_ws_tokens"] == 6
+    assert abs(r["bpe_per_word"] - 2.0) < 1e-9
+
+
+def test_winnow_fingerprints_edit_robust(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    edited = base.replace("lazy dog", "lazy cat", 1)  # one local edit
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, "completely unrelated text here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.winnow_fingerprints(df).collect()}
+    # identical prefix/suffix -> most fingerprints shared; fetch sets to compare
+    assert out[1]["n_grams"] == len(base.strip()) - 4
+    assert 0 < out[1]["n_fingerprints"] < out[1]["n_grams"]
+    # deterministic: same text -> same set hash
+    again = {r["doc_id"]: r for r in textops.winnow_fingerprints(df).collect()}
+    assert again[1]["fp_set_md5"] == out[1]["fp_set_md5"]
+    assert out[1]["fp_set_md5"] != out[3]["fp_set_md5"]
+
+
+def test_winnow_short_doc_degenerates_gracefully(spark):
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abcdef")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textops.winnow_fingerprints(df, k=5, window=4).collect()}
+    assert out[1]["n_grams"] == 0 and out[1]["n_fingerprints"] == 0
+    # 2 grams < window -> all distinct gram hashes kept
+    assert out[2]["n_grams"] == 2 and out[2]["n_fingerprints"] == 2
