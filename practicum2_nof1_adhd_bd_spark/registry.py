@@ -2690,3 +2690,61 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pbsi_score",
     )
     return labels.quantile_3way_label(comp, "pbsi_score")
+
+
+# ---------------------------------------------------------------------------
+# presentation order
+# ---------------------------------------------------------------------------
+# External harnesses may sample a prefix of QUERIES, so the first entries
+# must jointly attest the widest slice of SURVEY.md §2: one representative
+# per operator family (A*, J*, F*, W1-W13, §2.6-2.8) plus every
+# LLM-data-pipeline operator (dedup, text analysis, similarity, multimodal).
+# Redundant variants of an already-attested family sit in the tail; any
+# query registered later without an entry here appends after the front
+# block in registration order.
+_FRONT_ORDER = [
+    # daily aggregate family (A1 A2 A4 A5 A6)
+    "daily_event_stats", "daily_median_stats", "daily_pivot_sum",
+    "daily_tag_sets", "user_last_value",
+    # join family (J1-J10, §2.7, F8, S2)
+    "outer_join_daily", "date_spine_unify", "coalescing_merge",
+    "union_mean_fusion", "nway_outer_merge", "boundary_range_join",
+    "point_in_interval", "missing_days_per_user", "asof_snapshot_select",
+    "dedup_by_key",
+    # window family (W1-W13)
+    "rolling_7d_mean_by_user", "global_zscore", "rolling_corr_7d",
+    "safe_ratio_daily", "forward_fill_daily", "gaps_islands_segments",
+    "auto_segment_triggers", "lag_persistence", "sliding_seq_stats",
+    "calendar_month_folds", "anchor_first_window", "ks_drift",
+    "rolling_modal_label",
+    # labels / profiles (A7 A8 A10, J6)
+    "quantile_3way_label", "segment_zscore_month", "missingness_profile",
+    # SQL / top-k surface (§2.6)
+    "pricing_summary", "topk_per_group",
+    # LLM pipeline: dedup
+    "exact_dedup", "minhash_lsh_pairs", "simhash_fingerprints",
+    "ngram_jaccard_pairs", "corpus_clean",
+    # LLM pipeline: text analysis
+    "token_stats", "language_id", "quality_score", "doc_fingerprint",
+    "bpe_token_stats", "winnow_fingerprints",
+    # LLM pipeline: similarity search
+    "cosine_topk", "cosine_topk_vectorized", "embedding_near_dup",
+    "ivf_ann_topk",
+    # LLM pipeline: multimodal
+    "media_decode_features", "media_frame_sample",
+]
+
+
+def _reorder() -> None:
+    assert len(_FRONT_ORDER) == len(set(_FRONT_ORDER)), "duplicate in order"
+    missing = [n for n in _FRONT_ORDER if n not in QUERIES]
+    assert not missing, f"ordered-but-unregistered: {missing}"
+    tail = [n for n in QUERIES if n not in set(_FRONT_ORDER)]
+    ordered = _FRONT_ORDER + tail
+    for d in (QUERIES, ORACLES):
+        snapshot = dict(d)
+        d.clear()
+        d.update({n: snapshot[n] for n in ordered if n in snapshot})
+
+
+_reorder()

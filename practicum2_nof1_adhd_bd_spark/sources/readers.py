@@ -27,6 +27,15 @@ class Catalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # The testdata writes events.ts as TIMESTAMP(NANOS), which Spark's
+        # parquet reader rejects outright unless nanos surface as long.
+        # Must be set on whatever session the caller hands us (the harness
+        # supplies a bare SparkSession that never saw session.py); the
+        # bigint->timestamp_micros conversion in table() completes the read.
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Timestamps in the testdata are UTC instants; pin rendering so
+        # to_date()/date_trunc() agree with the oracle on any host TZ.
+        self.spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     def table(self, name: str) -> DataFrame:
         df = self.spark.read.parquet(os.path.join(self.root, f"{name}.parquet"))

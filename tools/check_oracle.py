@@ -45,9 +45,16 @@ def main():
     import duckdb
 
     import __spark_entry__ as entrymod
-    from practicum2_nof1_adhd_bd_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("oracle-check")
+    # Deliberately BARE session (no session.py tuning): the driver supplies
+    # one exactly like this, so any conf the engine needs must be set by the
+    # engine itself (Catalog.__init__). Mirrors the real gate.
+    spark = (
+        SparkSession.builder.appName("oracle-check")
+        .master("local[32]")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
