@@ -296,43 +296,42 @@ def jaccard_verify(
     )
 
 
-def simhash32(col: Column) -> Column:
-    """32-bit SimHash over word tokens.
-
-    Per token: 28-bit md5-derived hash; for each bit position, sum +1/-1;
-    final fingerprint sets bit where the sum is positive. Expressed with
-    aggregate over a bit-index sequence — no UDF, and bit arithmetic that
-    DuckDB reproduces exactly (32-bit keeps us clear of int64 sign issues).
-    """
-    toks = F.array_distinct(tokens(F.lower(col)))
-    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("bigint"))
-    bits = F.sequence(F.lit(0), F.lit(27))
-    # shiftright/shiftleft need literal shift amounts, so bit extraction is
-    # arithmetic: 2^b is exact in double up to b=27, cast back to bigint.
-    bit_vals = F.transform(
-        bits,
-        lambda b: F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(
-                    (h / F.pow(F.lit(2.0), b).cast("bigint")).cast("bigint") % 2 == 1,
-                    1,
-                ).otherwise(-1),
-            )
-            > 0,
-            F.pow(F.lit(2.0), b).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint")),
-    )
-    return F.aggregate(bit_vals, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-
-
 def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """SimHash fingerprint per document."""
-    return fan_out(df, id_col).select(
-        F.col(id_col), simhash32(F.col(text_col)).alias("simhash")
+    """28-bit SimHash over distinct word tokens, one fingerprint per doc.
+
+    Per token: 28-bit md5-derived hash; for each bit position, sum +1/-1
+    over tokens; the fingerprint sets the bits whose sum is positive.
+
+    Shaped like the MinHash path (explode -> md5 -> grouped sums) rather
+    than nested higher-order lambdas: HOF lambdas evaluate interpreted per
+    token x 28 bits, while this form is all whole-stage codegen. Each bit's
+    +/-1 sum is a separate agg column with a literal shift, map-side
+    combined to one row per doc; fan_out's doc_id hash partitioning
+    satisfies the groupBy, so no extra shuffle. Docs with no/NULL text get
+    fingerprint 0 (explode_outer + the NULL-token guard), matching the
+    lambda form bit-for-bit.
+    """
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    ex = fan_out(df, id_col).select(
+        F.col(id_col), F.explode_outer(toks).alias("_t")
+    ).withColumn(
+        "_h", F.conv(F.substring(F.md5(F.col("_t")), 1, 7), 16, 10).cast("bigint")
     )
+    sums = [
+        F.sum(
+            F.when(F.col("_t").isNull(), F.lit(0))
+            .when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias(f"_s{b}")
+        for b in range(28)
+    ]
+    agg = ex.groupBy(id_col).agg(*sums)
+    fp: Column = F.lit(0).cast("bigint")
+    for b in range(28):
+        fp = fp + F.when(
+            F.col(f"_s{b}") > 0, F.lit(2**b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_near_dups(

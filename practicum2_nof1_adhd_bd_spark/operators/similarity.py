@@ -205,15 +205,20 @@ def ivf_kmeans_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_fit_rows: int = 100_000,
 ) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer: MLlib KMeans (seeded) builds
     the cell centroids, vectors are assigned to cells, the query probes its
     n_probe nearest cells and exact-ranks their members.
 
     This is the full index-build path (`ivf_topk` assumes pre-assigned
-    cells). At scale the KMeans fit runs on a sample, the tiny centroid
-    table broadcasts, and cell assignment is a narrow map — the corpus
-    shuffles only once, on write, if the index is persisted cell-partitioned.
+    cells). The KMeans fit sees at most ``max_fit_rows`` vectors (seeded
+    sample) — the iterative fit must never scan the full corpus, since
+    k-means centroid quality saturates long before 1e5 points while each
+    extra iteration over 100 TB is a full read. Assignment of the corpus to
+    the trained centroids is a single narrow map; the tiny centroid table
+    broadcasts, and the corpus shuffles only once, on write, if the index is
+    persisted cell-partitioned.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -222,8 +227,13 @@ def ivf_kmeans_topk(
     base = embeddings.select(F.col(id_col), dvec.alias("v")).withColumn(
         "_features", array_to_vector(F.col("v"))
     )
+    n = base.count()
+    fit_set = (
+        base if n <= max_fit_rows
+        else base.sample(fraction=max_fit_rows / n, seed=seed)
+    )
     km = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="cell")
-    model = km.fit(base)
+    model = km.fit(fit_set)
     assigned = model.transform(base).select(id_col, "cell", "v")
     return ivf_topk(
         assigned.withColumnRenamed("v", vec_col),

@@ -21,21 +21,27 @@ EN_STOPWORDS = [
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization with empty-string hygiene."""
-    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != F.lit(""))
+    """Whitespace tokenization with empty-string hygiene.
+
+    Expressed as one regexp scan (maximal non-whitespace runs) rather than
+    split+filter: higher-order-function lambdas are evaluated interpreted
+    per array element, while regexp_extract_all stays inside whole-stage
+    codegen. Output is identical (incl. ''/' '/NULL edge cases)."""
+    return F.regexp_extract_all(col, F.lit(r"\S+"), 0)
 
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: n_tokens, n_chars, avg token length, distinct ratio."""
     toks = tokens(F.col(text_col))
+    # sum(length(token)) == count of non-whitespace chars: one regexp_replace
+    # instead of an interpreted aggregate() lambda over the token array.
+    tok_chars = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
     return fan_out(df, 'doc_id').select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.length(text_col).alias("n_chars_measured"),
         F.round(
-            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-            / F.greatest(F.size(toks), F.lit(1)),
-            6,
+            tok_chars / F.greatest(F.size(toks), F.lit(1)), 6
         ).alias("avg_token_len"),
         F.round(
             F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)), 6
@@ -50,9 +56,22 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     deterministic, oracle-checkable choice.)"""
     toks = tokens(F.lower(F.col(text_col)))
     sw = F.array([F.lit(w) for w in EN_STOPWORDS])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    ratio = hits / F.greatest(F.size(toks), F.lit(1))
-    return fan_out(df, 'doc_id').select(
+    # Count hits with multiplicity via explode -> sum (codegen) instead of a
+    # filter() lambda (interpreted per token). fan_out hash-partitions on
+    # doc_id, which satisfies the groupBy's distribution — no extra shuffle,
+    # and the partial agg collapses each doc map-side.
+    ex = fan_out(df, "doc_id").select(
+        "doc_id",
+        F.size(toks).alias("_n"),
+        F.explode_outer(toks).alias("_t"),
+    )
+    agg = ex.groupBy("doc_id", "_n").agg(
+        F.coalesce(
+            F.sum(F.array_contains(sw, F.col("_t")).cast("int")), F.lit(0)
+        ).alias("_hits")
+    )
+    ratio = F.col("_hits") / F.greatest(F.col("_n"), F.lit(1))
+    return agg.select(
         "doc_id",
         F.round(ratio, 6).alias("stopword_ratio"),
         F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
@@ -64,14 +83,27 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     repetition penalty -> composite in [0,1]. Mirrors C4/Gopher-style rules
     expressed as column algebra."""
     toks = tokens(F.lower(F.col(text_col)))
-    n_tok = F.size(toks)
     sw = F.array([F.lit(w) for w in EN_STOPWORDS])
-    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.greatest(
-        n_tok, F.lit(1)
+    # Same explode->sum rewrite as language_id; per-doc scalars ride along
+    # as grouping keys (functionally dependent on doc_id, so the fan_out
+    # doc_id hash partitioning still satisfies the groupBy — no shuffle).
+    ex = fan_out(df, "doc_id").select(
+        "doc_id",
+        F.size(toks).alias("_n"),
+        F.size(F.array_distinct(toks)).alias("_nd"),
+        F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", "")).alias("_alpha"),
+        F.length(text_col).alias("_len"),
+        F.explode_outer(toks).alias("_t"),
     )
-    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
-    alpha_ratio = alpha_chars / F.greatest(F.length(text_col), F.lit(1))
-    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+    agg = ex.groupBy("doc_id", "_n", "_nd", "_alpha", "_len").agg(
+        F.coalesce(
+            F.sum(F.array_contains(sw, F.col("_t")).cast("int")), F.lit(0)
+        ).alias("_hits")
+    )
+    n_tok = F.col("_n")
+    stop_ratio = F.col("_hits") / F.greatest(n_tok, F.lit(1))
+    alpha_ratio = F.col("_alpha") / F.greatest(F.col("_len"), F.lit(1))
+    distinct_ratio = F.col("_nd") / F.greatest(n_tok, F.lit(1))
     len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
     composite = (
         F.lit(0.3) * len_score
@@ -79,7 +111,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.2) * F.least(stop_ratio * 10, F.lit(1.0))
         + F.lit(0.2) * distinct_ratio
     )
-    return fan_out(df, 'doc_id').select(
+    return agg.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
