@@ -15,7 +15,49 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import folds as folds_mod
-from . import metrics as metrics_mod
+from . import metrics as metrics_mod  # noqa: F401  (distributed variant of the same metrics)
+
+
+def _fold_metrics(pred: DataFrame) -> tuple[float | None, float | None]:
+    """(accuracy, macro_f1) for a y_true/y_pred frame.
+
+    One distributed groupBy reduces the predictions to the confusion
+    matrix — at most n_classes^2 rows at ANY input scale — and only that
+    tiny table crosses the driver; precision/recall/F1 fold out of it in
+    plain Python (same null semantics as metrics.per_class_report: a class
+    never predicted / never occurring contributes no F1 term). This keeps
+    per-fold metric cost at one shuffle instead of per_class_report's
+    multi-join plan, which matters when a CV loop evaluates
+    models x folds."""
+    cm = (
+        pred.filter(F.col("y_true").isNotNull() & F.col("y_pred").isNotNull())
+        .groupBy("y_true", "y_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not cm:
+        return None, None
+    tp: dict = {}
+    n_true: dict = {}
+    n_pred: dict = {}
+    total = correct = 0
+    for r in cm:
+        t, p, n = r["y_true"], r["y_pred"], r["n"]
+        n_true[t] = n_true.get(t, 0) + n
+        n_pred[p] = n_pred.get(p, 0) + n
+        total += n
+        if t == p:
+            tp[t] = tp.get(t, 0) + n
+            correct += n
+    f1s = []
+    for c in set(n_true) | set(n_pred):
+        prec = round(tp.get(c, 0) / n_pred[c], 6) if n_pred.get(c) else None
+        rec = round(tp.get(c, 0) / n_true[c], 6) if n_true.get(c) else None
+        if prec is not None and rec is not None and (prec + rec) > 0:
+            f1s.append(round(2 * prec * rec / (prec + rec), 6))
+    macro_f1 = round(sum(f1s) / len(f1s), 6) if f1s else None
+    acc = round(correct / total, 6) if total else None
+    return acc, macro_f1
 
 
 def logreg_fold_cv(
@@ -74,20 +116,8 @@ def logreg_fold_cv(
             (F.col("label_idx") + F.lit(-1)).cast("int").alias("y_true"),
             (F.col("prediction") + F.lit(-1)).cast("int").alias("y_pred"),
         )
-        acc_row = pred.agg(
-            F.avg((F.col("y_true") == F.col("y_pred")).cast("double")).alias("acc")
-        ).collect()[0]
-        macro = metrics_mod.macro_summary(
-            metrics_mod.per_class_report(pred)
-        ).collect()[0]
-        return (
-            int(fid),
-            n_train,
-            n_val,
-            1,
-            round(float(acc_row["acc"]), 6),
-            float(macro["macro_f1"]) if macro["macro_f1"] is not None else None,
-        )
+        acc, macro_f1 = _fold_metrics(pred)
+        return (int(fid), n_train, n_val, 1, acc, macro_f1)
 
     # folds are independent: submit them as concurrent Spark jobs (the
     # scheduler interleaves their stages across the executor pool; the
@@ -104,3 +134,189 @@ def logreg_fold_cv(
         "fold_id int, n_train bigint, n_val bigint, usable int, "
         "accuracy double, macro_f1 double",
     )
+
+
+def _balanced_weights(train: DataFrame, label_col: str, w_col: str = "_w") -> DataFrame:
+    """sklearn class_weight='balanced': w(c) = n / (k * n_c), attached as a
+    weight column via a broadcast join of the tiny per-class count frame."""
+    counts = train.groupBy(label_col).agg(F.count(F.lit(1)).alias("_n_c"))
+    k = counts.agg(
+        F.count(F.lit(1)).alias("_k"), F.sum("_n_c").alias("_n")
+    )
+    weighted = train.join(F.broadcast(counts), label_col).crossJoin(
+        F.broadcast(k)
+    )
+    return weighted.withColumn(
+        w_col, F.col("_n") / (F.col("_k") * F.col("_n_c"))
+    ).drop("_n_c", "_k", "_n")
+
+
+def model_zoo_fold_cv(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    date_col: str = "date",
+    train_days: int = 7,
+    gap_days: int = 0,
+    val_days: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Extended model comparison per temporal fold — the reference's ML6
+    extended zoo (ref src/etl/ml6_extended.py:78-129: LogisticRegression
+    class_weight=balanced+scaled, RandomForest 100 trees depth 10 balanced,
+    GradientBoosting 100/depth5/lr0.1, SVM-linear scaled, GaussianNB;
+    RF macro-F1 0.7005 in RUN_REPORT_EXTENDED.md:40) re-expressed on MLlib
+    estimators:
+
+    - logreg: LogisticRegression multinomial, standardized features,
+      balanced sample weights.
+    - random_forest: RandomForestClassifier(numTrees=100, maxDepth=10),
+      raw features, balanced weights.
+    - gradient_boosted: GBTClassifier(maxIter=100, maxDepth=5,
+      stepSize=0.1) — MLlib GBTs are binary, so this is the reference's
+      binary baseline (episode vs not: label != 0), mirroring
+      results/metrics/.../baseline_comparison_binary.csv.
+    - svm_linear: LinearSVC, standardized features, balanced weights,
+      binary like the GBT row.
+    - gaussian_nb: NaiveBayes(modelType='gaussian'), raw features.
+
+    Output: one row per (model, fold) with accuracy + macro-F1. Folds are
+    independent and submitted as concurrent Spark jobs; each model's fit is
+    a distributed MLlib job, so nothing but fold/metric scalars crosses the
+    driver. KNN from the reference zoo has no MLlib estimator and is out of
+    scope (documented, not silently skipped).
+    """
+    from pyspark.ml.classification import (
+        GBTClassifier,
+        LinearSVC,
+        LogisticRegression,
+        NaiveBayes,
+        RandomForestClassifier,
+    )
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    spark = df.sparkSession
+    folded = folds_mod.day_folds(df, date_col, train_days, gap_days, val_days)
+    folded = folded.withColumn(
+        "label_idx", (F.col(label_col) - F.lit(-1)).cast("double")
+    ).withColumn(
+        "label_bin", (F.col(label_col) != 0).cast("double")
+    ).cache()
+    fold_ids = [
+        r["fold_id"]
+        for r in folded.select("fold_id").distinct().orderBy("fold_id").collect()
+    ]
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="_feat_raw")
+    scaler = StandardScaler(
+        inputCol="_feat_raw", outputCol="_feat", withMean=True, withStd=True
+    )
+
+    # (name, estimator factory, scaled?, weighted?, binary?)
+    zoo = [
+        ("logreg", lambda fc, lc, w: LogisticRegression(
+            featuresCol=fc, labelCol=lc, weightCol=w, maxIter=100,
+            regParam=0.0, family="multinomial"), True, True, False),
+        ("random_forest", lambda fc, lc, w: RandomForestClassifier(
+            featuresCol=fc, labelCol=lc, weightCol=w, numTrees=100,
+            maxDepth=10, seed=seed), False, True, False),
+        ("gradient_boosted", lambda fc, lc, w: GBTClassifier(
+            featuresCol=fc, labelCol=lc, maxIter=100, maxDepth=5,
+            stepSize=0.1, seed=seed), False, False, True),
+        ("svm_linear", lambda fc, lc, w: LinearSVC(
+            featuresCol=fc, labelCol=lc, weightCol=w, maxIter=100), True,
+            True, True),
+        ("gaussian_nb", lambda fc, lc, w: NaiveBayes(
+            featuresCol=fc, labelCol=lc, modelType="gaussian"), False,
+            False, False),
+    ]
+
+    def run_fold(fid):
+        out = []
+        train = folded.filter(
+            (F.col("fold_id") == fid) & (F.col("split") == "train")
+        )
+        val = folded.filter((F.col("fold_id") == fid) & (F.col("split") == "val"))
+        # one tiny collect gives n_train and both class counts
+        lab_rows = train.groupBy("label_idx", "label_bin").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+        n_train = sum(r["n"] for r in lab_rows)
+        n_cls = {
+            "label_idx": len({r["label_idx"] for r in lab_rows}),
+            "label_bin": len({r["label_bin"] for r in lab_rows}),
+        }
+        n_val = val.count()
+        scaler_model = None
+        for name, make, scaled, weighted, binary in zoo:
+            lc = "label_bin" if binary else "label_idx"
+            shift = 0 if binary else -1
+            if n_train < 2 or n_val < 1 or n_cls[lc] < 2:
+                out.append((name, int(fid), n_train, n_val, 0, None, None))
+                continue
+            tr = _balanced_weights(train, lc) if weighted else train.withColumn(
+                "_w", F.lit(1.0)
+            )
+            tr = assembler.transform(tr)
+            va = assembler.transform(val)
+            if scaled:
+                if scaler_model is None:
+                    scaler_model = scaler.fit(assembler.transform(train))
+                tr, va = scaler_model.transform(tr), scaler_model.transform(va)
+            fc = "_feat" if scaled else "_feat_raw"
+            model = make(fc, lc, "_w").fit(tr)
+            pred = model.transform(va).select(
+                (F.col(lc) + F.lit(shift)).cast("int").alias("y_true"),
+                (F.col("prediction") + F.lit(shift)).cast("int").alias("y_pred"),
+            )
+            acc, macro_f1 = _fold_metrics(pred)
+            out.append((name, int(fid), n_train, n_val, 1, acc, macro_f1))
+        return out
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        with ThreadPoolExecutor(max_workers=min(4, max(1, len(fold_ids)))) as pool:
+            rows = [r for fold in pool.map(run_fold, fold_ids) for r in fold]
+    finally:
+        folded.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "model string, fold_id int, n_train bigint, n_val bigint, usable int, "
+        "accuracy double, macro_f1 double",
+    )
+
+
+def feature_attribution(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+) -> DataFrame:
+    """Closed-form feature-attribution ranking — the DataFrame-math analog
+    of the reference's SHAP top-k summary (ref src/etl/ml7_analysis.py:
+    238-320 ranks |SHAP|; for linear models mean |SHAP| of a standardized
+    feature is |coef|*sigma_x = |corr(x,y)|*sigma_y).
+
+    Pure aggregates (one scan computes every corr + sigma_y), so it is
+    deterministic and SQL-expressible — unlike model-derived importances,
+    it keeps an exact DuckDB oracle. Output: feature, attribution, rank.
+    """
+    from pyspark.sql.window import Window
+
+    y = F.col(label_col).cast("double")
+    agg = df.agg(
+        *[F.corr(F.col(c), y).alias(f"_c_{c}") for c in feature_cols],
+        F.stddev_samp(y).alias("_sy"),
+    )
+    stack_args = ", ".join(f"'{c}', `_c_{c}`" for c in feature_cols)
+    unpiv = agg.select(
+        F.expr(
+            f"stack({len(feature_cols)}, {stack_args}) AS (feature, _c)"
+        ),
+        "_sy",
+    )
+    att = unpiv.select(
+        "feature",
+        F.round(F.abs(F.col("_c")) * F.col("_sy"), 6).alias("attribution"),
+    )
+    w = Window.orderBy(F.desc("attribution"), F.asc("feature"))
+    return att.withColumn("rank", F.row_number().over(w).cast("bigint"))

@@ -2668,6 +2668,85 @@ def q_logreg_fold_cv(spark, sf_dir):
 QUERIES["logreg_fold_cv"] = q_logreg_fold_cv
 
 
+def _daily_label_frame(spark, sf_dir):
+    """Shared ML feature frame: daily event aggregates + exact-quantile
+    3-way label (the reference's PBSI-style target)."""
+    ev = _cat(spark, sf_dir).events
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.round(F.avg("value"), 6).alias("value_mean"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+    )
+    return labels.quantile_3way_label(d, "value_mean")
+
+
+def q_model_zoo_fold_cv(spark, sf_dir):
+    """Extended model zoo per temporal fold (ref src/etl/ml6_extended.py:
+    78-129): MLlib logreg / random forest / GBT / linear SVM / gaussian NB,
+    per-fold accuracy + macro-F1. Training is MLlib (distributed); no SQL
+    oracle -> rows-only check."""
+    from .operators import ml
+
+    return ml.model_zoo_fold_cv(
+        _daily_label_frame(spark, sf_dir),
+        ["value_mean", "n_events", "n_users"],
+        "label_3cls",
+        train_days=7,
+        gap_days=0,
+        val_days=3,
+    )
+
+QUERIES["model_zoo_fold_cv"] = q_model_zoo_fold_cv
+
+
+@register(
+    "feature_attribution_topk",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS date,
+             CAST(round(avg(value), 6) AS DOUBLE) AS value_mean,
+             CAST(count(*) AS DOUBLE) AS n_events,
+             CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users
+      FROM events GROUP BY 1
+    ),
+    q AS (SELECT quantile_cont(value_mean, 0.25) AS p_lo,
+                 quantile_cont(value_mean, 0.75) AS p_hi
+          FROM d),
+    lab AS (
+      SELECT d.*,
+             CAST(CASE WHEN value_mean <= p_lo THEN -1
+                       WHEN value_mean >= p_hi THEN 1
+                       ELSE 0 END AS DOUBLE) AS y
+      FROM d, q
+    ),
+    a AS (
+      SELECT 'value_mean' AS feature, corr(value_mean, y) AS c,
+             stddev_samp(y) AS sy FROM lab
+      UNION ALL
+      SELECT 'n_events', corr(n_events, y), stddev_samp(y) FROM lab
+      UNION ALL
+      SELECT 'n_users', corr(n_users, y), stddev_samp(y) FROM lab
+    )
+    SELECT feature,
+           CAST(round(abs(c) * sy, 6) AS DOUBLE) AS attribution,
+           CAST(row_number() OVER (ORDER BY round(abs(c) * sy, 6) DESC, feature)
+                AS BIGINT) AS rank
+    FROM a
+    """,
+)
+def q_feature_attribution_topk(spark, sf_dir):
+    """Feature-attribution ranking (SHAP-analog for linear models,
+    ref src/etl/ml7_analysis.py:238-320): |corr(x,y)|*sigma_y per feature
+    over the daily label frame — closed-form, so exactly oracle-checkable."""
+    from .operators import ml
+
+    return ml.feature_attribution(
+        _daily_label_frame(spark, sf_dir),
+        ["value_mean", "n_events", "n_users"],
+        "label_3cls",
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry points for the driver
 # ---------------------------------------------------------------------------

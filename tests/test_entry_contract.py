@@ -9,9 +9,10 @@ def test_oracle_keys_subset_of_queries():
     assert set(oracles) <= set(qs)
     # every query is callable
     assert all(callable(f) for f in qs.values())
-    # substantial coverage: at least 40 queries, at most 5 without oracle
+    # substantial coverage: at least 40 queries; rows-only (no-oracle)
+    # budget is 6: adwin, ann_lsh, impute, logreg_cv, ivf_kmeans, model_zoo
     assert len(qs) >= 40
-    assert len(set(qs) - set(oracles)) <= 5
+    assert len(set(qs) - set(oracles)) <= 6
 
 
 def test_entry_runs_and_is_deterministic(spark):

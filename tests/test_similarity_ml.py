@@ -58,6 +58,40 @@ def test_logreg_separable(spark):
     assert all(r["accuracy"] == 1.0 for r in usable)
 
 
+def test_feature_attribution_ranks_correlated_feature_first(spark):
+    d0 = dt.date(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        y = float(i % 3 - 1)
+        # f1 perfectly correlated with y; f2 pure noise-ish (uncorrelated cycle)
+        rows.append((d0 + dt.timedelta(days=i), y * 3.0, float((i * 7) % 5), int(y)))
+    df = spark.createDataFrame(rows, "date date, f1 double, f2 double, label int")
+    out = ml.feature_attribution(df, ["f1", "f2"], "label").collect()
+    by_rank = {r["rank"]: r for r in out}
+    assert by_rank[1]["feature"] == "f1"
+    assert by_rank[1]["attribution"] > by_rank[2]["attribution"]
+
+
+def test_model_zoo_shapes_and_determinism(spark):
+    d0 = dt.date(2024, 1, 1)
+    rows = []
+    for i in range(10):  # one fold: 7 train + 3 val
+        x = float(i % 3 - 1)
+        rows.append((d0 + dt.timedelta(days=i), x, x * 2.0, int(x)))
+    df = spark.createDataFrame(rows, "date date, f1 double, f2 double, label int")
+    out = ml.model_zoo_fold_cv(
+        df, ["f1", "f2"], "label", train_days=7, gap_days=0, val_days=3
+    ).collect()
+    assert {r["model"] for r in out} == {
+        "logreg", "random_forest", "gradient_boosted", "svm_linear", "gaussian_nb"
+    }
+    assert all(r["n_train"] == 7 and r["n_val"] == 3 for r in out)
+    # perfectly separable -> every usable multiclass model should be decent,
+    # and the seeded RF must be deterministic
+    rf = [r for r in out if r["model"] == "random_forest"][0]
+    assert rf["usable"] == 1 and rf["accuracy"] == 1.0
+
+
 def test_ivf_kmeans_full_index_path(spark):
     import random
 
