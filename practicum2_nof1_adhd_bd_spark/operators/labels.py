@@ -70,19 +70,55 @@ def exact_quantile_thresholds(
     )
 
 
+def approx_quantile_thresholds(
+    df: DataFrame,
+    value_col: str,
+    probs: tuple[float, float] = (0.25, 0.75),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """A8 first pass, 100-TB variant — approx_percentile (GK sketch) as a
+    1-row frame. Same shape as `exact_quantile_thresholds` but the partial
+    state is a bounded sketch (O(accuracy) per task, mergeable), not a
+    value-count map over every distinct value, so the merge never becomes a
+    single-task bottleneck as the input grows. Error is bounded by
+    1/accuracy relative rank."""
+    pq = F.expr(
+        f"approx_percentile({value_col}, array({probs[0]}, {probs[1]}), {accuracy})"
+    )
+    return (
+        fan_out(df.select(value_col))
+        .agg(pq.alias("_pq"))
+        .select(
+            F.col("_pq")[0].cast("double").alias("p_lo"),
+            F.col("_pq")[1].cast("double").alias("p_hi"),
+        )
+    )
+
+
 def quantile_3way_label(
     df: DataFrame,
     value_col: str,
     probs: tuple[float, float] = (0.25, 0.75),
     label_col: str = "label_3cls",
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """A8 — two-pass percentile labeling: value <= P_lo -> -1, >= P_hi -> +1,
     else 0 (ref build_pbsi.py:173-176,224-253).
 
+    ``exact=True`` reproduces pandas-interpolated percentiles bit-for-bit
+    (the oracle contract); ``exact=False`` swaps in the approx_percentile
+    sketch — the path you run at 100 TB, where only rows whose rank sits
+    within 1/accuracy of a cut point can flip label.
+
     Second pass is a broadcast cross-join of the 1-row threshold frame —
     the scalar never hits the driver, so the plan is cluster-safe.
     """
-    thresholds = exact_quantile_thresholds(df, value_col, probs)
+    thresholds = (
+        exact_quantile_thresholds(df, value_col, probs)
+        if exact
+        else approx_quantile_thresholds(df, value_col, probs, accuracy)
+    )
     labeled = df.crossJoin(F.broadcast(thresholds))
     v = F.col(value_col)
     return labeled.withColumn(

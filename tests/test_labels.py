@@ -29,6 +29,27 @@ def test_quantile_3way_label_exact_percentiles(spark):
     assert counts[-1] == 25 and counts[1] == 25 and counts[0] == 50
 
 
+def test_quantile_3way_label_approx_agrees_with_exact(spark):
+    """The 100-TB path (approx_percentile sketch) must agree with the exact
+    path everywhere except rows within 1/accuracy rank of a cut point —
+    checked on the real sf0.01 daily frame the headline query labels."""
+    from practicum2_nof1_adhd_bd_spark.sources.readers import Catalog
+
+    ev = Catalog(spark, "/root/testdata/sf0.01").events
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.round(F.avg("value"), 6).alias("value_mean")
+    )
+    exact = labels.quantile_3way_label(d, "value_mean", exact=True)
+    approx = labels.quantile_3way_label(d, "value_mean", exact=False)
+    joined = exact.select("date", F.col("label_3cls").alias("l_exact")).join(
+        approx.select("date", F.col("label_3cls").alias("l_approx")), "date"
+    )
+    n = joined.count()
+    n_agree = joined.filter(F.col("l_exact") == F.col("l_approx")).count()
+    assert n > 0
+    assert n_agree / n >= 0.99  # sketch error can only flip rank-boundary rows
+
+
 def test_threeway_threshold_label(spark):
     df = spark.createDataFrame([(-0.5,), (0.0,), (0.5,)], "v double")
     out = [r["label_3cls"] for r in
