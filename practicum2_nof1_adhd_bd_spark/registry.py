@@ -2099,21 +2099,71 @@ QUERIES["impute_segments"] = q_impute_segments
            CASE WHEN length(text) % 3 = 0 THEN 'image'
                 WHEN length(text) % 3 = 1 THEN 'audio'
                 ELSE 'video' END AS media_type,
+           'fake' AS codec,
            md5(text) AS content_md5,
-           round((('0x' || substr(md5(text), 1, 8))::BIGINT % 256) / 255.0, 6) AS mean_px,
-           round((('0x' || substr(md5(text), 9, 8))::BIGINT % 256) / 255.0, 6) AS std_px,
+           CAST(NULL AS INT) AS width,
+           CAST(NULL AS INT) AS height,
+           CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS n_samples,
+           round((('0x' || substr(md5(text), 1, 8))::BIGINT % 256) / 255.0, 6) AS mean_val,
+           round((('0x' || substr(md5(text), 9, 8))::BIGINT % 256) / 255.0, 6) AS std_val,
            CAST(octet_length(encode(text)) AS INT) AS n_bytes
     FROM documents
     """,
 )
 def q_media_decode_features(spark, sf_dir):
-    """Multimodal decode/feature-extract over Arrow batches (mapInPandas).
-    The codec is a deterministic md5-derived stub (no image libs in this
-    container) so the whole chain stays oracle-checkable; the Spark-side
-    schema/batching/partitioning is the real contract."""
+    """Multimodal decode/feature-extract over Arrow batches (mapInPandas),
+    fallback path: text blobs carry no container magic, so every row takes
+    the deterministic md5 stub (header fields NULL) — which keeps the
+    fallback oracle-checkable. See media_real_decode for the real-codec
+    path over actual BMP/WAV bytes."""
     docs = _cat(spark, sf_dir).documents
     blobs = multimodal.text_to_blob_table(docs)
     return multimodal.decode_features(blobs)
+
+
+@register(
+    "media_real_decode",
+    """
+    WITH bytes_tbl AS (
+        SELECT doc_id, length(text) AS n_chars,
+               ('0x' || substr(md5(text), 2 * i + 1, 2))::BIGINT AS byte
+        FROM documents, (SELECT unnest(generate_series(0, 15)) AS i)
+    ),
+    s AS (
+        SELECT doc_id, max(n_chars) AS n_chars,
+               avg(byte) AS m_px, stddev_pop(byte) AS s_px,
+               avg((byte - 128) * 256) AS m_smp,
+               stddev_pop((byte - 128) * 256) AS s_smp
+        FROM bytes_tbl GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id,
+           CASE WHEN n_chars % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+           CASE WHEN n_chars % 2 = 0 THEN 'bmp' ELSE 'wav' END AS codec,
+           CASE WHEN n_chars % 2 = 0 THEN 4 ELSE NULL END::INT AS width,
+           CASE WHEN n_chars % 2 = 0 THEN 4 ELSE NULL END::INT AS height,
+           CASE WHEN n_chars % 2 = 0 THEN NULL ELSE 16000 END::INT AS sample_rate,
+           CASE WHEN n_chars % 2 = 0 THEN NULL ELSE 16 END::INT AS n_samples,
+           CAST(round(CASE WHEN n_chars % 2 = 0 THEN m_px ELSE m_smp END, 6)
+                AS DOUBLE) AS mean_val,
+           CAST(round(CASE WHEN n_chars % 2 = 0 THEN s_px ELSE s_smp END, 6)
+                AS DOUBLE) AS std_val,
+           CASE WHEN n_chars % 2 = 0 THEN 102 ELSE 76 END::INT AS n_bytes
+    FROM s
+    """,
+)
+def q_media_real_decode(spark, sf_dir):
+    """REAL codec path: documents become actual BMP (4x4, 24-bit) / WAV
+    (PCM-16 mono) files with md5-digest-derived content, then
+    decode_features parses the container headers and pixel/sample payloads
+    in pure Python inside mapInPandas. The oracle recomputes the digest
+    byte statistics in SQL — so header fields AND payload stats are
+    attested end-to-end. content_md5 (hash of the serialized file) is
+    dropped: reconstructing the container byte stream in SQL is not
+    expressible."""
+    docs = _cat(spark, sf_dir).documents
+    blobs = multimodal.synthetic_media_table(docs)
+    return multimodal.decode_features(blobs).drop("content_md5")
 
 
 @register(
@@ -2806,11 +2856,11 @@ _FRONT_ORDER = [
     # LLM pipeline: text analysis
     "token_stats", "language_id", "quality_score", "doc_fingerprint",
     "bpe_token_stats", "winnow_fingerprints",
-    # LLM pipeline: similarity search
-    "cosine_topk", "cosine_topk_vectorized", "embedding_near_dup",
-    "ivf_ann_topk",
-    # LLM pipeline: multimodal
-    "media_decode_features", "media_frame_sample",
+    # LLM pipeline: similarity search (cosine_topk = redundant scalar
+    # variant of cosine_topk_vectorized; lives in the tail)
+    "cosine_topk_vectorized", "embedding_near_dup", "ivf_ann_topk",
+    # LLM pipeline: multimodal (real BMP/WAV codec + fallback + sampling)
+    "media_real_decode", "media_decode_features", "media_frame_sample",
 ]
 
 

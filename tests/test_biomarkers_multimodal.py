@@ -72,10 +72,63 @@ def test_decode_features_deterministic(spark):
     out = {r["media_id"]: r for r in multimodal.decode_features(blobs).collect()}
     assert out[1]["content_md5"] == out[3]["content_md5"]
     assert out[1]["n_bytes"] == len("hello world")
-    assert 0.0 <= out[2]["mean_px"] <= 1.0
+    assert out[1]["codec"] == "fake" and out[1]["width"] is None
+    assert 0.0 <= out[2]["mean_val"] <= 1.0
     # run twice -> identical (determinism)
     again = {r["media_id"]: r for r in multimodal.decode_features(blobs).collect()}
     assert all(out[k] == again[k] for k in out)
+
+
+def test_bmp_codec_roundtrip():
+    # known pixel grid: decoder must recover header dims + exact stats
+    px = bytes(range(16))  # 0..15 gray values, 4x4
+    blob = multimodal.make_bmp(px, 4, 4)
+    assert blob[:2] == b"BM" and len(blob) == 102
+    w, h, mean, std = multimodal._parse_bmp(blob)
+    assert (w, h) == (4, 4)
+    assert mean == 7.5  # mean of 0..15
+    import statistics
+    assert std == round(statistics.pstdev(range(16)), 6)
+
+
+def test_bmp_row_padding_honored():
+    # width 3 -> 9-byte rows padded to 12; padding must not pollute stats
+    px = bytes([10] * 9)
+    blob = multimodal.make_bmp(px, 3, 3)
+    w, h, mean, std = multimodal._parse_bmp(blob)
+    assert (w, h) == (3, 3)
+    assert mean == 10.0 and std == 0.0
+
+
+def test_wav_codec_roundtrip():
+    samples = [(b - 128) * 256 for b in bytes(range(16))]
+    blob = multimodal.make_wav(samples)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE" and len(blob) == 76
+    rate, n, mean, std = multimodal._parse_wav(blob)
+    assert rate == 16000 and n == 16
+    import statistics
+    assert mean == round(statistics.mean(samples), 6)
+    assert std == round(statistics.pstdev(samples), 6)
+
+
+def test_real_decode_end_to_end(spark):
+    docs = spark.createDataFrame(
+        [(1, "even"), (2, "odd")],  # len 4 -> bmp, len 3 -> wav
+        "doc_id bigint, text string",
+    )
+    blobs = multimodal.synthetic_media_table(docs)
+    out = {r["media_id"]: r for r in multimodal.decode_features(blobs).collect()}
+    bmp, wav = out[1], out[2]
+    assert bmp["codec"] == "bmp" and (bmp["width"], bmp["height"]) == (4, 4)
+    assert bmp["n_bytes"] == 102 and bmp["sample_rate"] is None
+    assert wav["codec"] == "wav" and wav["sample_rate"] == 16000
+    assert wav["n_samples"] == 16 and wav["width"] is None
+    # payload stats must equal digest-byte stats (the generator contract)
+    import hashlib
+    import statistics
+    dig = hashlib.md5(b"even").digest()
+    assert bmp["mean_val"] == round(statistics.mean(dig), 6)
+    assert bmp["std_val"] == round(statistics.pstdev(dig), 6)
 
 
 def test_frame_sample_counts(spark):
