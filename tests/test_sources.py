@@ -66,3 +66,32 @@ def test_coerce_hours_minutes_heuristic(spark):
     hours = spark.createDataFrame([(8.0,), (6.0,)], "dur double")
     out2 = sorted(r["dur"] for r in coerce_hours(hours, "dur").collect())
     assert out2 == [6.0, 8.0]  # untouched
+
+
+def test_bare_session_reads_events_like_the_driver():
+    """Regression for the round-1/2 driver failure: the external harness
+    supplies a BARE SparkSession (none of session.py's confs), and
+    events.parquet is TIMESTAMP(NANOS). Catalog.__init__ must make the read
+    work on whatever session it receives. Runs in a subprocess because any
+    in-process session would inherit this suite's tuned confs — which is
+    exactly the blindness that let the bug survive two rounds."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[2]')\n"
+        "         .config('spark.ui.enabled', 'false').getOrCreate())\n"
+        "from practicum2_nof1_adhd_bd_spark.registry import QUERIES\n"
+        "n = QUERIES['daily_event_stats'](spark, '/root/testdata/sf0.001').count()\n"
+        "assert n > 0, n\n"
+        "print('BARE_OK', n)\n"
+    ) % repo
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "BARE_OK" in out.stdout
