@@ -95,3 +95,52 @@ def test_bare_session_reads_events_like_the_driver():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "BARE_OK" in out.stdout
+
+
+def test_cda_probe_counts_and_codes(spark, tmp_path):
+    """S10 — namespaced CDA: section/observation tag counts + per-code
+    observation counts, first-code-child semantics (ref parse_cda.py:20-260)."""
+    from practicum2_nof1_adhd_bd_spark.sources.cda import cda_probe
+
+    doc = """<?xml version="1.0"?>
+<ClinicalDocument xmlns="urn:hl7-org:v3" xmlns:x="urn:x">
+  <component>
+    <x:section>
+      <code code="SEC-1"/>
+      <entry>
+        <observation classCode="OBS">
+          <code code="8867-4" displayName="Heart rate"/>
+          <value value="72"/>
+        </observation>
+      </entry>
+      <entry>
+        <x:observation>
+          <x:code displayName="Steps"/>
+        </x:observation>
+      </entry>
+    </x:section>
+    <section>
+      <entry>
+        <observation>
+          <code code="8867-4"/>
+        </observation>
+      </entry>
+      <entry>
+        <observation><value value="1"/></observation>
+      </entry>
+    </section>
+  </component>
+</ClinicalDocument>
+"""
+    p = tmp_path / "export_cda.xml"
+    p.write_text(doc)
+    out = {
+        (r["metric"], r["code"]): r["n"] for r in cda_probe(spark, str(p)).collect()
+    }
+    assert out[("n_section", None)] == 2
+    assert out[("n_observation", None)] == 4
+    # 2x 8867-4 (code= attr), 1x Steps (displayName fallback); the 4th
+    # observation has no code child; SEC-1 is a section code, not counted
+    assert out[("code", "8867-4")] == 2
+    assert out[("code", "Steps")] == 1
+    assert ("code", "SEC-1") not in out
