@@ -18,8 +18,12 @@ from . import folds as folds_mod
 from . import metrics as metrics_mod  # noqa: F401  (distributed variant of the same metrics)
 
 
-def _fold_metrics(pred: DataFrame) -> tuple[float | None, float | None]:
-    """(accuracy, macro_f1) for a y_true/y_pred frame.
+def _fold_metrics(
+    pred: DataFrame,
+) -> tuple[float | None, float | None, float | None, float | None]:
+    """(accuracy, macro_f1, balanced_accuracy, cohen_kappa) for a
+    y_true/y_pred frame — the reference's per-fold metric set
+    (ref scripts/run_full_pipeline.py:1143-1374 reports F1/BA/kappa).
 
     One distributed groupBy reduces the predictions to the confusion
     matrix — at most n_classes^2 rows at ANY input scale — and only that
@@ -36,7 +40,7 @@ def _fold_metrics(pred: DataFrame) -> tuple[float | None, float | None]:
         .collect()
     )
     if not cm:
-        return None, None
+        return None, None, None, None
     tp: dict = {}
     n_true: dict = {}
     n_pred: dict = {}
@@ -57,7 +61,15 @@ def _fold_metrics(pred: DataFrame) -> tuple[float | None, float | None]:
             f1s.append(round(2 * prec * rec / (prec + rec), 6))
     macro_f1 = round(sum(f1s) / len(f1s), 6) if f1s else None
     acc = round(correct / total, 6) if total else None
-    return acc, macro_f1
+    # balanced accuracy = mean per-class recall over classes present in
+    # y_true (sklearn.balanced_accuracy_score semantics)
+    recalls = [tp.get(c, 0) / n for c, n in n_true.items()]
+    bal_acc = round(sum(recalls) / len(recalls), 6) if recalls else None
+    # Cohen's kappa: agreement beyond chance from the same confusion matrix
+    pe = sum(n_true.get(c, 0) * n_pred.get(c, 0) for c in n_pred) / (total * total)
+    po = correct / total
+    kappa = round((po - pe) / (1 - pe), 6) if pe < 1 else None
+    return acc, macro_f1, bal_acc, kappa
 
 
 def logreg_fold_cv(
@@ -101,7 +113,7 @@ def logreg_fold_cv(
         n_train, n_val = train.count(), val.count()
         n_classes = train.select("label_idx").distinct().count()
         if n_train < 2 or n_val < 1 or n_classes < 2:
-            return (int(fid), n_train, n_val, 0, None, None)
+            return (int(fid), n_train, n_val, 0, None, None, None, None)
         scaler_model = scaler.fit(assembler.transform(train))
         tr_assembled = scaler_model.transform(assembler.transform(train))
         model = LogisticRegression(
@@ -116,8 +128,8 @@ def logreg_fold_cv(
             (F.col("label_idx") + F.lit(-1)).cast("int").alias("y_true"),
             (F.col("prediction") + F.lit(-1)).cast("int").alias("y_pred"),
         )
-        acc, macro_f1 = _fold_metrics(pred)
-        return (int(fid), n_train, n_val, 1, acc, macro_f1)
+        acc, macro_f1, bal_acc, kappa = _fold_metrics(pred)
+        return (int(fid), n_train, n_val, 1, acc, macro_f1, bal_acc, kappa)
 
     # folds are independent: submit them as concurrent Spark jobs (the
     # scheduler interleaves their stages across the executor pool; the
@@ -132,7 +144,7 @@ def logreg_fold_cv(
     return spark.createDataFrame(
         results,
         "fold_id int, n_train bigint, n_val bigint, usable int, "
-        "accuracy double, macro_f1 double",
+        "accuracy double, macro_f1 double, bal_acc double, kappa double",
     )
 
 
@@ -149,6 +161,49 @@ def _balanced_weights(train: DataFrame, label_col: str, w_col: str = "_w") -> Da
     return weighted.withColumn(
         w_col, F.col("_n") / (F.col("_k") * F.col("_n_c"))
     ).drop("_n_c", "_k", "_n")
+
+
+def _knn_predict(
+    tr: DataFrame, va: DataFrame, fc: str, lc: str, k: int = 5
+) -> DataFrame:
+    """Distributed KNN classification as pure DataFrame algebra: broadcast
+    the (small) training fold, exact euclidean top-k per validation row,
+    majority vote with sklearn's tie-break (smallest label wins).
+
+    At 100 TB you'd LSH/IVF-block the candidate set first (see
+    operators/similarity.py) — per temporal fold the train side is tiny
+    (days of daily rows), so a broadcast is the right plan here.
+    """
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql.window import Window
+
+    t = tr.select(
+        F.col(lc).alias("_t_lab"), vector_to_array(F.col(fc)).alias("_t_v")
+    )
+    v = va.select(
+        F.monotonically_increasing_id().alias("_q_id"),
+        F.col(lc).alias("_y_true"),
+        vector_to_array(F.col(fc)).alias("_q_v"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("_q_v", "_t_v", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = v.join(F.broadcast(t)).withColumn("_d2", d2)
+    w_near = Window.partitionBy("_q_id").orderBy("_d2", "_t_lab")
+    votes = (
+        pairs.withColumn("_rk", F.row_number().over(w_near))
+        .filter(F.col("_rk") <= k)
+        .groupBy("_q_id", "_y_true", "_t_lab")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w_vote = Window.partitionBy("_q_id").orderBy(F.desc("_n"), F.asc("_t_lab"))
+    return (
+        votes.withColumn("_vr", F.row_number().over(w_vote))
+        .filter(F.col("_vr") == 1)
+        .select("_y_true", F.col("_t_lab").alias("_y_pred"))
+    )
 
 
 def model_zoo_fold_cv(
@@ -180,11 +235,15 @@ def model_zoo_fold_cv(
       binary like the GBT row.
     - gaussian_nb: NaiveBayes(modelType='gaussian'), raw features.
 
-    Output: one row per (model, fold) with accuracy + macro-F1. Folds are
-    independent and submitted as concurrent Spark jobs; each model's fit is
-    a distributed MLlib job, so nothing but fold/metric scalars crosses the
-    driver. KNN from the reference zoo has no MLlib estimator and is out of
-    scope (documented, not silently skipped).
+    - knn: no MLlib estimator exists, so the lazy classifier is pure
+      DataFrame algebra (`_knn_predict`): broadcast train fold, exact
+      euclidean top-5, majority vote — standardized features like the
+      reference.
+
+    Output: one row per (model, fold) with accuracy, macro-F1, balanced
+    accuracy, and Cohen's kappa. Folds are independent and submitted as
+    concurrent Spark jobs; each model's fit is a distributed MLlib job, so
+    nothing but fold/metric scalars crosses the driver.
     """
     from pyspark.ml.classification import (
         GBTClassifier,
@@ -228,6 +287,9 @@ def model_zoo_fold_cv(
         ("gaussian_nb", lambda fc, lc, w: NaiveBayes(
             featuresCol=fc, labelCol=lc, modelType="gaussian"), False,
             False, False),
+        # KNN has no MLlib estimator; _knn_predict is the lazy classifier
+        # as DataFrame algebra (ref ml6_extended.py zoo: KNN k=5, scaled)
+        ("knn", None, True, False, False),
     ]
 
     def run_fold(fid):
@@ -251,7 +313,9 @@ def model_zoo_fold_cv(
             lc = "label_bin" if binary else "label_idx"
             shift = 0 if binary else -1
             if n_train < 2 or n_val < 1 or n_cls[lc] < 2:
-                out.append((name, int(fid), n_train, n_val, 0, None, None))
+                out.append(
+                    (name, int(fid), n_train, n_val, 0, None, None, None, None)
+                )
                 continue
             tr = _balanced_weights(train, lc) if weighted else train.withColumn(
                 "_w", F.lit(1.0)
@@ -263,13 +327,21 @@ def model_zoo_fold_cv(
                     scaler_model = scaler.fit(assembler.transform(train))
                 tr, va = scaler_model.transform(tr), scaler_model.transform(va)
             fc = "_feat" if scaled else "_feat_raw"
-            model = make(fc, lc, "_w").fit(tr)
-            pred = model.transform(va).select(
-                (F.col(lc) + F.lit(shift)).cast("int").alias("y_true"),
-                (F.col("prediction") + F.lit(shift)).cast("int").alias("y_pred"),
+            if name == "knn":
+                pred = _knn_predict(tr, va, fc, lc, k=5).select(
+                    (F.col("_y_true") + F.lit(shift)).cast("int").alias("y_true"),
+                    (F.col("_y_pred") + F.lit(shift)).cast("int").alias("y_pred"),
+                )
+            else:
+                model = make(fc, lc, "_w").fit(tr)
+                pred = model.transform(va).select(
+                    (F.col(lc) + F.lit(shift)).cast("int").alias("y_true"),
+                    (F.col("prediction") + F.lit(shift)).cast("int").alias("y_pred"),
+                )
+            acc, macro_f1, bal_acc, kappa = _fold_metrics(pred)
+            out.append(
+                (name, int(fid), n_train, n_val, 1, acc, macro_f1, bal_acc, kappa)
             )
-            acc, macro_f1 = _fold_metrics(pred)
-            out.append((name, int(fid), n_train, n_val, 1, acc, macro_f1))
         return out
 
     from concurrent.futures import ThreadPoolExecutor
@@ -282,7 +354,7 @@ def model_zoo_fold_cv(
     return spark.createDataFrame(
         rows,
         "model string, fold_id int, n_train bigint, n_val bigint, usable int, "
-        "accuracy double, macro_f1 double",
+        "accuracy double, macro_f1 double, bal_acc double, kappa double",
     )
 
 

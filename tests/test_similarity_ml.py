@@ -83,13 +83,20 @@ def test_model_zoo_shapes_and_determinism(spark):
         df, ["f1", "f2"], "label", train_days=7, gap_days=0, val_days=3
     ).collect()
     assert {r["model"] for r in out} == {
-        "logreg", "random_forest", "gradient_boosted", "svm_linear", "gaussian_nb"
+        "logreg", "random_forest", "gradient_boosted", "svm_linear",
+        "gaussian_nb", "knn",
     }
     assert all(r["n_train"] == 7 and r["n_val"] == 3 for r in out)
     # perfectly separable -> every usable multiclass model should be decent,
     # and the seeded RF must be deterministic
     rf = [r for r in out if r["model"] == "random_forest"][0]
     assert rf["usable"] == 1 and rf["accuracy"] == 1.0
+    assert rf["bal_acc"] == 1.0 and rf["kappa"] == 1.0
+    # KNN k=5 over 7 train rows (3/2/2 per class): hand-traced votes give
+    # exactly one of three val rows right (x=-1; the x=0 and x=1 rows lose
+    # the majority to neighboring classes) -> accuracy 1/3, deterministic
+    knn = [r for r in out if r["model"] == "knn"][0]
+    assert knn["usable"] == 1 and knn["accuracy"] == 0.333333
 
 
 def test_ivf_kmeans_full_index_path(spark):
