@@ -2853,9 +2853,10 @@ _FRONT_ORDER = [
     # LLM pipeline: dedup
     "exact_dedup", "minhash_lsh_pairs", "simhash_fingerprints",
     "ngram_jaccard_pairs", "corpus_clean",
-    # LLM pipeline: text analysis
+    # LLM pipeline: text analysis (bpe_token_stats = counting variant of
+    # token_stats; tail) + ML attribution
     "token_stats", "language_id", "quality_score", "doc_fingerprint",
-    "bpe_token_stats", "winnow_fingerprints",
+    "winnow_fingerprints", "feature_attribution_topk",
     # LLM pipeline: similarity search (cosine_topk = redundant scalar
     # variant of cosine_topk_vectorized; lives in the tail)
     "cosine_topk_vectorized", "embedding_near_dup", "ivf_ann_topk",
