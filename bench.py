@@ -35,6 +35,7 @@ HEADLINE = [
     "embedding_near_dup",
     "token_stats",
     "media_decode_features",
+    "media_real_decode",
 ]
 
 
