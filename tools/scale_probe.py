@@ -132,6 +132,8 @@ QUERIES = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "som_daily_agg",
+    "media_real_decode",
+    "corpus_clean",
 ]
 
 
