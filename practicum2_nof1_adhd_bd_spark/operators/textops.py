@@ -161,6 +161,118 @@ def bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+    max_top_bigram_frac: float = 0.20,
+) -> DataFrame:
+    """Gopher-style quality rules (Rae et al. 2021, appendix A1) as column
+    algebra: word-count bounds, mean word length bounds, symbol-to-word
+    ratio, alphabetic-word fraction, stopword presence, and the repetition
+    rule (fraction of characters covered by the most repetitive 2-gram).
+
+    The repetition scalar is max over bigrams of count*len(bigram) — a
+    deterministic formulation (no tie-break needed across engines) of
+    Gopher's "characters in most frequent 2-gram".
+
+    Plan shape: one fan-out scan, one posexplode; the per-token work is a
+    codegen'd lead window + two aggregations that both ride the doc_id hash
+    partitioning (bigram counts collapse map-side per doc). Doc-grain
+    frames join broadcast-free on the same key. No interpreted HOF lambdas.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.lower(F.col(text_col)))
+    sw = F.array([F.lit(w) for w in EN_STOPWORDS])
+    ex = fan_out(df, "doc_id").select(
+        "doc_id",
+        F.size(toks).alias("_n"),
+        F.length(text_col).alias("_chars"),
+        F.length(F.regexp_replace(F.col(text_col), r"\s", "")).alias("_nonspace"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), 0)
+        ).alias("_nsym"),
+        F.size(F.array_intersect(F.array_distinct(toks), sw)).alias("_nsw"),
+        F.posexplode_outer(toks).alias("_pos", "_t"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("_pos")
+    ex = ex.withColumn("_bg", F.concat_ws(" ", "_t", F.lead("_t").over(w)))
+    keys = ["doc_id", "_n", "_chars", "_nonspace", "_nsym", "_nsw"]
+    base = ex.groupBy(*keys).agg(
+        F.coalesce(
+            F.sum(F.col("_t").rlike("[a-z]").cast("int")), F.lit(0)
+        ).alias("_alpha_words")
+    )
+    top = (
+        ex.filter(F.col("_bg").contains(" "))  # drop last token's dangling bg
+        .groupBy("doc_id", "_bg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.max(F.col("_c") * F.length("_bg")).alias("_top_chars"))
+    )
+    m = base.join(top, "doc_id", "left")
+    n_words = F.col("_n")
+    mean_len = F.col("_nonspace") / F.greatest(n_words, F.lit(1))
+    sym_ratio = F.col("_nsym") / F.greatest(n_words, F.lit(1))
+    alpha_frac = F.col("_alpha_words") / F.greatest(n_words, F.lit(1))
+    bg_frac = F.coalesce(F.col("_top_chars"), F.lit(0)) / F.greatest(
+        F.col("_chars"), F.lit(1)
+    )
+    keep = (
+        n_words.between(min_words, max_words)
+        & mean_len.between(min_mean_len, max_mean_len)
+        & (sym_ratio <= max_symbol_ratio)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (F.col("_nsw") >= min_stopwords)
+        & (bg_frac <= max_top_bigram_frac)
+    )
+    return m.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        F.col("_nsw").cast("int").alias("n_stopwords_present"),
+        F.round(bg_frac, 6).alias("top_bigram_char_frac"),
+        keep.alias("keep"),
+    )
+
+
+# PII patterns — RE2-safe (no lookarounds) so Java regex (Spark) and RE2
+# (DuckDB) match identically.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+PHONE_RE = r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora: count + redact emails, SSNs, and
+    US-style phone numbers (applied in that order, so an SSN never
+    re-matches as a phone). Pure regexp column algebra — scan-parallel,
+    nothing leaves the JVM. Output carries the redacted text's md5 so the
+    transform itself is value-attestable."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, SSN_RE, "<SSN>")
+    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    return fan_out(df, "doc_id").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(SSN_RE), 0)).alias("n_ssn"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).alias("n_phones"),
+        F.length(t).alias("len_before"),
+        F.length(red).alias("len_after"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -2088,6 +2088,104 @@ def q_impute_segments(spark, sf_dir):
 QUERIES["impute_segments"] = q_impute_segments
 
 
+@register(
+    "gopher_quality_flags",
+    """
+    WITH t AS (
+        SELECT doc_id, text,
+               regexp_extract_all(lower(text), '\\S+') AS toks,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+               len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, len(toks) AS n_words, n_chars, nonspace, n_sym,
+               len(list_intersect(list_distinct(toks),
+                   ['the','a','an','and','or','of','to','in','is','it',
+                    'that','for','on','with','as','was','at','by','this']))
+                   AS n_sw,
+               len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                   AS alpha_words,
+               toks
+        FROM t
+    ),
+    bgc AS (
+        SELECT doc_id, bg2, count(*) AS c
+        FROM (
+            SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg2
+            FROM base, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+            WHERE len(toks) >= 2
+        ) GROUP BY 1, 2
+    ),
+    top AS (SELECT doc_id, max(c * length(bg2)) AS top_chars FROM bgc GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(b.n_words AS INT) AS n_words,
+           CAST(round(b.nonspace / greatest(b.n_words, 1), 6) AS DOUBLE)
+               AS mean_word_len,
+           CAST(round(b.n_sym / greatest(b.n_words, 1), 6) AS DOUBLE)
+               AS symbol_ratio,
+           CAST(round(b.alpha_words / greatest(b.n_words, 1), 6) AS DOUBLE)
+               AS alpha_word_frac,
+           CAST(b.n_sw AS INT) AS n_stopwords_present,
+           CAST(round(coalesce(top.top_chars, 0) / greatest(b.n_chars, 1), 6)
+               AS DOUBLE) AS top_bigram_char_frac,
+           (b.n_words BETWEEN 50 AND 100000
+            AND b.nonspace / greatest(b.n_words, 1) BETWEEN 3.0 AND 10.0
+            AND b.n_sym / greatest(b.n_words, 1) <= 0.1
+            AND b.alpha_words / greatest(b.n_words, 1) >= 0.8
+            AND b.n_sw >= 2
+            AND coalesce(top.top_chars, 0) / greatest(b.n_chars, 1) <= 0.20)
+               AS keep
+    FROM base b LEFT JOIN top ON b.doc_id = top.doc_id
+    """,
+)
+def q_gopher_quality_flags(spark, sf_dir):
+    """Gopher-rule document filter (Rae et al. 2021 A1): word-count and
+    mean-word-length bounds, symbol ratio, alpha-word fraction, stopword
+    presence, top-2-gram repetition — per-doc metrics + keep decision."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.gopher_quality_flags(docs)
+
+
+@register(
+    "pii_redact_stats",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text,
+               '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS INT) AS n_ssn,
+           CAST(len(regexp_extract_all(text,
+               '\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS INT)
+               AS n_phones,
+           CAST(length(text) AS INT) AS len_before,
+           CAST(length(
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+                   '\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>',
+                   'g')) AS INT) AS len_after,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+                   '\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>',
+                   'g')) AS redacted_md5
+    FROM documents
+    """,
+)
+def q_pii_redact_stats(spark, sf_dir):
+    """PII scrub pass over the corpus: email/SSN/phone counts + redacted-
+    text hash (regexes chosen RE2/Java-identical). The testdata corpus is
+    synthetic word-salad, so counts are zero there — fixture tests drive
+    the matching behavior; the oracle attests the full transform hash."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.pii_redact(docs)
+
+
 # ---------------------------------------------------------------------------
 # multimodal blob plumbing (brief §"Beyond": decode / resize / frame-sample)
 # ---------------------------------------------------------------------------
@@ -2853,10 +2951,10 @@ _FRONT_ORDER = [
     # LLM pipeline: dedup
     "exact_dedup", "minhash_lsh_pairs", "simhash_fingerprints",
     "ngram_jaccard_pairs", "corpus_clean",
-    # LLM pipeline: text analysis (bpe_token_stats = counting variant of
-    # token_stats; tail) + ML attribution
-    "token_stats", "language_id", "quality_score", "doc_fingerprint",
-    "winnow_fingerprints", "feature_attribution_topk",
+    # LLM pipeline: text analysis (bpe_token_stats / doc_fingerprint =
+    # variants of token_stats / winnow_fingerprints; tail) + ML attribution
+    "token_stats", "language_id", "gopher_quality_flags",
+    "winnow_fingerprints", "quality_score", "feature_attribution_topk",
     # LLM pipeline: similarity search (cosine_topk = redundant scalar
     # variant of cosine_topk_vectorized; lives in the tail)
     "cosine_topk_vectorized", "embedding_near_dup", "ivf_ann_topk",

@@ -40,3 +40,42 @@ def test_winnow_short_doc_degenerates_gracefully(spark):
     assert out[1]["n_grams"] == 0 and out[1]["n_fingerprints"] == 0
     # 2 grams < window -> all distinct gram hashes kept
     assert out[2]["n_grams"] == 2 and out[2]["n_fingerprints"] == 2
+
+
+def test_gopher_flags_repetition_and_bounds(spark):
+    good = "the quick brown fox jumps over a lazy dog and runs far " * 6  # 66 words
+    repetitive = "the cat " * 40  # top bigram dominates
+    short = "the end"
+    df = spark.createDataFrame(
+        [(1, good), (2, repetitive), (3, short)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textops.gopher_quality_flags(df).collect()}
+    assert out[1]["keep"] is True
+    # repetitive doc: n_words fine (80) but top bigram covers most chars
+    assert out[2]["n_words"] == 80
+    assert out[2]["top_bigram_char_frac"] > 0.2 and out[2]["keep"] is False
+    # short doc fails the word-count bound
+    assert out[3]["n_words"] == 2 and out[3]["keep"] is False
+
+
+def test_pii_redact_matches_and_hashes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com or call (555) 123-4567 now"),
+            (2, "ssn 123-45-6789 leaked"),
+            (3, "clean text, nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.pii_redact(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+    assert out[2]["n_ssn"] == 1 and out[2]["n_emails"] == 0
+    assert out[3]["n_emails"] == out[3]["n_ssn"] == out[3]["n_phones"] == 0
+    # redaction is applied (hash differs from raw md5) only when PII present
+    import hashlib
+    raw3 = hashlib.md5(b"clean text, nothing here").hexdigest()
+    assert out[3]["redacted_md5"] == raw3
+    raw1 = hashlib.md5(
+        b"mail bob@example.com or call (555) 123-4567 now"
+    ).hexdigest()
+    assert out[1]["redacted_md5"] != raw1
