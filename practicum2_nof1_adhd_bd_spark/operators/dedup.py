@@ -487,3 +487,58 @@ def ngram_jaccard_pairs(
     return joined.filter(F.col("jac") >= threshold).select(
         "id_a", "id_b", F.round("jac", 6).alias("jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph — the step that
+    turns verified pairs into dedup CLUSTERS (cluster id = min doc id in
+    the component; the canonical keeper is the representative).
+
+    Pregel-style min-label propagation: each iteration every node takes the
+    minimum of its own label and its neighbors' labels (one join + one
+    map-side-combined min aggregate per round), stopping when no label
+    changes. Rounds needed = graph diameter — near-dup clusters are
+    shallow, so this is a handful of small shuffles; only the per-round
+    changed-count scalar crosses the driver. Labels are min-ids, so the
+    result is deterministic regardless of execution order. (Large-star/
+    small-star is the known accelerant for adversarially long chains; the
+    propagation loop is the same shape.)
+    """
+    lab = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("lab"))
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    prev = None
+    for _ in range(max_iter):
+        nbr = edges.alias("e").join(
+            lab.alias("l"), F.col("e.dst") == F.col("l.node")
+        ).select(F.col("e.src").alias("node"), F.col("l.lab").alias("lab"))
+        new_lab = (
+            lab.unionByName(nbr).groupBy("node").agg(F.min("lab").alias("lab"))
+        ).persist()
+        changed = (
+            new_lab.alias("n")
+            .join(lab.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev, lab = new_lab, new_lab
+        if changed == 0:
+            break
+    edges.unpersist()
+    out = lab.select(
+        F.col("node").alias(id_col),
+        F.col("lab").alias("cluster_id"),
+        (F.col("node") == F.col("lab")).alias("is_canonical"),
+    )
+    return out

@@ -2088,6 +2088,43 @@ def q_impute_segments(spark, sf_dir):
 QUERIES["impute_segments"] = q_impute_segments
 
 
+def _register_dedup_clusters() -> None:
+    """dedup_clusters oracle composes the already-registered minhash-pair
+    SQL (single source of truth for the pair set) inside a recursive
+    connected-components CTE, so it must be built AFTER minhash_lsh_pairs
+    registers. Label = min doc_id reachable, identical to the Spark
+    propagation's fixpoint."""
+    pair_sql = ORACLES["minhash_lsh_pairs"]
+    sql = f"""
+    WITH RECURSIVE p AS ({pair_sql}),
+    e AS (
+        SELECT id_a AS a, id_b AS b FROM p WHERE jaccard >= 0.5
+        UNION ALL
+        SELECT id_b, id_a FROM p WHERE jaccard >= 0.5
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN e ON r.node = e.a
+    )
+    SELECT node AS doc_id, min(lab) AS cluster_id,
+           node = min(lab) AS is_canonical
+    FROM reach GROUP BY node
+    """
+
+    @register("dedup_clusters", sql)
+    def q_dedup_clusters(spark, sf_dir):
+        """Near-dup clustering: minhash-verified pairs (jaccard >= 0.5) ->
+        connected components by min-label propagation -> one cluster id +
+        canonical flag per document. The step a corpus dedup runs after
+        pair generation; keep = is_canonical."""
+        docs = _cat(spark, sf_dir).documents
+        pairs = dedup.minhash_lsh_pairs_verified(
+            docs, n_hashes=8, bands=4, k=3, threshold=0.0
+        ).filter(F.col("jaccard") >= 0.5)
+        return dedup.connected_components(pairs, docs.select("doc_id"))
+
+
 @register(
     "gopher_quality_flags",
     """
@@ -2919,6 +2956,10 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.quantile_3way_label(comp, "pbsi_score")
 
 
+# deferred: composes the minhash_lsh_pairs oracle SQL, which registers above
+_register_dedup_clusters()
+
+
 # ---------------------------------------------------------------------------
 # presentation order
 # ---------------------------------------------------------------------------
@@ -2948,9 +2989,10 @@ _FRONT_ORDER = [
     "quantile_3way_label", "segment_zscore_month", "missingness_profile",
     # SQL / top-k surface (§2.6)
     "pricing_summary", "topk_per_group",
-    # LLM pipeline: dedup
+    # LLM pipeline: dedup (ngram_jaccard_pairs = verify-tail variant of the
+    # minhash pair path; tail)
     "exact_dedup", "minhash_lsh_pairs", "simhash_fingerprints",
-    "ngram_jaccard_pairs", "corpus_clean",
+    "dedup_clusters", "corpus_clean",
     # LLM pipeline: text analysis (bpe_token_stats / doc_fingerprint =
     # variants of token_stats / winnow_fingerprints; tail) + ML attribution
     "token_stats", "language_id", "gopher_quality_flags",

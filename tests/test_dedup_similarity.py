@@ -124,3 +124,22 @@ def test_corpus_clean_summary(spark):
     # the digits-only doc survives dedup but fails the quality gate
     und = out["und"]
     assert und["n_near_survivors"] == 2 and und["n_quality_survivors"] == 1
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from practicum2_nof1_adhd_bd_spark.operators import dedup
+
+    # chain 1-2-3 (diameter > 1 forces multiple propagation rounds),
+    # pair 10-11, singleton 99
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    nodes = spark.createDataFrame(
+        [(1,), (2,), (3,), (10,), (11,), (99,)], "doc_id bigint"
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.connected_components(pairs, nodes).collect()}
+    assert [out[i]["cluster_id"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert out[10]["cluster_id"] == 10 and out[11]["cluster_id"] == 10
+    assert out[99]["cluster_id"] == 99 and out[99]["is_canonical"] is True
+    assert out[2]["is_canonical"] is False and out[1]["is_canonical"] is True
