@@ -320,3 +320,157 @@ def winnow_fingerprints(
             F.concat_ws(",", F.transform(F.array_sort(fps), lambda x: x.cast("string")))
         ).alias("fp_set_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level training-data ops: decontamination, mixing, packing, repetition
+# ---------------------------------------------------------------------------
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    n-word shingle with an eval/benchmark set (the n-gram-overlap rule used
+    to scrub test-set leakage from pretraining corpora).
+
+    Scale shape: eval sets are tiny relative to the corpus (MBs vs 100 TB),
+    so the distinct eval-gram table BROADCASTS and the training side is a
+    single scan + explode + map-side-combinable count — no shuffle of
+    training text, no all-pairs comparison. Output has one row per
+    contaminated training doc with the count of distinct shared n-grams.
+    """
+    from .dedup import word_shingles
+
+    ev = (
+        eval_docs.select(F.explode(word_shingles(F.col(text_col), n)).alias("g"))
+        .distinct()
+    )
+    tr = fan_out(train, id_col).select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    )
+    # word_shingles is distinct-per-doc, so count(*) == distinct shared grams.
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+
+
+def source_mixture_weights(
+    df: DataFrame,
+    alpha: float = 0.7,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Domain-mixing weights: per-source token counts raised to a
+    temperature exponent alpha and normalized (the w_i ∝ n_i^alpha
+    sampling rule used to up-weight small high-quality sources when
+    composing a pretraining mixture).
+
+    One map-side-combined aggregate over the corpus; the normalization
+    window runs on the aggregated frame (one row per source — dozens, not
+    billions), so the unpartitioned window is a no-op at any scale.
+    """
+    from pyspark.sql import Window
+
+    s = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col(text_col)))).alias("n_tokens"),
+    )
+    w = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    return s.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.round(w / F.sum(w).over(Window.partitionBy()), 6).alias("mix_weight"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    bucket_size: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing: place documents (in id order) into a single
+    concatenated token stream and chop it into fixed-size training
+    sequences; emit each doc's stream offset and the first/last sequence
+    it lands in (GPT-style packing, where docs may span context windows).
+
+    A naive global running sum is a single-task window at 100 TB. Instead:
+    per-bucket token subtotals (tiny frame) -> exclusive prefix sum over
+    buckets (window on the tiny frame) -> broadcast the offsets back and
+    run the cumulative sum WITHIN each bucket, partitioned and parallel.
+    Doc ids drive bucketing, so the plan shuffles once on the bucket key.
+    """
+    from pyspark.sql import Window
+
+    t = df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.floor(F.col(id_col) / bucket_size).alias("_bkt"),
+    )
+    bs = t.groupBy("_bkt").agg(F.sum("n_tokens").alias("_btot"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = bs.select(
+        "_bkt", F.coalesce(F.sum("_btot").over(w_off), F.lit(0)).alias("_boff")
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        t.join(F.broadcast(off), "_bkt")
+        .withColumn("_end", F.col("_boff") + F.sum("n_tokens").over(w_in))
+        .withColumn("start_offset", F.col("_end") - F.col("n_tokens"))
+        .withColumn("first_seq", F.expr(f"start_offset div {budget}"))
+        # empty docs occupy no tokens: clamp so last_seq == first_seq
+        .withColumn("last_seq", F.expr(f"greatest(_end - 1, start_offset) div {budget}"))
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        "first_seq",
+        "last_seq",
+        (F.col("last_seq") - F.col("first_seq") + F.lit(1)).alias("n_seqs"),
+    )
+
+
+def dup_ngram_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition profile: fraction of 2-gram / 3-gram
+    occurrences that are repeats (RefinedWeb/Gopher-style duplication
+    signals used to drop templated or boilerplate text). Pure per-row
+    Catalyst expressions — scan-scales, nothing shuffles."""
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+
+    def grams(k: int) -> Column:
+        idx = F.sequence(F.lit(1), n - (k - 1))
+        s = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        return F.when(n >= k, s).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(g: Column) -> Column:
+        return F.round(
+            (F.size(g) - F.size(F.array_distinct(g)))
+            / F.greatest(F.size(g), F.lit(1)),
+            6,
+        )
+
+    g2, g3 = grams(2), grams(3)
+    return fan_out(df, id_col).select(
+        id_col,
+        F.size(g2).alias("n_2grams"),
+        dup_frac(g2).alias("dup_2gram_frac"),
+        F.size(g3).alias("n_3grams"),
+        dup_frac(g3).alias("dup_3gram_frac"),
+    )

@@ -2223,6 +2223,138 @@ def q_pii_redact_stats(spark, sf_dir):
     return textops.pii_redact(docs)
 
 
+_WORDS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_5GRAMS = (
+    "list_distinct(list_transform(range(1, len(words) - 3), "
+    "i -> array_to_string(words[i:i+4], ' ')))"
+)
+
+
+@register(
+    "decontaminate_ngram",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    g AS (SELECT doc_id, {_5GRAMS} AS gs FROM w),
+    ev AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 100 = 0),
+    tr AS (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 100 <> 0)
+    SELECT tr.doc_id, count(*) AS n_shared_ngrams
+    FROM tr JOIN ev USING (g)
+    GROUP BY tr.doc_id
+    """,
+)
+def q_decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any 5-gram with the
+    eval split (doc_id % 100 == 0 stands in for the benchmark set). The
+    tiny eval-gram table broadcasts; the corpus side is one scan."""
+    docs = _cat(spark, sf_dir).documents
+    ev = docs.filter(F.col("doc_id") % 100 == 0)
+    tr = docs.filter(F.col("doc_id") % 100 != 0)
+    return textops.ngram_decontaminate(tr, ev, n=5)
+
+
+@register(
+    "source_mixture_weights",
+    f"""
+    WITH s AS (SELECT source, count(*) AS n_docs,
+                      sum(len({_WORDS})) AS n_tokens
+               FROM documents GROUP BY source)
+    SELECT source, n_docs, n_tokens,
+           round(pow(n_tokens, 0.7) / sum(pow(n_tokens, 0.7)) OVER (), 6)
+               AS mix_weight
+    FROM s
+    """,
+)
+def q_source_mixture_weights(spark, sf_dir):
+    """Domain-mixing weights w_i ∝ tokens_i^0.7 (temperature sampling over
+    sources when composing a pretraining mixture)."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.source_mixture_weights(docs, alpha=0.7)
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH t AS (SELECT doc_id, len({_WORDS}) AS n_tokens FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend
+          FROM t)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cend - n_tokens AS BIGINT) AS start_offset,
+           CAST((cend - n_tokens) // 512 AS BIGINT) AS first_seq,
+           CAST(greatest(cend - 1, cend - n_tokens) // 512 AS BIGINT) AS last_seq,
+           CAST(greatest(cend - 1, cend - n_tokens) // 512
+                - (cend - n_tokens) // 512 + 1 AS BIGINT) AS n_seqs
+    FROM c
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: concatenated token stream chopped into
+    512-token training sequences; per doc the stream offset and the
+    first/last sequence it lands in. Bucketed two-level prefix sum — no
+    single-task global window (see textops.pack_sequences)."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.pack_sequences(docs, budget=512, bucket_size=1024)
+
+
+@register(
+    "dup_ngram_profile",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    g AS (SELECT doc_id,
+            CASE WHEN len(words) >= 2 THEN
+                list_transform(range(1, len(words)), i -> array_to_string(words[i:i+1], ' '))
+            ELSE []::VARCHAR[] END AS g2,
+            CASE WHEN len(words) >= 3 THEN
+                list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' '))
+            ELSE []::VARCHAR[] END AS g3
+          FROM w)
+    SELECT doc_id,
+           CAST(len(g2) AS INT) AS n_2grams,
+           round((len(g2) - len(list_distinct(g2))) / greatest(len(g2), 1), 6)
+               AS dup_2gram_frac,
+           CAST(len(g3) AS INT) AS n_3grams,
+           round((len(g3) - len(list_distinct(g3))) / greatest(len(g3), 1), 6)
+               AS dup_3gram_frac
+    FROM g
+    """,
+)
+def q_dup_ngram_profile(spark, sf_dir):
+    """Within-document repetition: duplicate 2-gram/3-gram fractions
+    (RefinedWeb/Gopher repetition signals)."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.dup_ngram_profile(docs)
+
+
+@register(
+    "token_length_profile",
+    f"""
+    WITH t AS (SELECT lang, len({_WORDS}) AS n_tokens FROM documents)
+    SELECT lang, count(*) AS n_docs,
+           CAST(round(quantile_cont(n_tokens, 0.1), 6) AS DOUBLE) AS p10_tokens,
+           CAST(round(quantile_cont(n_tokens, 0.5), 6) AS DOUBLE) AS p50_tokens,
+           CAST(round(quantile_cont(n_tokens, 0.9), 6) AS DOUBLE) AS p90_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def q_token_length_profile(spark, sf_dir):
+    """Per-language token-length percentiles (corpus length profiling for
+    sequence-budget planning). Exact interpolated percentiles here for
+    oracle parity; at 100 TB swap `percentile` -> `approx_percentile`
+    (same plan shape, sketch mergeable)."""
+    docs = _cat(spark, sf_dir).documents
+    t = docs.select(
+        "lang", F.size(textops.tokens(F.col("text"))).alias("n_tokens")
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_tokens, 0.1)"), 6).alias("p10_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.9)"), 6).alias("p90_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal blob plumbing (brief §"Beyond": decode / resize / frame-sample)
 # ---------------------------------------------------------------------------
@@ -2326,7 +2458,6 @@ def q_media_frame_sample(spark, sf_dir):
 # training-data pipeline: dedup / text analysis / similarity search
 # ---------------------------------------------------------------------------
 
-_WORDS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 _SHINGLES = (
     "list_distinct(list_transform(range(1, len(words) - 1), "
     "i -> array_to_string(words[i:i+2], ' ')))"
@@ -2784,6 +2915,50 @@ def q_embedding_near_dup(spark, sf_dir):
     return sim.embedding_near_dup_pairs(emb, threshold=0.3, block_col="label")
 
 
+def _register_semantic_dedup() -> None:
+    """SemDeDup-style semantic dedup: embedding-cosine near-dup pairs at a
+    high threshold -> connected components -> keep one representative per
+    semantic cluster. The oracle composes the registered near-dup pair SQL
+    (single source of truth for the pair set) inside the same recursive-CTE
+    shape as dedup_clusters, so it must build after embedding_near_dup
+    registers."""
+    pair_sql = ORACLES["embedding_near_dup"]
+    sql = f"""
+    WITH RECURSIVE p AS ({pair_sql}),
+    ed AS (
+        SELECT id_a AS a, id_b AS b FROM p WHERE cosine >= 0.5
+        UNION ALL
+        SELECT id_b, id_a FROM p WHERE cosine >= 0.5
+    ),
+    reach(node, lab) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT ed.b, r.lab FROM reach r JOIN ed ON r.node = ed.a
+    )
+    SELECT node AS vec_id, min(lab) AS cluster_id,
+           node = min(lab) AS is_canonical
+    FROM reach GROUP BY node
+    """
+
+    @register("semantic_dedup", sql)
+    def q_semantic_dedup(spark, sf_dir):
+        """Semantic (embedding-space) dedup: cosine >= 0.5 pairs within
+        blocks -> min-label connected components -> cluster id + canonical
+        keeper per vector. keep = is_canonical; at 100 TB the block key is
+        a coarse k-means cell (see ivf_kmeans_topk) so the quadratic
+        verify stays within cells."""
+        emb = _cat(spark, sf_dir).embeddings
+        pairs = sim.embedding_near_dup_pairs(
+            emb, threshold=0.3, block_col="label"
+        ).filter(F.col("cosine") >= 0.5)
+        return dedup.connected_components(
+            pairs, emb.select("vec_id"), id_col="vec_id"
+        )
+
+
+_register_semantic_dedup()
+
+
 @register(
     "ivf_ann_topk",
     """
@@ -2993,15 +3168,18 @@ _FRONT_ORDER = [
     # minhash pair path; tail)
     "exact_dedup", "minhash_lsh_pairs", "simhash_fingerprints",
     "dedup_clusters", "corpus_clean",
-    # LLM pipeline: text analysis (bpe_token_stats / doc_fingerprint =
-    # variants of token_stats / winnow_fingerprints; tail) + ML attribution
+    # LLM pipeline: text analysis (bpe_token_stats / doc_fingerprint /
+    # quality_score = variants of token_stats / winnow_fingerprints /
+    # gopher_quality_flags; tail) + decontamination + ML attribution
     "token_stats", "language_id", "gopher_quality_flags",
-    "winnow_fingerprints", "quality_score", "feature_attribution_topk",
-    # LLM pipeline: similarity search (cosine_topk = redundant scalar
-    # variant of cosine_topk_vectorized; lives in the tail)
-    "cosine_topk_vectorized", "embedding_near_dup", "ivf_ann_topk",
-    # LLM pipeline: multimodal (real BMP/WAV codec + fallback + sampling)
-    "media_real_decode", "media_decode_features", "media_frame_sample",
+    "winnow_fingerprints", "decontaminate_ngram", "feature_attribution_topk",
+    # LLM pipeline: similarity search + semantic dedup (cosine_topk =
+    # redundant scalar variant of cosine_topk_vectorized; lives in the tail)
+    "cosine_topk_vectorized", "embedding_near_dup", "semantic_dedup",
+    # LLM pipeline: multimodal (real BMP/WAV codec + md5-fallback variant;
+    # media_frame_sample is the sampling variant of the same mapInPandas
+    # plumbing and sits first in the tail together with ivf_ann_topk)
+    "media_real_decode", "media_decode_features", "ivf_ann_topk",
 ]
 
 

@@ -143,3 +143,24 @@ def test_connected_components_chain_and_singleton(spark):
     assert out[10]["cluster_id"] == 10 and out[11]["cluster_id"] == 10
     assert out[99]["cluster_id"] == 99 and out[99]["is_canonical"] is True
     assert out[2]["is_canonical"] is False and out[1]["is_canonical"] is True
+
+
+def test_semantic_dedup_clusters_by_cosine(spark):
+    from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.99, 0.14], 0),   # ~cos 0.990 with vec 0
+            (2, [0.0, 1.0], 0),     # orthogonal -> own cluster
+            (3, [1.0, 0.0], 1),     # same direction as 0 but different block
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    pairs = sim.embedding_near_dup_pairs(emb, threshold=0.9, block_col="label")
+    cc = dedup.connected_components(pairs, emb.select("vec_id"), id_col="vec_id")
+    out = {r["vec_id"]: r for r in cc.collect()}
+    assert out[0]["cluster_id"] == 0 and out[1]["cluster_id"] == 0
+    assert not out[1]["is_canonical"] and out[0]["is_canonical"]
+    # blocking prevents cross-block pairs; orthogonal vector stays alone
+    assert out[2]["cluster_id"] == 2 and out[3]["cluster_id"] == 3

@@ -79,3 +79,71 @@ def test_pii_redact_matches_and_hashes(spark):
         b"mail bob@example.com or call (555) 123-4567 now"
     ).hexdigest()
     assert out[1]["redacted_md5"] != raw1
+
+
+def test_ngram_decontaminate_flags_overlap(spark):
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # shares the 5-gram "alpha beta gamma delta epsilon" (and one more)
+            (1, "xx alpha beta gamma delta epsilon zeta yy"),
+            # shares words but no 5-gram run
+            (2, "alpha beta gamma nope delta epsilon zeta"),
+            (3, "totally different words here entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in textops.ngram_decontaminate(train, eval_df, n=5).collect()
+    }
+    assert out == {1: 2}  # docs 2 and 3 are clean -> absent
+
+
+def test_source_mixture_weights_temperature(spark):
+    df = spark.createDataFrame(
+        [(i, "w " * (10 if i % 10 else 1000), f"s{i % 2}") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in textops.source_mixture_weights(df, alpha=0.7).collect()}
+    assert out["s0"]["n_tokens"] == 1000 + 4 * 10
+    assert out["s1"]["n_tokens"] == 5 * 10
+    # weights normalize to 1 and alpha<1 up-weights the small source
+    total = out["s0"]["mix_weight"] + out["s1"]["mix_weight"]
+    assert abs(total - 1.0) < 1e-5
+    raw_share = out["s1"]["n_tokens"] / (out["s0"]["n_tokens"] + out["s1"]["n_tokens"])
+    assert out["s1"]["mix_weight"] > raw_share
+
+
+def test_pack_sequences_offsets_and_spans(spark):
+    # budget 10: doc0 tokens 0-5, doc1 tokens 6-13 (spans seqs 0-1), doc2 14-16
+    df = spark.createDataFrame(
+        [(0, "a " * 6), (1, "b " * 8), (2, "c " * 3)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textops.pack_sequences(df, budget=10, bucket_size=2).collect()
+    }
+    assert (out[0]["start_offset"], out[0]["first_seq"], out[0]["last_seq"]) == (0, 0, 0)
+    assert (out[1]["start_offset"], out[1]["first_seq"], out[1]["last_seq"]) == (6, 0, 1)
+    assert out[1]["n_seqs"] == 2
+    assert (out[2]["start_offset"], out[2]["first_seq"]) == (14, 1)
+    # bucket boundary (bucket_size=2 splits doc2 into its own bucket) did not
+    # break the global stream offsets
+    assert sum(r["n_tokens"] for r in out.values()) == 17
+
+
+def test_dup_ngram_profile_repetition(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat the cat the cat"), (2, "all words differ here now")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.dup_ngram_profile(df).collect()}
+    # "the cat"x3 + "cat the"x2 -> 5 bigrams, 2 distinct -> 3/5 duplicated
+    assert out[1]["n_2grams"] == 5
+    assert abs(out[1]["dup_2gram_frac"] - 3 / 5) < 1e-5
+    assert out[2]["dup_2gram_frac"] == 0.0 and out[2]["dup_3gram_frac"] == 0.0
