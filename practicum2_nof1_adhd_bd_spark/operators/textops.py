@@ -444,6 +444,172 @@ def pack_sequences(
     )
 
 
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    seed: str = "s42",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: md5(seed || doc_id) mapped
+    to [0, 1) and cut at the cumulative weight boundaries. Reproducible
+    across runs/engines without RNG state, and stable under corpus growth
+    (a doc's split never changes when other docs are added) — the property
+    a 100-TB pipeline needs so eval sets stay frozen across re-crawls.
+
+    Pure per-row expressions over the id column only — scan-scales, text
+    is never read, nothing shuffles.
+    """
+    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(2**32))
+    )
+    expr: Column | None = None
+    cum = 0.0
+    for name, wt in weights.items():
+        cum += wt / total
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = list(weights)[-1]
+    return fan_out(df, id_col).select(
+        id_col,
+        F.round(u, 6).alias("split_u"),
+        expr.otherwise(F.lit(last)).alias("split"),
+    )
+
+
+def unigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram LM score: mean -log2 p(token) under the
+    corpus's own unigram distribution (the CCNet/KenLM-style perplexity
+    filter, reduced to the unigram model that stays closed-form and
+    oracle-checkable — low bits/token = repetitive/common text, high =
+    rare-token soup).
+
+    Two passes: (1) one explode -> map-side-combined count builds the
+    vocabulary frame (bounded by vocab size, ~millions of rows at 100 TB —
+    tiny next to the corpus); its total is a window over that tiny frame.
+    (2) the corpus explodes again and equi-joins token->logp; vocab
+    BROADCASTS, so the scoring pass is shuffle-free except the final
+    per-doc combine, which fan_out's id partitioning makes local.
+    """
+    from pyspark.sql import Window
+
+    tok = fan_out(df, id_col).select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_t")
+    )
+    vocab = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_n"))
+    vocab = vocab.select(
+        "_t",
+        (-F.log2(F.col("_n") / F.sum("_n").over(Window.partitionBy()))).alias("_bits"),
+    )
+    return (
+        tok.join(F.broadcast(vocab), "_t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("_bits") / F.count(F.lit(1)), 6).alias("bits_per_token"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Top-k characteristic terms per source by tf-idf (corpus curation
+    view: what each domain actually contains). tf = term occurrences
+    within the source; idf = ln((N_docs + 1) / (docfreq + 1)) with
+    docfreq = number of docs containing the term.
+
+    Both aggregates are one explode + map-side combine; the rank window
+    partitions by source over the (source x vocab)-sized frame — bounded
+    by vocabulary, not corpus. N_docs is a broadcast scalar frame, not a
+    collected literal.
+    """
+    from pyspark.sql import Window
+
+    tok = fan_out(df, id_col).select(
+        F.col(id_col), F.col(group_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = tok.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tok.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("docfreq")
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("_nd"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("_nd") + 1) / (F.col("docfreq") + 1).cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "rank", "term", "tf", "docfreq", "tfidf")
+    )
+
+
+def char_ngram_entropy(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character n-gram Shannon entropy (bits): low entropy
+    flags templated/repetitive text, degenerate high entropy flags
+    byte-soup — a standard gibberish/boilerplate quality signal.
+
+    Grams explode to (doc, gram) rows and combine twice (doc+gram counts,
+    then per-doc entropy) — both aggregates are map-side combinable and
+    fan_out's id partitioning keeps the second combine co-located, so the
+    plan is scan + one explode + local aggs; no corpus-wide shuffle.
+    """
+    s = F.lower(F.col(text_col))
+    ln = F.length(s)
+    # sequence(1, 0) DESCENDS in Spark, so short/NULL docs must take the
+    # empty-array branch explicitly.
+    grams = F.when(
+        ln >= n,
+        F.transform(
+            F.sequence(F.lit(1), ln - (n - 1)),
+            lambda i: F.substring(s, F.lit(0) + i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = fan_out(df, id_col).select(
+        F.col(id_col), F.explode_outer(grams).alias("_g")
+    )
+    cnt = ex.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+    return cnt.groupBy(id_col).agg(
+        F.coalesce(F.sum(F.when(F.col("_g").isNotNull(), F.col("_c"))), F.lit(0))
+        .cast("long")
+        .alias("n_grams"),
+        F.coalesce(
+            F.round(
+                F.log2(F.sum("_c"))
+                - F.sum(F.col("_c") * F.log2(F.col("_c"))) / F.sum("_c"),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("entropy_bits"),
+    )
+
+
 def dup_ngram_profile(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

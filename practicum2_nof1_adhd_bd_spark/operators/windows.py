@@ -216,7 +216,11 @@ def sessionize(
     partitions by user so it scales horizontally."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
     prev = F.lag(ts_col).over(w)
-    gap = F.col(ts_col).cast("long") - prev.cast("long")
+    # unix_timestamp over an explicit TIMESTAMP cast handles both TIMESTAMP
+    # and TIMESTAMP_NTZ inputs (a bare numeric cast of NTZ is rejected).
+    gap = F.unix_timestamp(F.col(ts_col).cast("timestamp")) - F.unix_timestamp(
+        prev.cast("timestamp")
+    )
     is_new = F.when(prev.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn(id_col, F.sum(is_new).over(cum))

@@ -2355,6 +2355,100 @@ def q_token_length_profile(spark, sf_dir):
     )
 
 
+@register(
+    "hash_split",
+    """
+    SELECT doc_id,
+           round(u, 6) AS split_u,
+           CASE WHEN u < 0.90 THEN 'train'
+                WHEN u < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5('s42' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     / 4294967296.0 AS u
+          FROM documents)
+    """,
+)
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split: md5(seed||doc_id) -> [0,1) cut
+    at 90/95. Frozen eval membership under corpus growth — no RNG state,
+    no shuffle, text never read."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.hash_split(docs, {"train": 0.90, "val": 0.05, "test": 0.05}, seed="s42")
+
+
+@register(
+    "unigram_surprisal",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_WORDS}) AS _t FROM documents),
+    v AS (SELECT _t, count(*) AS _n FROM tok GROUP BY _t),
+    tot AS (SELECT sum(_n) AS _tot FROM v)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(sum(-log2(_n / _tot)) / count(*), 6) AS bits_per_token
+    FROM tok JOIN v USING (_t) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_surprisal(spark, sf_dir):
+    """CCNet-style LM quality filter reduced to the closed-form unigram
+    model: mean -log2 p(token) per doc under the corpus's own unigram
+    distribution. Vocab frame broadcasts; corpus text never shuffles."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.unigram_surprisal(docs)
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (SELECT doc_id, source, unnest({_WORDS}) AS term FROM documents),
+    tf AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT term, count(DISTINCT doc_id) AS docfreq FROM tok GROUP BY 1),
+    nd AS (SELECT count(*) AS _nd FROM documents),
+    sc AS (SELECT source, term, tf, docfreq,
+                  round(tf * ln((_nd + 1) / (docfreq + 1.0)), 6) AS tfidf
+           FROM tf JOIN dfq USING (term) CROSS JOIN nd)
+    SELECT source, rank, term, tf, docfreq, tfidf
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+          FROM sc)
+    WHERE rank <= 5
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-5 characteristic terms per source by tf-idf (domain curation
+    view). Aggregates are explode + map-side combine; the rank window runs
+    on the vocab-bounded (source x term) frame, not the corpus."""
+    docs = _cat(spark, sf_dir).documents
+    out = textops.tfidf_top_terms(docs, k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
+    "char_ngram_entropy",
+    """
+    WITH s AS (SELECT doc_id, lower(text) AS s FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(s) >= 3 THEN
+                     list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))
+                 ELSE []::VARCHAR[] END AS gs
+          FROM s),
+    c AS (SELECT doc_id, g, count(*) AS c
+          FROM (SELECT doc_id, unnest(gs) AS g FROM g) GROUP BY 1, 2),
+    a AS (SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS sl FROM c GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_grams,
+           coalesce(round(log2(a.n) - a.sl / a.n, 6), 0.0) AS entropy_bits
+    FROM s LEFT JOIN a USING (doc_id)
+    """,
+)
+def q_char_ngram_entropy(spark, sf_dir):
+    """Character-trigram Shannon entropy per doc — gibberish/boilerplate
+    quality signal. Explode + two local aggs on the doc-id partitioning;
+    no corpus-wide shuffle."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.char_ngram_entropy(docs, n=3)
+
+
 # ---------------------------------------------------------------------------
 # multimodal blob plumbing (brief §"Beyond": decode / resize / frame-sample)
 # ---------------------------------------------------------------------------

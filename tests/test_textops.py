@@ -147,3 +147,69 @@ def test_dup_ngram_profile_repetition(spark):
     assert out[1]["n_2grams"] == 5
     assert abs(out[1]["dup_2gram_frac"] - 3 / 5) < 1e-5
     assert out[2]["dup_2gram_frac"] == 0.0 and out[2]["dup_3gram_frac"] == 0.0
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    df = spark.createDataFrame([(i, "x") for i in range(200)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.hash_split(df).collect()}
+    # deterministic: same assignment on a second run
+    again = {r["doc_id"]: r["split"] for r in textops.hash_split(df).collect()}
+    assert {k: v["split"] for k, v in out.items()} == again
+    # stable under corpus growth: adding docs never moves existing ones
+    bigger = spark.createDataFrame(
+        [(i, "x") for i in range(400)], "doc_id long, text string"
+    )
+    grown = {r["doc_id"]: r["split"] for r in textops.hash_split(bigger).collect()}
+    assert all(grown[k] == v["split"] for k, v in out.items())
+    # all three splits materialize and u stays in [0, 1)
+    assert {v["split"] for v in out.values()} == {"train", "val", "test"}
+    assert all(0.0 <= v["split_u"] < 1.0 for v in out.values())
+
+
+def test_unigram_surprisal_rare_tokens_cost_more(spark):
+    # 'common' appears 9x, 'rare' once -> the rare-token doc scores higher
+    df = spark.createDataFrame(
+        [(i, "common") for i in range(9)] + [(9, "rare")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.unigram_surprisal(df).collect()}
+    import math
+
+    assert abs(out[0]["bits_per_token"] - (-math.log2(9 / 10))) < 1e-5
+    assert abs(out[9]["bits_per_token"] - (-math.log2(1 / 10))) < 1e-5
+    assert out[9]["bits_per_token"] > out[0]["bits_per_token"]
+
+
+def test_tfidf_top_terms_ranks_distinctive_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "shared shared alpha alpha alpha", "s0"),
+            (2, "shared beta", "s1"),
+            (3, "shared beta beta", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = textops.tfidf_top_terms(df, k=2).collect()
+    top = {r["source"]: r["term"] for r in out if r["rank"] == 1}
+    # 'shared' occurs in every doc -> idf = ln(4/4) = 0 -> never outranks
+    # the source-specific terms
+    assert top == {"s0": "alpha", "s1": "beta"}
+    assert all(r["tfidf"] >= 0 for r in out)
+
+
+def test_char_ngram_entropy_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaaaa"), (2, "abcdefgh"), (3, "ab"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.char_ngram_entropy(df, n=3).collect()}
+    # uniform repetition -> one distinct gram -> zero entropy
+    assert out[1]["n_grams"] == 4 and out[1]["entropy_bits"] == 0.0
+    # all-distinct grams -> entropy == log2(n_grams)
+    import math
+
+    assert out[2]["n_grams"] == 6
+    assert abs(out[2]["entropy_bits"] - math.log2(6)) < 1e-5
+    # shorter than n / NULL -> zero grams, zero entropy (not missing rows)
+    assert out[3]["n_grams"] == 0 and out[3]["entropy_bits"] == 0.0
+    assert out[4]["n_grams"] == 0 and out[4]["entropy_bits"] == 0.0
