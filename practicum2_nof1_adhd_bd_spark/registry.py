@@ -3239,41 +3239,44 @@ _register_dedup_clusters()
 # Redundant variants of an already-attested family sit in the tail; any
 # query registered later without an entry here appends after the front
 # block in registration order.
+# The external harness attests the FIRST 50 entries. Rounds 1-3 attested
+# one fixed prefix (green 50/50 in CORRECTNESS_r03); this round ROTATES the
+# never-yet-attested queries into the window so cumulative driver coverage
+# reaches the whole registry. daily_event_stats stays as a cross-round
+# canary linking the two windows.
 _FRONT_ORDER = [
-    # daily aggregate family (A1 A2 A4 A5 A6)
-    "daily_event_stats", "daily_median_stats", "daily_pivot_sum",
-    "daily_tag_sets", "user_last_value",
-    # join family (J1-J10, §2.7, F8, S2)
-    "outer_join_daily", "date_spine_unify", "coalescing_merge",
-    "union_mean_fusion", "nway_outer_merge", "boundary_range_join",
-    "point_in_interval", "missing_days_per_user", "asof_snapshot_select",
-    "dedup_by_key",
-    # window family (W1-W13)
-    "rolling_7d_mean_by_user", "global_zscore", "rolling_corr_7d",
-    "safe_ratio_daily", "forward_fill_daily", "gaps_islands_segments",
-    "auto_segment_triggers", "lag_persistence", "sliding_seq_stats",
-    "calendar_month_folds", "anchor_first_window", "ks_drift",
-    "rolling_modal_label",
-    # labels / profiles (A7 A8 A10, J6)
-    "quantile_3way_label", "segment_zscore_month", "missingness_profile",
+    "daily_event_stats",  # canary: attested green in r03, re-attested here
+    # daily/scalar surface variants (A6, J4, W1, W5, §2.8)
+    "daily_modal_type", "union_sum_fusion", "rolling_7d_mean",
+    "interpolate_daily", "user_sessions", "json_props_daily",
+    "tz_cutover_daily", "multiformat_ts_parse", "pipe_split_union",
+    "unit_coercion_hours",
+    # composite labels / audit / consistency (A3 A8 A9 A14 W7 W12)
+    "pbsi_composite", "quality_adjusted_label", "som_daily_agg",
+    "etl_audit_report", "reagg_consistency", "fold_class_check",
+    "label_halves_drift", "dominant_source_change", "per_class_metrics",
+    "adwin_changes",
+    # biomarkers (A12 A15 A3)
+    "hrv_time_domain", "circadian_midpoint", "high_activity_blocks",
+    "interval_efficiency",
+    # imputation (A13)
+    "impute_segments",
     # SQL / top-k surface (§2.6)
-    "pricing_summary", "topk_per_group",
-    # LLM pipeline: dedup (ngram_jaccard_pairs = verify-tail variant of the
-    # minhash pair path; tail)
-    "exact_dedup", "minhash_lsh_pairs", "simhash_fingerprints",
-    "dedup_clusters", "corpus_clean",
-    # LLM pipeline: text analysis (bpe_token_stats / doc_fingerprint /
-    # quality_score = variants of token_stats / winnow_fingerprints /
-    # gopher_quality_flags; tail) + decontamination + ML attribution
-    "token_stats", "language_id", "gopher_quality_flags",
-    "winnow_fingerprints", "decontaminate_ngram", "feature_attribution_topk",
-    # LLM pipeline: similarity search + semantic dedup (cosine_topk =
-    # redundant scalar variant of cosine_topk_vectorized; lives in the tail)
-    "cosine_topk_vectorized", "embedding_near_dup", "semantic_dedup",
-    # LLM pipeline: multimodal (real BMP/WAV codec + md5-fallback variant;
-    # media_frame_sample is the sampling variant of the same mapInPandas
-    # plumbing and sits first in the tail together with ivf_ann_topk)
-    "media_real_decode", "media_decode_features", "ivf_ann_topk",
+    "topk_customers", "region_revenue", "rollup_nation_year",
+    "sql_top_order_per_customer",
+    # LLM pipeline: text analysis + curation
+    "pii_redact_stats", "source_mixture_weights", "pack_sequences",
+    "dup_ngram_profile", "token_length_profile", "quality_score",
+    "doc_fingerprint", "bpe_token_stats",
+    # new this round: splits, LM scoring, tf-idf, entropy
+    "hash_split", "unigram_surprisal", "tfidf_top_terms",
+    "char_ngram_entropy",
+    # LLM pipeline: dedup variants
+    "minhash_signatures", "ngram_jaccard_pairs",
+    # LLM pipeline: similarity + multimodal sampling
+    "cosine_topk", "ann_lsh_topk", "ivf_kmeans_topk", "media_frame_sample",
+    # ML fold loops
+    "logreg_fold_cv", "model_zoo_fold_cv",
 ]
 
 

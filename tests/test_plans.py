@@ -63,3 +63,28 @@ def test_whole_stage_codegen_covers_agg(spark, sf_dir):
 def test_left_semi_for_missing_days(spark, sf_dir):
     plan = _plan(registry.QUERIES["missing_days_per_user"](spark, sf_dir))
     assert "LeftAnti" in plan
+
+
+def test_unigram_surprisal_broadcasts_vocab(spark, sf_dir):
+    # the vocab->logp frame must broadcast; corpus text never shuffles
+    plan = _plan(registry.QUERIES["unigram_surprisal"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hash_split_is_scan_only(spark, sf_dir):
+    # split assignment is pure per-row arithmetic over doc_id: no join, no
+    # aggregate; the only allowed exchange is fan_out's small-file widening
+    plan = _plan(registry.QUERIES["hash_split"](spark, sf_dir))
+    assert "Join" not in plan and "HashAggregate" not in plan
+    # text column is never read — projection pruned to doc_id
+    schema_part = plan.split("ReadSchema")[1][:120]
+    assert "doc_id" in schema_part and "text" not in schema_part
+
+
+def test_tfidf_broadcasts_docfreq_and_count(spark, sf_dir):
+    plan = _plan(registry.QUERIES["tfidf_top_terms"](spark, sf_dir))
+    # docfreq frame and the N_docs scalar frame both broadcast
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row N_docs cross join
+    assert "SortMergeJoin" not in plan
