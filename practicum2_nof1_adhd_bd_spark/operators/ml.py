@@ -92,7 +92,11 @@ def logreg_fold_cv(
 
     spark = df.sparkSession
     folded = folds_mod.day_folds(df, date_col, train_days, gap_days, val_days)
-    folded = folded.withColumn(
+    # The fold table is daily-grain — it scales with DAYS, not events, so
+    # it is thousands of rows at any corpus SF. Collapse to a few
+    # partitions before caching: every MLlib iteration otherwise launches
+    # a full shuffle-width stage over a near-empty frame.
+    folded = folded.coalesce(4).withColumn(
         "label_idx", (F.col(label_col) - F.lit(-1)).cast("double")
     ).cache()
 
@@ -256,7 +260,10 @@ def model_zoo_fold_cv(
 
     spark = df.sparkSession
     folded = folds_mod.day_folds(df, date_col, train_days, gap_days, val_days)
-    folded = folded.withColumn(
+    # daily-grain fold table (see logreg_fold_cv note): a few partitions,
+    # or the 100-iteration GBT/RF fits pay a shuffle-width stage per
+    # iteration on a near-empty frame.
+    folded = folded.coalesce(4).withColumn(
         "label_idx", (F.col(label_col) - F.lit(-1)).cast("double")
     ).withColumn(
         "label_bin", (F.col(label_col) != 0).cast("double")

@@ -36,6 +36,17 @@ class Catalog:
         # Timestamps in the testdata are UTC instants; pin rendering so
         # to_date()/date_trunc() agree with the oracle on any host TZ.
         self.spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # A session still on the shipped 200-partition default gets shuffle
+        # parallelism sized to the actual cluster instead: 200 tasks per
+        # exchange is pure scheduling overhead on a 32-core local run, and
+        # iterative MLlib fits pay it per iteration. An explicitly tuned
+        # value (anything != 200) is left alone; with AQE coalescing,
+        # defaultParallelism also remains a sane floor on a real cluster.
+        if self.spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(self.spark.sparkContext.defaultParallelism),
+            )
 
     def table(self, name: str) -> DataFrame:
         df = self.spark.read.parquet(os.path.join(self.root, f"{name}.parquet"))

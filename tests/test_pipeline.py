@@ -63,3 +63,24 @@ def test_asof_latest(spark):
     }
     assert out[1]["value_at"] == 20.0  # post-cutoff row excluded
     assert out[2]["value_at"] == 7.0
+
+
+def test_training_shards_token_balanced(spark, tmp_path):
+    from practicum2_nof1_adhd_bd_spark.pipeline import write_training_shards
+
+    # skewed doc lengths: a few giants + many small docs
+    rows = [(i, "w " * (500 if i % 20 == 0 else 10)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = write_training_shards(df, str(tmp_path), n_shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    per = {
+        r["shard"]: r["tok"]
+        for r in back.groupBy("shard")
+        .agg(F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("tok"))
+        .collect()
+    }
+    assert set(per) == {0, 1, 2, 3}
+    total = sum(per.values())
+    # every shard within 2x of the ideal quarter despite 50x length skew
+    assert all(abs(v - total / 4) < total / 8 for v in per.values())
