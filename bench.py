@@ -34,6 +34,8 @@ HEADLINE = [
     "hrv_time_domain",
     "embedding_near_dup",
     "token_stats",
+    "unigram_surprisal",
+    "char_ngram_entropy",
     "media_decode_features",
     "media_real_decode",
 ]

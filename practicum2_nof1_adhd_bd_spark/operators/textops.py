@@ -541,22 +541,25 @@ def tfidf_top_terms(
     tok = fan_out(df, id_col).select(
         F.col(id_col), F.col(group_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     )
-    tf = tok.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    docfreq = tok.groupBy("term").agg(
-        F.count_distinct(F.col(id_col)).alias("docfreq")
+    # ONE corpus pass: tf and per-source distinct-doc counts come out of the
+    # same (source, term) aggregate. A doc has exactly one source, so
+    # term-grain docfreq = sum of the per-source distinct counts — a window
+    # over the vocab-bounded frame, not a second scan of the corpus.
+    tf = tok.groupBy(group_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct(F.col(id_col)).alias("_df_src"),
+    )
+    tf = tf.withColumn(
+        "docfreq", F.sum("_df_src").over(Window.partitionBy("term"))
     )
     n_docs = df.select(F.count(F.lit(1)).alias("_nd"))
-    scored = (
-        tf.join(F.broadcast(docfreq), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "tfidf",
-            F.round(
-                F.col("tf")
-                * F.log((F.col("_nd") + 1) / (F.col("docfreq") + 1).cast("double")),
-                6,
-            ),
-        )
+    scored = tf.crossJoin(F.broadcast(n_docs)).withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf")
+            * F.log((F.col("_nd") + 1) / (F.col("docfreq") + 1).cast("double")),
+            6,
+        ),
     )
     w = Window.partitionBy(group_col).orderBy(
         F.col("tfidf").desc(), F.col("term").asc()

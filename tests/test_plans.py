@@ -82,9 +82,11 @@ def test_hash_split_is_scan_only(spark, sf_dir):
     assert "doc_id" in schema_part and "text" not in schema_part
 
 
-def test_tfidf_broadcasts_docfreq_and_count(spark, sf_dir):
+def test_tfidf_single_corpus_scan(spark, sf_dir):
     plan = _plan(registry.QUERIES["tfidf_top_terms"](spark, sf_dir))
-    # docfreq frame and the N_docs scalar frame both broadcast
-    assert plan.count("BroadcastHashJoin") >= 1
+    # tf + per-source distinct counts come out of ONE (source, term)
+    # aggregate; docfreq is a window over the vocab frame, so the corpus
+    # parquet is scanned exactly once (plus the 1-row N_docs count scan)
+    assert plan.count("documents.parquet") == 2
     assert "BroadcastNestedLoopJoin" in plan  # 1-row N_docs cross join
     assert "SortMergeJoin" not in plan

@@ -77,6 +77,30 @@ NOTES = {
         "scan of the daily frame; the unpivot/rank tail runs on a "
         "k-features-row frame (constant size at any data scale)."
     ),
+    "hash_split": (
+        "Pure per-row md5 arithmetic over doc_id — the scan reads ONLY the "
+        "id column (text pruned away), no join, no aggregate, no exchange "
+        "beyond the small-file fan-out. Split assignment at 100 TB is "
+        "scan-speed."
+    ),
+    "unigram_surprisal": (
+        "Two passes over the exploded tokens: the vocabulary aggregate "
+        "(map-side combined, bounded by vocab size) and the scoring join — "
+        "the vocab->bits frame BROADCASTS, so corpus text never shuffles; "
+        "the per-doc combine rides the doc_id fan-out partitioning."
+    ),
+    "tfidf_top_terms": (
+        "ONE corpus pass: tf and per-source distinct-doc counts share a "
+        "single (source, term) aggregate (a doc has exactly one source, so "
+        "term-grain docfreq = a window-sum over the vocab-bounded frame — "
+        "no second scan, no docfreq join); the rank window also stays on "
+        "the (source x vocab) frame."
+    ),
+    "char_ngram_entropy": (
+        "Explode -> (doc, gram) counts -> per-doc entropy: both aggregates "
+        "map-side combine on the same doc_id hash partitioning, so the "
+        "only exchange is the fan-out; entropy math is all codegen."
+    ),
 }
 
 
