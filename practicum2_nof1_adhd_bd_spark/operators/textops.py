@@ -499,15 +499,16 @@ def unigram_surprisal(
     BROADCASTS, so the scoring pass is shuffle-free except the final
     per-doc combine, which fan_out's id partitioning makes local.
     """
-    from pyspark.sql import Window
-
     tok = fan_out(df, id_col).select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_t")
     )
     vocab = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_n"))
-    vocab = vocab.select(
-        "_t",
-        (-F.log2(F.col("_n") / F.sum("_n").over(Window.partitionBy()))).alias("_bits"),
+    # corpus token total as a 1-row broadcast, NOT an unpartitioned window:
+    # web-scale vocabularies run to 10^8 rows, and a partitionBy() window
+    # would drag them all through one task.
+    total = vocab.agg(F.sum("_n").alias("_tot"))
+    vocab = vocab.crossJoin(F.broadcast(total)).select(
+        "_t", (-F.log2(F.col("_n") / F.col("_tot"))).alias("_bits")
     )
     return (
         tok.join(F.broadcast(vocab), "_t")

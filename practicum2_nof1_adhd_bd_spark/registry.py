@@ -906,6 +906,22 @@ def q_quantile_3way_label(spark, sf_dir):
     )
 
 
+@register("quantile_3way_label_approx")
+def q_quantile_3way_label_approx(spark, sf_dir):
+    """A8, 100-TB path: same two-pass broadcast shape with the
+    approx_percentile (GK sketch, mergeable) threshold pass. Rows-only by
+    design — sketch cut points differ from exact interpolation in the last
+    ulp, so a value-hash oracle would be flaky; the agreement test at
+    sf0.01 (tests/test_labels.py) bounds the divergence instead."""
+    li = _cat(spark, sf_dir).lineitem
+    labeled = labels.quantile_3way_label(li, "l_extendedprice", exact=False)
+    return labeled.groupBy("label_3cls").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_extendedprice").alias("price_min"),
+        F.max("l_extendedprice").alias("price_max"),
+    )
+
+
 @register(
     "segment_zscore_month",
     """

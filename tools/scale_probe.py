@@ -134,6 +134,10 @@ QUERIES = [
     "som_daily_agg",
     "media_real_decode",
     "corpus_clean",
+    "unigram_surprisal",
+    "tfidf_top_terms",
+    "char_ngram_entropy",
+    "hash_split",
 ]
 
 
