@@ -1149,6 +1149,69 @@ def q_rollup_nation_year(spark, sf_dir):
     )
 
 
+@register(
+    "cube_segment_priority",
+    """
+    SELECT c.c_mktsegment AS segment,
+           o.o_orderpriority AS priority,
+           CAST(GROUPING(c.c_mktsegment, o.o_orderpriority) AS INT) AS gid,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY CUBE(c.c_mktsegment, o.o_orderpriority)
+    """,
+)
+def q_cube_segment_priority(spark, sf_dir):
+    """§2.4 — full CUBE over (market segment, order priority): all four
+    grouping sets out of one Expand + one aggregate, same plan family as
+    the rollup (no per-set re-scan of orders)."""
+    c = _cat(spark, sf_dir)
+    return (
+        c.orders.join(F.broadcast(c.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        )
+        .cube("segment", "priority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "customer_spend_quartiles",
+    """
+    WITH s AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+                      count(*) AS n_orders
+               FROM orders GROUP BY o_custkey)
+    SELECT o_custkey, spend, n_orders,
+           CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey ASC) AS INT)
+               AS spend_quartile
+    FROM s
+    """,
+)
+def q_customer_spend_quartiles(spark, sf_dir):
+    """§2.6 — ntile quartiles over per-customer spend. The agg is map-side
+    combined to customer grain first, so the (deterministically tie-broken)
+    ntile window ranks the small aggregated frame, never raw orders; at
+    100 TB swap the global window for the two-pass approx_percentile cut
+    (same shape as quantile_3way_label)."""
+    orders = _cat(spark, sf_dir).orders
+    s = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+    return s.withColumn("spend_quartile", F.ntile(4).over(w).cast("int"))
+
+
 # One ANSI text, two engines: the engine's SQL surface is plain spark.sql
 # over registered views, so any reference user's SQL runs verbatim.
 _SQL_TOP_ORDER = """

@@ -10,9 +10,10 @@ def test_oracle_keys_subset_of_queries():
     # every query is callable
     assert all(callable(f) for f in qs.values())
     # substantial coverage: at least 40 queries; rows-only (no-oracle)
-    # budget is 6: adwin, ann_lsh, impute, logreg_cv, ivf_kmeans, model_zoo
+    # budget is 7: adwin, ann_lsh, impute, logreg_cv, ivf_kmeans, model_zoo,
+    # quantile_3way_label_approx (sketch cut points are ulp-unstable)
     assert len(qs) >= 40
-    assert len(set(qs) - set(oracles)) <= 6
+    assert len(set(qs) - set(oracles)) <= 7
 
 
 def test_entry_runs_and_is_deterministic(spark):

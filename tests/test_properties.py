@@ -106,3 +106,52 @@ def test_cosine_range_and_symmetry(spark, a, b):
     assert row["ab"] is not None and not math.isnan(row["ab"])
     assert abs(row["ab"] - row["ba"]) < 1e-9  # symmetric
     assert -1.000001 <= row["ab"] <= 1.000001  # Cauchy-Schwarz
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10**9), min_size=1, max_size=30,
+        unique=True,
+    ),
+    extra=st.lists(
+        st.integers(min_value=0, max_value=10**9), min_size=0, max_size=10,
+        unique=True,
+    ),
+)
+@_settings
+def test_hash_split_growth_stability(spark, ids, extra):
+    """A doc's split NEVER changes when other docs are added or removed —
+    the frozen-eval-membership property — and split_u is a pure function
+    of (seed, doc_id)."""
+    from practicum2_nof1_adhd_bd_spark.operators import textops
+
+    base = spark.createDataFrame([(i, "t") for i in ids], "doc_id long, text string")
+    grown = spark.createDataFrame(
+        [(i, "t") for i in set(ids) | set(extra)], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: (r["split"], r["split_u"]) for r in textops.hash_split(base).collect()}
+    b = {r["doc_id"]: (r["split"], r["split_u"]) for r in textops.hash_split(grown).collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=4), min_size=1, max_size=25
+    )
+)
+@_settings
+def test_unigram_surprisal_bounds(spark, words):
+    """Mean surprisal is non-negative and never exceeds log2(total tokens)
+    (the rarest token has probability >= 1/N); token counts match."""
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r
+        for r in __import__(
+            "practicum2_nof1_adhd_bd_spark.operators.textops", fromlist=["textops"]
+        ).unigram_surprisal(df).collect()
+    }
+    r = rows[1]
+    assert r["n_tokens"] == len(words)
+    # 5e-7 slack: the operator rounds bits_per_token to 6 decimals
+    assert 0.0 <= r["bits_per_token"] <= math.log2(len(words)) + 5e-7
