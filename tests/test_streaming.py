@@ -149,3 +149,37 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     )
     # Jan-1 emitted EXACTLY ONCE, without the very-late 99.0 row
     assert rows == [("2024-01-01", 1, 10.0), ("2024-01-05", 1, 20.0)]
+
+
+def test_dedup_stream_matches_batch_exact_dedup(spark, tmp_path):
+    from practicum2_nof1_adhd_bd_spark.streaming import dedup_stream
+
+    docs = [
+        ("2024-01-01 00:00:01", 1, "the quick brown fox"),
+        ("2024-01-01 00:00:02", 2, "THE QUICK  brown fox".lower()),  # same norm? no: double space
+        ("2024-01-01 00:00:03", 3, "the quick brown fox"),  # exact dup of 1
+        ("2024-01-01 00:00:04", 4, "something else entirely"),
+    ]
+    schema = "ingest_ts timestamp, doc_id long, text string"
+    src = str(tmp_path / "docs_src")
+    batch = spark.createDataFrame(
+        [(dt.datetime.fromisoformat(t), i, x) for t, i, x in docs], schema
+    )
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dedup_stream_t").collect()
+    # one survivor per distinct normalized content: docs 1/3 collapse
+    hashes = [r["content_md5"] for r in out]
+    assert len(hashes) == len(set(hashes)) == 3
+    survivors = {r["doc_id"] for r in out}
+    assert 4 in survivors and len(survivors & {1, 3}) == 1 and 2 in survivors
