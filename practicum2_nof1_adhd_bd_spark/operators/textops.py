@@ -78,10 +78,21 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    extra_cols: dict[str, Column] | None = None,
+) -> DataFrame:
     """Document quality scoring: length score, alpha ratio, stopword ratio,
     repetition penalty -> composite in [0,1]. Mirrors C4/Gopher-style rules
-    expressed as column algebra."""
+    expressed as column algebra.
+
+    ``extra_cols`` (output name -> expression) threads additional doc-grain
+    columns through the aggregate, letting composites stay one-scan instead
+    of re-scanning the corpus and joining on doc_id."""
+    out_names = list(extra_cols or {})
+    extras = [c.alias(f"_x{i}") for i, c in enumerate((extra_cols or {}).values())]
+    extra_names = [f"_x{i}" for i in range(len(extras))]
     toks = tokens(F.lower(F.col(text_col)))
     sw = F.array([F.lit(w) for w in EN_STOPWORDS])
     # Same explode->sum rewrite as language_id; per-doc scalars ride along
@@ -93,9 +104,10 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.array_distinct(toks)).alias("_nd"),
         F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", "")).alias("_alpha"),
         F.length(text_col).alias("_len"),
+        *extras,
         F.explode_outer(toks).alias("_t"),
     )
-    agg = ex.groupBy("doc_id", "_n", "_nd", "_alpha", "_len").agg(
+    agg = ex.groupBy("doc_id", "_n", "_nd", "_alpha", "_len", *extra_names).agg(
         F.coalesce(
             F.sum(F.array_contains(sw, F.col("_t")).cast("int")), F.lit(0)
         ).alias("_hits")
@@ -118,6 +130,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(distinct_ratio, 6).alias("distinct_ratio"),
         F.round(composite, 6).alias("quality_score"),
+        *[F.col(g).alias(o) for g, o in zip(extra_names, out_names)],
     )
 
 
@@ -459,27 +472,11 @@ def hash_split(
     Pure per-row expressions over the id column only — scan-scales, text
     is never read, nothing shuffles.
     """
-    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
-    total = sum(weights.values())
-    u = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        / F.lit(float(2**32))
-    )
-    expr: Column | None = None
-    cum = 0.0
-    for name, wt in weights.items():
-        cum += wt / total
-        cond = u < F.lit(cum)
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-    last = list(weights)[-1]
+    u = _split_u(seed, id_col)
     return fan_out(df, id_col).select(
         id_col,
         F.round(u, 6).alias("split_u"),
-        expr.otherwise(F.lit(last)).alias("split"),
+        _split_expr(weights, seed, id_col).alias("split"),
     )
 
 
@@ -612,6 +609,66 @@ def char_ngram_entropy(
             F.lit(0.0),
         ).alias("entropy_bits"),
     )
+
+
+def pretraining_split_report(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    seed: str = "s42",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The end-to-end curation dashboard: per train/val/test split, doc
+    count, distinct-content count (exact-dup pressure), total token budget,
+    and mean quality — the numbers a pretraining run is provisioned from.
+
+    ONE corpus scan: the split expression and content hash ride through
+    quality_score's aggregate as doc-grain extras (no re-scan, no doc_id
+    join), then a second tiny aggregate folds doc-grain rows to the three
+    split rows. count_distinct on the 16-byte hash is the only
+    corpus-cardinality shuffle."""
+    per_doc = quality_score(
+        df,
+        text_col,
+        extra_cols={
+            "split": _split_expr(weights, seed, id_col),
+            "content_md5": F.md5(F.trim(F.lower(F.col(text_col)))),
+        },
+    )
+    return per_doc.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("content_md5")).alias("n_unique_contents"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens_total"),
+        F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+    )
+
+
+def _split_u(seed: str, id_col: str) -> Column:
+    """md5(seed || id) mapped to [0, 1) — the shared split coordinate."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(2**32))
+    )
+
+
+def _split_expr(
+    weights: dict[str, float] | None, seed: str, id_col: str
+) -> Column:
+    """The hash_split CASE expression as a bare column (shared rule)."""
+    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    u = _split_u(seed, id_col)
+    expr: Column | None = None
+    cum = 0.0
+    for name, wt in weights.items():
+        cum += wt / total
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return expr.otherwise(F.lit(list(weights)[-1]))
 
 
 def dup_ngram_profile(

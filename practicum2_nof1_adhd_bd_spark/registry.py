@@ -2378,6 +2378,58 @@ def q_pack_sequences(spark, sf_dir):
 
 
 @register(
+    "pretraining_split_report",
+    f"""
+    WITH t AS (SELECT doc_id, text, {{LT}} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               CAST(len(list_filter(toks, x -> list_contains({{SL}}, x))) AS DOUBLE)
+                   / greatest(len(toks), 1) AS stop_ratio,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS alpha_ratio,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS distinct_ratio,
+               least(len(toks) / 50.0, 1.0) AS len_score
+        FROM t
+    ),
+    q AS (
+        SELECT doc_id, n_tokens,
+               round(0.3 * len_score + 0.3 * alpha_ratio
+                     + 0.2 * least(stop_ratio * 10, 1.0) + 0.2 * distinct_ratio, 6)
+                   AS quality_score
+        FROM m
+    ),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN u < 0.90 THEN 'train'
+                    WHEN u < 0.95 THEN 'val'
+                    ELSE 'test' END AS split,
+               md5(trim(lower(text))) AS content_md5
+        FROM (SELECT doc_id, text,
+                     ('0x' || substr(md5('s42' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         / 4294967296.0 AS u
+              FROM documents)
+    )
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT content_md5) AS n_unique_contents,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+           round(avg(quality_score), 6) AS mean_quality
+    FROM q JOIN s USING (doc_id)
+    GROUP BY split
+    """.replace("{LT}", _WORDS).replace(
+        "{SL}", "['" + "', '".join(textops.EN_STOPWORDS) + "']"
+    ),
+)
+def q_pretraining_split_report(spark, sf_dir):
+    """End-to-end curation dashboard: per train/val/test split — doc count,
+    distinct-content count (exact-dup pressure), total token budget, mean
+    quality. ONE corpus scan (split + content hash ride through the
+    quality aggregate as doc-grain extras), then a 3-row fold."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.pretraining_split_report(docs)
+
+
+@register(
     "dup_ngram_profile",
     f"""
     WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),

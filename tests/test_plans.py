@@ -90,3 +90,11 @@ def test_tfidf_single_corpus_scan(spark, sf_dir):
     assert plan.count("documents.parquet") == 2
     assert "BroadcastNestedLoopJoin" in plan  # 1-row N_docs cross join
     assert "SortMergeJoin" not in plan
+
+
+def test_pretraining_report_single_corpus_scan(spark, sf_dir):
+    # split expr + content hash ride through the quality aggregate — the
+    # documents parquet must appear exactly once in the executed plan
+    plan = _plan(registry.QUERIES["pretraining_split_report"](spark, sf_dir))
+    assert plan.count("documents.parquet") == 1
+    assert "SortMergeJoin" not in plan
