@@ -70,6 +70,121 @@ def exact_quantile_thresholds(
     )
 
 
+def refined_exact_quantile_thresholds(
+    df: DataFrame,
+    value_col: str,
+    probs: tuple[float, float] = (0.25, 0.75),
+    accuracy: int = 1_000,
+) -> DataFrame:
+    """EXACT interpolated percentiles via sketch-guided refinement — the
+    distributed form of exact order statistics, replacing the built-in
+    `percentile` aggregate's value-count-map merge (whose single-task
+    merge state grows with the number of distinct values).
+
+    Three codegen passes over the single value column:
+
+    1. count + GK sketch bounds at p +- 3/accuracy (the sketch's rank
+       error is deterministically <= n/accuracy, so the bracket is
+       guaranteed to cover the target order statistics);
+    2. counts of rows strictly below each bracket's low bound (converts
+       global rank to in-bracket rank);
+    3. a range filter down to the bracketed candidates — O(n/accuracy)
+       rows, bounded by the accuracy knob, not the data — which alone get
+       sorted (per-cut row_number on the tiny frame).
+
+    The k-th / (k+1)-th order statistics then interpolate with exactly the
+    built-in `percentile` formula, so results are bit-identical to the
+    single-merge aggregate (asserted in tests) while every corpus-width
+    stage stays a partial-aggregated scan. At 100 TB, accuracy trades
+    bracket width against sketch size: accuracy=10^6 keeps the ranked
+    slice under ~10^7 rows for n=10^12.
+    """
+    p1, p2 = probs
+    eps = 3.0 / accuracy
+    # persist the projected column (4 passes read it) and every 1-row
+    # scalar frame: a crossJoin(broadcast(x)) re-executes x's subtree per
+    # consumer otherwise, and stats alone has five consumers.
+    vals = fan_out(df.select(value_col)).filter(F.col(value_col).isNotNull()).persist()
+    v = F.col(value_col)
+    bounds_arr = F.expr(
+        f"approx_percentile({value_col}, array("
+        f"{max(0.0, p1 - eps)}, {min(1.0, p1 + eps)}, "
+        f"{max(0.0, p2 - eps)}, {min(1.0, p2 + eps)}), {accuracy})"
+    )
+    stats = vals.agg(F.count(v).alias("n"), bounds_arr.alias("_b")).select(
+        "n",
+        F.col("_b")[0].alias("lo1"),
+        F.col("_b")[1].alias("hi1"),
+        F.col("_b")[2].alias("lo2"),
+        F.col("_b")[3].alias("hi2"),
+    ).persist()
+    # Widen each bracket to its immediate neighbor values: for n <= accuracy
+    # the sketch is exact and the raw bracket can collapse onto a single
+    # order statistic, excluding the adjacent one that interpolation needs.
+    nb = vals.crossJoin(F.broadcast(stats)).agg(
+        F.max(F.when(v < F.col("lo1"), v)).alias("prv1"),
+        F.min(F.when(v > F.col("hi1"), v)).alias("nxt1"),
+        F.max(F.when(v < F.col("lo2"), v)).alias("prv2"),
+        F.min(F.when(v > F.col("hi2"), v)).alias("nxt2"),
+    )
+    eb = stats.crossJoin(F.broadcast(nb)).select(
+        "n",
+        F.coalesce("prv1", "lo1").alias("lo1"),
+        F.coalesce("nxt1", "hi1").alias("hi1"),
+        F.coalesce("prv2", "lo2").alias("lo2"),
+        F.coalesce("nxt2", "hi2").alias("hi2"),
+    ).persist()
+    with_b = vals.crossJoin(F.broadcast(eb))
+    below = with_b.agg(
+        F.sum((v < F.col("lo1")).cast("long")).alias("below1"),
+        F.sum((v < F.col("lo2")).cast("long")).alias("below2"),
+    ).persist()
+    cand = (
+        with_b.select(
+            v.alias("_v"),
+            F.when((v >= F.col("lo1")) & (v <= F.col("hi1")), 1).alias("_c1"),
+            F.when((v >= F.col("lo2")) & (v <= F.col("hi2")), 2).alias("_c2"),
+        )
+        .select("_v", F.explode(F.array("_c1", "_c2")).alias("cut"))
+        .filter(F.col("cut").isNotNull())
+    )
+    ranked = cand.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("cut").orderBy("_v"))
+    )
+    # global target rank r = p*(n-1) (0-based); order stats at floor/ceil(r)
+    scalars = stats.crossJoin(below).select(
+        "n", "below1", "below2",
+        (F.lit(p1) * (F.col("n") - 1)).alias("r1"),
+        (F.lit(p2) * (F.col("n") - 1)).alias("r2"),
+    )
+    j = ranked.crossJoin(F.broadcast(scalars))
+    picked = j.select(
+        "cut", "_v", "n",
+        F.when(F.col("cut") == 1, F.col("r1")).otherwise(F.col("r2")).alias("r"),
+        (F.col("rk") - 1 + F.when(F.col("cut") == 1, F.col("below1"))
+         .otherwise(F.col("below2"))).alias("grk"),
+    ).filter(
+        (F.col("grk") == F.floor("r")) | (F.col("grk") == F.ceil("r"))
+    )
+    # percentile()'s interpolation: (ceil(r)-r)*v_floor + (r-floor(r))*v_ceil;
+    # when floor==ceil the single row carries full weight 1.
+    contrib = F.when(
+        F.floor("r") == F.ceil("r"), F.col("_v")
+    ).otherwise(
+        F.when(F.col("grk") == F.floor("r"), (F.ceil("r") - F.col("r")) * F.col("_v"))
+        .otherwise((F.col("r") - F.floor("r")) * F.col("_v"))
+    )
+    thr = picked.groupBy("cut").agg(F.sum(contrib).alias("thr"))
+    out = stats.select("n").crossJoin(
+        F.broadcast(
+            thr.groupBy().pivot("cut", [1, 2]).agg(F.first("thr"))
+        )
+    )
+    return out.select(
+        F.col("1").alias("p_lo"), F.col("2").alias("p_hi")
+    )
+
+
 def approx_quantile_thresholds(
     df: DataFrame,
     value_col: str,
@@ -107,15 +222,18 @@ def quantile_3way_label(
     else 0 (ref build_pbsi.py:173-176,224-253).
 
     ``exact=True`` reproduces pandas-interpolated percentiles bit-for-bit
-    (the oracle contract); ``exact=False`` swaps in the approx_percentile
-    sketch — the path you run at 100 TB, where only rows whose rank sits
-    within 1/accuracy of a cut point can flip label.
+    (the oracle contract) via sketch-guided refinement — exact order
+    statistics with bounded merge state at any scale (see
+    refined_exact_quantile_thresholds; bit-equality with the single-merge
+    `percentile` aggregate is asserted in tests). ``exact=False`` swaps in
+    the raw approx_percentile sketch — rows whose rank sits within
+    1/accuracy of a cut point can flip label, nothing else.
 
     Second pass is a broadcast cross-join of the 1-row threshold frame —
     the scalar never hits the driver, so the plan is cluster-safe.
     """
     thresholds = (
-        exact_quantile_thresholds(df, value_col, probs)
+        refined_exact_quantile_thresholds(df, value_col, probs)
         if exact
         else approx_quantile_thresholds(df, value_col, probs, accuracy)
     )

@@ -85,3 +85,25 @@ def test_fold_class_check(spark):
     df = spark.createDataFrame(rows, "fold_id int, split string, y int")
     out = {r["fold_id"]: r["usable"] for r in folds.fold_class_check(df, "y").collect()}
     assert out[0] == 1 and out[1] == 0
+
+
+def test_refined_quantiles_bit_equal_builtin(spark):
+    from practicum2_nof1_adhd_bd_spark.operators import labels
+
+    cases = [
+        [],
+        [5.0],
+        [1.0, 2.0],                  # interpolation between 2 values
+        [3.0, 3.0, 3.0, 7.0],        # ties
+        [float(i) for i in range(7)],
+        [float(i % 13) * 0.5 for i in range(500)],  # many duplicates
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals] or [(None,)], "x double")
+        if not vals:
+            df = df.filter("x is not null")
+        e = labels.exact_quantile_thresholds(df, "x").collect()[0]
+        r = labels.refined_exact_quantile_thresholds(df, "x").collect()[0]
+        # bit-for-bit: the refined path must reproduce the builtin
+        # percentile()'s interpolation exactly, not approximately
+        assert (e["p_lo"], e["p_hi"]) == (r["p_lo"], r["p_hi"]), vals
