@@ -643,6 +643,42 @@ def pretraining_split_report(
     )
 
 
+def stratified_sample_k(
+    df: DataFrame,
+    k: int = 50,
+    group_col: str = "source",
+    seed: str = "s42",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fixed-k sample per group: rank docs within each group
+    by their md5(seed||id) coordinate and keep the k smallest — the
+    reproducible per-domain sample a curation review or eval-set draw
+    needs (same docs every run, any cluster, no RNG state).
+
+    One shuffle on the group key; the rank window partitions per group.
+    Skew note: a group's window is single-task — for web-scale groups cut
+    first with a threshold on the hash coordinate (k/n_group quantile),
+    which needs only the group counts, then rank the survivors.
+    """
+    from pyspark.sql import Window
+
+    u = _split_u(seed, id_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_u").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(id_col, group_col, u.alias("_u"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select(
+            group_col,
+            F.col("sample_rank").cast("bigint").alias("sample_rank"),
+            id_col,
+            F.round("_u", 6).alias("sample_u"),
+        )
+    )
+
+
 def _split_u(seed: str, id_col: str) -> Column:
     """md5(seed || id) mapped to [0, 1) — the shared split coordinate."""
     return (

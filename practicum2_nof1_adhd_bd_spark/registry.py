@@ -2430,6 +2430,28 @@ def q_pretraining_split_report(spark, sf_dir):
 
 
 @register(
+    "stratified_sample_k",
+    """
+    SELECT source,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY u ASC, doc_id ASC)
+                AS BIGINT) AS sample_rank,
+           doc_id,
+           round(u, 6) AS sample_u
+    FROM (SELECT doc_id, source,
+                 ('0x' || substr(md5('s42' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     / 4294967296.0 AS u
+          FROM documents)
+    QUALIFY sample_rank <= 25
+    """,
+)
+def q_stratified_sample_k(spark, sf_dir):
+    """Deterministic fixed-k per-source sample (hash-ranked, no RNG state):
+    the reproducible per-domain draw for curation review / eval sets."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.stratified_sample_k(docs, k=25)
+
+
+@register(
     "dup_ngram_profile",
     f"""
     WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),

@@ -213,3 +213,21 @@ def test_char_ngram_entropy_bounds(spark):
     # shorter than n / NULL -> zero grams, zero entropy (not missing rows)
     assert out[3]["n_grams"] == 0 and out[3]["entropy_bits"] == 0.0
     assert out[4]["n_grams"] == 0 and out[4]["entropy_bits"] == 0.0
+
+
+def test_stratified_sample_k_deterministic_fixed_size(spark):
+    df = spark.createDataFrame(
+        [(i, "x", f"s{i % 3}") for i in range(100)],
+        "doc_id long, text string, source string",
+    )
+    out = textops.stratified_sample_k(df, k=5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r["doc_id"])
+    assert set(per) == {"s0", "s1", "s2"}
+    assert all(len(v) == 5 for v in per.values())
+    again = {
+        (r["source"], r["sample_rank"]): r["doc_id"]
+        for r in textops.stratified_sample_k(df, k=5).collect()
+    }
+    assert {(r["source"], r["sample_rank"]): r["doc_id"] for r in out} == again
