@@ -36,10 +36,12 @@ NOTES = {
         "broadcast-joined fact — no per-level re-scan of orders."
     ),
     "quantile_3way_label": (
-        "Exact percentile (oracle contract) is a two-pass plan: 1-column "
-        "scan -> fanned-out partial percentile maps -> 1-row threshold "
-        "frame BROADCAST back over the second scan. No driver collect; at "
-        "100 TB swap the agg for approx_percentile and keep the shape."
+        "Exact percentile (oracle contract) with bounded state: GK-sketch "
+        "brackets + below-bracket counts localize the cut ranks, and only "
+        "the O(n/accuracy) bracketed slice gets ranked — bit-equal to the "
+        "builtin percentile without its single-task value-map merge. The "
+        "1-row threshold frame then BROADCASTS over the labeling scan; no "
+        "driver collect anywhere."
     ),
     "minhash_lsh_pairs": (
         "One tokenize+hash pass (explode -> codegen'd md5 -> map-side-"
