@@ -542,3 +542,36 @@ def connected_components(
         (F.col("node") == F.col("lab")).alias("is_canonical"),
     )
     return out
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingest dedup: admit only the new-batch documents whose
+    normalized content hash appears neither in the existing corpus index
+    nor earlier in the batch itself (min-id wins within the batch) — the
+    daily-crawl-vs-historical-index pattern, where re-deduping the whole
+    corpus per ingest is a non-starter.
+
+    Plan: both sides reduce to (hash, id) frames; the index side carries
+    ONLY hashes (its text never reshuffles, and in production it is the
+    stored hash/signature table, not the raw corpus). The batch dedups
+    with one hash-groupBy, then one anti-join against the index hashes —
+    shuffle cost scales with the BATCH, while the index side streams
+    map-side into the join. Output keeps batch id order determinism
+    (min id per content).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    batch = (
+        new_docs.select(F.md5(norm).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_batch_copies"))
+    )
+    seen = index.select(F.md5(norm).alias("text_hash")).distinct()
+    return (
+        batch.join(seen, "text_hash", "left_anti")
+        .select(id_col, "text_hash", "n_batch_copies")
+    )

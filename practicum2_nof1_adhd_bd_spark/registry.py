@@ -2430,6 +2430,30 @@ def q_pretraining_split_report(spark, sf_dir):
 
 
 @register(
+    "incremental_exact_dedup",
+    """
+    WITH n AS (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+                      doc_id
+               FROM documents WHERE doc_id % 10 = 0),
+    b AS (SELECT text_hash, min(doc_id) AS doc_id, count(*) AS n_batch_copies
+          FROM n GROUP BY text_hash),
+    idx AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash
+            FROM documents WHERE doc_id % 10 <> 0)
+    SELECT doc_id, text_hash, n_batch_copies
+    FROM b ANTI JOIN idx USING (text_hash)
+    """,
+)
+def q_incremental_exact_dedup(spark, sf_dir):
+    """Incremental ingest dedup (doc_id % 10 == 0 stands in for the new
+    crawl batch, the rest for the historical index): admit batch docs whose
+    content hash is new to both the index and the batch."""
+    docs = _cat(spark, sf_dir).documents
+    new_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    index = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.incremental_exact_dedup(new_docs, index)
+
+
+@register(
     "stratified_sample_k",
     """
     SELECT source,

@@ -164,3 +164,23 @@ def test_semantic_dedup_clusters_by_cosine(spark):
     assert not out[1]["is_canonical"] and out[0]["is_canonical"]
     # blocking prevents cross-block pairs; orthogonal vector stays alone
     assert out[2]["cluster_id"] == 2 and out[3]["cluster_id"] == 3
+
+
+def test_incremental_exact_dedup_admits_only_new_content(spark):
+    from practicum2_nof1_adhd_bd_spark.operators import dedup
+
+    index = spark.createDataFrame(
+        [(1, "seen before"), (2, "also known")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Seen  Before"),       # dup of index (normalization collapses)
+            (11, "brand new content"),
+            (12, "brand new content"),  # in-batch dup -> min id 11 survives
+            (13, "also known"),         # dup of index
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.incremental_exact_dedup(batch, index).collect()}
+    assert set(out) == {11}
+    assert out[11]["n_batch_copies"] == 2
