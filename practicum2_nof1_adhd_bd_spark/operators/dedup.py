@@ -575,3 +575,57 @@ def incremental_exact_dedup(
         batch.join(seen, "text_hash", "left_anti")
         .select(id_col, "text_hash", "n_batch_copies")
     )
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Incremental near-dup screen: batch documents LSH-banded against the
+    existing corpus index, Jaccard-verified — the companion to
+    incremental_exact_dedup for the daily-crawl flow (is this new doc a
+    near-copy of ANYTHING already ingested?).
+
+    In production the index side's signature/band table is the STORED
+    artifact (built once per corpus, appended per ingest), so per-batch
+    work is: signature pass over the batch, band equijoin of batch buckets
+    against the index bucket table, and a verify re-shingle restricted to
+    candidate docs on BOTH sides — all scaling with the batch and its
+    candidate fan-out, never the full corpus. Ids across sides are assumed
+    disjoint (enforced by ingest), so no ordering predicate is needed.
+    """
+    sig_b = minhash_signatures_df(new_docs, text_col, id_col, n_hashes, k).persist()
+    sig_i = minhash_signatures_df(index, text_col, id_col, n_hashes, k).persist()
+    bb = _banded_buckets(sig_b, id_col, n_hashes, bands).alias("a")
+    bi = _banded_buckets(sig_i, id_col, n_hashes, bands).alias("b")
+    pairs = (
+        bb.join(
+            bi,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    cand_ids = pairs.select(F.col("id_a").alias(id_col)).union(
+        pairs.select(F.col("id_b").alias(id_col))
+    )
+    both = new_docs.select(id_col, text_col).unionByName(
+        index.select(id_col, text_col)
+    )
+    cand_sh = both.join(cand_ids, id_col, "left_semi").select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("sh")
+    )
+    return jaccard_verify(
+        pairs, cand_sh, id_col=id_col, threshold=threshold,
+        precomputed_shingles=True,
+    )

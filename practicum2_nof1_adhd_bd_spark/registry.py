@@ -2825,6 +2825,50 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return verified.select("id_a", "id_b", "jaccard")
 
 
+def _minhash_incremental_oracle(n_hashes: int = 8, bands: int = 4) -> str:
+    """Same CTE chain as _minhash_lsh_oracle, with the pair join taking one
+    side from the batch (doc_id % 10 == 0) and one from the index."""
+    rows = n_hashes // bands
+    sig_cols = ",\n           ".join(f"{_mh_expr(i)} AS mh{i}" for i in range(n_hashes))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sig AS (SELECT doc_id, {sig_cols} FROM sh),
+    banded AS ({band_rows}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    )
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM pairs
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    """
+
+
+@register("incremental_near_dup", _minhash_incremental_oracle())
+def q_incremental_near_dup(spark, sf_dir):
+    """Incremental near-dup screen: batch (doc_id % 10 == 0) LSH-banded
+    against the index, Jaccard-verified. Per-batch cost only — the index
+    signature table is the stored artifact."""
+    docs = _cat(spark, sf_dir).documents
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    index = docs.filter(F.col("doc_id") % 10 != 0)
+    out = dedup.incremental_near_dup(batch, index, n_hashes=8, bands=4, k=3)
+    return out.select("id_a", "id_b", "jaccard")
+
+
 @register(
     "simhash_fingerprints",
     f"""

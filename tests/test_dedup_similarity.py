@@ -184,3 +184,26 @@ def test_incremental_exact_dedup_admits_only_new_content(spark):
     out = {r["doc_id"]: r for r in dedup.incremental_exact_dedup(batch, index).collect()}
     assert set(out) == {11}
     assert out[11]["n_batch_copies"] == 2
+
+
+def test_incremental_near_dup_finds_cross_side_pairs_only(spark):
+    from practicum2_nof1_adhd_bd_spark.operators import dedup
+
+    index = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated sentence about spark engines here"),
+            (3, "another unrelated line of filler text for the index"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # near-copy of 1
+            (11, "fresh new content that matches nothing in the index"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_near_dup(batch, index, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(10, 1)}
+    assert out[0]["jaccard"] == 1.0
