@@ -30,3 +30,16 @@ def test_sample_queries_run_at_sf0001(spark, sf_dir):
     for name in ("daily_event_stats", "pbsi_composite", "gaps_islands_segments"):
         out = qs[name](spark, sf_dir)
         assert out.count() > 0, name
+
+
+def test_attestation_window_is_stable():
+    """The external harness attests the FIRST 50 queries; pin the window so
+    a stray registration cannot silently displace an entry before it has
+    been attested."""
+    names = list(entrymod.queries())
+    window = names[:50]
+    assert window[0] == "daily_event_stats"  # cross-round canary
+    for must in ("user_sessions", "hash_split", "unigram_surprisal",
+                 "tfidf_top_terms", "char_ngram_entropy",
+                 "model_zoo_fold_cv"):
+        assert must in window, must
