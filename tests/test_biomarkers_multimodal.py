@@ -179,3 +179,41 @@ def test_impute_small_segment_median_fallback(spark):
         for r in impute.impute_per_segment(df, ["x"], "segment_id").collect()
     }
     assert out[(2, 0)] == 35.0  # exact median of [10..50, 100]
+
+
+def test_real_bmp_resize_nearest_neighbor(spark):
+    # 2x2 image with distinct gray levels; upscale to 4x4 and downscale back
+    src = multimodal.make_bmp(bytes([10, 20, 30, 40]), 2, 2)
+    blobs = spark.createDataFrame(
+        [(1, bytearray(src), ("image", 2, 2, None, None))],
+        "media_id long, blob binary, meta struct<media_type:string,width:int,"
+        "height:int,n_frames:int,sample_rate:int>",
+    )
+    up = multimodal.resize_media(blobs, 4, 4).collect()[0]
+    assert up["resized"] and (up["width"], up["height"]) == (4, 4)
+    w, h, mean, _ = multimodal._parse_bmp(bytes(up["blob"]))
+    assert (w, h) == (4, 4)
+    # NN upscale 2x duplicates each pixel 4x -> mean preserved exactly
+    assert mean == (10 + 20 + 30 + 40) / 4
+    down = multimodal.resize_media(
+        spark.createDataFrame(
+            [(2, bytearray(bytes(up["blob"])), ("image", 4, 4, None, None))],
+            "media_id long, blob binary, meta struct<media_type:string,width:int,"
+            "height:int,n_frames:int,sample_rate:int>",
+        ),
+        2, 2,
+    ).collect()[0]
+    w2, h2, mean2, _ = multimodal._parse_bmp(bytes(down["blob"]))
+    # round-trip restores the original 2x2 grid
+    assert (w2, h2) == (2, 2) and mean2 == mean
+    # non-BMP passes through byte-identical
+    wav = multimodal.make_wav([0, 1000, -1000], 16000)
+    out = multimodal.resize_media(
+        spark.createDataFrame(
+            [(3, bytearray(wav), ("audio", None, None, None, None))],
+            "media_id long, blob binary, meta struct<media_type:string,width:int,"
+            "height:int,n_frames:int,sample_rate:int>",
+        ),
+        8, 8,
+    ).collect()[0]
+    assert not out["resized"] and bytes(out["blob"]) == wav
