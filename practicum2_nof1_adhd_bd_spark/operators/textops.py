@@ -388,6 +388,11 @@ def source_mixture_weights(
     One map-side-combined aggregate over the corpus; the normalization
     window runs on the aggregated frame (one row per source — dozens, not
     billions), so the unpartitioned window is a no-op at any scale.
+
+    The pow terms are cast to DECIMAL before the normalizing sum: a double
+    sum over an unordered window is order-sensitive and can wobble an ulp
+    between runs, flipping round(…, 6) at a tie (r04 hash flake). Decimal
+    addition is exact and associative, so the denominator is bit-stable.
     """
     from pyspark.sql import Window
 
@@ -395,12 +400,18 @@ def source_mixture_weights(
         F.count("*").alias("n_docs"),
         F.sum(F.size(tokens(F.col(text_col)))).alias("n_tokens"),
     )
-    w = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    w = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha))).cast(
+        "decimal(38,12)"
+    )
     return s.select(
         group_col,
         "n_docs",
         "n_tokens",
-        F.round(w / F.sum(w).over(Window.partitionBy()), 6).alias("mix_weight"),
+        F.round(
+            w.cast("double")
+            / F.sum(w).over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("mix_weight"),
     )
 
 

@@ -474,15 +474,26 @@ def q_dedup_by_key(spark, sf_dir):
 # §2.5 windows
 # ---------------------------------------------------------------------------
 
+# Decimal-exact mean: summing doubles is order-sensitive (Spark's partial-agg
+# combine order is nondeterministic), so a mean within an ulp of a 0.5e-6
+# rounding boundary can flip between runs and cascade into the quantile-label
+# chain (per_class_metrics r04 hash flake). Summing DECIMAL is exact and
+# associative, so the pre-round value is bit-identical across runs and engines.
 _DAILY_MEAN = """
-    SELECT CAST(ts AS DATE) AS date, round(avg(value), 6) AS value_mean
+    SELECT CAST(ts AS DATE) AS date,
+           round(CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
+                 / count(value), 6) AS value_mean
     FROM events GROUP BY 1
 """
 
 def _daily_mean(spark, sf_dir) -> DataFrame:
     ev = _cat(spark, sf_dir).events
     return ev.groupBy(F.to_date("ts").alias("date")).agg(
-        F.round(F.avg("value"), 6).alias("value_mean")
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,12)")).cast("double")
+            / F.count("value"),
+            6,
+        ).alias("value_mean")
     )
 
 
@@ -2338,7 +2349,9 @@ def q_decontaminate_ngram(spark, sf_dir):
                       sum(len({_WORDS})) AS n_tokens
                FROM documents GROUP BY source)
     SELECT source, n_docs, n_tokens,
-           round(pow(n_tokens, 0.7) / sum(pow(n_tokens, 0.7)) OVER (), 6)
+           round(CAST(CAST(pow(n_tokens, 0.7) AS DECIMAL(38,12)) AS DOUBLE)
+                 / CAST(sum(CAST(pow(n_tokens, 0.7) AS DECIMAL(38,12))) OVER ()
+                        AS DOUBLE), 6)
                AS mix_weight
     FROM s
     """,
