@@ -455,24 +455,48 @@ def ngram_jaccard_pairs(
     bucket_cols: list[str] | None = None,
     k: int = 3,
     threshold: float = 0.1,
+    length_bucket: bool = True,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs within blocking buckets.
 
-    Blocking (default: same `lang` + length bucket) bounds the pair
-    explosion; within a bucket, pairs are verified with exact shingle
-    Jaccard. At 100 TB the bucket key must be chosen so buckets stay small —
-    this operator is the exact-verify tail behind MinHash/SimHash candidates.
+    Contract: this operator is the exact-verify TAIL behind MinHash/SimHash
+    candidate generation — feed it a candidate-restricted or blocked input,
+    never a raw 100-TB corpus. Within a bucket the join is quadratic, so
+    the bucket key must keep buckets small.
+
+    With ``length_bucket`` (the default) a shingle-count bucket
+    ``floor(log2(n_shingles)) + 1`` is folded into the key: one language /
+    source dominating the corpus no longer yields one near-global quadratic
+    bucket — docs only pair within a 2x length band, so a bucket holds the
+    docs of one (lang, …, size-octave) cell and pair work is
+    sum_b C(|b|, 2), bounded by the largest single octave, not n². Pairs
+    with Jaccard >= t require size ratio >= t, so for t >= 0.5 banding
+    loses nothing; below that it can drop extreme-ratio true pairs —
+    acceptable for a verify tail (MinHash banding has the same property).
+    A result-preserving size-ratio prune (J >= t implies
+    min(|A|,|B|) >= t * max(|A|,|B|)) drops unmatchable pairs before any
+    set intersection is computed.
     """
-    bucket_cols = bucket_cols or ["lang"]
+    bucket_cols = list(bucket_cols) if bucket_cols else ["lang"]
     sh = fan_out(df, id_col).select(
         F.col(id_col),
         *[F.col(c) for c in bucket_cols],
         word_shingles(F.col(text_col), k).alias("sh"),
     ).filter(F.size("sh") > 0)
+    if length_bucket:
+        # floor(log2(n)) + 1 as binary-string length: exact integer
+        # arithmetic (float log2 of a power of two can land an ulp off),
+        # and the same bin() formula the SQL oracle uses.
+        sh = sh.withColumn("_len_bucket", F.length(F.bin(F.size("sh"))))
+        bucket_cols = bucket_cols + ["_len_bucket"]
     a, b = sh.alias("a"), sh.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for c in bucket_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    sa, sb = F.size("a.sh"), F.size("b.sh")
+    cond = cond & (
+        F.least(sa, sb).cast("double") >= F.lit(float(threshold)) * F.greatest(sa, sb)
+    )
     n_union = F.size(F.array_union("a.sh", "b.sh"))
     # when() guard: ANSI mode errors on 0/0, and predicate pushdown may
     # evaluate the division before the id/bucket conjuncts.

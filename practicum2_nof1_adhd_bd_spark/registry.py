@@ -2909,19 +2909,25 @@ def q_simhash_fingerprints(spark, sf_dir):
     "ngram_jaccard_pairs",
     f"""
     WITH w AS (SELECT doc_id, lang, source, {_WORDS} AS words FROM documents),
-    sh AS (SELECT doc_id, lang, source, {_SHINGLES} AS shingles FROM w)
+    sh AS (SELECT doc_id, lang, source, {_SHINGLES} AS shingles FROM w
+           WHERE len({_SHINGLES}) > 0)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
     FROM sh a JOIN sh b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+     AND length(bin(len(a.shingles))) = length(bin(len(b.shingles)))
+     AND CAST(least(len(a.shingles), len(b.shingles)) AS DOUBLE)
+         >= 0.05 * greatest(len(a.shingles), len(b.shingles))
     WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
           / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.05
     """,
 )
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """n-gram Jaccard near-dup pairs within (lang, source) blocking buckets
-    — the exact-verify tail behind MinHash/SimHash candidate generation."""
+    """n-gram Jaccard near-dup pairs within (lang, source, size-octave)
+    blocking buckets — the exact-verify tail behind MinHash/SimHash
+    candidate generation. The length bucket (dedup.ngram_jaccard_pairs
+    default) keeps a dominant lang x source cell from going quadratic."""
     docs = _cat(spark, sf_dir).documents
     return dedup.ngram_jaccard_pairs(
         docs, bucket_cols=["lang", "source"], k=3, threshold=0.05

@@ -63,6 +63,37 @@ def test_ngram_jaccard_pairs_blocked(spark):
     assert (1, 3) not in got
 
 
+def test_ngram_jaccard_length_bucket_bounds_skew(spark):
+    """Default blocking folds a size-octave into the key: a single dominant
+    lang bucket cannot go quadratic, and extreme-ratio pairs are dropped."""
+    short = " ".join(f"s{i}" for i in range(10))
+    long = " ".join(f"w{i}" for i in range(400)) + " " + short
+    rows = [(1, short), (2, long), (3, short + " s10")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    )
+    # Without the length bucket the short-inside-long pair passes t=0.01 ...
+    flat = dedup.ngram_jaccard_pairs(
+        docs, bucket_cols=["lang"], k=3, threshold=0.01, length_bucket=False
+    )
+    flat_pairs = {(r["id_a"], r["id_b"]) for r in flat.collect()}
+    assert (1, 2) in flat_pairs
+    # ... with it (the default) the 50x-size pair lands in different octaves
+    # and never enters the quadratic join, while the same-octave near-dup
+    # (1, 3) survives.
+    octv = dedup.ngram_jaccard_pairs(docs, bucket_cols=["lang"], k=3, threshold=0.01)
+    octv_pairs = {(r["id_a"], r["id_b"]) for r in octv.collect()}
+    assert (1, 2) not in octv_pairs
+    assert (1, 3) in octv_pairs
+    # The bucket key bounds pair work: per-octave populations, not n^2.
+    sh = docs.select(
+        dedup.word_shingles(F.col("text"), 3).alias("sh")
+    ).select(F.length(F.bin(F.size("sh"))).alias("b"))
+    sizes = [r["n"] for r in sh.groupBy("b").agg(F.count("*").alias("n")).collect()]
+    n = sum(sizes)
+    assert sum(s * (s - 1) // 2 for s in sizes) < n * (n - 1) // 2
+
+
 def _embeddings(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
