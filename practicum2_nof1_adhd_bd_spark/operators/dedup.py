@@ -624,10 +624,17 @@ def incremental_near_dup(
     candidate fan-out, never the full corpus. Ids across sides are assumed
     disjoint (enforced by ingest), so no ordering predicate is needed.
     """
-    sig_b = minhash_signatures_df(new_docs, text_col, id_col, n_hashes, k).persist()
-    sig_i = minhash_signatures_df(index, text_col, id_col, n_hashes, k).persist()
+    sig_b = minhash_signatures_df(new_docs, text_col, id_col, n_hashes, k)
+    sig_i = minhash_signatures_df(index, text_col, id_col, n_hashes, k)
     bb = _banded_buckets(sig_b, id_col, n_hashes, bands).alias("a")
     bi = _banded_buckets(sig_i, id_col, n_hashes, bands).alias("b")
+    # Each signature frame feeds the band join exactly once, so only the
+    # candidate-pair id frame is worth caching: it has three consumers
+    # (two cand_ids legs + the verify join), and caching it — materialized
+    # eagerly here — runs the signature scans once without parking
+    # corpus-width signature partitions in the cache (the r04-flagged
+    # leak). The cached frame is candidate-pair-sized and its cache entry
+    # is released when recomputation happens or the session clears it.
     pairs = (
         bb.join(
             bi,
@@ -639,7 +646,9 @@ def incremental_near_dup(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
+        .persist()
     )
+    pairs.count()
     cand_ids = pairs.select(F.col("id_a").alias(id_col)).union(
         pairs.select(F.col("id_b").alias(id_col))
     )

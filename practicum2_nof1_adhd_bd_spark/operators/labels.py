@@ -179,10 +179,19 @@ def refined_exact_quantile_thresholds(
         F.broadcast(
             thr.groupBy().pivot("cut", [1, 2]).agg(F.first("thr"))
         )
-    )
-    return out.select(
-        F.col("1").alias("p_lo"), F.col("2").alias("p_hi")
-    )
+    ).select(F.col("1").alias("p_lo"), F.col("2").alias("p_hi"))
+    # Materialize the 1-row threshold frame NOW, then release every cached
+    # intermediate: three registry queries run this inside a session, and
+    # un-released corpus-width `vals` partitions would accumulate across
+    # calls (same unpersist discipline as dedup.connected_components). The
+    # two scalars crossing the driver are the same class as the allowed
+    # scalar collects in ml.py.
+    try:
+        row = out.collect()
+    finally:
+        for f in (below, eb, stats, vals):
+            f.unpersist()
+    return df.sparkSession.createDataFrame(row, out.schema)
 
 
 def approx_quantile_thresholds(

@@ -492,7 +492,10 @@ def hash_split(
 
 
 def unigram_surprisal(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Per-document unigram LM score: mean -log2 p(token) under the
     corpus's own unigram distribution (the CCNet/KenLM-style perplexity
@@ -501,11 +504,17 @@ def unigram_surprisal(
     rare-token soup).
 
     Two passes: (1) one explode -> map-side-combined count builds the
-    vocabulary frame (bounded by vocab size, ~millions of rows at 100 TB —
-    tiny next to the corpus); its total is a window over that tiny frame.
-    (2) the corpus explodes again and equi-joins token->logp; vocab
-    BROADCASTS, so the scoring pass is shuffle-free except the final
-    per-doc combine, which fan_out's id partitioning makes local.
+    vocabulary frame; its total is a window over that tiny frame.
+    (2) the corpus explodes again and equi-joins token->logp.
+
+    ``broadcast_vocab`` (default) force-broadcasts the vocab side, making
+    the scoring pass shuffle-free — valid only while the vocabulary fits
+    the broadcast ceiling (~10^6-10^7 distinct tokens; a curated or
+    hash-bucketed vocab). A raw web-scale vocabulary runs to ~10^8 rows,
+    past Spark's 8 GB broadcast limit and typical driver memory — pass
+    ``broadcast_vocab=False`` there: the join falls back to a shuffle
+    hash/sort-merge join on the token key (one extra corpus-token
+    exchange, still map-side combined into the per-doc aggregate).
     """
     tok = fan_out(df, id_col).select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_t")
@@ -518,8 +527,9 @@ def unigram_surprisal(
     vocab = vocab.crossJoin(F.broadcast(total)).select(
         "_t", (-F.log2(F.col("_n") / F.col("_tot"))).alias("_bits")
     )
+    vside = F.broadcast(vocab) if broadcast_vocab else vocab
     return (
-        tok.join(F.broadcast(vocab), "_t")
+        tok.join(vside, "_t")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

@@ -22,7 +22,15 @@ TESTDATA_TABLES = (
 
 
 class Catalog:
-    """Named parquet tables rooted at a scale-factor directory."""
+    """Named parquet tables rooted at a scale-factor directory.
+
+    NOTE: construction sets three confs on the CALLER's session —
+    ``nanosAsLong`` and UTC ``session.timeZone`` unconditionally (required
+    to read the testdata at all, see below), and
+    ``spark.sql.shuffle.partitions`` only when the session has NEVER set it
+    (a deliberate user value, even one equal to Spark's 200 default, is
+    left untouched). The overrides outlive this Catalog's queries.
+    """
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -36,13 +44,15 @@ class Catalog:
         # Timestamps in the testdata are UTC instants; pin rendering so
         # to_date()/date_trunc() agree with the oracle on any host TZ.
         self.spark.conf.set("spark.sql.session.timeZone", "UTC")
-        # A session still on the shipped 200-partition default gets shuffle
+        # A session that never configured shuffle partitions gets shuffle
         # parallelism sized to the actual cluster instead: 200 tasks per
         # exchange is pure scheduling overhead on a 32-core local run, and
-        # iterative MLlib fits pay it per iteration. An explicitly tuned
-        # value (anything != 200) is left alone; with AQE coalescing,
+        # iterative MLlib fits pay it per iteration. conf.get(key, None) is
+        # None only when the key was never set, so a user's deliberate
+        # value — including an explicit 200 — is indistinguishable from the
+        # default no longer, and is left alone; with AQE coalescing,
         # defaultParallelism also remains a sane floor on a real cluster.
-        if self.spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        if self.spark.conf.get("spark.sql.shuffle.partitions", None) is None:
             self.spark.conf.set(
                 "spark.sql.shuffle.partitions",
                 str(self.spark.sparkContext.defaultParallelism),
