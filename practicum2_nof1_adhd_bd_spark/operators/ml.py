@@ -365,6 +365,127 @@ def model_zoo_fold_cv(
     )
 
 
+def model_selection_grid(
+    df: DataFrame,
+    feature_sets: dict[str, list[str]],
+    label_col: str,
+    date_col: str = "date",
+    train_days: int = 7,
+    gap_days: int = 0,
+    val_days: int = 3,
+    max_iter: int = 100,
+) -> DataFrame:
+    """Stage-5 ablation grid — the reference's experiment suite
+    (ref src/etl/experiment_suite.py:112-222: FEATURE_SETS FS-A..FS-D x
+    {binary, 3class} targets, LogisticRegression(class_weight='balanced',
+    random_state=42) per temporal fold, aggregated to mean/std macro-F1,
+    mean balanced accuracy, mean kappa) re-expressed on the engine's fold
+    machinery, plus the deterministic model-selection rule
+    (ref :72-105: max mean F1, tie -> max kappa, tie -> fewer features)
+    emitted as a ``selected`` flag instead of model_selection.json.
+
+    The fold table is built and cached ONCE (daily-grain — scales with
+    days, not events) and shared by every config; each config x fold is an
+    independent MLlib lbfgs fit submitted concurrently, so the grid costs
+    |grid| x folds SMALL fits over one cached frame, and only fold/metric
+    scalars cross the driver. Deterministic: lbfgs on fixed data, no
+    sampling; folds where a kappa is undefined (chance agreement 1)
+    contribute 0, mirroring sklearn's zero_division handling.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    spark = df.sparkSession
+    folded = folds_mod.day_folds(df, date_col, train_days, gap_days, val_days)
+    folded = (
+        folded.coalesce(4)
+        .withColumn("label_idx", (F.col(label_col) - F.lit(-1)).cast("double"))
+        .withColumn("label_bin", (F.col(label_col) != 0).cast("double"))
+        .cache()
+    )
+    fold_ids = [
+        r["fold_id"]
+        for r in folded.select("fold_id").distinct().orderBy("fold_id").collect()
+    ]
+    targets = {"binary": "label_bin", "3class": "label_idx"}
+    configs = [
+        (fs_id, cols, t_name, t_col)
+        for fs_id, cols in feature_sets.items()
+        for t_name, t_col in targets.items()
+    ]
+
+    def run_config(cfg):
+        fs_id, cols, t_name, t_col = cfg
+        assembler = VectorAssembler(inputCols=cols, outputCol="_feat_raw")
+        scaler = StandardScaler(
+            inputCol="_feat_raw", outputCol="_feat", withMean=True, withStd=True
+        )
+        per_fold = []
+        for fid in fold_ids:
+            train = folded.filter(
+                (F.col("fold_id") == fid) & (F.col("split") == "train")
+            )
+            val = folded.filter(
+                (F.col("fold_id") == fid) & (F.col("split") == "val")
+            )
+            lab_rows = train.groupBy(t_col).agg(F.count(F.lit(1)).alias("n")).collect()
+            n_train = sum(r["n"] for r in lab_rows)
+            n_val = val.count()
+            # ref gates: >=5 train, >=2 val rows, >=2 train classes (:168-180)
+            if n_train < 5 or n_val < 2 or len(lab_rows) < 2:
+                continue
+            scaler_model = scaler.fit(assembler.transform(train))
+            tr = scaler_model.transform(
+                assembler.transform(_balanced_weights(train, t_col))
+            )
+            model = LogisticRegression(
+                featuresCol="_feat", labelCol=t_col, weightCol="_w",
+                maxIter=max_iter, regParam=0.0, family="auto",
+            ).fit(tr)
+            va = scaler_model.transform(assembler.transform(val))
+            pred = model.transform(va).select(
+                F.col(t_col).cast("int").alias("y_true"),
+                F.col("prediction").cast("int").alias("y_pred"),
+            )
+            _, macro_f1, bal_acc, kappa = _fold_metrics(pred)
+            if macro_f1 is not None:
+                per_fold.append(
+                    (macro_f1, bal_acc or 0.0, kappa if kappa is not None else 0.0)
+                )
+        if not per_fold:
+            return (fs_id, t_name, len(cols), 0, None, None, None, None)
+        f1s = [p[0] for p in per_fold]
+        mean_f1 = sum(f1s) / len(f1s)
+        std_f1 = (sum((x - mean_f1) ** 2 for x in f1s) / len(f1s)) ** 0.5
+        return (
+            fs_id, t_name, len(cols), len(per_fold),
+            round(mean_f1, 6), round(std_f1, 6),
+            round(sum(p[1] for p in per_fold) / len(per_fold), 6),
+            round(sum(p[2] for p in per_fold) / len(per_fold), 6),
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        with ThreadPoolExecutor(max_workers=min(4, max(1, len(configs)))) as pool:
+            rows = list(pool.map(run_config, configs))
+    finally:
+        folded.unpersist()
+    usable = [r for r in rows if r[3] > 0]
+    best = min(
+        usable, key=lambda r: (-(r[4] or 0.0), -(r[7] or 0.0), r[2], r[0], r[1])
+    ) if usable else None
+    rows = [
+        r + (1 if best is not None and r[:2] == best[:2] else 0,) for r in rows
+    ]
+    return spark.createDataFrame(
+        rows,
+        "feature_set string, target string, n_features int, n_folds_used int, "
+        "mean_f1 double, std_f1 double, mean_bal_acc double, mean_kappa double, "
+        "selected int",
+    )
+
+
 def feature_attribution(
     df: DataFrame,
     feature_cols: list[str],

@@ -3393,6 +3393,36 @@ def q_model_zoo_fold_cv(spark, sf_dir):
 QUERIES["model_zoo_fold_cv"] = q_model_zoo_fold_cv
 
 
+def q_model_selection_grid(spark, sf_dir):
+    """Stage-5 ablation grid (ref src/etl/experiment_suite.py:112-222):
+    nested daily feature sets FS-A..FS-D x {binary, 3class} targets, one
+    balanced logreg temporal-fold CV per config, mean/std macro-F1 + BA +
+    kappa, and the deterministic selection rule (:72-105) as a `selected`
+    flag. MLlib training -> rows-only check."""
+    from .operators import ml
+
+    ev = _cat(spark, sf_dir).events
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.round(F.avg("value"), 6).alias("value_mean"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+        F.round(F.stddev_samp("value"), 6).alias("value_std"),
+    )
+    lab = labels.quantile_3way_label(d, "value_mean")
+    # nested like the reference's FS-A (baseline) .. FS-D (everything)
+    feature_sets = {
+        "FS-A": ["value_mean"],
+        "FS-B": ["value_mean", "n_events"],
+        "FS-C": ["value_mean", "n_events", "n_users"],
+        "FS-D": ["value_mean", "n_events", "n_users", "value_std"],
+    }
+    return ml.model_selection_grid(
+        lab, feature_sets, "label_3cls", train_days=7, gap_days=0, val_days=3
+    )
+
+QUERIES["model_selection_grid"] = q_model_selection_grid
+
+
 @register(
     "feature_attribution_topk",
     """

@@ -99,6 +99,44 @@ def test_model_zoo_shapes_and_determinism(spark):
     assert knn["usable"] == 1 and knn["accuracy"] == 0.333333
 
 
+def test_model_selection_grid_shape_and_determinism(spark):
+    d0 = dt.date(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        x = float(i % 3 - 1)
+        # f1 separates the 3-class target linearly; f2=|x| separates the
+        # binary (x != 0) target, which is NOT linear in f1 alone
+        rows.append((d0 + dt.timedelta(days=i), x, abs(x), float(i % 5), int(x)))
+    df = spark.createDataFrame(
+        rows, "date date, f1 double, f2 double, f3 double, label int"
+    )
+    fs = {"FS-A": ["f1"], "FS-B": ["f1", "f2"], "FS-C": ["f1", "f2", "f3"]}
+    out = ml.model_selection_grid(
+        df, fs, "label", train_days=7, gap_days=0, val_days=3
+    ).collect()
+    # grid shape: |feature_sets| x {binary, 3class}
+    assert len(out) == 6
+    assert {(r["feature_set"], r["target"]) for r in out} == {
+        (f, t) for f in fs for t in ("binary", "3class")
+    }
+    by_cfg = {(r["feature_set"], r["target"]): r for r in out}
+    assert all(r["n_folds_used"] == 3 for r in out)
+    # 3class is separable in f1 (in every set); binary needs f2 (FS-B up)
+    assert all(by_cfg[(f, "3class")]["mean_f1"] == 1.0 for f in fs)
+    assert by_cfg[("FS-B", "binary")]["mean_f1"] == 1.0
+    assert by_cfg[("FS-A", "binary")]["mean_f1"] < 1.0
+    # selection rule: exactly one winner; F1 ties break on kappa then fewer
+    # features -> FS-A/3class (1 feature)
+    sel = [r for r in out if r["selected"] == 1]
+    assert len(sel) == 1
+    assert sel[0]["feature_set"] == "FS-A" and sel[0]["target"] == "3class"
+    # deterministic end to end: a second run reproduces every row
+    out2 = ml.model_selection_grid(
+        df, fs, "label", train_days=7, gap_days=0, val_days=3
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
 def test_ivf_kmeans_full_index_path(spark):
     import random
 
