@@ -93,6 +93,91 @@ def audit_daily_frame(
     return reduce(DataFrame.unionByName, [dup, span, fab_mm, fab_std])
 
 
+def audit_value_ranges(
+    daily: DataFrame,
+    mean_col: str = "value_mean",
+    n_col: str = "n_events",
+    lo: float = 30.0,
+    hi: float = 220.0,
+    viol_pct_max: float = 10.0,
+) -> DataFrame:
+    """Per-domain biological-range audit (ref etl_audit.py:407-543 cardio
+    integrity checks): the % of daily means outside the physiological
+    band [lo, hi] is CRITICAL past the threshold (the audit-side twin of
+    the F1/F2 range filters), and the % of single-sample days — the
+    reference's per-day ``is_single_sample`` flag (:530-535) — is an
+    always-emitted INFO row (informational, never gating)."""
+    base = daily.agg(
+        F.avg(
+            ((F.col(mean_col) < lo) | (F.col(mean_col) > hi)).cast("double")
+        ).alias("pv"),
+        F.avg((F.col(n_col) == 1).cast("double")).alias("ps"),
+    )
+    viol = _row(
+        base,
+        "range_violation_pct",
+        F.when(F.col("pv") * 100 > viol_pct_max, "CRITICAL").otherwise("OK"),
+        F.col("pv") * 100,
+        viol_pct_max,
+    )
+    single = _row(
+        base, "single_sample_days_pct", F.lit("INFO"), F.col("ps") * 100, 0.0
+    )
+    return viol.unionByName(single)
+
+
+def audit_cross_layer(
+    events: DataFrame,
+    daily: DataFrame,
+    unified: DataFrame,
+    ts_col: str = "ts",
+    mean_col: str = "value_mean",
+) -> DataFrame:
+    """Cross-layer consistency (ref etl_audit.py:482-517: cache ->
+    daily_cardio.csv -> features_daily_unified.csv day-count checks):
+
+    - events -> daily: distinct event days must equal daily rows exactly
+      (an aggregation that drops or fabricates days is CRITICAL, :485-490);
+    - daily -> unified: the unified (date-spine) layer losing days is a
+      WARNING (:493-496); spine-filled gap days are the non-negative metric;
+    - unified coverage: % of unified days carrying data — the reference
+      logs this (:505-509); emitted as an INFO row.
+
+    Three single-row aggregates cross-joined — scalar frames, no data
+    movement beyond the three scans (daily/unified are daily-grain)."""
+    e_days = events.agg(
+        F.countDistinct(F.to_date(F.col(ts_col))).alias("_e")
+    )
+    d_days = daily.agg(F.count(F.lit(1)).alias("_d"))
+    u_days = unified.agg(
+        F.count(F.lit(1)).alias("_u"),
+        F.sum(F.col(mean_col).isNotNull().cast("bigint")).alias("_u_data"),
+    )
+    base = e_days.crossJoin(d_days).crossJoin(u_days)
+    ed = _row(
+        base,
+        "xlayer_events_vs_daily_days",
+        F.when(F.col("_e") != F.col("_d"), "CRITICAL").otherwise("OK"),
+        F.abs(F.col("_e") - F.col("_d")).cast("double"),
+        0.0,
+    )
+    du = _row(
+        base,
+        "xlayer_daily_vs_unified_days",
+        F.when(F.col("_u") < F.col("_d"), "WARNING").otherwise("OK"),
+        (F.col("_u") - F.col("_d")).cast("double"),
+        0.0,
+    )
+    cov = _row(
+        base,
+        "xlayer_unified_coverage_pct",
+        F.lit("INFO"),
+        F.col("_u_data") * 100.0 / F.col("_u"),
+        0.0,
+    )
+    return reduce(DataFrame.unionByName, [ed, du, cov])
+
+
 def reaggregation_consistency(
     events: DataFrame,
     daily: DataFrame,

@@ -1399,7 +1399,8 @@ _DAILY_FULL_STATS = """
     SELECT CAST(ts AS DATE) AS date,
            avg(value) AS value_mean,
            min(value) AS value_min,
-           stddev_samp(value) AS value_std
+           stddev_samp(value) AS value_std,
+           count(*) AS n_events
     FROM events GROUP BY 1
 """
 
@@ -1415,6 +1416,12 @@ _DAILY_FULL_STATS = """
                         WHEN value_min = value_mean THEN 1.0 ELSE 0.0 END) AS pmm,
                avg(CASE WHEN value_std IS NULL THEN NULL
                         WHEN value_std = 0 THEN 1.0 ELSE 0.0 END) AS pzs
+        FROM d
+    ),
+    rb AS (
+        SELECT avg(CASE WHEN value_mean < 30.0 OR value_mean > 220.0
+                        THEN 1.0 ELSE 0.0 END) AS pv,
+               avg(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END) AS ps
         FROM d
     )
     SELECT 'duplicate_dates' AS check_name,
@@ -1441,12 +1448,41 @@ _DAILY_FULL_STATS = """
            CASE WHEN pzs * 100 > 10.0 THEN 'WARNING' ELSE 'OK' END,
            round(pzs * 100, 6), CAST(10.0 AS DOUBLE)
     FROM b
+    UNION ALL
+    SELECT 'range_violation_pct',
+           CASE WHEN pv * 100 > 10.0 THEN 'CRITICAL' ELSE 'OK' END,
+           round(pv * 100, 6), CAST(10.0 AS DOUBLE)
+    FROM rb
+    UNION ALL
+    SELECT 'single_sample_days_pct', 'INFO', round(ps * 100, 6),
+           CAST(0.0 AS DOUBLE)
+    FROM rb
+    UNION ALL
+    SELECT 'xlayer_events_vs_daily_days',
+           CASE WHEN n_dates != n_rows THEN 'CRITICAL' ELSE 'OK' END,
+           round(CAST(abs(n_dates - n_rows) AS DOUBLE), 6), CAST(0.0 AS DOUBLE)
+    FROM b
+    UNION ALL
+    SELECT 'xlayer_daily_vs_unified_days',
+           CASE WHEN date_diff('day', d0, d1) + 1 < n_rows THEN 'WARNING'
+                ELSE 'OK' END,
+           round(CAST(date_diff('day', d0, d1) + 1 - n_rows AS DOUBLE), 6),
+           CAST(0.0 AS DOUBLE)
+    FROM b
+    UNION ALL
+    SELECT 'xlayer_unified_coverage_pct', 'INFO',
+           round(n_rows * 100.0 / (date_diff('day', d0, d1) + 1), 6),
+           CAST(0.0 AS DOUBLE)
+    FROM b
     """,
 )
 def q_etl_audit_report(spark, sf_dir):
-    """§5 audit framework: duplicate-date, span-coverage, and fabrication
-    checks over the daily frame, one severity-tagged row per check
-    (ref src/etl/etl_audit.py:168-175,283-302,458-480)."""
+    """§5 audit framework with the reference's full severity model
+    (CRITICAL/WARNING/INFO, ref src/etl/etl_audit.py:91-107): duplicate-date,
+    span-coverage, fabrication (:168-175,283-302,458-480), biological-range
+    and single-sample per-domain checks (:407-543), and cross-layer
+    events->daily->unified consistency rows (:482-517), one severity-tagged
+    row per check."""
     from .operators import audit
 
     ev = _cat(spark, sf_dir).events
@@ -1454,8 +1490,17 @@ def q_etl_audit_report(spark, sf_dir):
         F.avg("value").alias("value_mean"),
         F.min("value").alias("value_min"),
         F.stddev_samp("value").alias("value_std"),
+        F.count(F.lit(1)).alias("n_events"),
     )
-    return audit.audit_daily_frame(d)
+    spine = d.agg(F.min("date").alias("d0"), F.max("date").alias("d1")).select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("date")
+    )
+    unified = spine.join(d, "date", "left")
+    return (
+        audit.audit_daily_frame(d)
+        .unionByName(audit.audit_value_ranges(d))
+        .unionByName(audit.audit_cross_layer(ev, d, unified))
+    )
 
 
 @register(

@@ -48,6 +48,54 @@ def test_audit_span_gap_warning(spark):
     assert rep["span_missing_pct"]["metric"] > 80
 
 
+def test_audit_value_ranges_fires_on_out_of_band(spark):
+    d0 = dt.date(2024, 1, 1)
+    # 2 of 10 daily means outside [30, 220] -> 20% > 10% threshold; three
+    # single-sample days -> INFO row carries 30%, never gates
+    rows = [
+        (d0 + dt.timedelta(days=i), 300.0 if i < 2 else 60.0, 1 if i < 3 else 50)
+        for i in range(10)
+    ]
+    d = spark.createDataFrame(rows, "date date, value_mean double, n_events int")
+    rep = {r["check_name"]: r for r in audit.audit_value_ranges(d).collect()}
+    assert rep["range_violation_pct"]["severity"] == "CRITICAL"
+    assert rep["range_violation_pct"]["metric"] == 20.0
+    assert rep["single_sample_days_pct"]["severity"] == "INFO"
+    assert rep["single_sample_days_pct"]["metric"] == 30.0
+
+
+def test_audit_cross_layer_detects_dropped_day(spark):
+    import pyspark.sql.functions as F
+
+    ev = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1 + d, h), 50.0) for d in range(3) for h in range(4)],
+        "ts timestamp, value double",
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.avg("value").alias("value_mean")
+    )
+    spine = daily.agg(F.min("date").alias("d0"), F.max("date").alias("d1")).select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("date")
+    )
+    unified = spine.join(daily, "date", "left")
+    rep = {r["check_name"]: r
+           for r in audit.audit_cross_layer(ev, daily, unified).collect()}
+    assert rep["xlayer_events_vs_daily_days"]["severity"] == "OK"
+    assert rep["xlayer_daily_vs_unified_days"]["severity"] == "OK"
+    assert rep["xlayer_unified_coverage_pct"]["metric"] == 100.0
+    # drop a day from the daily layer: events->daily goes CRITICAL
+    broken = daily.filter(F.col("date") != dt.date(2024, 1, 2))
+    rep2 = {r["check_name"]: r
+            for r in audit.audit_cross_layer(ev, broken, unified).collect()}
+    assert rep2["xlayer_events_vs_daily_days"]["severity"] == "CRITICAL"
+    assert rep2["xlayer_events_vs_daily_days"]["metric"] == 1.0
+    # unified layer losing days relative to daily: WARNING
+    lossy = unified.filter(F.col("date") == dt.date(2024, 1, 1))
+    rep3 = {r["check_name"]: r
+            for r in audit.audit_cross_layer(ev, daily, lossy).collect()}
+    assert rep3["xlayer_daily_vs_unified_days"]["severity"] == "WARNING"
+
+
 def test_reagg_consistency_detects_corruption(spark):
     import pyspark.sql.functions as F
 
