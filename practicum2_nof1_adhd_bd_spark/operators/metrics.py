@@ -75,12 +75,21 @@ def per_class_report(
 def macro_summary(report: DataFrame, round_dp: int = 6) -> DataFrame:
     """Macro-averaged precision/recall/F1 + accuracy-style totals from a
     per-class report (mean over classes, null metrics excluded — sklearn
-    macro semantics)."""
+    macro semantics). The inputs are already rounded to 6 dp, so summing
+    them as DECIMAL(18,6) is exact and order-independent — no float-sum
+    wobble at the final round boundary."""
+
+    def _mean(c: str):
+        return F.round(
+            F.sum(F.col(c).cast("decimal(18,6)")).cast("double") / F.count(c),
+            round_dp,
+        )
+
     return report.agg(
         F.count(F.lit(1)).alias("n_classes"),
-        F.round(F.avg("precision"), round_dp).alias("macro_precision"),
-        F.round(F.avg("recall"), round_dp).alias("macro_recall"),
-        F.round(F.avg("f1"), round_dp).alias("macro_f1"),
+        _mean("precision").alias("macro_precision"),
+        _mean("recall").alias("macro_recall"),
+        _mean("f1").alias("macro_f1"),
         F.sum("tp").alias("total_tp"),
         F.sum(F.col("tp") + F.col("fn")).alias("total_support"),
     )

@@ -2004,9 +2004,9 @@ def q_dominant_source_change(spark, sf_dir):
     )
 
 
-@register(
-    "per_class_metrics",
-    f"""
+# per-class confusion/PRF chain shared by the per_class_metrics and
+# macro_summary oracles
+_PER_CLASS_CTES = f"""
     WITH {_DAILY_LABELED},
     p AS (
         SELECT label_3cls AS y_true,
@@ -2041,14 +2041,18 @@ def q_dominant_source_change(spark, sf_dir):
                    AS recall
         FROM j
     )
+"""
+
+_PER_CLASS_SELECT = """
     SELECT label, tp, n_true, n_pred, precision, recall,
            round(CASE WHEN precision + recall != 0
                  THEN 2 * precision * recall / (precision + recall) END, 6) AS f1,
            n_pred - tp AS fp,
            n_true - tp AS fn
     FROM pr
-    """,
-)
+"""
+
+@register("per_class_metrics", _PER_CLASS_CTES + _PER_CLASS_SELECT)
 def q_per_class_metrics(spark, sf_dir):
     """A14: confusion matrix as a relational table + per-class
     precision/recall/F1, scored on the persistence baseline vs the quantile
@@ -2060,6 +2064,36 @@ def q_per_class_metrics(spark, sf_dir):
         F.col("label_3cls_pred").alias("y_pred"),
     )
     return metrics.per_class_report(pairs)
+
+
+@register(
+    "macro_summary",
+    _PER_CLASS_CTES
+    + f""",
+    pcm AS ({_PER_CLASS_SELECT})
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           round(CAST(sum(CAST(precision AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(precision), 6) AS macro_precision,
+           round(CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(recall), 6) AS macro_recall,
+           round(CAST(sum(CAST(f1 AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(f1), 6) AS macro_f1,
+           sum(tp) AS total_tp,
+           sum(tp + fn) AS total_support
+    FROM pcm
+    """,
+)
+def q_macro_summary(spark, sf_dir):
+    """A14 rollup: macro-averaged precision/recall/F1 + totals over the
+    per-class report (ref ml_metrics_extended.py:276-399 aggregate view),
+    on the same persistence-baseline pairs as per_class_metrics."""
+    lab = _daily_labeled(spark, sf_dir)
+    pred = windows.lag_baseline(lab, "date", "label_3cls")
+    pairs = pred.select(
+        F.col("label_3cls").alias("y_true"),
+        F.col("label_3cls_pred").alias("y_pred"),
+    )
+    return metrics.macro_summary(metrics.per_class_report(pairs))
 
 
 @register(
@@ -3466,6 +3500,53 @@ def q_model_selection_grid(spark, sf_dir):
     )
 
 QUERIES["model_selection_grid"] = q_model_selection_grid
+
+
+def q_xml_records_scan(spark, sf_dir):
+    """S3/S4/S9 driver surface: the testdata ships no XML, so synthesize a
+    deterministic Apple-Health-style export under /tmp at run time and scan
+    it with the splittable lineSep record reader (sources/xml_records.py,
+    ref stage_csv_aggregation.py:283-366), then the daily HR aggregation on
+    top — the reader path exercised end-to-end under attestation.
+    Filesystem source, not a registered view -> rows-only check."""
+    import os
+    import tempfile
+
+    from .sources import xml_records
+
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_export_demo.xml")
+    if not os.path.exists(path):
+        lines = ['<?xml version="1.0" encoding="UTF-8"?>', "<HealthData>"]
+        for i in range(2400):
+            day = 1 + (i % 28)
+            hh, mm = (i * 7) % 24, (i * 13) % 60
+            if i % 6 == 5:  # interleaved second type the scan must filter out
+                lines.append(
+                    f'<Record type="HKQuantityTypeIdentifierStepCount" '
+                    f'value="{i % 500}" '
+                    f'startDate="2024-01-{day:02d} {hh:02d}:{mm:02d}:00 +0000" '
+                    f'endDate="2024-01-{day:02d} {hh:02d}:{mm:02d}:59 +0000"/>'
+                )
+            else:
+                val = 55 + (i * 37) % 90
+                lines.append(
+                    f'<Record type="HKQuantityTypeIdentifierHeartRate" '
+                    f'value="{val}" '
+                    f'startDate="2024-01-{day:02d} {hh:02d}:{mm:02d}:00 +0000" '
+                    f'endDate="2024-01-{day:02d} {hh:02d}:{mm:02d}:05 +0000"/>'
+                )
+        lines.append("</HealthData>")
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(lines))
+        os.replace(tmp, path)  # atomic: concurrent runs see old or new, never partial
+    ev = xml_records.hr_events_from_xml(spark, path)
+    return ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.count(F.lit(1)).alias("n_hr"),
+        F.round(F.avg("hr_value"), 6).alias("hr_mean"),
+    )
+
+QUERIES["xml_records_scan"] = q_xml_records_scan
 
 
 @register(
