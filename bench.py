@@ -61,21 +61,24 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # Each query is timed twice and the MIN recorded: the host VM shows
-    # sporadic multi-second stalls (SCALING.md §2 note), and min-of-2 is the
-    # steady-state figure a cluster would see.
+    # Each query is timed three times and the MEDIAN recorded: the host VM
+    # shows sporadic multi-second CPU-steal stalls (SCALING.md §2 note;
+    # r03's minhash 10.5 s was such noise), and the median of 3 rejects a
+    # single stalled repeat in either direction. The per-repeat spread is
+    # emitted alongside so a noisy box is visible in the record itself.
     timings: dict[str, float] = {}
+    repeats: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        best = None
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            runs.append(round(time.time() - t0, 3))
             # drop persisted intermediates so reruns don't hit caches
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        repeats[name] = runs
+        timings[name] = sorted(runs)[1]
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -90,6 +93,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "repeats": repeats,
                 "sf": sf_val,
             }
         )
