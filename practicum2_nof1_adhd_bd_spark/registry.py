@@ -3635,44 +3635,46 @@ _register_dedup_clusters()
 # Redundant variants of an already-attested family sit in the tail; any
 # query registered later without an entry here appends after the front
 # block in registration order.
-# The external harness attests the FIRST 50 entries. Rounds 1-3 attested
-# one fixed prefix (green 50/50 in CORRECTNESS_r03); this round ROTATES the
-# never-yet-attested queries into the window so cumulative driver coverage
-# reaches the whole registry. daily_event_stats stays as a cross-round
-# canary linking the two windows.
+# The external harness attests the FIRST 50 entries. Windowing policy
+# (round 5): (a) every query whose implementation or oracle changed this
+# round sits IN the window — rotation is only for net-new coverage, never
+# a way to ship behavior changes unattested; (b) the 7 queries never yet
+# driver-attested rotate in; (c) daily_event_stats stays as the
+# cross-round canary; (d) remaining slots re-attest r03-window queries
+# untouched since their last green. Cumulative driver coverage after this
+# round = the whole registry, with no entry stale-after-rewrite.
 _FRONT_ORDER = [
-    "daily_event_stats",  # canary: attested green in r03, re-attested here
-    # daily/scalar surface variants (A6, J4, W1, W5, §2.8)
-    "daily_modal_type", "union_sum_fusion", "rolling_7d_mean",
-    "interpolate_daily", "user_sessions", "json_props_daily",
-    "tz_cutover_daily", "multiformat_ts_parse", "pipe_split_union",
-    "unit_coercion_hours",
-    # composite labels / audit / consistency (A3 A8 A9 A14 W7 W12)
-    "pbsi_composite", "quality_adjusted_label", "som_daily_agg",
-    "etl_audit_report", "reagg_consistency", "fold_class_check",
-    "label_halves_drift", "dominant_source_change", "per_class_metrics",
-    "adwin_changes",
-    # biomarkers (A12 A15 A3)
-    "hrv_time_domain", "circadian_midpoint", "high_activity_blocks",
-    "interval_efficiency",
-    # imputation (A13)
-    "impute_segments",
-    # SQL / top-k surface (§2.6)
-    "topk_customers", "region_revenue", "rollup_nation_year",
-    "sql_top_order_per_customer",
-    # LLM pipeline: text analysis + curation
-    "pii_redact_stats", "source_mixture_weights", "pack_sequences",
-    "dup_ngram_profile", "token_length_profile", "quality_score",
-    "doc_fingerprint", "bpe_token_stats",
-    # new this round: splits, LM scoring, tf-idf, entropy
-    "hash_split", "unigram_surprisal", "tfidf_top_terms",
-    "char_ngram_entropy",
-    # LLM pipeline: dedup variants
-    "minhash_signatures", "ngram_jaccard_pairs",
-    # LLM pipeline: similarity + multimodal sampling
-    "cosine_topk", "ann_lsh_topk", "ivf_kmeans_topk", "media_frame_sample",
-    # ML fold loops
-    "logreg_fold_cv", "model_zoo_fold_cv",
+    "daily_event_stats",  # canary: green in r03+r04, re-attested here
+    # never driver-attested until now (registered late in round 4)
+    "quantile_3way_label_approx", "cube_segment_priority",
+    "customer_spend_quartiles", "pretraining_split_report",
+    "incremental_exact_dedup", "stratified_sample_k", "incremental_near_dup",
+    # rewritten in r04 (sketch-guided exact quantiles) + cache-discipline
+    # change this round -> re-attest
+    "quantile_3way_label",
+    # round-5 determinism fixes (decimal-exact sums)
+    "per_class_metrics", "source_mixture_weights",
+    # round-5 behavior-touched: _daily_mean decimal rewrite cascades into
+    # every consumer of the daily-mean/labeled chain
+    "rolling_7d_mean", "lag_persistence", "sliding_seq_stats",
+    "auto_segment_triggers", "anchor_first_window", "rolling_modal_label",
+    "fold_class_check", "label_halves_drift", "high_activity_blocks",
+    "macro_summary",
+    # round-5 behavior-touched: blocking key, audit extension, shared
+    # daily-stats CTE, broadcast knob
+    "ngram_jaccard_pairs", "etl_audit_report", "reagg_consistency",
+    "unigram_surprisal",
+    # new this round
+    "model_selection_grid", "xml_records_scan",
+    # re-attestation of r03-window queries untouched since their green
+    "daily_median_stats", "daily_pivot_sum", "daily_tag_sets",
+    "user_last_value", "outer_join_daily", "date_spine_unify",
+    "coalescing_merge", "union_mean_fusion", "nway_outer_merge",
+    "boundary_range_join", "point_in_interval", "asof_snapshot_select",
+    "dedup_by_key", "forward_fill_daily", "global_zscore",
+    "rolling_corr_7d", "safe_ratio_daily", "gaps_islands_segments",
+    "segment_zscore_month", "missingness_profile", "calendar_month_folds",
+    "exact_dedup", "minhash_lsh_pairs",
 ]
 
 
