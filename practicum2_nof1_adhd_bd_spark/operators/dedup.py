@@ -662,3 +662,66 @@ def incremental_near_dup(
         pairs, cand_sh, id_col=id_col, threshold=threshold,
         precomputed_shingles=True,
     )
+
+
+def chunk_dedup_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Cross-document exact-substring dedup profile at the token-chunk grain.
+
+    ExactSubstr-style dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better") finds verbatim spans shared between
+    documents; the suffix-array construction doesn't distribute naturally,
+    so the Spark-native form is the standard chunk approximation: cut each
+    document into non-overlapping ``chunk_tokens``-token spans, hash each
+    span, and mark a span duplicated when its hash occurs anywhere else in
+    the corpus (another document OR another position in the same document —
+    matching the substring semantics, unlike doc-level exact dedup).
+
+    Per doc: ``n_chunks``, ``n_dup_chunks``, ``dup_chunk_frac`` — the score
+    RefinedWeb-style pipelines threshold to drop mostly-duplicated docs.
+
+    Scale: chunking is one codegen'd transform over the token array (no
+    shuffle); the duplicate marking is one groupBy on the chunk hash
+    (map-side combined counts) + one hash-keyed join back — both shuffle
+    only (doc_id, hash) pairs, never text. Reference parity: the reference
+    has no substring dedup; this is part of the brief's training-data
+    layer alongside exact/minhash/simhash dedup.
+    """
+    toks = tokens(F.col(text_col))
+    n_full = F.floor(F.size(toks) / chunk_tokens).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_full - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens))),
+    )
+    doc_chunks = (
+        fan_out(df, id_col)
+        .select(id_col, F.when(n_full > 0, chunks).otherwise(
+            F.array().cast("array<string>")).alias("chunks"))
+        .select(id_col, F.explode_outer("chunks").alias("h"))
+    )
+    # occurrences of each chunk hash across the whole corpus
+    occ = doc_chunks.filter(F.col("h").isNotNull()).groupBy("h").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    marked = doc_chunks.join(occ, "h", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("h").alias("n_chunks"),
+            F.coalesce(
+                F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)), F.lit(0)
+            ).alias("n_dup_chunks"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(
+                F.col("n_dup_chunks") / F.greatest(F.col("n_chunks"), F.lit(1)), 6
+            ).alias("dup_chunk_frac"),
+        )
+    )

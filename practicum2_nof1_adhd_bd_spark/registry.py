@@ -955,9 +955,9 @@ def q_segment_zscore_month(spark, sf_dir):
     return z.select("o_orderkey", "month", "z_o_totalprice")
 
 
-@register(
-    "pbsi_composite",
-    """
+# Shared by pbsi_composite and pipeline_report (stage-9 rollup reports the
+# label distribution of this exact chain).
+_PBSI_LABELED_SQL = """
     WITH d AS (
         SELECT CAST(ts AS DATE) AS date,
                round(avg(value), 6) AS value_mean,
@@ -990,8 +990,10 @@ def q_segment_zscore_month(spark, sf_dir):
                 WHEN pbsi_score >= p_hi THEN 1
                 ELSE 0 END AS label_3cls
     FROM c, t
-    """,
-)
+"""
+
+
+@register("pbsi_composite", _PBSI_LABELED_SQL)
 def q_pbsi_composite(spark, sf_dir):
     """The flagship chain: daily metrics -> global z-scores -> weighted
     clipped composite -> exact-percentile 3-way labels
@@ -1010,6 +1012,66 @@ def q_pbsi_composite(spark, sf_dir):
     )
     lab = labels.quantile_3way_label(comp, "pbsi_score")
     return lab.select("date", "pbsi_score", "label_3cls")
+
+
+@register(
+    "pipeline_report",
+    f"""
+    WITH dt AS (
+        SELECT CAST(ts AS DATE) AS date, event_type,
+               count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
+                     / count(value), 6) AS vmean
+        FROM events GROUP BY 1, 2
+    ), b AS (
+        SELECT count(DISTINCT date) AS n_days,
+               date_diff('day', min(date), max(date)) + 1 AS span_days,
+               sum(n) AS total_events
+        FROM dt
+    ), cov AS (
+        SELECT event_type, count(DISTINCT date) AS days_with FROM dt GROUP BY 1
+    ), rng AS (
+        SELECT min(vmean) AS v_min, max(vmean) AS v_max,
+               round(CAST(sum(CAST(vmean AS DECIMAL(28,12))) AS DOUBLE)
+                     / count(vmean), 6) AS v_avg
+        FROM dt WHERE event_type = 'error'
+    ), lab AS (SELECT * FROM ({_PBSI_LABELED_SQL})),
+    ld AS (SELECT label_3cls, count(*) AS cnt FROM lab GROUP BY 1),
+    nl AS (SELECT sum(cnt) AS n_lab FROM ld)
+    SELECT 'data_summary' AS section, 'n_days' AS metric,
+           CAST(n_days AS DOUBLE) AS value FROM b
+    UNION ALL SELECT 'data_summary', 'span_days', CAST(span_days AS DOUBLE) FROM b
+    UNION ALL SELECT 'data_summary', 'total_events', CAST(total_events AS DOUBLE) FROM b
+    UNION ALL SELECT 'coverage', 'days_with_' || event_type,
+              CAST(days_with AS DOUBLE) FROM cov
+    UNION ALL SELECT 'coverage', 'pct_' || event_type,
+              round(days_with * 100.0 / n_days, 6) FROM cov, b
+    UNION ALL SELECT 'error_range', 'daily_mean_min', v_min FROM rng
+    UNION ALL SELECT 'error_range', 'daily_mean_max', v_max FROM rng
+    UNION ALL SELECT 'error_range', 'daily_mean_avg', v_avg FROM rng
+    UNION ALL SELECT 'label_dist', 'class_' || CAST(label_3cls AS VARCHAR),
+              CAST(cnt AS DOUBLE) FROM ld
+    UNION ALL SELECT 'label_dist', 'class_pct_' || CAST(label_3cls AS VARCHAR),
+              round(cnt * 100.0 / n_lab, 6) FROM ld, nl
+    """,
+)
+def q_pipeline_report(spark, sf_dir):
+    """Stage-9 run-report rollup (ref scripts/run_full_pipeline.py:1918-2140):
+    the markdown execution summary as a queryable long-format frame —
+    data_summary span/totals, per-domain coverage pct, domain value range,
+    and the flagship label distribution (operators/report.py)."""
+    from .operators import report
+
+    ev = _cat(spark, sf_dir).events
+    dt = ev.groupBy(F.to_date("ts").alias("date"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,12)")).cast("double")
+            / F.count("value"),
+            6,
+        ).alias("vmean"),
+    )
+    return report.run_report(dt, q_pbsi_composite(spark, sf_dir))
 
 
 @register(
@@ -3013,6 +3075,43 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "chunk_dedup_profile",
+    """
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+    ), c AS (
+        SELECT doc_id, CAST(floor(len(toks) / 10.0) AS INT) AS n_full, toks
+        FROM t
+    ), dc AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, n_full),
+                   i -> md5(array_to_string(toks[i*10+1 : i*10+10], ' ')))) AS h
+        FROM c
+    ), occ AS (
+        SELECT h, count(*) AS occ FROM dc GROUP BY 1
+    ), prof AS (
+        SELECT dc.doc_id, count(*) AS n_chunks,
+               sum(CASE WHEN occ.occ > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+        FROM dc JOIN occ USING (h) GROUP BY 1
+    )
+    SELECT c.doc_id,
+           coalesce(n_chunks, 0) AS n_chunks,
+           coalesce(n_dup_chunks, 0) AS n_dup_chunks,
+           round(coalesce(n_dup_chunks, 0) * 1.0
+                 / greatest(coalesce(n_chunks, 0), 1), 6) AS dup_chunk_frac
+    FROM c LEFT JOIN prof USING (doc_id)
+    """,
+)
+def q_chunk_dedup_profile(spark, sf_dir):
+    """ExactSubstr-style cross-document substring dedup at the 10-token
+    chunk grain (Lee et al. 2021): per-doc duplicated-span fraction —
+    chunking is codegen'd per row, dup marking is one hash groupBy + one
+    hash-keyed join (dedup.chunk_dedup_profile)."""
+    docs = _cat(spark, sf_dir).documents
+    return dedup.chunk_dedup_profile(docs, chunk_tokens=10)
+
+
 _TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
 _LTOKENS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 _STOPLIST_SQL = "['" + "', '".join(textops.EN_STOPWORDS) + "']"
@@ -3666,6 +3765,7 @@ _FRONT_ORDER = [
     "unigram_surprisal",
     # new this round
     "model_selection_grid", "xml_records_scan",
+    "pipeline_report", "chunk_dedup_profile",
     # re-attestation of r03-window queries untouched since their green
     "daily_median_stats", "daily_pivot_sum", "daily_tag_sets",
     "user_last_value", "outer_join_daily", "date_spine_unify",
@@ -3674,7 +3774,6 @@ _FRONT_ORDER = [
     "dedup_by_key", "forward_fill_daily", "global_zscore",
     "rolling_corr_7d", "safe_ratio_daily", "gaps_islands_segments",
     "segment_zscore_month", "missingness_profile", "calendar_month_folds",
-    "exact_dedup", "minhash_lsh_pairs",
 ]
 
 

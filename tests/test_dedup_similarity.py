@@ -238,3 +238,39 @@ def test_incremental_near_dup_finds_cross_side_pairs_only(spark):
     out = dedup.incremental_near_dup(batch, index, threshold=0.5).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(10, 1)}
     assert out[0]["jaccard"] == 1.0
+
+
+def test_chunk_dedup_profile_marks_shared_spans(spark):
+    from practicum2_nof1_adhd_bd_spark.operators.dedup import chunk_dedup_profile
+
+    shared = " ".join(f"w{i}" for i in range(10))  # one exact 10-token span
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} {uniq_a}"),     # 2 chunks, 1 duplicated
+            (2, f"{shared} {uniq_b}"),     # 2 chunks, 1 duplicated
+            (3, uniq_a + "x tail"),        # 1 chunk (12 toks), none duplicated
+            (4, "short doc"),              # 0 full chunks
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in chunk_dedup_profile(docs, chunk_tokens=10).collect()
+    }
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dup_chunks"] == 1
+    assert out[2]["dup_chunk_frac"] == 0.5
+    assert out[3]["n_chunks"] == 1 and out[3]["n_dup_chunks"] == 0
+    assert out[4]["n_chunks"] == 0 and out[4]["dup_chunk_frac"] == 0.0
+
+
+def test_chunk_dedup_profile_counts_within_doc_repeats(spark):
+    from practicum2_nof1_adhd_bd_spark.operators.dedup import chunk_dedup_profile
+
+    span = " ".join(f"r{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, f"{span} {span}")], ["doc_id", "text"]
+    )  # same span at two positions inside ONE doc -> substring semantics
+    row = chunk_dedup_profile(docs, chunk_tokens=10).collect()[0]
+    assert row["n_chunks"] == 2 and row["n_dup_chunks"] == 2

@@ -84,3 +84,31 @@ def test_training_shards_token_balanced(spark, tmp_path):
     total = sum(per.values())
     # every shard within 2x of the ideal quarter despite 50x length skew
     assert all(abs(v - total / 4) < total / 8 for v in per.values())
+
+
+def test_pipeline_report_sections(spark, sf_dir):
+    from practicum2_nof1_adhd_bd_spark.registry import QUERIES
+
+    out = QUERIES["pipeline_report"](spark, sf_dir).collect()
+    by = {(r["section"], r["metric"]): r["value"] for r in out}
+    n_days = by[("data_summary", "n_days")]
+    assert n_days > 0
+    assert by[("data_summary", "span_days")] >= n_days
+    # coverage percentages are bounded and consistent with day counts
+    for (sec, met), v in by.items():
+        if sec == "coverage" and met.startswith("pct_"):
+            assert 0.0 <= v <= 100.0
+            days = by[("coverage", "days_with_" + met[4:])]
+            assert abs(v - round(days * 100.0 / n_days, 6)) < 1e-9
+    # label distribution covers all labeled days and pcts sum to ~100
+    counts = [v for (s, m), v in by.items()
+              if s == "label_dist" and m.startswith("class_") and "pct" not in m]
+    pcts = [v for (s, m), v in by.items() if s == "label_dist" and "pct" in m]
+    assert sum(counts) == n_days  # every day gets a label in the pbsi chain
+    assert abs(sum(pcts) - 100.0) < 1e-3
+    # range section: min <= avg <= max
+    assert (
+        by[("error_range", "daily_mean_min")]
+        <= by[("error_range", "daily_mean_avg")]
+        <= by[("error_range", "daily_mean_max")]
+    )
