@@ -3606,8 +3606,10 @@ def q_xml_records_scan(spark, sf_dir):
     deterministic Apple-Health-style export under /tmp at run time and scan
     it with the splittable lineSep record reader (sources/xml_records.py,
     ref stage_csv_aggregation.py:283-366), then the daily HR aggregation on
-    top — the reader path exercised end-to-end under attestation.
-    Filesystem source, not a registered view -> rows-only check."""
+    top — the reader path exercised end-to-end under attestation. The
+    synthesized content is a pure function of the record index, so the
+    oracle regenerates the expected aggregate from the same formula in
+    SQL — full value-hash attestation despite the filesystem source."""
     import os
     import tempfile
 
@@ -3646,6 +3648,21 @@ def q_xml_records_scan(spark, sf_dir):
     )
 
 QUERIES["xml_records_scan"] = q_xml_records_scan
+# The synthetic export is deterministic (record i: HeartRate unless i%6==5,
+# day 1+(i%28), value 55+(i*37)%90), so the oracle rebuilds the expected
+# daily aggregate from the same index formula — no XML needed on the
+# DuckDB side. Integer values sum exactly in doubles, so avg is
+# combine-order-stable.
+ORACLES["xml_records_scan"] = """
+    WITH g AS (SELECT unnest(range(0, 2400)) AS i),
+    hr AS (
+        SELECT CAST(DATE '2024-01-01' + (i % 28) * INTERVAL 1 DAY AS DATE) AS date,
+               CAST(55 + (i * 37) % 90 AS DOUBLE) AS v
+        FROM g WHERE i % 6 != 5
+    )
+    SELECT date, count(*) AS n_hr, round(avg(v), 6) AS hr_mean
+    FROM hr GROUP BY 1
+"""
 
 
 @register(

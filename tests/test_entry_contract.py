@@ -10,11 +10,12 @@ def test_oracle_keys_subset_of_queries():
     # every query is callable
     assert all(callable(f) for f in qs.values())
     # substantial coverage: at least 40 queries; rows-only (no-oracle)
-    # budget is 9: adwin, ann_lsh, impute, logreg_cv, ivf_kmeans, model_zoo,
+    # budget is 8: adwin, ann_lsh, impute, logreg_cv, ivf_kmeans, model_zoo,
     # quantile_3way_label_approx (sketch cut points are ulp-unstable),
-    # model_selection_grid (MLlib), xml_records_scan (filesystem source)
+    # model_selection_grid (MLlib). xml_records_scan regained a value-hash
+    # oracle by regenerating the synthetic export's aggregate in SQL.
     assert len(qs) >= 40
-    assert len(set(qs) - set(oracles)) <= 9
+    assert len(set(qs) - set(oracles)) <= 8
 
 
 def test_entry_runs_and_is_deterministic(spark):
