@@ -3665,6 +3665,65 @@ ORACLES["xml_records_scan"] = """
 """
 
 
+def q_jsonl_corpus_scan(spark, sf_dir):
+    """S5-adjacent driver surface for the JSONL corpus source: training
+    corpora travel as JSON Lines, so synthesize a deterministic JSONL shard
+    (including corrupt lines a web-scrape always contains) under /tmp and
+    run the defensive read (sources/jsonl.py: explicit schema — one scan,
+    not inference's two — PERMISSIVE, corrupt-line capture), then a
+    per-lang rollup. Content is a pure function of the line index, so the
+    oracle regenerates the expected aggregate in SQL — full value-hash
+    attestation despite the filesystem source."""
+    import os
+    import tempfile
+
+    from .sources import jsonl
+
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_corpus_demo.jsonl")
+    if not os.path.exists(path):
+        langs = ["en", "de", "fr", "pt"]
+        lines = []
+        for i in range(3000):
+            if i % 97 == 13:  # deliberately corrupt line (unclosed object)
+                lines.append('{"doc_id": %d, "text": "broken' % i)
+            else:
+                lines.append(
+                    '{"doc_id": %d, "text": "doc %d", "lang": "%s", '
+                    '"source": "web", "n_chars": %d}'
+                    % (i, i, langs[i % 4], (i * 17) % 400 + 10)
+                )
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(lines))
+        os.replace(tmp, path)  # atomic: concurrent runs never see a partial
+    docs = jsonl.read_jsonl_corpus(spark, path)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        # text = "doc <i>": integer lengths sum exactly in doubles, so the
+        # mean is combine-order-stable
+        F.round(F.avg(F.length("text")), 6).alias("mean_text_len"),
+    )
+
+QUERIES["jsonl_corpus_scan"] = q_jsonl_corpus_scan
+# Line i (i%97!=13): lang = [en,de,fr,pt][i%4], n_chars = (i*17)%400+10,
+# text "doc i" -> length 4+len(str(i)). The oracle rebuilds the rollup
+# from that formula; corrupt lines (i%97==13) are excluded exactly as the
+# PERMISSIVE read drops them.
+ORACLES["jsonl_corpus_scan"] = """
+    WITH g AS (SELECT unnest(range(0, 3000)) AS i),
+    d AS (
+        SELECT (['en','de','fr','pt'])[(i % 4) + 1] AS lang,
+               (i * 17) % 400 + 10 AS n_chars,
+               4 + length(CAST(i AS VARCHAR)) AS text_len
+        FROM g WHERE i % 97 != 13
+    )
+    SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+           round(avg(CAST(text_len AS DOUBLE)), 6) AS mean_text_len
+    FROM d GROUP BY 1
+"""
+
+
 @register(
     "feature_attribution_topk",
     """
@@ -3782,7 +3841,7 @@ _FRONT_ORDER = [
     "unigram_surprisal",
     # new this round
     "model_selection_grid", "xml_records_scan",
-    "pipeline_report", "chunk_dedup_profile",
+    "pipeline_report", "chunk_dedup_profile", "jsonl_corpus_scan",
     # re-attestation of r03-window queries untouched since their green
     "daily_median_stats", "daily_pivot_sum", "daily_tag_sets",
     "user_last_value", "outer_join_daily", "date_spine_unify",
@@ -3790,7 +3849,7 @@ _FRONT_ORDER = [
     "boundary_range_join", "point_in_interval", "asof_snapshot_select",
     "dedup_by_key", "forward_fill_daily", "global_zscore",
     "rolling_corr_7d", "safe_ratio_daily", "gaps_islands_segments",
-    "segment_zscore_month", "missingness_profile", "calendar_month_folds",
+    "segment_zscore_month", "missingness_profile",
 ]
 
 

@@ -52,6 +52,6 @@ def test_attestation_window_is_stable():
         "quantile_3way_label", "per_class_metrics", "source_mixture_weights",
         "ngram_jaccard_pairs", "etl_audit_report", "macro_summary",
         "model_selection_grid", "xml_records_scan",
-        "pipeline_report", "chunk_dedup_profile",
+        "pipeline_report", "chunk_dedup_profile", "jsonl_corpus_scan",
     ):
         assert must in window, must

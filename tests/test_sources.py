@@ -144,3 +144,41 @@ def test_cda_probe_counts_and_codes(spark, tmp_path):
     assert out[("code", "8867-4")] == 2
     assert out[("code", "Steps")] == 1
     assert ("code", "SEC-1") not in out
+
+
+def test_jsonl_corpus_read_write_roundtrip(spark, tmp_path):
+    from practicum2_nof1_adhd_bd_spark.sources.jsonl import (
+        read_jsonl_corpus,
+        write_jsonl_corpus,
+    )
+
+    src = tmp_path / "corpus.jsonl"
+    src.write_text(
+        "\n".join(
+            [
+                '{"doc_id": 1, "text": "hello world", "lang": "en", '
+                '"source": "web", "n_chars": 11}',
+                '{"doc_id": 2, "text": "bonjour", "lang": "fr", '
+                '"source": "web", "n_chars": 7, "meta": {"url": "x"}}',
+                '{"doc_id": 3, "text": "broken',  # corrupt: dropped
+                "not json at all",  # corrupt: dropped
+                '{"doc_id": 4, "text": "ola", "lang": "pt", '
+                '"source": "books", "n_chars": 3}',
+            ]
+        )
+    )
+    df = read_jsonl_corpus(spark, str(src))
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[2]["meta"]["url"] == "x"
+    assert "_corrupt_record" not in df.columns
+
+    kept = read_jsonl_corpus(spark, str(src), drop_corrupt=False)
+    # collect full rows: a query touching ONLY the corrupt column is
+    # disallowed by the JSON reader (SPARK-21610)
+    assert sum(r["_corrupt_record"] is not None for r in kept.collect()) == 2
+
+    out = tmp_path / "out"
+    write_jsonl_corpus(df, str(out), max_records_per_file=2, compression=None)
+    back = read_jsonl_corpus(spark, str(out))
+    assert {r["doc_id"] for r in back.collect()} == {1, 2, 4}
