@@ -725,3 +725,37 @@ def chunk_dedup_profile(
             ).alias("dup_chunk_frac"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus snapshot diff: per-document status between two corpus
+    versions — ``added`` (id only in new), ``removed`` (id only in old),
+    ``changed`` (id in both, content hash differs), ``unchanged``.
+
+    The engine's immutable-snapshot doctrine (SURVEY.md §2.1 S11, ref
+    run_full_pipeline.py snapshot dirs) means curation iterations produce
+    full new corpus versions; the diff is what a pipeline audits before
+    retraining ("this filter change touched 3% of documents").
+
+    Plan: each side reduces to (id, content_md5) — text never shuffles —
+    then ONE full-outer hash join on the id. Both projections are map-side;
+    the join shuffles two narrow frames on the same key, so cost is linear
+    in corpus card at any scale. In production both sides read stored hash
+    columns (the exact-dedup index), skipping even the text scan.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    o = old.select(F.col(id_col), F.md5(norm).alias("old_md5"))
+    n = new.select(F.col(id_col), F.md5(norm).alias("new_md5"))
+    return o.join(n, id_col, "full_outer").select(
+        id_col,
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("new_md5").isNull(), F.lit("removed"))
+        .when(F.col("old_md5") != F.col("new_md5"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

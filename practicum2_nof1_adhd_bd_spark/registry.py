@@ -3112,6 +3112,49 @@ def q_chunk_dedup_profile(spark, sf_dir):
     return dedup.chunk_dedup_profile(docs, chunk_tokens=10)
 
 
+@register(
+    "snapshot_diff_report",
+    """
+    WITH o AS (SELECT doc_id FROM documents WHERE doc_id % 10 != 3),
+    n AS (SELECT doc_id, doc_id % 5 = 0 AS edited
+          FROM documents WHERE doc_id % 10 != 7),
+    d AS (
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN n.edited THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    )
+    SELECT status, count(*) AS n_docs,
+           min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+    FROM d GROUP BY 1
+    """,
+)
+def q_snapshot_diff_report(spark, sf_dir):
+    """Curation-iteration audit: diff two corpus snapshot versions into
+    added/removed/changed/unchanged via one full-outer join of (id, hash)
+    frames (dedup.snapshot_diff — text never shuffles). Snapshots are
+    simulated deterministically from the documents table: the old version
+    lacks doc_id%10==3, the new lacks doc_id%10==7 and rewrites the text
+    of doc_id%5==0; the oracle derives the same statuses from the
+    simulation rule directly, no md5 needed on the SQL side."""
+    docs = _cat(spark, sf_dir).documents
+    old = docs.filter(F.col("doc_id") % 10 != 3)
+    new = docs.filter(F.col("doc_id") % 10 != 7).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    d = dedup.snapshot_diff(old, new)
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 _TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
 _LTOKENS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 _STOPLIST_SQL = "['" + "', '".join(textops.EN_STOPWORDS) + "']"
@@ -3842,6 +3885,7 @@ _FRONT_ORDER = [
     # new this round
     "model_selection_grid", "xml_records_scan",
     "pipeline_report", "chunk_dedup_profile", "jsonl_corpus_scan",
+    "snapshot_diff_report",
     # re-attestation of r03-window queries untouched since their green
     "daily_median_stats", "daily_pivot_sum", "daily_tag_sets",
     "user_last_value", "outer_join_daily", "date_spine_unify",
@@ -3849,7 +3893,7 @@ _FRONT_ORDER = [
     "boundary_range_join", "point_in_interval", "asof_snapshot_select",
     "dedup_by_key", "forward_fill_daily", "global_zscore",
     "rolling_corr_7d", "safe_ratio_daily", "gaps_islands_segments",
-    "segment_zscore_month", "missingness_profile",
+    "segment_zscore_month",
 ]
 
 

@@ -274,3 +274,26 @@ def test_chunk_dedup_profile_counts_within_doc_repeats(spark):
     )  # same span at two positions inside ONE doc -> substring semantics
     row = chunk_dedup_profile(docs, chunk_tokens=10).collect()[0]
     assert row["n_chunks"] == 2 and row["n_dup_chunks"] == 2
+
+
+def test_snapshot_diff_statuses(spark):
+    from practicum2_nof1_adhd_bd_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta")],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged (whitespace-normalized equal), 2 changed, 3 missing
+        # (removed), 5 added
+        [(1, "  Alpha "), (2, "beta v2"), (4, "delta"), (5, "epsilon")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "unchanged",
+        5: "added",
+    }
