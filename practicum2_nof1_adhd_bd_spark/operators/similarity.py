@@ -293,3 +293,52 @@ def ann_topk_lsh(
     )
     corpus = embeddings.join(cands, id_col, "left_semi")
     return cosine_topk_bruteforce(corpus, query_id, k, id_col, vec_col)
+
+
+def bucket_balanced_sample(
+    embeddings: DataFrame,
+    k_per_bucket: int = 8,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-balanced corpus sampling: partition the embedding space
+    into sign-pattern buckets and take an equal per-bucket quota, so a
+    subsample cannot be flooded by the corpus's dominant semantic mode
+    (cluster-balanced selection, the embedding-space analogue of the
+    per-source stratified_sample_k).
+
+    Buckets are the sign bits of the first ``n_bits`` embedding components
+    — an axis-aligned special case of sign-LSH that is deterministic and
+    SQL-reproducible (no seeded hyperplanes), giving the query a value-hash
+    oracle; swap in random_hyperplane_buckets or the trained IVF centroids
+    (ivf_kmeans_topk) when bucket quality matters more than attestability.
+    Within a bucket the quota picks the k smallest md5(id) — an unbiased,
+    RNG-free draw (same device as hash_split).
+
+    Scale: bucket assignment is a codegen'd projection (no shuffle); the
+    quota is one window rank per bucket — a single shuffle on the bucket
+    key. With 2^n_bits buckets well below partition count, AQE's skew
+    split handles a hot bucket; for pathological skew, pre-aggregate a
+    per-partition top-k (the cosine_topk pattern) before the global rank.
+    """
+    from pyspark.sql import Window
+
+    bucket = None
+    for j in range(n_bits):
+        bit = (F.element_at(F.col(vec_col), j + 1) > 0).cast("int")
+        term = bit * F.lit(2**j)
+        bucket = term if bucket is None else bucket + term
+    ranked = embeddings.select(
+        F.col(id_col), bucket.alias("bucket")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy(
+                F.md5(F.col(id_col).cast("string"))
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") <= k_per_bucket).select(
+        id_col, "bucket", F.col("rn").alias("quota_rank")
+    )

@@ -3470,6 +3470,36 @@ def q_embedding_near_dup(spark, sf_dir):
     return sim.embedding_near_dup_pairs(emb, threshold=0.3, block_col="label")
 
 
+@register(
+    "bucket_balanced_sample",
+    """
+    WITH b AS (
+        SELECT vec_id,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings
+    ), r AS (
+        SELECT vec_id, bucket,
+               row_number() OVER (
+                   PARTITION BY bucket ORDER BY md5(CAST(vec_id AS VARCHAR))
+               ) AS quota_rank
+        FROM b
+    )
+    SELECT vec_id, bucket, quota_rank FROM r WHERE quota_rank <= 8
+    """,
+)
+def q_bucket_balanced_sample(spark, sf_dir):
+    """Diversity-balanced sampling: equal per-bucket quota over sign-pattern
+    embedding buckets, k smallest md5(id) within each (RNG-free) — the
+    cluster-balanced subsample a curation pipeline draws so dominant
+    semantic modes can't flood a eval/seed set
+    (sim.bucket_balanced_sample)."""
+    emb = _cat(spark, sf_dir).embeddings
+    return sim.bucket_balanced_sample(emb, k_per_bucket=8, n_bits=4)
+
+
 def _register_semantic_dedup() -> None:
     """SemDeDup-style semantic dedup: embedding-cosine near-dup pairs at a
     high threshold -> connected components -> keep one representative per
@@ -3885,7 +3915,7 @@ _FRONT_ORDER = [
     # new this round
     "model_selection_grid", "xml_records_scan",
     "pipeline_report", "chunk_dedup_profile", "jsonl_corpus_scan",
-    "snapshot_diff_report",
+    "snapshot_diff_report", "bucket_balanced_sample",
     # re-attestation of r03-window queries untouched since their green
     "daily_median_stats", "daily_pivot_sum", "daily_tag_sets",
     "user_last_value", "outer_join_daily", "date_spine_unify",
@@ -3893,7 +3923,6 @@ _FRONT_ORDER = [
     "boundary_range_join", "point_in_interval", "asof_snapshot_select",
     "dedup_by_key", "forward_fill_daily", "global_zscore",
     "rolling_corr_7d", "safe_ratio_daily", "gaps_islands_segments",
-    "segment_zscore_month",
 ]
 
 

@@ -153,3 +153,26 @@ def test_ivf_kmeans_full_index_path(spark):
     assert len(got) == 5
     # probing 1 cell from a query in cluster A returns only cluster-A ids
     assert all(g < 20 for g in got)
+
+
+def test_bucket_balanced_sample_quota(spark):
+    from practicum2_nof1_adhd_bd_spark.operators.similarity import (
+        bucket_balanced_sample,
+    )
+
+    # 40 vectors, 2 sign-buckets on the first 2 dims (dims 3+ ignored)
+    rows = [
+        (i, [1.0 if i % 2 else -1.0, 1.0, 0.5, -0.5]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = bucket_balanced_sample(emb, k_per_bucket=3, n_bits=2)
+    got = out.collect()
+    per_bucket = {}
+    for r in got:
+        per_bucket.setdefault(r["bucket"], []).append(r["quota_rank"])
+    # exactly two populated buckets (patterns 0b10 and 0b11), 3 each
+    assert set(per_bucket) == {2, 3}
+    assert all(sorted(v) == [1, 2, 3] for v in per_bucket.values())
+    # determinism: same draw on re-run
+    again = bucket_balanced_sample(emb, k_per_bucket=3, n_bits=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
