@@ -3112,6 +3112,65 @@ def q_chunk_dedup_profile(spark, sf_dir):
     return dedup.chunk_dedup_profile(docs, chunk_tokens=10)
 
 
+def q_zip_ingest_scan(spark, sf_dir):
+    """S1 driver surface: the reference unpacks export ZIPs driver-side
+    (ref run_full_pipeline.py:420-548); here a deterministic archive is
+    synthesized under /tmp and ingested with the executor-side binaryFile
+    + mapInPandas unzip (sources/zip_ingest.py) — members matching *.csv
+    decompress in the executors, a .txt decoy proves the member-pattern
+    pushdown, and the per-member rollup is rebuilt by the oracle from the
+    row formula for full value-hash attestation."""
+    import os
+    import tempfile
+    import zipfile
+
+    from .sources import zip_ingest
+
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_export_demo.zip")
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for m in range(4):
+                lines = ["day,value"]
+                for j in range(200):
+                    lines.append(f"{1 + (j % 28)},{(m * 1000 + j * 7) % 300}")
+                zf.writestr(f"hr_{m}.csv", "\n".join(lines))
+            zf.writestr("readme.txt", "decoy member: must not be scanned")
+        os.replace(tmp, path)  # atomic: concurrent runs never see a partial
+    lines = zip_ingest.csv_lines_from_zip(spark, path, pattern="*.csv")
+    rows = lines.filter(F.col("line") != "day,value").select(
+        "member_name",
+        F.split(F.col("line"), ",").alias("f"),
+    )
+    return rows.select(
+        "member_name",
+        F.element_at("f", 1).cast("int").alias("day"),
+        F.element_at("f", 2).cast("long").alias("value"),
+    ).groupBy("member_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("sum_value"),
+        F.countDistinct("day").alias("n_days"),
+    )
+
+QUERIES["zip_ingest_scan"] = q_zip_ingest_scan
+# Member m (0..3), row j (0..199): value = (m*1000 + j*7) % 300,
+# day = 1 + (j % 28) — the oracle regenerates the per-member rollup from
+# that formula; the decoy .txt member is excluded exactly as the member
+# pattern skips it before decompression.
+ORACLES["zip_ingest_scan"] = """
+    WITH g AS (SELECT unnest(range(0, 800)) AS i),
+    r AS (
+        SELECT 'hr_' || CAST(i // 200 AS VARCHAR) || '.csv' AS member_name,
+               1 + (i % 200) % 28 AS day,
+               ((i // 200) * 1000 + (i % 200) * 7) % 300 AS value
+        FROM g
+    )
+    SELECT member_name, count(*) AS n_rows, sum(value) AS sum_value,
+           count(DISTINCT day) AS n_days
+    FROM r GROUP BY 1
+"""
+
+
 @register(
     "snapshot_diff_report",
     """
@@ -3915,14 +3974,14 @@ _FRONT_ORDER = [
     # new this round
     "model_selection_grid", "xml_records_scan",
     "pipeline_report", "chunk_dedup_profile", "jsonl_corpus_scan",
-    "snapshot_diff_report", "bucket_balanced_sample",
+    "snapshot_diff_report", "bucket_balanced_sample", "zip_ingest_scan",
     # re-attestation of r03-window queries untouched since their green
     "daily_median_stats", "daily_pivot_sum", "daily_tag_sets",
     "user_last_value", "outer_join_daily", "date_spine_unify",
     "coalescing_merge", "union_mean_fusion", "nway_outer_merge",
     "boundary_range_join", "point_in_interval", "asof_snapshot_select",
     "dedup_by_key", "forward_fill_daily", "global_zscore",
-    "rolling_corr_7d", "safe_ratio_daily", "gaps_islands_segments",
+    "rolling_corr_7d", "gaps_islands_segments",
 ]
 
 

@@ -53,6 +53,6 @@ def test_attestation_window_is_stable():
         "ngram_jaccard_pairs", "etl_audit_report", "macro_summary",
         "model_selection_grid", "xml_records_scan",
         "pipeline_report", "chunk_dedup_profile", "jsonl_corpus_scan",
-        "snapshot_diff_report", "bucket_balanced_sample",
+        "snapshot_diff_report", "bucket_balanced_sample", "zip_ingest_scan",
     ):
         assert must in window, must

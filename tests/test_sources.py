@@ -182,3 +182,29 @@ def test_jsonl_corpus_read_write_roundtrip(spark, tmp_path):
     write_jsonl_corpus(df, str(out), max_records_per_file=2, compression=None)
     back = read_jsonl_corpus(spark, str(out))
     assert {r["doc_id"] for r in back.collect()} == {1, 2, 4}
+
+
+def test_zip_ingest_members_and_pattern(spark, tmp_path):
+    import zipfile
+
+    from practicum2_nof1_adhd_bd_spark.sources.zip_ingest import (
+        csv_lines_from_zip,
+        read_zip_members,
+    )
+
+    p = tmp_path / "export.zip"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("a.csv", "x,y\n1,2\n3,4")
+        zf.writestr("sub/b.csv", "x,y\n5,6")
+        zf.writestr("notes.txt", "skip me")
+    members = read_zip_members(spark, str(p)).collect()
+    assert {m["member_name"] for m in members} == {"a.csv", "sub/b.csv", "notes.txt"}
+    by_name = {m["member_name"]: m for m in members}
+    assert bytes(by_name["a.csv"]["member_bytes"]) == b"x,y\n1,2\n3,4"
+    assert by_name["sub/b.csv"]["n_bytes"] == len(b"x,y\n5,6")
+
+    lines = csv_lines_from_zip(spark, str(p), pattern="*.csv").collect()
+    assert all(l["member_name"].endswith(".csv") for l in lines)
+    assert sorted(l["line"] for l in lines) == sorted(
+        ["x,y", "1,2", "3,4", "x,y", "5,6"]
+    )
