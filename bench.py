@@ -38,6 +38,10 @@ HEADLINE = [
     "char_ngram_entropy",
     "media_decode_features",
     "media_real_decode",
+    # round-5 additions
+    "chunk_dedup_profile",
+    "snapshot_diff_report",
+    "bucket_balanced_sample",
 ]
 
 
@@ -61,24 +65,25 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # Each query is timed three times and the MEDIAN recorded: the host VM
+    # Each query is timed five times and the MEDIAN recorded: the host VM
     # shows sporadic multi-second CPU-steal stalls (SCALING.md §2 note;
-    # r03's minhash 10.5 s was such noise), and the median of 3 rejects a
-    # single stalled repeat in either direction. The per-repeat spread is
-    # emitted alongside so a noisy box is visible in the record itself.
+    # r03's minhash 10.5 s was such noise, and r05 measured single-process
+    # repeat spreads of 2.3-9.3 s on the same query), so the median must
+    # survive up to two stalled repeats. The per-repeat spread is emitted
+    # alongside so a noisy box is visible in the record itself.
     timings: dict[str, float] = {}
     repeats: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.time() - t0, 3))
             # drop persisted intermediates so reruns don't hit caches
             spark.catalog.clearCache()
         repeats[name] = runs
-        timings[name] = sorted(runs)[1]
+        timings[name] = sorted(runs)[2]
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

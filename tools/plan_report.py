@@ -103,6 +103,23 @@ NOTES = {
         "map-side combine on the same doc_id hash partitioning, so the "
         "only exchange is the fan-out; entropy math is all codegen."
     ),
+    "chunk_dedup_profile": (
+        "Chunking is one codegen'd transform over the token array (no "
+        "shuffle); dup marking is a groupBy on the chunk hash (map-side "
+        "combined) plus one hash-keyed join back — shuffles carry "
+        "(doc_id, hash) pairs only, never text."
+    ),
+    "snapshot_diff_report": (
+        "Both snapshot sides project to (id, md5) before the single "
+        "full-outer sort-merge join — text never reaches an exchange, so "
+        "the diff costs two narrow shuffles regardless of document size."
+    ),
+    "bucket_balanced_sample": (
+        "Bucket assignment is a codegen'd projection on the scan; the "
+        "quota is one window rank partitioned by bucket — a single "
+        "exchange on the bucket key, with AQE skew-split as the backstop "
+        "for a hot bucket."
+    ),
 }
 
 

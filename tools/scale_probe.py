@@ -138,6 +138,9 @@ QUERIES = [
     "tfidf_top_terms",
     "char_ngram_entropy",
     "hash_split",
+    "chunk_dedup_profile",
+    "snapshot_diff_report",
+    "bucket_balanced_sample",
 ]
 
 
