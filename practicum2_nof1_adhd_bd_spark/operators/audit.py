@@ -211,3 +211,19 @@ def reaggregation_consistency(
         n_diff.alias("count_abs_diff"),
         consistent.alias("consistent"),
     )
+
+
+def audit_exit_code(report: DataFrame) -> int:
+    """Severity -> process exit code, the reference's CI gate
+    (ref etl_audit.py:1513-1741: any CRITICAL -> 2, else any WARNING -> 1,
+    else 0). The report frame is check-grain (dozens of rows), so the
+    reduction is one tiny aggregate — the only driver-side value is the
+    single int a scheduler actually needs."""
+    row = report.agg(
+        F.max(
+            F.when(F.col("severity") == "CRITICAL", 2)
+            .when(F.col("severity") == "WARNING", 1)
+            .otherwise(0)
+        ).alias("code")
+    ).first()
+    return int(row["code"] or 0)

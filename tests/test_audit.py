@@ -125,3 +125,14 @@ def test_reagg_consistency_detects_corruption(spark):
     )
     out3 = audit.reaggregation_consistency(ev, fabricated)
     assert out3.filter(~F.col("consistent")).count() == 1
+
+
+def test_audit_exit_code_severity_gate(spark):
+    from practicum2_nof1_adhd_bd_spark.operators.audit import audit_exit_code
+
+    def rep(*sev):
+        return spark.createDataFrame([(s,) for s in sev], "severity string")
+
+    assert audit_exit_code(rep("OK", "INFO")) == 0
+    assert audit_exit_code(rep("OK", "WARNING", "INFO")) == 1
+    assert audit_exit_code(rep("WARNING", "CRITICAL", "OK")) == 2
