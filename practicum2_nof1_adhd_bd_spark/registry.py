@@ -1907,6 +1907,82 @@ def q_fold_class_check(spark, sf_dir):
 
 
 @register(
+    "majority_baseline",
+    f"""
+    WITH {_DAILY_LABELED},
+    anchor AS (SELECT min(date) AS a FROM lab),
+    f AS (
+        SELECT date, label_3cls,
+               date_diff('day', a, date) // 10 AS fold_id,
+               CASE WHEN date_diff('day', a, date) % 10 < 7
+                    THEN 'train' ELSE 'val' END AS split
+        FROM lab, anchor
+    ),
+    cnt AS (
+        SELECT fold_id, label_3cls AS lbl, count(*) AS n
+        FROM f WHERE split = 'train' GROUP BY 1, 2
+    ),
+    maj AS (
+        SELECT fold_id, lbl AS majority_label FROM (
+            SELECT fold_id, lbl,
+                   row_number() OVER (
+                       PARTITION BY fold_id ORDER BY n DESC, lbl ASC
+                   ) AS rn
+            FROM cnt
+        ) WHERE rn = 1
+    )
+    SELECT v.fold_id, majority_label, count(*) AS n_val,
+           round(avg(CASE WHEN v.label_3cls = majority_label
+                          THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+    FROM (SELECT fold_id, label_3cls FROM f WHERE split = 'val') v
+    JOIN maj USING (fold_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_majority_baseline(spark, sf_dir):
+    """Majority-class naive baseline per temporal fold (ref
+    ml_metrics_extended.py:158-269: the floor every model must beat,
+    alongside the persistence baseline lag_persistence): each fold
+    predicts its train split's modal label (smallest label on ties,
+    sklearn's tie-break, ml.py:175) for every val day. Pure DataFrame
+    ops — the per-fold majority frame is fold-cardinality and broadcasts
+    back onto the val rows."""
+    from pyspark.sql import Window
+
+    lab = _daily_labeled(spark, sf_dir)
+    folded = folds.day_folds(lab, "date", train_days=7, gap_days=0, val_days=3)
+    cnt = (
+        folded.filter(F.col("split") == "train")
+        .groupBy("fold_id", "label_3cls")
+        .count()
+    )
+    w = Window.partitionBy("fold_id").orderBy(
+        F.desc("count"), F.asc("label_3cls")
+    )
+    maj = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("fold_id", F.col("label_3cls").alias("majority_label"))
+    )
+    val = folded.filter(F.col("split") == "val").select("fold_id", "label_3cls")
+    return (
+        val.join(F.broadcast(maj), "fold_id")
+        .groupBy("fold_id", "majority_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_val"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("label_3cls") == F.col("majority_label"), 1.0
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("accuracy"),
+        )
+    )
+
+
+@register(
     "label_halves_drift",
     f"""
     WITH {_DAILY_LABELED},
@@ -3975,13 +4051,14 @@ _FRONT_ORDER = [
     "model_selection_grid", "xml_records_scan",
     "pipeline_report", "chunk_dedup_profile", "jsonl_corpus_scan",
     "snapshot_diff_report", "bucket_balanced_sample", "zip_ingest_scan",
+    "majority_baseline",
     # re-attestation of r03-window queries untouched since their green
     "daily_median_stats", "daily_pivot_sum", "daily_tag_sets",
     "user_last_value", "outer_join_daily", "date_spine_unify",
     "coalescing_merge", "union_mean_fusion", "nway_outer_merge",
     "boundary_range_join", "point_in_interval", "asof_snapshot_select",
     "dedup_by_key", "forward_fill_daily", "global_zscore",
-    "rolling_corr_7d", "gaps_islands_segments",
+    "gaps_islands_segments",
 ]
 
 
