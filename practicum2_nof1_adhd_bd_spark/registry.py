@@ -1983,6 +1983,68 @@ def q_majority_baseline(spark, sf_dir):
 
 
 @register(
+    "stratified_baseline",
+    f"""
+    WITH {_DAILY_LABELED},
+    anchor AS (SELECT min(date) AS a FROM lab),
+    f AS (
+        SELECT date, label_3cls,
+               date_diff('day', a, date) // 10 AS fold_id,
+               CASE WHEN date_diff('day', a, date) % 10 < 7
+                    THEN 'train' ELSE 'val' END AS split
+        FROM lab, anchor
+    ),
+    p AS (
+        SELECT fold_id, label_3cls,
+               count(*) FILTER (WHERE split = 'train') AS n_tr,
+               count(*) FILTER (WHERE split = 'val') AS n_va
+        FROM f WHERE split IN ('train', 'val') GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT fold_id, sum(n_tr) AS t_tr, sum(n_va) AS t_va
+        FROM p GROUP BY 1
+    )
+    SELECT p.fold_id,
+           CAST(tot.t_va AS BIGINT) AS n_val,
+           CAST(round(sum(CAST(n_tr AS DECIMAL(38,18)) * n_va)
+                 / (t_tr * t_va), 6) AS DOUBLE) AS expected_accuracy
+    FROM p JOIN tot USING (fold_id)
+    WHERE t_tr > 0 AND t_va > 0
+    GROUP BY 1, 2, t_tr, t_va
+    """,
+)
+def q_stratified_baseline(spark, sf_dir):
+    """Stratified-random naive baseline per temporal fold (ref
+    ml_metrics_extended.py:158-269) in closed form: a guesser drawing from
+    the train label distribution scores expected accuracy
+    sum_c p_train(c) * p_val(c) — computed exactly instead of sampling, so
+    the baseline is deterministic and oracle-checkable. The per-(fold,
+    label) count frame is tiny; the ratio is decimal-exact before the
+    final round (combine-order-stable)."""
+    lab = _daily_labeled(spark, sf_dir)
+    folded = folds.day_folds(lab, "date", train_days=7, gap_days=0, val_days=3)
+    p = (
+        folded.filter(F.col("split").isin("train", "val"))
+        .groupBy("fold_id", "label_3cls")
+        .agg(
+            F.sum((F.col("split") == "train").cast("long")).alias("n_tr"),
+            F.sum((F.col("split") == "val").cast("long")).alias("n_va"),
+        )
+    )
+    tot = p.groupBy("fold_id").agg(
+        F.sum("n_tr").alias("t_tr"), F.sum("n_va").alias("t_va")
+    )
+    j = p.join(tot, "fold_id").filter((F.col("t_tr") > 0) & (F.col("t_va") > 0))
+    return j.groupBy("fold_id", F.col("t_va").alias("n_val"), "t_tr", "t_va").agg(
+        F.round(
+            F.sum(F.col("n_tr").cast("decimal(38,18)") * F.col("n_va"))
+            / (F.col("t_tr") * F.col("t_va")),
+            6,
+        ).cast("double").alias("expected_accuracy")
+    ).select("fold_id", "n_val", "expected_accuracy")
+
+
+@register(
     "label_halves_drift",
     f"""
     WITH {_DAILY_LABELED},
@@ -4051,14 +4113,13 @@ _FRONT_ORDER = [
     "model_selection_grid", "xml_records_scan",
     "pipeline_report", "chunk_dedup_profile", "jsonl_corpus_scan",
     "snapshot_diff_report", "bucket_balanced_sample", "zip_ingest_scan",
-    "majority_baseline",
+    "majority_baseline", "stratified_baseline",
     # re-attestation of r03-window queries untouched since their green
     "daily_median_stats", "daily_pivot_sum", "daily_tag_sets",
     "user_last_value", "outer_join_daily", "date_spine_unify",
     "coalescing_merge", "union_mean_fusion", "nway_outer_merge",
     "boundary_range_join", "point_in_interval", "asof_snapshot_select",
-    "dedup_by_key", "forward_fill_daily", "global_zscore",
-    "gaps_islands_segments",
+    "dedup_by_key", "forward_fill_daily", "gaps_islands_segments",
 ]
 
 
