@@ -155,3 +155,30 @@ def test_unigram_surprisal_bounds(spark, words):
     assert r["n_tokens"] == len(words)
     # 5e-7 slack: the operator rounds bits_per_token to 6 decimals
     assert 0.0 <= r["bits_per_token"] <= math.log2(len(words)) + 5e-7
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=122),
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    drop_mod=st.integers(min_value=2, max_value=5),
+)
+@_settings
+def test_snapshot_diff_identity_and_partition(spark, texts, drop_mod):
+    """diff(x, x) is all-unchanged for ANY corpus; dropping ids from the
+    new side marks exactly those ids removed and nothing added."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    same = dedup.snapshot_diff(df, df).collect()
+    assert {r["status"] for r in same} == {"unchanged"}
+    assert len(same) == len(rows)
+
+    new = df.filter(F.col("doc_id") % drop_mod != 0)
+    out = {r["doc_id"]: r["status"] for r in dedup.snapshot_diff(df, new).collect()}
+    for i, _ in rows:
+        assert out[i] == ("removed" if i % drop_mod == 0 else "unchanged")
