@@ -498,6 +498,64 @@ def _daily_mean(spark, sf_dir) -> DataFrame:
 
 
 @register(
+    "streaming_daily_stats",
+    """
+    SELECT CAST(ts AS DATE) AS date, count(*) AS n_events,
+           min(value) AS value_min, max(value) AS value_max,
+           round(CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
+                 / count(value), 6) AS value_mean
+    FROM events GROUP BY 1
+    """,
+)
+def q_streaming_daily_stats(spark, sf_dir):
+    """§2.9 driver surface: a REAL Structured Streaming run under
+    attestation. The events table is landed once as a stream-source
+    directory under /tmp; a file-source stream -> watermarked 1-day
+    tumbling aggregate (streaming.daily_exact_stream: order-exact
+    aggregates only) runs to completion with availableNow into a memory
+    sink, and the final table is compared value-for-value against the
+    batch SQL oracle — the same gate every batch query faces. A fresh
+    checkpoint per invocation makes reruns reprocess the full snapshot
+    (a reused checkpoint would mark the files consumed and emit an empty
+    table)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming import daily_exact_stream
+
+    # Catalog construction pins session tz to UTC (day bucketing depends on
+    # it) and sizes shuffle partitions — needed even when the landed source
+    # dir already exists, so build it unconditionally.
+    cat = _cat(spark, sf_dir)
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
+    src = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_src{tag}")
+    if not os.path.exists(src):
+        ev = cat.events.select("ts", "value")
+        tmp = f"{src}.{os.getpid()}.tmp"
+        ev.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, src)  # atomic; loser of a concurrent race cleans up
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    stream = spark.readStream.schema("ts timestamp, value double").parquet(src)
+    name = f"stream_daily_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    q = (
+        daily_exact_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register(
     "rolling_7d_mean",
     f"""
     WITH d AS ({_DAILY_MEAN})
@@ -4113,13 +4171,13 @@ _FRONT_ORDER = [
     "model_selection_grid", "xml_records_scan",
     "pipeline_report", "chunk_dedup_profile", "jsonl_corpus_scan",
     "snapshot_diff_report", "bucket_balanced_sample", "zip_ingest_scan",
-    "majority_baseline", "stratified_baseline",
+    "majority_baseline", "stratified_baseline", "streaming_daily_stats",
     # re-attestation of r03-window queries untouched since their green
     "daily_median_stats", "daily_pivot_sum", "daily_tag_sets",
     "user_last_value", "outer_join_daily", "date_spine_unify",
     "coalescing_merge", "union_mean_fusion", "nway_outer_merge",
     "boundary_range_join", "point_in_interval", "asof_snapshot_select",
-    "dedup_by_key", "forward_fill_daily", "gaps_islands_segments",
+    "dedup_by_key", "gaps_islands_segments",
 ]
 
 

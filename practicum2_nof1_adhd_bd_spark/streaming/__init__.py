@@ -1,4 +1,5 @@
 from .daily_stream import (
+    daily_exact_stream,
     daily_stats_stream,
     dedup_stream,
     enriched_daily_stream,
@@ -7,6 +8,7 @@ from .daily_stream import (
 from .stateful import shift_detector_stream
 
 __all__ = [
+    "daily_exact_stream",
     "daily_stats_stream",
     "dedup_stream",
     "enriched_daily_stream",

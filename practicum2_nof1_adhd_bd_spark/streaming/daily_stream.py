@@ -146,3 +146,43 @@ def dedup_stream(
         .dropDuplicatesWithinWatermark(["content_md5"])
         .select(id_col, ts_col, "content_md5")
     )
+
+
+def daily_exact_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """A1's streaming twin in attestation grade: only order-exact
+    aggregates — count, min, max, and the decimal-sum mean (the same
+    combine-order-stable formula as the batch _daily_mean; a double
+    stddev's partial-merge order could flip round(.,6) at a tie, so it is
+    deliberately absent here and lives in daily_stats_stream).
+
+    Run with availableNow + complete mode over a corpus snapshot, the
+    final memory-sink table equals the batch daily aggregate bit-for-bit,
+    which is what lets a Structured Streaming pipeline sit behind a
+    value-hash oracle. Production streams use append mode + the watermark
+    for bounded state instead."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(value_col).alias("value_min"),
+            F.max(value_col).alias("value_max"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(28,12)")).cast("double")
+                / F.count(value_col),
+                6,
+            ).alias("value_mean"),
+        )
+        .select(
+            F.to_date("w.start").alias("date"),
+            "n_events",
+            "value_min",
+            "value_max",
+            "value_mean",
+        )
+    )

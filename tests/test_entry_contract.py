@@ -54,6 +54,6 @@ def test_attestation_window_is_stable():
         "model_selection_grid", "xml_records_scan",
         "pipeline_report", "chunk_dedup_profile", "jsonl_corpus_scan",
         "snapshot_diff_report", "bucket_balanced_sample", "zip_ingest_scan",
-        "majority_baseline", "stratified_baseline",
+        "majority_baseline", "stratified_baseline", "streaming_daily_stats",
     ):
         assert must in window, must
