@@ -551,7 +551,11 @@ def q_streaming_daily_stats(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    try:
+        if not q.awaitTermination(300):
+            q.stop()  # never hand back a half-built table
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)  # single-use by design
     return spark.table(name)
 
 
@@ -902,7 +906,11 @@ def q_streaming_sessions(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
