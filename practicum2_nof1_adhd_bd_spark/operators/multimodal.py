@@ -345,3 +345,71 @@ def resize_media(blobs: DataFrame, width: int, height: int) -> DataFrame:
     return fan_out(
         blobs.select("media_id", "blob", "meta"), "media_id"
     ).mapInPandas(rz, schema)
+
+
+def audio_frame_features(
+    blobs: DataFrame,
+    frame: int = 4,
+    blob_col: str = "blob",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Frame-level audio features over REAL PCM-WAV bytes: cut each clip
+    into non-overlapping ``frame``-sample windows and emit per-frame RMS
+    energy, zero-crossing count (sign flips across consecutive samples
+    inside the frame, zero counted as non-negative), and absolute peak —
+    the front end of every audio-quality / VAD-style curation filter.
+
+    Non-WAV blobs are skipped (magic-byte dispatch, same contract as
+    decode_features). Arrow-batched mapInPandas; one clip never leaves
+    its executor, and output rows are frame-grain (n_samples/frame per
+    clip), so the explode happens AFTER decode on narrow feature rows.
+    """
+    import struct as _struct
+
+    out_schema = StructType.fromDDL(
+        f"{id_col} bigint, frame_idx int, n_in_frame int, "
+        "rms double, zero_crossings int, peak int"
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    continue
+                _, _, _, _ = _parse_wav(b)[:4]  # validates fmt/data chunks
+                pos, samples = 12, ()
+                while pos + 8 <= len(b):
+                    cid = b[pos : pos + 4]
+                    sz = _struct.unpack_from("<I", b, pos + 4)[0]
+                    if cid == b"data":
+                        samples = _struct.unpack_from(f"<{sz // 2}h", b, pos + 8)
+                    pos += 8 + sz + (sz & 1)
+                for k in range(0, len(samples), frame):
+                    win = samples[k : k + frame]
+                    rms = (sum(s * s for s in win) / len(win)) ** 0.5
+                    zc = sum(
+                        1
+                        for a, c in zip(win, win[1:])
+                        if (a >= 0) != (c >= 0)
+                    )
+                    rows.append(
+                        (
+                            int(mid),
+                            k // frame,
+                            len(win),
+                            round(rms, 6),
+                            zc,
+                            max(abs(s) for s in win),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "frame_idx", "n_in_frame", "rms",
+                    "zero_crossings", "peak",
+                ],
+            )
+
+    return blobs.mapInPandas(feats, out_schema)

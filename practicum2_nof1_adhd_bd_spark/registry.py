@@ -3138,6 +3138,42 @@ def q_media_real_decode(spark, sf_dir):
 
 
 @register(
+    "audio_frame_features",
+    """
+    WITH b AS (
+        SELECT doc_id, i,
+               ((('0x' || substr(md5(text), 2 * i + 1, 2))::BIGINT) - 128) * 256 AS s
+        FROM documents, (SELECT unnest(generate_series(0, 15)) AS i)
+        WHERE length(text) % 2 = 1
+    ),
+    p AS (
+        SELECT doc_id, i // 4 AS frame_idx, i % 4 AS pos, s,
+               lead(s) OVER (PARTITION BY doc_id ORDER BY i) AS s_next
+        FROM b
+    )
+    SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(count(*) AS INT) AS n_in_frame,
+           CAST(round(sqrt(avg(CAST(s * s AS DOUBLE))), 6) AS DOUBLE) AS rms,
+           CAST(sum(CASE WHEN pos < 3 AND ((s >= 0) != (s_next >= 0))
+                         THEN 1 ELSE 0 END) AS INT) AS zero_crossings,
+           CAST(max(abs(s)) AS INT) AS peak
+    FROM p GROUP BY 1, 2
+    """,
+)
+def q_audio_frame_features(spark, sf_dir):
+    """Frame-grain audio features over REAL WAV bytes (multimodal.
+    audio_frame_features): the odd-length documents become PCM-16 clips
+    (synthetic_media_table), each is chunk-walked and cut into 4-sample
+    frames with RMS / zero-crossing / peak per frame — the decode front
+    end of an audio curation filter. The oracle rebuilds every frame
+    feature from the md5-digest sample formula, so the real-codec parse
+    path is value-hash attested at frame grain."""
+    docs = _cat(spark, sf_dir).documents
+    blobs = multimodal.synthetic_media_table(docs)
+    return multimodal.audio_frame_features(blobs, frame=4)
+
+
+@register(
     "media_frame_sample",
     """
     WITH v AS (
@@ -4255,13 +4291,12 @@ _FRONT_ORDER = [
     "pipeline_report", "chunk_dedup_profile", "jsonl_corpus_scan",
     "snapshot_diff_report", "bucket_balanced_sample", "zip_ingest_scan",
     "majority_baseline", "stratified_baseline", "streaming_daily_stats",
-    "streaming_sessions",
+    "streaming_sessions", "audio_frame_features",
     # re-attestation of r03-window queries untouched since their green
     "daily_median_stats", "daily_pivot_sum", "daily_tag_sets",
     "user_last_value", "outer_join_daily", "date_spine_unify",
     "coalescing_merge", "union_mean_fusion", "nway_outer_merge",
-    "boundary_range_join", "point_in_interval", "asof_snapshot_select",
-    "gaps_islands_segments",
+    "boundary_range_join", "point_in_interval", "gaps_islands_segments",
 ]
 
 

@@ -55,6 +55,6 @@ def test_attestation_window_is_stable():
         "pipeline_report", "chunk_dedup_profile", "jsonl_corpus_scan",
         "snapshot_diff_report", "bucket_balanced_sample", "zip_ingest_scan",
         "majority_baseline", "stratified_baseline", "streaming_daily_stats",
-        "streaming_sessions",
+        "streaming_sessions", "audio_frame_features",
     ):
         assert must in window, must
