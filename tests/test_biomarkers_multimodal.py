@@ -217,3 +217,26 @@ def test_real_bmp_resize_nearest_neighbor(spark):
         8, 8,
     ).collect()[0]
     assert not out["resized"] and bytes(out["blob"]) == wav
+
+
+def test_audio_frame_features_known_values(spark):
+    """Hand-checkable clip: 8 samples, frames of 4; non-WAV rows skipped."""
+    wav = multimodal.make_wav([100, -100, 200, -200, 0, 0, 0, 50])
+    blobs = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not a wav"))],
+        "media_id long, blob binary",
+    )
+    out = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in multimodal.audio_frame_features(blobs, frame=4).collect()
+    }
+    assert set(out) == {(1, 0), (1, 1)}
+    f0, f1 = out[(1, 0)], out[(1, 1)]
+    # frame 0: [100,-100,200,-200] -> 3 sign flips, peak 200
+    assert f0["zero_crossings"] == 3 and f0["peak"] == 200
+    assert f0["rms"] == round(
+        (sum(x * x for x in (100, -100, 200, -200)) / 4) ** 0.5, 6
+    )
+    # frame 1: [0,0,0,50] -> zero counted non-negative: 0 flips, peak 50
+    assert f1["zero_crossings"] == 0 and f1["peak"] == 50
+    assert f1["n_in_frame"] == 4
