@@ -120,6 +120,11 @@ NOTES = {
         "exchange on the bucket key, with AQE skew-split as the backstop "
         "for a hot bucket."
     ),
+    "audio_frame_features": (
+        "One Arrow-batched mapInPandas decodes each clip where it lives "
+        "and emits narrow frame-grain feature rows — no shuffle at all; "
+        "the blob bytes never cross an exchange."
+    ),
 }
 
 
