@@ -58,3 +58,12 @@ def test_attestation_window_is_stable():
         "streaming_sessions", "audio_frame_features",
     ):
         assert must in window, must
+
+
+def test_front_order_fits_attestation_window():
+    """Everything placed in _FRONT_ORDER is meant to be attested; if the
+    list outgrows the harness's first-50 window, the tail silently loses
+    its attestation — fail loudly instead."""
+    from practicum2_nof1_adhd_bd_spark import registry
+
+    assert len(registry._FRONT_ORDER) <= 50
