@@ -98,3 +98,22 @@ def test_pretraining_report_single_corpus_scan(spark, sf_dir):
     plan = _plan(registry.QUERIES["pretraining_split_report"](spark, sf_dir))
     assert plan.count("documents.parquet") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_snapshot_diff_exchanges_carry_hashes_not_text(spark, sf_dir):
+    """The diff's contract: text is hashed before any exchange, so no
+    shuffle (or its input projection) materializes the text column."""
+    plan = _plan(registry.QUERIES["snapshot_diff_report"](spark, sf_dir))
+    for chunk in plan.split("Exchange")[1:]:
+        header = chunk.split("\n")[0]
+        assert "text#" not in header, header
+
+
+def test_bucket_balanced_sample_single_exchange(spark, sf_dir):
+    """Bucket assignment is a projection; the only shuffle is the window
+    rank on the bucket key."""
+    plan = _plan(registry.QUERIES["bucket_balanced_sample"](spark, sf_dir))
+    final = plan.split("+- == Initial Plan ==")[0]
+    import re
+
+    assert len(re.findall(r"\bExchange\b", final)) == 1
