@@ -4247,6 +4247,86 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_dedup_clusters()
 
 
+def _register_cluster_best_keeper() -> None:
+    """RefinedWeb-style canonical selection: within each near-dup cluster
+    keep the HIGHEST-QUALITY member (score ties broken by min id), not the
+    min-id member — the curation rule that dedup should discard the worse
+    copies. Oracle composes the registered minhash-pair SQL (recursive-CTE
+    components, as dedup_clusters) with the registered quality formula, so
+    it must build after both."""
+    pair_sql = ORACLES["minhash_lsh_pairs"]
+    sql = f"""
+    WITH RECURSIVE p AS ({pair_sql}),
+    e AS (
+        SELECT id_a AS a, id_b AS b FROM p WHERE jaccard >= 0.5
+        UNION ALL
+        SELECT id_b, id_a FROM p WHERE jaccard >= 0.5
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN e ON r.node = e.a
+    ),
+    c AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+    t AS (SELECT doc_id, text, {_LTOKENS_SQL} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               CAST(len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)
+                   / greatest(len(toks), 1) AS stop_ratio,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS alpha_ratio,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS distinct_ratio,
+               least(len(toks) / 50.0, 1.0) AS len_score
+        FROM t
+    ),
+    q AS (
+        SELECT doc_id,
+               round(0.3 * len_score + 0.3 * alpha_ratio
+                     + 0.2 * least(stop_ratio * 10, 1.0) + 0.2 * distinct_ratio, 6)
+                   AS quality_score
+        FROM m
+    ),
+    r AS (
+        SELECT c.doc_id, c.cluster_id, q.quality_score,
+               row_number() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY q.quality_score DESC, c.doc_id ASC
+               ) AS rn
+        FROM c JOIN q USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, quality_score, rn = 1 AS best_keeper FROM r
+    """
+
+    @register("cluster_best_keeper", sql)
+    def q_cluster_best_keeper(spark, sf_dir):
+        """Quality-max canonical per near-dup cluster: minhash-verified
+        pairs -> connected components -> join the quality score -> keep
+        the best-scoring member per cluster (ties to min id). Plan: the
+        cluster and quality frames are both id-keyed narrow frames; the
+        rank is one window on the cluster key. keep = best_keeper."""
+        from pyspark.sql import Window
+
+        docs = _cat(spark, sf_dir).documents
+        pairs = dedup.minhash_lsh_pairs_verified(
+            docs, n_hashes=8, bands=4, k=3, threshold=0.0
+        ).filter(F.col("jaccard") >= 0.5)
+        clusters = dedup.connected_components(pairs, docs.select("doc_id"))
+        qual = textops.quality_score(docs).select("doc_id", "quality_score")
+        j = clusters.select("doc_id", "cluster_id").join(qual, "doc_id")
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.desc("quality_score"), F.asc("doc_id")
+        )
+        return j.withColumn("rn", F.row_number().over(w)).select(
+            "doc_id",
+            "cluster_id",
+            "quality_score",
+            (F.col("rn") == 1).alias("best_keeper"),
+        )
+
+
+_register_cluster_best_keeper()
+
+
 # ---------------------------------------------------------------------------
 # presentation order
 # ---------------------------------------------------------------------------
@@ -4291,12 +4371,12 @@ _FRONT_ORDER = [
     "pipeline_report", "chunk_dedup_profile", "jsonl_corpus_scan",
     "snapshot_diff_report", "bucket_balanced_sample", "zip_ingest_scan",
     "majority_baseline", "stratified_baseline", "streaming_daily_stats",
-    "streaming_sessions", "audio_frame_features",
+    "streaming_sessions", "audio_frame_features", "cluster_best_keeper",
     # re-attestation of r03-window queries untouched since their green
     "daily_median_stats", "daily_pivot_sum", "daily_tag_sets",
     "user_last_value", "outer_join_daily", "date_spine_unify",
     "coalescing_merge", "union_mean_fusion", "nway_outer_merge",
-    "boundary_range_join", "point_in_interval", "gaps_islands_segments",
+    "boundary_range_join", "gaps_islands_segments",
 ]
 
 

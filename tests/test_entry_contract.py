@@ -55,7 +55,7 @@ def test_attestation_window_is_stable():
         "pipeline_report", "chunk_dedup_profile", "jsonl_corpus_scan",
         "snapshot_diff_report", "bucket_balanced_sample", "zip_ingest_scan",
         "majority_baseline", "stratified_baseline", "streaming_daily_stats",
-        "streaming_sessions", "audio_frame_features",
+        "streaming_sessions", "audio_frame_features", "cluster_best_keeper",
     ):
         assert must in window, must
 
