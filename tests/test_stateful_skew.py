@@ -74,3 +74,68 @@ def test_salted_join_matches_plain(spark):
     assert got.groupBy("name").count().orderBy("name").collect() == (
         want.groupBy("name").count().orderBy("name").collect()
     )
+
+
+def test_shift_detector_tws_matches_v1(spark, tmp_path):
+    """The state-v2 (transformWithStateInPandas) twin must reproduce the
+    applyInPandasWithState detector's output exactly across micro-batches.
+    Needs the RocksDB state store provider — set just for this query's
+    checkpoints via the session conf, restored after. The TWS driver-worker
+    protocol serializes its handshake with protobuf, so the test skips on
+    environments without the optional google.protobuf dependency (this
+    container ships none and installs are out of bounds)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from practicum2_nof1_adhd_bd_spark.streaming.stateful import shift_detector_tws
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "src_tws")
+        base = dt.datetime(2024, 1, 1)
+        b1 = [(base + dt.timedelta(minutes=i), "hr", 10.0) for i in range(20)]
+        b2 = [
+            (base + dt.timedelta(hours=1, minutes=i), "hr", 50.0) for i in range(20)
+        ]
+        schema = "ts timestamp, event_type string, value double"
+        spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(
+            src
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            shift_detector_tws(stream, threshold=10.0)
+            .writeStream.format("memory")
+            .queryName("shift_tws_t")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = sorted(
+            spark.sql("SELECT * FROM shift_tws_t").collect(),
+            key=lambda r: r["prev_n"],
+        )
+        assert len(rows) == 2
+        first, second = rows
+        assert first["prev_n"] == 0 and first["changed"] is False
+        assert second["prev_n"] == 20 and second["prev_mean"] == 10.0
+        assert second["batch_mean"] == 50.0 and second["changed"] is True
+        assert second["shift"] == 40.0
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
