@@ -758,3 +758,57 @@ def dup_ngram_profile(
         F.size(g3).alias("n_3grams"),
         dup_frac(g3).alias("dup_3gram_frac"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-order novelty: for each document, the fraction of its
+    distinct k-grams that appear in NO earlier document (id order stands
+    in for ingest order) — the per-doc contribution signal a curriculum
+    or dedup-priority pass ranks by: near-1 docs bring new content,
+    near-0 docs restate the corpus.
+
+    Plan: one explode to distinct (gram, doc_id) pairs, one map-side-
+    combined min-aggregate per gram (the first-seer), one hash join back,
+    one per-doc count — every shuffle carries (gram-hash, id)-width rows,
+    never text. Linear in total gram occurrences at any corpus size.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    grams = F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dg = (
+        fan_out(df, id_col)
+        .select(F.col(id_col), F.explode_outer(grams).alias("g"))
+    )
+    first = (
+        dg.filter(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.min(id_col).alias("_first"))
+    )
+    marked = dg.join(first, "g", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("g").alias("n_distinct_grams"),
+            F.coalesce(
+                F.sum((F.col("_first") == F.col(id_col)).cast("long")), F.lit(0)
+            ).alias("n_novel_grams"),
+        )
+        .select(
+            id_col,
+            "n_distinct_grams",
+            "n_novel_grams",
+            F.round(
+                F.col("n_novel_grams")
+                / F.greatest(F.col("n_distinct_grams"), F.lit(1)),
+                6,
+            ).alias("novelty_frac"),
+        )
+    )

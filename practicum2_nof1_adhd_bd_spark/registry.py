@@ -2938,6 +2938,41 @@ def q_dup_ngram_profile(spark, sf_dir):
 
 
 @register(
+    "ngram_novelty",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    g AS (SELECT doc_id,
+            CASE WHEN len(words) >= 3 THEN
+                list_distinct(list_transform(range(1, len(words) - 1),
+                    i -> array_to_string(words[i:i+2], ' ')))
+            ELSE []::VARCHAR[] END AS g3
+          FROM w),
+    dg AS (SELECT doc_id, unnest(g3) AS gram FROM g),
+    fs AS (SELECT gram, min(doc_id) AS f FROM dg GROUP BY 1),
+    agg AS (
+        SELECT dg.doc_id, count(*) AS n_distinct_grams,
+               sum(CASE WHEN fs.f = dg.doc_id THEN 1 ELSE 0 END) AS n_novel_grams
+        FROM dg JOIN fs USING (gram) GROUP BY 1
+    )
+    SELECT g.doc_id,
+           CAST(coalesce(n_distinct_grams, 0) AS BIGINT) AS n_distinct_grams,
+           CAST(coalesce(n_novel_grams, 0) AS BIGINT) AS n_novel_grams,
+           round(coalesce(n_novel_grams, 0)
+                 / greatest(coalesce(n_distinct_grams, 0), 1), 6) AS novelty_frac
+    FROM g LEFT JOIN agg USING (doc_id)
+    """,
+)
+def q_ngram_novelty(spark, sf_dir):
+    """Corpus-order novelty per document: fraction of its distinct
+    3-grams first seen in it (ingest order = id order) — the contribution
+    signal a curriculum or dedup-priority pass ranks by
+    (textops.ngram_novelty: explode -> min-per-gram -> hash join back;
+    shuffles carry (gram, id) pairs, never text)."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.ngram_novelty(docs, k=3)
+
+
+@register(
     "token_length_profile",
     f"""
     WITH t AS (SELECT lang, len({_WORDS}) AS n_tokens FROM documents)
@@ -4372,11 +4407,12 @@ _FRONT_ORDER = [
     "snapshot_diff_report", "bucket_balanced_sample", "zip_ingest_scan",
     "majority_baseline", "stratified_baseline", "streaming_daily_stats",
     "streaming_sessions", "audio_frame_features", "cluster_best_keeper",
+    "ngram_novelty",
     # re-attestation of r03-window queries untouched since their green
     "daily_median_stats", "daily_pivot_sum", "daily_tag_sets",
     "user_last_value", "outer_join_daily", "date_spine_unify",
     "coalescing_merge", "union_mean_fusion", "nway_outer_merge",
-    "boundary_range_join", "gaps_islands_segments",
+    "gaps_islands_segments",
 ]
 
 
