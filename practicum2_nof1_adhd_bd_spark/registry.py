@@ -3615,6 +3615,48 @@ def q_language_id(spark, sf_dir):
 
 
 @register(
+    "langid_confusion",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_LTOKENS_SQL} AS toks FROM documents),
+    p AS (
+        SELECT doc_id, lang,
+               CASE WHEN CAST(len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)
+                         / greatest(len(toks), 1) >= 0.02
+                    THEN 'en' ELSE 'und' END AS lang_pred
+        FROM t
+    ),
+    c AS (SELECT lang, lang_pred, count(*) AS n_docs FROM p GROUP BY 1, 2)
+    SELECT lang, lang_pred, n_docs,
+           round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang), 6)
+               AS frac_of_lang
+    FROM c
+    """,
+)
+def q_langid_confusion(spark, sf_dir):
+    """Classifier-vs-labels audit for the language-ID heuristic: per
+    (true lang, predicted lang) doc counts and within-lang fractions —
+    the confusion view a curation pipeline checks before trusting a
+    cheap filter at corpus scale. Window runs on the aggregated
+    lang x pred frame (dozens of rows), so it is free at any scale."""
+    from pyspark.sql import Window
+
+    docs = _cat(spark, sf_dir).documents
+    pred = textops.language_id(docs).select("doc_id", "lang_pred")
+    j = docs.select("doc_id", "lang").join(pred, "doc_id")
+    c = j.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+    return c.select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        F.round(
+            F.col("n_docs") * 1.0
+            / F.sum("n_docs").over(Window.partitionBy("lang")),
+            6,
+        ).alias("frac_of_lang"),
+    )
+
+
+@register(
     "quality_score",
     f"""
     WITH t AS (SELECT doc_id, text, {_LTOKENS_SQL} AS toks FROM documents),
@@ -4407,12 +4449,11 @@ _FRONT_ORDER = [
     "snapshot_diff_report", "bucket_balanced_sample", "zip_ingest_scan",
     "majority_baseline", "stratified_baseline", "streaming_daily_stats",
     "streaming_sessions", "audio_frame_features", "cluster_best_keeper",
-    "ngram_novelty",
+    "ngram_novelty", "langid_confusion",
     # re-attestation of r03-window queries untouched since their green
     "daily_median_stats", "daily_pivot_sum", "daily_tag_sets",
     "user_last_value", "outer_join_daily", "date_spine_unify",
-    "coalescing_merge", "union_mean_fusion", "nway_outer_merge",
-    "gaps_islands_segments",
+    "coalescing_merge", "union_mean_fusion", "gaps_islands_segments",
 ]
 
 
