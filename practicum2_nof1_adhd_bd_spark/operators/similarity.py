@@ -342,3 +342,33 @@ def bucket_balanced_sample(
     return ranked.filter(F.col("rn") <= k_per_bucket).select(
         id_col, "bucket", F.col("rn").alias("quota_rank")
     )
+
+
+def ann_topk_axis(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN with a deterministic, SQL-reproducible bucketer: exact cosine
+    ranking restricted to the query's axis-aligned sign bucket (the
+    bucket_balanced_sample hash family). Same sub-linear candidate shape
+    as ann_topk_lsh — corpus partitioned by bucket, only the query's cell
+    is scanned — but with no seeded hyperplanes, so the whole query sits
+    behind a value-hash oracle; use random_hyperplane_buckets when recall
+    across arbitrary directions matters more than attestability."""
+    bucket = None
+    for j in range(n_bits):
+        bit = (F.element_at(F.col(vec_col), j + 1) > 0).cast("int")
+        term = bit * F.lit(2**j)
+        bucket = term if bucket is None else bucket + term
+    b = embeddings.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    qb = b.filter(F.col(id_col) == query_id).select(
+        F.col("bucket").alias("qbucket")
+    )
+    cands = b.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket")).select(
+        id_col, vec_col
+    )
+    return cosine_topk_bruteforce(cands, query_id, k, id_col, vec_col)

@@ -3900,6 +3900,38 @@ QUERIES["ann_lsh_topk"] = q_ann_lsh_topk
 
 
 @register(
+    "ann_axis_topk",
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_inner_product(v, qv)
+                 / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))),
+                 6) AS cosine
+    FROM e, q
+    WHERE e.bucket = q.qbucket AND vec_id != 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_ann_axis_topk(spark, sf_dir):
+    """ANN with the deterministic axis-aligned sign bucketer
+    (sim.ann_topk_axis): exact cosine ranking restricted to the query's
+    bucket — the sub-linear LSH candidate shape, but SQL-reproducible, so
+    the approximate path itself sits behind the value-hash gate (the
+    seeded-hyperplane variant ann_lsh_topk stays rows-only)."""
+    emb = _cat(spark, sf_dir).embeddings
+    return sim.ann_topk_axis(emb, query_id=0, k=10, n_bits=4)
+
+
+@register(
     "embedding_near_dup",
     """
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
@@ -4449,11 +4481,11 @@ _FRONT_ORDER = [
     "snapshot_diff_report", "bucket_balanced_sample", "zip_ingest_scan",
     "majority_baseline", "stratified_baseline", "streaming_daily_stats",
     "streaming_sessions", "audio_frame_features", "cluster_best_keeper",
-    "ngram_novelty", "langid_confusion",
+    "ngram_novelty", "langid_confusion", "ann_axis_topk",
     # re-attestation of r03-window queries untouched since their green
     "daily_median_stats", "daily_pivot_sum", "daily_tag_sets",
     "user_last_value", "outer_join_daily", "date_spine_unify",
-    "coalescing_merge", "union_mean_fusion", "gaps_islands_segments",
+    "coalescing_merge", "gaps_islands_segments",
 ]
 
 

@@ -56,7 +56,7 @@ def test_attestation_window_is_stable():
         "snapshot_diff_report", "bucket_balanced_sample", "zip_ingest_scan",
         "majority_baseline", "stratified_baseline", "streaming_daily_stats",
         "streaming_sessions", "audio_frame_features", "cluster_best_keeper",
-        "ngram_novelty", "langid_confusion",
+        "ngram_novelty", "langid_confusion", "ann_axis_topk",
     ):
         assert must in window, must
 
