@@ -226,6 +226,7 @@ def quantile_3way_label(
     label_col: str = "label_3cls",
     exact: bool = True,
     accuracy: int = 10_000,
+    bounded: bool = False,
 ) -> DataFrame:
     """A8 — two-pass percentile labeling: value <= P_lo -> -1, >= P_hi -> +1,
     else 0 (ref build_pbsi.py:173-176,224-253).
@@ -240,12 +241,21 @@ def quantile_3way_label(
 
     Second pass is a broadcast cross-join of the 1-row threshold frame —
     the scalar never hits the driver, so the plan is cluster-safe.
+
+    ``bounded=True`` declares the input's distinct-value cardinality
+    bounded (daily/calendar-grain frames: at most tens of thousands of
+    rows no matter the corpus size), which makes the single-merge
+    ``percentile`` aggregate's value-count map safe — one codegen pass
+    instead of the refined path's four jobs + bracket sort. Use the
+    default (refined) for event/row-grain inputs whose cardinality grows
+    with the data.
     """
-    thresholds = (
-        refined_exact_quantile_thresholds(df, value_col, probs)
-        if exact
-        else approx_quantile_thresholds(df, value_col, probs, accuracy)
-    )
+    if exact and bounded:
+        thresholds = exact_quantile_thresholds(df, value_col, probs)
+    elif exact:
+        thresholds = refined_exact_quantile_thresholds(df, value_col, probs)
+    else:
+        thresholds = approx_quantile_thresholds(df, value_col, probs, accuracy)
     labeled = df.crossJoin(F.broadcast(thresholds))
     v = F.col(value_col)
     return labeled.withColumn(

@@ -474,26 +474,23 @@ def q_dedup_by_key(spark, sf_dir):
 # §2.5 windows
 # ---------------------------------------------------------------------------
 
-# Decimal-exact mean: summing doubles is order-sensitive (Spark's partial-agg
-# combine order is nondeterministic), so a mean within an ulp of a 0.5e-6
-# rounding boundary can flip between runs and cascade into the quantile-label
-# chain (per_class_metrics r04 hash flake). Summing DECIMAL is exact and
-# associative, so the pre-round value is bit-identical across runs and engines.
+# Plain double mean, rounded to 6 dp. The r04 hash flakes this chain was
+# once blamed for turned out to be DuckDB HUGEINT widening in unrelated
+# oracles (fixed by BIGINT casts there), not float summation order; the
+# r05 decimal(28,12) exact-sum rewrite cost ~3x on the flagship chain for
+# a problem it didn't have, so this is back to the codegen-fast double
+# path. A 6dp round only flips if the cross-engine ulp wobble lands within
+# 0.5e-6 of a boundary — never observed across r01-r03 attestation.
 _DAILY_MEAN = """
     SELECT CAST(ts AS DATE) AS date,
-           round(CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
-                 / count(value), 6) AS value_mean
+           round(avg(value), 6) AS value_mean
     FROM events GROUP BY 1
 """
 
 def _daily_mean(spark, sf_dir) -> DataFrame:
     ev = _cat(spark, sf_dir).events
     return ev.groupBy(F.to_date("ts").alias("date")).agg(
-        F.round(
-            F.sum(F.col("value").cast("decimal(28,12)")).cast("double")
-            / F.count("value"),
-            6,
-        ).alias("value_mean")
+        F.round(F.avg("value"), 6).alias("value_mean")
     )
 
 
@@ -1151,7 +1148,7 @@ def q_pbsi_composite(spark, sf_dir):
         {"z_value_mean": 0.4, "z_n_events": 0.35, "z_n_users": 0.25},
         "pbsi_score",
     )
-    lab = labels.quantile_3way_label(comp, "pbsi_score")
+    lab = labels.quantile_3way_label(comp, "pbsi_score", bounded=True)
     return lab.select("date", "pbsi_score", "label_3cls")
 
 
@@ -1927,7 +1924,9 @@ _DAILY_LABELED = f"""
 """
 
 def _daily_labeled(spark, sf_dir) -> DataFrame:
-    return labels.quantile_3way_label(_daily_mean(spark, sf_dir), "value_mean")
+    return labels.quantile_3way_label(
+        _daily_mean(spark, sf_dir), "value_mean", bounded=True
+    )
 
 
 @register(
@@ -2364,8 +2363,8 @@ _PER_CLASS_CTES = f"""
         )
     ),
     tpt AS (SELECT y_true AS label, n AS tp FROM cm WHERE y_true = y_pred),
-    nt AS (SELECT y_true AS label, sum(n) AS n_true FROM cm GROUP BY 1),
-    np AS (SELECT y_pred AS label, sum(n) AS n_pred FROM cm GROUP BY 1),
+    nt AS (SELECT y_true AS label, CAST(sum(n) AS BIGINT) AS n_true FROM cm GROUP BY 1),
+    np AS (SELECT y_pred AS label, CAST(sum(n) AS BIGINT) AS n_pred FROM cm GROUP BY 1),
     j AS (
         SELECT c.label,
                coalesce(tp, 0) AS tp,
@@ -2419,8 +2418,8 @@ def q_per_class_metrics(spark, sf_dir):
                  / count(recall), 6) AS macro_recall,
            round(CAST(sum(CAST(f1 AS DECIMAL(18,6))) AS DOUBLE)
                  / count(f1), 6) AS macro_f1,
-           sum(tp) AS total_tp,
-           sum(tp + fn) AS total_support
+           CAST(sum(tp) AS BIGINT) AS total_tp,
+           CAST(sum(tp + fn) AS BIGINT) AS total_support
     FROM pcm
     """,
 )
@@ -2766,7 +2765,7 @@ def q_decontaminate_ngram(spark, sf_dir):
     "source_mixture_weights",
     f"""
     WITH s AS (SELECT source, count(*) AS n_docs,
-                      sum(len({_WORDS})) AS n_tokens
+                      CAST(sum(len({_WORDS})) AS BIGINT) AS n_tokens
                FROM documents GROUP BY source)
     SELECT source, n_docs, n_tokens,
            round(CAST(CAST(pow(n_tokens, 0.7) AS DECIMAL(38,12)) AS DOUBLE)
@@ -3442,7 +3441,8 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         SELECT h, count(*) AS occ FROM dc GROUP BY 1
     ), prof AS (
         SELECT dc.doc_id, count(*) AS n_chunks,
-               sum(CASE WHEN occ.occ > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+               CAST(sum(CASE WHEN occ.occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_chunks
         FROM dc JOIN occ USING (h) GROUP BY 1
     )
     SELECT c.doc_id,
@@ -3515,7 +3515,7 @@ ORACLES["zip_ingest_scan"] = """
                ((i // 200) * 1000 + (i % 200) * 7) % 300 AS value
         FROM g
     )
-    SELECT member_name, count(*) AS n_rows, sum(value) AS sum_value,
+    SELECT member_name, count(*) AS n_rows, CAST(sum(value) AS BIGINT) AS sum_value,
            count(DISTINCT day) AS n_days
     FROM r GROUP BY 1
 """
@@ -4083,7 +4083,7 @@ def q_logreg_fold_cv(spark, sf_dir):
         F.count(F.lit(1)).cast("double").alias("n_events"),
         F.countDistinct("user_id").cast("double").alias("n_users"),
     )
-    lab = labels.quantile_3way_label(d, "value_mean")
+    lab = labels.quantile_3way_label(d, "value_mean", bounded=True)
     return ml.logreg_fold_cv(
         lab,
         ["value_mean", "n_events", "n_users"],
@@ -4105,7 +4105,7 @@ def _daily_label_frame(spark, sf_dir):
         F.count(F.lit(1)).cast("double").alias("n_events"),
         F.countDistinct("user_id").cast("double").alias("n_users"),
     )
-    return labels.quantile_3way_label(d, "value_mean")
+    return labels.quantile_3way_label(d, "value_mean", bounded=True)
 
 
 def q_model_zoo_fold_cv(spark, sf_dir):
@@ -4142,7 +4142,7 @@ def q_model_selection_grid(spark, sf_dir):
         F.countDistinct("user_id").cast("double").alias("n_users"),
         F.round(F.stddev_samp("value"), 6).alias("value_std"),
     )
-    lab = labels.quantile_3way_label(d, "value_mean")
+    lab = labels.quantile_3way_label(d, "value_mean", bounded=True)
     # nested like the reference's FS-A (baseline) .. FS-D (everything)
     feature_sets = {
         "FS-A": ["value_mean"],
@@ -4274,7 +4274,7 @@ ORACLES["jsonl_corpus_scan"] = """
                4 + length(CAST(i AS VARCHAR)) AS text_len
         FROM g WHERE i % 97 != 13
     )
-    SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            round(avg(CAST(text_len AS DOUBLE)), 6) AS mean_text_len
     FROM d GROUP BY 1
 """

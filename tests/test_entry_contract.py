@@ -68,3 +68,28 @@ def test_front_order_fits_attestation_window():
     from practicum2_nof1_adhd_bd_spark import registry
 
     assert len(registry._FRONT_ORDER) <= 50
+
+
+def test_no_oracle_emits_hugeint():
+    """DuckDB widens sum(integer) to HUGEINT (int128); Spark emits BIGINT.
+    The driver's value hasher renders the two differently even when the
+    numbers are equal, so a single uncast integer sum() in an oracle turns
+    its query hash-red (the root cause of all six r05 failures). Bind every
+    oracle's plan and assert no result column is HUGEINT — integer sums
+    must be CAST(... AS BIGINT)."""
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in (
+        "region nation customer supplier part orders "
+        "lineitem events documents embeddings"
+    ).split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    offenders = []
+    for name, sql in entrymod.oracle_sql().items():
+        rel = con.sql(sql)  # lazy: binds types without executing
+        for col, typ in zip(rel.columns, [str(t) for t in rel.types]):
+            if "HUGEINT" in typ:
+                offenders.append((name, col, typ))
+    assert not offenders, offenders
