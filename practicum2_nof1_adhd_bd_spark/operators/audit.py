@@ -213,6 +213,67 @@ def reaggregation_consistency(
     )
 
 
+def audit_hourly_frame(
+    events: DataFrame,
+    ts_col: str = "ts",
+    hour_cov_min_pct: float = 100.0,
+    empty_slot_pct_max: float = 25.0,
+) -> DataFrame:
+    """Hourly-grain audit (ref src/etl/sleep_hourly_audit.py:1-889, the
+    reference's hour-level drill-down under the same severity model):
+
+    - hour_coverage_pct: % of the 24 hour-of-day buckets observed at all
+      over the span — a signal stuck to office hours is a WARNING
+      (ref hourly-coverage histogram);
+    - empty_hour_slots_pct: % of (day, hour) slots in the observed span
+      with zero events — slot-level sparsity the daily span check cannot
+      see (WARNING past threshold);
+    - midnight_wrap_imbalance_pct: |hour-23 count − hour-0 count| relative
+      imbalance — a midnight-attribution bug (sessions wrapping the day
+      boundary dropped or double-counted) skews these twins; INFO row
+      (ref midnight-wrap consistency checks).
+
+    One aggregate over the events scan; all derived rows are scalar.
+    """
+    h = F.hour(ts_col)
+    d = F.to_date(ts_col)
+    base = events.agg(
+        F.countDistinct(h).alias("h24"),
+        F.countDistinct(d, h).alias("slots"),
+        F.countDistinct(d).alias("ndays"),
+        F.sum((h == 23).cast("bigint")).alias("c23"),
+        F.sum((h == 0).cast("bigint")).alias("c0"),
+    )
+    cov_pct = F.col("h24") * 100.0 / 24
+    cov = _row(
+        base,
+        "hour_coverage_pct",
+        F.when(cov_pct < hour_cov_min_pct, "WARNING").otherwise("OK"),
+        cov_pct,
+        hour_cov_min_pct,
+    )
+    empty_pct = (
+        (F.col("ndays") * 24 - F.col("slots")) * 100.0 / (F.col("ndays") * 24)
+    )
+    empty = _row(
+        base,
+        "empty_hour_slots_pct",
+        F.when(empty_pct > empty_slot_pct_max, "WARNING").otherwise("OK"),
+        empty_pct,
+        empty_slot_pct_max,
+    )
+    wrap = _row(
+        base,
+        "midnight_wrap_imbalance_pct",
+        F.lit("INFO"),
+        F.abs(F.col("c23") - F.col("c0"))
+        * 100.0
+        / F.greatest(F.col("c23") + F.col("c0"), F.lit(1)),
+        0.0,
+    )
+    return reduce(DataFrame.unionByName, [cov, empty, wrap])
+
+
 def audit_exit_code(report: DataFrame) -> int:
     """Severity -> process exit code, the reference's CI gate
     (ref etl_audit.py:1513-1741: any CRITICAL -> 2, else any WARNING -> 1,

@@ -1,0 +1,98 @@
+"""Snapshot provenance manifest — SURVEY.md §2.1 S11/S12 companion.
+
+Reference: ``src/tools/generate_provenance_report.py:1-509`` walks a
+snapshot directory and emits a SHA-256 manifest (per-file digest + size)
+so any two runs over "the same" snapshot can be proven identical. The
+engine's analog is content-level, not file-level (files are an artifact
+of partitioning, which a cluster is free to change without the DATA
+changing): per table, the manifest row is the row count plus an
+order-independent digest of every row's canonical rendering.
+
+Digest construction:
+
+- each row is rendered as a ``concat_ws('|', ...)`` of its
+  deterministically-renderable columns (integers, strings, DATE casts —
+  never raw doubles, whose string form is engine-specific);
+- the md5 of that string is folded to an int64 (first 15 hex chars,
+  unrolled positional arithmetic — ``conv()`` exists only in Spark, so
+  the fold is spelled in fixed-point SQL both engines share);
+- rows combine with the ``bit_xor`` aggregate: associative, commutative,
+  overflow-free — the digest is identical no matter how the table is
+  partitioned or ordered, and the partial aggregation is map-side.
+
+Scale: one narrow projection + map-side partial per table; no shuffle
+wider than 1 row per partition. At 100 TB the manifest costs one scan,
+and two snapshots' manifests diff with a 10-row join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# int64 fold of an md5 hex string: value of hex[1..15] as fixed-point
+# arithmetic. Shared verbatim by the Spark expression and the DuckDB
+# oracle (ascii/substr/CASE behave identically); 16^15 - 1 < 2^63.
+def _hex15_to_int64_sql(hex_expr: str) -> str:
+    terms = []
+    for i in range(15):  # 1-indexed positions 1..15
+        digit = (
+            f"(CAST(ascii(substr({hex_expr}, {i + 1}, 1)) AS BIGINT) - "
+            f"CASE WHEN ascii(substr({hex_expr}, {i + 1}, 1)) >= 97 "
+            f"THEN 87 ELSE 48 END)"
+        )
+        terms.append(f"{digit} * {16 ** (14 - i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def row_digest_sql(col_exprs: list[str]) -> str:
+    """The shared per-row digest expression over canonical column SQL."""
+    rendered = ", ".join(f"CAST({c} AS STRING)" for c in col_exprs)
+    return _hex15_to_int64_sql(f"md5(concat_ws('|', {rendered}))")
+
+
+def table_manifest(
+    df: DataFrame, table_name: str, col_exprs: list[str]
+) -> DataFrame:
+    """1-row manifest for one table: (table_name, n_rows, content_digest).
+
+    ``col_exprs`` are SQL expressions valid in BOTH Spark and DuckDB
+    (plain column names, ``CAST(ts AS DATE)``, ``md5(text)``, ...); they
+    must render identically across engines, so no raw doubles.
+    """
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.expr(f"bit_xor({row_digest_sql(col_exprs)})"), F.lit(0)).alias(
+            "content_digest"
+        ),
+    ).select(
+        F.lit(table_name).alias("table_name"), "n_rows", "content_digest"
+    )
+
+
+def provenance_manifest(
+    frames: dict[str, tuple[DataFrame, list[str]]]
+) -> DataFrame:
+    """Manifest over a snapshot: one row per table, unioned in name order
+    so the output is deterministic regardless of dict insertion order."""
+    parts = [
+        table_manifest(df, name, cols)
+        for name, (df, cols) in sorted(frames.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def manifest_oracle_sql(tables: dict[str, list[str]]) -> str:
+    """The DuckDB twin: same digest expression per table, UNION ALL in
+    name order. count(*) is BIGINT in DuckDB already; bit_xor(BIGINT)
+    stays BIGINT (no HUGEINT widening — only sum() widens)."""
+    selects = [
+        f"SELECT '{name}' AS table_name, count(*) AS n_rows, "
+        f"coalesce(bit_xor({row_digest_sql(cols)}), 0) AS content_digest "
+        f"FROM {name}"
+        for name, cols in sorted(tables.items())
+    ]
+    return " UNION ALL ".join(selects)

@@ -1623,6 +1623,14 @@ _DAILY_FULL_STATS = """
                         THEN 1.0 ELSE 0.0 END) AS pv,
                avg(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END) AS ps
         FROM d
+    ),
+    hb AS (
+        SELECT count(DISTINCT date_part('hour', ts)) AS h24,
+               count(DISTINCT (CAST(ts AS DATE), date_part('hour', ts))) AS slots,
+               count(DISTINCT CAST(ts AS DATE)) AS ndays,
+               count(*) FILTER (WHERE date_part('hour', ts) = 23) AS c23,
+               count(*) FILTER (WHERE date_part('hour', ts) = 0) AS c0
+        FROM events
     )
     SELECT 'duplicate_dates' AS check_name,
            CASE WHEN n_rows > n_dates THEN 'CRITICAL' ELSE 'OK' END AS severity,
@@ -1674,6 +1682,23 @@ _DAILY_FULL_STATS = """
            round(n_rows * 100.0 / (date_diff('day', d0, d1) + 1), 6),
            CAST(0.0 AS DOUBLE)
     FROM b
+    UNION ALL
+    SELECT 'hour_coverage_pct',
+           CASE WHEN h24 * 100.0 / 24 < 100.0 THEN 'WARNING' ELSE 'OK' END,
+           round(h24 * 100.0 / 24, 6), CAST(100.0 AS DOUBLE)
+    FROM hb
+    UNION ALL
+    SELECT 'empty_hour_slots_pct',
+           CASE WHEN (ndays * 24 - slots) * 100.0 / (ndays * 24) > 25.0
+                THEN 'WARNING' ELSE 'OK' END,
+           round((ndays * 24 - slots) * 100.0 / (ndays * 24), 6),
+           CAST(25.0 AS DOUBLE)
+    FROM hb
+    UNION ALL
+    SELECT 'midnight_wrap_imbalance_pct', 'INFO',
+           round(abs(c23 - c0) * 100.0 / greatest(c23 + c0, 1), 6),
+           CAST(0.0 AS DOUBLE)
+    FROM hb
     """,
 )
 def q_etl_audit_report(spark, sf_dir):
@@ -1682,7 +1707,9 @@ def q_etl_audit_report(spark, sf_dir):
     span-coverage, fabrication (:168-175,283-302,458-480), biological-range
     and single-sample per-domain checks (:407-543), and cross-layer
     events->daily->unified consistency rows (:482-517), one severity-tagged
-    row per check."""
+    row per check, plus the hourly-grain drill-down (hour coverage, empty
+    (day,hour) slots, midnight-wrap imbalance — ref
+    src/etl/sleep_hourly_audit.py:1-889; audit.audit_hourly_frame)."""
     from .operators import audit
 
     ev = _cat(spark, sf_dir).events
@@ -1700,6 +1727,7 @@ def q_etl_audit_report(spark, sf_dir):
         audit.audit_daily_frame(d)
         .unionByName(audit.audit_value_ranges(d))
         .unionByName(audit.audit_cross_layer(ev, d, unified))
+        .unionByName(audit.audit_hourly_frame(ev))
     )
 
 
@@ -3562,6 +3590,56 @@ def q_snapshot_diff_report(spark, sf_dir):
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+# Canonical provenance columns per table: deterministically-renderable
+# expressions only (ints, strings, DATE casts, md5 of text) — valid in
+# both engines, never raw doubles (engine-specific float formatting).
+_PROVENANCE_COLS = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size"],
+    "orders": [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "CAST(o_orderdate AS DATE)", "o_orderpriority",
+    ],
+    "lineitem": [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus", "CAST(l_shipdate AS DATE)",
+    ],
+    "events": ["event_id", "user_id", "event_type", "CAST(ts AS DATE)"],
+    "documents": ["doc_id", "lang", "source", "n_chars", "md5(text)"],
+    "embeddings": ["vec_id", "label"],
+}
+
+
+def q_snapshot_provenance(spark, sf_dir):
+    """S11/S12 companion: per-table provenance manifest for the snapshot —
+    row count + order/partitioning-independent bit_xor content digest over
+    each row's canonical rendering (ref
+    src/tools/generate_provenance_report.py:1-509, re-expressed at the
+    content grain instead of the file grain; operators/provenance.py).
+    Two snapshots are provably identical iff their manifests match."""
+    from .operators import provenance
+
+    cat = _cat(spark, sf_dir)
+    frames = {
+        name: (getattr(cat, name), cols)
+        for name, cols in _PROVENANCE_COLS.items()
+    }
+    return provenance.provenance_manifest(frames)
+
+
+def _provenance_oracle() -> str:
+    from .operators import provenance
+
+    return provenance.manifest_oracle_sql(_PROVENANCE_COLS)
+
+
+QUERIES["snapshot_provenance"] = q_snapshot_provenance
+ORACLES["snapshot_provenance"] = _provenance_oracle()
 
 
 _TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"

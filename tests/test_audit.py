@@ -136,3 +136,57 @@ def test_audit_exit_code_severity_gate(spark):
     assert audit_exit_code(rep("OK", "INFO")) == 0
     assert audit_exit_code(rep("OK", "WARNING", "INFO")) == 1
     assert audit_exit_code(rep("WARNING", "CRITICAL", "OK")) == 2
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "ts timestamp, value double")
+
+
+def test_audit_hourly_full_coverage_ok(spark):
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (d0 + dt.timedelta(days=day, hours=h), 1.0)
+        for day in range(3)
+        for h in range(24)
+    ]
+    rep = {
+        r["check_name"]: r
+        for r in audit.audit_hourly_frame(_events(spark, rows)).collect()
+    }
+    assert len(rep) == 3
+    assert rep["hour_coverage_pct"]["severity"] == "OK"
+    assert rep["hour_coverage_pct"]["metric"] == 100.0
+    assert rep["empty_hour_slots_pct"]["severity"] == "OK"
+    assert rep["empty_hour_slots_pct"]["metric"] == 0.0
+    assert rep["midnight_wrap_imbalance_pct"]["severity"] == "INFO"
+    assert rep["midnight_wrap_imbalance_pct"]["metric"] == 0.0
+
+
+def test_audit_hourly_office_hours_warns(spark):
+    # signal confined to 9am-5pm: hour coverage 8/24, most slots empty
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (d0 + dt.timedelta(days=day, hours=h), 1.0)
+        for day in range(4)
+        for h in range(9, 17)
+    ]
+    rep = {
+        r["check_name"]: r
+        for r in audit.audit_hourly_frame(_events(spark, rows)).collect()
+    }
+    assert rep["hour_coverage_pct"]["severity"] == "WARNING"
+    assert abs(rep["hour_coverage_pct"]["metric"] - 8 * 100.0 / 24) < 1e-6
+    assert rep["empty_hour_slots_pct"]["severity"] == "WARNING"
+
+
+def test_audit_hourly_midnight_wrap_imbalance(spark):
+    # hour 23 populated every day, hour 0 never: the wrap INFO metric
+    # reads 100% imbalance (a midnight-attribution bug signature)
+    d0 = dt.datetime(2024, 1, 1, 23)
+    rows = [(d0 + dt.timedelta(days=day), 1.0) for day in range(5)]
+    rows += [(dt.datetime(2024, 1, 1, 12), 1.0)]
+    rep = {
+        r["check_name"]: r
+        for r in audit.audit_hourly_frame(_events(spark, rows)).collect()
+    }
+    assert rep["midnight_wrap_imbalance_pct"]["metric"] == 100.0
