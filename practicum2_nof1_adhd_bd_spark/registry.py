@@ -42,6 +42,26 @@ def _cat(spark: SparkSession, sf_dir: str) -> Catalog:
     return Catalog(spark, sf_dir)
 
 
+def _source_fingerprint(path: str) -> str:
+    """Cheap content fingerprint (size + mtime) of a source file or
+    directory, used to key the /tmp landed-stream copies: if the testdata
+    at an sf_dir is regenerated in place, the fingerprint changes and the
+    stream side lands a fresh copy instead of silently reading the stale
+    one. No Spark job — just os.stat."""
+    import os
+
+    if os.path.isdir(path):
+        sizes = mt = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                st = os.stat(os.path.join(root, f))
+                sizes += st.st_size
+                mt = max(mt, st.st_mtime_ns)
+        return f"{sizes:x}_{mt:x}"
+    st = os.stat(path)
+    return f"{st.st_size:x}_{st.st_mtime_ns:x}"
+
+
 # ---------------------------------------------------------------------------
 # §2.2 filters + §2.4 daily aggregations
 # ---------------------------------------------------------------------------
@@ -527,7 +547,11 @@ def q_streaming_daily_stats(spark, sf_dir):
     # dir already exists, so build it unconditionally.
     cat = _cat(spark, sf_dir)
     tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
-    src = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_src{tag}")
+    # fingerprint in the key: regenerated testdata invalidates the landed copy
+    fp = _source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    src = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_src{tag}_{fp}"
+    )
     if not os.path.exists(src):
         ev = cat.events.select("ts", "value")
         tmp = f"{src}.{os.getpid()}.tmp"
@@ -550,7 +574,11 @@ def q_streaming_daily_stats(spark, sf_dir):
     )
     try:
         if not q.awaitTermination(300):
-            q.stop()  # never hand back a half-built table
+            q.stop()
+            # never hand back a half-built table: a timed-out stream's
+            # memory sink holds partial aggregates that would read as
+            # silently-wrong results downstream
+            raise TimeoutError("streaming_daily_stats: stream did not finish in 300s")
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)  # single-use by design
     return spark.table(name)
@@ -871,7 +899,10 @@ def q_streaming_sessions(spark, sf_dir):
 
     cat = _cat(spark, sf_dir)  # UTC tz + shuffle sizing, see streaming_daily_stats
     tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
-    src = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_sess{tag}")
+    fp = _source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    src = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_sess{tag}_{fp}"
+    )
     if not os.path.exists(src):
         ev = cat.events.select("ts", "user_id", "value")
         tmp = f"{src}.{os.getpid()}.tmp"
@@ -906,6 +937,7 @@ def q_streaming_sessions(spark, sf_dir):
     try:
         if not q.awaitTermination(300):
             q.stop()
+            raise TimeoutError("streaming_sessions: stream did not finish in 300s")
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
@@ -3504,7 +3536,9 @@ def q_zip_ingest_scan(spark, sf_dir):
 
     from .sources import zip_ingest
 
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_export_demo.zip")
+    # bump the _vN suffix whenever the synthesis formula changes: /tmp
+    # persists across rounds and a stale fixture would be reused silently
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_export_demo_v1.zip")
     if not os.path.exists(path):
         tmp = f"{path}.{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
@@ -4249,7 +4283,9 @@ def q_xml_records_scan(spark, sf_dir):
 
     from .sources import xml_records
 
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_export_demo.xml")
+    # bump the _vN suffix whenever the synthesis formula changes: /tmp
+    # persists across rounds and a stale fixture would be reused silently
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_export_demo_v1.xml")
     if not os.path.exists(path):
         lines = ['<?xml version="1.0" encoding="UTF-8"?>', "<HealthData>"]
         for i in range(2400):
@@ -4313,7 +4349,9 @@ def q_jsonl_corpus_scan(spark, sf_dir):
 
     from .sources import jsonl
 
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_corpus_demo.jsonl")
+    # bump the _vN suffix whenever the synthesis formula changes: /tmp
+    # persists across rounds and a stale fixture would be reused silently
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_corpus_demo_v1.jsonl")
     if not os.path.exists(path):
         langs = ["en", "de", "fr", "pt"]
         lines = []

@@ -43,9 +43,17 @@ def read_jsonl_corpus(
     """Defensive JSONL read: explicit schema, PERMISSIVE, corrupt capture.
 
     Returns the typed document frame. With ``drop_corrupt`` (default) bad
-    lines are filtered out after being counted into
-    ``df.corrupt_count`` — callers that need the audit trail pass
-    ``drop_corrupt=False`` and inspect ``_corrupt_record`` themselves.
+    lines are silently filtered out; callers that need the audit trail
+    pass ``drop_corrupt=False`` and inspect ``_corrupt_record``
+    themselves.
+
+    Caveat (SPARK-21610): on a raw JSON read Spark disallows queries whose
+    only referenced column is the internal corrupt-record column, so a
+    bare ``.count()`` / ``.isEmpty()`` directly on the ``drop_corrupt``
+    result — where the filter is the sole column reference — raises
+    AnalysisException. Reference a data column first (any select/agg over
+    real fields, which every registry consumer does), or cache the frame
+    before counting if you genuinely need the raw row count.
     """
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)

@@ -55,7 +55,6 @@ def read_zip_members(
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for src, blob in zip(pdf["path"], pdf["content"]):
-                names, sizes, datas = [], [], []
                 with zipfile.ZipFile(io.BytesIO(blob)) as zf:
                     for info in zf.infolist():
                         if info.is_dir():
@@ -63,17 +62,17 @@ def read_zip_members(
                         if pattern and not fnmatch.fnmatch(info.filename, pattern):
                             continue
                         data = zf.read(info)
-                        names.append(info.filename)
-                        sizes.append(len(data))
-                        datas.append(data)
-                yield pd.DataFrame(
-                    {
-                        "src_path": [src] * len(names),
-                        "member_name": names,
-                        "n_bytes": pd.Series(sizes, dtype="int64"),
-                        "member_bytes": datas,
-                    }
-                )
+                        # one Arrow batch per member: peak executor memory
+                        # really is one archive + one decompressed member,
+                        # never the whole decompressed listing
+                        yield pd.DataFrame(
+                            {
+                                "src_path": [src],
+                                "member_name": [info.filename],
+                                "n_bytes": pd.Series([len(data)], dtype="int64"),
+                                "member_bytes": [data],
+                            }
+                        )
 
     return raw.select("path", "content").mapInPandas(extract, MEMBER_SCHEMA)
 
