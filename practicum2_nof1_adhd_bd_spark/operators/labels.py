@@ -75,6 +75,7 @@ def refined_exact_quantile_thresholds(
     value_col: str,
     probs: tuple[float, float] = (0.25, 0.75),
     accuracy: int = 1_000,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """EXACT interpolated percentiles via sketch-guided refinement — the
     distributed form of exact order statistics, replacing the built-in
@@ -148,6 +149,13 @@ def refined_exact_quantile_thresholds(
         .select("_v", F.explode(F.array("_c1", "_c2")).alias("cut"))
         .filter(F.col("cut").isNotNull())
     )
+    if stats_out is not None:
+        # diagnostic mode (scale probes / bound tests): report how many
+        # rows actually land in the sketch-guided brackets — the only
+        # part of the plan whose size is not a partial-agged scan
+        srow = stats.first()
+        stats_out["n"] = srow["n"]
+        stats_out["bracket_rows"] = cand.count()
     ranked = cand.withColumn(
         "rk", F.row_number().over(Window.partitionBy("cut").orderBy("_v"))
     )

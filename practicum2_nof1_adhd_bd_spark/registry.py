@@ -4563,45 +4563,43 @@ _register_cluster_best_keeper()
 # query registered later without an entry here appends after the front
 # block in registration order.
 # The external harness attests the FIRST 50 entries. Windowing policy
-# (round 5): (a) every query whose implementation or oracle changed this
+# (round 6): (a) every query whose implementation or oracle changed this
 # round sits IN the window — rotation is only for net-new coverage, never
-# a way to ship behavior changes unattested; (b) the 7 queries never yet
-# driver-attested rotate in; (c) daily_event_stats stays as the
-# cross-round canary; (d) remaining slots re-attest r03-window queries
-# untouched since their last green. Cumulative driver coverage after this
-# round = the whole registry, with no entry stale-after-rewrite.
+# a way to ship behavior changes unattested; (b) rows-only queries
+# (no SQL oracle by design) live in the TAIL — they'd post as
+# `err: no_oracle` red-on-the-board rows while displacing an
+# oracle-backed attestation (r05's quantile_3way_label_approx /
+# model_selection_grid lesson); (c) daily_event_stats stays as the
+# cross-round canary; (d) remaining slots re-attest the queries whose
+# last green is oldest (r03 cohort). Cumulative driver coverage stays the
+# whole registry, no entry stale-after-rewrite.
 _FRONT_ORDER = [
-    "daily_event_stats",  # canary: green in r03+r04, re-attested here
-    # never driver-attested until now (registered late in round 4)
-    "quantile_3way_label_approx", "cube_segment_priority",
-    "customer_spend_quartiles", "pretraining_split_report",
-    "incremental_exact_dedup", "stratified_sample_k", "incremental_near_dup",
-    # rewritten in r04 (sketch-guided exact quantiles) + cache-discipline
-    # change this round -> re-attest
-    "quantile_3way_label",
-    # round-5 determinism fixes (decimal-exact sums)
-    "per_class_metrics", "source_mixture_weights",
-    # round-5 behavior-touched: _daily_mean decimal rewrite cascades into
-    # every consumer of the daily-mean/labeled chain
+    "daily_event_stats",  # canary: green every round since r03
+    # round-6 oracle fixes: integer sum() HUGEINT -> BIGINT casts
+    "per_class_metrics", "macro_summary", "source_mixture_weights",
+    "chunk_dedup_profile", "jsonl_corpus_scan", "zip_ingest_scan",
+    # round-6 behavior-touched: _daily_mean decimal revert + bounded
+    # single-pass exact quantile cascade into the daily/labeled chain
     "rolling_7d_mean", "lag_persistence", "sliding_seq_stats",
-    "auto_segment_triggers", "anchor_first_window", "rolling_modal_label",
-    "fold_class_check", "label_halves_drift", "high_activity_blocks",
-    "macro_summary",
-    # round-5 behavior-touched: blocking key, audit extension, shared
-    # daily-stats CTE, broadcast knob
-    "ngram_jaccard_pairs", "etl_audit_report", "reagg_consistency",
-    "unigram_surprisal",
+    "auto_segment_triggers", "high_activity_blocks", "anchor_first_window",
+    "rolling_modal_label", "fold_class_check", "label_halves_drift",
+    "majority_baseline", "stratified_baseline", "dominant_source_change",
+    "pbsi_composite", "pipeline_report", "feature_attribution_topk",
+    "unit_coercion_hours", "quantile_3way_label",
+    # round-6 behavior-touched: hourly audit rows, stream landing
+    # fingerprints + timeout semantics
+    "etl_audit_report", "streaming_daily_stats", "streaming_sessions",
     # new this round
-    "model_selection_grid", "xml_records_scan",
-    "pipeline_report", "chunk_dedup_profile", "jsonl_corpus_scan",
-    "snapshot_diff_report", "bucket_balanced_sample", "zip_ingest_scan",
-    "majority_baseline", "stratified_baseline", "streaming_daily_stats",
-    "streaming_sessions", "audio_frame_features", "cluster_best_keeper",
-    "ngram_novelty", "langid_confusion", "ann_axis_topk",
-    # re-attestation of r03-window queries untouched since their green
-    "daily_median_stats", "daily_pivot_sum", "daily_tag_sets",
-    "user_last_value", "outer_join_daily", "date_spine_unify",
-    "coalescing_merge", "gaps_islands_segments",
+    "snapshot_provenance",
+    # re-attestation of the r03 cohort (oldest last-green)
+    "union_mean_fusion", "nway_outer_merge", "asof_snapshot_select",
+    "boundary_range_join", "calendar_month_folds", "corpus_clean",
+    "cosine_topk_vectorized", "decontaminate_ngram", "dedup_by_key",
+    "dedup_clusters", "embedding_near_dup", "exact_dedup",
+    "forward_fill_daily", "global_zscore", "gopher_quality_flags",
+    "ks_drift", "language_id", "minhash_lsh_pairs",
+    "missing_days_per_user", "point_in_interval", "pricing_summary",
+    "token_stats",
 ]
 
 

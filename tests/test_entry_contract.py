@@ -37,28 +37,31 @@ def test_sample_queries_run_at_sf0001(spark, sf_dir):
 def test_attestation_window_is_stable():
     """The external harness attests the FIRST 50 queries; pin the window so
     a stray registration cannot silently displace an entry before it has
-    been attested. Round-5 window = never-attested rotations + every query
-    whose behavior changed this round + the canary."""
+    been attested. Round-6 window = the canary + every query whose oracle
+    or behavior changed this round + the new query + oldest re-attestations.
+    Rows-only (no-oracle) queries must NOT occupy window slots."""
     names = list(entrymod.queries())
     window = names[:50]
+    oracles = entrymod.oracle_sql()
     assert window[0] == "daily_event_stats"  # cross-round canary
     for must in (
-        # never attested before this round
-        "quantile_3way_label_approx", "cube_segment_priority",
-        "customer_spend_quartiles", "pretraining_split_report",
-        "incremental_exact_dedup", "stratified_sample_k",
-        "incremental_near_dup",
-        # changed this round -> must be attested, not rotated out
-        "quantile_3way_label", "per_class_metrics", "source_mixture_weights",
-        "ngram_jaccard_pairs", "etl_audit_report", "macro_summary",
-        "model_selection_grid", "xml_records_scan",
-        "pipeline_report", "chunk_dedup_profile", "jsonl_corpus_scan",
-        "snapshot_diff_report", "bucket_balanced_sample", "zip_ingest_scan",
-        "majority_baseline", "stratified_baseline", "streaming_daily_stats",
-        "streaming_sessions", "audio_frame_features", "cluster_best_keeper",
-        "ngram_novelty", "langid_confusion", "ann_axis_topk",
+        # oracle HUGEINT casts this round
+        "per_class_metrics", "macro_summary", "source_mixture_weights",
+        "chunk_dedup_profile", "jsonl_corpus_scan", "zip_ingest_scan",
+        # daily-mean revert + bounded-quantile cascade
+        "rolling_7d_mean", "lag_persistence", "sliding_seq_stats",
+        "pbsi_composite", "pipeline_report", "quantile_3way_label",
+        "majority_baseline", "stratified_baseline", "high_activity_blocks",
+        # hourly audit + stream landing changes
+        "etl_audit_report", "streaming_daily_stats", "streaming_sessions",
+        # new this round
+        "snapshot_provenance",
     ):
         assert must in window, must
+    # every window slot must carry a value-hash oracle: a rows-only entry
+    # posts as `err: no_oracle` (red on the driver board) by construction
+    no_oracle_in_window = [n for n in window if n not in oracles]
+    assert not no_oracle_in_window, no_oracle_in_window
 
 
 def test_front_order_fits_attestation_window():
@@ -93,3 +96,16 @@ def test_no_oracle_emits_hugeint():
             if "HUGEINT" in typ:
                 offenders.append((name, col, typ))
     assert not offenders, offenders
+
+
+def test_readme_counts_match_registry():
+    """README drift guard (r05 verdict): the advertised query/oracle counts
+    must track the registry."""
+    import re
+
+    text = open("README.md").read()
+    m = re.search(r"\*\*(\d+) registered queries\*\* \((\d+) with", text)
+    assert m, "README query-count line missing"
+    qs, orc = entrymod.queries(), entrymod.oracle_sql()
+    assert int(m.group(1)) == len(qs), (m.group(1), len(qs))
+    assert int(m.group(2)) == len(orc), (m.group(2), len(orc))

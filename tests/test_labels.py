@@ -107,3 +107,32 @@ def test_refined_quantiles_bit_equal_builtin(spark):
         # bit-for-bit: the refined path must reproduce the builtin
         # percentile()'s interpolation exactly, not approximately
         assert (e["p_lo"], e["p_hi"]) == (r["p_lo"], r["p_hi"]), vals
+
+
+def test_refined_quantile_bracket_slice_bounded(spark):
+    """100-TB contract: the only non-partial-agg stage of the refined
+    exact quantile — the sketch-guided bracket slice that gets ranked —
+    must stay O(n/accuracy), not O(n). Rank coverage is p +- 3/accuracy
+    per cut plus the GK sketch's <= n/accuracy rank error and the
+    neighbor widening, so <= 8n/accuracy rows per cut, 2 cuts."""
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import labels
+
+    n, accuracy = 200_000, 1_000
+    df = spark.range(n).select(
+        (
+            ((F.col("id") * 1103515245 + 12345) % 1_000_003) / 1_000_003
+            + F.col("id") * 1e-12
+        ).alias("v")
+    )
+    stats = {}
+    thr = labels.refined_exact_quantile_thresholds(
+        df, "v", accuracy=accuracy, stats_out=stats
+    ).collect()[0]
+    assert thr["p_lo"] is not None and thr["p_hi"] is not None
+    assert stats["n"] == n
+    bound = 16 * n / accuracy + 16
+    assert stats["bracket_rows"] <= bound, (stats["bracket_rows"], bound)
+    # and the slice really is a tiny fraction of the input
+    assert stats["bracket_rows"] < n * 0.05

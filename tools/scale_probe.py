@@ -158,11 +158,61 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def probe_quantile(spark, n: int, accuracy: int) -> dict:
+    """100x-grain order-statistics probe: refined exact quantile vs raw
+    sketch on n synthetic distinct doubles (no storage — spark.range).
+    Reports wall time for both paths and the refined path's measured
+    bracket-slice size against its O(n/accuracy) contract: rank coverage
+    p±3/accuracy per cut + GK rank error ≤ n/accuracy + neighbor widening
+    => ≤ 8n/accuracy rows per cut, 2 cuts."""
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import labels
+
+    df = spark.range(n).select(
+        (
+            ((F.col("id") * 1103515245 + 12345) % 1_000_003) / 1_000_003
+            + F.col("id") * 1e-12
+        ).alias("v")
+    )
+    stats: dict = {}
+    t0 = time.time()
+    exact = labels.refined_exact_quantile_thresholds(
+        df, "v", accuracy=accuracy, stats_out=stats
+    ).collect()[0]
+    t_exact = time.time() - t0
+    t0 = time.time()
+    approx = labels.approx_quantile_thresholds(
+        df, "v", accuracy=accuracy
+    ).collect()[0]
+    t_approx = time.time() - t0
+    bound = 16 * n / accuracy + 16
+    return {
+        "quantile_n": n,
+        "quantile_accuracy": accuracy,
+        "refined_exact_sec": round(t_exact, 2),
+        "approx_sketch_sec": round(t_approx, 2),
+        "bracket_rows": stats["bracket_rows"],
+        "bracket_bound": int(bound),
+        "bracket_bounded": stats["bracket_rows"] <= bound,
+        "bracket_frac_of_n": round(stats["bracket_rows"] / n, 8),
+        "cut_abs_gap_lo": round(abs(exact["p_lo"] - approx["p_lo"]), 8),
+        "cut_abs_gap_hi": round(abs(exact["p_hi"] - approx["p_hi"]), 8),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--xml-mb", type=int, default=200)
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--quantile-n",
+        type=int,
+        default=0,
+        help="run ONLY the order-statistics probe on n synthetic rows",
+    )
+    ap.add_argument("--quantile-accuracy", type=int, default=1_000_000)
     args = ap.parse_args()
 
     from practicum2_nof1_adhd_bd_spark.session import get_spark
@@ -170,6 +220,14 @@ def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    if args.quantile_n:
+        print(
+            json.dumps(
+                probe_quantile(spark, args.quantile_n, args.quantile_accuracy)
+            )
+        )
+        return
 
     result: dict = {}
     with tempfile.TemporaryDirectory(prefix="scale_probe_") as tmp:
