@@ -42,6 +42,9 @@ HEADLINE = [
     "chunk_dedup_profile",
     "snapshot_diff_report",
     "bucket_balanced_sample",
+    # round-6 additions
+    "snapshot_provenance",
+    "etl_audit_report",
 ]
 
 

@@ -3583,6 +3583,71 @@ ORACLES["zip_ingest_scan"] = """
 """
 
 
+def q_iphone_backup_scan(spark, sf_dir):
+    """S13 driver surface: the reference reads the iTunes-backup SQLite
+    catalog driver-side, one backup at a time (ref
+    src/domains/iphone_backup/iphone_backup.py:135-157 Files-table
+    queries); here a deterministic Manifest.db is synthesized under /tmp
+    and scanned with the executor-side binaryFile + sqlite3 mapInPandas
+    reader (sources/iphone_backup.py), rolled up per domain. The oracle
+    rebuilds the rollup from the record formula for full value-hash
+    attestation."""
+    import os
+    import sqlite3
+    import tempfile
+
+    from .sources import iphone_backup
+
+    # bump the _vN suffix whenever the synthesis formula changes: /tmp
+    # persists across rounds and a stale fixture would be reused silently
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_manifest_demo_v1.db"
+    )
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        con = sqlite3.connect(tmp)
+        con.execute(
+            "CREATE TABLE Files (fileID TEXT, domain TEXT, "
+            "relativePath TEXT, flags INT, file BLOB)"
+        )
+        # Record i (0..299): domain = 3-cycle, path depth = (i%4)+1,
+        # flags = 2 (dir) when i%10==0, 4 (symlink) when i%10==5, else 1
+        domains = ["HomeDomain", "CameraRollDomain", "AppDomain-com.example"]
+        rows = []
+        for i in range(300):
+            rel = "/".join([f"p{j}" for j in range(i % 4)] + [f"f_{i}.dat"])
+            flags = 2 if i % 10 == 0 else (4 if i % 10 == 5 else 1)
+            rows.append((f"id{i:08x}", domains[i % 3], rel, flags, None))
+        con.executemany("INSERT INTO Files VALUES (?,?,?,?,?)", rows)
+        con.commit()
+        con.close()
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            os.unlink(tmp)
+    m = iphone_backup.read_backup_manifests(spark, path)
+    return iphone_backup.domain_profile(m)
+
+
+QUERIES["iphone_backup_scan"] = q_iphone_backup_scan
+ORACLES["iphone_backup_scan"] = """
+    WITH g AS (SELECT unnest(range(0, 300)) AS i),
+    r AS (
+        SELECT (['HomeDomain','CameraRollDomain','AppDomain-com.example'])[(i % 3) + 1]
+                   AS domain,
+               CASE WHEN i % 10 = 0 THEN 2
+                    WHEN i % 10 = 5 THEN 4 ELSE 1 END AS flags,
+               (i % 4) + 1 AS depth
+        FROM g
+    )
+    SELECT domain, count(*) AS n_records,
+           CAST(sum(CASE WHEN flags = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN flags = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dirs,
+           CAST(sum(depth) AS BIGINT) AS total_path_depth
+    FROM r GROUP BY 1
+"""
+
+
 @register(
     "snapshot_diff_report",
     """
@@ -4590,7 +4655,7 @@ _FRONT_ORDER = [
     # fingerprints + timeout semantics
     "etl_audit_report", "streaming_daily_stats", "streaming_sessions",
     # new this round
-    "snapshot_provenance",
+    "snapshot_provenance", "iphone_backup_scan",
     # re-attestation of the r03 cohort (oldest last-green)
     "union_mean_fusion", "nway_outer_merge", "asof_snapshot_select",
     "boundary_range_join", "calendar_month_folds", "corpus_clean",
@@ -4599,7 +4664,6 @@ _FRONT_ORDER = [
     "forward_fill_daily", "global_zscore", "gopher_quality_flags",
     "ks_drift", "language_id", "minhash_lsh_pairs",
     "missing_days_per_user", "point_in_interval", "pricing_summary",
-    "token_stats",
 ]
 
 

@@ -208,3 +208,52 @@ def test_zip_ingest_members_and_pattern(spark, tmp_path):
     assert sorted(l["line"] for l in lines) == sorted(
         ["x,y", "1,2", "3,4", "x,y", "5,6"]
     )
+
+
+def test_iphone_backup_manifest_scan(spark, tmp_path):
+    """S13: multiple Manifest.db catalogs scan in one distributed job;
+    rows land as ordinary columns."""
+    import sqlite3
+
+    from practicum2_nof1_adhd_bd_spark.sources import iphone_backup
+
+    for b in range(2):
+        db = tmp_path / f"backup{b}_Manifest.db"
+        con = sqlite3.connect(db)
+        con.execute(
+            "CREATE TABLE Files (fileID TEXT, domain TEXT, "
+            "relativePath TEXT, flags INT, file BLOB)"
+        )
+        con.executemany(
+            "INSERT INTO Files VALUES (?,?,?,?,?)",
+            [
+                (f"b{b}f{i}", "HomeDomain" if i % 2 else "AppDomain",
+                 f"d/f_{i}", 1 if i % 5 else 2, None)
+                for i in range(20)
+            ],
+        )
+        con.commit()
+        con.close()
+    m = iphone_backup.read_backup_manifests(
+        spark, str(tmp_path / "*_Manifest.db")
+    )
+    rows = m.collect()
+    assert len(rows) == 40
+    assert len({r["backup_path"] for r in rows}) == 2
+    prof = {
+        r["domain"]: r
+        for r in iphone_backup.domain_profile(m).collect()
+    }
+    assert prof["HomeDomain"]["n_records"] == 20
+    # dirs are i%5==0 -> {0,5,10,15}; even ones {0,10} land in AppDomain,
+    # twice (one per backup)
+    assert prof["AppDomain"]["n_dirs"] == 4
+
+
+def test_iphone_backup_encrypted_gate(spark):
+    import pytest
+
+    from practicum2_nof1_adhd_bd_spark.sources import iphone_backup
+
+    with pytest.raises(NotImplementedError):
+        iphone_backup.read_backup_manifests(spark, "/nope/*", passphrase="x")
