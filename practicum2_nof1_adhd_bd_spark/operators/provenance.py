@@ -51,6 +51,19 @@ def row_digest_sql(col_exprs: list[str]) -> str:
     return _hex15_to_int64_sql(f"md5(concat_ws('|', {rendered}))")
 
 
+def row_digest_spark_sql(col_exprs: list[str]) -> str:
+    """Spark-only fast form of :func:`row_digest_sql`: ``conv(hex15, 16,
+    10)`` is one JVM call where the portable fold needs 15 substr/ascii
+    terms. DuckDB has no ``conv``, so the oracle keeps the unrolled fold;
+    both produce the same int64 (hex15 < 2^63, no sign wrap —
+    cross-engine equality is unit-tested)."""
+    rendered = ", ".join(f"CAST({c} AS STRING)" for c in col_exprs)
+    return (
+        f"CAST(conv(substring(md5(concat_ws('|', {rendered})), 1, 15), "
+        f"16, 10) AS BIGINT)"
+    )
+
+
 def table_manifest(
     df: DataFrame, table_name: str, col_exprs: list[str]
 ) -> DataFrame:
@@ -59,10 +72,22 @@ def table_manifest(
     ``col_exprs`` are SQL expressions valid in BOTH Spark and DuckDB
     (plain column names, ``CAST(ts AS DATE)``, ``md5(text)``, ...); they
     must render identically across engines, so no raw doubles.
+
+    The canonical row string is built map-side, then the narrow single
+    column is fanned out before the md5 work: a small parquet file scans
+    as ONE split, which would serialize the hashing onto one core (at
+    real scale the scan already fans out and this is a no-op).
     """
-    return df.agg(
+    from ..sources.readers import fan_out
+
+    rendered = ", ".join(f"CAST({c} AS STRING)" for c in col_exprs)
+    proj = fan_out(df.selectExpr(f"concat_ws('|', {rendered}) AS _row"))
+    digest = (
+        "CAST(conv(substring(md5(_row), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return proj.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.coalesce(F.expr(f"bit_xor({row_digest_sql(col_exprs)})"), F.lit(0)).alias(
+        F.coalesce(F.expr(f"bit_xor({digest})"), F.lit(0)).alias(
             "content_digest"
         ),
     ).select(

@@ -51,3 +51,15 @@ def test_digest_sql_matches_duckdb(spark):
     con.executemany("INSERT INTO t VALUES (?, ?)", rows)
     d = con.sql(f"SELECT k, {expr} AS dig FROM t ORDER BY k").fetchall()
     assert [(r["k"], r["dig"]) for r in s] == d
+
+
+def test_spark_fast_digest_equals_portable_fold(spark):
+    """table_manifest uses conv() (Spark-only fast path); the oracle uses
+    the portable unrolled fold — they must agree bit-for-bit."""
+    rows = [(i, f"name_{i}") for i in range(500)]
+    df = _df(spark, rows)
+    both = df.selectExpr(
+        f"{provenance.row_digest_sql(['k', 'name'])} AS slow",
+        f"{provenance.row_digest_spark_sql(['k', 'name'])} AS fast",
+    ).filter("slow != fast")
+    assert both.count() == 0

@@ -125,6 +125,31 @@ NOTES = {
         "and emits narrow frame-grain feature rows — no shuffle at all; "
         "the blob bytes never cross an exchange."
     ),
+    "pbsi_composite": (
+        "The flagship chain: one event scan partial-aggregates to daily "
+        "grain; z-scores/composite are window math on the tiny daily "
+        "frame; the daily-grain quantile uses the one-pass single-merge "
+        "exact percentile (value-count map bounded by calendar "
+        "cardinality) and broadcasts the 1-row thresholds."
+    ),
+    "snapshot_provenance": (
+        "Per-table manifest = one narrow projection + map-side-combined "
+        "bit_xor/count partial per table; each per-table exchange carries "
+        "one row per partition, and the union is 10 single-row frames — "
+        "cost is exactly one scan per table at any scale."
+    ),
+    "etl_audit_report": (
+        "Every audit family (daily, range, cross-layer, hourly) reduces "
+        "its scan to a 1-row scalar frame map-side; the report is a union "
+        "of scalar projections, so the whole 12-check battery costs the "
+        "underlying scans and nothing wider."
+    ),
+    "iphone_backup_scan": (
+        "binaryFile blob scan -> executor-side sqlite3 mapInPandas (one "
+        "catalog per task, batch-fetched rows) -> map-side-combined "
+        "domain rollup: the only exchange is domain-grain; payload bytes "
+        "never enter the plan."
+    ),
 }
 
 
