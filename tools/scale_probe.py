@@ -141,6 +141,9 @@ QUERIES = [
     "chunk_dedup_profile",
     "snapshot_diff_report",
     "bucket_balanced_sample",
+    # round-6 additions (iphone_backup_scan excluded: constant-size fixture)
+    "etl_audit_report",
+    "snapshot_provenance",
 ]
 
 
