@@ -117,3 +117,43 @@ def test_bucket_balanced_sample_single_exchange(spark, sf_dir):
     import re
 
     assert len(re.findall(r"\bExchange\b", final)) == 1
+
+
+def test_provenance_scan_prunes_to_digest_columns(spark, sf_dir):
+    """The manifest must not read columns outside the canonical set —
+    lineitem's digest skips the double columns, so the scan schema must
+    exclude them."""
+    from practicum2_nof1_adhd_bd_spark.operators import provenance
+
+    li = Catalog(spark, sf_dir).lineitem
+    df = provenance.table_manifest(
+        li, "lineitem", registry._PROVENANCE_COLS["lineitem"]
+    )
+    plan = _plan(df)
+    schema_part = plan.split("ReadSchema")[1][:300]
+    assert "l_returnflag" in schema_part
+    assert "l_extendedprice" not in schema_part
+    assert "l_quantity" not in schema_part
+
+
+def test_iphone_backup_single_domain_exchange(spark, tmp_path):
+    """Manifest scan -> rollup: one exchange (domain grain), the sqlite
+    payload never enters a shuffle."""
+    import sqlite3
+
+    from practicum2_nof1_adhd_bd_spark.sources import iphone_backup
+
+    db = tmp_path / "Manifest.db"
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE Files (fileID TEXT, domain TEXT, relativePath TEXT, "
+        "flags INT, file BLOB)"
+    )
+    con.execute("INSERT INTO Files VALUES ('a', 'd', 'p/f', 1, NULL)")
+    con.commit()
+    con.close()
+    df = iphone_backup.domain_profile(
+        iphone_backup.read_backup_manifests(spark, str(db))
+    )
+    plan = _plan(df)
+    assert plan.count("Exchange") <= 2  # partial-agg exchange (+AQE read)
