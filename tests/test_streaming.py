@@ -183,3 +183,64 @@ def test_dedup_stream_matches_batch_exact_dedup(spark, tmp_path):
     assert len(hashes) == len(set(hashes)) == 3
     survivors = {r["doc_id"] for r in out}
     assert 4 in survivors and len(survivors & {1, 3}) == 1 and 2 in survivors
+
+
+def test_incremental_corpus_ingest_stream(spark, tmp_path):
+    """foreachBatch incremental ingestion: batch 1 seeds the signature
+    index; batch 2 (processed later, same checkpoint) is screened against
+    the STORED index — exact copy flagged, near copy flagged via the
+    MinHash estimate, novel doc admitted and appended."""
+    import json
+
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    index_dir = str(tmp_path / "index")
+    dec_dir = str(tmp_path / "decisions")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        tmp = src / f".{name}.tmp"
+        with open(tmp, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        tmp.rename(src / name)
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id bigint, text string").json(
+            str(src)
+        )
+        q = ci.ingest_stream(stream, index_dir, dec_dir, ckpt)
+        assert q.awaitTermination(120)
+
+    land("b1.json", [(1, base), (2, "hi"), (3, base)])
+    run_once()
+    # same checkpoint -> only the new file is processed as batch 2
+    land(
+        "b2.json",
+        [
+            (11, base),
+            (12, base + " five"),
+            (13, "completely different words entirely here about other topics"),
+        ],
+    )
+    run_once()
+
+    dec = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(dec_dir).collect()
+    }
+    assert dec[1]["status"] == "admitted"
+    assert dec[2]["status"] == "admitted"  # < k tokens: exact-screen only
+    assert dec[3]["status"] == "exact_dup" and dec[3]["matched_id"] == 1
+    assert dec[11]["status"] == "exact_dup" and dec[11]["matched_id"] == 1
+    assert dec[12]["status"] == "near_dup" and dec[12]["matched_id"] == 1
+    assert dec[13]["status"] == "admitted"
+    idx = spark.read.schema(ci.INDEX_SCHEMA).parquet(index_dir)
+    assert sorted(r["doc_id"] for r in idx.collect()) == [1, 2, 13]
