@@ -3432,6 +3432,128 @@ def q_incremental_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b", "jaccard")
 
 
+def _ingest_decisions_oracle() -> str:
+    """DuckDB twin of streaming.corpus_ingest.screen_batch over the
+    deterministic batch/index split used by q_incremental_ingest_decisions:
+    internal exact collapse, stored-hash exact screen, LSH band join +
+    8-hash MinHash-estimate verify (>= 7/8 components equal)."""
+    n_hashes, bands = 8, 4
+    rows = n_hashes // bands
+    norm = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    sig_cols = ", ".join(f"{_mh_expr(i)} AS mh{i}" for i in range(n_hashes))
+    def banded(src: str) -> str:
+        return " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM {src}"
+            .format(
+                b=b,
+                concat=" || ',' || ".join(
+                    f"mh{b * rows + r}" for r in range(rows)
+                ),
+                src=src,
+            )
+            for b in range(bands)
+        )
+    est_sum = " + ".join(
+        f"CASE WHEN s2.mh{i} = si.mh{i} THEN 1 ELSE 0 END"
+        for i in range(n_hashes)
+    )
+    return f"""
+    WITH idx AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+    b AS (
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id % 10 = 1
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text FROM documents
+        WHERE doc_id % 5 = 0
+    ),
+    bh AS (SELECT doc_id, {norm} AS h, text FROM b),
+    canon AS (SELECT h, min(doc_id) AS keep FROM bh GROUP BY 1),
+    internal AS (
+        SELECT bh.doc_id, 'exact_dup' AS status, canon.keep AS matched_id
+        FROM bh JOIN canon USING (h) WHERE bh.doc_id != canon.keep
+    ),
+    surv AS (
+        SELECT bh.doc_id, bh.h, bh.text
+        FROM bh JOIN canon ON bh.h = canon.h AND bh.doc_id = canon.keep
+    ),
+    ih AS (SELECT doc_id AS iid, {norm} AS h FROM idx),
+    exact_hit AS (
+        SELECT surv.doc_id, 'exact_dup' AS status, min(ih.iid) AS matched_id
+        FROM surv JOIN ih USING (h) GROUP BY 1
+    ),
+    surv2 AS (
+        SELECT * FROM surv
+        WHERE doc_id NOT IN (SELECT doc_id FROM exact_hit)
+    ),
+    w2 AS (SELECT doc_id, {_WORDS} AS words FROM surv2),
+    sh2 AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w2),
+    sig2 AS (SELECT doc_id, {sig_cols} FROM sh2 WHERE len(shingles) > 0),
+    wi AS (SELECT doc_id, {_WORDS} AS words FROM idx),
+    shi AS (SELECT doc_id, {_SHINGLES} AS shingles FROM wi),
+    sigi AS (SELECT doc_id, {sig_cols} FROM shi WHERE len(shingles) > 0),
+    banded2 AS ({banded('sig2')}),
+    bandedi AS ({banded('sigi')}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS bid, i.doc_id AS iid
+        FROM banded2 a JOIN bandedi i
+          ON a.band = i.band AND a.bucket = i.bucket
+    ),
+    near AS (
+        SELECT c.bid AS doc_id, 'near_dup' AS status, min(c.iid) AS matched_id
+        FROM cand c
+        JOIN sig2 s2 ON c.bid = s2.doc_id
+        JOIN sigi si ON c.iid = si.doc_id
+        WHERE ({est_sum}) / 8.0 >= 0.8
+        GROUP BY 1
+    ),
+    admitted AS (
+        SELECT doc_id, 'admitted' AS status, CAST(NULL AS BIGINT) AS matched_id
+        FROM surv2 WHERE doc_id NOT IN (SELECT doc_id FROM near)
+    )
+    SELECT * FROM internal
+    UNION ALL SELECT * FROM exact_hit
+    UNION ALL SELECT * FROM near
+    UNION ALL SELECT * FROM admitted
+    """
+
+
+@register("incremental_ingest_decisions", None)
+def q_incremental_ingest_decisions(spark, sf_dir):
+    """Batch-mode attestation of the streaming ingest screen
+    (streaming/corpus_ingest.screen_batch — the foreachBatch wiring is
+    pytest-covered): index = signature store of docs with doc_id%5 != 0;
+    batch = exact copies of index docs (doc_id%10==1, re-keyed +1e6) plus
+    docs absent from the index (doc_id%5==0, re-keyed +2e6). Emits the
+    per-doc admitted/exact_dup/near_dup decisions with matched ids; the
+    oracle replays hash, band, and estimate algebra in SQL."""
+    from .streaming import corpus_ingest as ci
+
+    docs = _cat(spark, sf_dir).documents
+    index = ci._batch_signatures(
+        docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id", 8, 3
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 1)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    dec, _sigs, cleanup = ci.screen_batch(batch, index)
+    # batch-sized decisions frame: persist so the driver's collect doesn't
+    # re-run the screen, then release the corpus-width signature cache
+    # (same discipline as incremental_near_dup's pair frame)
+    dec = dec.persist()
+    dec.count()
+    cleanup()
+    return dec
+
+
+ORACLES["incremental_ingest_decisions"] = _ingest_decisions_oracle()
+
+
 @register(
     "simhash_fingerprints",
     f"""
@@ -4655,10 +4777,10 @@ _FRONT_ORDER = [
     # fingerprints + timeout semantics
     "etl_audit_report", "streaming_daily_stats", "streaming_sessions",
     # new this round
-    "snapshot_provenance", "iphone_backup_scan",
+    "snapshot_provenance", "iphone_backup_scan", "incremental_ingest_decisions",
     # re-attestation of the r03 cohort (oldest last-green)
     "union_mean_fusion", "nway_outer_merge", "asof_snapshot_select",
-    "boundary_range_join", "calendar_month_folds", "corpus_clean",
+    "boundary_range_join", "corpus_clean",
     "cosine_topk_vectorized", "decontaminate_ngram", "dedup_by_key",
     "dedup_clusters", "embedding_near_dup", "exact_dedup",
     "forward_fill_daily", "global_zscore", "gopher_quality_flags",

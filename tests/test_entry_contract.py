@@ -56,6 +56,7 @@ def test_attestation_window_is_stable():
         "etl_audit_report", "streaming_daily_stats", "streaming_sessions",
         # new this round
         "snapshot_provenance", "iphone_backup_scan",
+        "incremental_ingest_decisions",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry
