@@ -182,3 +182,42 @@ def test_snapshot_diff_identity_and_partition(spark, texts, drop_mod):
     out = {r["doc_id"]: r["status"] for r in dedup.snapshot_diff(df, new).collect()}
     for i, _ in rows:
         assert out[i] == ("removed" if i % drop_mod == 0 else "unchanged")
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), max_codepoint=0x2FFF
+                ),
+                max_size=40,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_provenance_digest_cross_engine_any_input(spark, rows):
+    """The portable digest fold and Spark's conv() fast path must agree
+    with DuckDB for ANY ints/unicode strings — the provenance manifest's
+    whole contract is cross-engine bit-equality."""
+    import duckdb
+
+    from practicum2_nof1_adhd_bd_spark.operators import provenance
+
+    df = spark.createDataFrame(rows, "k bigint, name string")
+    expr = provenance.row_digest_sql(["k", "name"])
+    fast = provenance.row_digest_spark_sql(["k", "name"])
+    got = {
+        r["k"]: (r["slow"], r["fast"])
+        for r in df.selectExpr("k", f"{expr} AS slow", f"{fast} AS fast").collect()
+    }
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (k BIGINT, name VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    for k, dig in con.sql(f"SELECT k, {expr} FROM t").fetchall():
+        assert got[k] == (dig, dig), (k, got[k], dig)
