@@ -42,6 +42,28 @@ def _cat(spark: SparkSession, sf_dir: str) -> Catalog:
     return Catalog(spark, sf_dir)
 
 
+def _land_once(prefix: str, fp: str, write_fn) -> str:
+    """Land a stream-source dir at ``{prefix}_{fp}`` atomically if absent,
+    reaping stale sibling fingerprints first — /tmp persists across rounds
+    and superseded copies would pile up. Returns the landed path."""
+    import glob as _glob
+    import os
+    import shutil
+
+    src = f"{prefix}_{fp}"
+    for stale in _glob.glob(f"{prefix}*"):  # also reaps pre-fingerprint legacy dirs
+        if stale != src and not stale.endswith(".tmp"):
+            shutil.rmtree(stale, ignore_errors=True)
+    if not os.path.exists(src):
+        tmp = f"{src}.{os.getpid()}.tmp"
+        write_fn(tmp)
+        try:
+            os.rename(tmp, src)  # atomic; loser of a concurrent race cleans up
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return src
+
+
 def _source_fingerprint(path: str) -> str:
     """Cheap content fingerprint (size + mtime) of a source file or
     directory, used to key the /tmp landed-stream copies: if the testdata
@@ -549,17 +571,13 @@ def q_streaming_daily_stats(spark, sf_dir):
     tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
     # fingerprint in the key: regenerated testdata invalidates the landed copy
     fp = _source_fingerprint(os.path.join(sf_dir, "events.parquet"))
-    src = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_stream_src{tag}_{fp}"
+    src = _land_once(
+        os.path.join(tempfile.gettempdir(), f"spark_graft_stream_src{tag}"),
+        fp,
+        lambda tmp: cat.events.select("ts", "value")
+        .write.mode("overwrite")
+        .parquet(tmp),
     )
-    if not os.path.exists(src):
-        ev = cat.events.select("ts", "value")
-        tmp = f"{src}.{os.getpid()}.tmp"
-        ev.write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, src)  # atomic; loser of a concurrent race cleans up
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
     stream = spark.readStream.schema("ts timestamp, value double").parquet(src)
     name = f"stream_daily_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
@@ -900,17 +918,13 @@ def q_streaming_sessions(spark, sf_dir):
     cat = _cat(spark, sf_dir)  # UTC tz + shuffle sizing, see streaming_daily_stats
     tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
     fp = _source_fingerprint(os.path.join(sf_dir, "events.parquet"))
-    src = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_stream_sess{tag}_{fp}"
+    src = _land_once(
+        os.path.join(tempfile.gettempdir(), f"spark_graft_stream_sess{tag}"),
+        fp,
+        lambda tmp: cat.events.select("ts", "user_id", "value")
+        .write.mode("overwrite")
+        .parquet(tmp),
     )
-    if not os.path.exists(src):
-        ev = cat.events.select("ts", "user_id", "value")
-        tmp = f"{src}.{os.getpid()}.tmp"
-        ev.write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, src)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
     stream = spark.readStream.schema(
         "ts timestamp, user_id bigint, value double"
     ).parquet(src)
