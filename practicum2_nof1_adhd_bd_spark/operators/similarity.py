@@ -246,21 +246,50 @@ def ivf_kmeans_topk(
     )
 
 
+def md5_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — engine-neutral:
+    the same constants can be embedded verbatim in a SQL oracle, making
+    sign-LSH value-hash attestable (numpy's RandomState cannot be replayed
+    in SQL). Component (i, j) = (md5int('plane{i},{j}') % 2001 - 1000) /
+    1000 — uniform-ish in [-1, 1], which is all sign-LSH needs."""
+    import hashlib
+
+    return [
+        [
+            (
+                int(hashlib.md5(f"plane{i},{j}".encode()).hexdigest()[:15], 16)
+                % 2001
+                - 1000
+            )
+            / 1000.0
+            for j in range(dim)
+        ]
+        for i in range(n_planes)
+    ]
+
+
 def random_hyperplane_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    plane_source: str = "numpy",
 ) -> DataFrame:
-    """Sign-LSH bucketing: n_planes deterministic pseudo-random hyperplanes
-    (seeded numpy), bucket = sign bit pattern. ANN queries only compare
-    within the query's bucket (and optionally neighboring buckets)."""
-    import numpy as np
+    """Sign-LSH bucketing: n_planes deterministic pseudo-random hyperplanes,
+    bucket = sign bit pattern. ANN queries only compare within the query's
+    bucket (and optionally neighboring buckets). ``plane_source="md5"``
+    uses the engine-neutral md5 constants (oracle-replayable);
+    ``"numpy"`` keeps the seeded-Gaussian planes."""
+    if plane_source == "md5":
+        dim = len(embeddings.select(vec_col).first()[0])
+        planes = md5_planes(n_planes, dim)
+    else:
+        import numpy as np
 
-    dim = len(embeddings.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+        dim = len(embeddings.select(vec_col).first()[0])
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_planes, dim))
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = embeddings.select(F.col(id_col), dvec.alias("v"))
     bucket = None
@@ -280,11 +309,14 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    plane_source: str = "numpy",
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the query's
     LSH bucket. Sub-linear candidate set at scale (corpus partitioned by
     bucket); recall tunable via n_planes."""
-    buckets = random_hyperplane_buckets(embeddings, n_planes, id_col, vec_col, seed)
+    buckets = random_hyperplane_buckets(
+        embeddings, n_planes, id_col, vec_col, seed, plane_source
+    )
     qb = buckets.filter(F.col(id_col) == query_id).select(
         F.col("bucket").alias("qbucket")
     )

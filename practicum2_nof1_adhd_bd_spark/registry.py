@@ -4203,13 +4203,43 @@ def q_cosine_topk_vectorized(spark, sf_dir):
     return sim.cosine_topk_vectorized(emb, query_id=0, k=10)
 
 
-def q_ann_lsh_topk(spark, sf_dir):
-    """Approximate top-k via sign-LSH bucketing (numpy hyperplanes, seed 42);
-    approximate by design -> rows-only check."""
-    emb = _cat(spark, sf_dir).embeddings
-    return sim.ann_topk_lsh(emb, query_id=0, k=10, n_planes=6)
+def _sign_lsh_oracle(n_planes: int = 6, dim: int = 64) -> str:
+    """DuckDB twin of the sign-LSH path: the md5-derived plane constants
+    embed verbatim (same doubles both engines), buckets are the same sign
+    bits, and the in-bucket cosine ranking reuses the attested
+    list_inner_product algebra. Sign flips require |dot| within float-ulp
+    of zero — same accepted boundary class as 6dp rounds."""
+    planes = sim.md5_planes(n_planes, dim)
+    bits = " + ".join(
+        f"(CASE WHEN list_inner_product(v, "
+        f"[{', '.join(repr(x) for x in p)}]::DOUBLE[]) > 0 "
+        f"THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, ({bits}) AS bucket FROM e),
+    q AS (SELECT bucket AS qb, v AS qv FROM b WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_inner_product(v, qv)
+                 / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 6)
+               AS cosine
+    FROM b, q
+    WHERE b.bucket = q.qb AND vec_id != 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """
 
-QUERIES["ann_lsh_topk"] = q_ann_lsh_topk
+
+@register("ann_lsh_topk", _sign_lsh_oracle())
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k via sign-LSH bucketing. Planes are md5-derived
+    (similarity.md5_planes) so the oracle replays bucket assignment and
+    in-bucket exact-cosine ranking bit-for-bit — this query graduated from
+    rows-only when the numpy seeded planes (not replayable in SQL) were
+    swapped for engine-neutral constants."""
+    emb = _cat(spark, sf_dir).embeddings
+    return sim.ann_topk_lsh(emb, query_id=0, k=10, n_planes=6, plane_source="md5")
 
 
 @register(
@@ -4792,6 +4822,8 @@ _FRONT_ORDER = [
     "etl_audit_report", "streaming_daily_stats", "streaming_sessions",
     # new this round
     "snapshot_provenance", "iphone_backup_scan", "incremental_ingest_decisions",
+    # graduated from rows-only this round (md5 planes -> SQL-replayable)
+    "ann_lsh_topk",
     # re-attestation of the r03 cohort (oldest last-green)
     "union_mean_fusion", "nway_outer_merge", "asof_snapshot_select",
     "boundary_range_join", "corpus_clean",
@@ -4799,7 +4831,7 @@ _FRONT_ORDER = [
     "dedup_clusters", "embedding_near_dup", "exact_dedup",
     "forward_fill_daily", "global_zscore", "gopher_quality_flags",
     "ks_drift", "language_id", "minhash_lsh_pairs",
-    "missing_days_per_user", "point_in_interval", "pricing_summary",
+    "missing_days_per_user", "pricing_summary",
 ]
 
 

@@ -10,12 +10,12 @@ def test_oracle_keys_subset_of_queries():
     # every query is callable
     assert all(callable(f) for f in qs.values())
     # substantial coverage: at least 40 queries; rows-only (no-oracle)
-    # budget is 8: adwin, ann_lsh, impute, logreg_cv, ivf_kmeans, model_zoo,
+    # budget is 7: adwin, impute, logreg_cv, ivf_kmeans, model_zoo,
     # quantile_3way_label_approx (sketch cut points are ulp-unstable),
-    # model_selection_grid (MLlib). xml_records_scan regained a value-hash
-    # oracle by regenerating the synthetic export's aggregate in SQL.
+    # model_selection_grid (MLlib). ann_lsh_topk graduated in r06 via
+    # md5-derived (SQL-replayable) hyperplanes.
     assert len(qs) >= 40
-    assert len(set(qs) - set(oracles)) <= 8
+    assert len(set(qs) - set(oracles)) <= 7
 
 
 def test_entry_runs_and_is_deterministic(spark):
@@ -56,7 +56,7 @@ def test_attestation_window_is_stable():
         "etl_audit_report", "streaming_daily_stats", "streaming_sessions",
         # new this round
         "snapshot_provenance", "iphone_backup_scan",
-        "incremental_ingest_decisions",
+        "incremental_ingest_decisions", "ann_lsh_topk",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry
