@@ -112,3 +112,27 @@ def test_pipeline_report_sections(spark, sf_dir):
         <= by[("error_range", "daily_mean_avg")]
         <= by[("error_range", "daily_mean_max")]
     )
+
+
+def test_cli_list_run_audit(spark, sf_dir, capsys, tmp_path):
+    """§3.2-3.3 CLI surface: list filters, run prints/writes, audit exits
+    with the severity code (reference's make qc-* contract)."""
+    from practicum2_nof1_adhd_bd_spark.__main__ import main
+
+    assert main(["list", "daily_event"]) == 0
+    out = capsys.readouterr().out
+    assert "daily_event_stats\toracle" in out
+
+    assert main(["run", "daily_event_stats", "--sf-dir", sf_dir, "--limit", "3"]) == 0
+    assert "value_mean" in capsys.readouterr().out
+
+    dest = str(tmp_path / "out")
+    assert main(["run", "dedup_by_key", "--sf-dir", sf_dir, "--out", dest]) == 0
+    assert spark.read.parquet(dest).count() > 0
+
+    assert main(["run", "no_such_query"]) == 2
+
+    rc = main(["audit", "--sf-dir", sf_dir])
+    rep = capsys.readouterr().out
+    assert "hour_coverage_pct" in rep
+    assert rc in (0, 1, 2)
