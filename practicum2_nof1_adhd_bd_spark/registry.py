@@ -3568,6 +3568,55 @@ def q_incremental_ingest_decisions(spark, sf_dir):
 ORACLES["incremental_ingest_decisions"] = _ingest_decisions_oracle()
 
 
+@register("streaming_ingest_decisions", None)
+def q_streaming_ingest_decisions(spark, sf_dir):
+    """§2.9: the incremental corpus-ingest STREAM under the value-hash
+    gate — same fixture as incremental_ingest_decisions (so the same SQL
+    oracle applies), but executed as a real foreachBatch run: the batch
+    lands as a JSON file, the signature index is bootstrapped on disk
+    (the stored artifact), ingest_stream processes availableNow against
+    a fresh checkpoint, and the decisions are read back from the parquet
+    sink. Robust to micro-batch splits: an admitted doc's signatures
+    enter the index before the next batch, so statuses and matched ids
+    are batch-partition-invariant. Per-invocation uuid dirs stay on disk
+    (the returned frame reads the sink lazily); they are fixture-sized."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming import corpus_ingest as ci
+
+    docs = _cat(spark, sf_dir).documents
+    work = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ingest_{uuid.uuid4().hex[:8]}"
+    )
+    src, index_dir = os.path.join(work, "src"), os.path.join(work, "index")
+    dec_dir, ckpt = os.path.join(work, "dec"), os.path.join(work, "ckpt")
+    # bootstrap the stored index artifact: signatures of the corpus side
+    ci._batch_signatures(
+        docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id", 8, 3
+    ).write.mode("overwrite").parquet(index_dir)
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 1)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    batch.coalesce(1).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").json(src)
+    q = ci.ingest_stream(stream, index_dir, dec_dir, ckpt)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_ingest_decisions: stream did not finish in 300s")
+    return spark.read.schema(ci.DECISION_SCHEMA).parquet(dec_dir)
+
+
+ORACLES["streaming_ingest_decisions"] = _ingest_decisions_oracle()
+
+
 @register(
     "simhash_fingerprints",
     f"""
@@ -4824,10 +4873,11 @@ _FRONT_ORDER = [
     "snapshot_provenance", "iphone_backup_scan", "incremental_ingest_decisions",
     # graduated from rows-only this round (md5 planes -> SQL-replayable)
     "ann_lsh_topk",
+    "streaming_ingest_decisions",
     # re-attestation of the r03 cohort (oldest last-green)
     "union_mean_fusion", "nway_outer_merge", "asof_snapshot_select",
     "boundary_range_join", "corpus_clean",
-    "cosine_topk_vectorized", "decontaminate_ngram", "dedup_by_key",
+    "cosine_topk_vectorized", "decontaminate_ngram",
     "dedup_clusters", "embedding_near_dup", "exact_dedup",
     "forward_fill_daily", "global_zscore", "gopher_quality_flags",
     "ks_drift", "language_id", "minhash_lsh_pairs",
