@@ -89,6 +89,10 @@ def main() -> None:
         timings[name] = sorted(runs)[2]
 
     total = round(sum(timings.values()), 3)
+    # the per-query min is the host's noise floor: on a stall-free box
+    # median ~= min, and a large median/min gap flags CPU steal rather
+    # than a code regression
+    mins = {k: min(v) for k, v in repeats.items()}
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
         sf_val: float | str = float(sf)
@@ -102,6 +106,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "repeats": repeats,
+                "mins": mins,
+                "min_total": round(sum(mins.values()), 3),
                 "sf": sf_val,
             }
         )

@@ -150,6 +150,18 @@ NOTES = {
         "domain rollup: the only exchange is domain-grain; payload bytes "
         "never enter the plan."
     ),
+    "incremental_ingest_decisions": (
+        "One text pass over the batch builds hash+signature (persisted, "
+        "batch-sized); every screen is then hash/band equijoin + "
+        "signature-estimate algebra against the stored index — per-batch "
+        "cost scales with batch x candidate fan-out, never corpus size."
+    ),
+    "ann_lsh_topk": (
+        "Sign-LSH bucket assignment is a codegen'd projection (md5-"
+        "derived plane literals); the exact-cosine ranking runs only "
+        "inside the query's bucket after a broadcast of the 1-row query "
+        "bucket — candidate set is corpus/2^planes, sub-linear at scale."
+    ),
 }
 
 
