@@ -11,7 +11,7 @@ reference's class-coverage gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import folds as folds_mod
@@ -520,3 +520,121 @@ def feature_attribution(
     )
     w = Window.orderBy(F.desc("attribution"), F.asc("feature"))
     return att.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def selection_rule_report(
+    folded: DataFrame,
+    feature_sets: dict[str, list[str]],
+    targets: dict[str, Column],
+    round_dp: int = 6,
+) -> DataFrame:
+    """The reference's deterministic model-selection machinery with the
+    MLlib fit swapped for a closed-form score — so the grid shape, the
+    per-fold usability gates, and the selection rule itself (ref
+    src/etl/experiment_suite.py:72-105 select, :168-180 gates) carry a
+    full value-hash oracle, which the lbfgs-backed ``model_selection_grid``
+    cannot (its metrics are solver outputs).
+
+    Score proxy: per (config, fold), the mean over the feature set of
+    |corr(feature, target)| on the fold's train split (the linear-model
+    analog of fit quality — same family as feature_attribution); the
+    validation-split twin stands in for the reference's kappa tie-break.
+    Gates per fold: >= 5 train rows, >= 2 val rows, >= 2 train classes.
+    Selection: max mean train score, tie -> max val score, tie -> fewer
+    features, tie -> lexicographic (feature_set, target) — isomorphic to
+    the reference's (max F1, tie kappa, tie parsimony) ordering.
+
+    Plan: ONE pass over the daily-grain folded frame per config (8 tiny
+    aggregates sharing the cached input); everything downstream is
+    constant-size (configs x folds).
+    """
+    from functools import reduce
+
+    spark = folded.sparkSession
+    rows = []
+    for fs_id, cols in feature_sets.items():
+        for t_name, t_expr in targets.items():
+            is_tr = F.col("split") == "train"
+            is_va = F.col("split") == "val"
+
+            # corr() under ANSI mode THROWS on a zero-variance side (e.g.
+            # a fold whose train target is constant); build it from
+            # covar/stddev moments with an explicit >0 gate instead —
+            # identical formula on the DuckDB side, so parity by
+            # construction
+            moment_aggs = []
+            for tag, side in (("tr", is_tr), ("va", is_va)):
+                moment_aggs.append(
+                    F.stddev_samp(F.when(side, t_expr)).alias(f"_st_{tag}")
+                )
+                for c in cols:
+                    moment_aggs.append(
+                        F.covar_samp(
+                            F.when(side, F.col(c)), F.when(side, t_expr)
+                        ).alias(f"_cv_{tag}_{c}")
+                    )
+                    moment_aggs.append(
+                        F.stddev_samp(F.when(side, F.col(c))).alias(
+                            f"_sx_{tag}_{c}"
+                        )
+                    )
+
+            def _score(tag):
+                terms = [
+                    F.coalesce(
+                        F.abs(
+                            F.when(
+                                (F.col(f"_sx_{tag}_{c}") > 0)
+                                & (F.col(f"_st_{tag}") > 0),
+                                F.col(f"_cv_{tag}_{c}")
+                                / (F.col(f"_sx_{tag}_{c}") * F.col(f"_st_{tag}")),
+                            )
+                        ),
+                        F.lit(0.0),
+                    )
+                    for c in cols
+                ]
+                acc = terms[0]
+                for t in terms[1:]:
+                    acc = acc + t
+                return F.round(acc / F.lit(len(cols)), round_dp)
+
+            per_fold = folded.groupBy("fold_id").agg(
+                F.sum(is_tr.cast("bigint")).alias("n_tr"),
+                F.sum(is_va.cast("bigint")).alias("n_va"),
+                F.countDistinct(F.when(is_tr, t_expr)).alias("ncls"),
+                *moment_aggs,
+            ).select(
+                "fold_id", "n_tr", "n_va", "ncls",
+                _score("tr").alias("s_tr"),
+                _score("va").alias("s_va"),
+            )
+            usable = per_fold.filter(
+                (F.col("n_tr") >= 5) & (F.col("n_va") >= 2) & (F.col("ncls") >= 2)
+            )
+            rows.append(
+                usable.agg(
+                    F.lit(fs_id).alias("feature_set"),
+                    F.lit(t_name).alias("target"),
+                    F.lit(len(cols)).alias("n_features"),
+                    F.count(F.lit(1)).alias("n_folds_used"),
+                    F.round(F.avg("s_tr"), round_dp).alias("mean_score"),
+                    F.round(F.stddev_pop("s_tr"), round_dp).alias("std_score"),
+                    F.round(F.avg("s_va"), round_dp).alias("mean_val_score"),
+                )
+            )
+    grid = reduce(DataFrame.unionByName, rows)
+    w = Window.orderBy(
+        F.desc(F.col("n_folds_used") > 0),
+        F.desc(F.coalesce(F.col("mean_score"), F.lit(-1.0))),
+        F.desc(F.coalesce(F.col("mean_val_score"), F.lit(-1.0))),
+        F.asc("n_features"),
+        F.asc("feature_set"),
+        F.asc("target"),
+    )
+    return grid.withColumn(
+        "selected",
+        (
+            (F.row_number().over(w) == 1) & (F.col("n_folds_used") > 0)
+        ).cast("int"),
+    )

@@ -4549,6 +4549,116 @@ def q_model_selection_grid(spark, sf_dir):
 QUERIES["model_selection_grid"] = q_model_selection_grid
 
 
+_SELECTION_FEATURE_SETS = {
+    "FS-A": ["value_mean"],
+    "FS-B": ["value_mean", "n_events"],
+    "FS-C": ["value_mean", "n_events", "n_users"],
+    "FS-D": ["value_mean", "n_events", "n_users", "value_std"],
+}
+
+
+def _selection_rule_oracle() -> str:
+    """DuckDB twin of ml.selection_rule_report over the deterministic
+    daily feature frame: same folds, gates, per-fold |corr| proxy score,
+    and the (max score, tie val score, tie parsimony, tie lexicographic)
+    selection ordering."""
+    cfg_sqls = []
+    for fs_id, cols in _SELECTION_FEATURE_SETS.items():
+        for t_name, t_sql in (("3class", "label + 1"), ("binary", "CAST(label != 0 AS INT)")):
+            def sc(side):
+                # guarded moment form, mirroring the Spark side exactly
+                st = f"stddev_samp({t_sql}) FILTER (WHERE split = '{side}')"
+                terms = " + ".join(
+                    f"coalesce(abs(CASE WHEN "
+                    f"(stddev_samp({c}) FILTER (WHERE split = '{side}')) > 0 "
+                    f"AND ({st}) > 0 THEN "
+                    f"(covar_samp({c}, {t_sql}) FILTER (WHERE split = '{side}'))"
+                    f" / ((stddev_samp({c}) FILTER (WHERE split = '{side}'))"
+                    f" * ({st})) END), 0)"
+                    for c in cols
+                )
+                return f"round(({terms}) / {len(cols)}, 6)"
+            cfg_sqls.append(f"""
+    SELECT '{fs_id}' AS feature_set, '{t_name}' AS target,
+           {len(cols)} AS n_features,
+           count(*) AS n_folds_used,
+           round(avg(s_tr), 6) AS mean_score,
+           round(stddev_pop(s_tr), 6) AS std_score,
+           round(avg(s_va), 6) AS mean_val_score
+    FROM (
+        SELECT fold_id,
+               count(*) FILTER (WHERE split = 'train') AS n_tr,
+               count(*) FILTER (WHERE split = 'val') AS n_va,
+               count(DISTINCT CASE WHEN split = 'train' THEN {t_sql} END) AS ncls,
+               {sc('train')} AS s_tr,
+               {sc('val')} AS s_va
+        FROM f GROUP BY 1
+    ) WHERE n_tr >= 5 AND n_va >= 2 AND ncls >= 2""")
+    union = " UNION ALL ".join(cfg_sqls)
+    return f"""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS date,
+               round(avg(value), 6) AS value_mean,
+               CAST(count(*) AS DOUBLE) AS n_events,
+               CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users,
+               round(stddev_samp(value), 6) AS value_std
+        FROM events GROUP BY 1
+    ),
+    t AS (SELECT quantile_cont(value_mean, 0.25) AS p_lo,
+                 quantile_cont(value_mean, 0.75) AS p_hi FROM d),
+    lab AS (
+        SELECT d.*, CASE WHEN value_mean <= p_lo THEN -1
+                         WHEN value_mean >= p_hi THEN 1 ELSE 0 END AS label
+        FROM d, t
+    ),
+    a AS (SELECT min(date) AS d0 FROM lab),
+    f AS (
+        SELECT lab.*,
+               CAST(date_diff('day', d0, date) // 10 AS BIGINT) AS fold_id,
+               CASE WHEN date_diff('day', d0, date) % 10 < 7 THEN 'train'
+                    ELSE 'val' END AS split
+        FROM lab, a
+    ),
+    grid AS ({union})
+    SELECT feature_set, target, n_features,
+           CAST(n_folds_used AS BIGINT) AS n_folds_used,
+           mean_score, std_score, mean_val_score,
+           CAST(row_number() OVER (
+               ORDER BY (n_folds_used > 0) DESC,
+                        coalesce(mean_score, -1) DESC,
+                        coalesce(mean_val_score, -1) DESC,
+                        n_features ASC, feature_set ASC, target ASC
+           ) = 1 AND n_folds_used > 0 AS INT) AS selected
+    FROM grid
+    """
+
+
+@register("selection_rule_report", _selection_rule_oracle())
+def q_selection_rule_report(spark, sf_dir):
+    """Stage-5 selection machinery under the value-hash gate: the FS-A..D
+    x {binary,3class} grid, the per-fold usability gates (ref
+    experiment_suite.py:168-180), and the deterministic selection rule
+    (:72-105) over a closed-form |corr| score proxy — attesting everything
+    around the solver that model_selection_grid (MLlib lbfgs, rows-only)
+    cannot."""
+    from .operators import ml
+
+    ev = _cat(spark, sf_dir).events
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.round(F.avg("value"), 6).alias("value_mean"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+        F.round(F.stddev_samp("value"), 6).alias("value_std"),
+    )
+    lab = labels.quantile_3way_label(d, "value_mean", bounded=True)
+    folded = folds.day_folds(lab, "date", train_days=7, gap_days=0, val_days=3)
+    targets = {
+        "3class": F.col("label_3cls") + F.lit(1),
+        "binary": (F.col("label_3cls") != 0).cast("int"),
+    }
+    return ml.selection_rule_report(folded, _SELECTION_FEATURE_SETS, targets)
+
+
 def q_xml_records_scan(spark, sf_dir):
     """S3/S4/S9 driver surface: the testdata ships no XML, so synthesize a
     deterministic Apple-Health-style export under /tmp at run time and scan
@@ -4873,9 +4983,9 @@ _FRONT_ORDER = [
     "snapshot_provenance", "iphone_backup_scan", "incremental_ingest_decisions",
     # graduated from rows-only this round (md5 planes -> SQL-replayable)
     "ann_lsh_topk",
-    "streaming_ingest_decisions",
+    "streaming_ingest_decisions", "selection_rule_report",
     # re-attestation of the r03 cohort (oldest last-green)
-    "union_mean_fusion", "nway_outer_merge", "asof_snapshot_select",
+    "union_mean_fusion", "nway_outer_merge",
     "boundary_range_join", "corpus_clean",
     "cosine_topk_vectorized", "decontaminate_ngram",
     "dedup_clusters", "embedding_near_dup", "exact_dedup",

@@ -57,7 +57,7 @@ def test_attestation_window_is_stable():
         # new this round
         "snapshot_provenance", "iphone_backup_scan",
         "incremental_ingest_decisions", "ann_lsh_topk",
-        "streaming_ingest_decisions",
+        "streaming_ingest_decisions", "selection_rule_report",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry
