@@ -176,3 +176,55 @@ def test_bucket_balanced_sample_quota(spark):
     # determinism: same draw on re-run
     again = bucket_balanced_sample(emb, k_per_bucket=3, n_bits=2).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_selection_rule_report_rule_and_gates(spark):
+    """The deterministic selection rule: exactly one selected config among
+    usable ones, ordered by (score desc, val score desc, fewer features,
+    lexicographic); folds failing the gates are excluded."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import folds, ml
+
+    d0 = dt.date(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        # x1 tracks the label exactly; x2 is anti-correlated noise-free too
+        # but through the binary target only
+        lab = (-1, 0, 1)[i % 3]
+        rows.append((d0 + dt.timedelta(days=i), float(lab), float(-lab), lab))
+    df = spark.createDataFrame(rows, "date date, x1 double, x2 double, label int")
+    folded = folds.day_folds(df, "date", train_days=7, gap_days=0, val_days=3)
+    out = ml.selection_rule_report(
+        folded,
+        {"FS-A": ["x1"], "FS-B": ["x1", "x2"]},
+        {"3class": F.col("label") + 1},
+    ).collect()
+    assert len(out) == 2
+    sel = [r for r in out if r["selected"] == 1]
+    assert len(sel) == 1
+    # both configs score |corr|=1 per feature -> tie on score and val
+    # score -> parsimony picks the 1-feature set
+    assert sel[0]["feature_set"] == "FS-A"
+    assert all(r["n_folds_used"] > 0 for r in out)
+
+
+def test_selection_rule_report_unusable_folds_excluded(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import folds, ml
+
+    d0 = dt.date(2024, 1, 1)
+    # constant label: every fold fails the >=2-train-classes gate
+    rows = [(d0 + dt.timedelta(days=i), float(i), 1) for i in range(20)]
+    df = spark.createDataFrame(rows, "date date, x1 double, label int")
+    folded = folds.day_folds(df, "date", train_days=7, gap_days=0, val_days=3)
+    out = ml.selection_rule_report(
+        folded, {"FS-A": ["x1"]}, {"3class": F.col("label")}
+    ).collect()
+    assert out[0]["n_folds_used"] == 0
+    assert out[0]["selected"] == 0
