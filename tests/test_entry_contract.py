@@ -111,3 +111,13 @@ def test_readme_counts_match_registry():
     qs, orc = entrymod.queries(), entrymod.oracle_sql()
     assert int(m.group(1)) == len(qs), (m.group(1), len(qs))
     assert int(m.group(2)) == len(orc), (m.group(2), len(orc))
+
+
+def test_bench_headline_queries_exist():
+    """bench.py's HEADLINE list must track the registry — a renamed query
+    would otherwise break the driver's per-round bench run."""
+    import bench
+
+    qs = entrymod.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing
