@@ -157,3 +157,34 @@ def test_iphone_backup_single_domain_exchange(spark, tmp_path):
     )
     plan = _plan(df)
     assert plan.count("Exchange") <= 2  # partial-agg exchange (+AQE read)
+
+
+def test_ingest_screen_needs_no_index_text(spark):
+    """The ingest screen consumes ONLY the stored signature index — the
+    index schema has no text column at all, so by construction no plan
+    can re-shingle the corpus side (incremental_near_dup, by contrast,
+    requires index text for its exact verify). A batch doc whose
+    signature matches a stored signature must still be flagged."""
+    from practicum2_nof1_adhd_bd_spark.operators.dedup import (
+        minhash_signatures_df,
+    )
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+
+    text = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    src = spark.createDataFrame(
+        [(99, text)], "doc_id bigint, text string"
+    )
+    sig = minhash_signatures_df(src).collect()[0]["sig"]
+    index = spark.createDataFrame(
+        [(99, "nonmatching-hash", sig)], ci.INDEX_SCHEMA
+    )
+    batch = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    dec, _sigs, cleanup = ci.screen_batch(batch, index)
+    try:
+        rows = {r["doc_id"]: r for r in dec.collect()}
+        # exact hash differs (index stores a fake hash), but the stored
+        # SIGNATURE matches perfectly -> near_dup via the estimate alone
+        assert rows[1]["status"] == "near_dup"
+        assert rows[1]["matched_id"] == 99
+    finally:
+        cleanup()

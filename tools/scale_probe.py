@@ -144,6 +144,8 @@ QUERIES = [
     # round-6 additions (iphone_backup_scan excluded: constant-size fixture)
     "etl_audit_report",
     "snapshot_provenance",
+    "incremental_ingest_decisions",
+    "selection_rule_report",
 ]
 
 
