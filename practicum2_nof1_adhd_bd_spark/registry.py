@@ -958,6 +958,54 @@ def q_streaming_sessions(spark, sf_dir):
 
 
 @register(
+    "shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape over the star schema: selective segment filter on
+    the customer dim (broadcast), ordered-before / shipped-after cutoff
+    predicates pushed to both scans, revenue aggregate at order grain,
+    top-10 as TakeOrdered — the classic join-order + pushdown exercise
+    (§2.3/§2.6 composite)."""
+    cat = _cat(spark, sf_dir)
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    c = cat.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = cat.orders.filter(F.col("o_orderdate") < cutoff)
+    li = cat.lineitem.filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
     "topk_per_group",
     """
     WITH j AS (
@@ -4984,12 +5032,13 @@ _FRONT_ORDER = [
     # graduated from rows-only this round (md5 planes -> SQL-replayable)
     "ann_lsh_topk",
     "streaming_ingest_decisions", "selection_rule_report",
+    "shipping_priority",
     # re-attestation of the r03 cohort (oldest last-green)
     "union_mean_fusion", "nway_outer_merge",
     "boundary_range_join", "corpus_clean",
     "cosine_topk_vectorized", "decontaminate_ngram",
     "dedup_clusters", "embedding_near_dup", "exact_dedup",
-    "forward_fill_daily", "global_zscore", "gopher_quality_flags",
+    "forward_fill_daily", "global_zscore",
     "ks_drift", "language_id", "minhash_lsh_pairs",
     "missing_days_per_user", "pricing_summary",
 ]
