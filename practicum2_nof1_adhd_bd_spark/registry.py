@@ -4303,7 +4303,8 @@ def q_cosine_topk_vectorized(spark, sf_dir):
 def _sign_lsh_oracle(n_planes: int = 6, dim: int = 64) -> str:
     """DuckDB twin of the sign-LSH path: the md5-derived plane constants
     embed verbatim (same doubles both engines), buckets are the same sign
-    bits, and the in-bucket cosine ranking reuses the attested
+    bits, the multi-probe neighborhood is the same Hamming<=1 ball, and
+    the in-bucket cosine ranking reuses the attested
     list_inner_product algebra. Sign flips require |dot| within float-ulp
     of zero — same accepted boundary class as 6dp rounds."""
     planes = sim.md5_planes(n_planes, dim)
@@ -4322,7 +4323,7 @@ def _sign_lsh_oracle(n_planes: int = 6, dim: int = 64) -> str:
                  / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 6)
                AS cosine
     FROM b, q
-    WHERE b.bucket = q.qb AND vec_id != 0
+    WHERE bit_count(xor(b.bucket, q.qb)) <= 1 AND vec_id != 0
     ORDER BY cosine DESC, vec_id ASC
     LIMIT 10
     """

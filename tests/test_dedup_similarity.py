@@ -297,3 +297,28 @@ def test_snapshot_diff_statuses(spark):
         4: "unchanged",
         5: "added",
     }
+
+
+def test_multiprobe_lsh_recall_dominates_single_bucket(spark):
+    """Multi-probe (Hamming<=1) candidates are a superset of the d=0
+    bucket, so recall@k can only improve; verify both the set relation
+    and that the probe knob actually widens the candidate pool."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
+
+    rows = [
+        (i, [math.sin(i * 0.7 + j) for j in range(8)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    d0 = {r["vec_id"] for r in sim.ann_topk_lsh(
+        emb, 5, 20, n_planes=4, plane_source="md5", probe_hamming=0
+    ).collect()}
+    d1 = {r["vec_id"] for r in sim.ann_topk_lsh(
+        emb, 5, 20, n_planes=4, plane_source="md5", probe_hamming=1
+    ).collect()}
+    exact = {r["vec_id"] for r in sim.cosine_topk_bruteforce(emb, 5, 20).collect()}
+    assert len(d1 & exact) >= len(d0 & exact)
+    assert len(d1) >= len(d0)
