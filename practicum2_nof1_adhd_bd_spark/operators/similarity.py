@@ -395,6 +395,7 @@ def ann_topk_axis(
     n_bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """ANN with a deterministic, SQL-reproducible bucketer: exact cosine
     ranking restricted to the query's axis-aligned sign bucket (the
@@ -412,7 +413,12 @@ def ann_topk_axis(
     qb = b.filter(F.col(id_col) == query_id).select(
         F.col("bucket").alias("qbucket")
     )
-    cands = b.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket")).select(
-        id_col, vec_col
-    )
+    # multi-probe: the Hamming-d ball around the query bucket (see
+    # ann_topk_lsh) — same recall-vs-candidate-budget knob, still pure
+    # bit algebra the oracle replays
+    cands = b.join(
+        F.broadcast(qb),
+        F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket")))
+        <= probe_hamming,
+    ).select(id_col, vec_col)
     return cosine_topk_bruteforce(cands, query_id, k, id_col, vec_col)

@@ -4357,7 +4357,7 @@ def q_ann_lsh_topk(spark, sf_dir):
                  / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))),
                  6) AS cosine
     FROM e, q
-    WHERE e.bucket = q.qbucket AND vec_id != 0
+    WHERE bit_count(xor(e.bucket, q.qbucket)) <= 1 AND vec_id != 0
     ORDER BY cosine DESC, vec_id ASC
     LIMIT 10
     """,
@@ -4365,9 +4365,9 @@ def q_ann_lsh_topk(spark, sf_dir):
 def q_ann_axis_topk(spark, sf_dir):
     """ANN with the deterministic axis-aligned sign bucketer
     (sim.ann_topk_axis): exact cosine ranking restricted to the query's
-    bucket — the sub-linear LSH candidate shape, but SQL-reproducible, so
-    the approximate path itself sits behind the value-hash gate (the
-    seeded-hyperplane variant ann_lsh_topk stays rows-only)."""
+    Hamming<=1 bucket ball (multi-probe — see ann_topk_lsh) — the
+    sub-linear LSH candidate shape, fully SQL-reproducible, so the
+    approximate path itself sits behind the value-hash gate."""
     emb = _cat(spark, sf_dir).embeddings
     return sim.ann_topk_axis(emb, query_id=0, k=10, n_bits=4)
 
@@ -5030,8 +5030,9 @@ _FRONT_ORDER = [
     "etl_audit_report", "streaming_daily_stats", "streaming_sessions",
     # new this round
     "snapshot_provenance", "iphone_backup_scan", "incremental_ingest_decisions",
-    # graduated from rows-only this round (md5 planes -> SQL-replayable)
-    "ann_lsh_topk",
+    # graduated from rows-only this round (md5 planes -> SQL-replayable);
+    # axis twin re-attested after the multi-probe Hamming-ball change
+    "ann_lsh_topk", "ann_axis_topk",
     "streaming_ingest_decisions", "selection_rule_report",
     "shipping_priority",
     # re-attestation of the r03 cohort (oldest last-green)
@@ -5040,7 +5041,7 @@ _FRONT_ORDER = [
     "cosine_topk_vectorized", "decontaminate_ngram",
     "dedup_clusters", "embedding_near_dup", "exact_dedup",
     "forward_fill_daily", "global_zscore",
-    "ks_drift", "language_id", "minhash_lsh_pairs",
+    "ks_drift", "minhash_lsh_pairs",
     "missing_days_per_user", "pricing_summary",
 ]
 
