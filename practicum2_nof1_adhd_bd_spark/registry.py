@@ -1006,6 +1006,47 @@ def q_shipping_priority(spark, sf_dir):
 
 
 @register(
+    "late_shipment_priority",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q4 shape adapted to the schema (no commit/receipt dates, so
+    "late" = any line shipped >90 days after order): correlated EXISTS
+    compiles to ONE left-semi join with a mixed equi+range condition —
+    the quarter filter is pushed to the orders scan and the semi join
+    short-circuits per order, never materializing the match set
+    (§2.3/§2.7 composite)."""
+    cat = _cat(spark, sf_dir)
+    o = cat.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = cat.lineitem.select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "topk_per_group",
     """
     WITH j AS (
@@ -5034,10 +5075,9 @@ _FRONT_ORDER = [
     # axis twin re-attested after the multi-probe Hamming-ball change
     "ann_lsh_topk", "ann_axis_topk",
     "streaming_ingest_decisions", "selection_rule_report",
-    "shipping_priority",
+    "shipping_priority", "late_shipment_priority",
     # re-attestation of the r03 cohort (oldest last-green)
-    "union_mean_fusion", "nway_outer_merge",
-    "boundary_range_join", "corpus_clean",
+    "union_mean_fusion", "nway_outer_merge", "corpus_clean",
     "cosine_topk_vectorized", "decontaminate_ngram",
     "dedup_clusters", "embedding_near_dup", "exact_dedup",
     "forward_fill_daily", "global_zscore",
