@@ -244,3 +244,30 @@ def test_incremental_corpus_ingest_stream(spark, tmp_path):
     assert dec[13]["status"] == "admitted"
     idx = spark.read.schema(ci.INDEX_SCHEMA).parquet(index_dir)
     assert sorted(r["doc_id"] for r in idx.collect()) == [1, 2, 13]
+
+
+def test_screen_batch_cold_start_and_empty_batch(spark):
+    """Cold start (empty index) admits everything; an empty batch yields
+    empty decisions without erroring — both are real foreachBatch states
+    (first micro-batch ever, and a trigger with no new files)."""
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+
+    empty_index = spark.createDataFrame([], ci.INDEX_SCHEMA)
+    batch = spark.createDataFrame(
+        [(1, "one two three four five"), (2, "six seven eight nine ten")],
+        "doc_id bigint, text string",
+    )
+    dec, sigs, cleanup = ci.screen_batch(batch, empty_index)
+    try:
+        assert {r["status"] for r in dec.collect()} == {"admitted"}
+        assert sigs.count() == 2
+    finally:
+        cleanup()
+
+    empty_batch = spark.createDataFrame([], "doc_id bigint, text string")
+    dec2, sigs2, cleanup2 = ci.screen_batch(empty_batch, empty_index)
+    try:
+        assert dec2.count() == 0
+        assert sigs2.count() == 0
+    finally:
+        cleanup2()
