@@ -1,0 +1,79 @@
+"""ANN recall probe — reproduces SCALING.md §2c.
+
+Measures recall@k of each approximate-nearest-neighbor path against the
+exact brute-force ranking over the testdata embeddings, across a fixed
+query panel. Prints one JSON line.
+
+Usage: python tools/recall_probe.py [--sf-dir /root/testdata/sf0.1]
+       [--k 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERY_PANEL = [0, 7, 23, 101, 250, 499, 777, 1024]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+
+    from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
+    from practicum2_nof1_adhd_bd_spark.session import get_spark
+    from practicum2_nof1_adhd_bd_spark.sources.readers import Catalog
+
+    spark = get_spark("recall-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = Catalog(spark, args.sf_dir).embeddings.cache()
+    emb.count()
+
+    paths = {
+        "lsh_d0": lambda q: sim.ann_topk_lsh(
+            emb, q, args.k, n_planes=6, plane_source="md5", probe_hamming=0
+        ),
+        "lsh_d1": lambda q: sim.ann_topk_lsh(
+            emb, q, args.k, n_planes=6, plane_source="md5", probe_hamming=1
+        ),
+        "lsh_d2": lambda q: sim.ann_topk_lsh(
+            emb, q, args.k, n_planes=6, plane_source="md5", probe_hamming=2
+        ),
+        "axis_d0": lambda q: sim.ann_topk_axis(emb, q, args.k, probe_hamming=0),
+        "axis_d1": lambda q: sim.ann_topk_axis(emb, q, args.k, probe_hamming=1),
+        "ivf_p2": lambda q: sim.ivf_topk(emb, q, args.k, n_probe=2),
+    }
+
+    def ids(df):
+        return {r["vec_id"] for r in df.collect()}
+
+    totals = {name: 0.0 for name in paths}
+    n = 0
+    for q in QUERY_PANEL:
+        exact = ids(sim.cosine_topk_bruteforce(emb, q, args.k))
+        if not exact:
+            continue
+        n += 1
+        for name, fn in paths.items():
+            totals[name] += len(ids(fn(q)) & exact) / len(exact)
+    print(
+        json.dumps(
+            {
+                "metric": "ann_recall_at_k",
+                "k": args.k,
+                "n_queries": n,
+                "recall": {m: round(v / max(n, 1), 3) for m, v in totals.items()},
+                "sf_dir": args.sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
