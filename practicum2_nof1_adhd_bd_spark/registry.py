@@ -51,7 +51,10 @@ def _land_once(prefix: str, fp: str, write_fn) -> str:
     import shutil
 
     src = f"{prefix}_{fp}"
-    for stale in _glob.glob(f"{prefix}*"):  # also reaps pre-fingerprint legacy dirs
+    # reap only this prefix's stale fingerprints: the trailing "_" keeps a
+    # tag that is a string prefix of another (sf1 vs sf10) from deleting
+    # the sibling sf-dir's active landed copy out from under it
+    for stale in _glob.glob(f"{prefix}_*"):
         if stale != src and not stale.endswith(".tmp"):
             shutil.rmtree(stale, ignore_errors=True)
     if not os.path.exists(src):
@@ -3645,11 +3648,12 @@ def q_incremental_ingest_decisions(spark, sf_dir):
         )
     )
     dec, _sigs, cleanup = ci.screen_batch(batch, index)
-    # batch-sized decisions frame: persist so the driver's collect doesn't
-    # re-run the screen, then release the corpus-width signature cache
-    # (same discipline as incremental_near_dup's pair frame)
-    dec = dec.persist()
-    dec.count()
+    # localCheckpoint (eager) materializes the batch-sized decisions so the
+    # driver's collect doesn't re-run the screen, WITHOUT leaving a
+    # .persist() entry alive for the session (repeated invocations — the
+    # run-twice determinism check, bench repeats — would accumulate cached
+    # frames); the checkpoint blocks are released when the frame is GC'd
+    dec = dec.localCheckpoint(eager=True)
     cleanup()
     return dec
 
@@ -3665,10 +3669,18 @@ def q_streaming_ingest_decisions(spark, sf_dir):
     lands as a JSON file, the signature index is bootstrapped on disk
     (the stored artifact), ingest_stream processes availableNow against
     a fresh checkpoint, and the decisions are read back from the parquet
-    sink. Robust to micro-batch splits: an admitted doc's signatures
-    enter the index before the next batch, so statuses and matched ids
-    are batch-partition-invariant. Per-invocation uuid dirs stay on disk
-    (the returned frame reads the sink lazily); they are fixture-sized."""
+    sink. Micro-batch-split robustness, precisely: EXACT statuses are
+    batch-partition-invariant (an admitted doc's hash enters the index
+    before the next batch, and the batch-internal collapse keeps the same
+    min-id winner). NEAR statuses are invariant only when admitted docs
+    are mutually non-near — the default screen checks the stored index
+    only, so two mutually-near (non-exact) docs in ONE batch are both
+    admitted, while a split across batches flags the second
+    (screen_batch(batch_internal_near=True) closes the one-batch case;
+    see its chain caveat). This fixture's batch docs are either exact
+    index copies or mutually dissimilar, so the oracle is exact here.
+    Per-invocation uuid dirs stay on disk (the returned frame reads the
+    sink lazily); they are fixture-sized."""
     import os
     import tempfile
     import uuid

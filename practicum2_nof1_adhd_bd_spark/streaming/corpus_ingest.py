@@ -46,6 +46,16 @@ INDEX_SCHEMA = "doc_id bigint, text_hash string, sig array<bigint>"
 DECISION_SCHEMA = "doc_id bigint, status string, matched_id bigint"
 
 
+def _index_exists(spark, index_dir: str) -> bool:
+    """True iff the signature-index path exists, via the Hadoop FileSystem
+    of the path (works for hdfs:// and s3a:// URIs as well as local dirs —
+    os.path.exists would only see the driver's local filesystem)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(path)
+
+
 def _batch_signatures(
     batch: DataFrame, text_col: str, id_col: str, n_hashes: int, k: int
 ) -> DataFrame:
@@ -66,6 +76,7 @@ def screen_batch(
     bands: int = 4,
     k: int = 3,
     est_threshold: float = 0.8,
+    batch_internal_near: bool = False,
 ) -> tuple[DataFrame, DataFrame, "Callable[[], None]"]:
     """Screen one batch against a signature index.
 
@@ -74,6 +85,19 @@ def screen_batch(
     payload), and a zero-arg callable releasing the batch's persisted
     signature frame — call it AFTER consuming both outputs, or per-batch
     cache entries accumulate for the life of the stream.
+
+    ``batch_internal_near=True`` additionally near-screens batch docs
+    against SMALLER-ID batch docs that passed the index screens (band
+    join within the batch, same Broder estimate), mirroring the always-on
+    exact collapse: two mutually-near docs arriving in one micro-batch
+    then admit only the smaller id, matching what a split across batches
+    would decide. One-level rule, by design: under a chain A~B, B~C,
+    A!~C it drops C (its match B is itself dropped), which is
+    conservative over-drop relative to sequential one-doc-at-a-time
+    semantics; a fixed-point loop is not worth corpus-scale passes for
+    the rare chain case. Default False — exact statuses are
+    batch-partition-invariant either way; near statuses are invariant
+    only under this flag (or when admitted docs are mutually non-near).
     """
     sig_b = _batch_signatures(batch, text_col, id_col, n_hashes, k).persist()
     sig_b.count()  # materialize: one text pass feeds all three screens
@@ -146,11 +170,62 @@ def screen_batch(
         )
     )
     admitted_ids = survivors2.join(near_hit.select(id_col), id_col, "left_anti")
+
+    internal_near = None
+    if batch_internal_near:
+        # batch vs batch: band join among index-screen survivors, larger
+        # id of each estimate-verified pair matches the smaller
+        surv3_sig = admitted_ids.filter(F.col("sig").isNotNull())
+        b3 = _banded_buckets(surv3_sig, id_col, n_hashes, bands)
+        p3 = (
+            b3.alias("x")
+            .join(
+                b3.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col(f"x.{id_col}") > F.col(f"y.{id_col}")),
+            )
+            .select(
+                F.col(f"x.{id_col}").alias("_bid"),
+                F.col(f"y.{id_col}").alias("_iid"),
+            )
+            .distinct()
+        )
+        sig_map = surv3_sig.select(F.col(id_col), F.col("sig"))
+        est3 = (
+            p3.join(sig_map.select(F.col(id_col).alias("_bid"), F.col("sig").alias("_sb")), "_bid")
+            .join(sig_map.select(F.col(id_col).alias("_iid"), F.col("sig").alias("_si")), "_iid")
+            .withColumn(
+                "_est",
+                F.aggregate(
+                    F.zip_with("_sb", "_si", lambda a, b: (a == b).cast("int")),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                )
+                / F.lit(n_hashes),
+            )
+            .filter(F.col("_est") >= est_threshold)
+        )
+        internal_near = (
+            est3.groupBy("_bid")
+            .agg(F.min("_iid").alias("matched_id"))
+            .select(
+                F.col("_bid").alias(id_col),
+                F.lit("near_dup").alias("status"),
+                "matched_id",
+            )
+        )
+        admitted_ids = admitted_ids.join(
+            internal_near.select(id_col), id_col, "left_anti"
+        )
+
     admitted = admitted_ids.select(
         id_col, F.lit("admitted").alias("status"),
         F.lit(None).cast("bigint").alias("matched_id"),
     )
     decisions = internal_dup.unionByName(exact_hit).unionByName(near_hit).unionByName(admitted)
+    if internal_near is not None:
+        decisions = decisions.unionByName(internal_near)
     admitted_sigs = sig_b.join(admitted.select(id_col), id_col, "left_semi").select(
         id_col, "text_hash", "sig"
     )
@@ -179,9 +254,14 @@ def ingest_stream(
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        try:
+        # Cold start ONLY: an absent index dir means nothing ingested yet.
+        # Any other read failure (corrupt parquet, transient IO) must
+        # propagate and fail the micro-batch — falling back to an empty
+        # index there would silently admit duplicates and append duplicate
+        # signature rows. foreachBatch retries the failed batch on restart.
+        if _index_exists(spark, index_dir):
             index = spark.read.schema(INDEX_SCHEMA).parquet(index_dir)
-        except Exception:
+        else:
             index = spark.createDataFrame([], INDEX_SCHEMA)
         decisions, admitted_sigs, cleanup = screen_batch(
             batch, index, text_col, id_col, n_hashes, bands, k, est_threshold

@@ -99,3 +99,28 @@ def test_missingness_profile(spark):
     assert out["a"]["n_null"] == 1
     assert out["b"]["n_null"] == 2
     assert abs(out["b"]["pct_null"] - 66.666667) < 1e-5
+
+
+def test_daily_mean_double_vs_decimal_exact_canary(spark, sf_dir):
+    """Regression canary for the r06 decimal->double revert (_DAILY_MEAN):
+    Spark's double avg() is combine-order-nondeterministic, so a 6dp round
+    could in principle flip at a boundary. Assert the double path agrees
+    with the order-independent decimal(28,12) exact sum at 6dp over the
+    real events table — if a boundary flip ever appears, this catches it
+    before the attestation window does (the chain feeds ~15 attested
+    queries)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    both = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.round(F.avg("value"), 6).alias("dbl"),
+        F.round(
+            (
+                F.sum(F.col("value").cast("decimal(28,12)"))
+                / F.count("value")
+            ).cast("double"),
+            6,
+        ).alias("exact"),
+    )
+    bad = both.filter(F.col("dbl") != F.col("exact")).collect()
+    assert bad == [], f"6dp boundary flip vs decimal-exact mean: {bad[:5]}"

@@ -271,3 +271,82 @@ def test_screen_batch_cold_start_and_empty_batch(spark):
         assert sigs2.count() == 0
     finally:
         cleanup2()
+
+
+def test_screen_batch_internal_near(spark):
+    """batch_internal_near=True: two mutually-near (non-exact) docs in ONE
+    batch admit only the smaller id — matching what a split across two
+    micro-batches decides — while the default screen admits both (index-only
+    near check)."""
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    empty_index = spark.createDataFrame([], ci.INDEX_SCHEMA)
+    batch = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "totally different other words here now")],
+        "doc_id bigint, text string",
+    )
+
+    dec_def, _s, cl = ci.screen_batch(batch, empty_index)
+    try:
+        st = {r["doc_id"]: r["status"] for r in dec_def.collect()}
+        assert st == {1: "admitted", 2: "admitted", 3: "admitted"}
+    finally:
+        cl()
+
+    dec_in, sigs_in, cl2 = ci.screen_batch(
+        batch, empty_index, batch_internal_near=True
+    )
+    try:
+        rows = {r["doc_id"]: r for r in dec_in.collect()}
+        assert rows[1]["status"] == "admitted"
+        assert rows[2]["status"] == "near_dup" and rows[2]["matched_id"] == 1
+        assert rows[3]["status"] == "admitted"
+        # the near-dropped doc's signature must NOT enter the index
+        assert sorted(r["doc_id"] for r in sigs_in.collect()) == [1, 3]
+    finally:
+        cl2()
+
+
+def test_ingest_stream_cold_start_vs_corrupt_index(spark, tmp_path):
+    """ingest_stream treats an ABSENT index dir as cold start (admit all),
+    but a present-yet-unreadable index dir must FAIL the micro-batch rather
+    than silently screen against an empty index (which would admit
+    duplicates and append duplicate signature rows)."""
+    import json
+
+    import pytest
+
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "one two three four five"}) + "\n")
+
+    # cold start: index dir absent -> batch admitted, index created
+    stream = spark.readStream.schema("doc_id bigint, text string").json(str(src))
+    q = ci.ingest_stream(
+        stream, str(tmp_path / "index"), str(tmp_path / "dec"), str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "dec")).collect()[0]["status"] == "admitted"
+
+    # corrupt index: dir exists but holds garbage -> the batch must error
+    bad_index = tmp_path / "bad_index"
+    bad_index.mkdir()
+    with open(bad_index / "part-00000.parquet", "w") as f:
+        f.write("this is not parquet")
+    stream2 = spark.readStream.schema("doc_id bigint, text string").json(str(src))
+    q2 = ci.ingest_stream(
+        stream2, str(bad_index), str(tmp_path / "dec2"), str(tmp_path / "ckpt2")
+    )
+    with pytest.raises(Exception):
+        q2.awaitTermination(120)
+        q2.stop()
+        # foreachBatch errors surface via the query's exception
+        if q2.exception() is not None:
+            raise RuntimeError(q2.exception().desc)
