@@ -246,18 +246,140 @@ def ivf_kmeans_topk(
     )
 
 
-def md5_planes(n_planes: int, dim: int) -> list[list[float]]:
+def ivf_lloyd_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN whose coarse quantizer is TRAINED deterministically: Lloyd's
+    k-means with md5-selected seeds and a fixed, unrolled iteration count,
+    expressed entirely as join+groupBy — so the full index-BUILD path
+    (seed -> iterate -> assign -> probe -> rank) replays in SQL and sits
+    behind the value-hash gate. ``ivf_kmeans_topk`` (seeded MLlib fit)
+    stays the production path: MLlib adds k-means|| init, convergence
+    stopping, and a sampled fit set; this variant trades those for
+    engine-neutral determinism (the attestation device that graduated
+    ann_lsh_topk: replace non-replayable randomness with md5-derived
+    constants/choices).
+
+    Semantics: seeds = the ``n_cells`` corpus vectors with the smallest
+    md5(id) (RNG-free unbiased draw, the hash_split device), numbered in
+    that order. Each iteration assigns every vector to the nearest
+    centroid by squared euclidean distance (tie -> smallest cell), then
+    recomputes centroids as the elementwise member mean. After
+    ``n_iters`` rounds the corpus is assigned to the final centroids, the
+    query probes its ``n_probe`` nearest cells (cosine), and only their
+    members are exact-ranked.
+
+    Scale shape: the centroid frame (n_cells rows) broadcasts into every
+    assignment; assignment itself is a map-side partial min_by groupBy
+    (the corpus never carries the n_cells fan-out through a shuffle —
+    only the (id, cell) argmin frame shuffles, then semi-joins back);
+    centroid recompute is a posexplode + (cell, pos) partial avg. Each
+    iteration is one full corpus pass — which is why the iteration count
+    is fixed and small, and why the MLlib path caps its fit set
+    (ivf_kmeans_topk.max_fit_rows). Tiny centroid frames are eagerly
+    localCheckpoint'ed per round so the lineage (and the 100-TB plan)
+    doesn't re-run earlier passes.
+
+    Cross-engine float note: centroid means inherit each engine's
+    summation order; an assignment flips only if two cell distances
+    land within float-ulp of each other — the same accepted boundary
+    class as the attested one-shot centroid path (ivf_ann_topk)."""
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(F.col(id_col), dvec.alias("v")).withColumn(
+        "vv", _dot(F.col("v"), F.col("v"))
+    )
+
+    from pyspark.sql import Window
+
+    # md5-selected seeds; the row_number window runs on an n_cells-row
+    # frame after the TakeOrdered limit — bounded, not a global sort
+    seeds = (
+        base.select(
+            F.col(id_col), F.col("v"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", id_col)
+        .limit(n_cells)
+    )
+    cent = seeds.select(
+        (
+            F.row_number().over(Window.orderBy("_h", id_col)) - 1
+        ).alias("cell"),
+        F.col("v").alias("cv"),
+    ).withColumn("cc", _dot(F.col("cv"), F.col("cv")))
+    cent = cent.localCheckpoint(eager=True)
+
+    def assign(c: DataFrame) -> DataFrame:
+        j = base.crossJoin(F.broadcast(c))
+        d2 = F.col("vv") - 2 * _dot(F.col("v"), F.col("cv")) + F.col("cc")
+        a = j.groupBy(id_col).agg(
+            F.min_by(F.col("cell"), F.struct(d2.alias("d"), F.col("cell"))).alias(
+                "cell"
+            )
+        )
+        return base.join(a, id_col)
+
+    for _ in range(n_iters):
+        assigned = assign(cent)
+        ex = assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+        cm = ex.groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+        cent = (
+            cm.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .withColumn("cc", _dot(F.col("cv"), F.col("cv")))
+            .localCheckpoint(eager=True)
+        )
+
+    final = assign(cent)
+    q = base.filter(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
+    probes = (
+        cent.crossJoin(F.broadcast(q))
+        .select("cell", cosine(F.col("cv"), F.col("qv")).alias("_cs"))
+        .orderBy(F.desc("_cs"), F.asc("cell"))
+        .limit(n_probe)
+        .select("cell")
+    )
+    members = final.join(F.broadcast(probes), "cell", "left_semi")
+    scored = members.crossJoin(F.broadcast(q)).filter(F.col(id_col) != query_id)
+    return (
+        scored.select(
+            id_col, F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def md5_planes(n_planes: int, dim: int, salt: str = "") -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 — engine-neutral:
     the same constants can be embedded verbatim in a SQL oracle, making
     sign-LSH value-hash attestable (numpy's RandomState cannot be replayed
-    in SQL). Component (i, j) = (md5int('plane{i},{j}') % 2001 - 1000) /
-    1000 — uniform-ish in [-1, 1], which is all sign-LSH needs."""
+    in SQL). Component (i, j) = (md5int('plane{salt}{i},{j}') % 2001 -
+    1000) / 1000 — uniform-ish in [-1, 1], which is all sign-LSH needs.
+    ``salt`` (e.g. ``"0:"``, ``"1:"``) seeds independent plane sets for
+    multi-table OR-construction; the unsalted family is the original
+    single-table one."""
     import hashlib
 
     return [
         [
             (
-                int(hashlib.md5(f"plane{i},{j}".encode()).hexdigest()[:15], 16)
+                int(
+                    hashlib.md5(f"plane{salt}{i},{j}".encode()).hexdigest()[:15],
+                    16,
+                )
                 % 2001
                 - 1000
             )
@@ -335,6 +457,85 @@ def ann_topk_lsh(
         F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket")))
         <= probe_hamming,
     ).select(id_col)
+    corpus = embeddings.join(cands, id_col, "left_semi")
+    return cosine_topk_bruteforce(corpus, query_id, k, id_col, vec_col)
+
+
+def multitable_lsh_candidates(
+    embeddings: DataFrame,
+    query_id: int,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate ids for multi-table sign-LSH (OR-construction, Lv et al.
+    VLDB'07 combined with the classic Indyk-Motwani multi-table scheme):
+    ``n_tables`` independent md5-derived plane sets (salt ``"{t}:"`` per
+    table), each vector gets one sign-bucket per table, and a corpus
+    vector is a candidate if it lands within the query's Hamming-d ball
+    in ANY table. Per-table candidate mass ~(1 + C(P,1) + ... +
+    C(P,d))/2^P of the corpus; the union over L tables is sub-additive
+    (overlap), so the fraction knob is (L, P, d). More tables buys recall
+    at linear candidate cost — the standard LSH recall lever that a
+    single table cannot reach (a true neighbor only needs to collide
+    once).
+
+    Scale shape: bucket assignment is one codegen projection (L*P array
+    folds, no shuffle); the query's L buckets broadcast as one row; the
+    membership test is bit algebra on that broadcast — the corpus never
+    shuffles. At 100 TB the corpus would be written bucket-partitioned
+    per table so the probe prunes partitions instead of scanning."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(F.col(id_col), dvec.alias("v"))
+    bucket_cols = []
+    for t in range(n_tables):
+        planes = md5_planes(n_planes, dim, salt=f"{t}:")
+        bucket = None
+        for i in range(n_planes):
+            plane = F.array([F.lit(float(x)) for x in planes[i]])
+            bit = (_dot(F.col("v"), plane) > 0).cast("int")
+            term = bit * F.lit(2**i)
+            bucket = term if bucket is None else bucket + term
+        bucket_cols.append(bucket.alias(f"b{t}"))
+    b = base.select(F.col(id_col), *bucket_cols)
+    qb = b.filter(F.col(id_col) == query_id).select(
+        *[F.col(f"b{t}").alias(f"qb{t}") for t in range(n_tables)]
+    )
+    cond = None
+    for t in range(n_tables):
+        hit = (
+            F.bit_count(F.col(f"b{t}").bitwiseXOR(F.col(f"qb{t}")))
+            <= probe_hamming
+        )
+        cond = hit if cond is None else cond | hit
+    return b.join(F.broadcast(qb), cond).select(id_col)
+
+
+def ann_topk_multitable(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_tables: int = 5,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH: exact cosine ranking
+    restricted to the union of the query's per-table Hamming-d balls
+    (multitable_lsh_candidates). Lifts recall well past what one table's
+    multi-probe ball can reach at the same candidate budget — measured on
+    the near-uniform testdata panel (LSH's worst case; see SCALING §2c
+    and tools/recall_probe.py): recall@10 0.562 at 18.4% candidates
+    (L=5, P=8, d=1) vs 0.238 at ~11% for the single-table 6-plane d=1
+    ball. md5-derived planes keep the whole path SQL-replayable
+    (value-hash attested)."""
+    cands = multitable_lsh_candidates(
+        embeddings, query_id, n_tables, n_planes, probe_hamming, id_col, vec_col
+    )
     corpus = embeddings.join(cands, id_col, "left_semi")
     return cosine_topk_bruteforce(corpus, query_id, k, id_col, vec_col)
 

@@ -4382,6 +4382,62 @@ def _sign_lsh_oracle(n_planes: int = 6, dim: int = 64) -> str:
     """
 
 
+def _multitable_lsh_oracle(
+    n_tables: int = 5, n_planes: int = 8, dim: int = 64, d: int = 1
+) -> str:
+    """DuckDB twin of the multi-table sign-LSH path: the per-table
+    md5-derived plane constants (salt "{t}:") embed verbatim, each table's
+    bucket is the same sign-bit sum, and the OR-construction membership
+    (within the Hamming-d ball in ANY table) is the same bit algebra.
+    In-union exact cosine ranking reuses the attested list_inner_product
+    fold. Same float-ulp sign-flip boundary class as _sign_lsh_oracle."""
+    table_bits = []
+    for t in range(n_tables):
+        planes = sim.md5_planes(n_planes, dim, salt=f"{t}:")
+        bits = " + ".join(
+            f"(CASE WHEN list_inner_product(v, "
+            f"[{', '.join(repr(x) for x in p)}]::DOUBLE[]) > 0 "
+            f"THEN {2 ** i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        table_bits.append(f"({bits}) AS b{t}")
+    bcols = ",\n           ".join(table_bits)
+    qcols = ", ".join(f"b{t} AS qb{t}" for t in range(n_tables))
+    any_hit = " OR ".join(
+        f"bit_count(xor(b.b{t}, q.qb{t})) <= {d}" for t in range(n_tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v,
+           {bcols}
+          FROM e),
+    q AS (SELECT {qcols}, v AS qv FROM b WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_inner_product(v, qv)
+                 / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 6)
+               AS cosine
+    FROM b, q
+    WHERE ({any_hit}) AND vec_id != 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@register("ann_multitable_topk", _multitable_lsh_oracle())
+def q_ann_multitable_topk(spark, sf_dir):
+    """Multi-table OR-construction sign-LSH ANN (Indyk-Motwani tables x
+    Lv et al. multi-probe): 5 independent md5-plane tables, candidate =
+    Hamming<=1 collision in ANY table, exact cosine rank over the union.
+    Measured recall@10 0.562 at 18.4% mean candidate fraction on the
+    fixed recall_probe panel (sf0.1) — vs 0.238 at ~11% for the
+    single-table ball (SCALING §2c). Fully SQL-replayable via the salted
+    md5-plane device."""
+    emb = _cat(spark, sf_dir).embeddings
+    return sim.ann_topk_multitable(
+        emb, query_id=0, k=10, n_tables=5, n_planes=8, probe_hamming=1
+    )
+
+
 @register("ann_lsh_topk", _sign_lsh_oracle())
 def q_ann_lsh_topk(spark, sf_dir):
     """Approximate top-k via sign-LSH bucketing. Planes are md5-derived
@@ -4557,12 +4613,85 @@ def q_ivf_ann_topk(spark, sf_dir):
 def q_ivf_kmeans_topk(spark, sf_dir):
     """IVF ANN with a trained (seeded MLlib KMeans) coarse quantizer —
     index build + probe + exact rank. KMeans is not SQL-expressible ->
-    rows-only check; the pre-clustered variant ivf_ann_topk carries the
-    exact oracle for the probe/rank math."""
+    rows-only check; ivf_lloyd_topk is the deterministic twin that puts
+    the full index-BUILD path (seed -> iterate -> assign) under the
+    value-hash gate, and ivf_ann_topk attests the probe/rank math."""
     emb = _cat(spark, sf_dir).embeddings
     return sim.ivf_kmeans_topk(emb, query_id=0, k=10, n_cells=8, n_probe=2)
 
 QUERIES["ivf_kmeans_topk"] = q_ivf_kmeans_topk
+
+
+def _ivf_lloyd_oracle(n_cells: int = 8, n_probe: int = 2, k: int = 10) -> str:
+    """DuckDB twin of sim.ivf_lloyd_topk with the 2 Lloyd iterations
+    unrolled: md5-seed selection, nearest-centroid assignment
+    (row_number == Spark's min_by with the same (distance, cell)
+    tie-break), elementwise-mean recompute, cosine cell probe, in-cell
+    exact rank. Distances use the identical vv - 2*v.c + c.c algebra."""
+
+    def assign(cent: str, name: str) -> str:
+        return f"""{name} AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY e.vv - 2 * list_inner_product(e.v, c.cv)
+                                + c.cc ASC, c.cell ASC) AS rn
+            FROM e CROSS JOIN {cent} c) t WHERE rn = 1)"""
+
+    def recompute(a: str, name: str) -> str:
+        return f"""{name}l AS (
+        SELECT cell, list(m ORDER BY pos) AS cv FROM (
+            SELECT cell, pos, avg(val) AS m FROM (
+                SELECT cell, generate_subscripts(v, 1) AS pos,
+                       unnest(v) AS val FROM {a}) u
+            GROUP BY 1, 2) g GROUP BY cell),
+    {name} AS (SELECT cell, cv, list_inner_product(cv, cv) AS cc FROM {name}l)"""
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv
+               FROM embeddings),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                   AS cell, v
+        FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells}
+    ),
+    c0 AS (SELECT cell, v AS cv, list_inner_product(v, v) AS cc FROM seeds),
+    {assign('c0', 'a1')},
+    {recompute('a1', 'c1')},
+    {assign('c1', 'a2')},
+    {recompute('a2', 'c2')},
+    {assign('c2', 'a3')},
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    p AS (
+        SELECT cell FROM c2, q
+        ORDER BY list_inner_product(cv, qv)
+                 / (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product(qv, qv)))
+                 DESC, cell ASC
+        LIMIT {n_probe}
+    )
+    SELECT vec_id,
+           round(list_inner_product(v, qv)
+                 / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))),
+                 6) AS cosine
+    FROM a3 JOIN p USING (cell), q
+    WHERE vec_id != 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register("ivf_lloyd_topk", _ivf_lloyd_oracle())
+def q_ivf_lloyd_topk(spark, sf_dir):
+    """IVF ANN with a deterministically TRAINED quantizer: md5-selected
+    seeds + 2 unrolled Lloyd iterations as join+groupBy, then probe the 2
+    nearest cells and exact-rank their members (sim.ivf_lloyd_topk).
+    Graduates the index-build path from rows-only — the attestation
+    device that graduated ann_lsh_topk (md5-derived choices replace
+    non-replayable randomness); ivf_kmeans_topk remains the documented
+    MLlib production path."""
+    emb = _cat(spark, sf_dir).embeddings
+    return sim.ivf_lloyd_topk(emb, query_id=0, k=10, n_cells=8, n_probe=2)
 
 
 def q_logreg_fold_cv(spark, sf_dir):

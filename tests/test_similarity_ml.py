@@ -228,3 +228,58 @@ def test_selection_rule_report_unusable_folds_excluded(spark):
     ).collect()
     assert out[0]["n_folds_used"] == 0
     assert out[0]["selected"] == 0
+
+
+def test_multitable_lsh_union_dominates_single_table(spark):
+    """OR-construction: the multi-table candidate set contains every
+    single-table (table 0) Hamming-ball candidate, and includes the query
+    itself; recall can therefore only go up with more tables."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    multi = {
+        r["vec_id"]
+        for r in sim.multitable_lsh_candidates(
+            emb, 0, n_tables=3, n_planes=4, probe_hamming=1
+        ).collect()
+    }
+    single = {
+        r["vec_id"]
+        for r in sim.multitable_lsh_candidates(
+            emb, 0, n_tables=1, n_planes=4, probe_hamming=1
+        ).collect()
+    }
+    assert 0 in multi and single <= multi
+
+
+def test_multitable_topk_exact_within_candidates(spark):
+    """The ranked output is the exact cosine order restricted to the
+    candidate union (self excluded), never more than k rows."""
+    emb = _emb(spark)
+    out = sim.ann_topk_multitable(
+        emb, 0, k=3, n_tables=3, n_planes=4, probe_hamming=1
+    ).collect()
+    assert 0 not in {r["vec_id"] for r in out}
+    cs = [r["cosine"] for r in out]
+    assert cs == sorted(cs, reverse=True) and len(out) <= 3
+
+
+def test_ivf_lloyd_partitions_and_ranks(spark):
+    """Deterministic Lloyd IVF: with n_cells=2 on two clear clusters the
+    probe of the query's nearest cell returns its cluster-mates first,
+    and repeated runs give identical output (no RNG anywhere)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.98, 0.05, 0.0], 0),
+        (2, [0.95, 0.02, 0.1], 0),
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.05, 0.99, 0.0], 1),
+        (5, [0.0, 0.97, 0.1], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    a = sim.ivf_lloyd_topk(emb, query_id=0, k=2, n_cells=2, n_probe=1).collect()
+    b = sim.ivf_lloyd_topk(emb, query_id=0, k=2, n_cells=2, n_probe=1).collect()
+    assert a == b
+    assert {r["vec_id"] for r in a} == {1, 2}  # own cluster only, self excluded

@@ -48,12 +48,36 @@ def main() -> None:
         "axis_d0": lambda q: sim.ann_topk_axis(emb, q, args.k, probe_hamming=0),
         "axis_d1": lambda q: sim.ann_topk_axis(emb, q, args.k, probe_hamming=1),
         "ivf_p2": lambda q: sim.ivf_topk(emb, q, args.k, n_probe=2),
+        "mt_L2_P6_d1": lambda q: sim.ann_topk_multitable(
+            emb, q, args.k, n_tables=2, n_planes=6, probe_hamming=1
+        ),
+        "mt_L4_P8_d1": lambda q: sim.ann_topk_multitable(
+            emb, q, args.k, n_tables=4, n_planes=8, probe_hamming=1
+        ),
+        "mt_L6_P9_d1": lambda q: sim.ann_topk_multitable(
+            emb, q, args.k, n_tables=6, n_planes=9, probe_hamming=1
+        ),
+    }
+    # candidate-set generators for the paths whose candidate fraction the
+    # SCALING table reports (recall means nothing without the budget paid)
+    cand_paths = {
+        "mt_L2_P6_d1": lambda q: sim.multitable_lsh_candidates(
+            emb, q, n_tables=2, n_planes=6, probe_hamming=1
+        ),
+        "mt_L4_P8_d1": lambda q: sim.multitable_lsh_candidates(
+            emb, q, n_tables=4, n_planes=8, probe_hamming=1
+        ),
+        "mt_L6_P9_d1": lambda q: sim.multitable_lsh_candidates(
+            emb, q, n_tables=6, n_planes=9, probe_hamming=1
+        ),
     }
 
     def ids(df):
         return {r["vec_id"] for r in df.collect()}
 
+    corpus_n = emb.count()
     totals = {name: 0.0 for name in paths}
+    cand_totals = {name: 0.0 for name in cand_paths}
     n = 0
     for q in QUERY_PANEL:
         exact = ids(sim.cosine_topk_bruteforce(emb, q, args.k))
@@ -62,13 +86,19 @@ def main() -> None:
         n += 1
         for name, fn in paths.items():
             totals[name] += len(ids(fn(q)) & exact) / len(exact)
+        for name, fn in cand_paths.items():
+            cand_totals[name] += fn(q).count() / corpus_n
     print(
         json.dumps(
             {
                 "metric": "ann_recall_at_k",
                 "k": args.k,
                 "n_queries": n,
+                "corpus_n": corpus_n,
                 "recall": {m: round(v / max(n, 1), 3) for m, v in totals.items()},
+                "candidate_fraction": {
+                    m: round(v / max(n, 1), 4) for m, v in cand_totals.items()
+                },
                 "sf_dir": args.sf_dir,
             }
         )
