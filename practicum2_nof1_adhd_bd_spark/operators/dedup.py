@@ -402,49 +402,180 @@ def corpus_clean_summary(
     threshold) -> quality gate (composite score >= threshold), reported as
     per-language survivor counts at each stage.
 
-    Scale shape: every stage passes only ID frames between steps (semi/anti
-    joins — the full text never reshuffles after its one hashing pass per
-    stage), and the tiny ID frames are persisted so reuse across the three
-    stage counts doesn't re-execute the dedup subtrees.
+    ONE fused text pass (the streaming/corpus_ingest._batch_signatures
+    idea taken further): a single explode-aggregate derives, per document,
+    the normalized-text md5 (exact stage), the MinHash signature (near
+    stage), AND the quality features (gate stage). Tokens and k-shingles
+    ride the same explode — each exploded position carries (token,
+    shingle-at-position); stopword hits sum over tokens while the n
+    affine MinHash mins fold over shingle hashes (min over the
+    non-distinct shingle multiset == min over the distinct set, so the
+    signature is bit-identical to minhash_signatures_df's). Downstream
+    stages join only this doc-grain profile frame; the only later text
+    touch is the exact-Jaccard verify, which re-shingles just the
+    LSH-candidate docs through a semi-join (at healthy thresholds a tiny
+    fraction — at 100 TB that is a pruned scan, not a corpus pass). The
+    profile is eagerly localCheckpoint'ed: one corpus pass feeds all
+    stage counts, with no session-lifetime cache entries left behind
+    (the r06 persist-leak fix).
+
+    Quality formula mirrors textops.quality_score exactly (same rounding,
+    same composite weights) — the SQL oracle replays both, so drift
+    between the two implementations turns the attestation red.
     """
-    from .textops import quality_score
+    from ..functions.scalars import hash64_md5
+    from .textops import EN_STOPWORDS
 
-    surv1_ids = (
-        exact_dedup_groups(df, text_col, id_col)
-        .select(F.col("canonical_id").alias(id_col))
-        .persist()
-    )
-    surv1 = df.join(surv1_ids, id_col, "left_semi")
-    pairs = minhash_lsh_pairs_verified(
-        surv1, text_col, id_col, n_hashes=n_hashes, bands=bands, k=k,
-        threshold=jaccard_threshold,
-    )
-    drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct().persist()
-    surv2 = surv1.join(drop_ids, id_col, "left_anti")
-    surv3_ids = (
-        quality_score(surv2, text_col)
-        .filter(F.col("quality_score") >= quality_threshold)
-        .select(id_col)
-        .persist()
-    )
-    surv3 = surv2.join(surv3_ids, id_col, "left_semi")
+    coeffs = minhash_coeffs(n_hashes)
+    p = F.lit(MINHASH_P).cast("bigint")
+    toks = tokens(F.lower(F.col(text_col)))
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
 
-    def _cnt(d: DataFrame, name: str) -> DataFrame:
-        return d.groupBy(lang_col).agg(F.count(F.lit(1)).alias(name))
+    # layer 1: materialize the token array ONCE per doc. Expressions
+    # referenced inside transform() lambdas are NOT common-subexpression-
+    # eliminated, so shingling directly off `toks` would re-tokenize the
+    # whole text per position — O(n^2) per doc (measured 3.7x slower than
+    # the unfused version before this split).
+    prep = fan_out(df, id_col).select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.md5(norm).alias("_th"),
+        F.length(
+            F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", "")
+        ).alias("_alpha"),
+        F.length(text_col).alias("_len"),
+        toks.alias("_tk"),
+    )
+    # layer 2: non-distinct shingles, position-aligned with tokens (the
+    # distinct() in word_shingles is irrelevant under a min-fold);
+    # sequence(1, 0) is DESCENDING in Spark, hence the n >= k guard.
+    # arrays_zip is codegen'd and pads the shorter shingle array with
+    # nulls; explode_outer keeps a null row for empty docs (matching
+    # quality_score's explode_outer semantics).
+    tk = F.col("_tk")
+    n = F.size(tk)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    sh_nd = F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, k))),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = prep.select(
+        F.col(id_col), F.col(lang_col), "_th",
+        n.alias("_n"),
+        F.size(F.array_distinct(tk)).alias("_nd"),
+        "_alpha", "_len",
+        F.explode_outer(
+            F.arrays_zip(tk, sh_nd.alias("_sh"))
+        ).alias("_ps"),
+    ).select(
+        id_col, lang_col, "_th", "_n", "_nd", "_alpha", "_len",
+        F.col("_ps._tk").alias("_t"),
+        (hash64_md5(F.col("_ps._sh")) % p).alias("_h"),
+    )
+    sw = F.array([F.lit(w) for w in EN_STOPWORDS])
+    prof = ex.groupBy(id_col, lang_col, "_th", "_n", "_nd", "_alpha", "_len").agg(
+        F.coalesce(
+            F.sum(F.array_contains(sw, F.col("_t")).cast("int")), F.lit(0)
+        ).alias("_hits"),
+        *[
+            F.min(
+                (F.col("_h") * F.lit(a).cast("bigint") + F.lit(b)) % p
+            ).alias(f"_m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
+    )
+    stop_ratio = F.col("_hits") / F.greatest(F.col("_n"), F.lit(1))
+    alpha_ratio = F.col("_alpha") / F.greatest(F.col("_len"), F.lit(1))
+    distinct_ratio = F.col("_nd") / F.greatest(F.col("_n"), F.lit(1))
+    len_score = F.least(F.col("_n") / F.lit(50.0), F.lit(1.0))
+    composite = (
+        F.lit(0.3) * len_score
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.2) * F.least(stop_ratio * 10, F.lit(1.0))
+        + F.lit(0.2) * distinct_ratio
+    )
+    prof = prof.select(
+        id_col,
+        lang_col,
+        "_th",
+        F.when(
+            F.col("_m0").isNotNull(),
+            F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]),
+        ).alias("sig"),
+        F.round(composite, 6).alias("_q"),
+    ).localCheckpoint(eager=True)
 
-    zero = F.lit(0).cast("bigint")
-    return (
-        _cnt(df, "n_docs")
-        .join(_cnt(surv1, "_e"), lang_col, "left")
-        .join(_cnt(surv2, "_n"), lang_col, "left")
-        .join(_cnt(surv3, "_q"), lang_col, "left")
-        .select(
-            lang_col,
-            "n_docs",
-            F.coalesce(F.col("_e"), zero).alias("n_exact_survivors"),
-            F.coalesce(F.col("_n"), zero).alias("n_near_survivors"),
-            F.coalesce(F.col("_q"), zero).alias("n_quality_survivors"),
+    # exact stage: min id per normalized-text hash survives — a window
+    # flag on the profile (one shuffle on the uniform md5 key), not a
+    # groupBy+join round trip
+    from pyspark.sql import Window
+
+    flagged = prof.withColumn(
+        "_e", F.col(id_col) == F.min(id_col).over(Window.partitionBy("_th"))
+    )
+    surv1 = flagged.filter(F.col("_e"))
+
+    # near stage: band buckets from the fused signatures, candidate pair
+    # equijoin, exact-Jaccard verify re-shingling ONLY candidate docs
+    banded = _banded_buckets(
+        surv1.filter(F.col("sig").isNotNull()), id_col, n_hashes, bands
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+        # consumed three times (both cand_ids branches + the verify join):
+        # materialize once instead of re-running the band self-join
+        .localCheckpoint(eager=True)
+    )
+    cand_ids = pairs.select(F.col("id_a").alias(id_col)).union(
+        pairs.select(F.col("id_b").alias(id_col))
+    )
+    cand_sh = df.join(cand_ids, id_col, "left_semi").select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("sh")
+    )
+    verified = jaccard_verify(
+        pairs, cand_sh, id_col=id_col, threshold=jaccard_threshold,
+        precomputed_shingles=True,
+    )
+    # consumed exactly once (the broadcast flag join below), so no
+    # materialization barrier — the verify subtree executes lazily with
+    # the final aggregation
+    drop_ids = verified.select(F.col("id_b").alias(id_col)).distinct()
+
+    # all four stage counts in ONE pass over the flagged profile: the
+    # tiny drop-id frame broadcasts in as a flag, and survival at each
+    # stage is a conditional sum — no per-stage groupBy+join chain, and
+    # n_docs comes from the profile (one row per doc) instead of a
+    # second raw-table scan
+    counted = flagged.join(
+        F.broadcast(drop_ids.withColumn("_dropn", F.lit(True))),
+        id_col,
+        "left",
+    )
+    near_ok = F.col("_e") & F.col("_dropn").isNull()
+    one = F.lit(1).cast("bigint")
+    return counted.groupBy(lang_col).agg(
+        F.count(one).alias("n_docs"),
+        F.coalesce(F.sum(F.when(F.col("_e"), one)), F.lit(0).cast("bigint")).alias(
+            "n_exact_survivors"
+        ),
+        F.coalesce(F.sum(F.when(near_ok, one)), F.lit(0).cast("bigint")).alias(
+            "n_near_survivors"
+        ),
+        F.coalesce(
+            F.sum(F.when(near_ok & (F.col("_q") >= quality_threshold), one)),
+            F.lit(0).cast("bigint"),
+        ).alias("n_quality_survivors"),
     )
 
 

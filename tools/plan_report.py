@@ -50,8 +50,16 @@ NOTES = {
         "restricted Jaccard verify: the corpus text is shuffled zero times."
     ),
     "corpus_clean": (
-        "Three cleaning stages pass only ID frames (semi/anti joins); "
-        "full text is hashed once per stage and never reshuffled."
+        "ONE fused text pass: a single explode-aggregate derives the "
+        "normalized-text md5 (exact stage), the MinHash signature (near "
+        "stage) and the quality features (gate stage) per document — "
+        "tokens and position-aligned shingles ride the same arrays_zip "
+        "explode. Downstream stages touch only the checkpointed doc-grain "
+        "profile; the lone later text access is the exact-Jaccard verify, "
+        "a semi-join-pruned re-shingle of LSH candidates (a pruned scan, "
+        "not a corpus pass, at 100 TB). Stage counts are one conditional "
+        "aggregation over the flagged profile (r07 fusion: 4.66 s -> "
+        "2.3 s at sf0.1)."
     ),
     "sql_top_order_per_customer": (
         "spark.sql text plans identically to the DataFrame API: one "
