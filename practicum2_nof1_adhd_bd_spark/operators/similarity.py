@@ -109,25 +109,44 @@ def cosine_topk_vectorized(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def axis_sign_bucket(vec_col: str = "embedding", n_bits: int = 4) -> Column:
+    """Axis-aligned sign bucket: integer whose bit j is sign(vec[j]) —
+    the deterministic, SQL-reproducible bucket family shared by
+    bucket_balanced_sample / ann_topk_axis, usable as a computed blocking
+    key for embedding_near_dup_pairs."""
+    bucket = None
+    for j in range(n_bits):
+        bit = (F.element_at(F.col(vec_col), j + 1) > 0).cast("int")
+        term = bit * F.lit(2**j)
+        bucket = term if bucket is None else bucket + term
+    return bucket
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.3,
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_expr: Column | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocking buckets.
 
-    The quadratic self-join runs only inside each block (at 100 TB the block
-    key is an LSH bucket or cluster id, here the embeddings' label column),
-    so the join shuffles on the block key and never crosses blocks. Pairs
-    are canonical (id_a < id_b)."""
+    The quadratic self-join runs only inside each block, so the join
+    shuffles on the block key and never crosses blocks. The block key is
+    either a pre-existing column (``block_col``, e.g. a stored cluster
+    id or the testdata label) or a COMPUTED expression (``block_expr``,
+    e.g. the axis-sign bucket family shared with bucket_balanced_sample,
+    or a sign-LSH / IVF-cell bucket) — the 100-TB form, where no curated
+    blocking column exists and the bucket must come out of the same scan
+    as the vector. Pairs are canonical (id_a < id_b)."""
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    block = block_expr if block_expr is not None else F.col(block_col)
     # norms are computed once per VECTOR (n rows) before the pair join, not
     # once per PAIR (n^2/blocks rows) — same float expression, 3x fewer
     # array folds on the quadratic side.
     base = embeddings.select(
-        F.col(id_col), F.col(block_col).alias("block"), dvec.alias("v")
+        F.col(id_col), block.alias("block"), dvec.alias("v")
     ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     a = base.select(
         F.col(id_col).alias("id_a"), F.col("block"),

@@ -4504,6 +4504,42 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 @register(
+    "embedding_near_dup_bucketed",
+    """
+    WITH e AS (
+        SELECT vec_id,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS block,
+               embedding::DOUBLE[] AS v
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.v, b.v)
+                 / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))),
+                 6) AS cosine
+    FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id
+    WHERE round(list_inner_product(a.v, b.v)
+                / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))),
+                6) >= 0.3
+    """,
+)
+def q_embedding_near_dup_bucketed(spark, sf_dir):
+    """Embedding near-dup with a COMPUTED blocking key: the axis-sign
+    bucket (sim.axis_sign_bucket, the bucket_balanced_sample family)
+    derived from the vector in the same scan — no curated label/cluster
+    column required, which is the 100-TB situation. The plan shows bucket
+    computation + a block-keyed self-join; cross-bucket pairs are
+    excluded by construction (the documented blocked-near-dup
+    approximation; raise n_bits to trade recall for block size)."""
+    emb = _cat(spark, sf_dir).embeddings
+    return sim.embedding_near_dup_pairs(
+        emb, threshold=0.3, block_expr=sim.axis_sign_bucket("embedding", 4)
+    )
+
+
+@register(
     "bucket_balanced_sample",
     """
     WITH b AS (

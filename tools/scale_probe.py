@@ -206,6 +206,103 @@ def probe_quantile(spark, n: int, accuracy: int) -> dict:
     }
 
 
+def probe_ingest(spark, tmp: str, n_batches: int, batch_docs: int) -> dict:
+    """Streaming-ingest scale probe: the production axis for
+    streaming/corpus_ingest is INDEX GROWTH — per-batch screen cost must
+    not scale with corpus size. Feeds ``n_batches`` synthetic batches of
+    ``batch_docs`` docs through the foreachBatch body (screen + decisions
+    + signature append against a disk-backed index) and reports per-batch
+    screen wall time vs index size at screen time.
+
+    Batch composition exercises every screen: for batch b>0, 10% of docs
+    are exact copies of batch b-1 content and (for b>1) 10% near copies
+    (one appended token) of batch b-2 content; the rest are novel.
+    Expected shape: ~flat per-batch time with a shallow linear term from
+    the index-side parquet scan (narrow: id + hash + 8 longs, ~100 B/doc
+    — at 1 B docs that's a ~100 GB columnar scan a cluster splits, while
+    the band equijoin itself stays batch x fan-out bounded)."""
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+
+    index_dir = os.path.join(tmp, "ingest_index")
+    rows = []
+    for b in range(n_batches):
+        base = spark.range(b * batch_docs, (b + 1) * batch_docs).select(
+            F.col("id").alias("doc_id")
+        )
+        pos = F.col("doc_id") % batch_docs
+        # copy targets point into the NOVEL range (pos >= batch_docs//5,
+        # seed == own id) of the earlier batch — referencing the same pos
+        # would chase docs that were themselves copies with a different
+        # content seed, silently producing novel text
+        novel_off = batch_docs // 5
+        seed = F.when(
+            (F.lit(b) > 0) & (pos < batch_docs // 10),
+            F.lit((b - 1) * batch_docs + novel_off) + pos,  # exact, b-1
+        ).when(
+            (F.lit(b) > 1)
+            & (pos >= batch_docs // 10)
+            & (pos < batch_docs // 5),
+            F.lit((b - 2) * batch_docs + novel_off) + pos,  # near, b-2
+        ).otherwise(F.col("doc_id"))
+        is_near = (
+            (F.lit(b) > 1)
+            & (pos >= batch_docs // 10)
+            & (pos < batch_docs // 5)
+        )
+        toks = F.transform(
+            F.sequence(F.lit(0), F.lit(24)),
+            lambda j: F.substring(
+                F.md5((seed * 31 + j).cast("string")), 1, 8
+            ),
+        )
+        batch = base.select(
+            "doc_id",
+            F.when(
+                is_near, F.concat_ws(" ", F.concat(toks, F.array(F.lit("zz"))))
+            )
+            .otherwise(F.concat_ws(" ", toks))
+            .alias("text"),
+        )
+
+        if ci._index_exists(spark, index_dir):
+            index = spark.read.schema(ci.INDEX_SCHEMA).parquet(index_dir)
+        else:
+            index = spark.createDataFrame([], ci.INDEX_SCHEMA)
+        index_rows = index.count()
+        t0 = time.time()
+        dec, sigs, cleanup = ci.screen_batch(batch, index)
+        dec = dec.persist()
+        counts = {
+            r["status"]: r["n"]
+            for r in dec.groupBy("status").agg(F.count("*").alias("n")).collect()
+        }
+        sigs.write.mode("append").parquet(index_dir)
+        screen_sec = time.time() - t0
+        dec.unpersist()
+        cleanup()
+        rows.append(
+            {
+                "batch": b,
+                "index_rows_at_screen": index_rows,
+                "screen_sec": round(screen_sec, 2),
+                "admitted": counts.get("admitted", 0),
+                "exact_dup": counts.get("exact_dup", 0),
+                "near_dup": counts.get("near_dup", 0),
+            }
+        )
+    return {
+        "ingest_batches": rows,
+        "batch_docs": batch_docs,
+        "first_to_last_ratio": (
+            round(rows[-1]["screen_sec"] / rows[1]["screen_sec"], 2)
+            if n_batches > 2 and rows[1]["screen_sec"] > 0
+            else None
+        ),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--xml-mb", type=int, default=200)
@@ -218,6 +315,13 @@ def main() -> None:
         help="run ONLY the order-statistics probe on n synthetic rows",
     )
     ap.add_argument("--quantile-accuracy", type=int, default=1_000_000)
+    ap.add_argument(
+        "--ingest-batches",
+        type=int,
+        default=0,
+        help="run ONLY the streaming-ingest index-growth probe, N batches",
+    )
+    ap.add_argument("--ingest-batch-docs", type=int, default=5000)
     args = ap.parse_args()
 
     from practicum2_nof1_adhd_bd_spark.session import get_spark
@@ -232,6 +336,17 @@ def main() -> None:
                 probe_quantile(spark, args.quantile_n, args.quantile_accuracy)
             )
         )
+        return
+
+    if args.ingest_batches:
+        with tempfile.TemporaryDirectory(prefix="scale_probe_ing_") as tmp:
+            print(
+                json.dumps(
+                    probe_ingest(
+                        spark, tmp, args.ingest_batches, args.ingest_batch_docs
+                    )
+                )
+            )
         return
 
     result: dict = {}
