@@ -5232,34 +5232,36 @@ _register_cluster_best_keeper()
 # whole registry, no entry stale-after-rewrite.
 _FRONT_ORDER = [
     "daily_event_stats",  # canary: green every round since r03
-    # round-6 oracle fixes: integer sum() HUGEINT -> BIGINT casts
-    "per_class_metrics", "macro_summary", "source_mixture_weights",
-    "chunk_dedup_profile", "jsonl_corpus_scan", "zip_ingest_scan",
-    # round-6 behavior-touched: _daily_mean decimal revert + bounded
-    # single-pass exact quantile cascade into the daily/labeled chain
-    "rolling_7d_mean", "lag_persistence", "sliding_seq_stats",
-    "auto_segment_triggers", "high_activity_blocks", "anchor_first_window",
-    "rolling_modal_label", "fold_class_check", "label_halves_drift",
-    "majority_baseline", "stratified_baseline", "dominant_source_change",
-    "pbsi_composite", "pipeline_report", "feature_attribution_topk",
-    "unit_coercion_hours", "quantile_3way_label",
-    # round-6 behavior-touched: hourly audit rows, stream landing
-    # fingerprints + timeout semantics
-    "etl_audit_report", "streaming_daily_stats", "streaming_sessions",
-    # new this round
-    "snapshot_provenance", "iphone_backup_scan", "incremental_ingest_decisions",
-    # graduated from rows-only this round (md5 planes -> SQL-replayable);
-    # axis twin re-attested after the multi-probe Hamming-ball change
-    "ann_lsh_topk", "ann_axis_topk",
-    "streaming_ingest_decisions", "selection_rule_report",
-    "shipping_priority", "late_shipment_priority",
-    # re-attestation of the r03 cohort (oldest last-green)
-    "union_mean_fusion", "nway_outer_merge", "corpus_clean",
-    "cosine_topk_vectorized", "decontaminate_ngram",
-    "dedup_clusters", "embedding_near_dup", "exact_dedup",
-    "forward_fill_daily", "global_zscore",
-    "ks_drift", "minhash_lsh_pairs",
-    "missing_days_per_user", "pricing_summary",
+    # new or behavior-touched this round (r07): multi-table LSH +
+    # deterministic Lloyd IVF (new, oracle-attested), computed-block-key
+    # near-dup (new) + the operator both near-dup queries share
+    # (block_expr param added), the fused one-text-pass corpus_clean,
+    # and the ingest screens (index-read hardening + localCheckpoint)
+    "ann_multitable_topk", "ivf_lloyd_topk",
+    "embedding_near_dup_bucketed", "embedding_near_dup", "semantic_dedup",
+    "corpus_clean",
+    "incremental_ingest_decisions", "streaming_ingest_decisions",
+    # rotation: the r04 cohort (oldest driver-green after r06 attested
+    # the r03 block's successors) — 30 queries, last green r04
+    "daily_modal_type", "union_sum_fusion", "interpolate_daily",
+    "user_sessions", "topk_customers", "region_revenue",
+    "rollup_nation_year", "sql_top_order_per_customer",
+    "quality_adjusted_label", "som_daily_agg", "json_props_daily",
+    "tz_cutover_daily", "multiformat_ts_parse", "pipe_split_union",
+    "hrv_time_domain", "circadian_midpoint", "interval_efficiency",
+    "pii_redact_stats", "pack_sequences", "dup_ngram_profile",
+    "token_length_profile", "hash_split", "tfidf_top_terms",
+    "char_ngram_entropy", "media_frame_sample", "minhash_signatures",
+    "quality_score", "doc_fingerprint", "bpe_token_stats", "cosine_topk",
+    # remaining slots: first half of the r03 cohort (ivf_ann_topk also
+    # anchors the probe/rank math the new Lloyd path shares); the back
+    # half (gopher_quality_flags, language_id, media_decode_features,
+    # media_real_decode, rolling_7d_mean_by_user, simhash_fingerprints,
+    # token_stats, winnow_fingerprints) rotates in r08 — see COVERAGE.md
+    "asof_snapshot_select", "boundary_range_join", "calendar_month_folds",
+    "dedup_by_key", "ivf_ann_topk", "missingness_profile",
+    "point_in_interval", "rolling_corr_7d", "safe_ratio_daily",
+    "segment_zscore_month", "topk_per_group",
 ]
 
 

@@ -108,6 +108,66 @@ def read_backup_manifests(
     return raw.select("path", "content").mapInPandas(parse, MANIFEST_SCHEMA)
 
 
+FILES_SCHEMA = (
+    "file_id string, backup_path string, domain string, "
+    "relative_path string, size bigint, content binary"
+)
+
+
+def read_backup_files(
+    spark: SparkSession,
+    backup_dir: str,
+    shard_glob: str = "[0-9a-f][0-9a-f]/*",
+    manifest: DataFrame | None = None,
+    passphrase: str | None = None,
+) -> DataFrame:
+    """Member-grain payload extraction for one backup tree — the
+    ``zip_ingest`` pattern applied to the backup's ``xx/fileID`` layout
+    (iTunes stores each file at ``<root>/<first-2-hex>/<fileID>``; ref
+    ``iphone_backup.py:135-157`` extract path). One row per on-disk
+    payload, annotated with its manifest metadata.
+
+    Scale shape: payload blobs are read at FILE grain by the binaryFile
+    source (splits fan out across executors; a blob never crosses a
+    shuffle), while the manifest metadata — catalog-sized, megabytes for
+    a 100 GB backup — joins in as an explicit BROADCAST. The inner join
+    also acts as the integrity screen: a payload with no manifest row
+    (orphan) is dropped; use ``domain_profile`` + an anti-join the other
+    way to audit manifest rows whose payload is missing on disk.
+    Encrypted backups are refused up front (module docstring)."""
+    from pyspark.sql import functions as F
+
+    if passphrase is not None:
+        raise NotImplementedError(
+            "encrypted iTunes backups need an AES keybag unwrap "
+            "(cryptography lib not present in this environment); "
+            "decrypt out-of-band and point at the plain backup tree"
+        )
+    if manifest is None:
+        manifest = read_backup_manifests(
+            spark, os.path.join(backup_dir, "Manifest.db")
+        )
+    payloads = spark.read.format("binaryFile").load(
+        os.path.join(backup_dir, shard_glob)
+    )
+    pay = payloads.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_id"),
+        F.element_at(F.split(F.col("path"), "/"), -2).alias("_shard"),
+        F.col("length").alias("size"),
+        F.col("content"),
+    ).filter(
+        # shard-dir consistency: the parent dir must be the fileID's
+        # first two hex chars (malformed strays are excluded, not joined)
+        F.col("_shard") == F.substring(F.col("file_id"), 1, 2)
+    ).drop("_shard")
+    meta = manifest.filter(F.col("flags") == FLAG_FILE).select(
+        "file_id", "backup_path", "domain", "relative_path"
+    )
+    return pay.join(F.broadcast(meta), "file_id").select(
+        "file_id", "backup_path", "domain", "relative_path", "size", "content"
+    )
+
+
 def domain_profile(manifest: DataFrame) -> DataFrame:
     """Per-domain backup profile — the rollup the reference's users build
     by hand over the Files table: record/file/dir counts and total

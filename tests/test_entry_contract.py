@@ -37,27 +37,28 @@ def test_sample_queries_run_at_sf0001(spark, sf_dir):
 def test_attestation_window_is_stable():
     """The external harness attests the FIRST 50 queries; pin the window so
     a stray registration cannot silently displace an entry before it has
-    been attested. Round-6 window = the canary + every query whose oracle
-    or behavior changed this round + the new query + oldest re-attestations.
-    Rows-only (no-oracle) queries must NOT occupy window slots."""
+    been attested. Round-7 window = the canary + every new or
+    behavior-touched query this round + the r04 cohort rotation + the
+    first half of the r03 cohort. Rows-only (no-oracle) queries must NOT
+    occupy window slots."""
     names = list(entrymod.queries())
     window = names[:50]
     oracles = entrymod.oracle_sql()
     assert window[0] == "daily_event_stats"  # cross-round canary
     for must in (
-        # oracle HUGEINT casts this round
-        "per_class_metrics", "macro_summary", "source_mixture_weights",
-        "chunk_dedup_profile", "jsonl_corpus_scan", "zip_ingest_scan",
-        # daily-mean revert + bounded-quantile cascade
-        "rolling_7d_mean", "lag_persistence", "sliding_seq_stats",
-        "pbsi_composite", "pipeline_report", "quantile_3way_label",
-        "majority_baseline", "stratified_baseline", "high_activity_blocks",
-        # hourly audit + stream landing changes
-        "etl_audit_report", "streaming_daily_stats", "streaming_sessions",
-        # new this round
-        "snapshot_provenance", "iphone_backup_scan",
-        "incremental_ingest_decisions", "ann_lsh_topk",
-        "streaming_ingest_decisions", "selection_rule_report",
+        # new this round: multi-table LSH, Lloyd IVF, bucketed near-dup
+        "ann_multitable_topk", "ivf_lloyd_topk", "embedding_near_dup_bucketed",
+        # behavior-touched: shared near-dup operator, fused corpus_clean,
+        # ingest index-read hardening + localCheckpoint
+        "embedding_near_dup", "semantic_dedup", "corpus_clean",
+        "incremental_ingest_decisions", "streaming_ingest_decisions",
+        # r04 cohort rotation (spot-pin a representative subset)
+        "daily_modal_type", "union_sum_fusion", "user_sessions",
+        "region_revenue", "rollup_nation_year", "hrv_time_domain",
+        "pack_sequences", "hash_split", "cosine_topk", "minhash_signatures",
+        # r03 first half
+        "asof_snapshot_select", "ivf_ann_topk", "topk_per_group",
+        "segment_zscore_month",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry

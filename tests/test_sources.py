@@ -257,3 +257,51 @@ def test_iphone_backup_encrypted_gate(spark):
 
     with pytest.raises(NotImplementedError):
         iphone_backup.read_backup_manifests(spark, "/nope/*", passphrase="x")
+
+
+def test_iphone_backup_file_extraction(spark, tmp_path):
+    """S13 payload path: the xx/fileID tree joins back to the manifest at
+    file grain (zip_ingest pattern) — payloads annotated with domain and
+    relativePath, orphan payloads and shard-dir mismatches dropped."""
+    import hashlib
+    import sqlite3
+
+    from practicum2_nof1_adhd_bd_spark.sources import iphone_backup
+
+    root = tmp_path / "backup"
+    root.mkdir()
+    file_ids = [hashlib.sha1(f"f{i}".encode()).hexdigest() for i in range(4)]
+    con = sqlite3.connect(root / "Manifest.db")
+    con.execute(
+        "CREATE TABLE Files (fileID TEXT, domain TEXT, "
+        "relativePath TEXT, flags INT, file BLOB)"
+    )
+    con.executemany(
+        "INSERT INTO Files VALUES (?,?,?,?,?)",
+        [
+            (fid, "HomeDomain", f"Documents/doc_{i}.txt", 1, None)
+            for i, fid in enumerate(file_ids[:3])
+        ]
+        + [(file_ids[3], "HomeDomain", "Documents/dir", 2, None)],  # a dir
+    )
+    con.commit()
+    con.close()
+    # payloads for the first two files only (3rd is missing on disk), plus
+    # an orphan not in the manifest and a blob in the WRONG shard dir
+    for i, fid in enumerate(file_ids[:2]):
+        shard = root / fid[:2]
+        shard.mkdir(exist_ok=True)
+        (shard / fid).write_bytes(f"payload-{i}".encode())
+    orphan = hashlib.sha1(b"orphan").hexdigest()
+    (root / orphan[:2]).mkdir(exist_ok=True)
+    (root / orphan[:2] / orphan).write_bytes(b"orphan-bytes")
+    bad = root / "zz"
+    bad.mkdir()
+    (bad / file_ids[2]).write_bytes(b"stray")
+
+    out = iphone_backup.read_backup_files(spark, str(root))
+    rows = {r["file_id"]: r for r in out.collect()}
+    assert set(rows) == set(file_ids[:2])
+    assert rows[file_ids[0]]["relative_path"] == "Documents/doc_0.txt"
+    assert bytes(rows[file_ids[1]]["content"]) == b"payload-1"
+    assert rows[file_ids[0]]["size"] == len(b"payload-0")
