@@ -45,6 +45,10 @@ HEADLINE = [
     # round-6 additions
     "snapshot_provenance",
     "etl_audit_report",
+    # round-7 additions
+    "ann_multitable_topk",
+    "ivf_lloyd_topk",
+    "embedding_near_dup_bucketed",
 ]
 
 

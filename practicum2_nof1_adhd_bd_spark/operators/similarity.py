@@ -508,18 +508,53 @@ def multitable_lsh_candidates(
     per table so the probe prunes partitions instead of scanning."""
     dim = len(embeddings.select(vec_col).first()[0])
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = embeddings.select(F.col(id_col), dvec.alias("v"))
+    base = embeddings.select(F.col(id_col), F.col(vec_col), dvec.alias("v"))
+    # all L*P dots in ONE codegen explode-aggregate pass (the
+    # minhash_signatures_df device): higher-order array folds evaluate
+    # INTERPRETED per element, so 40 per-row folds measured ~5x slower
+    # than exploding positions once and summing val * plane[pos] for
+    # every plane as map-side-combined aggregates. A one-row exploded
+    # array stays in its task in position order, so each sum folds
+    # left-to-right — the same float sequence as the fold it replaces
+    # (and as the oracle's list_inner_product).
+    ex = fan_out(base, id_col).select(
+        F.col(id_col), F.col(vec_col), F.posexplode("v").alias("pos", "val")
+    )
+    # plane components as a broadcast 64-row constant table (one column
+    # per (table, plane)) — a literal-array element_at per aggregate
+    # would rebuild the array per exploded row (CreateArray is not
+    # constant-folded)
+    spark = embeddings.sparkSession
+    names = [f"_c{t}_{i}" for t in range(n_tables) for i in range(n_planes)]
+    all_planes = [
+        md5_planes(n_planes, dim, salt=f"{t}:") for t in range(n_tables)
+    ]
+    rows = [
+        tuple(
+            [j]
+            + [all_planes[t][i][j] for t in range(n_tables) for i in range(n_planes)]
+        )
+        for j in range(dim)
+    ]
+    planes_df = spark.createDataFrame(
+        rows, ", ".join(["pos int"] + [f"{c} double" for c in names])
+    )
+    aggs = [
+        F.sum(F.col("val") * F.col(f"_c{t}_{i}")).alias(f"_d{t}_{i}")
+        for t in range(n_tables)
+        for i in range(n_planes)
+    ]
+    joined = ex.join(F.broadcast(planes_df), "pos")
+    agg = joined.groupBy(id_col).agg(F.first(vec_col).alias(vec_col), *aggs)
     bucket_cols = []
     for t in range(n_tables):
-        planes = md5_planes(n_planes, dim, salt=f"{t}:")
         bucket = None
         for i in range(n_planes):
-            plane = F.array([F.lit(float(x)) for x in planes[i]])
-            bit = (_dot(F.col("v"), plane) > 0).cast("int")
+            bit = (F.col(f"_d{t}_{i}") > 0).cast("int")
             term = bit * F.lit(2**i)
             bucket = term if bucket is None else bucket + term
         bucket_cols.append(bucket.alias(f"b{t}"))
-    b = base.select(F.col(id_col), *bucket_cols)
+    b = agg.select(F.col(id_col), F.col(vec_col), *bucket_cols)
     qb = b.filter(F.col(id_col) == query_id).select(
         *[F.col(f"b{t}").alias(f"qb{t}") for t in range(n_tables)]
     )
@@ -530,7 +565,10 @@ def multitable_lsh_candidates(
             <= probe_hamming
         )
         cond = hit if cond is None else cond | hit
-    return b.join(F.broadcast(qb), cond).select(id_col)
+    # the vector column rides along so the caller can rank WITHOUT a
+    # join back to the corpus (the semi-join alternative sort-merges on
+    # id; this shape's only join is the 1-row broadcast membership test)
+    return b.join(F.broadcast(qb), cond).select(id_col, vec_col)
 
 
 def ann_topk_multitable(
@@ -555,8 +593,9 @@ def ann_topk_multitable(
     cands = multitable_lsh_candidates(
         embeddings, query_id, n_tables, n_planes, probe_hamming, id_col, vec_col
     )
-    corpus = embeddings.join(cands, id_col, "left_semi")
-    return cosine_topk_bruteforce(corpus, query_id, k, id_col, vec_col)
+    # cands carries the vector column — rank directly, no corpus join-back
+    # (the query is always its own candidate: Hamming 0 in every table)
+    return cosine_topk_bruteforce(cands, query_id, k, id_col, vec_col)
 
 
 def bucket_balanced_sample(

@@ -188,3 +188,37 @@ def test_ingest_screen_needs_no_index_text(spark):
         assert rows[1]["matched_id"] == 99
     finally:
         cleanup()
+
+
+def test_multitable_lsh_broadcasts_query_buckets(spark, sf_dir):
+    """ann_multitable_topk: the query's per-table bucket row broadcasts
+    (BroadcastNestedLoopJoin over the OR-condition); the corpus is never
+    sort-merge-joined, and the final rank is TakeOrdered, not a global
+    sort."""
+    plan = _plan(registry.QUERIES["ann_multitable_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_lloyd_assignment_is_broadcast_partial_agg(spark, sf_dir):
+    """ivf_lloyd_topk: every centroid frame joins in as a broadcast (the
+    corpus side never shuffles with the n_cells fan-out attached — only
+    the (id, cell) argmin frame exchanges), and the in-cell rank is
+    TakeOrdered."""
+    plan = _plan(registry.QUERIES["ivf_lloyd_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # centroid cross joins
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_near_dup_shuffles_on_block_key(spark, sf_dir):
+    """embedding_near_dup_bucketed: the quadratic self-join is an equijoin
+    on the COMPUTED block key (shuffle or broadcast hash join — never a
+    cartesian), so pair work stays inside buckets."""
+    plan = _plan(registry.QUERIES["embedding_near_dup_bucketed"](spark, sf_dir))
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -57,6 +57,10 @@ def main() -> None:
         "mt_L6_P9_d1": lambda q: sim.ann_topk_multitable(
             emb, q, args.k, n_tables=6, n_planes=9, probe_hamming=1
         ),
+        # the shipped ann_multitable_topk setting (SCALING §2c)
+        "mt_L5_P8_d1": lambda q: sim.ann_topk_multitable(
+            emb, q, args.k, n_tables=5, n_planes=8, probe_hamming=1
+        ),
     }
     # candidate-set generators for the paths whose candidate fraction the
     # SCALING table reports (recall means nothing without the budget paid)
@@ -69,6 +73,9 @@ def main() -> None:
         ),
         "mt_L6_P9_d1": lambda q: sim.multitable_lsh_candidates(
             emb, q, n_tables=6, n_planes=9, probe_hamming=1
+        ),
+        "mt_L5_P8_d1": lambda q: sim.multitable_lsh_candidates(
+            emb, q, n_tables=5, n_planes=8, probe_hamming=1
         ),
     }
 
