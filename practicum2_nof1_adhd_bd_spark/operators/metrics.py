@@ -93,3 +93,43 @@ def macro_summary(report: DataFrame, round_dp: int = 6) -> DataFrame:
         F.sum("tp").alias("total_tp"),
         F.sum(F.col("tp") + F.col("fn")).alias("total_support"),
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str = "score",
+    outcome_col: str = "outcome",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins: partition [0, 1] scores into ``n_bins``
+    equal-width bins and report, per bin, the count, mean predicted
+    score, and observed positive fraction — the table behind calibration
+    curves / ECE (Guo et al. 2017 style). A well-calibrated scorer has
+    mean_score ~ frac_positive per bin.
+
+    One map-side-combined aggregate over the scored frame; the output is
+    at most n_bins rows. Scores are expected pre-rounded (6 dp) so the
+    bin edge floor(score * n_bins) is engine-stable; outcomes are 0/1."""
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        df.filter(F.col(score_col).isNotNull() & F.col(outcome_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # scores are 6dp — summing them as DECIMAL is exact and
+            # order-independent, so the final round cannot flip at a
+            # half-way boundary (a plain double avg of two 6dp values
+            # measured one such flip against the oracle)
+            F.round(
+                F.sum(F.col(score_col).cast("decimal(18,6)")).cast("double")
+                / F.count(score_col),
+                6,
+            ).alias("mean_score"),
+            F.round(F.avg(F.col(outcome_col).cast("int")), 6).alias(
+                "frac_positive"
+            ),
+        )
+        .orderBy("bin")
+    )

@@ -415,6 +415,55 @@ def source_mixture_weights(
     )
 
 
+def apply_mixture_sample(
+    df: DataFrame,
+    target_docs: int = 200,
+    alpha: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """APPLY the temperature mixture: draw a deterministic subsample whose
+    per-source composition follows w_i ∝ tokens_i^alpha — the operator
+    that turns source_mixture_weights' report into an actual training-set
+    draw. Per-source quota = max(1, floor(target_docs * w_i)); within a
+    source the quota keeps the docs with the smallest md5(id) — the
+    RNG-free unbiased draw shared with hash_split/stratified_sample_k, so
+    re-running (or re-attesting) selects the identical documents.
+
+    Scale shape: weights aggregate map-side to one row per source and
+    broadcast back; ranking is one window per source. Quota ranking of a
+    pathologically hot source concentrates its rank in one partition —
+    the stratified_sample_k caveat: for quota << source size, pre-filter
+    by an md5-prefix threshold slightly above quota/|source| and rank
+    only the survivors, making the sorted partition O(quota)."""
+    from pyspark.sql import Window
+
+    w = source_mixture_weights(df, alpha, text_col, group_col).select(
+        group_col, "mix_weight"
+    )
+    wq = w.select(
+        group_col,
+        F.greatest(
+            F.lit(1),
+            F.floor(F.lit(target_docs) * F.col("mix_weight")).cast("int"),
+        ).alias("_quota"),
+    )
+    ranked = df.select(F.col(id_col), F.col(group_col)).withColumn(
+        "sample_rank",
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy(
+                F.md5(F.col(id_col).cast("string")), id_col
+            )
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(wq), group_col)
+        .filter(F.col("sample_rank") <= F.col("_quota"))
+        .select(id_col, group_col, "sample_rank")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 512,

@@ -1050,6 +1050,54 @@ def q_late_shipment_priority(spark, sf_dir):
 
 
 @register(
+    "large_volume_customers",
+    """
+    WITH q AS (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, q.total_qty
+    FROM q
+    JOIN orders o ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): the HAVING subquery and
+    the output total share ONE lineitem aggregate — sum per order is
+    computed once, filtered (> 300), and reused, instead of re-scanning
+    lineitem for the total as a literal Q18 translation would. The tiny
+    qualifying-order frame then drives the orders join, customer joins
+    broadcast, and the final top-100 is TakeOrdered, not a global sort."""
+    cat = _cat(spark, sf_dir)
+    qty = (
+        cat.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    j = (
+        qty.join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(cat.customer),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+    )
+    return (
+        j.select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey")
+        )
+        .limit(100)
+    )
+
+
+@register(
     "topk_per_group",
     """
     WITH j AS (
@@ -2603,6 +2651,55 @@ def q_macro_summary(spark, sf_dir):
 
 
 @register(
+    "calibration_bins",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS date, round(avg(value), 6) AS vm
+               FROM events GROUP BY 1),
+    g AS (SELECT avg(vm) AS mu, stddev_samp(vm) AS sd FROM d),
+    s AS (SELECT date, vm, mu,
+                 round(1.0 / (1.0 + exp(-((vm - mu) / sd))), 6) AS score,
+                 lead(vm) OVER (ORDER BY date) AS nxt
+          FROM d, g),
+    b AS (SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin, score,
+                 CASE WHEN nxt > mu THEN 1 ELSE 0 END AS y
+          FROM s WHERE nxt IS NOT NULL)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(score), 6) AS mean_score,
+           round(avg(y), 6) AS frac_positive
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram bins (metrics.calibration_report) over a
+    deterministic persistence scorer: score_t = sigmoid(z_t) of the
+    day's global-z-scored mean, outcome_t = whether the NEXT day lands
+    above the global mean — "does today's level predict tomorrow being
+    above average", binned into 10 equal-width score buckets with mean
+    predicted vs observed positive rate (the ECE/calibration-curve
+    table; ref ml_metrics_extended.py metric surface extended). The
+    1-row (mu, sd) frame broadcasts; the lead window runs on the
+    bounded daily grain (SCALING §3 caveat class)."""
+    from pyspark.sql import Window
+
+    daily = _daily_mean(spark, sf_dir).withColumnRenamed("value_mean", "vm")
+    g = daily.agg(
+        F.avg("vm").alias("mu"), F.stddev_samp("vm").alias("sd")
+    )
+    s = daily.crossJoin(F.broadcast(g)).select(
+        "date", "vm", "mu",
+        F.round(
+            1.0 / (1.0 + F.exp(-((F.col("vm") - F.col("mu")) / F.col("sd")))), 6
+        ).alias("score"),
+        F.lead("vm").over(Window.orderBy("date")).alias("nxt"),
+    )
+    scored = s.filter(F.col("nxt").isNotNull()).select(
+        "score", (F.col("nxt") > F.col("mu")).cast("int").alias("outcome")
+    )
+    return metrics.calibration_report(scored, "score", "outcome", n_bins=10)
+
+
+@register(
     "high_activity_blocks",
     f"""
     WITH d AS ({_DAILY_MEAN}),
@@ -2946,6 +3043,39 @@ def q_source_mixture_weights(spark, sf_dir):
     sources when composing a pretraining mixture)."""
     docs = _cat(spark, sf_dir).documents
     return textops.source_mixture_weights(docs, alpha=0.7)
+
+
+@register(
+    "apply_mixture_sample",
+    f"""
+    WITH s AS (SELECT source, count(*) AS n_docs,
+                      CAST(sum(len({_WORDS})) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+    w AS (SELECT source,
+                 round(CAST(CAST(pow(n_tokens, 0.7) AS DECIMAL(38,12)) AS DOUBLE)
+                       / CAST(sum(CAST(pow(n_tokens, 0.7) AS DECIMAL(38,12))) OVER ()
+                              AS DOUBLE), 6) AS mix_weight
+          FROM s),
+    q AS (SELECT source,
+                 greatest(1, CAST(floor(200 * mix_weight) AS INT)) AS quota
+          FROM w),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                     AS sample_rank
+          FROM documents)
+    SELECT r.doc_id, r.source, r.sample_rank
+    FROM r JOIN q USING (source)
+    WHERE r.sample_rank <= q.quota
+    """,
+)
+def q_apply_mixture_sample(spark, sf_dir):
+    """The mixture APPLIED: deterministic subsample whose per-source
+    composition follows w ∝ tokens^0.7 — quota = max(1, floor(200 * w))
+    per source, md5-ranked draw within each (textops.apply_mixture_sample;
+    the oracle composes the attested source_mixture_weights SQL)."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.apply_mixture_sample(docs, target_docs=200, alpha=0.7)
 
 
 @register(
@@ -5253,14 +5383,18 @@ _FRONT_ORDER = [
     "token_length_profile", "hash_split", "tfidf_top_terms",
     "char_ngram_entropy", "media_frame_sample", "minhash_signatures",
     "quality_score", "doc_fingerprint", "bpe_token_stats", "cosine_topk",
-    # remaining slots: first half of the r03 cohort (ivf_ann_topk also
-    # anchors the probe/rank math the new Lloyd path shares); the back
-    # half (gopher_quality_flags, language_id, media_decode_features,
+    # new late-r07: mixture applied as a draw, TPC-H Q18 shape,
+    # reliability bins
+    "apply_mixture_sample", "large_volume_customers", "calibration_bins",
+    # remaining slots: r03 cohort re-attestations (ivf_ann_topk also
+    # anchors the probe/rank math the new Lloyd path shares); the rest of
+    # r03 (boundary_range_join, point_in_interval, safe_ratio_daily,
+    # gopher_quality_flags, language_id, media_decode_features,
     # media_real_decode, rolling_7d_mean_by_user, simhash_fingerprints,
     # token_stats, winnow_fingerprints) rotates in r08 — see COVERAGE.md
-    "asof_snapshot_select", "boundary_range_join", "calendar_month_folds",
+    "asof_snapshot_select", "calendar_month_folds",
     "dedup_by_key", "ivf_ann_topk", "missingness_profile",
-    "point_in_interval", "rolling_corr_7d", "safe_ratio_daily",
+    "rolling_corr_7d",
     "segment_zscore_month", "topk_per_group",
 ]
 

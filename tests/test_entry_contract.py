@@ -56,7 +56,9 @@ def test_attestation_window_is_stable():
         "daily_modal_type", "union_sum_fusion", "user_sessions",
         "region_revenue", "rollup_nation_year", "hrv_time_domain",
         "pack_sequences", "hash_split", "cosine_topk", "minhash_signatures",
-        # r03 first half
+        # late-r07 additions
+        "apply_mixture_sample", "large_volume_customers", "calibration_bins",
+        # r03 re-attestations
         "asof_snapshot_select", "ivf_ann_topk", "topk_per_group",
         "segment_zscore_month",
     ):

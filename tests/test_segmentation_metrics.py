@@ -91,3 +91,22 @@ def test_macro_summary(spark):
     assert m["n_classes"] == 2
     assert m["total_tp"] == 3
     assert m["total_support"] == 4
+
+
+def test_calibration_report_bins_and_rates(spark):
+    """Perfectly calibrated bins report mean_score ~ frac_positive; scores
+    at the top edge fold into the last bin."""
+    from practicum2_nof1_adhd_bd_spark.operators import metrics
+
+    rows = (
+        [(0.05, 0)] * 9 + [(0.05, 1)] * 1      # bin 0: 10% positive
+        + [(0.95, 1)] * 9 + [(0.95, 0)] * 1    # bin 9: 90% positive
+        + [(1.0, 1)]                           # 1.0 folds into bin 9
+    )
+    df = spark.createDataFrame(rows, "score double, outcome int")
+    out = {r["bin"]: r for r in metrics.calibration_report(df).collect()}
+    assert set(out) == {0, 9}
+    assert out[0]["n"] == 10 and out[0]["frac_positive"] == 0.1
+    assert out[9]["n"] == 11
+    assert abs(out[9]["mean_score"] - (10 * 0.95 + 1.0) / 11) < 1e-6
+    assert abs(out[9]["frac_positive"] - 10 / 11) < 1e-6

@@ -231,3 +231,29 @@ def test_stratified_sample_k_deterministic_fixed_size(spark):
         for r in textops.stratified_sample_k(df, k=5).collect()
     }
     assert {(r["source"], r["sample_rank"]): r["doc_id"] for r in out} == again
+
+
+def test_apply_mixture_sample_quota_and_determinism(spark):
+    """Per-source quotas follow w ∝ tokens^0.7 (big source down-weighted
+    relative to its raw share), every source keeps >= 1 doc, and the draw
+    is identical across runs (md5 rank, no RNG)."""
+    from practicum2_nof1_adhd_bd_spark.operators import textops
+
+    rows = [(i, "a " * 50, "big") for i in range(90)] + [
+        (100 + i, "b " * 50, "small") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = textops.apply_mixture_sample(docs, target_docs=20, alpha=0.7)
+    got = out.collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # temperature sampling: big has 9x the tokens but only 9^0.7 ~ 4.66x
+    # the weight -> quota ratio well under 9
+    assert len(by_src["small"]) >= 1
+    assert len(by_src["big"]) / len(by_src["small"]) < 9
+    again = {
+        (r["doc_id"], r["sample_rank"])
+        for r in textops.apply_mixture_sample(docs, target_docs=20, alpha=0.7).collect()
+    }
+    assert {(r["doc_id"], r["sample_rank"]) for r in got} == again
