@@ -4568,6 +4568,42 @@ def q_ann_multitable_topk(spark, sf_dir):
     )
 
 
+@register(
+    "int8_cosine_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)
+                     / 127.0 AS sc
+          FROM e),
+    q8 AS (SELECT vec_id, sc,
+                  list_transform(v, x -> CAST(round(x / sc) AS INT)) AS qv
+           FROM s),
+    d AS (SELECT vec_id,
+                 list_transform(qv, x -> CAST(x AS DOUBLE) * sc) AS dv
+          FROM q8),
+    q AS (SELECT dv AS qdv FROM d WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_inner_product(dv, qdv)
+                 / (sqrt(list_inner_product(dv, dv)) * sqrt(list_inner_product(qdv, qdv))),
+                 6) AS cosine
+    FROM d, q
+    WHERE vec_id != 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_int8_cosine_topk(spark, sf_dir):
+    """Exact cosine top-k over the int8-quantized-and-reconstructed corpus
+    (sim.int8_quantize / int8_cosine_topk): per-vector symmetric scale
+    max|v|/127, q = round(v/scale), rank dequantized q*scale. The storage
+    form a 100-TB ANN index ships (4x smaller than float32); the oracle
+    replays quantize -> dequantize -> rank, attesting the quantization
+    arithmetic end to end."""
+    emb = _cat(spark, sf_dir).embeddings
+    return sim.int8_cosine_topk(emb, query_id=0, k=10)
+
+
 @register("ann_lsh_topk", _sign_lsh_oracle())
 def q_ann_lsh_topk(spark, sf_dir):
     """Approximate top-k via sign-LSH bucketing. Planes are md5-derived
@@ -5384,17 +5420,18 @@ _FRONT_ORDER = [
     "char_ngram_entropy", "media_frame_sample", "minhash_signatures",
     "quality_score", "doc_fingerprint", "bpe_token_stats", "cosine_topk",
     # new late-r07: mixture applied as a draw, TPC-H Q18 shape,
-    # reliability bins
+    # reliability bins, int8-quantized ANN storage form
     "apply_mixture_sample", "large_volume_customers", "calibration_bins",
+    "int8_cosine_topk",
     # remaining slots: r03 cohort re-attestations (ivf_ann_topk also
     # anchors the probe/rank math the new Lloyd path shares); the rest of
     # r03 (boundary_range_join, point_in_interval, safe_ratio_daily,
-    # gopher_quality_flags, language_id, media_decode_features,
-    # media_real_decode, rolling_7d_mean_by_user, simhash_fingerprints,
-    # token_stats, winnow_fingerprints) rotates in r08 — see COVERAGE.md
+    # rolling_corr_7d, gopher_quality_flags, language_id,
+    # media_decode_features, media_real_decode, rolling_7d_mean_by_user,
+    # simhash_fingerprints, token_stats, winnow_fingerprints) rotates in
+    # r08 — see COVERAGE.md
     "asof_snapshot_select", "calendar_month_folds",
     "dedup_by_key", "ivf_ann_topk", "missingness_profile",
-    "rolling_corr_7d",
     "segment_zscore_month", "topk_per_group",
 ]
 

@@ -283,3 +283,33 @@ def test_ivf_lloyd_partitions_and_ranks(spark):
     b = sim.ivf_lloyd_topk(emb, query_id=0, k=2, n_cells=2, n_probe=1).collect()
     assert a == b
     assert {r["vec_id"] for r in a} == {1, 2}  # own cluster only, self excluded
+
+
+def test_int8_quantize_error_bound_and_topk_fidelity(spark):
+    """Symmetric int8: every reconstructed component is within scale/2 of
+    the original (scale = max|v|/127), and the quantized top-k equals the
+    full-precision top-k on well-separated vectors."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    qz = sim.int8_quantize(emb)
+    joined = (
+        emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .join(qz, "vec_id")
+        .select(
+            "vec_id",
+            F.array_max(
+                F.zip_with(
+                    "v",
+                    F.transform("qvec", lambda q, i: q.cast("double")),
+                    lambda orig, q: F.abs(orig - q * F.col("scale")),
+                )
+            ).alias("max_err"),
+            "scale",
+        )
+    )
+    for r in joined.collect():
+        assert r["max_err"] <= r["scale"] / 2 + 1e-12
+    exact = [r["vec_id"] for r in sim.cosine_topk_bruteforce(emb, 0, k=3).collect()]
+    quant = [r["vec_id"] for r in sim.int8_cosine_topk(emb, 0, k=3).collect()]
+    assert exact == quant

@@ -170,6 +170,41 @@ NOTES = {
         "inside the query's bucket after a broadcast of the 1-row query "
         "bucket — candidate set is corpus/2^planes, sub-linear at scale."
     ),
+    "ann_multitable_topk": (
+        "Multi-table OR-construction: all L*P plane dots compute in ONE "
+        "codegen explode-aggregate against a broadcast 64-row plane-"
+        "constant table (interpreted per-row folds measured ~2x slower); "
+        "membership is a 1-row BroadcastNestedLoopJoin over the Hamming-"
+        "ball union, candidates carry their vectors (no corpus join-"
+        "back), and the final rank is TakeOrdered. Candidate mass is the "
+        "sub-additive union of L Hamming balls — the recall/budget knob."
+    ),
+    "ivf_lloyd_topk": (
+        "Deterministic Lloyd build: md5-seeded centroids, each iteration "
+        "= broadcast centroid crossJoin -> map-side min_by argmin "
+        "(only the (id, cell) frame shuffles, never the corpus with the "
+        "n_cells fan-out attached) -> posexplode partial-avg recompute; "
+        "tiny centroid frames localCheckpoint per round so the lineage "
+        "re-runs no corpus pass. Probe + in-cell TakeOrdered rank."
+    ),
+    "embedding_near_dup_bucketed": (
+        "Blocking key COMPUTED from the vector in the same scan (axis-"
+        "sign bucket) — the 100-TB form with no curated label column; "
+        "the quadratic self-join stays a block-keyed equijoin (never "
+        "cartesian), norms computed once per vector before the pair join."
+    ),
+    "large_volume_customers": (
+        "TPC-H Q18 shape: ONE lineitem aggregate serves both the HAVING "
+        "filter and the output total (a literal translation re-scans "
+        "lineitem); the small qualifying-order frame drives the orders "
+        "join, customer broadcasts, top-100 is TakeOrdered."
+    ),
+    "apply_mixture_sample": (
+        "Mixture weights aggregate map-side to one row per source and "
+        "broadcast back as quotas; the md5-rank window partitions by "
+        "source. For a pathologically hot source, pre-filter by an md5-"
+        "prefix threshold before ranking (documented in the operator)."
+    ),
 }
 
 
