@@ -49,6 +49,10 @@ HEADLINE = [
     "ann_multitable_topk",
     "ivf_lloyd_topk",
     "embedding_near_dup_bucketed",
+    "int8_cosine_topk",
+    "apply_mixture_sample",
+    "large_volume_customers",
+    "calibration_bins",
 ]
 
 

@@ -116,9 +116,32 @@ def replicate(spark, src: str, dst: str, factor: int) -> None:
         out.drop("_rep").repartition(32).write.mode("overwrite").parquet(
             os.path.join(dst, f"{name}.parquet")
         )
-    for name in (
-        "region nation customer supplier part orders lineitem embeddings"
-    ).split():
+    # embeddings replicate too (vec_id shift, vectors repeated) so the
+    # ANN/quantization family sees a real 10x corpus; orders+lineitem
+    # replicate with a CONSISTENT orderkey shift so the Q18 shape's
+    # aggregate+join grows on both sides
+    emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    n_emb = emb.count()
+    rep = spark.range(factor).select(F.col("id").alias("_rep"))
+    emb.crossJoin(rep).withColumn(
+        "vec_id", F.col("vec_id") + F.col("_rep") * (n_emb * 10)
+    ).drop("_rep").repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst, "embeddings.parquet")
+    )
+    orders = spark.read.parquet(os.path.join(src, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(src, "lineitem.parquet"))
+    key_shift = (orders.agg(F.max("o_orderkey")).collect()[0][0] + 1) * 10
+    orders.crossJoin(rep).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.col("_rep") * key_shift
+    ).drop("_rep").repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst, "orders.parquet")
+    )
+    li.crossJoin(rep).withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.col("_rep") * key_shift
+    ).drop("_rep").repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst, "lineitem.parquet")
+    )
+    for name in "region nation customer supplier part".split():
         spark.read.parquet(os.path.join(src, f"{name}.parquet")).write.mode(
             "overwrite"
         ).parquet(os.path.join(dst, f"{name}.parquet"))
@@ -146,6 +169,14 @@ QUERIES = [
     "snapshot_provenance",
     "incremental_ingest_decisions",
     "selection_rule_report",
+    # round-7 additions (embeddings + orders/lineitem now replicate too)
+    "ann_multitable_topk",
+    "ivf_lloyd_topk",
+    "int8_cosine_topk",
+    "embedding_near_dup_bucketed",
+    "apply_mixture_sample",
+    "large_volume_customers",
+    "calibration_bins",
 ]
 
 
