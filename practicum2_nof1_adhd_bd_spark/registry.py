@@ -3753,6 +3753,159 @@ def _ingest_decisions_oracle() -> str:
     """
 
 
+def _ingest_internal_near_oracle() -> str:
+    """DuckDB twin of screen_batch(batch_internal_near=True) over a
+    fixture built to exercise the batch-internal near screen: the batch
+    holds every doc_id%5==0 document TWICE — once verbatim (re-keyed
+    +2e6) and once with one appended token (re-keyed +3e6) — so each
+    pair is mutually NEAR (not exact) inside one micro-batch. The index
+    (docs with id%5 != 0) matches nothing, isolating the internal
+    screen: the larger twin must come out near_dup matched to the
+    smaller, via the same band join + 8-hash Broder estimate the stored
+    index screen uses, one-level rule (matched = min qualifying
+    smaller id among index-screen survivors)."""
+    n_hashes, bands = 8, 4
+    rows = n_hashes // bands
+    norm = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    sig_cols = ", ".join(f"{_mh_expr(i)} AS mh{i}" for i in range(n_hashes))
+
+    def banded(src: str) -> str:
+        return " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM {src}"
+            .format(
+                b=b,
+                concat=" || ',' || ".join(
+                    f"mh{b * rows + r}" for r in range(rows)
+                ),
+                src=src,
+            )
+            for b in range(bands)
+        )
+
+    est_sum = " + ".join(
+        f"CASE WHEN sx.mh{i} = sy.mh{i} THEN 1 ELSE 0 END"
+        for i in range(n_hashes)
+    )
+    est_sum_idx = " + ".join(
+        f"CASE WHEN s2.mh{i} = si.mh{i} THEN 1 ELSE 0 END"
+        for i in range(n_hashes)
+    )
+    return f"""
+    WITH idx AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+    b AS (
+        SELECT doc_id + 2000000 AS doc_id, text FROM documents
+        WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id, text || ' zz' AS text
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    bh AS (SELECT doc_id, {norm} AS h, text FROM b),
+    canon AS (SELECT h, min(doc_id) AS keep FROM bh GROUP BY 1),
+    internal AS (
+        SELECT bh.doc_id, 'exact_dup' AS status, canon.keep AS matched_id
+        FROM bh JOIN canon USING (h) WHERE bh.doc_id != canon.keep
+    ),
+    surv AS (
+        SELECT bh.doc_id, bh.h, bh.text
+        FROM bh JOIN canon ON bh.h = canon.h AND bh.doc_id = canon.keep
+    ),
+    ih AS (SELECT doc_id AS iid, {norm} AS h FROM idx),
+    exact_hit AS (
+        SELECT surv.doc_id, 'exact_dup' AS status, min(ih.iid) AS matched_id
+        FROM surv JOIN ih USING (h) GROUP BY 1
+    ),
+    surv2 AS (
+        SELECT * FROM surv
+        WHERE doc_id NOT IN (SELECT doc_id FROM exact_hit)
+    ),
+    w2 AS (SELECT doc_id, {_WORDS} AS words FROM surv2),
+    sh2 AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w2),
+    sig2 AS (SELECT doc_id, {sig_cols} FROM sh2 WHERE len(shingles) > 0),
+    wi AS (SELECT doc_id, {_WORDS} AS words FROM idx),
+    shi AS (SELECT doc_id, {_SHINGLES} AS shingles FROM wi),
+    sigi AS (SELECT doc_id, {sig_cols} FROM shi WHERE len(shingles) > 0),
+    banded2 AS ({banded('sig2')}),
+    bandedi AS ({banded('sigi')}),
+    candi AS (
+        SELECT DISTINCT a.doc_id AS bid, i.doc_id AS iid
+        FROM banded2 a JOIN bandedi i
+          ON a.band = i.band AND a.bucket = i.bucket
+    ),
+    near AS (
+        SELECT c.bid AS doc_id, 'near_dup' AS status, min(c.iid) AS matched_id
+        FROM candi c
+        JOIN sig2 s2 ON c.bid = s2.doc_id
+        JOIN sigi si ON c.iid = si.doc_id
+        WHERE ({est_sum_idx}) / 8.0 >= 0.8
+        GROUP BY 1
+    ),
+    a3 AS (
+        SELECT doc_id FROM surv2
+        WHERE doc_id NOT IN (SELECT doc_id FROM near)
+    ),
+    sig3 AS (SELECT * FROM sig2 WHERE doc_id IN (SELECT doc_id FROM a3)),
+    banded3 AS ({banded('sig3')}),
+    candn AS (
+        SELECT DISTINCT x.doc_id AS bid, y.doc_id AS iid
+        FROM banded3 x JOIN banded3 y
+          ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id > y.doc_id
+    ),
+    inear AS (
+        SELECT c.bid AS doc_id, 'near_dup' AS status, min(c.iid) AS matched_id
+        FROM candn c
+        JOIN sig3 sx ON c.bid = sx.doc_id
+        JOIN sig3 sy ON c.iid = sy.doc_id
+        WHERE ({est_sum}) / 8.0 >= 0.8
+        GROUP BY 1
+    ),
+    admitted AS (
+        SELECT doc_id, 'admitted' AS status, CAST(NULL AS BIGINT) AS matched_id
+        FROM a3 WHERE doc_id NOT IN (SELECT doc_id FROM inear)
+    )
+    SELECT * FROM internal
+    UNION ALL SELECT * FROM exact_hit
+    UNION ALL SELECT * FROM near
+    UNION ALL SELECT * FROM inear
+    UNION ALL SELECT * FROM admitted
+    """
+
+
+@register("ingest_internal_near_decisions", None)
+def q_ingest_internal_near_decisions(spark, sf_dir):
+    """Batch-internal NEAR screen under the value-hash gate
+    (screen_batch(batch_internal_near=True)): every doc_id%5==0 document
+    enters one micro-batch twice — verbatim (+2e6) and with one appended
+    token (+3e6) — so the pairs are mutually near but not exact, and the
+    index holds none of them. The larger twin must be flagged near_dup
+    matched to the smaller by the internal band join + Broder estimate
+    (one-level rule; chain caveat documented on screen_batch). Estimate
+    misses (agreement < 7/8 under the one-token shingle change) admit
+    both twins — the oracle replays the identical arithmetic, so those
+    land green too."""
+    from .streaming import corpus_ingest as ci
+
+    docs = _cat(spark, sf_dir).documents
+    base = docs.filter(F.col("doc_id") % 5 == 0)
+    batch = base.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    ).unionByName(
+        base.select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+    )
+    index = ci._batch_signatures(
+        docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id", 8, 3
+    )
+    dec, _sigs, cleanup = ci.screen_batch(batch, index, batch_internal_near=True)
+    dec = dec.localCheckpoint(eager=True)
+    cleanup()
+    return dec
+
+
+ORACLES["ingest_internal_near_decisions"] = _ingest_internal_near_oracle()
+
+
 @register("incremental_ingest_decisions", None)
 def q_incremental_ingest_decisions(spark, sf_dir):
     """Batch-mode attestation of the streaming ingest screen
@@ -5420,18 +5573,19 @@ _FRONT_ORDER = [
     "char_ngram_entropy", "media_frame_sample", "minhash_signatures",
     "quality_score", "doc_fingerprint", "bpe_token_stats", "cosine_topk",
     # new late-r07: mixture applied as a draw, TPC-H Q18 shape,
-    # reliability bins, int8-quantized ANN storage form
+    # reliability bins, int8-quantized ANN storage form, the
+    # batch-internal near screen under the gate
     "apply_mixture_sample", "large_volume_customers", "calibration_bins",
-    "int8_cosine_topk",
+    "int8_cosine_topk", "ingest_internal_near_decisions",
     # remaining slots: r03 cohort re-attestations (ivf_ann_topk also
     # anchors the probe/rank math the new Lloyd path shares); the rest of
     # r03 (boundary_range_join, point_in_interval, safe_ratio_daily,
-    # rolling_corr_7d, gopher_quality_flags, language_id,
-    # media_decode_features, media_real_decode, rolling_7d_mean_by_user,
-    # simhash_fingerprints, token_stats, winnow_fingerprints) rotates in
-    # r08 — see COVERAGE.md
+    # rolling_corr_7d, missingness_profile, gopher_quality_flags,
+    # language_id, media_decode_features, media_real_decode,
+    # rolling_7d_mean_by_user, simhash_fingerprints, token_stats,
+    # winnow_fingerprints) rotates in r08 — see COVERAGE.md
     "asof_snapshot_select", "calendar_month_folds",
-    "dedup_by_key", "ivf_ann_topk", "missingness_profile",
+    "dedup_by_key", "ivf_ann_topk",
     "segment_zscore_month", "topk_per_group",
 ]
 
