@@ -4928,6 +4928,44 @@ def _register_semantic_dedup() -> None:
             pairs, emb.select("vec_id"), id_col="vec_id"
         )
 
+    # computed-block-key twin: the pair SQL is the registered bucketed
+    # near-dup oracle (single source of truth), same recursive-CTE shell
+    pair_sql_b = ORACLES["embedding_near_dup_bucketed"]
+    sql_b = f"""
+    WITH RECURSIVE p AS ({pair_sql_b}),
+    ed AS (
+        SELECT id_a AS a, id_b AS b FROM p WHERE cosine >= 0.5
+        UNION ALL
+        SELECT id_b, id_a FROM p WHERE cosine >= 0.5
+    ),
+    reach(node, lab) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT ed.b, r.lab FROM reach r JOIN ed ON r.node = ed.a
+    )
+    SELECT node AS vec_id, min(lab) AS cluster_id,
+           node = min(lab) AS is_canonical
+    FROM reach GROUP BY node
+    """
+
+    @register("semantic_dedup_bucketed", sql_b)
+    def q_semantic_dedup_bucketed(spark, sf_dir):
+        """Semantic dedup with a COMPUTED blocking key (axis-sign bucket
+        derived from the vector in the same scan — no curated label or
+        pre-clustered cell required): cosine >= 0.5 pairs within sign
+        buckets -> connected components -> canonical keeper. The full
+        100-TB SemDeDup story end to end: bucket computation, block-keyed
+        quadratic verify, min-label propagation — all value-hash
+        attested."""
+        emb = _cat(spark, sf_dir).embeddings
+        pairs = sim.embedding_near_dup_pairs(
+            emb, threshold=0.3,
+            block_expr=sim.axis_sign_bucket("embedding", 4),
+        ).filter(F.col("cosine") >= 0.5)
+        return dedup.connected_components(
+            pairs, emb.select("vec_id"), id_col="vec_id"
+        )
+
 
 _register_semantic_dedup()
 
@@ -5577,16 +5615,17 @@ _FRONT_ORDER = [
     # batch-internal near screen under the gate
     "apply_mixture_sample", "large_volume_customers", "calibration_bins",
     "int8_cosine_topk", "ingest_internal_near_decisions",
+    "semantic_dedup_bucketed",
     # remaining slots: r03 cohort re-attestations (ivf_ann_topk also
     # anchors the probe/rank math the new Lloyd path shares); the rest of
     # r03 (boundary_range_join, point_in_interval, safe_ratio_daily,
-    # rolling_corr_7d, missingness_profile, gopher_quality_flags,
-    # language_id, media_decode_features, media_real_decode,
-    # rolling_7d_mean_by_user, simhash_fingerprints, token_stats,
-    # winnow_fingerprints) rotates in r08 — see COVERAGE.md
+    # rolling_corr_7d, missingness_profile, topk_per_group,
+    # gopher_quality_flags, language_id, media_decode_features,
+    # media_real_decode, rolling_7d_mean_by_user, simhash_fingerprints,
+    # token_stats, winnow_fingerprints) rotates in r08 — see COVERAGE.md
     "asof_snapshot_select", "calendar_month_folds",
     "dedup_by_key", "ivf_ann_topk",
-    "segment_zscore_month", "topk_per_group",
+    "segment_zscore_month",
 ]
 
 

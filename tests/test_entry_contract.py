@@ -58,8 +58,10 @@ def test_attestation_window_is_stable():
         "pack_sequences", "hash_split", "cosine_topk", "minhash_signatures",
         # late-r07 additions
         "apply_mixture_sample", "large_volume_customers", "calibration_bins",
+        "int8_cosine_topk", "ingest_internal_near_decisions",
+        "semantic_dedup_bucketed",
         # r03 re-attestations
-        "asof_snapshot_select", "ivf_ann_topk", "topk_per_group",
+        "asof_snapshot_select", "ivf_ann_topk",
         "segment_zscore_month",
     ):
         assert must in window, must
