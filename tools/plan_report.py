@@ -205,6 +205,25 @@ NOTES = {
         "source. For a pathologically hot source, pre-filter by an md5-"
         "prefix threshold before ranking (documented in the operator)."
     ),
+    "int8_cosine_topk": (
+        "Quantize (per-row scale + component round) and dequantize are "
+        "one codegen projection each — no shuffle until the TakeOrdered "
+        "rank against the broadcast 1-row query. The int8 form is what "
+        "a 100-TB index stores: 4x smaller than float32, so 4x more "
+        "candidates fit a scan budget."
+    ),
+    "semantic_dedup_bucketed": (
+        "Computed axis-sign block key -> block-keyed quadratic verify "
+        "(never cartesian) -> min-label connected-components loop on the "
+        "tiny pair/label frames only; the corpus embedding scan happens "
+        "once. The no-curated-label SemDeDup path end to end."
+    ),
+    "ingest_internal_near_decisions": (
+        "One persisted text pass per batch feeds every screen; the "
+        "internal near stage is a band-bucket SELF-join of the batch's "
+        "index-survivor signatures — batch-sized on both sides, so its "
+        "cost is independent of corpus/index size."
+    ),
 }
 
 
