@@ -296,10 +296,11 @@ def ivf_lloyd_topk(
     members are exact-ranked.
 
     Scale shape: the centroid frame (n_cells rows) broadcasts into every
-    assignment; assignment itself is a map-side partial min_by groupBy
-    (the corpus never carries the n_cells fan-out through a shuffle —
-    only the (id, cell) argmin frame shuffles, then semi-joins back);
-    centroid recompute is a posexplode + (cell, pos) partial avg. Each
+    assignment; assignment is a map-side partial min_by groupBy that
+    collapses the n_cells fan-out BEFORE the exchange and carries the
+    vector through the aggregate — one corpus exchange per assignment,
+    no join back to the corpus; centroid recompute is a posexplode +
+    (cell, pos) partial avg. Each
     iteration is one full corpus pass — which is why the iteration count
     is fixed and small, and why the MLlib path caps its fit set
     (ivf_kmeans_topk.max_fit_rows). Tiny centroid frames are eagerly
@@ -336,14 +337,20 @@ def ivf_lloyd_topk(
     cent = cent.localCheckpoint(eager=True)
 
     def assign(c: DataFrame) -> DataFrame:
+        # argmin as ONE corpus exchange: the vector rides the partial
+        # aggregate (every fan-out row of an id carries the identical v,
+        # so first() is value-deterministic) instead of a corpus-sized
+        # join back to base, which would exchange the corpus twice per
+        # iteration (once for the groupBy, once for the join)
         j = base.crossJoin(F.broadcast(c))
         d2 = F.col("vv") - 2 * _dot(F.col("v"), F.col("cv")) + F.col("cc")
-        a = j.groupBy(id_col).agg(
+        return j.groupBy(id_col).agg(
             F.min_by(F.col("cell"), F.struct(d2.alias("d"), F.col("cell"))).alias(
                 "cell"
-            )
+            ),
+            F.first("v").alias("v"),
+            F.first("vv").alias("vv"),
         )
-        return base.join(a, id_col)
 
     for _ in range(n_iters):
         assigned = assign(cent)

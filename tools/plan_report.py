@@ -181,11 +181,12 @@ NOTES = {
     ),
     "ivf_lloyd_topk": (
         "Deterministic Lloyd build: md5-seeded centroids, each iteration "
-        "= broadcast centroid crossJoin -> map-side min_by argmin "
-        "(only the (id, cell) frame shuffles, never the corpus with the "
-        "n_cells fan-out attached) -> posexplode partial-avg recompute; "
-        "tiny centroid frames localCheckpoint per round so the lineage "
-        "re-runs no corpus pass. Probe + in-cell TakeOrdered rank."
+        "= broadcast centroid crossJoin -> map-side min_by argmin that "
+        "collapses the n_cells fan-out BEFORE the exchange and carries "
+        "the vector through the aggregate (ONE corpus exchange per "
+        "assignment, no corpus join-back) -> posexplode partial-avg "
+        "recompute; tiny centroid frames localCheckpoint per round so "
+        "the lineage re-runs no corpus pass. Probe + in-cell TakeOrdered."
     ),
     "embedding_near_dup_bucketed": (
         "Blocking key COMPUTED from the vector in the same scan (axis-"
