@@ -1098,6 +1098,61 @@ def q_large_volume_customers(spark, sf_dir):
 
 
 @register(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(28,12))) AS DOUBLE), 2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier by quarterly revenue): the revenue
+    view aggregates once; the scalar max over it compiles to a 1-row
+    broadcast joined back (no second lineitem scan, no driver collect) —
+    the argmax-over-aggregated-view pattern. Revenue sums as
+    DECIMAL(28,12) (exact, order-independent) so the 2dp round and the
+    max-equality filter cannot flip on float combine order — an
+    equality against a float SUM is exactly where partial-agg wobble
+    would bite."""
+    cat = _cat(spark, sf_dir)
+    li = cat.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,12)"
+                )
+            ).cast("double"),
+            2,
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    top = rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+    return (
+        top.join(
+            F.broadcast(cat.supplier),
+            F.col("s_suppkey") == F.col("supplier_no"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
     "topk_per_group",
     """
     WITH j AS (
@@ -4001,6 +4056,123 @@ def q_streaming_ingest_decisions(spark, sf_dir):
 ORACLES["streaming_ingest_decisions"] = _ingest_decisions_oracle()
 
 
+def _vector_ingest_oracle() -> str:
+    """DuckDB twin of streaming.vector_ingest.screen_vector_batch over
+    the deterministic batch/index split of q_incremental_vector_decisions:
+    axis-sign buckets, in-bucket cosine >= 0.9 vs the stored side,
+    near_dup matched to the min qualifying index id."""
+    bucket = (
+        "(CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)"
+        " + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)"
+        " + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)"
+        " + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)"
+    )
+    return f"""
+    WITH ie AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE vec_id % 5 != 0),
+    idx AS (SELECT vec_id, v, {bucket} AS bucket FROM ie),
+    be AS (
+        SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id % 10 = 1
+        UNION ALL
+        SELECT vec_id + 2000000 AS vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    bb AS (SELECT vec_id, v, {bucket} AS bucket FROM be),
+    near AS (
+        SELECT b.vec_id, 'near_dup' AS status, min(i.vec_id) AS matched_id
+        FROM bb b JOIN idx i ON b.bucket = i.bucket
+        WHERE round(list_inner_product(b.v, i.v)
+                    / (sqrt(list_inner_product(b.v, b.v))
+                       * sqrt(list_inner_product(i.v, i.v))), 6) >= 0.9
+        GROUP BY 1
+    )
+    SELECT * FROM near
+    UNION ALL
+    SELECT vec_id, 'admitted' AS status, CAST(NULL AS BIGINT) AS matched_id
+    FROM bb WHERE vec_id NOT IN (SELECT vec_id FROM near)
+    """
+
+
+@register("incremental_vector_decisions", None)
+def q_incremental_vector_decisions(spark, sf_dir):
+    """Batch-mode attestation of the streaming VECTOR ingest screen
+    (streaming/vector_ingest.screen_vector_batch — streaming SemDeDup):
+    index = vectors with vec_id%5 != 0 in their axis-sign buckets; batch
+    = exact vector copies (vec_id%10==1, re-keyed +1e6 — cosine 1.0 with
+    their originals) plus vectors absent from the index (vec_id%5==0,
+    re-keyed +2e6). Copies must come out near_dup matched to their
+    original; novel vectors admitted. The oracle replays bucket + cosine
+    algebra in SQL."""
+    from .streaming import vector_ingest as vi
+
+    emb = _cat(spark, sf_dir).embeddings
+    index = vi._batch_vectors(
+        emb.filter(F.col("vec_id") % 5 != 0), "vec_id", "embedding", 4
+    )
+    batch = (
+        emb.filter(F.col("vec_id") % 10 == 1)
+        .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+        .unionByName(
+            emb.filter(F.col("vec_id") % 5 == 0).select(
+                (F.col("vec_id") + 2000000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    dec, _adm = vi.screen_vector_batch(batch, index, threshold=0.9, n_bits=4)
+    return dec.localCheckpoint(eager=True)
+
+
+ORACLES["incremental_vector_decisions"] = _vector_ingest_oracle()
+
+
+@register("streaming_vector_decisions", None)
+def q_streaming_vector_decisions(spark, sf_dir):
+    """§2.9: the vector-ingest STREAM under the value-hash gate — same
+    fixture as incremental_vector_decisions (same SQL oracle), executed
+    as a real foreachBatch run: the batch lands as JSON, the vector
+    index is bootstrapped on disk, ingest_vector_stream processes
+    availableNow against a fresh checkpoint, and the decisions are read
+    back from the parquet sink. Per-invocation uuid dirs are
+    fixture-sized."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming import vector_ingest as vi
+
+    emb = _cat(spark, sf_dir).embeddings
+    work = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_vingest_{uuid.uuid4().hex[:8]}"
+    )
+    src, index_dir = os.path.join(work, "src"), os.path.join(work, "index")
+    dec_dir, ckpt = os.path.join(work, "dec"), os.path.join(work, "ckpt")
+    vi._batch_vectors(
+        emb.filter(F.col("vec_id") % 5 != 0), "vec_id", "embedding", 4
+    ).write.mode("overwrite").parquet(index_dir)
+    batch = (
+        emb.filter(F.col("vec_id") % 10 == 1)
+        .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+        .unionByName(
+            emb.filter(F.col("vec_id") % 5 == 0).select(
+                (F.col("vec_id") + 2000000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    batch.coalesce(1).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<double>"
+    ).json(src)
+    q = vi.ingest_vector_stream(stream, index_dir, dec_dir, ckpt)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_vector_decisions: stream did not finish in 300s")
+    return spark.read.schema(vi.VDECISION_SCHEMA).parquet(dec_dir)
+
+
+ORACLES["streaming_vector_decisions"] = _vector_ingest_oracle()
+
+
 @register(
     "simhash_fingerprints",
     f"""
@@ -5615,17 +5787,17 @@ _FRONT_ORDER = [
     # batch-internal near screen under the gate
     "apply_mixture_sample", "large_volume_customers", "calibration_bins",
     "int8_cosine_topk", "ingest_internal_near_decisions",
-    "semantic_dedup_bucketed",
+    "semantic_dedup_bucketed", "top_supplier_revenue",
+    "incremental_vector_decisions", "streaming_vector_decisions",
     # remaining slots: r03 cohort re-attestations (ivf_ann_topk also
     # anchors the probe/rank math the new Lloyd path shares); the rest of
-    # r03 (boundary_range_join, point_in_interval, safe_ratio_daily,
-    # rolling_corr_7d, missingness_profile, topk_per_group,
-    # gopher_quality_flags, language_id, media_decode_features,
-    # media_real_decode, rolling_7d_mean_by_user, simhash_fingerprints,
-    # token_stats, winnow_fingerprints) rotates in r08 — see COVERAGE.md
-    "asof_snapshot_select", "calendar_month_folds",
-    "dedup_by_key", "ivf_ann_topk",
-    "segment_zscore_month",
+    # r03 (asof_snapshot_select, boundary_range_join, calendar_month_folds,
+    # dedup_by_key, point_in_interval, safe_ratio_daily, rolling_corr_7d,
+    # missingness_profile, topk_per_group, gopher_quality_flags,
+    # language_id, media_decode_features, media_real_decode,
+    # rolling_7d_mean_by_user, simhash_fingerprints, token_stats,
+    # winnow_fingerprints) rotates in r08 — see COVERAGE.md
+    "ivf_ann_topk", "segment_zscore_month",
 ]
 
 

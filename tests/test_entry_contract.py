@@ -59,10 +59,10 @@ def test_attestation_window_is_stable():
         # late-r07 additions
         "apply_mixture_sample", "large_volume_customers", "calibration_bins",
         "int8_cosine_topk", "ingest_internal_near_decisions",
-        "semantic_dedup_bucketed",
+        "semantic_dedup_bucketed", "top_supplier_revenue",
+        "incremental_vector_decisions", "streaming_vector_decisions",
         # r03 re-attestations
-        "asof_snapshot_select", "ivf_ann_topk",
-        "segment_zscore_month",
+        "ivf_ann_topk", "segment_zscore_month",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry

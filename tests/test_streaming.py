@@ -350,3 +350,54 @@ def test_ingest_stream_cold_start_vs_corrupt_index(spark, tmp_path):
         # foreachBatch errors surface via the query's exception
         if q2.exception() is not None:
             raise RuntimeError(q2.exception().desc)
+
+
+def test_incremental_vector_ingest_stream(spark, tmp_path):
+    """Streaming SemDeDup: batch 1 seeds the vector index; batch 2 (same
+    checkpoint, later file) is screened against the STORED index — a copy
+    of a batch-1 vector is flagged near_dup against it, an orthogonal
+    vector is admitted."""
+    import json
+
+    from practicum2_nof1_adhd_bd_spark.streaming import vector_ingest as vi
+
+    src = tmp_path / "src"
+    src.mkdir()
+    index_dir = str(tmp_path / "index")
+    dec_dir = str(tmp_path / "dec")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        tmp = src / f".{name}.tmp"
+        with open(tmp, "w") as f:
+            for vec_id, v in rows:
+                f.write(json.dumps({"vec_id": vec_id, "embedding": v}) + "\n")
+        tmp.rename(src / name)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "vec_id bigint, embedding array<double>"
+        ).json(str(src))
+        q = vi.ingest_vector_stream(stream, index_dir, dec_dir, ckpt)
+        assert q.awaitTermination(120)
+
+    e1 = [1.0, 0.2, 0.1, 0.05]
+    e2 = [-1.0, -0.2, 0.3, 0.4]
+    land("b1.json", [(1, e1), (2, e2)])
+    run_once()
+    land(
+        "b2.json",
+        [
+            (11, [x * 2 for x in e1]),      # same direction as 1 -> near_dup
+            (12, [0.05, -1.0, 0.2, -0.3]),  # roughly orthogonal -> admitted
+        ],
+    )
+    run_once()
+
+    dec = {r["vec_id"]: r for r in spark.read.parquet(dec_dir).collect()}
+    assert dec[1]["status"] == "admitted"
+    assert dec[2]["status"] == "admitted"
+    assert dec[11]["status"] == "near_dup" and dec[11]["matched_id"] == 1
+    assert dec[12]["status"] == "admitted"
+    idx = spark.read.schema(vi.VINDEX_SCHEMA).parquet(index_dir)
+    assert sorted(r["vec_id"] for r in idx.collect()) == [1, 2, 12]
