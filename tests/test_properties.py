@@ -221,3 +221,83 @@ def test_provenance_digest_cross_engine_any_input(spark, rows):
     con.executemany("INSERT INTO t VALUES (?, ?)", rows)
     for k, dig in con.sql(f"SELECT k, {expr} FROM t").fetchall():
         assert got[k] == (dig, dig), (k, got[k], dig)
+
+
+@given(
+    vec=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False),
+        min_size=3,
+        max_size=12,
+    ).filter(lambda v: any(abs(x) > 1e-6 for x in v))
+)
+@_settings
+def test_int8_quantize_reconstruction_bound(spark, vec):
+    """For ANY vector, every int8-reconstructed component is within
+    scale/2 of the original and every code fits [-127, 127]."""
+    from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
+
+    df = spark.createDataFrame([(0, vec)], "vec_id bigint, embedding array<double>")
+    row = sim.int8_quantize(df).collect()[0]
+    scale = row["scale"]
+    for orig, q in zip(vec, row["qvec"]):
+        assert -127 <= q <= 127
+        assert abs(orig - q * scale) <= scale / 2 + 1e-9
+
+
+@given(
+    n_tables=st.integers(min_value=1, max_value=3),
+    d=st.integers(min_value=0, max_value=1),
+)
+@_settings
+def test_multitable_candidates_monotone(spark, n_tables, d):
+    """The multi-table candidate set grows monotonically in BOTH knobs:
+    more tables (OR over more Hamming balls) and a larger probe radius
+    can only add candidates — and the query itself is always one."""
+    from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
+
+    rows = [
+        (i, [((i * 7 + j * 3) % 11) - 5.0 for j in range(6)]) for i in range(12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    def cands(L, dd):
+        return {
+            r["vec_id"]
+            for r in sim.multitable_lsh_candidates(
+                emb, 0, n_tables=L, n_planes=4, probe_hamming=dd
+            ).collect()
+        }
+
+    base = cands(n_tables, d)
+    assert 0 in base
+    assert base <= cands(n_tables + 1, d)
+    assert base <= cands(n_tables, d + 1)
+
+
+@given(target=st.integers(min_value=1, max_value=60))
+@_settings
+def test_apply_mixture_quota_bounds(spark, target):
+    """For ANY target, every source keeps at least 1 doc, no source
+    exceeds max(1, floor(target * w)), and the draw is a subset of the
+    corpus ids."""
+    from practicum2_nof1_adhd_bd_spark.operators import textops
+
+    rows = (
+        [(i, "alpha beta gamma delta " * 3, "a") for i in range(20)]
+        + [(100 + i, "x y z w " * 2, "b") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = textops.apply_mixture_sample(docs, target_docs=target, alpha=0.7)
+    got = out.collect()
+    ids = {r["doc_id"] for r in got}
+    assert ids <= {r[0] for r in rows}
+    per = {}
+    for r in got:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    w = {
+        r["source"]: r["mix_weight"]
+        for r in textops.source_mixture_weights(docs, 0.7).collect()
+    }
+    for s in ("a", "b"):
+        assert per.get(s, 0) >= 1
+        assert per[s] <= max(1, math.floor(target * w[s]))
