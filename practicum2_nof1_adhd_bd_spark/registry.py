@@ -2705,6 +2705,29 @@ def q_macro_summary(spark, sf_dir):
     return metrics.macro_summary(metrics.per_class_report(pairs))
 
 
+def _persistence_scored(spark, sf_dir) -> DataFrame:
+    """Shared deterministic persistence scorer: score_t = sigmoid(z_t) of
+    the day's global-z-scored mean; outcome_t = whether the NEXT day lands
+    above the global mean. The 1-row (mu, sd) frame broadcasts; the lead
+    window runs on the bounded daily grain (SCALING §3 caveat class)."""
+    from pyspark.sql import Window
+
+    daily = _daily_mean(spark, sf_dir).withColumnRenamed("value_mean", "vm")
+    g = daily.agg(
+        F.avg("vm").alias("mu"), F.stddev_samp("vm").alias("sd")
+    )
+    s = daily.crossJoin(F.broadcast(g)).select(
+        "date", "vm", "mu",
+        F.round(
+            1.0 / (1.0 + F.exp(-((F.col("vm") - F.col("mu")) / F.col("sd")))), 6
+        ).alias("score"),
+        F.lead("vm").over(Window.orderBy("date")).alias("nxt"),
+    )
+    return s.filter(F.col("nxt").isNotNull()).select(
+        "score", (F.col("nxt") > F.col("mu")).cast("int").alias("outcome")
+    )
+
+
 @register(
     "calibration_bins",
     """
@@ -2726,32 +2749,52 @@ def q_macro_summary(spark, sf_dir):
     """,
 )
 def q_calibration_bins(spark, sf_dir):
-    """Reliability-diagram bins (metrics.calibration_report) over a
-    deterministic persistence scorer: score_t = sigmoid(z_t) of the
-    day's global-z-scored mean, outcome_t = whether the NEXT day lands
-    above the global mean — "does today's level predict tomorrow being
-    above average", binned into 10 equal-width score buckets with mean
-    predicted vs observed positive rate (the ECE/calibration-curve
-    table; ref ml_metrics_extended.py metric surface extended). The
-    1-row (mu, sd) frame broadcasts; the lead window runs on the
-    bounded daily grain (SCALING §3 caveat class)."""
-    from pyspark.sql import Window
-
-    daily = _daily_mean(spark, sf_dir).withColumnRenamed("value_mean", "vm")
-    g = daily.agg(
-        F.avg("vm").alias("mu"), F.stddev_samp("vm").alias("sd")
-    )
-    s = daily.crossJoin(F.broadcast(g)).select(
-        "date", "vm", "mu",
-        F.round(
-            1.0 / (1.0 + F.exp(-((F.col("vm") - F.col("mu")) / F.col("sd")))), 6
-        ).alias("score"),
-        F.lead("vm").over(Window.orderBy("date")).alias("nxt"),
-    )
-    scored = s.filter(F.col("nxt").isNotNull()).select(
-        "score", (F.col("nxt") > F.col("mu")).cast("int").alias("outcome")
-    )
+    """Reliability-diagram bins (metrics.calibration_report) over the
+    deterministic persistence scorer — "does today's level predict
+    tomorrow being above average", binned into 10 equal-width score
+    buckets with mean predicted vs observed positive rate (the
+    ECE/calibration-curve table; ref ml_metrics_extended.py metric
+    surface extended)."""
+    scored = _persistence_scored(spark, sf_dir)
     return metrics.calibration_report(scored, "score", "outcome", n_bins=10)
+
+
+@register(
+    "auc_persistence",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS date, round(avg(value), 6) AS vm
+               FROM events GROUP BY 1),
+    g AS (SELECT avg(vm) AS mu, stddev_samp(vm) AS sd FROM d),
+    s AS (SELECT date, vm, mu,
+                 round(1.0 / (1.0 + exp(-((vm - mu) / sd))), 6) AS score,
+                 lead(vm) OVER (ORDER BY date) AS nxt
+          FROM d, g),
+    sc AS (SELECT score, CASE WHEN nxt > mu THEN 1 ELSE 0 END AS y
+           FROM s WHERE nxt IS NOT NULL),
+    ps AS (SELECT score AS s, CAST(sum(y) AS BIGINT) AS p,
+                  CAST(sum(1 - y) AS BIGINT) AS n
+           FROM sc GROUP BY 1),
+    t AS (SELECT p, n,
+                 coalesce(sum(n) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cum_n
+          FROM ps)
+    SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(n) AS BIGINT) AS n_neg,
+           round(CAST(sum(2 * p * cum_n + p * n) AS DOUBLE)
+                 / (2.0 * sum(p) * sum(n)), 6) AS auc
+    FROM t
+    """,
+)
+def q_auc_persistence(spark, sf_dir):
+    """Binary ROC-AUC of the persistence scorer (metrics.auc_score — ref
+    src/nb_common/metrics.py:77 roc_auc_score, the distributed form):
+    Mann-Whitney identity over per-distinct-score counts, integer 2x
+    numerator, one final division — the heavy input collapses map-side
+    to at most one row per distinct 6dp score, and only that bounded
+    frame crosses the ordered window."""
+    scored = _persistence_scored(spark, sf_dir)
+    return metrics.auc_score(scored, "score", "outcome")
 
 
 @register(
@@ -5789,6 +5832,7 @@ _FRONT_ORDER = [
     "int8_cosine_topk", "ingest_internal_near_decisions",
     "semantic_dedup_bucketed", "top_supplier_revenue",
     "incremental_vector_decisions", "streaming_vector_decisions",
+    "auc_persistence",
     # remaining slots: r03 cohort re-attestations (ivf_ann_topk also
     # anchors the probe/rank math the new Lloyd path shares); the rest of
     # r03 (asof_snapshot_select, boundary_range_join, calendar_month_folds,
@@ -5796,8 +5840,9 @@ _FRONT_ORDER = [
     # missingness_profile, topk_per_group, gopher_quality_flags,
     # language_id, media_decode_features, media_real_decode,
     # rolling_7d_mean_by_user, simhash_fingerprints, token_stats,
-    # winnow_fingerprints) rotates in r08 — see COVERAGE.md
-    "ivf_ann_topk", "segment_zscore_month",
+    # winnow_fingerprints, segment_zscore_month) rotates in r08 —
+    # see COVERAGE.md
+    "ivf_ann_topk",
 ]
 
 

@@ -61,8 +61,9 @@ def test_attestation_window_is_stable():
         "int8_cosine_topk", "ingest_internal_near_decisions",
         "semantic_dedup_bucketed", "top_supplier_revenue",
         "incremental_vector_decisions", "streaming_vector_decisions",
-        # r03 re-attestations
-        "ivf_ann_topk", "segment_zscore_month",
+        "auc_persistence",
+        # r03 re-attestation
+        "ivf_ann_topk",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry

@@ -110,3 +110,24 @@ def test_calibration_report_bins_and_rates(spark):
     assert out[9]["n"] == 11
     assert abs(out[9]["mean_score"] - (10 * 0.95 + 1.0) / 11) < 1e-6
     assert abs(out[9]["frac_positive"] - 10 / 11) < 1e-6
+
+
+def test_auc_score_known_values(spark):
+    """AUC matches hand-computed values: perfect separation -> 1.0,
+    reversed -> 0.0, all-tied -> 0.5, and a mixed case with ties matches
+    the Mann-Whitney formula."""
+    from practicum2_nof1_adhd_bd_spark.operators import metrics
+
+    def auc(rows):
+        df = spark.createDataFrame(rows, "score double, outcome int")
+        r = metrics.auc_score(df).collect()[0]
+        return r["auc"], r["n_pos"], r["n_neg"]
+
+    assert auc([(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)])[0] == 1.0
+    assert auc([(0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)])[0] == 0.0
+    assert auc([(0.5, 1), (0.5, 1), (0.5, 0), (0.5, 0)])[0] == 0.5
+    # mixed with a tie: pairs (pos>neg)=3 of 4, tied pair contributes 0.5
+    # scores: pos {0.8, 0.4}, neg {0.4, 0.1}:
+    #   0.8>0.4, 0.8>0.1, 0.4>0.1 -> 3 ; 0.4==0.4 -> 0.5 ; AUC = 3.5/4
+    a, p, n = auc([(0.8, 1), (0.4, 1), (0.4, 0), (0.1, 0)])
+    assert (a, p, n) == (0.875, 2, 2)
