@@ -1,0 +1,280 @@
+"""Sequence-model tail — the reference's ML7 LSTM stage re-expressed for
+Spark (ref src/etl/ml7_analysis.py:238-320 builds 14-day LSTM windows and
+trains a small Keras LSTM per temporal fold; :475-493 the window builder;
+README.md:42 reports macro-F1 0.25 / AUROC 0.58 on the N-of-1 data).
+
+No deep-learning library exists in this environment, so the model is a
+from-scratch numpy LSTM (single layer + sigmoid head) with analytic
+full-BPTT gradients and Adam — seeded and fully deterministic, which a
+framework fit would not be. The gradients are verified against finite
+differences in tests (tests/test_deep.py), which is a stronger
+correctness statement than trusting a framework default.
+
+Spark decomposition — what is distributed and what is not:
+
+- WINDOW BUILDING is distributed: `windows.sliding_sequences` assembles
+  the trailing 14-day feature sequences with a bounded window over the
+  daily grain (the corpus-scale part when features come from billions of
+  events).
+- FOLD TRAINING is parallel ACROSS folds: one `applyInPandas` group per
+  temporal fold trains and evaluates its own LSTM on an executor. Each
+  group holds one fold's day-grain windows — bounded by the calendar, so
+  executor memory is safe at any corpus size (the same argument as MICE /
+  ADWIN, the other accepted grouped-map surfaces).
+- The per-fold fit itself is sequential gradient descent — exactly the
+  reference's situation (its Keras fit is single-node too); what Spark
+  buys is every fold training concurrently and the feature pipeline
+  feeding them at scale.
+
+Rows-only attestation (no SQL oracle): an iteratively trained network is
+not SQL-expressible; determinism is pinned by seed + fixed epoch count
+and asserted in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import folds as folds_mod
+from .windows import sliding_sequences
+
+
+def _init_params(rng: np.random.Generator, d_in: int, hidden: int) -> dict:
+    """Glorot-ish seeded init; forget-gate bias starts at 1 (standard
+    Jozefowicz et al. 2015 trick so early gradients flow)."""
+    scale = 1.0 / np.sqrt(hidden + d_in)
+    p = {
+        "W": rng.uniform(-scale, scale, (4 * hidden, hidden + d_in)),
+        "b": np.zeros(4 * hidden),
+        "Wy": rng.uniform(-scale, scale, (hidden, 1)),
+        "by": np.zeros(1),
+    }
+    p["b"][hidden : 2 * hidden] = 1.0  # forget gate
+    return p
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-np.clip(x, -60, 60)))
+
+
+def _forward(params: dict, X: np.ndarray) -> tuple[np.ndarray, dict]:
+    """X: (B, T, D) -> probabilities (B,), caching per-step tensors for
+    BPTT."""
+    B, T, D = X.shape
+    H = params["Wy"].shape[0]
+    h = np.zeros((B, H))
+    c = np.zeros((B, H))
+    cache = {"z": [], "i": [], "f": [], "o": [], "g": [], "c": [], "h": [],
+             "c_prev": [], "tanh_c": []}
+    for t in range(T):
+        z = np.concatenate([h, X[:, t, :]], axis=1)          # (B, H+D)
+        a = z @ params["W"].T + params["b"]                   # (B, 4H)
+        i = _sigmoid(a[:, :H])
+        f = _sigmoid(a[:, H : 2 * H])
+        o = _sigmoid(a[:, 2 * H : 3 * H])
+        g = np.tanh(a[:, 3 * H :])
+        c_prev = c
+        c = f * c_prev + i * g
+        tc = np.tanh(c)
+        h = o * tc
+        for k, v in (("z", z), ("i", i), ("f", f), ("o", o), ("g", g),
+                     ("c", c), ("h", h), ("c_prev", c_prev), ("tanh_c", tc)):
+            cache[k].append(v)
+    logits = (h @ params["Wy"] + params["by"]).ravel()        # (B,)
+    probs = _sigmoid(logits)
+    cache["h_T"] = h
+    return probs, cache
+
+
+def _loss_and_grads(
+    params: dict, X: np.ndarray, y: np.ndarray, w: np.ndarray
+) -> tuple[float, dict]:
+    """Weighted BCE loss + analytic full-BPTT gradients (verified against
+    finite differences in tests/test_deep.py)."""
+    B, T, D = X.shape
+    H = params["Wy"].shape[0]
+    probs, cache = _forward(params, X)
+    eps = 1e-12
+    loss = -np.mean(
+        w * (y * np.log(probs + eps) + (1 - y) * np.log(1 - probs + eps))
+    )
+    # d loss / d logits for sigmoid+BCE = w * (p - y) / B
+    dlogit = (w * (probs - y) / B)[:, None]                   # (B, 1)
+    grads = {
+        "W": np.zeros_like(params["W"]),
+        "b": np.zeros_like(params["b"]),
+        "Wy": cache["h_T"].T @ dlogit,
+        "by": dlogit.sum(axis=0),
+    }
+    dh = dlogit @ params["Wy"].T                              # (B, H)
+    dc = np.zeros((B, H))
+    for t in range(T - 1, -1, -1):
+        i, f, o, g = (cache[k][t] for k in ("i", "f", "o", "g"))
+        tc, c_prev, z = cache["tanh_c"][t], cache["c_prev"][t], cache["z"][t]
+        do = dh * tc
+        dc = dc + dh * o * (1 - tc * tc)
+        di = dc * g
+        dg = dc * i
+        df = dc * c_prev
+        dai = di * i * (1 - i)
+        daf = df * f * (1 - f)
+        dao = do * o * (1 - o)
+        dag = dg * (1 - g * g)
+        da = np.concatenate([dai, daf, dao, dag], axis=1)     # (B, 4H)
+        grads["W"] += da.T @ z
+        grads["b"] += da.sum(axis=0)
+        dz = da @ params["W"]                                 # (B, H+D)
+        dh = dz[:, :H]
+        dc = dc * f
+    return loss, grads
+
+
+def _train_lstm(
+    X: np.ndarray,
+    y: np.ndarray,
+    hidden: int,
+    epochs: int,
+    lr: float,
+    seed: int,
+) -> dict:
+    """Full-batch Adam, fixed epochs, seeded init; balanced class weights
+    (the reference trains class_weight='balanced')."""
+    rng = np.random.default_rng(seed)
+    params = _init_params(rng, X.shape[2], hidden)
+    n_pos = max(int(y.sum()), 1)
+    n_neg = max(len(y) - int(y.sum()), 1)
+    w = np.where(y == 1, len(y) / (2.0 * n_pos), len(y) / (2.0 * n_neg))
+    m = {k: np.zeros_like(v) for k, v in params.items()}
+    v2 = {k: np.zeros_like(v) for k, v in params.items()}
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    for step in range(1, epochs + 1):
+        _, grads = _loss_and_grads(params, X, y, w)
+        for k in params:
+            m[k] = b1 * m[k] + (1 - b1) * grads[k].reshape(params[k].shape)
+            v2[k] = b2 * v2[k] + (1 - b2) * (
+                grads[k].reshape(params[k].shape) ** 2
+            )
+            mhat = m[k] / (1 - b1**step)
+            vhat = v2[k] / (1 - b2**step)
+            params[k] = params[k] - lr * mhat / (np.sqrt(vhat) + eps)
+    return params
+
+
+def _auroc(y: np.ndarray, scores: np.ndarray) -> float:
+    """Rank AUROC with tie handling (the metrics.auc_score formula in
+    numpy)."""
+    pos = scores[y == 1]
+    neg = scores[y == 0]
+    if len(pos) == 0 or len(neg) == 0:
+        return float("nan")
+    gt = (pos[:, None] > neg[None, :]).sum()
+    eq = (pos[:, None] == neg[None, :]).sum()
+    return float((gt + 0.5 * eq) / (len(pos) * len(neg)))
+
+
+def lstm_fold_cv(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    date_col: str = "date",
+    seq_len: int = 14,
+    hidden: int = 8,
+    epochs: int = 40,
+    lr: float = 0.02,
+    train_days: int = 14,
+    gap_days: int = 0,
+    val_days: int = 7,
+    seed: int = 42,
+) -> DataFrame:
+    """ML7 stage: per-temporal-fold LSTM on trailing ``seq_len``-day
+    feature windows, binary target = (label != 0) (episode vs not — the
+    reference's binary framing). Returns one row per fold with n_train /
+    n_val, accuracy, macro-F1 and AUROC on the validation windows.
+
+    Fold groups run concurrently via applyInPandas; features are
+    per-fold z-scored with TRAIN statistics only (no leakage). Windows
+    are trailing, so a sequence only ever looks BACKWARD — no future
+    leakage by construction; a window is assigned to a fold/split by its
+    END date, the rolling-origin contract.
+    """
+    seq = sliding_sequences(
+        df.withColumn(
+            "_fv", F.array(*[F.col(c).cast("double") for c in feature_cols])
+        ),
+        date_col,
+        "_fv",
+        seq_len=seq_len,
+    ).select(
+        F.col(date_col),
+        F.col("sequence"),
+        (F.col(label_col) != 0).cast("int").alias("_y"),
+    )
+    folded = folds_mod.day_folds(
+        seq, date_col, train_days, gap_days, val_days
+    ).filter(F.col("split") != "gap")
+
+    out_schema = (
+        "fold_id bigint, n_train bigint, n_val bigint, "
+        "accuracy double, macro_f1 double, auroc double"
+    )
+    d_in = len(feature_cols)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(pdf["fold_id"].iloc[0])
+        tr = pdf[pdf["split"] == "train"]
+        va = pdf[pdf["split"] == "val"]
+        if len(tr) < 4 or len(va) == 0 or tr["_y"].nunique() < 2:
+            return pd.DataFrame(
+                {
+                    "fold_id": [fid],
+                    "n_train": [len(tr)],
+                    "n_val": [len(va)],
+                    "accuracy": [float("nan")],
+                    "macro_f1": [float("nan")],
+                    "auroc": [float("nan")],
+                }
+            )
+
+        def stack(part: pd.DataFrame) -> np.ndarray:
+            return np.array(
+                [np.stack([np.asarray(v) for v in s]) for s in part["sequence"]]
+            ).reshape(len(part), seq_len, d_in)
+
+        Xtr, Xva = stack(tr), stack(va)
+        ytr = tr["_y"].to_numpy().astype(float)
+        yva = va["_y"].to_numpy().astype(float)
+        mu = Xtr.reshape(-1, d_in).mean(axis=0)
+        sd = Xtr.reshape(-1, d_in).std(axis=0)
+        sd[sd == 0] = 1.0
+        Xtr = (Xtr - mu) / sd
+        Xva = (Xva - mu) / sd
+        params = _train_lstm(Xtr, ytr, hidden, epochs, lr, seed + fid)
+        probs, _ = _forward(params, Xva)
+        pred = (probs >= 0.5).astype(float)
+        acc = float((pred == yva).mean())
+        f1s = []
+        for cls in (0.0, 1.0):
+            tp = float(((pred == cls) & (yva == cls)).sum())
+            fp = float(((pred == cls) & (yva != cls)).sum())
+            fn = float(((pred != cls) & (yva == cls)).sum())
+            denom = 2 * tp + fp + fn
+            f1s.append(2 * tp / denom if denom > 0 else 0.0)
+        return pd.DataFrame(
+            {
+                "fold_id": [fid],
+                "n_train": [len(tr)],
+                "n_val": [len(va)],
+                "accuracy": [round(acc, 6)],
+                "macro_f1": [round(float(np.mean(f1s)), 6)],
+                "auroc": [round(_auroc(yva, probs), 6)],
+            }
+        )
+
+    return (
+        folded.groupBy("fold_id")
+        .applyInPandas(run, out_schema)
+        .orderBy("fold_id")
+    )

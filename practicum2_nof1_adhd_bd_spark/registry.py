@@ -5327,6 +5327,38 @@ def q_logreg_fold_cv(spark, sf_dir):
 QUERIES["logreg_fold_cv"] = q_logreg_fold_cv
 
 
+def q_lstm_fold_cv(spark, sf_dir):
+    """§7 ML tail, stage 8 (ref ml7_analysis.py:238-320,475-493): numpy
+    LSTM with analytic full-BPTT + Adam, trained per rolling-origin
+    temporal fold on trailing 7-day feature windows (binary episode
+    target), folds concurrent via applyInPandas. Seeded + fixed epochs
+    -> deterministic; an iteratively trained net is not SQL-expressible
+    -> rows-only check (gradients are finite-difference-verified in
+    tests/test_deep.py)."""
+    from .operators import deep
+
+    ev = _cat(spark, sf_dir).events
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.round(F.avg("value"), 6).alias("value_mean"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+    )
+    lab = labels.quantile_3way_label(d, "value_mean", bounded=True)
+    return deep.lstm_fold_cv(
+        lab,
+        ["value_mean", "n_events", "n_users"],
+        "label_3cls",
+        seq_len=7,
+        hidden=8,
+        epochs=30,
+        train_days=14,
+        gap_days=0,
+        val_days=7,
+    )
+
+QUERIES["lstm_fold_cv"] = q_lstm_fold_cv
+
+
 def _daily_label_frame(spark, sf_dir):
     """Shared ML feature frame: daily event aggregates + exact-quantile
     3-way label (the reference's PBSI-style target)."""
