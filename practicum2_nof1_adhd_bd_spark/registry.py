@@ -1067,11 +1067,13 @@ def q_late_shipment_priority(spark, sf_dir):
 )
 def q_large_volume_customers(spark, sf_dir):
     """TPC-H Q18 shape (large-volume customers): the HAVING subquery and
-    the output total share ONE lineitem aggregate — sum per order is
-    computed once, filtered (> 300), and reused, instead of re-scanning
-    lineitem for the total as a literal Q18 translation would. The tiny
-    qualifying-order frame then drives the orders join, customer joins
-    broadcast, and the final top-100 is TakeOrdered, not a global sort."""
+    the output total share ONE lineitem aggregate subtree — sum per
+    order is computed, filtered (> 300), and its single output feeds the
+    rest of the plan (one consumer, so no materialization needed —
+    contrast top_supplier_revenue where the aggregated view fans out to
+    two consumers and is checkpointed). The tiny qualifying-order frame
+    then drives the orders join, customer joins broadcast, and the final
+    top-100 is TakeOrdered, not a global sort."""
     cat = _cat(spark, sf_dir)
     qty = (
         cat.lineitem.groupBy("l_orderkey")
@@ -1118,13 +1120,16 @@ def q_large_volume_customers(spark, sf_dir):
 )
 def q_top_supplier_revenue(spark, sf_dir):
     """TPC-H Q15 shape (top supplier by quarterly revenue): the revenue
-    view aggregates once; the scalar max over it compiles to a 1-row
-    broadcast joined back (no second lineitem scan, no driver collect) —
-    the argmax-over-aggregated-view pattern. Revenue sums as
-    DECIMAL(28,12) (exact, order-independent) so the 2dp round and the
-    max-equality filter cannot flip on float combine order — an
-    equality against a float SUM is exactly where partial-agg wobble
-    would bite."""
+    view fans out to TWO consumers (the scalar max and the equality
+    filter), and Spark does not share a subplan across branches — left
+    lazy it would scan lineitem twice (measured: 2 scans, 0
+    ReusedQueryStage). The supplier-grain view is therefore eagerly
+    localCheckpoint'ed: ONE lineitem scan at build, both branches read
+    the materialized frame, and the scalar max joins back as a 1-row
+    broadcast (no driver collect). Revenue sums as DECIMAL(28,12)
+    (exact, order-independent) so the 2dp round and the max-equality
+    filter cannot flip on float combine order — an equality against a
+    float SUM is exactly where partial-agg wobble would bite."""
     cat = _cat(spark, sf_dir)
     li = cat.lineitem.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -1139,7 +1144,7 @@ def q_top_supplier_revenue(spark, sf_dir):
             ).cast("double"),
             2,
         ).alias("total_revenue")
-    )
+    ).localCheckpoint(eager=True)
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     top = rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
     return (

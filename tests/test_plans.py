@@ -222,3 +222,30 @@ def test_bucketed_near_dup_shuffles_on_block_key(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q15_single_lineitem_scan_and_broadcast_max(spark, sf_dir):
+    """top_supplier_revenue: the revenue view fans out to two consumers
+    and is eagerly checkpointed, so the returned plan reads the
+    materialized supplier-grain frame — ZERO lineitem scans inside it
+    (the one scan happened at build); the scalar max joins back as a
+    broadcast."""
+    df = registry.QUERIES["top_supplier_revenue"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") == 0, plan.count("lineitem.parquet")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_auc_window_runs_on_per_score_frame(spark, sf_dir):
+    """auc_persistence: the cumulative window must consume the
+    per-distinct-score aggregate (HashAggregate below the Window), never
+    raw rows — that is the bounded-state contract of the Mann-Whitney
+    formulation."""
+    df = registry.QUERIES["auc_persistence"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "Window" in plan
+    # the aggregate collapsing rows to distinct scores sits below the window
+    win_pos = plan.index("Window")
+    assert "HashAggregate" in plan[win_pos:], "per-score agg must feed the window"
