@@ -61,6 +61,9 @@ def main() -> None:
         "mt_L5_P8_d1": lambda q: sim.ann_topk_multitable(
             emb, q, args.k, n_tables=5, n_planes=8, probe_hamming=1
         ),
+        # int8-quantized storage form: recall here measures ranking
+        # fidelity of the 4x-smaller index, not a candidate budget
+        "int8_full_rank": lambda q: sim.int8_cosine_topk(emb, q, args.k),
     }
     # candidate-set generators for the paths whose candidate fraction the
     # SCALING table reports (recall means nothing without the budget paid)
