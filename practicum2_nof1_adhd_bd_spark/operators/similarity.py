@@ -38,23 +38,38 @@ def cosine(a: Column, b: Column) -> Column:
 
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
-    query_id: int,
+    query_id: int | None,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k neighbors of one corpus vector (self excluded).
+    """Exact cosine top-k neighbors of one corpus vector (self excluded),
+    or — with ``query_vec`` — of an EXTERNAL query vector (the serving
+    call: embed a new document, find its corpus neighbors; no self row to
+    exclude, pass ``query_id=None``).
 
-    The 1-row query frame is broadcast; similarity is a codegen'd array fold;
-    top-k is orderBy+limit which Spark executes as per-partition TakeOrdered
-    (no full sort shuffle).
+    The 1-row query frame is broadcast (a literal array for the external
+    form — no scan at all on the query side); similarity is a codegen'd
+    array fold; top-k is orderBy+limit which Spark executes as
+    per-partition TakeOrdered (no full sort shuffle).
     """
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = embeddings.select(F.col(id_col), dvec.alias("v"))
-    query = base.filter(F.col(id_col) == query_id).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
-    )
-    scored = base.join(F.broadcast(query), F.col(id_col) != F.col("query_id"))
+    if query_vec is not None:
+        qv = F.array([F.lit(float(x)) for x in query_vec])
+        scored = base.select(
+            F.col(id_col), F.col("v"), qv.alias("qv")
+        )
+        if query_id is not None:
+            scored = scored.filter(F.col(id_col) != query_id)
+    else:
+        query = base.filter(F.col(id_col) == query_id).select(
+            F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        )
+        scored = base.join(
+            F.broadcast(query), F.col(id_col) != F.col("query_id")
+        )
     return (
         scored.select(
             id_col,
@@ -489,12 +504,13 @@ def ann_topk_lsh(
 
 def multitable_lsh_candidates(
     embeddings: DataFrame,
-    query_id: int,
+    query_id: int | None,
     n_tables: int = 4,
     n_planes: int = 8,
     probe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """Candidate ids for multi-table sign-LSH (OR-construction, Lv et al.
     VLDB'07 combined with the classic Indyk-Motwani multi-table scheme):
@@ -513,7 +529,11 @@ def multitable_lsh_candidates(
     membership test is bit algebra on that broadcast — the corpus never
     shuffles. At 100 TB the corpus would be written bucket-partitioned
     per table so the probe prunes partitions instead of scanning."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    dim = (
+        len(query_vec)
+        if query_vec is not None
+        else len(embeddings.select(vec_col).first()[0])
+    )
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = embeddings.select(F.col(id_col), F.col(vec_col), dvec.alias("v"))
     # all L*P dots in ONE codegen explode-aggregate pass (the
@@ -562,6 +582,28 @@ def multitable_lsh_candidates(
             bucket = term if bucket is None else bucket + term
         bucket_cols.append(bucket.alias(f"b{t}"))
     b = agg.select(F.col(id_col), F.col(vec_col), *bucket_cols)
+    if query_vec is not None:
+        # EXTERNAL query (the serving call): its per-table buckets are
+        # computed driver-side with the SAME sequential fold order as the
+        # executor-side sums (identical IEEE doubles -> identical signs),
+        # and enter the membership test as literals — no scan, no join at
+        # all on the query side
+        cond = None
+        for t in range(n_tables):
+            planes = md5_planes(n_planes, dim, salt=f"{t}:")
+            qb_t = 0
+            for i in range(n_planes):
+                acc = 0.0
+                for x, pc in zip(query_vec, planes[i]):
+                    acc += float(x) * pc
+                if acc > 0:
+                    qb_t += 2**i
+            hit = (
+                F.bit_count(F.col(f"b{t}").bitwiseXOR(F.lit(qb_t)))
+                <= probe_hamming
+            )
+            cond = hit if cond is None else cond | hit
+        return b.filter(cond).select(id_col, vec_col)
     qb = b.filter(F.col(id_col) == query_id).select(
         *[F.col(f"b{t}").alias(f"qb{t}") for t in range(n_tables)]
     )
@@ -580,13 +622,14 @@ def multitable_lsh_candidates(
 
 def ann_topk_multitable(
     embeddings: DataFrame,
-    query_id: int,
+    query_id: int | None,
     k: int = 10,
     n_tables: int = 5,
     n_planes: int = 8,
     probe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table sign-LSH: exact cosine ranking
     restricted to the union of the query's per-table Hamming-d balls
@@ -598,11 +641,15 @@ def ann_topk_multitable(
     ball. md5-derived planes keep the whole path SQL-replayable
     (value-hash attested)."""
     cands = multitable_lsh_candidates(
-        embeddings, query_id, n_tables, n_planes, probe_hamming, id_col, vec_col
+        embeddings, query_id, n_tables, n_planes, probe_hamming,
+        id_col, vec_col, query_vec=query_vec,
     )
     # cands carries the vector column — rank directly, no corpus join-back
-    # (the query is always its own candidate: Hamming 0 in every table)
-    return cosine_topk_bruteforce(cands, query_id, k, id_col, vec_col)
+    # (a corpus query is always its own candidate: Hamming 0 in every
+    # table; an external query_vec ranks against its ball's members)
+    return cosine_topk_bruteforce(
+        cands, query_id, k, id_col, vec_col, query_vec=query_vec
+    )
 
 
 def bucket_balanced_sample(

@@ -313,3 +313,29 @@ def test_int8_quantize_error_bound_and_topk_fidelity(spark):
     exact = [r["vec_id"] for r in sim.cosine_topk_bruteforce(emb, 0, k=3).collect()]
     quant = [r["vec_id"] for r in sim.int8_cosine_topk(emb, 0, k=3).collect()]
     assert exact == quant
+
+
+def test_external_query_vector_matches_corpus_query(spark):
+    """query_vec (the serving call) must return the same neighbors as the
+    corpus-row form when given that row's own vector — for both the
+    brute-force ranker and the multi-table LSH path (driver-side bucket
+    computation uses the same sequential fold order as the executors)."""
+    emb = _emb(spark)
+    qvec = [1.0, 0.0, 0.0]  # vec_id 0's embedding
+    by_id = sim.cosine_topk_bruteforce(emb, 0, k=3).collect()
+    by_vec = sim.cosine_topk_bruteforce(emb, 0, k=3, query_vec=qvec).collect()
+    assert [tuple(r) for r in by_id] == [tuple(r) for r in by_vec]
+
+    mt_id = sim.ann_topk_multitable(
+        emb, 0, k=3, n_tables=3, n_planes=4, probe_hamming=1
+    ).collect()
+    mt_vec = sim.ann_topk_multitable(
+        emb, 0, k=3, n_tables=3, n_planes=4, probe_hamming=1, query_vec=qvec
+    ).collect()
+    assert [tuple(r) for r in mt_id] == [tuple(r) for r in mt_vec]
+
+    # external-only query (no corpus row to exclude): still ranks
+    out = sim.cosine_topk_bruteforce(
+        emb, None, k=2, query_vec=[0.5, 0.5, 0.0]
+    ).collect()
+    assert len(out) == 2
