@@ -334,6 +334,86 @@ def probe_ingest(spark, tmp: str, n_batches: int, batch_docs: int) -> dict:
     }
 
 
+def probe_vector_ingest(
+    spark, tmp: str, n_batches: int, batch_vecs: int, dim: int = 16
+) -> dict:
+    """Streaming-SemDeDup scale probe (vector_ingest): per-batch screen
+    time vs vector-index size. Batch composition: for b>0, 10% of
+    vectors are exact copies of batch b-1's novel range (cosine 1.0 ->
+    near_dup at any threshold); the rest are md5-derived deterministic
+    novel vectors. Expect ~flat per-batch time: the screen is a bucket
+    equijoin whose fan-out is batch x per-bucket density."""
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.streaming import vector_ingest as vi
+
+    index_dir = os.path.join(tmp, "vingest_index")
+    rows = []
+    for b in range(n_batches):
+        base = spark.range(b * batch_vecs, (b + 1) * batch_vecs).select(
+            F.col("id").alias("vec_id")
+        )
+        pos = F.col("vec_id") % batch_vecs
+        novel_off = batch_vecs // 5
+        seed = F.when(
+            (F.lit(b) > 0) & (pos < batch_vecs // 10),
+            F.lit((b - 1) * batch_vecs + novel_off) + pos,
+        ).otherwise(F.col("vec_id"))
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.conv(
+                    F.substring(F.md5((seed * 131 + j).cast("string")), 1, 8),
+                    16, 10,
+                ).cast("double")
+                / 4294967295.0
+                - 0.5
+            ),
+        )
+        batch = base.select("vec_id", comps.alias("embedding"))
+
+        from practicum2_nof1_adhd_bd_spark.streaming.corpus_ingest import (
+            _index_exists,
+        )
+
+        if _index_exists(spark, index_dir):
+            index = spark.read.schema(vi.VINDEX_SCHEMA).parquet(index_dir)
+        else:
+            index = spark.createDataFrame([], vi.VINDEX_SCHEMA)
+        index_rows = index.count()
+        t0 = time.time()
+        dec, admitted = vi.screen_vector_batch(
+            batch, index, threshold=0.99, n_bits=4
+        )
+        dec = dec.persist()
+        counts = {
+            r["status"]: r["n"]
+            for r in dec.groupBy("status").agg(F.count("*").alias("n")).collect()
+        }
+        admitted.write.mode("append").parquet(index_dir)
+        screen_sec = time.time() - t0
+        dec.unpersist()
+        rows.append(
+            {
+                "batch": b,
+                "index_rows_at_screen": index_rows,
+                "screen_sec": round(screen_sec, 2),
+                "admitted": counts.get("admitted", 0),
+                "near_dup": counts.get("near_dup", 0),
+            }
+        )
+    return {
+        "vector_ingest_batches": rows,
+        "batch_vecs": batch_vecs,
+        "dim": dim,
+        "first_to_last_ratio": (
+            round(rows[-1]["screen_sec"] / rows[1]["screen_sec"], 2)
+            if n_batches > 2 and rows[1]["screen_sec"] > 0
+            else None
+        ),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--xml-mb", type=int, default=200)
@@ -353,6 +433,13 @@ def main() -> None:
         help="run ONLY the streaming-ingest index-growth probe, N batches",
     )
     ap.add_argument("--ingest-batch-docs", type=int, default=5000)
+    ap.add_argument(
+        "--vector-ingest-batches",
+        type=int,
+        default=0,
+        help="run ONLY the vector-ingest (streaming SemDeDup) growth probe",
+    )
+    ap.add_argument("--vector-ingest-batch-vecs", type=int, default=5000)
     args = ap.parse_args()
 
     from practicum2_nof1_adhd_bd_spark.session import get_spark
@@ -375,6 +462,18 @@ def main() -> None:
                 json.dumps(
                     probe_ingest(
                         spark, tmp, args.ingest_batches, args.ingest_batch_docs
+                    )
+                )
+            )
+        return
+
+    if args.vector_ingest_batches:
+        with tempfile.TemporaryDirectory(prefix="scale_probe_ving_") as tmp:
+            print(
+                json.dumps(
+                    probe_vector_ingest(
+                        spark, tmp, args.vector_ingest_batches,
+                        args.vector_ingest_batch_vecs,
                     )
                 )
             )
