@@ -249,3 +249,30 @@ def test_auc_window_runs_on_per_score_frame(spark, sf_dir):
     # the aggregate collapsing rows to distinct scores sits below the window
     win_pos = plan.index("Window")
     assert "HashAggregate" in plan[win_pos:], "per-score agg must feed the window"
+
+
+def test_vector_index_probe_prunes_partitions(spark, tmp_path, sf_dir):
+    """write_vector_index + query_vector_index: the probe's bucket filter
+    must reach the scan as PartitionFilters (directory pruning — the
+    disk-layout contract all the ANN scale claims assume), and results
+    must match an in-memory rank over the same ball."""
+    from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
+    from practicum2_nof1_adhd_bd_spark.sources.readers import Catalog
+
+    emb = Catalog(spark, sf_dir).embeddings
+    path = str(tmp_path / "vindex")
+    sim.write_vector_index(emb, path, n_bits=4)
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    out = sim.query_vector_index(spark, path, qvec, k=5, probe_hamming=0)
+    rows = out.collect()
+    plan = _plan(out)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "bucket" in pf
+    # parity with the in-memory axis-bucket path on the same ball
+    expect = {
+        r["vec_id"]
+        for r in sim.ann_topk_axis(emb, 0, k=5, n_bits=4, probe_hamming=0).collect()
+    }
+    got = {r["vec_id"] for r in rows if r["vec_id"] != 0}
+    assert got <= expect | {0} and len(rows) == 5
