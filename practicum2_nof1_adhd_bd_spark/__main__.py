@@ -11,6 +11,10 @@ the uniform surface is the query registry:
         [--limit N] [--out PARQUET_DIR] [--explain]
     python -m practicum2_nof1_adhd_bd_spark audit [--sf-dir D]
     python -m practicum2_nof1_adhd_bd_spark pipeline ...  (medallion CLI)
+    python -m practicum2_nof1_adhd_bd_spark ann build --index DIR
+        [--sf-dir D] [--n-bits B]           (bucket-partitioned artifact)
+    python -m practicum2_nof1_adhd_bd_spark ann query --index DIR
+        --vector "0.1,0.2,..." [--k K] [--probe-hamming d]  (pruned probe)
 
 ``run`` prints the first rows (or writes parquet with --out); ``audit``
 runs the full ETL audit battery and exits with the reference's severity
@@ -46,6 +50,18 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("pipeline", add_help=False)
 
+    p_ann = sub.add_parser(
+        "ann", help="vector-index serving: build / query the partitioned artifact"
+    )
+    p_ann.add_argument("action", choices=["build", "query"])
+    p_ann.add_argument("--index", required=True, help="artifact directory")
+    p_ann.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    p_ann.add_argument("--n-bits", type=int, default=4)
+    p_ann.add_argument("--vector", default=None,
+                       help="comma-separated query components")
+    p_ann.add_argument("--k", type=int, default=10)
+    p_ann.add_argument("--probe-hamming", type=int, default=0)
+
     args, rest = ap.parse_known_args(argv)
 
     if args.cmd == "pipeline":
@@ -66,6 +82,25 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("engine-cli")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "ann":
+        from .operators import similarity as sim
+        from .sources.readers import Catalog
+
+        if args.action == "build":
+            emb = Catalog(spark, args.sf_dir).embeddings
+            sim.write_vector_index(emb, args.index, n_bits=args.n_bits)
+            print(f"wrote bucket-partitioned index at {args.index}")
+            return 0
+        if not args.vector:
+            print("ann query needs --vector", file=sys.stderr)
+            return 2
+        qvec = [float(x) for x in args.vector.split(",")]
+        sim.query_vector_index(
+            spark, args.index, qvec, k=args.k,
+            n_bits=args.n_bits, probe_hamming=args.probe_hamming,
+        ).show(args.k, truncate=False)
+        return 0
 
     if args.cmd == "audit":
         from .operators.audit import audit_exit_code
