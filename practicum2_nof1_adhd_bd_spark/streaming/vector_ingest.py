@@ -63,6 +63,7 @@ def screen_vector_batch(
     threshold: float = 0.9,
     n_bits: int = 4,
     probe_hamming: int = 0,
+    batch_internal: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Screen one vector batch against the stored index.
 
@@ -72,7 +73,16 @@ def screen_vector_batch(
     within Hamming distance d (multi-probe — catches near-dups whose
     sign pattern flipped on d axes) at d-ball candidate cost; the
     default single-bucket screen mirrors `semantic_dedup_bucketed`'s
-    blocking contract."""
+    blocking contract.
+
+    ``batch_internal=True`` additionally screens batch vectors against
+    SMALLER-ID batch vectors that passed the index screen (same
+    corpus_ingest semantics: two mutually-near vectors arriving in one
+    micro-batch then admit only the smaller id, matching what a split
+    across batches would decide; one-level rule — under a chain it
+    over-drops rather than re-running to a fixed point). Default False:
+    with it off, near statuses are batch-partition-invariant only when
+    admitted vectors are mutually non-near."""
     vb = _batch_vectors(batch, id_col, vec_col, n_bits)
     vi = index.select(
         F.col("vec_id").alias("_iid"),
@@ -101,12 +111,58 @@ def screen_vector_batch(
         .select("vec_id", F.lit("near_dup").alias("status"), "matched_id")
     )
     admitted_rows = vb.join(near.select("vec_id"), "vec_id", "left_anti")
+
+    internal_near = None
+    if batch_internal:
+        a = admitted_rows.select(
+            F.col("vec_id"), F.col("bucket"), F.col("v"), F.col("nrm")
+        )
+        bcond = (
+            F.bit_count(
+                F.col("bucket").cast("bigint").bitwiseXOR(
+                    F.col("_jb").cast("bigint")
+                )
+            )
+            <= probe_hamming
+            if probe_hamming > 0
+            else F.col("bucket") == F.col("_jb")
+        )
+        pairs_i = a.join(
+            a.select(
+                F.col("vec_id").alias("_jid"),
+                F.col("bucket").alias("_jb"),
+                F.col("v").alias("_jv"),
+                F.col("nrm").alias("_jnrm"),
+            ),
+            bcond & (F.col("vec_id") > F.col("_jid")),
+        ).withColumn(
+            "_cos",
+            F.round(
+                _dot(F.col("v"), F.col("_jv")) / (F.col("nrm") * F.col("_jnrm")),
+                6,
+            ),
+        )
+        internal_near = (
+            pairs_i.filter(F.col("_cos") >= threshold)
+            .groupBy("vec_id")
+            .agg(F.min("_jid").alias("matched_id"))
+            .select(
+                "vec_id", F.lit("near_dup").alias("status"), "matched_id"
+            )
+        )
+        admitted_rows = admitted_rows.join(
+            internal_near.select("vec_id"), "vec_id", "left_anti"
+        )
+
     admitted = admitted_rows.select(
         "vec_id",
         F.lit("admitted").alias("status"),
         F.lit(None).cast("bigint").alias("matched_id"),
     )
-    return near.unionByName(admitted), admitted_rows
+    decisions = near.unionByName(admitted)
+    if internal_near is not None:
+        decisions = decisions.unionByName(internal_near)
+    return decisions, admitted_rows
 
 
 def ingest_vector_stream(

@@ -401,3 +401,31 @@ def test_incremental_vector_ingest_stream(spark, tmp_path):
     assert dec[12]["status"] == "admitted"
     idx = spark.read.schema(vi.VINDEX_SCHEMA).parquet(index_dir)
     assert sorted(r["vec_id"] for r in idx.collect()) == [1, 2, 12]
+
+
+def test_screen_vector_batch_internal(spark):
+    """batch_internal=True: two same-direction vectors in ONE batch admit
+    only the smaller id (matching a split across batches); the default
+    index-only screen admits both."""
+    from practicum2_nof1_adhd_bd_spark.streaming import vector_ingest as vi
+
+    empty = spark.createDataFrame([], vi.VINDEX_SCHEMA)
+    batch = spark.createDataFrame(
+        [
+            (1, [1.0, 0.1, 0.0, 0.0]),
+            (2, [2.0, 0.2, 0.0, 0.0]),     # same direction as 1
+            (3, [-0.1, 1.0, 0.3, -0.2]),   # different direction
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    dec_def, _ = vi.screen_vector_batch(batch, empty, threshold=0.95)
+    assert {r["status"] for r in dec_def.collect()} == {"admitted"}
+
+    dec_in, adm = vi.screen_vector_batch(
+        batch, empty, threshold=0.95, batch_internal=True
+    )
+    rows = {r["vec_id"]: r for r in dec_in.collect()}
+    assert rows[1]["status"] == "admitted"
+    assert rows[2]["status"] == "near_dup" and rows[2]["matched_id"] == 1
+    assert rows[3]["status"] == "admitted"
+    assert sorted(r["vec_id"] for r in adm.collect()) == [1, 3]
