@@ -804,6 +804,89 @@ def int8_cosine_topk(
     )
 
 
+VECTOR_INDEX_SCHEMA = (
+    "vec_id bigint, qvec array<tinyint>, scale double, nrm double, bucket int"
+)
+
+
+def hamming_ball(buckets: list[int] | set[int], n_bits: int, d: int) -> list[int]:
+    """All bucket ids within Hamming distance ``d`` of ANY bucket in
+    ``buckets`` — the driver-side probe set a partition-pruned index read
+    pushes down as literals (PartitionFilters). O(2^n_bits) enumeration:
+    n_bits is a small artifact constant, never data-sized."""
+    base = set(buckets)
+    return sorted(
+        c
+        for c in range(1 << n_bits)
+        if any(bin(c ^ b).count("1") <= d for b in base)
+    )
+
+
+def vector_index_rows(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 4,
+) -> DataFrame:
+    """The ONE production vector-index row form (VECTOR_INDEX_SCHEMA):
+    per-vector symmetric int8 quantization (int8_quantize's arithmetic:
+    scale = max|v|/127, q = round(v/scale)) + the axis-sign bucket of the
+    ORIGINAL vector (quantization can zero a small component, so the
+    bucket is computed pre-quantization) + the norm of the DEQUANTIZED
+    vector, precomputed once at build so serving never re-folds it.
+
+    int8 storage is 4x smaller than float32 (16x vs float64) — at 100 TB
+    that is the difference between a disk-bound and an in-memory candidate
+    scan. Every stage is deterministic scalar arithmetic, so the whole
+    artifact — quantize, bucket, norm — is SQL-replayable and sits behind
+    the value-hash gate (vector_index_topk).
+
+    scale and qvec are materialized in SEPARATE projections before any
+    consumer folds over them: transform-lambda bodies get no CSE, so
+    deriving the dequantized array inline from the quantize expression
+    would recompute the max-abs per component."""
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        dvec.alias("v"),
+        axis_sign_bucket(vec_col, n_bits).cast("int").alias("bucket"),
+    )
+    scaled = base.withColumn(
+        "scale",
+        F.greatest(
+            F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))),
+            F.lit(1e-12),
+        )
+        / 127.0,
+    )
+    quant = scaled.select(
+        "vec_id",
+        "bucket",
+        F.transform(
+            F.col("v"), lambda x: F.round(x / F.col("scale")).cast("tinyint")
+        ).alias("qvec"),
+        "scale",
+    )
+    deq = quant.withColumn(
+        "dv",
+        F.transform(
+            F.col("qvec"), lambda x: x.cast("double") * F.col("scale")
+        ),
+    )
+    return deq.select(
+        "vec_id",
+        "qvec",
+        "scale",
+        F.sqrt(_dot(F.col("dv"), F.col("dv"))).alias("nrm"),
+        "bucket",
+    )
+
+
+def dequantized(qvec: Column, scale: Column) -> Column:
+    """Reconstruct the double vector a VECTOR_INDEX_SCHEMA row stores."""
+    return F.transform(qvec, lambda x: x.cast("double") * scale)
+
+
 def write_vector_index(
     embeddings: DataFrame,
     path: str,
@@ -811,20 +894,17 @@ def write_vector_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    """Persist the ANN index artifact BUCKET-PARTITIONED on disk — the
-    layout every SCALING claim about "pruned probes" assumes, made real:
-    one parquet partition directory per axis-sign bucket, so a probe
-    reads only the Hamming ball's directories (PartitionFilters in the
-    scan, asserted in tests/test_plans.py) instead of scanning the
-    corpus. Rows are (id, vector, norm); norms are precomputed once at
-    build so queries never re-fold them."""
-    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    vb = embeddings.select(
-        F.col(id_col),
-        dvec.alias("v"),
-        axis_sign_bucket(vec_col, n_bits).cast("int").alias("bucket"),
-    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    vb.write.partitionBy("bucket").mode("overwrite").parquet(path)
+    """Persist THE production ANN index artifact: int8-quantized rows
+    (vector_index_rows — 4x smaller than float32) written BUCKET-
+    PARTITIONED, one parquet partition directory per axis-sign bucket, so
+    a probe reads only the Hamming ball's directories (PartitionFilters
+    in the scan, asserted in tests/test_plans.py) instead of scanning the
+    corpus. The same layout the streaming vector ingest appends to
+    (streaming/vector_ingest.py), so batch builds and continuous ingest
+    produce one interchangeable artifact. Norms are precomputed at build
+    so queries never re-fold them."""
+    rows = vector_index_rows(embeddings, id_col, vec_col, n_bits)
+    rows.write.partitionBy("bucket").mode("overwrite").parquet(path)
 
 
 def query_vector_index(
@@ -840,23 +920,25 @@ def query_vector_index(
     vector's signs, and ONLY those partition directories are read — the
     `.isin(buckets)` filter compiles to PartitionFilters, so candidate
     IO is ball-size/2^n_bits of the index no matter how large it grows.
-    Exact cosine rank inside the ball (norms come precomputed from the
-    artifact)."""
+    Exact cosine rank of the DEQUANTIZED int8 vectors inside the ball
+    (int8 fidelity: recall@10 0.988 vs full precision, SCALING §2c);
+    norms come precomputed from the artifact. The dequantized array is
+    materialized in a projection before the dot fold (no-CSE rule)."""
     qbucket = sum(
         (1 << j) for j in range(n_bits) if float(query_vec[j]) > 0
     )
-    buckets = [
-        b for b in range(1 << n_bits)
-        if bin(b ^ qbucket).count("1") <= probe_hamming
-    ]
+    buckets = hamming_ball([qbucket], n_bits, probe_hamming)
     qv = F.array([F.lit(float(x)) for x in query_vec])
     qn = sum(float(x) * float(x) for x in query_vec) ** 0.5
     idx = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    deq = idx.select(
+        "vec_id", dequantized(F.col("qvec"), F.col("scale")).alias("dv"), "nrm"
+    )
     return (
-        idx.select(
+        deq.select(
             "vec_id",
             F.round(
-                _dot(F.col("v"), qv) / (F.col("nrm") * F.lit(qn)), 6
+                _dot(F.col("dv"), qv) / (F.col("nrm") * F.lit(qn)), 6
             ).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))

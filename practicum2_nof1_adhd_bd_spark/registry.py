@@ -4107,18 +4107,30 @@ ORACLES["streaming_ingest_decisions"] = _ingest_decisions_oracle()
 def _vector_ingest_oracle() -> str:
     """DuckDB twin of streaming.vector_ingest.screen_vector_batch over
     the deterministic batch/index split of q_incremental_vector_decisions:
-    axis-sign buckets, in-bucket cosine >= 0.9 vs the stored side,
-    near_dup matched to the min qualifying index id."""
+    axis-sign buckets of the RAW vectors, int8 quantize -> dequantize on
+    BOTH sides (the index stores int8 rows, and the batch is quantized
+    before screening because that is the form it will be stored in),
+    in-bucket cosine >= 0.9 over the dequantized vectors, near_dup
+    matched to the min qualifying index id. The quantization arithmetic
+    (scale = max|v|/127, q = round(v/scale)) is the int8_cosine_topk
+    oracle's attested device."""
     bucket = (
         "(CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)"
         " + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)"
         " + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)"
         " + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)"
     )
+    deq = (
+        "list_transform(v, x -> CAST(round(x / sc) AS INT) * sc)"
+    )
+    scale = (
+        "greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0"
+    )
     return f"""
     WITH ie AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                 WHERE vec_id % 5 != 0),
-    idx AS (SELECT vec_id, v, {bucket} AS bucket FROM ie),
+    is_ AS (SELECT vec_id, v, {bucket} AS bucket, {scale} AS sc FROM ie),
+    idx AS (SELECT vec_id, bucket, {deq} AS dv FROM is_),
     be AS (
         SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS v
         FROM embeddings WHERE vec_id % 10 = 1
@@ -4126,13 +4138,14 @@ def _vector_ingest_oracle() -> str:
         SELECT vec_id + 2000000 AS vec_id, embedding::DOUBLE[] AS v
         FROM embeddings WHERE vec_id % 5 = 0
     ),
-    bb AS (SELECT vec_id, v, {bucket} AS bucket FROM be),
+    bs AS (SELECT vec_id, v, {bucket} AS bucket, {scale} AS sc FROM be),
+    bb AS (SELECT vec_id, bucket, {deq} AS dv FROM bs),
     near AS (
         SELECT b.vec_id, 'near_dup' AS status, min(i.vec_id) AS matched_id
         FROM bb b JOIN idx i ON b.bucket = i.bucket
-        WHERE round(list_inner_product(b.v, i.v)
-                    / (sqrt(list_inner_product(b.v, b.v))
-                       * sqrt(list_inner_product(i.v, i.v))), 6) >= 0.9
+        WHERE round(list_inner_product(b.dv, i.dv)
+                    / (sqrt(list_inner_product(b.dv, b.dv))
+                       * sqrt(list_inner_product(i.dv, i.dv))), 6) >= 0.9
         GROUP BY 1
     )
     SELECT * FROM near
@@ -4197,7 +4210,7 @@ def q_streaming_vector_decisions(spark, sf_dir):
     dec_dir, ckpt = os.path.join(work, "dec"), os.path.join(work, "ckpt")
     vi._batch_vectors(
         emb.filter(F.col("vec_id") % 5 != 0), "vec_id", "embedding", 4
-    ).write.mode("overwrite").parquet(index_dir)
+    ).write.partitionBy("bucket").mode("overwrite").parquet(index_dir)
     batch = (
         emb.filter(F.col("vec_id") % 10 == 1)
         .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
@@ -4975,6 +4988,63 @@ def q_int8_cosine_topk(spark, sf_dir):
     arithmetic end to end."""
     emb = _cat(spark, sf_dir).embeddings
     return sim.int8_cosine_topk(emb, query_id=0, k=10)
+
+
+@register(
+    "vector_index_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+               + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+               + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS bucket,
+                 greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)
+                     / 127.0 AS sc
+          FROM e),
+    d AS (SELECT vec_id, bucket,
+                 list_transform(v, x -> CAST(round(x / sc) AS INT) * sc) AS dv
+          FROM s),
+    q AS (SELECT v AS qv, bucket AS qbucket FROM s WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_inner_product(dv, qv)
+                 / (sqrt(list_inner_product(dv, dv))
+                    * sqrt(list_inner_product(qv, qv))), 6) AS cosine
+    FROM d, q
+    WHERE bit_count(xor(d.bucket, q.qbucket)) <= 1
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_vector_index_topk(spark, sf_dir):
+    """THE unified production vector-index artifact, end to end under the
+    value-hash gate: write_vector_index lands the int8-quantized,
+    BUCKET-PARTITIONED parquet artifact once per testdata fingerprint
+    (sim.vector_index_rows: scale = max|v|/127, q = round(v/scale), norm
+    of the dequantized vector precomputed, axis-sign bucket of the raw
+    vector as the partition key), then query_vector_index serves vector
+    0's top-10 reading ONLY the Hamming<=1 ball of partition directories
+    (.isin -> PartitionFilters, plan-asserted in tests/test_plans.py).
+    The oracle replays quantize -> bucket -> prune -> dequantized-cosine
+    from the raw embeddings table, so build AND serve arithmetic are
+    attested. The 1-row query-vector collect is O(1) driver traffic
+    (pushed-down id filter), the cosine_topk precedent."""
+    import os
+    import tempfile
+
+    emb = _cat(spark, sf_dir).embeddings
+    fp = _source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    prefix = os.path.join(tempfile.gettempdir(), "spark_graft_vindex_v1")
+    path = _land_once(
+        prefix, fp, lambda tmp: sim.write_vector_index(emb, tmp, n_bits=4)
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return sim.query_vector_index(
+        spark, path, qvec, k=10, n_bits=4, probe_hamming=1
+    )
 
 
 @register("ann_lsh_topk", _sign_lsh_oracle())

@@ -10,23 +10,36 @@ semantically novel ones are admitted and appended. That is how an
 embedding-deduplicated training corpus stays deduplicated under
 continuous ingestion.
 
+The index is THE production artifact (operators/similarity.py
+VECTOR_INDEX_SCHEMA): int8-quantized vectors + per-vector scale +
+precomputed dequantized norm, parquet BUCKET-PARTITIONED by the
+axis-sign bucket — the identical layout ``write_vector_index`` builds in
+batch mode, so a batch-built index and a continuously-ingested one are
+interchangeable and both serve ``query_vector_index``.
+
 Per micro-batch work:
 
-1. ONE projection over the batch: double vector, axis-sign bucket
-   (sim.axis_sign_bucket — deterministic, SQL-replayable), norm.
-2. Near screen: bucket-equijoin of batch vs stored index (optionally a
-   Hamming-d ball via bit_count for recall), cosine >= threshold on the
-   joined pairs — the quadratic compare never crosses buckets, so the
-   fan-out is batch x per-bucket index density, not index size.
-3. Admitted vectors' (id, bucket, v, nrm) rows append to the index;
-   per-vector decisions (admitted / near_dup + matched id) append to the
-   decisions sink.
+1. ONE projection over the batch quantizes it into index-row form
+   (sim.vector_index_rows — deterministic, SQL-replayable), eagerly
+   localCheckpointed (several consumers, no session-lifetime cache).
+2. The batch's DISTINCT buckets (<= 2^n_bits values, collected as O(1)
+   driver scalars) widen to their Hamming-d ball and push into the index
+   read as literal partition filters — each batch reads ONLY the
+   partition directories it can possibly collide with, so screen IO
+   tracks batch diversity, not index size (measured: tools/scale_probe.py
+   --vector-ingest-batches reports per-batch pruned vs total bytes).
+3. Near screen: bucket-equijoin of batch vs the pruned index (optionally
+   a Hamming-d ball via bit_count for recall), cosine >= threshold over
+   the DEQUANTIZED int8 vectors — the arithmetic the stored artifact
+   actually supports, attested end-to-end by the value-hash oracle.
+4. Admitted rows append bucket-partitioned to the index; per-vector
+   decisions (admitted / near_dup + matched id) append to the decisions
+   sink.
 
-State never lives in executor memory: the index is parquet on disk; at
-scale it is written bucket-partitioned so each batch's screen prunes to
-the buckets the batch actually touches. Same cold-start discipline as
-corpus_ingest: only an ABSENT index dir is cold start — any other read
-error fails the micro-batch rather than silently admitting duplicates.
+State never lives in executor memory: the index is parquet on disk. Same
+cold-start discipline as corpus_ingest: only an ABSENT index dir is cold
+start — any other read error fails the micro-batch rather than silently
+admitting duplicates.
 """
 
 from __future__ import annotations
@@ -34,25 +47,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.similarity import _dot, axis_sign_bucket
+from ..operators import similarity as sim
+from ..operators.similarity import _dot, dequantized, hamming_ball
 from .corpus_ingest import _index_exists
 
-VINDEX_SCHEMA = "vec_id bigint, bucket int, v array<double>, nrm double"
+VINDEX_SCHEMA = sim.VECTOR_INDEX_SCHEMA
 VDECISION_SCHEMA = "vec_id bigint, status string, matched_id bigint"
 
 
 def _batch_vectors(
     batch: DataFrame, id_col: str, vec_col: str, n_bits: int
 ) -> DataFrame:
-    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    b = batch.select(
-        F.col(id_col).alias("vec_id"),
-        dvec.alias("v"),
-        axis_sign_bucket(vec_col, n_bits).cast("int").alias("bucket"),
-    )
-    return b.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v")))).select(
-        "vec_id", "bucket", "v", "nrm"
-    )
+    """Quantize a raw (id, embedding) frame into index-row form."""
+    return sim.vector_index_rows(batch, id_col, vec_col, n_bits)
+
+
+def _with_dv(df: DataFrame) -> DataFrame:
+    """Materialize the dequantized array in its own projection (transform
+    lambdas get no CSE — folding over an inline derivation would
+    re-multiply per element)."""
+    return df.withColumn("dv", dequantized(F.col("qvec"), F.col("scale")))
 
 
 def screen_vector_batch(
@@ -64,16 +78,22 @@ def screen_vector_batch(
     n_bits: int = 4,
     probe_hamming: int = 0,
     batch_internal: bool = False,
+    prepared: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Screen one vector batch against the stored index.
 
     Returns ``(decisions, admitted_rows)``: per-vector status frame
     (admitted / near_dup with the min matching index id) and the index
-    append payload. ``probe_hamming`` > 0 widens the screen to buckets
-    within Hamming distance d (multi-probe — catches near-dups whose
-    sign pattern flipped on d axes) at d-ball candidate cost; the
-    default single-bucket screen mirrors `semantic_dedup_bucketed`'s
-    blocking contract.
+    append payload (VECTOR_INDEX_SCHEMA rows). Cosines compare the
+    DEQUANTIZED int8 vectors on BOTH sides — the batch is quantized
+    before screening because that is the form it will be stored in, so
+    a vector admitted today and re-screened tomorrow compares equal to
+    itself. ``probe_hamming`` > 0 widens the screen to buckets within
+    Hamming distance d (multi-probe — catches near-dups whose sign
+    pattern flipped on d axes) at d-ball candidate cost; the default
+    single-bucket screen mirrors `semantic_dedup_bucketed`'s blocking
+    contract. ``prepared=True`` means ``batch`` is already in index-row
+    form (the streaming path quantizes once, checkpoint-shares it).
 
     ``batch_internal=True`` additionally screens batch vectors against
     SMALLER-ID batch vectors that passed the index screen (same
@@ -83,11 +103,12 @@ def screen_vector_batch(
     over-drops rather than re-running to a fixed point). Default False:
     with it off, near statuses are batch-partition-invariant only when
     admitted vectors are mutually non-near."""
-    vb = _batch_vectors(batch, id_col, vec_col, n_bits)
-    vi = index.select(
+    vb = batch if prepared else _batch_vectors(batch, id_col, vec_col, n_bits)
+    vbd = _with_dv(vb)
+    vi = _with_dv(index).select(
         F.col("vec_id").alias("_iid"),
         F.col("bucket").alias("_ib"),
-        F.col("v").alias("_iv"),
+        F.col("dv").alias("_iv"),
         F.col("nrm").alias("_inrm"),
     )
     cond = (
@@ -98,10 +119,10 @@ def screen_vector_batch(
         if probe_hamming > 0
         else F.col("bucket") == F.col("_ib")
     )
-    pairs = vb.join(vi, cond).withColumn(
+    pairs = vbd.join(vi, cond).withColumn(
         "_cos",
         F.round(
-            _dot(F.col("v"), F.col("_iv")) / (F.col("nrm") * F.col("_inrm")), 6
+            _dot(F.col("dv"), F.col("_iv")) / (F.col("nrm") * F.col("_inrm")), 6
         ),
     )
     near = (
@@ -114,9 +135,7 @@ def screen_vector_batch(
 
     internal_near = None
     if batch_internal:
-        a = admitted_rows.select(
-            F.col("vec_id"), F.col("bucket"), F.col("v"), F.col("nrm")
-        )
+        a = _with_dv(admitted_rows)
         bcond = (
             F.bit_count(
                 F.col("bucket").cast("bigint").bitwiseXOR(
@@ -131,14 +150,14 @@ def screen_vector_batch(
             a.select(
                 F.col("vec_id").alias("_jid"),
                 F.col("bucket").alias("_jb"),
-                F.col("v").alias("_jv"),
+                F.col("dv").alias("_jv"),
                 F.col("nrm").alias("_jnrm"),
             ),
             bcond & (F.col("vec_id") > F.col("_jid")),
         ).withColumn(
             "_cos",
             F.round(
-                _dot(F.col("v"), F.col("_jv")) / (F.col("nrm") * F.col("_jnrm")),
+                _dot(F.col("dv"), F.col("_jv")) / (F.col("nrm") * F.col("_jnrm")),
                 6,
             ),
         )
@@ -165,6 +184,19 @@ def screen_vector_batch(
     return decisions, admitted_rows
 
 
+def read_index_pruned(spark, index_dir: str, ball: list[int]) -> DataFrame:
+    """The screen's index read: literal bucket membership over the
+    partition column compiles to PartitionFilters, so each micro-batch
+    reads ONLY the partition directories its Hamming ball touches —
+    screen IO tracks batch bucket diversity, not index size
+    (plan-asserted in tests/test_plans.py)."""
+    return (
+        spark.read.schema(VINDEX_SCHEMA)
+        .parquet(index_dir)
+        .filter(F.col("bucket").isin(ball))
+    )
+
+
 def ingest_vector_stream(
     stream_vectors: DataFrame,
     index_dir: str,
@@ -176,20 +208,29 @@ def ingest_vector_stream(
     n_bits: int = 4,
     probe_hamming: int = 0,
 ):
-    """foreachBatch wiring: read the current index, screen, append
-    decisions THEN admissions (appending to index_dir first would
-    refresh relations over that path and make the still-lazy decisions
-    plan see the batch's own admissions). Batches run sequentially per
-    stream, so read-then-append is safe. Returns the started query."""
+    """foreachBatch wiring: quantize the batch once (localCheckpoint —
+    shared by the bucket collect, the screen, and the append without a
+    session-lifetime cache entry), prune the index read to the batch's
+    Hamming ball of partition directories, screen, append decisions THEN
+    admissions (appending to index_dir first would refresh relations over
+    that path and make the still-lazy decisions plan see the batch's own
+    admissions). Batches run sequentially per stream, so read-then-append
+    is safe. Returns the started query."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        vb = _batch_vectors(batch, id_col, vec_col, n_bits).localCheckpoint(
+            eager=True
+        )
+        batch_buckets = [r[0] for r in vb.select("bucket").distinct().collect()]
+        ball = hamming_ball(batch_buckets, n_bits, probe_hamming)
         if _index_exists(spark, index_dir):
-            index = spark.read.schema(VINDEX_SCHEMA).parquet(index_dir)
+            index = read_index_pruned(spark, index_dir, ball)
         else:
             index = spark.createDataFrame([], VINDEX_SCHEMA)
         decisions, admitted = screen_vector_batch(
-            batch, index, id_col, vec_col, threshold, n_bits, probe_hamming
+            vb, index, id_col, vec_col, threshold, n_bits, probe_hamming,
+            prepared=True,
         )
         decisions = decisions.persist()
         admitted = admitted.persist()
@@ -197,7 +238,9 @@ def ingest_vector_stream(
         admitted.count()
         try:
             decisions.write.mode("append").parquet(decisions_dir)
-            admitted.write.mode("append").parquet(index_dir)
+            admitted.write.partitionBy("bucket").mode("append").parquet(
+                index_dir
+            )
         finally:
             decisions.unpersist()
             admitted.unpersist()

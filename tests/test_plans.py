@@ -254,8 +254,11 @@ def test_auc_window_runs_on_per_score_frame(spark, sf_dir):
 def test_vector_index_probe_prunes_partitions(spark, tmp_path, sf_dir):
     """write_vector_index + query_vector_index: the probe's bucket filter
     must reach the scan as PartitionFilters (directory pruning — the
-    disk-layout contract all the ANN scale claims assume), and results
-    must match an in-memory rank over the same ball."""
+    disk-layout contract all the ANN scale claims assume), the artifact
+    must store int8 rows (VECTOR_INDEX_SCHEMA), and results must match a
+    numpy replay of the quantize -> dequantize -> in-ball cosine rank."""
+    import numpy as np
+
     from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
     from practicum2_nof1_adhd_bd_spark.sources.readers import Catalog
 
@@ -269,10 +272,44 @@ def test_vector_index_probe_prunes_partitions(spark, tmp_path, sf_dir):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters")[1][:200]
     assert "bucket" in pf
-    # parity with the in-memory axis-bucket path on the same ball
-    expect = {
-        r["vec_id"]
-        for r in sim.ann_topk_axis(emb, 0, k=5, n_bits=4, probe_hamming=0).collect()
-    }
-    got = {r["vec_id"] for r in rows if r["vec_id"] != 0}
-    assert got <= expect | {0} and len(rows) == 5
+    # the stored rows are the int8 artifact form, bucket as partition col
+    stored = spark.read.parquet(path)
+    assert dict(stored.dtypes)["qvec"] == "array<tinyint>"
+    assert {"vec_id", "qvec", "scale", "nrm", "bucket"} <= set(stored.columns)
+    # numpy replay: quantize every in-ball vector, rank dequantized cosine
+    qb = sum(1 << j for j in range(4) if qvec[j] > 0)
+    pdf = emb.toPandas()
+    scored = []
+    qn = np.sqrt(np.dot(qvec, qvec))
+    for _, r in pdf.iterrows():
+        v = np.asarray([float(x) for x in r["embedding"]])
+        if sum(1 << j for j in range(4) if v[j] > 0) != qb:
+            continue
+        sc = max(np.abs(v).max(), 1e-12) / 127.0
+        dv = np.round(v / sc) * sc
+        cos = round(float(np.dot(dv, qvec) / (np.sqrt(np.dot(dv, dv)) * qn)), 6)
+        scored.append((cos, int(r["vec_id"])))
+    expect = [i for c, i in sorted(scored, key=lambda t: (-t[0], t[1]))[:5]]
+    assert [r["vec_id"] for r in rows] == expect
+
+
+def test_streaming_vector_screen_prunes_index_partitions(spark, tmp_path, sf_dir):
+    """The streaming ingest's index read (vector_ingest.read_index_pruned
+    — the exact frame each micro-batch screens against) must push the
+    batch's Hamming-ball bucket set down as PartitionFilters, so screen
+    IO tracks batch diversity, not index size."""
+    from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
+    from practicum2_nof1_adhd_bd_spark.sources.readers import Catalog
+    from practicum2_nof1_adhd_bd_spark.streaming import vector_ingest as vi
+
+    emb = Catalog(spark, sf_dir).embeddings
+    index_dir = str(tmp_path / "vingest_index")
+    sim.write_vector_index(emb, index_dir, n_bits=4)
+    ball = sim.hamming_ball([3], 4, 1)
+    idx = vi.read_index_pruned(spark, index_dir, ball)
+    plan = _plan(idx)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "bucket" in pf
+    got_buckets = {r["bucket"] for r in idx.select("bucket").distinct().collect()}
+    assert got_buckets <= set(ball)
