@@ -197,11 +197,16 @@ def minhash_lsh_pairs_verified(
     4x the shingle pass itself). The join key (band, bucket) is uniform
     md5 — shuffle-friendly, no skew.
     """
-    # persist the SIGNATURES (n_hashes longs per doc — tiny), never the
+    # materialize the SIGNATURES (n_hashes longs per doc — tiny), never the
     # shingle string arrays (columnar-caching those measured 4x the cost of
     # the shingle pass itself). The self-join + every downstream reference
-    # then reuses the one tokenize+hash pass.
-    sig_df = minhash_signatures_df(df, text_col, id_col, n_hashes, k).persist()
+    # then reuses the one tokenize+hash pass. localCheckpoint, not persist:
+    # an eager checkpoint's blocks are released with the frame's reference,
+    # while a persist() entry parks in the session cache manager for the
+    # session's lifetime (the r07-flagged leak class).
+    sig_df = minhash_signatures_df(
+        df, text_col, id_col, n_hashes, k
+    ).localCheckpoint(eager=True)
     banded = _banded_buckets(sig_df, id_col, n_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
@@ -239,8 +244,13 @@ def minhash_lsh_candidates(
     bands: int = 4,
     k: int = 3,
 ) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs (no verify step)."""
-    sig_df = minhash_signatures_df(df, text_col, id_col, n_hashes, k).persist()
+    """MinHash+LSH near-dup candidate pairs (no verify step). The
+    signature frame is eagerly localCheckpointed (tiny — n_hashes longs
+    per doc) so the self-join reuses one tokenize+hash pass without a
+    session-lifetime cache entry."""
+    sig_df = minhash_signatures_df(
+        df, text_col, id_col, n_hashes, k
+    ).localCheckpoint(eager=True)
     banded = _banded_buckets(sig_df, id_col, n_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -760,12 +770,12 @@ def incremental_near_dup(
     bb = _banded_buckets(sig_b, id_col, n_hashes, bands).alias("a")
     bi = _banded_buckets(sig_i, id_col, n_hashes, bands).alias("b")
     # Each signature frame feeds the band join exactly once, so only the
-    # candidate-pair id frame is worth caching: it has three consumers
-    # (two cand_ids legs + the verify join), and caching it — materialized
-    # eagerly here — runs the signature scans once without parking
-    # corpus-width signature partitions in the cache (the r04-flagged
-    # leak). The cached frame is candidate-pair-sized and its cache entry
-    # is released when recomputation happens or the session clears it.
+    # candidate-pair id frame is worth materializing: it has three
+    # consumers (two cand_ids legs + the verify join). An eager
+    # localCheckpoint runs the signature scans once and releases its
+    # blocks with the frame's reference — no corpus-width signature
+    # partitions in the cache (r04) and no session-lifetime cache-manager
+    # entry (r07).
     pairs = (
         bb.join(
             bi,
@@ -777,9 +787,8 @@ def incremental_near_dup(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    pairs.count()
     cand_ids = pairs.select(F.col("id_a").alias(id_col)).union(
         pairs.select(F.col("id_b").alias(id_col))
     )

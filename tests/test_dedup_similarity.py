@@ -322,3 +322,24 @@ def test_multiprobe_lsh_recall_dominates_single_bucket(spark):
     exact = {r["vec_id"] for r in sim.cosine_topk_bruteforce(emb, 5, 20).collect()}
     assert len(d1 & exact) >= len(d0 & exact)
     assert len(d1) >= len(d0)
+
+
+def test_lsh_ops_leave_no_session_cache(spark, sf_dir):
+    """minhash_lsh_pairs_verified / minhash_lsh_candidates /
+    incremental_near_dup materialize intermediates via eager
+    localCheckpoint, whose blocks die with the frame reference — none of
+    them may park a DataFrame persist() entry in the session cache
+    manager (the session-lifetime leak class the r06/r07 fixes removed
+    elsewhere)."""
+    from practicum2_nof1_adhd_bd_spark.operators import dedup
+    from practicum2_nof1_adhd_bd_spark.sources.readers import Catalog
+
+    docs = Catalog(spark, sf_dir).documents.limit(150)
+    spark.catalog.clearCache()
+    dedup.minhash_lsh_pairs_verified(docs).count()
+    dedup.minhash_lsh_candidates(docs).count()
+    new_docs = docs.filter("doc_id % 3 = 0").selectExpr(
+        "doc_id + 500000 AS doc_id", "text"
+    )
+    dedup.incremental_near_dup(new_docs, docs).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
