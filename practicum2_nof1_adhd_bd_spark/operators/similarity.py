@@ -326,6 +326,41 @@ def ivf_lloyd_topk(
     summation order; an assignment flips only if two cell distances
     land within float-ulp of each other — the same accepted boundary
     class as the attested one-shot centroid path (ivf_ann_topk)."""
+    final, cent, base = _lloyd_fit(
+        embeddings, n_cells, n_iters, id_col, vec_col
+    )
+    q = base.filter(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
+    probes = (
+        cent.crossJoin(F.broadcast(q))
+        .select("cell", cosine(F.col("cv"), F.col("qv")).alias("_cs"))
+        .orderBy(F.desc("_cs"), F.asc("cell"))
+        .limit(n_probe)
+        .select("cell")
+    )
+    members = final.join(F.broadcast(probes), "cell", "left_semi")
+    scored = members.crossJoin(F.broadcast(q)).filter(F.col(id_col) != query_id)
+    return (
+        scored.select(
+            id_col, F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _lloyd_fit(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The deterministic Lloyd quantizer build shared by ivf_lloyd_topk
+    (ANN serving) and semantic_dedup_ivf (cluster-then-dedup blocking):
+    md5-selected seeds, ``n_iters`` unrolled assign/recompute rounds as
+    join+groupBy. Returns (final_assignment(id, cell, v, vv),
+    centroids(cell, cv, cc), base(id, v, vv)). See ivf_lloyd_topk's
+    docstring for the scale shape and float notes."""
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = embeddings.select(F.col(id_col), dvec.alias("v")).withColumn(
         "vv", _dot(F.col("v"), F.col("v"))
@@ -384,23 +419,7 @@ def ivf_lloyd_topk(
         )
 
     final = assign(cent)
-    q = base.filter(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
-    probes = (
-        cent.crossJoin(F.broadcast(q))
-        .select("cell", cosine(F.col("cv"), F.col("qv")).alias("_cs"))
-        .orderBy(F.desc("_cs"), F.asc("cell"))
-        .limit(n_probe)
-        .select("cell")
-    )
-    members = final.join(F.broadcast(probes), "cell", "left_semi")
-    scored = members.crossJoin(F.broadcast(q)).filter(F.col(id_col) != query_id)
-    return (
-        scored.select(
-            id_col, F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine")
-        )
-        .orderBy(F.desc("cosine"), F.asc(id_col))
-        .limit(k)
-    )
+    return final, cent, base
 
 
 def md5_planes(n_planes: int, dim: int, salt: str = "") -> list[list[float]]:
@@ -502,55 +521,32 @@ def ann_topk_lsh(
     return cosine_topk_bruteforce(corpus, query_id, k, id_col, vec_col)
 
 
-def multitable_lsh_candidates(
+def _multitable_buckets(
     embeddings: DataFrame,
-    query_id: int | None,
-    n_tables: int = 4,
-    n_planes: int = 8,
-    probe_hamming: int = 1,
+    n_tables: int,
+    n_planes: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    query_vec: list[float] | None = None,
 ) -> DataFrame:
-    """Candidate ids for multi-table sign-LSH (OR-construction, Lv et al.
-    VLDB'07 combined with the classic Indyk-Motwani multi-table scheme):
-    ``n_tables`` independent md5-derived plane sets (salt ``"{t}:"`` per
-    table), each vector gets one sign-bucket per table, and a corpus
-    vector is a candidate if it lands within the query's Hamming-d ball
-    in ANY table. Per-table candidate mass ~(1 + C(P,1) + ... +
-    C(P,d))/2^P of the corpus; the union over L tables is sub-additive
-    (overlap), so the fraction knob is (L, P, d). More tables buys recall
-    at linear candidate cost — the standard LSH recall lever that a
-    single table cannot reach (a true neighbor only needs to collide
-    once).
-
-    Scale shape: bucket assignment is one codegen projection (L*P array
-    folds, no shuffle); the query's L buckets broadcast as one row; the
-    membership test is bit algebra on that broadcast — the corpus never
-    shuffles. At 100 TB the corpus would be written bucket-partitioned
-    per table so the probe prunes partitions instead of scanning."""
-    dim = (
-        len(query_vec)
-        if query_vec is not None
-        else len(embeddings.select(vec_col).first()[0])
-    )
+    """Per-vector sign buckets for every LSH table in ONE corpus pass:
+    (id, vec, b0..b{L-1}). All L*P dots run in a single codegen
+    explode-aggregate (the minhash_signatures_df device): higher-order
+    array folds evaluate INTERPRETED per element, so 40 per-row folds
+    measured ~5x slower than exploding positions once and summing
+    val * plane[pos] for every plane as map-side-combined aggregates. A
+    one-row exploded array stays in its task in position order, so each
+    sum folds left-to-right — the same float sequence as the fold it
+    replaces (and as the oracle's list_inner_product). Plane components
+    ride as a broadcast dim-row constant table (one column per
+    (table, plane)) — a literal-array element_at per aggregate would
+    rebuild the array per exploded row (CreateArray is not
+    constant-folded)."""
+    dim = len(embeddings.select(vec_col).first()[0])
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = embeddings.select(F.col(id_col), F.col(vec_col), dvec.alias("v"))
-    # all L*P dots in ONE codegen explode-aggregate pass (the
-    # minhash_signatures_df device): higher-order array folds evaluate
-    # INTERPRETED per element, so 40 per-row folds measured ~5x slower
-    # than exploding positions once and summing val * plane[pos] for
-    # every plane as map-side-combined aggregates. A one-row exploded
-    # array stays in its task in position order, so each sum folds
-    # left-to-right — the same float sequence as the fold it replaces
-    # (and as the oracle's list_inner_product).
     ex = fan_out(base, id_col).select(
         F.col(id_col), F.col(vec_col), F.posexplode("v").alias("pos", "val")
     )
-    # plane components as a broadcast 64-row constant table (one column
-    # per (table, plane)) — a literal-array element_at per aggregate
-    # would rebuild the array per exploded row (CreateArray is not
-    # constant-folded)
     spark = embeddings.sparkSession
     names = [f"_c{t}_{i}" for t in range(n_tables) for i in range(n_planes)]
     all_planes = [
@@ -581,7 +577,42 @@ def multitable_lsh_candidates(
             term = bit * F.lit(2**i)
             bucket = term if bucket is None else bucket + term
         bucket_cols.append(bucket.alias(f"b{t}"))
-    b = agg.select(F.col(id_col), F.col(vec_col), *bucket_cols)
+    return agg.select(F.col(id_col), F.col(vec_col), *bucket_cols)
+
+
+def multitable_lsh_candidates(
+    embeddings: DataFrame,
+    query_id: int | None,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec: list[float] | None = None,
+) -> DataFrame:
+    """Candidate ids for multi-table sign-LSH (OR-construction, Lv et al.
+    VLDB'07 combined with the classic Indyk-Motwani multi-table scheme):
+    ``n_tables`` independent md5-derived plane sets (salt ``"{t}:"`` per
+    table), each vector gets one sign-bucket per table, and a corpus
+    vector is a candidate if it lands within the query's Hamming-d ball
+    in ANY table. Per-table candidate mass ~(1 + C(P,1) + ... +
+    C(P,d))/2^P of the corpus; the union over L tables is sub-additive
+    (overlap), so the fraction knob is (L, P, d). More tables buys recall
+    at linear candidate cost — the standard LSH recall lever that a
+    single table cannot reach (a true neighbor only needs to collide
+    once).
+
+    Scale shape: bucket assignment is one codegen projection (L*P array
+    folds, no shuffle); the query's L buckets broadcast as one row; the
+    membership test is bit algebra on that broadcast — the corpus never
+    shuffles. At 100 TB the corpus would be written bucket-partitioned
+    per table so the probe prunes partitions instead of scanning."""
+    b = _multitable_buckets(embeddings, n_tables, n_planes, id_col, vec_col)
+    dim = (
+        len(query_vec)
+        if query_vec is not None
+        else len(embeddings.select(vec_col).first()[0])
+    )
     if query_vec is not None:
         # EXTERNAL query (the serving call): its per-table buckets are
         # computed driver-side with the SAME sequential fold order as the
@@ -630,6 +661,7 @@ def ann_topk_multitable(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vec: list[float] | None = None,
+    eager_candidates: bool = False,
 ) -> DataFrame:
     """Approximate top-k via multi-table sign-LSH: exact cosine ranking
     restricted to the union of the query's per-table Hamming-d balls
@@ -639,17 +671,139 @@ def ann_topk_multitable(
     and tools/recall_probe.py): recall@10 0.562 at 18.4% candidates
     (L=5, P=8, d=1) vs 0.238 at ~11% for the single-table 6-plane d=1
     ball. md5-derived planes keep the whole path SQL-replayable
-    (value-hash attested)."""
+    (value-hash attested).
+
+    ``eager_candidates=True`` localCheckpoints the candidate frame before
+    ranking: with a corpus ``query_id`` the ranker consumes it on TWO plan
+    branches (the broadcast 1-row query side and the scored side), and
+    Spark does not share a subplan across branches (the Q15 lesson), so
+    without the checkpoint the full bucket pass runs twice per action."""
     cands = multitable_lsh_candidates(
         embeddings, query_id, n_tables, n_planes, probe_hamming,
         id_col, vec_col, query_vec=query_vec,
     )
+    if eager_candidates:
+        cands = cands.localCheckpoint(eager=True)
     # cands carries the vector column — rank directly, no corpus join-back
     # (a corpus query is always its own candidate: Hamming 0 in every
     # table; an external query_vec ranks against its ball's members)
     return cosine_topk_bruteforce(
         cands, query_id, k, id_col, vec_col, query_vec=query_vec
     )
+
+
+def multiprobe_bucket_sets(
+    query_vec: list[float],
+    n_tables: int = 5,
+    n_planes: int = 8,
+    n_flips: int = 4,
+) -> list[list[int]]:
+    """Query-DIRECTED probe sets (Lv et al. VLDB'07 multi-probe proper):
+    per table, the query's plane dots are computed driver-side with the
+    SAME sequential fold order as the executor-side sums (identical IEEE
+    doubles -> identical signs), then instead of probing the full
+    Hamming-1 ball (P flips), only the ``n_flips`` planes with the
+    SMALLEST |dot| — the ones a true neighbor is most likely to disagree
+    on — are flipped. Ties break on plane index. Returns one sorted
+    bucket list per table (base bucket + directed flips): 1 + n_flips
+    buckets instead of 1 + P, cutting candidate fraction at nearly the
+    same recall. O(L * P * dim) driver arithmetic on one vector — no
+    Spark job."""
+    sets = []
+    dim = len(query_vec)
+    for t in range(n_tables):
+        planes = md5_planes(n_planes, dim, salt=f"{t}:")
+        dots = []
+        qb = 0
+        for i in range(n_planes):
+            acc = 0.0
+            for x, pc in zip(query_vec, planes[i]):
+                acc += float(x) * pc
+            dots.append(acc)
+            if acc > 0:
+                qb += 1 << i
+        order = sorted(range(n_planes), key=lambda i: (abs(dots[i]), i))
+        probes = {qb} | {qb ^ (1 << i) for i in order[:n_flips]}
+        sets.append(sorted(probes))
+    return sets
+
+
+def ann_topk_multiprobe(
+    embeddings: DataFrame,
+    query_id: int | None,
+    k: int = 10,
+    n_tables: int = 5,
+    n_planes: int = 8,
+    n_flips: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec: list[float] | None = None,
+) -> DataFrame:
+    """Multi-table sign-LSH ANN with query-directed probing: candidate =
+    bucket membership in any table's directed probe set
+    (multiprobe_bucket_sets — base bucket + the n_flips lowest-|margin|
+    flips), exact cosine rank over the union. Compared with the full
+    Hamming-1 ball (ann_topk_multitable), the directed sets probe
+    (1+n_flips)/(1+P) of the buckets per table, so the candidate
+    fraction drops proportionally while keeping the flips that carry
+    almost all of the ball's recall (measured: SCALING §2c /
+    tools/recall_probe.py). The probe sets enter the corpus pass as
+    LITERAL lists — at 100 TB, with the corpus written bucket-partitioned
+    per table, they are exactly the partition directories read.
+
+    The 1-row query-vector collect for a corpus ``query_id`` is O(1)
+    driver traffic (pushed-down id filter, the cosine_topk_vectorized
+    precedent); the corpus never shuffles — one explode-agg bucket pass,
+    literal membership filter, TakeOrdered rank. Whole path (dots, |margin|
+    ordering, flips, in-union rank) is deterministic scalar arithmetic,
+    SQL-replayable (ann_multiprobe_topk's oracle)."""
+    cands, qv = multiprobe_candidates(
+        embeddings, query_id, n_tables, n_planes, n_flips,
+        id_col, vec_col, query_vec,
+    )
+    cands = cands.localCheckpoint(eager=True)
+    return cosine_topk_bruteforce(
+        cands, query_id, k, id_col, vec_col, query_vec=qv
+    )
+
+
+def multiprobe_candidates(
+    embeddings: DataFrame,
+    query_id: int | None,
+    n_tables: int = 5,
+    n_planes: int = 8,
+    n_flips: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec: list[float] | None = None,
+) -> tuple[DataFrame, list[float]]:
+    """(candidates, query_vector) for the query-directed probe: corpus
+    bucket pass (_multitable_buckets, one exchange-free explode-agg) then
+    a LITERAL probe-set membership filter — no join at all on the query
+    side. The candidate frame carries the vector column so the ranker
+    never joins back to the corpus."""
+    if query_vec is None:
+        row = (
+            embeddings.filter(F.col(id_col) == query_id)
+            .select(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                    "v"
+                )
+            )
+            .collect()
+        )
+        if not row:
+            raise ValueError(f"query id {query_id} not found")
+        qv = [float(x) for x in row[0]["v"]]
+    else:
+        qv = [float(x) for x in query_vec]
+    probe_sets = multiprobe_bucket_sets(qv, n_tables, n_planes, n_flips)
+    b = _multitable_buckets(embeddings, n_tables, n_planes, id_col, vec_col)
+    cond = None
+    for t, probes in enumerate(probe_sets):
+        hit = F.col(f"b{t}").isin(probes)
+        cond = hit if cond is None else cond | hit
+    return b.filter(cond).select(id_col, vec_col), qv
 
 
 def bucket_balanced_sample(

@@ -4939,6 +4939,87 @@ def _multitable_lsh_oracle(
     """
 
 
+def _multiprobe_lsh_oracle(
+    n_tables: int = 5, n_planes: int = 8, dim: int = 64, n_flips: int = 4
+) -> str:
+    """DuckDB twin of the query-DIRECTED multi-probe path
+    (sim.ann_topk_multiprobe): replay the query's per-(table, plane) dots
+    against the embedded md5-plane constants, rank flips per table by
+    (|dot| ASC, plane ASC), take the base bucket + top-n_flips flipped
+    buckets as each table's probe set, then membership + exact cosine
+    rank. This attests the probe-set CHOICE itself — the part Lv et al.
+    adds over the Hamming-ball oracle — not just the rank."""
+    table_bits = []
+    dot_rows = []
+    for t in range(n_tables):
+        planes = sim.md5_planes(n_planes, dim, salt=f"{t}:")
+        bits = " + ".join(
+            f"(CASE WHEN list_inner_product(v, "
+            f"[{', '.join(repr(x) for x in p)}]::DOUBLE[]) > 0 "
+            f"THEN {2 ** i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        table_bits.append(f"({bits}) AS b{t}")
+        for i, p in enumerate(planes):
+            arr = ", ".join(repr(x) for x in p)
+            dot_rows.append(
+                f"SELECT {t} AS t, {i} AS i, {2 ** i} AS w, "
+                f"list_inner_product(qv, [{arr}]::DOUBLE[]) AS d FROM q"
+            )
+    bcols = ",\n           ".join(table_bits)
+    dots_union = "\n        UNION ALL ".join(dot_rows)
+    any_hit = " OR ".join(
+        f"EXISTS (SELECT 1 FROM probes p WHERE p.t = {t} AND p.pb = b.b{t})"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    b AS (SELECT vec_id, v,
+           {bcols}
+          FROM e),
+    dots AS ({dots_union}),
+    qb AS (SELECT t, CAST(sum(CASE WHEN d > 0 THEN w ELSE 0 END) AS INT)
+                  AS qb
+           FROM dots GROUP BY t),
+    fl AS (SELECT t, w,
+                  row_number() OVER (PARTITION BY t
+                                     ORDER BY abs(d) ASC, i ASC) AS rk
+           FROM dots),
+    probes AS (
+        SELECT t, qb AS pb FROM qb
+        UNION
+        SELECT f.t, xor(g.qb, f.w) AS pb
+        FROM fl f JOIN qb g ON f.t = g.t WHERE f.rk <= {n_flips}
+    )
+    SELECT vec_id,
+           round(list_inner_product(v, qv)
+                 / (sqrt(list_inner_product(v, v))
+                    * sqrt(list_inner_product(qv, qv))), 6) AS cosine
+    FROM b, q
+    WHERE vec_id != 0 AND ({any_hit})
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@register("ann_multiprobe_topk", _multiprobe_lsh_oracle())
+def q_ann_multiprobe_topk(spark, sf_dir):
+    """Query-DIRECTED multi-probe ANN (Lv et al. VLDB'07 proper, the r07
+    verdict's #4): same 5 md5-plane tables as ann_multitable_topk, but
+    instead of each table's full Hamming-1 ball (1+8 buckets) the probe
+    set is the base bucket + the 4 flips with the smallest |query margin|
+    — the planes a true neighbor most plausibly disagrees on. Probes
+    (5+20 literal buckets) cut the candidate fraction vs the ball's 45 at
+    nearly the same recall (measured: SCALING §2c / tools/recall_probe.py).
+    The oracle replays the probe-set choice itself — dots, |margin|
+    ordering, flips — not just the rank."""
+    emb = _cat(spark, sf_dir).embeddings
+    return sim.ann_topk_multiprobe(
+        emb, query_id=0, k=10, n_tables=5, n_planes=8, n_flips=4
+    )
+
+
 @register("ann_multitable_topk", _multitable_lsh_oracle())
 def q_ann_multitable_topk(spark, sf_dir):
     """Multi-table OR-construction sign-LSH ANN (Indyk-Motwani tables x
@@ -4949,8 +5030,13 @@ def q_ann_multitable_topk(spark, sf_dir):
     single-table ball (SCALING §2c). Fully SQL-replayable via the salted
     md5-plane device."""
     emb = _cat(spark, sf_dir).embeddings
+    # eager_candidates: the ranker's broadcast-query branch and scored
+    # branch would otherwise each run the full bucket pass (no subplan
+    # sharing across branches) — checkpointing the ~18% candidate frame
+    # halves the work and pins the bench spread
     return sim.ann_topk_multitable(
-        emb, query_id=0, k=10, n_tables=5, n_planes=8, probe_hamming=1
+        emb, query_id=0, k=10, n_tables=5, n_planes=8, probe_hamming=1,
+        eager_candidates=True,
     )
 
 
@@ -5305,12 +5391,15 @@ def q_ivf_kmeans_topk(spark, sf_dir):
 QUERIES["ivf_kmeans_topk"] = q_ivf_kmeans_topk
 
 
-def _ivf_lloyd_oracle(n_cells: int = 8, n_probe: int = 2, k: int = 10) -> str:
-    """DuckDB twin of sim.ivf_lloyd_topk with the 2 Lloyd iterations
-    unrolled: md5-seed selection, nearest-centroid assignment
+def _lloyd_prefix_ctes(n_cells: int = 8) -> str:
+    """Shared CTE prefix replaying sim._lloyd_fit's 2 unrolled Lloyd
+    iterations: md5-seed selection, nearest-centroid assignment
     (row_number == Spark's min_by with the same (distance, cell)
-    tie-break), elementwise-mean recompute, cosine cell probe, in-cell
-    exact rank. Distances use the identical vv - 2*v.c + c.c algebra."""
+    tie-break), elementwise-mean recompute. Ends at ``a3`` — the final
+    (vec_id, v, cell) assignment — consumed by both the ivf_lloyd_topk
+    oracle (probe + rank) and the semantic_dedup_ivf oracle (cell-blocked
+    pairs + connected components). Distances use the identical
+    vv - 2*v.c + c.c algebra."""
 
     def assign(cent: str, name: str) -> str:
         return f"""{name} AS (
@@ -5330,8 +5419,7 @@ def _ivf_lloyd_oracle(n_cells: int = 8, n_probe: int = 2, k: int = 10) -> str:
             GROUP BY 1, 2) g GROUP BY cell),
     {name} AS (SELECT cell, cv, list_inner_product(cv, cv) AS cc FROM {name}l)"""
 
-    return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                       list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv
                FROM embeddings),
     seeds AS (
@@ -5344,7 +5432,14 @@ def _ivf_lloyd_oracle(n_cells: int = 8, n_probe: int = 2, k: int = 10) -> str:
     {recompute('a1', 'c1')},
     {assign('c1', 'a2')},
     {recompute('a2', 'c2')},
-    {assign('c2', 'a3')},
+    {assign('c2', 'a3')}"""
+
+
+def _ivf_lloyd_oracle(n_cells: int = 8, n_probe: int = 2, k: int = 10) -> str:
+    """DuckDB twin of sim.ivf_lloyd_topk: the shared Lloyd prefix
+    (_lloyd_prefix_ctes) then cosine cell probe + in-cell exact rank."""
+    return f"""
+    WITH {_lloyd_prefix_ctes(n_cells)},
     q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
     p AS (
         SELECT cell FROM c2, q
@@ -5375,6 +5470,56 @@ def q_ivf_lloyd_topk(spark, sf_dir):
     MLlib production path."""
     emb = _cat(spark, sf_dir).embeddings
     return sim.ivf_lloyd_topk(emb, query_id=0, k=10, n_cells=8, n_probe=2)
+
+
+def _register_semantic_dedup_ivf() -> None:
+    sql = f"""
+    WITH RECURSIVE {_lloyd_prefix_ctes(8)},
+    p AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM a3 x JOIN a3 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        WHERE round(list_inner_product(x.v, y.v)
+                    / (sqrt(list_inner_product(x.v, x.v))
+                       * sqrt(list_inner_product(y.v, y.v))), 6) >= 0.5
+    ),
+    ed AS (SELECT id_a AS a, id_b AS b FROM p
+           UNION ALL SELECT id_b, id_a FROM p),
+    reach(node, lab) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT ed.b, r.lab FROM reach r JOIN ed ON r.node = ed.a
+    )
+    SELECT node AS vec_id, min(lab) AS cluster_id,
+           node = min(lab) AS is_canonical
+    FROM reach GROUP BY node
+    """
+
+    @register("semantic_dedup_ivf", sql)
+    def q_semantic_dedup_ivf(spark, sf_dir):
+        """SemDeDup over TRAINED cells — the published recipe exactly
+        (Abbas et al.: k-means cluster, then dedup within clusters): the
+        block key is the deterministic Lloyd quantizer's cell assignment
+        (sim._lloyd_fit, the ivf_lloyd_topk build), pairs at cosine >=
+        0.5 never cross cells, min-label connected components pick one
+        canonical keeper per semantic cluster. The assignment frame is
+        eagerly localCheckpointed: the quadratic self-join consumes it on
+        both sides and Spark shares no subplan across branches. Oracle
+        reuses the attested Lloyd CTE prefix, so the trained-quantizer
+        blocking is value-hash attested end to end."""
+        emb = _cat(spark, sf_dir).embeddings
+        assigned, _cent, _base = sim._lloyd_fit(emb, n_cells=8, n_iters=2)
+        cells = assigned.select(
+            "vec_id", F.col("v").alias("embedding"), "cell"
+        ).localCheckpoint(eager=True)
+        pairs = sim.embedding_near_dup_pairs(
+            cells, threshold=0.5, block_col="cell"
+        )
+        return dedup.connected_components(
+            pairs, emb.select("vec_id"), id_col="vec_id"
+        )
+
+
+_register_semantic_dedup_ivf()
 
 
 def q_logreg_fold_cv(spark, sf_dir):
@@ -5669,6 +5814,81 @@ ORACLES["xml_records_scan"] = """
     SELECT date, count(*) AS n_hr, round(avg(v), 6) AS hr_mean
     FROM hr GROUP BY 1
 """
+
+
+@register(
+    "cda_probe",
+    """
+    WITH g AS (SELECT unnest(range(0, 240)) AS i),
+    c AS (SELECT CASE WHEN i % 11 = 7 THEN 'unknown'
+                      WHEN i % 5 = 4 THEN 'D' || CAST(i % 3 AS VARCHAR)
+                      ELSE 'C' || CAST(i % 7 AS VARCHAR) END AS code
+          FROM g)
+    SELECT 'code' AS metric, code, count(*) AS n FROM c GROUP BY code
+    UNION ALL
+    SELECT 'n_section' AS metric, CAST(NULL AS VARCHAR) AS code,
+           CAST(6 AS BIGINT) AS n
+    UNION ALL
+    SELECT 'n_observation' AS metric, CAST(NULL AS VARCHAR) AS code,
+           CAST(240 AS BIGINT) AS n
+    """,
+)
+def q_cda_probe(spark, sf_dir):
+    """S10 driver surface (ref src/domains/cda/parse_cda.py:20-260): the
+    testdata ships no CDA, so synthesize a deterministic clinical-document
+    XML under /tmp at run time — namespaced tags, 6 sections each carrying
+    their OWN <code> child (must NOT leak into the preceding observation),
+    240 observations whose first <code> child resolves code= attr, else
+    displayName=, else 'unknown', plus decoy second <code> children and
+    <value> noise elements — and run sources/cda.cda_probe's distributed
+    tag scan + running-observation-counter window over it. Content is a
+    pure function of the observation index, so the oracle regenerates the
+    expected summary from the same formula in SQL — full value-hash
+    attestation of the reader's sequential-association semantics."""
+    import os
+    import tempfile
+
+    from .sources import cda
+
+    # bump the _vN suffix whenever the synthesis formula changes: /tmp
+    # persists across rounds and a stale fixture would be reused silently
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_cda_demo_v1.xml")
+    if not os.path.exists(path):
+        lines = [
+            '<?xml version="1.0" encoding="UTF-8"?>',
+            '<hl7:ClinicalDocument xmlns:hl7="urn:hl7-org:v3">',
+        ]
+        for i in range(240):
+            if i % 40 == 0:
+                # a new section, with its own code child the probe must
+                # attribute to the SECTION, not the previous observation
+                lines.append(f'<hl7:section id="s{i // 40}">')
+                lines.append(
+                    f'<hl7:code displayName="Section {i // 40}"/>'
+                )
+                lines.append("<hl7:title>synthetic</hl7:title>")
+            lines.append(f'<hl7:observation classCode="OBS" n="{i}">')
+            if i % 11 == 7:
+                # code child with neither attr -> resolves 'unknown'
+                lines.append("<hl7:code/>")
+            elif i % 5 == 4:
+                # empty code attr -> falls back to displayName
+                lines.append(f'<hl7:code code="" displayName="D{i % 3}"/>')
+            else:
+                lines.append(f'<hl7:code code="C{i % 7}" displayName="X"/>')
+            if i % 6 == 0:
+                # decoy SECOND code child: first-child-wins must ignore it
+                lines.append('<hl7:code code="DECOY" displayName="DECOY"/>')
+            lines.append(f'<hl7:value value="{(i * 13) % 97}" unit="u"/>')
+            lines.append("</hl7:observation>")
+            if i % 40 == 39:
+                lines.append("</hl7:section>")
+        lines.append("</hl7:ClinicalDocument>")
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(lines))
+        os.replace(tmp, path)  # atomic: concurrent runs never see a partial
+    return cda.cda_probe(spark, path)
 
 
 def q_jsonl_corpus_scan(spark, sf_dir):

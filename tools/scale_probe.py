@@ -334,18 +334,37 @@ def probe_ingest(spark, tmp: str, n_batches: int, batch_docs: int) -> dict:
     }
 
 
+def _tree_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def probe_vector_ingest(
     spark, tmp: str, n_batches: int, batch_vecs: int, dim: int = 16
 ) -> dict:
     """Streaming-SemDeDup scale probe (vector_ingest): per-batch screen
-    time vs vector-index size. Batch composition: for b>0, 10% of
-    vectors are exact copies of batch b-1's novel range (cosine 1.0 ->
-    near_dup at any threshold); the rest are md5-derived deterministic
-    novel vectors. Expect ~flat per-batch time: the screen is a bucket
-    equijoin whose fan-out is batch x per-bucket density."""
+    time AND bytes read vs vector-index size. Batch composition: for
+    b>0, 10% of vectors are exact copies of batch b-1's novel range
+    (cosine 1.0 -> near_dup at any threshold); the rest are md5-derived
+    deterministic novel vectors. The first 4 components' SIGNS are forced
+    by the seed's batch group ((seed/batch_vecs) % 16), so each batch
+    concentrates in ~2 axis-sign buckets (its own group's + the copied
+    range's) while the index accumulates across ALL 16 — the realistic
+    shape where partition pruning pays. Expect per-batch screen time
+    ~flat AND pruned_read_mb a small, roughly constant fraction of
+    index_total_mb as the index grows: the screen reads only the batch's
+    Hamming-ball partition directories (read_index_pruned)."""
     from pyspark.sql import functions as F
 
+    from practicum2_nof1_adhd_bd_spark.operators.similarity import hamming_ball
     from practicum2_nof1_adhd_bd_spark.streaming import vector_ingest as vi
+    from practicum2_nof1_adhd_bd_spark.streaming.corpus_ingest import (
+        _index_exists,
+    )
 
     index_dir = os.path.join(tmp, "vingest_index")
     rows = []
@@ -359,6 +378,7 @@ def probe_vector_ingest(
             (F.lit(b) > 0) & (pos < batch_vecs // 10),
             F.lit((b - 1) * batch_vecs + novel_off) + pos,
         ).otherwise(F.col("vec_id"))
+        group = (seed / batch_vecs).cast("int") % 16
         comps = F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
             lambda j: (
@@ -370,36 +390,64 @@ def probe_vector_ingest(
                 - 0.5
             ),
         )
-        batch = base.select("vec_id", comps.alias("embedding"))
-
-        from practicum2_nof1_adhd_bd_spark.streaming.corpus_ingest import (
-            _index_exists,
+        # force signs of the first 4 comps from the seed's batch group so
+        # a batch touches ~2 buckets of 16 (sign derived from the SEED,
+        # not the current batch, so copies keep their original's bucket)
+        signed = F.transform(
+            comps,
+            lambda x, j: F.when(
+                j < 4,
+                (F.abs(x) + F.lit(0.01))
+                * F.when(
+                    F.floor(group / F.pow(F.lit(2.0), j)).cast("bigint")
+                    % 2
+                    == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ).otherwise(x),
         )
+        batch = base.select("vec_id", signed.alias("embedding"))
 
+        vb = vi._batch_vectors(batch, "vec_id", "embedding", 4).localCheckpoint(
+            eager=True
+        )
+        batch_buckets = [
+            r[0] for r in vb.select("bucket").distinct().collect()
+        ]
+        ball = hamming_ball(batch_buckets, 4, 0)
+        total_mb = _tree_bytes(index_dir) / 1e6 if os.path.exists(index_dir) else 0.0
+        pruned_mb = sum(
+            _tree_bytes(os.path.join(index_dir, f"bucket={bk}")) / 1e6
+            for bk in ball
+            if os.path.exists(os.path.join(index_dir, f"bucket={bk}"))
+        )
         if _index_exists(spark, index_dir):
-            index = spark.read.schema(vi.VINDEX_SCHEMA).parquet(index_dir)
+            index = vi.read_index_pruned(spark, index_dir, ball)
         else:
             index = spark.createDataFrame([], vi.VINDEX_SCHEMA)
         index_rows = index.count()
         t0 = time.time()
         dec, admitted = vi.screen_vector_batch(
-            batch, index, threshold=0.99, n_bits=4
+            vb, index, threshold=0.99, n_bits=4, prepared=True
         )
         dec = dec.persist()
         counts = {
             r["status"]: r["n"]
             for r in dec.groupBy("status").agg(F.count("*").alias("n")).collect()
         }
-        admitted.write.mode("append").parquet(index_dir)
+        admitted.write.partitionBy("bucket").mode("append").parquet(index_dir)
         screen_sec = time.time() - t0
         dec.unpersist()
         rows.append(
             {
                 "batch": b,
-                "index_rows_at_screen": index_rows,
+                "index_rows_in_ball": index_rows,
                 "screen_sec": round(screen_sec, 2),
                 "admitted": counts.get("admitted", 0),
                 "near_dup": counts.get("near_dup", 0),
+                "batch_buckets": len(batch_buckets),
+                "pruned_read_mb": round(pruned_mb, 3),
+                "index_total_mb": round(total_mb, 3),
             }
         )
     return {
@@ -409,6 +457,11 @@ def probe_vector_ingest(
         "first_to_last_ratio": (
             round(rows[-1]["screen_sec"] / rows[1]["screen_sec"], 2)
             if n_batches > 2 and rows[1]["screen_sec"] > 0
+            else None
+        ),
+        "last_pruned_fraction": (
+            round(rows[-1]["pruned_read_mb"] / rows[-1]["index_total_mb"], 3)
+            if rows and rows[-1]["index_total_mb"] > 0
             else None
         ),
     }
