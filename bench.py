@@ -53,6 +53,12 @@ HEADLINE = [
     "apply_mixture_sample",
     "large_volume_customers",
     "calibration_bins",
+    # round-8 additions
+    "vector_index_topk",
+    "ann_multiprobe_topk",
+    "multitable_index_topk",
+    "semantic_dedup_ivf",
+    "cda_probe",
 ]
 
 

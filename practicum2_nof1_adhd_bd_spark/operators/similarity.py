@@ -806,6 +806,107 @@ def multiprobe_candidates(
     return b.filter(cond).select(id_col, vec_col), qv
 
 
+def write_multitable_index(
+    embeddings: DataFrame,
+    path: str,
+    n_tables: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The multi-table serving artifact: int8-quantized rows REPLICATED
+    once per LSH table and written parquet-partitioned by (tbl, bucket),
+    so a query-directed probe (multiprobe_bucket_sets) reads ONLY the
+    L * (1 + n_flips) partition directories its probe sets name — the
+    on-disk form of ann_topk_multiprobe, where "candidate fraction" is
+    literally the fraction of directories read. Lx storage is the
+    classic multi-table LSH trade (Indyk-Motwani): int8 (4x smaller than
+    float32) pays for ~4 tables' replication by itself.
+
+    Quantization (qvec, scale, dequantized norm) is materialized ONCE
+    per vector before the L-way stack, so the explode replicates plain
+    columns, not expressions."""
+    b = _multitable_buckets(embeddings, n_tables, n_planes, id_col, vec_col)
+    # a narrow join on id to attach bucket columns to separately-built
+    # quantized rows would shuffle both sides; instead carry the bucket
+    # columns THROUGH the quantization projection chain
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scaled = b.withColumn("v", dvec).withColumn(
+        "scale",
+        F.greatest(
+            F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))),
+            F.lit(1e-12),
+        )
+        / 127.0,
+    )
+    qcols = scaled.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col("v"), lambda x: F.round(x / F.col("scale")).cast("tinyint")
+        ).alias("qvec"),
+        "scale",
+        *[F.col(f"b{t}") for t in range(n_tables)],
+    )
+    deq = qcols.withColumn(
+        "dv", dequantized(F.col("qvec"), F.col("scale"))
+    ).withColumn("nrm", F.sqrt(_dot(F.col("dv"), F.col("dv"))))
+    stacked = deq.select(
+        "vec_id",
+        "qvec",
+        "scale",
+        "nrm",
+        F.posexplode(
+            F.array(*[F.col(f"b{t}") for t in range(n_tables)])
+        ).alias("tbl", "bucket"),
+    )
+    stacked.write.partitionBy("tbl", "bucket").mode("overwrite").parquet(path)
+
+
+def query_multitable_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_tables: int = 10,
+    n_planes: int = 8,
+    n_flips: int = 3,
+) -> DataFrame:
+    """Serve a top-k query from a write_multitable_index artifact: the
+    directed probe sets (multiprobe_bucket_sets — base bucket + the
+    n_flips lowest-|margin| flips per table) become an OR of literal
+    (tbl, bucket) predicates over the partition columns, so ONLY those
+    directories are read (PartitionFilters, plan-asserted). A vector hit
+    in several tables is deduplicated by a min-tbl groupBy over the
+    candidate frame (candidate-sized shuffle, never corpus-sized), then
+    exact dequantized-cosine rank."""
+    probe_sets = multiprobe_bucket_sets(query_vec, n_tables, n_planes, n_flips)
+    cond = None
+    for t, probes in enumerate(probe_sets):
+        hit = (F.col("tbl") == t) & F.col("bucket").isin(probes)
+        cond = hit if cond is None else cond | hit
+    qv = F.array([F.lit(float(x)) for x in query_vec])
+    qn = sum(float(x) * float(x) for x in query_vec) ** 0.5
+    idx = spark.read.parquet(path).filter(cond)
+    uniq = idx.groupBy("vec_id").agg(
+        F.first("qvec").alias("qvec"),
+        F.first("scale").alias("scale"),
+        F.first("nrm").alias("nrm"),
+    )
+    deq = uniq.select(
+        "vec_id", dequantized(F.col("qvec"), F.col("scale")).alias("dv"), "nrm"
+    )
+    return (
+        deq.select(
+            "vec_id",
+            F.round(
+                _dot(F.col("dv"), qv) / (F.col("nrm") * F.lit(qn)), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def bucket_balanced_sample(
     embeddings: DataFrame,
     k_per_bucket: int = 8,

@@ -4940,7 +4940,11 @@ def _multitable_lsh_oracle(
 
 
 def _multiprobe_lsh_oracle(
-    n_tables: int = 5, n_planes: int = 8, dim: int = 64, n_flips: int = 4
+    n_tables: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_flips: int = 4,
+    rank_int8: bool = False,
 ) -> str:
     """DuckDB twin of the query-DIRECTED multi-probe path
     (sim.ann_topk_multiprobe): replay the query's per-(table, plane) dots
@@ -4948,7 +4952,12 @@ def _multiprobe_lsh_oracle(
     (|dot| ASC, plane ASC), take the base bucket + top-n_flips flipped
     buckets as each table's probe set, then membership + exact cosine
     rank. This attests the probe-set CHOICE itself — the part Lv et al.
-    adds over the Hamming-ball oracle — not just the rank."""
+    adds over the Hamming-ball oracle — not just the rank.
+
+    ``rank_int8=True`` is the multitable_index_topk serving twin: ranks
+    the int8-DEQUANTIZED corpus vectors (what the artifact stores) and
+    keeps the query row in the result (an external query has no self row
+    to exclude)."""
     table_bits = []
     dot_rows = []
     for t in range(n_tables):
@@ -4972,12 +4981,25 @@ def _multiprobe_lsh_oracle(
         f"EXISTS (SELECT 1 FROM probes p WHERE p.t = {t} AND p.pb = b.b{t})"
         for t in range(n_tables)
     )
-    return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-    b AS (SELECT vec_id, v,
-           {bcols}
+    if rank_int8:
+        base_cte = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)
+                     / 127.0 AS sc
           FROM e),
+    d AS (SELECT vec_id, v,
+                 list_transform(v, x -> CAST(round(x / sc) AS INT) * sc) AS dv
+          FROM s),"""
+        rank_col, rank_src, excl = "dv", "d", ""
+    else:
+        base_cte = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        rank_col, rank_src, excl = "v", "e", "vec_id != 0 AND "
+    return f"""
+    WITH {base_cte}
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    b AS (SELECT vec_id, {rank_col},
+           {bcols}
+          FROM {rank_src}),
     dots AS ({dots_union}),
     qb AS (SELECT t, CAST(sum(CASE WHEN d > 0 THEN w ELSE 0 END) AS INT)
                   AS qb
@@ -4993,30 +5015,67 @@ def _multiprobe_lsh_oracle(
         FROM fl f JOIN qb g ON f.t = g.t WHERE f.rk <= {n_flips}
     )
     SELECT vec_id,
-           round(list_inner_product(v, qv)
-                 / (sqrt(list_inner_product(v, v))
+           round(list_inner_product({rank_col}, qv)
+                 / (sqrt(list_inner_product({rank_col}, {rank_col}))
                     * sqrt(list_inner_product(qv, qv))), 6) AS cosine
     FROM b, q
-    WHERE vec_id != 0 AND ({any_hit})
+    WHERE {excl}({any_hit})
     ORDER BY cosine DESC, vec_id ASC
     LIMIT 10
     """
 
 
-@register("ann_multiprobe_topk", _multiprobe_lsh_oracle())
+@register("ann_multiprobe_topk", _multiprobe_lsh_oracle(n_tables=10, n_flips=3))
 def q_ann_multiprobe_topk(spark, sf_dir):
     """Query-DIRECTED multi-probe ANN (Lv et al. VLDB'07 proper, the r07
-    verdict's #4): same 5 md5-plane tables as ann_multitable_topk, but
-    instead of each table's full Hamming-1 ball (1+8 buckets) the probe
-    set is the base bucket + the 4 flips with the smallest |query margin|
-    — the planes a true neighbor most plausibly disagrees on. Probes
-    (5+20 literal buckets) cut the candidate fraction vs the ball's 45 at
-    nearly the same recall (measured: SCALING §2c / tools/recall_probe.py).
-    The oracle replays the probe-set choice itself — dots, |margin|
-    ordering, flips — not just the rank."""
+    verdict's #4): 10 md5-plane tables, and instead of each table's full
+    Hamming-1 ball (1+8 buckets) the probe set is the base bucket + the
+    3 flips with the smallest |query margin| — the planes a true
+    neighbor most plausibly disagrees on. Directed probing dominates the
+    ball's recall-per-budget frontier on the fixed panel (SCALING §2c):
+    this setting matches ann_multitable_topk's recall@10 = 0.562 at a
+    16.9% candidate fraction vs the ball's 18.4%, and at the ball's
+    budget reaches ~0.59-0.63. The oracle replays the probe-set choice
+    itself — dots, |margin| ordering, flips — not just the rank."""
     emb = _cat(spark, sf_dir).embeddings
     return sim.ann_topk_multiprobe(
-        emb, query_id=0, k=10, n_tables=5, n_planes=8, n_flips=4
+        emb, query_id=0, k=10, n_tables=10, n_planes=8, n_flips=3
+    )
+
+
+@register(
+    "multitable_index_topk",
+    _multiprobe_lsh_oracle(n_tables=10, n_flips=3, rank_int8=True),
+)
+def q_multitable_index_topk(spark, sf_dir):
+    """The multi-table serving ARTIFACT end to end under the value-hash
+    gate (r07 verdict #1's stretch): write_multitable_index lands the
+    int8 rows replicated per LSH table, parquet-partitioned by
+    (tbl, bucket); query_multitable_index turns vector 0's directed
+    probe sets (multiprobe_bucket_sets) into literal partition
+    predicates — the scan reads exactly the L*(1+m) probe directories
+    (PartitionFilters, plan-asserted in tests/test_plans.py) — then
+    dedupes multi-table hits and ranks dequantized cosine. Oracle
+    replays quantize -> per-table buckets -> probe-set choice ->
+    dequantized rank from the raw embeddings table."""
+    import os
+    import tempfile
+
+    emb = _cat(spark, sf_dir).embeddings
+    fp = _source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    prefix = os.path.join(tempfile.gettempdir(), "spark_graft_mtindex_v1")
+    path = _land_once(
+        prefix, fp,
+        lambda tmp: sim.write_multitable_index(
+            emb, tmp, n_tables=10, n_planes=8
+        ),
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return sim.query_multitable_index(
+        spark, path, qvec, k=10, n_tables=10, n_planes=8, n_flips=3
     )
 
 
@@ -6131,45 +6190,36 @@ _register_cluster_best_keeper()
 # whole registry, no entry stale-after-rewrite.
 _FRONT_ORDER = [
     "daily_event_stats",  # canary: green every round since r03
-    # new or behavior-touched this round (r07): multi-table LSH +
-    # deterministic Lloyd IVF (new, oracle-attested), computed-block-key
-    # near-dup (new) + the operator both near-dup queries share
-    # (block_expr param added), the fused one-text-pass corpus_clean,
-    # and the ingest screens (index-read hardening + localCheckpoint)
-    "ann_multitable_topk", "ivf_lloyd_topk",
-    "embedding_near_dup_bucketed", "embedding_near_dup", "semantic_dedup",
-    "corpus_clean",
-    "incremental_ingest_decisions", "streaming_ingest_decisions",
-    # rotation: the r04 cohort (oldest driver-green after r06 attested
-    # the r03 block's successors) — 30 queries, last green r04
-    "daily_modal_type", "union_sum_fusion", "interpolate_daily",
-    "user_sessions", "topk_customers", "region_revenue",
-    "rollup_nation_year", "sql_top_order_per_customer",
-    "quality_adjusted_label", "som_daily_agg", "json_props_daily",
-    "tz_cutover_daily", "multiformat_ts_parse", "pipe_split_union",
-    "hrv_time_domain", "circadian_midpoint", "interval_efficiency",
-    "pii_redact_stats", "pack_sequences", "dup_ngram_profile",
-    "token_length_profile", "hash_split", "tfidf_top_terms",
-    "char_ngram_entropy", "media_frame_sample", "minhash_signatures",
-    "quality_score", "doc_fingerprint", "bpe_token_stats", "cosine_topk",
-    # new late-r07: mixture applied as a draw, TPC-H Q18 shape,
-    # reliability bins, int8-quantized ANN storage form, the
-    # batch-internal near screen under the gate
-    "apply_mixture_sample", "large_volume_customers", "calibration_bins",
-    "int8_cosine_topk", "ingest_internal_near_decisions",
-    "semantic_dedup_bucketed", "top_supplier_revenue",
+    # new this round (r08): unified int8 bucket-partitioned index
+    # artifact served end to end, query-directed multi-probe ANN, the
+    # CDA source's oracle, SemDeDup over trained Lloyd cells
+    "vector_index_topk", "ann_multiprobe_topk", "multitable_index_topk",
+    "cda_probe", "semantic_dedup_ivf",
+    # behavior/oracle-touched r08: ingest screens now store + compare the
+    # int8 artifact form (oracle replays quantization), multitable
+    # candidates eagerly checkpointed, Lloyd fit extracted for reuse,
+    # LSH signature/pair persists swapped for localCheckpoint
     "incremental_vector_decisions", "streaming_vector_decisions",
-    "auc_persistence",
-    # remaining slots: r03 cohort re-attestations (ivf_ann_topk also
-    # anchors the probe/rank math the new Lloyd path shares); the rest of
-    # r03 (asof_snapshot_select, boundary_range_join, calendar_month_folds,
-    # dedup_by_key, point_in_interval, safe_ratio_daily, rolling_corr_7d,
-    # missingness_profile, topk_per_group, gopher_quality_flags,
-    # language_id, media_decode_features, media_real_decode,
-    # rolling_7d_mean_by_user, simhash_fingerprints, token_stats,
-    # winnow_fingerprints, segment_zscore_month) rotates in r08 —
-    # see COVERAGE.md
-    "ivf_ann_topk",
+    "ann_multitable_topk", "ivf_lloyd_topk",
+    "minhash_lsh_pairs", "incremental_near_dup",
+    # rotation: the r03-remainder cohort (18 queries, oldest driver-green)
+    "asof_snapshot_select", "boundary_range_join", "calendar_month_folds",
+    "dedup_by_key", "point_in_interval", "safe_ratio_daily",
+    "rolling_corr_7d", "missingness_profile", "segment_zscore_month",
+    "topk_per_group", "gopher_quality_flags", "language_id",
+    "media_decode_features", "media_real_decode", "rolling_7d_mean_by_user",
+    "simhash_fingerprints", "token_stats", "winnow_fingerprints",
+    # rotation: the r05 cohort (20 of its 23 remaining;
+    # audio_frame_features + reagg_consistency + stratified_sample_k roll
+    # to r09 with the r06 cohort — ledger in COVERAGE.md)
+    "bucket_balanced_sample", "cluster_best_keeper", "coalescing_merge",
+    "cube_segment_priority", "customer_spend_quartiles",
+    "daily_median_stats", "daily_pivot_sum", "daily_tag_sets",
+    "date_spine_unify", "gaps_islands_segments", "incremental_exact_dedup",
+    "langid_confusion", "ngram_jaccard_pairs", "ngram_novelty",
+    "outer_join_daily", "pretraining_split_report", "snapshot_diff_report",
+    "unigram_surprisal", "user_last_value",
+    "xml_records_scan",
 ]
 
 

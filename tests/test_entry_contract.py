@@ -39,33 +39,34 @@ def test_sample_queries_run_at_sf0001(spark, sf_dir):
 def test_attestation_window_is_stable():
     """The external harness attests the FIRST 50 queries; pin the window so
     a stray registration cannot silently displace an entry before it has
-    been attested. Round-7 window = the canary + every new or
-    behavior-touched query this round + the r04 cohort rotation + the
-    first half of the r03 cohort. Rows-only (no-oracle) queries must NOT
-    occupy window slots."""
+    been attested. Round-8 window = the canary + every new or
+    behavior-touched query this round + the r03-remainder cohort + the
+    r05 cohort. Rows-only (no-oracle) queries must NOT occupy window
+    slots."""
     names = list(entrymod.queries())
     window = names[:50]
     oracles = entrymod.oracle_sql()
     assert window[0] == "daily_event_stats"  # cross-round canary
     for must in (
-        # new this round: multi-table LSH, Lloyd IVF, bucketed near-dup
-        "ann_multitable_topk", "ivf_lloyd_topk", "embedding_near_dup_bucketed",
-        # behavior-touched: shared near-dup operator, fused corpus_clean,
-        # ingest index-read hardening + localCheckpoint
-        "embedding_near_dup", "semantic_dedup", "corpus_clean",
-        "incremental_ingest_decisions", "streaming_ingest_decisions",
-        # r04 cohort rotation (spot-pin a representative subset)
-        "daily_modal_type", "union_sum_fusion", "user_sessions",
-        "region_revenue", "rollup_nation_year", "hrv_time_domain",
-        "pack_sequences", "hash_split", "cosine_topk", "minhash_signatures",
-        # late-r07 additions
-        "apply_mixture_sample", "large_volume_customers", "calibration_bins",
-        "int8_cosine_topk", "ingest_internal_near_decisions",
-        "semantic_dedup_bucketed", "top_supplier_revenue",
+        # new this round: unified int8 index artifact, directed
+        # multi-probe, CDA oracle, SemDeDup over trained cells
+        "vector_index_topk", "ann_multiprobe_topk", "multitable_index_topk",
+        "cda_probe", "semantic_dedup_ivf",
+        # behavior/oracle-touched: int8-form ingest screens, checkpointed
+        # multitable candidates, Lloyd fit extraction, localCheckpoint'd
+        # LSH frames
         "incremental_vector_decisions", "streaming_vector_decisions",
-        "auc_persistence",
-        # r03 re-attestation
-        "ivf_ann_topk",
+        "ann_multitable_topk", "ivf_lloyd_topk",
+        "minhash_lsh_pairs", "incremental_near_dup",
+        # r03-remainder cohort rotation (spot-pin a representative subset)
+        "asof_snapshot_select", "boundary_range_join", "dedup_by_key",
+        "safe_ratio_daily", "rolling_corr_7d", "segment_zscore_month",
+        "topk_per_group", "language_id", "token_stats",
+        "winnow_fingerprints", "media_real_decode",
+        # r05 cohort rotation (spot-pin a representative subset)
+        "daily_median_stats", "date_spine_unify", "outer_join_daily",
+        "gaps_islands_segments", "xml_records_scan", "unigram_surprisal",
+        "snapshot_diff_report", "user_last_value",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry

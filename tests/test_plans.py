@@ -313,3 +313,46 @@ def test_streaming_vector_screen_prunes_index_partitions(spark, tmp_path, sf_dir
     assert "bucket" in pf
     got_buckets = {r["bucket"] for r in idx.select("bucket").distinct().collect()}
     assert got_buckets <= set(ball)
+
+
+def test_multitable_index_probe_prunes_partitions(spark, tmp_path, sf_dir):
+    """write_multitable_index + query_multitable_index: the directed
+    probe sets must reach the scan as PartitionFilters over (tbl,
+    bucket) — the multi-table artifact's whole point is that candidate
+    fraction is literally the fraction of directories read — and hits
+    must dedupe across tables (no duplicate vec_ids in the top-k)."""
+    from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
+    from practicum2_nof1_adhd_bd_spark.sources.readers import Catalog
+
+    emb = Catalog(spark, sf_dir).embeddings
+    path = str(tmp_path / "mtindex")
+    sim.write_multitable_index(emb, path, n_tables=3, n_planes=6)
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    out = sim.query_multitable_index(
+        spark, path, qvec, k=5, n_tables=3, n_planes=6, n_flips=2
+    )
+    rows = out.collect()
+    plan = _plan(out)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:400]
+    assert "tbl" in pf and "bucket" in pf
+    got = [r["vec_id"] for r in rows]
+    assert len(got) == len(set(got)) == 5
+    # the probed directory set matches the driver-side probe sets
+    sets = sim.multiprobe_bucket_sets(qvec, 3, 6, 2)
+    probed = {
+        (r["tbl"], r["bucket"])
+        for r in spark.read.parquet(path)
+        .filter(
+            (
+                (F.col("tbl") == 0) & F.col("bucket").isin(sets[0])
+            )
+            | ((F.col("tbl") == 1) & F.col("bucket").isin(sets[1]))
+            | ((F.col("tbl") == 2) & F.col("bucket").isin(sets[2]))
+        )
+        .select("tbl", "bucket")
+        .distinct()
+        .collect()
+    }
+    allowed = {(t, b) for t, s in enumerate(sets) for b in s}
+    assert probed <= allowed

@@ -61,19 +61,20 @@ def main() -> None:
         "mt_L5_P8_d1": lambda q: sim.ann_topk_multitable(
             emb, q, args.k, n_tables=5, n_planes=8, probe_hamming=1
         ),
-        # query-DIRECTED probing (Lv et al. proper): same tables, probe
-        # only the lowest-|margin| flips instead of the full Hamming-1 ball
-        "mp_L5_P8_m3": lambda q: sim.ann_topk_multiprobe(
-            emb, q, args.k, n_tables=5, n_planes=8, n_flips=3
-        ),
-        "mp_L5_P8_m4": lambda q: sim.ann_topk_multiprobe(
-            emb, q, args.k, n_tables=5, n_planes=8, n_flips=4
-        ),
+        # query-DIRECTED probing (Lv et al. proper): probe only the
+        # lowest-|margin| flips instead of the full Hamming-1 ball
         "mp_L5_P8_m5": lambda q: sim.ann_topk_multiprobe(
             emb, q, args.k, n_tables=5, n_planes=8, n_flips=5
         ),
-        "mp_L6_P8_m4": lambda q: sim.ann_topk_multiprobe(
-            emb, q, args.k, n_tables=6, n_planes=8, n_flips=4
+        "mp_L9_P8_m3": lambda q: sim.ann_topk_multiprobe(
+            emb, q, args.k, n_tables=9, n_planes=8, n_flips=3
+        ),
+        # the shipped ann_multiprobe_topk setting (SCALING §2c)
+        "mp_L10_P8_m3": lambda q: sim.ann_topk_multiprobe(
+            emb, q, args.k, n_tables=10, n_planes=8, n_flips=3
+        ),
+        "mp_L10_P8_m4": lambda q: sim.ann_topk_multiprobe(
+            emb, q, args.k, n_tables=10, n_planes=8, n_flips=4
         ),
         # int8-quantized storage form: recall here measures ranking
         # fidelity of the 4x-smaller index, not a candidate budget
@@ -94,17 +95,17 @@ def main() -> None:
         "mt_L5_P8_d1": lambda q: sim.multitable_lsh_candidates(
             emb, q, n_tables=5, n_planes=8, probe_hamming=1
         ),
-        "mp_L5_P8_m3": lambda q: sim.multiprobe_candidates(
-            emb, q, n_tables=5, n_planes=8, n_flips=3
-        )[0],
-        "mp_L5_P8_m4": lambda q: sim.multiprobe_candidates(
-            emb, q, n_tables=5, n_planes=8, n_flips=4
-        )[0],
         "mp_L5_P8_m5": lambda q: sim.multiprobe_candidates(
             emb, q, n_tables=5, n_planes=8, n_flips=5
         )[0],
-        "mp_L6_P8_m4": lambda q: sim.multiprobe_candidates(
-            emb, q, n_tables=6, n_planes=8, n_flips=4
+        "mp_L9_P8_m3": lambda q: sim.multiprobe_candidates(
+            emb, q, n_tables=9, n_planes=8, n_flips=3
+        )[0],
+        "mp_L10_P8_m3": lambda q: sim.multiprobe_candidates(
+            emb, q, n_tables=10, n_planes=8, n_flips=3
+        )[0],
+        "mp_L10_P8_m4": lambda q: sim.multiprobe_candidates(
+            emb, q, n_tables=10, n_planes=8, n_flips=4
         )[0],
     }
 
