@@ -61,6 +61,15 @@ def main(argv: list[str] | None = None) -> int:
                        help="comma-separated query components")
     p_ann.add_argument("--k", type=int, default=10)
     p_ann.add_argument("--probe-hamming", type=int, default=0)
+    p_ann.add_argument(
+        "--layout", choices=["axis", "multitable"], default="axis",
+        help="axis = single axis-sign bucket partitioning; multitable = "
+             "L-way-replicated (tbl, bucket) partitioning with "
+             "query-directed probing",
+    )
+    p_ann.add_argument("--n-tables", type=int, default=10)
+    p_ann.add_argument("--n-planes", type=int, default=8)
+    p_ann.add_argument("--n-flips", type=int, default=3)
 
     args, rest = ap.parse_known_args(argv)
 
@@ -89,17 +98,31 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.action == "build":
             emb = Catalog(spark, args.sf_dir).embeddings
-            sim.write_vector_index(emb, args.index, n_bits=args.n_bits)
-            print(f"wrote bucket-partitioned index at {args.index}")
+            if args.layout == "multitable":
+                sim.write_multitable_index(
+                    emb, args.index,
+                    n_tables=args.n_tables, n_planes=args.n_planes,
+                )
+                print(f"wrote (tbl, bucket)-partitioned int8 index at {args.index}")
+            else:
+                sim.write_vector_index(emb, args.index, n_bits=args.n_bits)
+                print(f"wrote bucket-partitioned int8 index at {args.index}")
             return 0
         if not args.vector:
             print("ann query needs --vector", file=sys.stderr)
             return 2
         qvec = [float(x) for x in args.vector.split(",")]
-        sim.query_vector_index(
-            spark, args.index, qvec, k=args.k,
-            n_bits=args.n_bits, probe_hamming=args.probe_hamming,
-        ).show(args.k, truncate=False)
+        if args.layout == "multitable":
+            sim.query_multitable_index(
+                spark, args.index, qvec, k=args.k,
+                n_tables=args.n_tables, n_planes=args.n_planes,
+                n_flips=args.n_flips,
+            ).show(args.k, truncate=False)
+        else:
+            sim.query_vector_index(
+                spark, args.index, qvec, k=args.k,
+                n_bits=args.n_bits, probe_hamming=args.probe_hamming,
+            ).show(args.k, truncate=False)
         return 0
 
     if args.cmd == "audit":

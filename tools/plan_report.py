@@ -225,6 +225,46 @@ NOTES = {
         "index-survivor signatures — batch-sized on both sides, so its "
         "cost is independent of corpus/index size."
     ),
+    "vector_index_topk": (
+        "Serves the int8 bucket-partitioned artifact: the Hamming-ball "
+        ".isin over the partition column compiles to PartitionFilters, so "
+        "the scan reads only the ball's directories; dequantize + dot are "
+        "one codegen projection over the pruned rows, rank is "
+        "TakeOrdered. Index IO is ball/2^n_bits of the artifact at any "
+        "corpus size."
+    ),
+    "ann_multiprobe_topk": (
+        "One explode-agg corpus pass computes all L*P dots against a "
+        "broadcast constant plane table (map-side combined); the directed "
+        "probe sets are driver-side literals, so membership is a pure "
+        "filter — no query-side join at all; candidates carry vectors "
+        "(checkpointed, two consumers) and rank via TakeOrdered. At 100 "
+        "TB the probe sets are exactly the (tbl, bucket) directories the "
+        "multitable artifact reads."
+    ),
+    "multitable_index_topk": (
+        "The serving twin on disk: directed probe sets become literal "
+        "(tbl, bucket) predicates -> PartitionFilters, so the scan reads "
+        "L*(1+m) directories of the L-way-replicated int8 artifact; the "
+        "cross-table dedupe groupBy shuffles only the candidate rows, "
+        "then dequantized cosine + TakeOrdered."
+    ),
+    "semantic_dedup_ivf": (
+        "Lloyd assignment (broadcast centroids, one corpus exchange per "
+        "iteration, min_by partial agg) is eagerly checkpointed, then "
+        "consumed by both sides of the cell-blocked quadratic verify — "
+        "without the checkpoint the full fit would run twice (no subplan "
+        "sharing). Pair graph and component loop run on pair-sized "
+        "frames; the corpus is scanned once per fit pass, never "
+        "quadratically."
+    ),
+    "cda_probe": (
+        "lineSep='<' text scan turns element tags into rows (splittable, "
+        "file-parallel across documents); totals are one partial-agg "
+        "pass, and the first-code-child association is a per-file window "
+        "— one shuffle on the file key, sequential only within a "
+        "document, exactly the reference's parse granularity."
+    ),
 }
 
 
