@@ -301,3 +301,86 @@ def test_apply_mixture_quota_bounds(spark, target):
     for s in ("a", "b"):
         assert per.get(s, 0) >= 1
         assert per[s] <= max(1, math.floor(target * w[s]))
+
+
+@given(
+    vec=st.lists(
+        st.floats(
+            min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False
+        ),
+        min_size=4,
+        max_size=16,
+    )
+)
+@_settings
+def test_int8_quantize_error_bound(spark, vec):
+    """For ANY vector, the int8 round-trip error of every component is
+    <= scale/2 (round-to-nearest contract), qvec stays inside [-127,
+    127], and the stored nrm equals the dequantized vector's norm."""
+    from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in vec])], "vec_id bigint, embedding array<double>"
+    )
+    row = sim.vector_index_rows(df).collect()[0]
+    scale = row["scale"]
+    deq = [q * scale for q in row["qvec"]]
+    for x, d, q in zip(vec, deq, row["qvec"]):
+        assert abs(x - d) <= scale / 2 + 1e-12
+        assert -127 <= q <= 127
+    nrm = math.sqrt(sum(d * d for d in deq))
+    assert abs(row["nrm"] - nrm) <= 1e-9 * max(1.0, nrm)
+
+
+@given(
+    vec=st.lists(
+        st.floats(
+            min_value=-10, max_value=10, allow_nan=False, allow_infinity=False
+        ),
+        min_size=8,
+        max_size=8,
+    ),
+    n_flips=st.integers(min_value=0, max_value=8),
+)
+@_settings
+def test_multiprobe_sets_shape(vec, n_flips):
+    """For ANY query vector: each table's directed probe set contains the
+    base bucket, has exactly min(n_flips, P)+1 members (flips are
+    distinct single-bit toggles), and every member is within Hamming 1
+    of the base — the directed set is always a SUBSET of the Hamming-1
+    ball it replaces."""
+    from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
+
+    n_tables, n_planes = 3, 8
+    sets = sim.multiprobe_bucket_sets(vec, n_tables, n_planes, n_flips)
+    assert len(sets) == n_tables
+    for t, probes in enumerate(sets):
+        planes = sim.md5_planes(n_planes, len(vec), salt=f"{t}:")
+        qb = 0
+        for i in range(n_planes):
+            acc = 0.0
+            for x, pc in zip(vec, planes[i]):
+                acc += float(x) * pc
+            if acc > 0:
+                qb += 1 << i
+        assert qb in probes
+        assert len(probes) == min(n_flips, n_planes) + 1
+        for p in probes:
+            assert bin(p ^ qb).count("1") <= 1
+
+
+@given(
+    buckets=st.sets(st.integers(min_value=0, max_value=15), min_size=1),
+    d=st.integers(min_value=0, max_value=3),
+)
+@_settings
+def test_hamming_ball_props(buckets, d):
+    """hamming_ball contains its seeds, is monotone in d, and every
+    member is within d of SOME seed."""
+    from practicum2_nof1_adhd_bd_spark.operators.similarity import hamming_ball
+
+    ball = hamming_ball(buckets, 4, d)
+    assert set(buckets) <= set(ball)
+    assert set(ball) <= set(hamming_ball(buckets, 4, d + 1))
+    for b in ball:
+        assert min(bin(b ^ s).count("1") for s in buckets) <= d
