@@ -177,7 +177,19 @@ QUERIES = [
     "apply_mixture_sample",
     "large_volume_customers",
     "calibration_bins",
+    # round-8 additions
+    "ann_multiprobe_topk",
+    "semantic_dedup_ivf",
+    "vector_index_topk",
+    "multitable_index_topk",
 ]
+
+# artifact-serving queries: run once UNTIMED first so _land_once builds
+# the on-disk index, then the timed run measures SERVING only — the
+# claim under test is that probe IO tracks the probe budget, not the
+# corpus; build linearity is the plain one-pass write covered by the
+# other rows
+PRELAND = {"vector_index_topk", "multitable_index_topk"}
 
 
 def time_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -185,6 +197,11 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
     out = {}
     for name in QUERIES:
+        if name in PRELAND:
+            registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            spark.catalog.clearCache()
         t0 = time.time()
         registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
