@@ -4451,6 +4451,58 @@ ORACLES["iphone_backup_scan"] = """
 
 
 @register(
+    "encrypted_backup_scan",
+    """
+    WITH g AS (SELECT unnest(range(0, 240)) AS i),
+    r AS (SELECT 'AppDomain-' || CAST(i % 4 AS VARCHAR) AS domain,
+                 CASE WHEN i % 3 = 0 THEN 2 ELSE 1 END AS flags,
+                 CASE WHEN i % 3 = 0 THEN 1
+                      WHEN i % 7 = 0 THEN 3 ELSE 2 END AS depth
+          FROM g)
+    SELECT domain,
+           count(*) AS n_records,
+           CAST(sum(CASE WHEN flags = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_files,
+           CAST(sum(CASE WHEN flags = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dirs,
+           CAST(sum(depth) AS BIGINT) AS total_path_depth
+    FROM r GROUP BY domain
+    """,
+)
+def q_encrypted_backup_scan(spark, sf_dir):
+    """S13's ENCRYPTED path under the value-hash gate (ref
+    iphone_backup.py:56-157, the reference's main act): a real encrypted
+    backup tree — TLV keybag, double-PBKDF2 passphrase KEK, RFC 3394
+    wrapped class/manifest/file keys, AES-CBC SQLite catalog, encrypted
+    payloads — is synthesized once under /tmp from a pure index formula
+    (sources/backup_crypto.synthesize_encrypted_backup), then
+    read_backup_manifests(passphrase=...) unlocks and decrypts it ON THE
+    EXECUTORS and domain_profile rolls it up. The oracle regenerates the
+    expected rollup from the same formula, so the aggregate only matches
+    if every unwrap and CBC decrypt round-tripped — crypto attested by
+    value, no crypto in the oracle."""
+    import os
+    import tempfile
+
+    from .sources import backup_crypto as bc
+    from .sources import iphone_backup
+
+    prefix = os.path.join(tempfile.gettempdir(), "spark_graft_encbackup_v1")
+    root = _land_once(
+        prefix,
+        "static",
+        lambda tmp: bc.synthesize_encrypted_backup(
+            tmp, "spark-graft", n_records=240, iterations=1000,
+            payload_indices=(1, 2, 5),
+        ),
+    )
+    m = iphone_backup.read_backup_manifests(
+        spark, os.path.join(root, "Manifest.db"), passphrase="spark-graft"
+    )
+    return iphone_backup.domain_profile(m)
+
+
+@register(
     "snapshot_diff_report",
     """
     WITH o AS (SELECT doc_id FROM documents WHERE doc_id % 10 != 3),
@@ -6194,7 +6246,7 @@ _FRONT_ORDER = [
     # artifact served end to end, query-directed multi-probe ANN, the
     # CDA source's oracle, SemDeDup over trained Lloyd cells
     "vector_index_topk", "ann_multiprobe_topk", "multitable_index_topk",
-    "cda_probe", "semantic_dedup_ivf",
+    "cda_probe", "semantic_dedup_ivf", "encrypted_backup_scan",
     # behavior/oracle-touched r08: ingest screens now store + compare the
     # int8 artifact form (oracle replays quantization), multitable
     # candidates eagerly checkpointed, Lloyd fit extracted for reuse,
@@ -6209,14 +6261,15 @@ _FRONT_ORDER = [
     "topk_per_group", "gopher_quality_flags", "language_id",
     "media_decode_features", "media_real_decode", "rolling_7d_mean_by_user",
     "simhash_fingerprints", "token_stats", "winnow_fingerprints",
-    # rotation: the r05 cohort (20 of its 23 remaining;
-    # audio_frame_features + reagg_consistency + stratified_sample_k roll
-    # to r09 with the r06 cohort — ledger in COVERAGE.md)
+    # rotation: the r05 cohort (19 of its 23 remaining;
+    # audio_frame_features + reagg_consistency + stratified_sample_k +
+    # ngram_novelty roll to r09 with the r06 cohort — ledger in
+    # COVERAGE.md)
     "bucket_balanced_sample", "cluster_best_keeper", "coalescing_merge",
     "cube_segment_priority", "customer_spend_quartiles",
     "daily_median_stats", "daily_pivot_sum", "daily_tag_sets",
     "date_spine_unify", "gaps_islands_segments", "incremental_exact_dedup",
-    "langid_confusion", "ngram_jaccard_pairs", "ngram_novelty",
+    "langid_confusion", "ngram_jaccard_pairs",
     "outer_join_daily", "pretraining_split_report", "snapshot_diff_report",
     "unigram_surprisal", "user_last_value",
     "xml_records_scan",

@@ -25,11 +25,17 @@ payloads. Payload extraction would follow the zip_ingest pattern
 (member-grain batches) keyed by fileID; it needs the backup's file tree,
 not just the manifest, and is out of the engine's query surface.
 
-Encrypted backups (the reference's main act) require unwrapping the
-AES keybag from ``Manifest.plist`` with KDF passes the container's
-stdlib cannot do (no ``cryptography``/``pycrypto``); pass
-``passphrase=`` and this module raises cleanly instead of guessing —
-the gate mirrors the multimodal codec policy.
+Encrypted backups (the reference's main act, ref
+``iphone_backup.py:56-157``) are handled since r08: pass
+``passphrase=`` and each backup's ``Manifest.plist`` keybag is
+unlocked ON THE EXECUTOR inside the same mapInPandas (PBKDF2's
+millions of iterations are per-backup work — a fleet of backups
+derives keys in parallel), the catalog CBC-decrypts to a temp SQLite,
+and per-file AES keys unwrap from the ``Files.file`` NSKeyedArchiver
+records so ``read_backup_files`` can decrypt payloads at file grain.
+All crypto lives in ``backup_crypto.py`` (stdlib pbkdf2 + the
+``cryptography`` package's RFC 3394 unwrap); environments without
+``cryptography`` get the documented NotImplementedError gate.
 """
 
 from __future__ import annotations
@@ -47,6 +53,11 @@ MANIFEST_SCHEMA = (
     "relative_path string, flags int"
 )
 
+#: encrypted-manifest rows additionally carry the archived logical size
+#: and the UNWRAPPED per-file AES key (null for dirs / keyless rows) so
+#: payload decryption never re-opens the catalog
+ENC_MANIFEST_SCHEMA = MANIFEST_SCHEMA + ", size bigint, file_key binary"
+
 #: Files.flags semantics in real manifests: 1 = file, 2 = directory,
 #: 4 = symlink.
 FLAG_FILE, FLAG_DIR, FLAG_SYMLINK = 1, 2, 4
@@ -60,52 +71,113 @@ def read_backup_manifests(
     """One row per Files record across every matched ``Manifest.db``.
 
     ``path`` is a glob for the manifest files themselves (e.g.
-    ``"/backups/*/Manifest.db"``). Encrypted backups are refused up
-    front — see module docstring.
+    ``"/backups/*/Manifest.db"``). With ``passphrase`` set, the sibling
+    ``Manifest.plist`` of every matched catalog is loaded too (tiny —
+    broadcast-joined on the backup dir) and keybag unlock + catalog
+    decrypt + per-file key unwrap all run executor-side per backup; the
+    result frame then carries ``size`` and the unwrapped ``file_key``
+    per row (ENC_MANIFEST_SCHEMA).
     """
-    if passphrase is not None:
-        raise NotImplementedError(
-            "encrypted iTunes backups need an AES keybag unwrap "
-            "(cryptography lib not present in this environment); "
-            "decrypt out-of-band and point at the plain Manifest.db"
-        )
-    raw = spark.read.format("binaryFile").load(path)
+    from pyspark.sql import functions as F
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    if passphrase is None:
+        raw = spark.read.format("binaryFile").load(path)
+
+        def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for src, blob in zip(pdf["path"], pdf["content"]):
+                    yield from _sqlite_rows(src, bytes(blob), keybag=None)
+
+        return raw.select("path", "content").mapInPandas(parse, MANIFEST_SCHEMA)
+
+    from . import backup_crypto as bc
+
+    bc._require_crypto()  # fail fast on the driver, not per task
+    dbs = spark.read.format("binaryFile").load(path).select(
+        F.col("path"),
+        F.regexp_replace("path", r"Manifest\.db$", "").alias("_dir"),
+        F.col("content").alias("_db"),
+    )
+    plists = spark.read.format("binaryFile").load(
+        path.replace("Manifest.db", "Manifest.plist")
+    ).select(
+        F.regexp_replace("path", r"Manifest\.plist$", "").alias("_dir"),
+        F.col("content").alias("_plist"),
+    )
+    joined = dbs.join(F.broadcast(plists), "_dir")
+    pw = passphrase
+
+    def parse_enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import plistlib
+
         for pdf in batches:
-            for src, blob in zip(pdf["path"], pdf["content"]):
-                # SQLite needs a real file; one catalog at a time per task
-                fd, tmp = tempfile.mkstemp(suffix=".db")
-                try:
-                    with os.fdopen(fd, "wb") as f:
-                        f.write(blob)
-                    con = sqlite3.connect(tmp)
-                    try:
-                        cur = con.execute(
-                            "SELECT fileID, domain, relativePath, flags "
-                            "FROM Files ORDER BY domain, relativePath"
-                        )
-                        while True:
-                            rows = cur.fetchmany(10_000)
-                            if not rows:
-                                break
-                            yield pd.DataFrame(
-                                {
-                                    "backup_path": [src] * len(rows),
-                                    "file_id": [r[0] for r in rows],
-                                    "domain": [r[1] for r in rows],
-                                    "relative_path": [r[2] for r in rows],
-                                    "flags": pd.Series(
-                                        [r[3] for r in rows], dtype="int32"
-                                    ),
-                                }
-                            )
-                    finally:
-                        con.close()
-                finally:
-                    os.unlink(tmp)
+            for src, db_blob, plist_blob in zip(
+                pdf["path"], pdf["_db"], pdf["_plist"]
+            ):
+                mp = plistlib.loads(bytes(plist_blob))
+                kb = bc.BackupKeybag(mp["BackupKeyBag"])
+                if not kb.unlock(pw):
+                    raise ValueError(
+                        f"failed to unlock keybag for {src}: "
+                        "incorrect passphrase?"
+                    )
+                plain = bc.decrypt_manifest_db(
+                    bytes(plist_blob), bytes(db_blob), pw
+                )
+                yield from _sqlite_rows(src, plain, keybag=kb)
 
-    return raw.select("path", "content").mapInPandas(parse, MANIFEST_SCHEMA)
+    return joined.select("path", "_db", "_plist").mapInPandas(
+        parse_enc, ENC_MANIFEST_SCHEMA
+    )
+
+
+def _sqlite_rows(src: str, db_bytes: bytes, keybag) -> Iterator[pd.DataFrame]:
+    """Parse one (already-plaintext) catalog into row batches; with a
+    ``keybag``, also unwrap each row's per-file key from its Files.file
+    record (ENC_MANIFEST_SCHEMA columns). SQLite needs a real file, so
+    the bytes land in the worker tempdir for the duration of the scan."""
+    from . import backup_crypto as bc
+
+    fd, tmp = tempfile.mkstemp(suffix=".db")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(db_bytes)
+        con = sqlite3.connect(tmp)
+        try:
+            cols = "fileID, domain, relativePath, flags"
+            if keybag is not None:
+                cols += ", file"
+            cur = con.execute(
+                f"SELECT {cols} FROM Files ORDER BY domain, relativePath"
+            )
+            while True:
+                rows = cur.fetchmany(10_000)
+                if not rows:
+                    break
+                out = {
+                    "backup_path": [src] * len(rows),
+                    "file_id": [r[0] for r in rows],
+                    "domain": [r[1] for r in rows],
+                    "relative_path": [r[2] for r in rows],
+                    "flags": pd.Series([r[3] for r in rows], dtype="int32"),
+                }
+                if keybag is not None:
+                    keys, sizes = [], []
+                    for r in rows:
+                        if r[4] is None:
+                            keys.append(None)
+                            sizes.append(None)
+                        else:
+                            k, s = bc.file_key_and_size(bytes(r[4]), keybag)
+                            keys.append(k)
+                            sizes.append(s)
+                    out["size"] = pd.Series(sizes, dtype="object")
+                    out["file_key"] = keys
+                yield pd.DataFrame(out)
+        finally:
+            con.close()
+    finally:
+        os.unlink(tmp)
 
 
 FILES_SCHEMA = (
@@ -134,18 +206,18 @@ def read_backup_files(
     also acts as the integrity screen: a payload with no manifest row
     (orphan) is dropped; use ``domain_profile`` + an anti-join the other
     way to audit manifest rows whose payload is missing on disk.
-    Encrypted backups are refused up front (module docstring)."""
+
+    With ``passphrase`` set, the manifest read carries each row's
+    UNWRAPPED per-file AES key (ENC_MANIFEST_SCHEMA) into the broadcast,
+    and an Arrow-batched mapInPandas CBC-decrypts every payload where it
+    already sits — blobs never shuffle, keys travel in the tiny
+    broadcast side, and ``size``/``content`` are the decrypted logical
+    values."""
     from pyspark.sql import functions as F
 
-    if passphrase is not None:
-        raise NotImplementedError(
-            "encrypted iTunes backups need an AES keybag unwrap "
-            "(cryptography lib not present in this environment); "
-            "decrypt out-of-band and point at the plain backup tree"
-        )
     if manifest is None:
         manifest = read_backup_manifests(
-            spark, os.path.join(backup_dir, "Manifest.db")
+            spark, os.path.join(backup_dir, "Manifest.db"), passphrase
         )
     payloads = spark.read.format("binaryFile").load(
         os.path.join(backup_dir, shard_glob)
@@ -160,12 +232,50 @@ def read_backup_files(
         # first two hex chars (malformed strays are excluded, not joined)
         F.col("_shard") == F.substring(F.col("file_id"), 1, 2)
     ).drop("_shard")
+    if passphrase is None:
+        meta = manifest.filter(F.col("flags") == FLAG_FILE).select(
+            "file_id", "backup_path", "domain", "relative_path"
+        )
+        return pay.join(F.broadcast(meta), "file_id").select(
+            "file_id", "backup_path", "domain", "relative_path", "size",
+            "content",
+        )
+
+    from . import backup_crypto as bc
+
     meta = manifest.filter(F.col("flags") == FLAG_FILE).select(
-        "file_id", "backup_path", "domain", "relative_path"
+        "file_id", "backup_path", "domain", "relative_path",
+        F.col("size").alias("_size"), "file_key",
     )
-    return pay.join(F.broadcast(meta), "file_id").select(
-        "file_id", "backup_path", "domain", "relative_path", "size", "content"
-    )
+    joined = pay.drop("size").join(F.broadcast(meta), "file_id")
+
+    def decrypt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, sizes = [], []
+            for blob, key, size in zip(
+                pdf["content"], pdf["file_key"], pdf["_size"]
+            ):
+                if key is None:
+                    plain = bytes(blob)
+                else:
+                    plain = bc.decrypt_file_payload(
+                        bytes(blob), bytes(key),
+                        int(size) if size is not None else None,
+                    )
+                contents.append(plain)
+                sizes.append(len(plain))
+            yield pd.DataFrame(
+                {
+                    "file_id": pdf["file_id"],
+                    "backup_path": pdf["backup_path"],
+                    "domain": pdf["domain"],
+                    "relative_path": pdf["relative_path"],
+                    "size": pd.Series(sizes, dtype="int64"),
+                    "content": contents,
+                }
+            )
+
+    return joined.mapInPandas(decrypt, FILES_SCHEMA)
 
 
 def domain_profile(manifest: DataFrame) -> DataFrame:

@@ -51,7 +51,7 @@ def test_attestation_window_is_stable():
         # new this round: unified int8 index artifact, directed
         # multi-probe, CDA oracle, SemDeDup over trained cells
         "vector_index_topk", "ann_multiprobe_topk", "multitable_index_topk",
-        "cda_probe", "semantic_dedup_ivf",
+        "cda_probe", "semantic_dedup_ivf", "encrypted_backup_scan",
         # behavior/oracle-touched: int8-form ingest screens, checkpointed
         # multitable candidates, Lloyd fit extraction, localCheckpoint'd
         # LSH frames

@@ -250,13 +250,53 @@ def test_iphone_backup_manifest_scan(spark, tmp_path):
     assert prof["AppDomain"]["n_dirs"] == 4
 
 
-def test_iphone_backup_encrypted_gate(spark):
-    import pytest
-
+def test_iphone_backup_encrypted_end_to_end(spark, tmp_path):
+    """Full encrypted-backup path (ref iphone_backup.py:56-157): a
+    synthesized encrypted tree (keybag + wrapped keys + CBC catalog +
+    encrypted payloads) is read with the passphrase — keybag unlock,
+    catalog decrypt and per-file key unwrap all run executor-side — and
+    read_backup_files returns the original plaintext payloads."""
+    from practicum2_nof1_adhd_bd_spark.sources import backup_crypto as bc
     from practicum2_nof1_adhd_bd_spark.sources import iphone_backup
 
-    with pytest.raises(NotImplementedError):
-        iphone_backup.read_backup_manifests(spark, "/nope/*", passphrase="x")
+    root = str(tmp_path / "encbackup")
+    bc.synthesize_encrypted_backup(
+        root, "spark-graft", n_records=40, iterations=200,
+        payload_indices=(1, 2, 5, 8),
+    )
+    m = iphone_backup.read_backup_manifests(
+        spark, f"{root}/Manifest.db", passphrase="spark-graft"
+    )
+    rows = m.collect()
+    assert len(rows) == 40
+    keyed = [r for r in rows if r["file_key"] is not None]
+    assert len(keyed) == 4 and all(len(r["file_key"]) == 32 for r in keyed)
+    files = iphone_backup.read_backup_files(
+        spark, root, passphrase="spark-graft"
+    ).collect()
+    assert len(files) == 4
+    for r in files:
+        i = int(r["relative_path"].rsplit("f", 1)[1].split(".")[0])
+        expected = (f"payload-{i}-".encode()) * (i % 5 + 1)
+        assert bytes(r["content"]) == expected
+        assert r["size"] == len(expected)
+
+
+def test_iphone_backup_wrong_passphrase_fails(spark, tmp_path):
+    import pytest
+
+    from practicum2_nof1_adhd_bd_spark.sources import backup_crypto as bc
+    from practicum2_nof1_adhd_bd_spark.sources import iphone_backup
+
+    root = str(tmp_path / "encbackup2")
+    bc.synthesize_encrypted_backup(
+        root, "right", n_records=6, iterations=50
+    )
+    df = iphone_backup.read_backup_manifests(
+        spark, f"{root}/Manifest.db", passphrase="wrong"
+    )
+    with pytest.raises(Exception, match="incorrect passphrase"):
+        df.collect()
 
 
 def test_iphone_backup_file_extraction(spark, tmp_path):
