@@ -57,6 +57,7 @@ HEADLINE = [
     "vector_index_topk",
     "ann_multiprobe_topk",
     "multitable_index_topk",
+    "ivf_index_topk",
     "semantic_dedup_ivf",
     "cda_probe",
 ]

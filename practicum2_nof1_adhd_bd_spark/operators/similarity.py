@@ -936,6 +936,123 @@ def query_multitable_index(
     )
 
 
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The IVF serving artifact — the trained-quantizer member of the
+    index family (axis buckets: write_vector_index; LSH tables:
+    write_multitable_index): int8 rows parquet-partitioned by their
+    deterministic-Lloyd cell (_lloyd_fit), with the final centroids
+    stored as a tiny ``_centroids`` parquet beside the data so serving
+    needs no corpus pass to pick probes. Cells are data-adaptive, so at
+    100 TB each partition directory holds one coherent region of the
+    embedding space and a query reads only its ``n_probe`` nearest
+    regions — the classic IVF layout, on plain partitioned parquet."""
+    final, cent, _base = _lloyd_fit(
+        embeddings, n_cells, n_iters, id_col, vec_col
+    )
+    # quantize the assigned rows: same projection chain as
+    # vector_index_rows but carrying the cell instead of the axis bucket
+    scaled = final.withColumn(
+        "scale",
+        F.greatest(
+            F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))),
+            F.lit(1e-12),
+        )
+        / 127.0,
+    )
+    quant = scaled.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col("v"), lambda x: F.round(x / F.col("scale")).cast("tinyint")
+        ).alias("qvec"),
+        "scale",
+        "cell",
+    )
+    deq = quant.withColumn(
+        "dv", dequantized(F.col("qvec"), F.col("scale"))
+    )
+    rows = deq.select(
+        "vec_id",
+        "qvec",
+        "scale",
+        F.sqrt(_dot(F.col("dv"), F.col("dv"))).alias("nrm"),
+        "cell",
+    )
+    rows.repartition("cell").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(path)
+    cent.select("cell", "cv").write.mode("overwrite").parquet(
+        f"{path}/_centroids"
+    )
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Serve top-k from a write_ivf_index artifact: the stored centroids
+    (n_cells rows — an O(1) driver read) rank by cosine against the
+    query driver-side with the same sequential fold order as SQL's
+    list_inner_product (ties to the smaller cell), and ONLY the
+    ``n_probe`` winning cell directories are opened — named explicitly,
+    the multitable device, so neither partition discovery nor IO ever
+    touches the other cells. Exact dequantized-cosine rank inside."""
+    qv_list = [float(x) for x in query_vec]
+    cent_rows = spark.read.parquet(f"{path}/_centroids").collect()
+    scored = []
+    for r in cent_rows:
+        cv = [float(x) for x in r["cv"]]
+        dot = 0.0
+        cc = 0.0
+        for x, c in zip(qv_list, cv):
+            dot += x * c
+        for c in cv:
+            cc += c * c
+        qn_ = sum(x * x for x in qv_list) ** 0.5
+        scored.append((dot / ((cc ** 0.5) * qn_), int(r["cell"])))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    probes = [cell for _cs, cell in scored[:n_probe]]
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    probe_dirs = [
+        d
+        for d in (f"{path}/cell={c}" for c in probes)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(d))
+    ]
+    if not probe_dirs:
+        return spark.createDataFrame([], "vec_id bigint, cosine double")
+    qv = F.array([F.lit(x) for x in qv_list])
+    qn = sum(x * x for x in qv_list) ** 0.5
+    idx = (
+        spark.read.option("basePath", path)
+        .parquet(*probe_dirs)
+        .filter(F.col("cell").isin(probes))
+    )
+    deq = idx.select(
+        "vec_id", dequantized(F.col("qvec"), F.col("scale")).alias("dv"), "nrm"
+    )
+    return (
+        deq.select(
+            "vec_id",
+            F.round(
+                _dot(F.col("dv"), qv) / (F.col("nrm") * F.lit(qn)), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def bucket_balanced_sample(
     embeddings: DataFrame,
     k_per_bucket: int = 8,

@@ -4503,6 +4503,56 @@ def q_encrypted_backup_scan(spark, sf_dir):
 
 
 @register(
+    "encrypted_payload_scan",
+    """
+    WITH g AS (SELECT unnest([1, 2, 5]) AS i),
+    r AS (SELECT 'sub' || CAST(i % 5 AS VARCHAR) || '/f'
+                     || CAST(i AS VARCHAR) || '.dat' AS relative_path,
+                 repeat('payload-' || CAST(i AS VARCHAR) || '-',
+                        i % 5 + 1) AS content
+          FROM g)
+    SELECT relative_path,
+           CAST(length(content) AS BIGINT) AS size,
+           md5(content) AS content_md5
+    FROM r
+    """,
+)
+def q_encrypted_payload_scan(spark, sf_dir):
+    """The PAYLOAD half of the encrypted path under the gate:
+    read_backup_files(passphrase=...) joins the xx/fileID encrypted
+    payload tree to the broadcast manifest (which carries each row's
+    unwrapped AES key), CBC-decrypts every blob in an Arrow-batched
+    mapInPandas where it sits, and the query emits (path, size, md5 of
+    the DECRYPTED bytes). The oracle rebuilds the exact plaintext from
+    the fixture formula and hashes it in SQL — so per-file key unwrap,
+    CBC decrypt and size truncation are all value-hash attested, not
+    just pytest'd. Same landed tree as encrypted_backup_scan."""
+    import os
+    import tempfile
+
+    from .sources import backup_crypto as bc
+    from .sources import iphone_backup
+
+    prefix = os.path.join(tempfile.gettempdir(), "spark_graft_encbackup_v1")
+    root = _land_once(
+        prefix,
+        "static",
+        lambda tmp: bc.synthesize_encrypted_backup(
+            tmp, "spark-graft", n_records=240, iterations=1000,
+            payload_indices=(1, 2, 5),
+        ),
+    )
+    files = iphone_backup.read_backup_files(
+        spark, root, passphrase="spark-graft"
+    )
+    return files.select(
+        "relative_path",
+        "size",
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+@register(
     "snapshot_diff_report",
     """
     WITH o AS (SELECT doc_id FROM documents WHERE doc_id % 10 != 3),
@@ -5583,6 +5633,66 @@ def q_ivf_lloyd_topk(spark, sf_dir):
     return sim.ivf_lloyd_topk(emb, query_id=0, k=10, n_cells=8, n_probe=2)
 
 
+def _register_ivf_index_topk() -> None:
+    sql = f"""
+    WITH {_lloyd_prefix_ctes(8)},
+    s AS (SELECT a3.vec_id, a3.v, a3.cell,
+                 greatest(list_max(list_transform(a3.v, x -> abs(x))), 1e-12)
+                     / 127.0 AS sc
+          FROM a3),
+    d AS (SELECT vec_id, cell,
+                 list_transform(v, x -> CAST(round(x / sc) AS INT) * sc) AS dv
+          FROM s),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    p AS (SELECT cell FROM c2, q
+          ORDER BY list_inner_product(cv, qv)
+                   / (sqrt(list_inner_product(cv, cv))
+                      * sqrt(list_inner_product(qv, qv))) DESC, cell ASC
+          LIMIT 2)
+    SELECT vec_id,
+           round(list_inner_product(dv, qv)
+                 / (sqrt(list_inner_product(dv, dv))
+                    * sqrt(list_inner_product(qv, qv))), 6) AS cosine
+    FROM d JOIN p USING (cell), q
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """
+
+    @register("ivf_index_topk", sql)
+    def q_ivf_index_topk(spark, sf_dir):
+        """The IVF serving ARTIFACT end to end under the value-hash gate
+        — the trained-quantizer member of the index family (axis:
+        vector_index_topk; LSH tables: multitable_index_topk): int8 rows
+        parquet-partitioned by deterministic-Lloyd cell with the
+        centroids stored beside the data, served by ranking centroids
+        driver-side (n_cells rows, O(1)) and opening ONLY the n_probe
+        winning cell directories. Oracle replays the Lloyd fit
+        (_lloyd_prefix_ctes), int8 quantization, centroid probe and
+        dequantized rank from the raw embeddings — build AND serve
+        attested. Same float caveat class as ivf_lloyd_topk (centroid
+        means inherit summation order)."""
+        import os
+        import tempfile
+
+        emb = _cat(spark, sf_dir).embeddings
+        fp = _source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+        prefix = os.path.join(tempfile.gettempdir(), "spark_graft_ivfindex_v1")
+        path = _land_once(
+            prefix, fp,
+            lambda tmp: sim.write_ivf_index(emb, tmp, n_cells=8, n_iters=2),
+        )
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .first()[0]
+        ]
+        return sim.query_ivf_index(spark, path, qvec, k=10, n_probe=2)
+
+
+_register_ivf_index_topk()
+
+
 def _register_semantic_dedup_ivf() -> None:
     sql = f"""
     WITH RECURSIVE {_lloyd_prefix_ctes(8)},
@@ -6247,6 +6357,7 @@ _FRONT_ORDER = [
     # CDA source's oracle, SemDeDup over trained Lloyd cells
     "vector_index_topk", "ann_multiprobe_topk", "multitable_index_topk",
     "cda_probe", "semantic_dedup_ivf", "encrypted_backup_scan",
+    "encrypted_payload_scan", "ivf_index_topk",
     # behavior/oracle-touched r08: ingest screens now store + compare the
     # int8 artifact form (oracle replays quantization), multitable
     # candidates eagerly checkpointed, Lloyd fit extracted for reuse,
@@ -6261,15 +6372,14 @@ _FRONT_ORDER = [
     "topk_per_group", "gopher_quality_flags", "language_id",
     "media_decode_features", "media_real_decode", "rolling_7d_mean_by_user",
     "simhash_fingerprints", "token_stats", "winnow_fingerprints",
-    # rotation: the r05 cohort (19 of its 23 remaining;
+    # rotation: the r05 cohort (17 of its 23 remaining;
     # audio_frame_features + reagg_consistency + stratified_sample_k +
-    # ngram_novelty roll to r09 with the r06 cohort — ledger in
-    # COVERAGE.md)
+    # ngram_novelty + langid_confusion + ngram_jaccard_pairs roll to r09
+    # with the r06 cohort — ledger in COVERAGE.md)
     "bucket_balanced_sample", "cluster_best_keeper", "coalescing_merge",
     "cube_segment_priority", "customer_spend_quartiles",
     "daily_median_stats", "daily_pivot_sum", "daily_tag_sets",
     "date_spine_unify", "gaps_islands_segments", "incremental_exact_dedup",
-    "langid_confusion", "ngram_jaccard_pairs",
     "outer_join_daily", "pretraining_split_report", "snapshot_diff_report",
     "unigram_surprisal", "user_last_value",
     "xml_records_scan",

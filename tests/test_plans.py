@@ -356,3 +356,28 @@ def test_multitable_index_probe_prunes_partitions(spark, tmp_path, sf_dir):
     }
     allowed = {(t, b) for t, s in enumerate(sets) for b in s}
     assert probed <= allowed
+
+
+def test_ivf_index_probe_prunes_to_cells(spark, tmp_path, sf_dir):
+    """write_ivf_index + query_ivf_index: serving must open ONLY the
+    n_probe winning cell directories (named explicitly; the literal cell
+    filter still shows as PartitionFilters), store int8 rows, and keep
+    the centroid sidecar invisible to the partitioned read (underscore
+    prefix)."""
+    from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
+    from practicum2_nof1_adhd_bd_spark.sources.readers import Catalog
+
+    emb = Catalog(spark, sf_dir).embeddings
+    path = str(tmp_path / "ivfindex")
+    sim.write_ivf_index(emb, path, n_cells=4, n_iters=1)
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    out = sim.query_ivf_index(spark, path, qvec, k=5, n_probe=2)
+    rows = out.collect()
+    assert len(rows) == 5
+    plan = _plan(out)
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:200]
+    stored = spark.read.parquet(path)  # _centroids must be ignored
+    assert dict(stored.dtypes)["qvec"] == "array<tinyint>"
+    cells = {r["cell"] for r in out.sparkSession.read.parquet(path).select("cell").distinct().collect()}
+    assert len(cells) >= 2
