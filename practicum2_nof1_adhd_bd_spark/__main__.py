@@ -62,14 +62,17 @@ def main(argv: list[str] | None = None) -> int:
     p_ann.add_argument("--k", type=int, default=10)
     p_ann.add_argument("--probe-hamming", type=int, default=0)
     p_ann.add_argument(
-        "--layout", choices=["axis", "multitable"], default="axis",
+        "--layout", choices=["axis", "multitable", "ivf"], default="axis",
         help="axis = single axis-sign bucket partitioning; multitable = "
              "L-way-replicated (tbl, bucket) partitioning with "
-             "query-directed probing",
+             "query-directed probing; ivf = trained-Lloyd cell "
+             "partitioning with centroid sidecar",
     )
     p_ann.add_argument("--n-tables", type=int, default=10)
     p_ann.add_argument("--n-planes", type=int, default=8)
     p_ann.add_argument("--n-flips", type=int, default=3)
+    p_ann.add_argument("--n-cells", type=int, default=8)
+    p_ann.add_argument("--n-probe", type=int, default=2)
 
     args, rest = ap.parse_known_args(argv)
 
@@ -104,6 +107,9 @@ def main(argv: list[str] | None = None) -> int:
                     n_tables=args.n_tables, n_planes=args.n_planes,
                 )
                 print(f"wrote (tbl, bucket)-partitioned int8 index at {args.index}")
+            elif args.layout == "ivf":
+                sim.write_ivf_index(emb, args.index, n_cells=args.n_cells)
+                print(f"wrote cell-partitioned int8 IVF index at {args.index}")
             else:
                 sim.write_vector_index(emb, args.index, n_bits=args.n_bits)
                 print(f"wrote bucket-partitioned int8 index at {args.index}")
@@ -117,6 +123,10 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.index, qvec, k=args.k,
                 n_tables=args.n_tables, n_planes=args.n_planes,
                 n_flips=args.n_flips,
+            ).show(args.k, truncate=False)
+        elif args.layout == "ivf":
+            sim.query_ivf_index(
+                spark, args.index, qvec, k=args.k, n_probe=args.n_probe
             ).show(args.k, truncate=False)
         else:
             sim.query_vector_index(

@@ -265,6 +265,26 @@ NOTES = {
         "— one shuffle on the file key, sequential only within a "
         "document, exactly the reference's parse granularity."
     ),
+    "ivf_index_topk": (
+        "Serving the IVF artifact: centroids come from the O(1) sidecar "
+        "read, only the n_probe winning cell directories are opened "
+        "(explicitly named — no discovery of the other cells), and the "
+        "in-cell dequantize + rank is one codegen projection + "
+        "TakeOrdered. IO tracks the probed region, not the corpus."
+    ),
+    "encrypted_backup_scan": (
+        "binaryFile blob scan -> broadcast plist join -> ONE "
+        "mapInPandas doing keybag unlock + catalog decrypt + per-file "
+        "key unwrap per backup (PBKDF2 is per-backup work, "
+        "fleet-parallel on executors) -> plain columnar rollup. No blob "
+        "ever crosses a shuffle."
+    ),
+    "encrypted_payload_scan": (
+        "Payload blobs read at file grain, decrypted where they sit by "
+        "an Arrow-batched mapInPandas; per-file AES keys arrive via the "
+        "broadcast manifest side, so the only exchange in the plan is "
+        "that catalog-sized broadcast."
+    ),
 }
 
 
