@@ -384,3 +384,55 @@ def test_hamming_ball_props(buckets, d):
     assert set(ball) <= set(hamming_ball(buckets, 4, d + 1))
     for b in ball:
         assert min(bin(b ^ s).count("1") for s in buckets) <= d
+
+
+@given(
+    payload=st.binary(min_size=0, max_size=200),
+    pw=st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@_settings
+def test_backup_crypto_roundtrip(payload, pw):
+    """For ANY payload and passphrase: a synthesized keybag unlocks with
+    the right passphrase and refuses a perturbed one (RFC 3394 integrity),
+    and CBC encrypt -> decrypt_file_payload returns the exact payload at
+    its archived size."""
+    import hashlib as _h
+
+    from practicum2_nof1_adhd_bd_spark.sources import backup_crypto as bc
+
+    key = _h.md5(b"prop-key").digest() * 2
+    pad = (-len(payload)) % 16 or 16
+    enc = bc.aes_cbc(payload + bytes([pad]) * pad, key, encrypt=True)
+    assert bc.decrypt_file_payload(enc, key, len(payload)) == payload
+
+    # keybag unlock right/wrong passphrase
+    import struct as _s
+
+    dpsl, salt = bc._det_bytes("p-dpsl", 20), bc._det_bytes("p-salt", 20)
+    r1 = _h.pbkdf2_hmac("sha256", pw.encode(), dpsl, 37, 32)
+    kek = _h.pbkdf2_hmac("sha1", r1, salt, 41, 32)
+    blob = b"".join(
+        [
+            bc._int_tlv("TYPE", 3),
+            bc._tlv("UUID", bc._det_bytes("p-bag", 16)),
+            bc._tlv("DPSL", dpsl),
+            bc._int_tlv("DPIC", 37),
+            bc._tlv("SALT", salt),
+            bc._int_tlv("ITER", 41),
+            bc._tlv("UUID", bc._det_bytes("p-cls", 16)),
+            bc._int_tlv("CLAS", 1),
+            bc._int_tlv("WRAP", bc.WRAP_PASSPHRASE),
+            bc._tlv("WPKY", bc._wrap(kek, key)),
+        ]
+    )
+    kb = bc.BackupKeybag(blob)
+    assert kb.unlock(pw)
+    wrapped = bc._wrap(key, _h.md5(b"file-key").digest() * 2)
+    assert len(wrapped) == 0x28
+    assert kb.unwrap_for_class(1, wrapped) == _h.md5(b"file-key").digest() * 2
+    kb2 = bc.BackupKeybag(blob)
+    assert not kb2.unlock(pw + "x")
