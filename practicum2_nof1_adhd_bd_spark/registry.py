@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions import skew
 from .operators import biomarkers, daily, dedup, drift, folds, impute, joins, labels
 from .operators import metrics, multimodal, similarity as sim
 from .operators import textops, windows
@@ -1501,6 +1502,65 @@ def q_topk_customers(spark, sf_dir):
         )
         .orderBy(F.desc("total_spend"), F.asc("o_custkey"))
         .limit(10)
+    )
+
+
+@register(
+    "salted_priority_counts",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_o_custkey
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_salted_priority_counts(spark, sf_dir):
+    """Skew-safe two-phase aggregation under the value-hash gate
+    (functions/skew.salted_agg): each key spreads over 16 id-mixed salt
+    sub-keys, partials aggregate map-side, then a 16-rows-per-key merge.
+    The salt assignment is intentionally nondeterministic (it mixes
+    monotonically_increasing_id so identical hot-key duplicate rows still
+    spread) — the oracle attests the CONTRACT that matters: algebraic
+    aggregates are salt-invariant, so the result equals a plain GROUP BY
+    bit-for-bit (integer sums are combine-order exact)."""
+    orders = _cat(spark, sf_dir).orders
+    return skew.salted_agg(
+        orders.select("o_orderpriority", "o_custkey"),
+        ["o_orderpriority"],
+        n_salts=16,
+        sum_cols=["o_custkey"],
+    )
+
+
+@register(
+    "salted_join_revenue",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_salted_join_revenue(spark, sf_dir):
+    """Skew-safe equi-join under the value-hash gate
+    (functions/skew.salted_join): the fact side salts per row, the dim
+    side explodes n_salts times so every salted key finds its partner —
+    shuffle partitions hold at most ~1/n_salts of any hot key. Join
+    output is salt-invariant, attested by aggregating it against a plain
+    join oracle (quantities are integral doubles — combine-order
+    exact)."""
+    cat = _cat(spark, sf_dir)
+    fact = cat.lineitem.select(
+        F.col("l_orderkey").alias("okey"), "l_quantity"
+    )
+    dim = cat.orders.select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    j = skew.salted_join(fact, dim, "okey", n_salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
 
 
@@ -6358,6 +6418,7 @@ _FRONT_ORDER = [
     "vector_index_topk", "ann_multiprobe_topk", "multitable_index_topk",
     "cda_probe", "semantic_dedup_ivf", "encrypted_backup_scan",
     "encrypted_payload_scan", "ivf_index_topk",
+    "salted_priority_counts", "salted_join_revenue",
     # behavior/oracle-touched r08: ingest screens now store + compare the
     # int8 artifact form (oracle replays quantization), multitable
     # candidates eagerly checkpointed, Lloyd fit extracted for reuse,
@@ -6372,14 +6433,15 @@ _FRONT_ORDER = [
     "topk_per_group", "gopher_quality_flags", "language_id",
     "media_decode_features", "media_real_decode", "rolling_7d_mean_by_user",
     "simhash_fingerprints", "token_stats", "winnow_fingerprints",
-    # rotation: the r05 cohort (17 of its 23 remaining;
+    # rotation: the r05 cohort (15 of its 23 remaining;
     # audio_frame_features + reagg_consistency + stratified_sample_k +
-    # ngram_novelty + langid_confusion + ngram_jaccard_pairs roll to r09
-    # with the r06 cohort — ledger in COVERAGE.md)
-    "bucket_balanced_sample", "cluster_best_keeper", "coalescing_merge",
+    # ngram_novelty + langid_confusion + ngram_jaccard_pairs +
+    # cluster_best_keeper + incremental_exact_dedup roll to r09 with the
+    # r06 cohort — ledger in COVERAGE.md)
+    "bucket_balanced_sample", "coalescing_merge",
     "cube_segment_priority", "customer_spend_quartiles",
     "daily_median_stats", "daily_pivot_sum", "daily_tag_sets",
-    "date_spine_unify", "gaps_islands_segments", "incremental_exact_dedup",
+    "date_spine_unify", "gaps_islands_segments",
     "outer_join_daily", "pretraining_split_report", "snapshot_diff_report",
     "unigram_surprisal", "user_last_value",
     "xml_records_scan",

@@ -53,6 +53,7 @@ def test_attestation_window_is_stable():
         "vector_index_topk", "ann_multiprobe_topk", "multitable_index_topk",
         "cda_probe", "semantic_dedup_ivf", "encrypted_backup_scan",
         "encrypted_payload_scan", "ivf_index_topk",
+        "salted_priority_counts", "salted_join_revenue",
         # behavior/oracle-touched: int8-form ingest screens, checkpointed
         # multitable candidates, Lloyd fit extraction, localCheckpoint'd
         # LSH frames
