@@ -6172,6 +6172,132 @@ def q_cda_probe(spark, sf_dir):
     return cda.cda_probe(spark, path)
 
 
+def _register_medallion_silver() -> None:
+    types = ["click", "error", "purchase", "signup", "view"]
+    per_type = ",\n           ".join(
+        f"NULLIF(count(*) FILTER (WHERE event_type = '{t}'), 0)"
+        f" AS {t}_n,\n           "
+        f"round(avg(value) FILTER (WHERE event_type = '{t}'), 6)"
+        f" AS {t}_mean,\n           "
+        f"round(sum(value) FILTER (WHERE event_type = '{t}'), 2)"
+        f" AS {t}_sum"
+        for t in types
+    )
+    sql = f"""
+    SELECT CAST(ts AS DATE) AS date,
+           {per_type}
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """
+
+    @register("medallion_silver_scan", sql)
+    def q_medallion_silver_scan(spark, sf_dir):
+        """S7's medallion lifecycle under the value-hash gate: bronze
+        (events partitioned by event_date) and silver (per-day per-type
+        pivot stats — the reference's 180x-speedup daily cache layer,
+        ref stage_csv_aggregation.py dual parquet cache) are BUILT to
+        /tmp through pipeline.build_bronze/build_silver once per events
+        fingerprint, then the silver table is read back and returned
+        as-is. The oracle recomputes the same pivot from the raw events
+        with FILTER aggregates (NULLIF(count,0) mirrors pivot's
+        absent-cell null), so the layered write -> partitioned read ->
+        pivot chain is attested end to end, not just pytest'd."""
+        import os
+        import tempfile
+
+        from . import pipeline
+
+        fp = _source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+        prefix = os.path.join(
+            tempfile.gettempdir(), "spark_graft_medallion_v1"
+        )
+
+        def build(tmp: str) -> None:
+            bronze = pipeline.build_bronze(spark, sf_dir, tmp)
+            pipeline.build_silver(spark, bronze, tmp)
+
+        root = _land_once(prefix, fp, build)
+        silver = spark.read.parquet(os.path.join(root, "silver", "daily"))
+        cols = ["date"] + [
+            f"{t}_{m}" for t in types for m in ("n", "mean", "sum")
+        ]
+        return silver.select(*cols)
+
+
+_register_medallion_silver()
+
+
+@register(
+    "csv_permissive_scan",
+    """
+    WITH g AS (SELECT unnest(range(0, 3000)) AS i),
+    r AS (SELECT CASE WHEN i % 31 = 7 THEN 'bad'
+                      ELSE 'n' || CAST(i % 5 AS VARCHAR) END AS note,
+                 CASE WHEN i % 31 = 7 THEN NULL
+                      ELSE 55 + (i * 37) % 90 END AS hr,
+                 CASE WHEN i % 31 = 7 OR i % 13 = 4 THEN 1 ELSE 0 END
+                     AS flagged,
+                 CASE WHEN i % 31 = 7 THEN 1 ELSE 0 END AS null_id
+          FROM g)
+    SELECT note, count(*) AS n_rows,
+           CAST(sum(flagged) AS BIGINT) AS n_flagged,
+           CAST(sum(hr) AS BIGINT) AS sum_hr,
+           CAST(sum(null_id) AS BIGINT) AS n_null_id
+    FROM r GROUP BY note
+    """,
+)
+def q_csv_permissive_scan(spark, sf_dir):
+    """S5/S6 under the value-hash gate (ref cardio_from_extracted.py:
+    438-448 alias probe; som trailing-comma repair): a deterministic CSV
+    with corrupt-value rows (i%31==7 — fields null, line captured in
+    _corrupt_record) and trailing-comma rows (i%13==4 — values parse,
+    line still flagged) is synthesized under /tmp and read through
+    read_csv_permissive with an alias map (file columns id/heartrate ->
+    canonical event_id/hr). The rollup counts rows, flagged lines, value
+    sums and null-field rows per note group; the oracle regenerates it
+    from the line formula, attesting PERMISSIVE capture + alias
+    resolution + phantom column repair end to end. The aggregate
+    references EVERY data column (n_null_id forces event_id into the
+    parse): Spark's CSV corrupt-record capture weakens under column
+    pruning — a row malformed only in unselected columns is not flagged
+    — so the full-schema reference is part of the reader's documented
+    usage contract, not an accident."""
+    import os
+    import tempfile
+
+    from .sources.readers import read_csv_permissive
+
+    # bump the _vN suffix whenever the synthesis formula changes
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_csv_demo_v1.csv")
+    if not os.path.exists(path):
+        lines = ["id,heartrate,note"]
+        for i in range(3000):
+            if i % 31 == 7:
+                lines.append(f"x{i},notanint,bad")
+            elif i % 13 == 4:
+                lines.append(f"{i},{55 + (i * 37) % 90},n{i % 5},")
+            else:
+                lines.append(f"{i},{55 + (i * 37) % 90},n{i % 5}")
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(lines))
+        os.replace(tmp, path)  # atomic
+    df = read_csv_permissive(
+        spark,
+        path,
+        "id bigint, heartrate bigint, note string",
+        alias_map={"event_id": ["id"], "hr": ["heartrate", "bpm"]},
+    )
+    return df.groupBy("note").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("bigint")).alias(
+            "n_flagged"
+        ),
+        F.sum("hr").alias("sum_hr"),
+        F.sum(F.col("event_id").isNull().cast("bigint")).alias("n_null_id"),
+    )
+
+
 def q_jsonl_corpus_scan(spark, sf_dir):
     """S5-adjacent driver surface for the JSONL corpus source: training
     corpora travel as JSON Lines, so synthesize a deterministic JSONL shard
@@ -6419,6 +6545,7 @@ _FRONT_ORDER = [
     "cda_probe", "semantic_dedup_ivf", "encrypted_backup_scan",
     "encrypted_payload_scan", "ivf_index_topk",
     "salted_priority_counts", "salted_join_revenue",
+    "csv_permissive_scan", "medallion_silver_scan",
     # behavior/oracle-touched r08: ingest screens now store + compare the
     # int8 artifact form (oracle replays quantization), multitable
     # candidates eagerly checkpointed, Lloyd fit extracted for reuse,
@@ -6433,13 +6560,13 @@ _FRONT_ORDER = [
     "topk_per_group", "gopher_quality_flags", "language_id",
     "media_decode_features", "media_real_decode", "rolling_7d_mean_by_user",
     "simhash_fingerprints", "token_stats", "winnow_fingerprints",
-    # rotation: the r05 cohort (15 of its 23 remaining;
-    # audio_frame_features + reagg_consistency + stratified_sample_k +
-    # ngram_novelty + langid_confusion + ngram_jaccard_pairs +
-    # cluster_best_keeper + incremental_exact_dedup roll to r09 with the
-    # r06 cohort — ledger in COVERAGE.md)
+    # rotation: the r05 cohort (13 of its 23 remaining; the other 10 —
+    # audio_frame_features, reagg_consistency, stratified_sample_k,
+    # ngram_novelty, langid_confusion, ngram_jaccard_pairs,
+    # cluster_best_keeper, incremental_exact_dedup, cube_segment_priority,
+    # customer_spend_quartiles — roll to r09 with the r06 cohort; ledger
+    # in COVERAGE.md)
     "bucket_balanced_sample", "coalescing_merge",
-    "cube_segment_priority", "customer_spend_quartiles",
     "daily_median_stats", "daily_pivot_sum", "daily_tag_sets",
     "date_spine_unify", "gaps_islands_segments",
     "outer_join_daily", "pretraining_split_report", "snapshot_diff_report",
