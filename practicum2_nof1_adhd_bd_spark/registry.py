@@ -3631,6 +3631,52 @@ def q_media_real_decode(spark, sf_dir):
 
 
 @register(
+    "media_resize_scan",
+    """
+    WITH e AS (SELECT doc_id, text FROM documents WHERE length(text) % 2 = 0),
+    b AS (SELECT doc_id,
+                 ('0x' || substr(md5(text), 2 * i + 1, 2))::BIGINT AS byte
+          FROM e, (SELECT unnest([0, 2, 8, 10]) AS i)),
+    s AS (SELECT doc_id, avg(byte) AS m, stddev_pop(byte) AS sd
+          FROM b GROUP BY doc_id)
+    SELECT doc_id AS media_id, 'bmp' AS codec,
+           CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+           CAST(round(m, 6) AS DOUBLE) AS mean_val,
+           CAST(round(sd, 6) AS DOUBLE) AS std_val,
+           CAST(70 AS INT) AS n_bytes
+    FROM s
+    """,
+)
+def q_media_resize_scan(spark, sf_dir):
+    """REAL BMP resize under the value-hash gate (multimodal.resize_media
+    / _bmp_resize_nn): the digest 4x4 BMPs resize nearest-neighbor to
+    2x2 — NN with 2:1 scale selects source pixels (2y, 2x), i.e. digest
+    bytes {0, 2, 8, 10} — then the resized container round-trips through
+    decode_features (header fields re-parsed from the RESIZED file: 2x2,
+    70 bytes with the 2-byte row padding). The oracle recomputes the
+    selected-byte statistics from the md5 formula, so the resize
+    arithmetic, the bottom-up/pad-honoring re-serialization AND the
+    re-decode are attested end to end."""
+    docs = _cat(spark, sf_dir).documents
+    blobs = multimodal.synthetic_media_table(docs)
+    rz = multimodal.resize_media(blobs, 2, 2).filter(F.col("resized"))
+    meta = F.struct(
+        F.col("media_type").alias("media_type"),
+        F.col("width").alias("width"),
+        F.col("height").alias("height"),
+        F.lit(1).alias("n_frames"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    )
+    feats = multimodal.decode_features(
+        rz.select("media_id", "blob", meta.alias("meta"))
+    )
+    return feats.select(
+        "media_id", "codec", "width", "height",
+        "mean_val", "std_val", "n_bytes",
+    )
+
+
+@register(
     "audio_frame_features",
     """
     WITH b AS (
@@ -6545,7 +6591,7 @@ _FRONT_ORDER = [
     "cda_probe", "semantic_dedup_ivf", "encrypted_backup_scan",
     "encrypted_payload_scan", "ivf_index_topk",
     "salted_priority_counts", "salted_join_revenue",
-    "csv_permissive_scan", "medallion_silver_scan",
+    "csv_permissive_scan", "medallion_silver_scan", "media_resize_scan",
     # behavior/oracle-touched r08: ingest screens now store + compare the
     # int8 artifact form (oracle replays quantization), multitable
     # candidates eagerly checkpointed, Lloyd fit extracted for reuse,
@@ -6560,14 +6606,14 @@ _FRONT_ORDER = [
     "topk_per_group", "gopher_quality_flags", "language_id",
     "media_decode_features", "media_real_decode", "rolling_7d_mean_by_user",
     "simhash_fingerprints", "token_stats", "winnow_fingerprints",
-    # rotation: the r05 cohort (13 of its 23 remaining; the other 10 —
+    # rotation: the r05 cohort (12 of its 23 remaining; the other 11 —
     # audio_frame_features, reagg_consistency, stratified_sample_k,
     # ngram_novelty, langid_confusion, ngram_jaccard_pairs,
     # cluster_best_keeper, incremental_exact_dedup, cube_segment_priority,
-    # customer_spend_quartiles — roll to r09 with the r06 cohort; ledger
-    # in COVERAGE.md)
+    # customer_spend_quartiles, daily_tag_sets — roll to r09 with the r06
+    # cohort; ledger in COVERAGE.md)
     "bucket_balanced_sample", "coalescing_merge",
-    "daily_median_stats", "daily_pivot_sum", "daily_tag_sets",
+    "daily_median_stats", "daily_pivot_sum",
     "date_spine_unify", "gaps_islands_segments",
     "outer_join_daily", "pretraining_split_report", "snapshot_diff_report",
     "unigram_surprisal", "user_last_value",

@@ -54,7 +54,7 @@ def test_attestation_window_is_stable():
         "cda_probe", "semantic_dedup_ivf", "encrypted_backup_scan",
         "encrypted_payload_scan", "ivf_index_topk",
         "salted_priority_counts", "salted_join_revenue",
-        "csv_permissive_scan", "medallion_silver_scan",
+        "csv_permissive_scan", "medallion_silver_scan", "media_resize_scan",
         # behavior/oracle-touched: int8-form ingest screens, checkpointed
         # multitable candidates, Lloyd fit extraction, localCheckpoint'd
         # LSH frames
