@@ -60,6 +60,8 @@ HEADLINE = [
     "ivf_index_topk",
     "semantic_dedup_ivf",
     "cda_probe",
+    "salted_join_revenue",
+    "medallion_silver_scan",
 ]
 
 
