@@ -285,6 +285,23 @@ NOTES = {
         "broadcast manifest side, so the only exchange in the plan is "
         "that catalog-sized broadcast."
     ),
+    "salted_join_revenue": (
+        "Fact rows salt per row, the dim explodes n_salts times, so the "
+        "shuffle key is (okey, salt) — hot keys spread over 8 "
+        "sub-partitions. The post-join rollup partial-aggregates "
+        "map-side; output is salt-invariant by construction."
+    ),
+    "medallion_silver_scan": (
+        "The query itself is a read of the landed silver layer — the "
+        "plan is a bare parquet scan + projection. The work it attests "
+        "happened at build time: bronze partitioned by event_date, "
+        "silver one groupBy+pivot over bronze."
+    ),
+    "csv_permissive_scan": (
+        "Single CSV scan; the rollup references every data column "
+        "deliberately — corrupt-record capture weakens under column "
+        "pruning, so the full-schema reference is the reader contract."
+    ),
 }
 
 
