@@ -484,6 +484,86 @@ def probe_vector_ingest(
     }
 
 
+def probe_skew(spark, n_rows: int, n_salts: int = 8) -> dict:
+    """Hot-key JOIN probe for functions/skew.salted_join — measured where
+    salting genuinely matters. For algebraic AGGREGATES, map-side combine
+    already collapses a hot key before the exchange, and salting cannot
+    spread a physically-hot input partition either (the map work is
+    partition-bound regardless) — the earlier agg-probe variant measured
+    salted_agg 0.74x on exactly that scenario, which is the honest reason
+    salted_agg is documented as a REDUCER-side device. A shuffle JOIN is
+    where reducer skew bites: every hot-key row must meet its dim row in
+    one reducer task. Matrix: (a) plain sort-merge with AQE skew-join ON
+    (Spark's first line), (b) plain with AQE skew-join OFF (the naive
+    plan a non-SMJ / streaming / non-AQE context is stuck with), and
+    (c) salted_join with AQE skew-join OFF (the manual device). Expect
+    (b) >> (a) ~ (c): salting reproduces AQE's split by hand for plans
+    AQE cannot touch. Broadcast is disabled so the join actually
+    shuffles; rows carry a 64-byte payload so reducer cost is
+    data-weight-realistic (thin 2-long rows make the whole join cheap
+    enough that shuffle machinery noise swamps the effect); each timing
+    is min-of-2; results are aggregated per group and checked equal
+    across paths (salt-invariance)."""
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.functions import skew as sk
+
+    fact = (
+        spark.range(n_rows)
+        .select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 9999 + 1)
+            .alias("k"),
+            F.repeat(F.md5(F.col("id").cast("string")), 2).alias("payload"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dim = (
+        spark.range(10_000)
+        .select(F.col("id").alias("k"), (F.col("id") % 7).alias("grp"))
+        .localCheckpoint(eager=True)
+    )
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    out = {"skew_n_rows": n_rows, "hot_key_rows": 9 * n_rows // 10,
+           "n_salts": n_salts}
+
+    def timed(df) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df.groupBy("grp").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("payload")).alias("s"),
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return round(best, 2)
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        out["plain_aqe_skew_sec"] = timed(fact.join(dim, "k"))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        out["plain_no_aqe_skew_sec"] = timed(fact.join(dim, "k"))
+        out["salted_join_sec"] = timed(sk.salted_join(fact, dim, "k", n_salts))
+        # salt-invariance: per-group counts identical across paths
+        a = {r["grp"]: r["n"] for r in fact.join(dim, "k").groupBy("grp")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+        c = {r["grp"]: r["n"] for r in
+             sk.salted_join(fact, dim, "k", n_salts).groupBy("grp")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert a == c, "salt-invariance violated"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+    out["salted_vs_naive_speedup"] = (
+        round(out["plain_no_aqe_skew_sec"] / out["salted_join_sec"], 2)
+        if out["salted_join_sec"] > 0
+        else None
+    )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--xml-mb", type=int, default=200)
@@ -510,6 +590,13 @@ def main() -> None:
         help="run ONLY the vector-ingest (streaming SemDeDup) growth probe",
     )
     ap.add_argument("--vector-ingest-batch-vecs", type=int, default=5000)
+    ap.add_argument(
+        "--skew-rows",
+        type=int,
+        default=0,
+        help="run ONLY the hot-key salted-agg probe on n synthetic rows",
+    )
+    ap.add_argument("--skew-salts", type=int, default=16)
     args = ap.parse_args()
 
     from practicum2_nof1_adhd_bd_spark.session import get_spark
@@ -517,6 +604,10 @@ def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    if args.skew_rows:
+        print(json.dumps(probe_skew(spark, args.skew_rows, args.skew_salts)))
+        return
 
     if args.quantile_n:
         print(
