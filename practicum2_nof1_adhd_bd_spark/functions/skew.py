@@ -1,14 +1,27 @@
-"""Skew management — salting for hot keys (100 TB design note made concrete).
+"""Skew management — salting for hot keys (100 TB design note made
+concrete, with MEASURED boundaries in SCALING.md §2e).
 
-A grouped aggregation on a skewed key funnels the hot key's rows through one
-reducer. Salted two-phase aggregation spreads each key over ``n_salts``
-sub-keys, partially aggregates, then merges the partials — the classic
-map-side-combine extension that AQE's skew handling does not cover for
-aggregations (AQE only splits skewed JOIN partitions).
+Where each device actually helps, per measurement:
+
+- ``salted_join``: a shuffle join's hot key funnels every matching row
+  through one reducer. AQE's skew-join split is the engine's first
+  answer (session.py enables it); this manual salt reproduces the split
+  for plans AQE cannot rewrite — streaming joins, non-sort-merge
+  strategies, AQE-off deployments. Measured 2.3x over the naive
+  single-reducer plan at 90% key concentration (§2e).
+- ``salted_agg``: a REDUCER-side device only. For algebraic aggregates
+  Spark's map-side combine already collapses hot keys before the
+  exchange, and NO salt can spread a physically hot input partition
+  (the map work is partition-bound either way — measured 0.74x when we
+  tried). It earns its keep when the reduce side itself fans out
+  per-key state wider than a partial (e.g., merging pre-aggregated
+  shards whose per-key partial count is itself huge), and it is the
+  shape streaming foreachBatch merges reuse.
 
 Only ALGEBRAIC aggregates can be salted (sum/count/min/max and anything
-derivable from them, e.g. mean = sum/count); the helpers here expose exactly
-that contract.
+derivable from them, e.g. mean = sum/count); the helpers here expose
+exactly that contract, and both are value-hash attested for
+salt-INVARIANCE (salted_priority_counts / salted_join_revenue).
 """
 
 from __future__ import annotations
