@@ -28,16 +28,23 @@ _TAG_RE = r"^(?:[A-Za-z_][\w.-]*:)?([A-Za-z_][\w.-]*)"
 
 
 def cda_elements(spark: SparkSession, path: str) -> DataFrame:
-    """One row per XML element start tag: (file, ord, tag, code, display).
+    """One row per XML element start tag: (file, blk, ord, tag, code,
+    display).
 
-    ``tag`` is lower-cased and namespace-stripped; ``ord`` increases with
-    file offset (monotonically_increasing_id over an ordered single-file
-    scan), giving the downstream window a document-order key.
-    """
+    ``tag`` is lower-cased and namespace-stripped. Document order is
+    (blk, ord): ``blk`` is the split's byte offset within the file
+    (``_metadata.file_block_start``) and ``ord`` a
+    monotonically_increasing_id, which increases with read order INSIDE
+    a split but whose partition-index high bits follow task scheduling —
+    so on a file large enough to split, ordering by ``ord`` alone would
+    depend on which split got which partition index (Spark orders splits
+    by size, not offset). The explicit block offset pins document order
+    at any file size."""
     raw = spark.read.option("lineSep", "<").text(path)
     return (
         raw.select(
             F.input_file_name().alias("file"),
+            F.col("_metadata.file_block_start").alias("blk"),
             F.monotonically_increasing_id().alias("ord"),
             F.lower(F.regexp_extract("value", _TAG_RE, 1)).alias("tag"),
             F.regexp_extract("value", r'\bcode="([^"]*)"', 1).alias("code_attr"),
@@ -81,7 +88,7 @@ def cda_probe(spark: SparkSession, path: str) -> DataFrame:
     # a code row only attaches when the nearest enclosing container element
     # (observation or section) is an observation — a section's own <code>
     # must not leak into the previous observation.
-    w = Window.partitionBy("file").orderBy("ord")
+    w = Window.partitionBy("file").orderBy("blk", "ord")
     seq = el.withColumn("obs_id", F.sum(is_obs.cast("long")).over(w)).withColumn(
         "container",
         F.last(F.when(is_obs | is_sec, F.col("tag")), ignorenulls=True).over(w),
@@ -93,7 +100,11 @@ def cda_probe(spark: SparkSession, path: str) -> DataFrame:
             & F.col("container").endswith("observation")
         )
         .groupBy("file", "obs_id")
-        .agg(F.min_by(F.struct("code_attr", "display"), "ord").alias("c"))
+        .agg(
+            F.min_by(
+                F.struct("code_attr", "display"), F.struct("blk", "ord")
+            ).alias("c")
+        )
         .select(
             F.coalesce(
                 F.nullif(F.col("c.code_attr"), F.lit("")),

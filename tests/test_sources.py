@@ -345,3 +345,49 @@ def test_iphone_backup_file_extraction(spark, tmp_path):
     assert rows[file_ids[0]]["relative_path"] == "Documents/doc_0.txt"
     assert bytes(rows[file_ids[1]]["content"]) == b"payload-1"
     assert rows[file_ids[0]]["size"] == len(b"payload-0")
+
+
+def test_cda_order_robust_to_file_splits(spark, tmp_path):
+    """Document order (the first-code-child association) must not depend
+    on how Spark splits the file: force tiny splits so the scan fans out
+    over many partitions and assert the summary equals the
+    single-partition read — the (file_block_start, id) order key makes
+    split scheduling irrelevant."""
+    from practicum2_nof1_adhd_bd_spark.sources import cda
+
+    lines = ['<?xml version="1.0"?>', "<doc>"]
+    for i in range(400):
+        if i % 50 == 0:
+            lines.append(f'<section id="s{i // 50}">')
+            lines.append('<code displayName="SecTitle"/>')
+        lines.append(f'<observation n="{i}" filler="{"x" * 40}">')
+        lines.append(f'<code code="C{i % 6}"/>')
+        lines.append("</observation>")
+        if i % 50 == 49:
+            lines.append("</section>")
+    lines.append("</doc>")
+    p = tmp_path / "big_cda.xml"
+    p.write_text("\n".join(lines))
+
+    def summary():
+        return sorted(
+            (r["metric"], r["code"], r["n"])
+            for r in cda.cda_probe(spark, str(p)).collect()
+        )
+
+    base = summary()
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024))
+        split_read = summary()
+        # the tiny split size must actually have fanned the scan out
+        n_parts = (
+            spark.read.option("lineSep", "<")
+            .text(str(p))
+            .rdd.getNumPartitions()
+        )
+        assert n_parts > 1
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    assert split_read == base
+    assert ("n_observation", None, 400) in base
