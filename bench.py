@@ -62,6 +62,8 @@ HEADLINE = [
     "cda_probe",
     "salted_join_revenue",
     "medallion_silver_scan",
+    "duplicate_spans",
+    "local_supplier_volume",
 ]
 
 

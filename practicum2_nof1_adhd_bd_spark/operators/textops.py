@@ -861,3 +861,97 @@ def ngram_novelty(
             ).alias("novelty_frac"),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Position-level cross-document duplicate-SPAN profile (ExactSubstr
+    refined: Lee et al. 2021 find verbatim shared substrings, not just
+    shared fixed chunks).
+
+    A token position belongs to a duplicated span when some k-gram
+    covering it occurs anywhere else in the corpus (another document OR
+    another offset of the same document). Overlapping k-gram hits are
+    merged into MAXIMAL spans — the unit an actual dedup pass would cut
+    out — via gaps-and-islands over the hit positions: a hit at position
+    p covers tokens [p, p+k-1]; a new span starts when p jumps past the
+    running covered end + 1 (running max because nested intervals can
+    end before an earlier, longer one).
+
+    Per doc: ``n_tokens``, ``n_dup_spans``, ``dup_tokens`` (tokens inside
+    any span), ``longest_dup_span``, ``dup_token_frac`` — the removal
+    cost-model a RefinedWeb-style pipeline reads before choosing between
+    doc-drop and span-cut.
+
+    Scale: the sliding k-gram layer is one codegen'd transform (no
+    shuffle, text never leaves the scan); duplicate marking is a
+    count-per-hash aggregate + LEFT SEMI join, both shuffling only
+    (id, pos, 16-byte md5) rows; the island window partitions by doc_id
+    over ONLY the surviving duplicate hits (sparse in clean corpora) and
+    is bounded by document length, never corpus size. Contrast
+    `chunk_dedup_profile` (non-overlapping chunk grain, cheaper but
+    offset-sensitive): this catches duplicates at ANY alignment.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    pos = F.sequence(F.lit(1), n - (k - 1))
+    gs = F.when(
+        n >= k,
+        F.transform(
+            pos,
+            lambda i: F.struct(
+                i.alias("p"),
+                F.md5(F.concat_ws(" ", F.slice(toks, i, k))).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<p:int,h:string>>"))
+    base = fan_out(df, id_col).select(
+        F.col(id_col), n.cast("long").alias("n_tokens"), gs.alias("gs")
+    )
+    ex = base.select(id_col, F.explode("gs").alias("g")).select(
+        id_col, F.col("g.p").alias("p"), F.col("g.h").alias("h")
+    )
+    dup_hashes = (
+        ex.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > 1)
+        .select("h")
+    )
+    hits = ex.join(dup_hashes, "h", "left_semi").select(
+        id_col, "p", (F.col("p") + F.lit(k - 1)).alias("e")
+    )
+    w = Window.partitionBy(id_col).orderBy("p")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = hits.withColumn(
+        "new_span",
+        F.when(prev_end.isNull() | (F.col("p") > prev_end + 1), 1).otherwise(0),
+    ).withColumn("isl", F.sum("new_span").over(w))
+    spans = flagged.groupBy(id_col, "isl").agg(
+        F.min("p").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+        F.max(F.col("e") - F.col("s") + 1).alias("longest_dup_span"),
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.coalesce("longest_dup_span", F.lit(0))
+            .cast("long")
+            .alias("longest_dup_span"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_token_frac"),
+        )
+    )

@@ -1159,6 +1159,83 @@ def q_top_supplier_revenue(spark, sf_dir):
 
 
 @register(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name,
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(28,12))) AS DOUBLE), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    ORDER BY revenue DESC, n_name ASC
+    """,
+)
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): the 6-table join whose
+    whole point is join ORDER. nation x region ('ASIA') folds to a
+    broadcast constant first; supplier picks up n_name through that
+    broadcast, so the region filter SEMI-prunes the supplier side before
+    any fact-table shuffle. lineitem then joins date-filtered orders on
+    orderkey (both sides shuffle once on the same key), suppliers on
+    suppkey, and customer LAST with BOTH equalities (o_custkey=c_custkey
+    AND c_nationkey=s_nationkey) inside the join condition — the
+    same-nation constraint drops rows at the join, not in a post-filter,
+    so nothing downstream carries mismatched-nation rows. Revenue sums
+    as DECIMAL(28,12) before the 2dp round (combine-order exact, the
+    Q15 device). At 100 TB: region/nation always broadcast, supplier and
+    customer shuffle on their keys, AQE re-plans the tiny 'ASIA'
+    supplier side into a broadcast at runtime."""
+    cat = _cat(spark, sf_dir)
+    o = cat.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    nr = (
+        cat.nation.join(
+            F.broadcast(cat.region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    s = cat.supplier.join(
+        F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    li = cat.lineitem.select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            cat.customer.select("c_custkey", "c_nationkey"),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(28,12)")
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
     "topk_per_group",
     """
     WITH j AS (
@@ -3428,6 +3505,61 @@ def q_ngram_novelty(spark, sf_dir):
     shuffles carry (gram, id) pairs, never text)."""
     docs = _cat(spark, sf_dir).documents
     return textops.ngram_novelty(docs, k=3)
+
+
+@register(
+    "duplicate_spans",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    g AS (SELECT doc_id, len(words) AS n_tokens,
+            CASE WHEN len(words) >= 8 THEN
+                list_transform(range(1, len(words) - 6),
+                    i -> {{'p': i, 'g': array_to_string(words[i:i+7], ' ')}})
+            ELSE [] END AS gs
+          FROM w),
+    ex0 AS (SELECT doc_id, unnest(gs) AS s FROM g),
+    ex AS (SELECT doc_id, s.p AS p, s.g AS gram FROM ex0),
+    d AS (SELECT gram FROM ex GROUP BY 1 HAVING count(*) > 1),
+    hits AS (SELECT doc_id, p, p + 7 AS e FROM ex
+             WHERE gram IN (SELECT gram FROM d)),
+    fl AS (SELECT doc_id, p, e,
+               CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                 OR p > max(e) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+               THEN 1 ELSE 0 END AS new_span
+           FROM hits),
+    isl AS (SELECT doc_id, p, e,
+                sum(new_span) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+            FROM fl),
+    spans AS (SELECT doc_id, isl, min(p) AS s, max(e) AS e
+              FROM isl GROUP BY 1, 2),
+    pd AS (SELECT doc_id, count(*) AS n_dup_spans,
+                  sum(e - s + 1) AS dup_tokens,
+                  max(e - s + 1) AS longest_dup_span
+           FROM spans GROUP BY 1)
+    SELECT g.doc_id, CAST(g.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(coalesce(pd.longest_dup_span, 0) AS BIGINT)
+               AS longest_dup_span,
+           round(coalesce(pd.dup_tokens, 0) / greatest(g.n_tokens, 1), 6)
+               AS dup_token_frac
+    FROM g LEFT JOIN pd USING (doc_id)
+    """,
+)
+def q_duplicate_spans(spark, sf_dir):
+    """Position-level duplicate-SPAN profile (ExactSubstr refined, Lee et
+    al. 2021): sliding 8-gram hashes at EVERY token offset, corpus-wide
+    duplicate marking, overlapping hits merged into maximal spans via
+    gaps-and-islands (running-max covered end). Per doc: span count,
+    covered tokens, longest span, covered fraction — the span-cut
+    cost model. Contrast chunk_dedup_profile's non-overlapping chunks:
+    this catches duplicates at ANY alignment. Shuffles carry only
+    (id, pos, md5) rows; the island window sees only duplicate hits."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.duplicate_spans(docs, k=8)
 
 
 @register(
@@ -6599,6 +6731,9 @@ _FRONT_ORDER = [
     "incremental_vector_decisions", "streaming_vector_decisions",
     "ann_multitable_topk", "ivf_lloyd_topk",
     "minhash_lsh_pairs", "incremental_near_dup",
+    # new late-r08: position-level duplicate spans (ExactSubstr refined),
+    # TPC-H Q5 6-table join-order shape
+    "duplicate_spans", "local_supplier_volume",
     # rotation: the r03-remainder cohort (18 queries, oldest driver-green)
     "asof_snapshot_select", "boundary_range_join", "calendar_month_folds",
     "dedup_by_key", "point_in_interval", "safe_ratio_daily",
@@ -6606,18 +6741,18 @@ _FRONT_ORDER = [
     "topk_per_group", "gopher_quality_flags", "language_id",
     "media_decode_features", "media_real_decode", "rolling_7d_mean_by_user",
     "simhash_fingerprints", "token_stats", "winnow_fingerprints",
-    # rotation: the r05 cohort (12 of its 23 remaining; the other 11 —
+    # rotation: the r05 cohort (10 of its 23 remaining; the other 13 —
     # audio_frame_features, reagg_consistency, stratified_sample_k,
     # ngram_novelty, langid_confusion, ngram_jaccard_pairs,
     # cluster_best_keeper, incremental_exact_dedup, cube_segment_priority,
-    # customer_spend_quartiles, daily_tag_sets — roll to r09 with the r06
-    # cohort; ledger in COVERAGE.md)
+    # customer_spend_quartiles, daily_tag_sets, user_last_value,
+    # xml_records_scan — roll to r09 with the r06 cohort; ledger in
+    # COVERAGE.md)
     "bucket_balanced_sample", "coalescing_merge",
     "daily_median_stats", "daily_pivot_sum",
     "date_spine_unify", "gaps_islands_segments",
     "outer_join_daily", "pretraining_split_report", "snapshot_diff_report",
-    "unigram_surprisal", "user_last_value",
-    "xml_records_scan",
+    "unigram_surprisal",
 ]
 
 

@@ -61,15 +61,19 @@ def test_attestation_window_is_stable():
         "incremental_vector_decisions", "streaming_vector_decisions",
         "ann_multitable_topk", "ivf_lloyd_topk",
         "minhash_lsh_pairs", "incremental_near_dup",
+        # new late-r08: position-level duplicate spans, TPC-H Q5 shape
+        "duplicate_spans", "local_supplier_volume",
         # r03-remainder cohort rotation (spot-pin a representative subset)
         "asof_snapshot_select", "boundary_range_join", "dedup_by_key",
         "safe_ratio_daily", "rolling_corr_7d", "segment_zscore_month",
         "topk_per_group", "language_id", "token_stats",
         "winnow_fingerprints", "media_real_decode",
-        # r05 cohort rotation (spot-pin a representative subset)
+        # r05 cohort rotation (spot-pin a representative subset;
+        # xml_records_scan + user_last_value rolled to the r09 ledger to
+        # make room for the late-r08 queries)
         "daily_median_stats", "date_spine_unify", "outer_join_daily",
-        "gaps_islands_segments", "xml_records_scan", "unigram_surprisal",
-        "snapshot_diff_report", "user_last_value",
+        "gaps_islands_segments", "unigram_surprisal",
+        "snapshot_diff_report",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry

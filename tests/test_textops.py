@@ -257,3 +257,53 @@ def test_apply_mixture_sample_quota_and_determinism(spark):
         for r in textops.apply_mixture_sample(docs, target_docs=20, alpha=0.7).collect()
     }
     assert {(r["doc_id"], r["sample_rank"]) for r in got} == again
+
+
+def test_duplicate_spans_merge_and_within_doc(spark):
+    """Position-level span semantics: overlapping hits merge, adjacent
+    (gap-0) hits merge, within-doc repeats count as duplicates, clean
+    docs report zeros."""
+    A = "a b c d e f g h x1 x2 a b c d e f g h"   # same 8-gram twice
+    B = "q w e r t y u i o p"                      # clean
+    C = "z a b c d e f g h i j"                    # overlapping hits 2,3
+    E = "a b c d e f g h i"                        # exact pair with F
+    G = ("s1 s2 s3 s4 s5 s6 s7 s8 "
+         "t1 t2 t3 t4 t5 t6 t7 t8")                # two ADJACENT spans
+    H = "s1 s2 s3 s4 s5 s6 s7 s8"
+    I = "t1 t2 t3 t4 t5 t6 t7 t8"
+    df = spark.createDataFrame(
+        [(0, A), (1, B), (2, C), (3, E), (4, E), (5, G), (6, H), (7, I)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.duplicate_spans(df, k=8).collect()}
+    assert len(out) == 8
+    # A: hits at p=1 and p=11 -> gap -> TWO spans of 8
+    assert (out[0]["n_dup_spans"], out[0]["dup_tokens"],
+            out[0]["longest_dup_span"]) == (2, 16, 8)
+    assert abs(out[0]["dup_token_frac"] - 16 / 18) < 1e-5
+    # B: clean
+    assert (out[1]["n_dup_spans"], out[1]["dup_tokens"]) == (0, 0)
+    assert out[1]["dup_token_frac"] == 0.0
+    # C: hits at p=2 [2,9] and p=3 [3,10] OVERLAP -> one 9-token span
+    assert (out[2]["n_dup_spans"], out[2]["dup_tokens"],
+            out[2]["longest_dup_span"]) == (1, 9, 9)
+    # E/F exact pair: both fully covered by one merged span
+    for d in (3, 4):
+        assert (out[d]["n_dup_spans"], out[d]["dup_tokens"]) == (1, 9)
+        assert out[d]["dup_token_frac"] == 1.0
+    # G: [1,8] and [9,16] are ADJACENT (p = prev_end + 1) -> merge to one
+    assert (out[5]["n_dup_spans"], out[5]["dup_tokens"],
+            out[5]["longest_dup_span"]) == (1, 16, 16)
+    # short docs (< k tokens) would report n_tokens but no grams; H/I are
+    # exactly k tokens -> single gram each, duplicated inside G
+    for d in (6, 7):
+        assert (out[d]["n_dup_spans"], out[d]["dup_tokens"]) == (1, 8)
+
+
+def test_duplicate_spans_short_doc_graceful(spark):
+    df = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textops.duplicate_spans(df, k=8).collect()}
+    assert out[1]["n_tokens"] == 3 and out[1]["n_dup_spans"] == 0
+    assert out[2]["n_tokens"] == 0 and out[2]["dup_token_frac"] == 0.0

@@ -302,6 +302,19 @@ NOTES = {
         "deliberately — corrupt-record capture weakens under column "
         "pruning, so the full-schema reference is the reader contract."
     ),
+    "duplicate_spans": (
+        "ONE text scan builds sliding 8-gram (pos, md5) structs codegen-"
+        "side; duplicate marking = count-per-hash aggregate + LEFT SEMI "
+        "join (shuffles carry only id/pos/md5, never text); the island "
+        "window partitions by doc_id over surviving hits only."
+    ),
+    "local_supplier_volume": (
+        "TPC-H Q5 join-order shape: nation x region('ASIA') folds to a "
+        "broadcast that semi-prunes supplier BEFORE any fact shuffle; "
+        "orders date cutoffs push to the parquet scan; the same-nation "
+        "equality rides inside the customer join condition; revenue "
+        "sums DECIMAL(28,12) before the 2dp round."
+    ),
 }
 
 

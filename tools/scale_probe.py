@@ -182,6 +182,8 @@ QUERIES = [
     "semantic_dedup_ivf",
     "vector_index_topk",
     "multitable_index_topk",
+    "duplicate_spans",
+    "local_supplier_volume",
 ]
 
 # artifact-serving queries: run once UNTIMED first so _land_once builds
