@@ -884,35 +884,43 @@ def duplicate_spans(
     cost-model a RefinedWeb-style pipeline reads before choosing between
     doc-drop and span-cut.
 
-    Scale: the sliding k-gram layer is one codegen'd transform (no
-    shuffle, text never leaves the scan); duplicate marking is a
-    count-per-hash aggregate + LEFT SEMI join, both shuffling only
+    Scale: the sliding k-gram layer is one transform over the token
+    array (no shuffle, text never leaves the scan); duplicate marking is
+    a count-per-hash aggregate + LEFT SEMI join, both shuffling only
     (id, pos, 16-byte md5) rows; the island window partitions by doc_id
     over ONLY the surviving duplicate hits (sparse in clean corpora) and
     is bounded by document length, never corpus size. Contrast
     `chunk_dedup_profile` (non-overlapping chunk grain, cheaper but
     offset-sensitive): this catches duplicates at ANY alignment.
+
+    Perf notes (both measured at sf0.1, the corpus_clean CSE trap
+    striking twice): (1) md5 is computed AFTER posexplode, not inside
+    the transform lambda — HOF lambdas evaluate interpreted per element
+    and md5-in-lambda measured 17x slower than the codegen'd
+    post-explode hash; (2) the gram transform runs over a MATERIALIZED
+    token column (`_toks` projected first), never over the raw
+    regexp-tokenize expression — projecting n_tokens next to a
+    transform whose lambda references the tokenize expression defeats
+    subexpression elimination and re-tokenizes per element (6.3 s vs
+    0.2 s for the same explode).
     """
     from pyspark.sql.window import Window
 
-    toks = tokens(F.lower(F.col(text_col)))
-    n = F.size(toks)
+    tok_layer = fan_out(df, id_col).select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks")
+    )
+    tl = F.col("_toks")
+    n = F.size(tl)
     pos = F.sequence(F.lit(1), n - (k - 1))
     gs = F.when(
         n >= k,
-        F.transform(
-            pos,
-            lambda i: F.struct(
-                i.alias("p"),
-                F.md5(F.concat_ws(" ", F.slice(toks, i, k))).alias("h"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<p:int,h:string>>"))
-    base = fan_out(df, id_col).select(
-        F.col(id_col), n.cast("long").alias("n_tokens"), gs.alias("gs")
-    )
-    ex = base.select(id_col, F.explode("gs").alias("g")).select(
-        id_col, F.col("g.p").alias("p"), F.col("g.h").alias("h")
+        F.transform(pos, lambda i: F.concat_ws(" ", F.slice(tl, i, k))),
+    ).otherwise(F.array().cast("array<string>"))
+    base = tok_layer.select(F.col(id_col), n.cast("long").alias("n_tokens"))
+    ex = tok_layer.select(id_col, F.posexplode(gs)).select(
+        id_col,
+        (F.col("pos") + 1).alias("p"),
+        F.md5("col").alias("h"),
     )
     dup_hashes = (
         ex.groupBy("h")
