@@ -22,12 +22,34 @@ Only ALGEBRAIC aggregates can be salted (sum/count/min/max and anything
 derivable from them, e.g. mean = sum/count); the helpers here expose
 exactly that contract, and both are value-hash attested for
 salt-INVARIANCE (salted_priority_counts / salted_join_revenue).
+
+The salt is DETERMINISTIC (a content hash of the row, never
+monotonically_increasing_id or rand): a nondeterministic shuffle key is
+the classic partial-retry hazard — after a shuffle-fetch failure, only
+the lost map tasks recompute, and rows that re-salt differently on the
+second attempt land in reducers that already consumed the first
+attempt's blocks, double-counting or dropping them (the same bug class
+Spark patched for repartition()). The cost of determinism: rows that
+are bit-identical duplicates collapse onto ONE salt. Callers whose hot
+key is literal duplicate rows should include a stable unique id column
+in the frame (most tables have one — order key, line number, doc id) so
+the hash spreads them; both helpers salt over ALL columns, so the id
+just needs to be present.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _row_salt(cols: list[str], n_salts: int):
+    """Deterministic per-row salt in [0, n_salts): content hash of every
+    column. Retry-safe (see module docstring); include a unique id
+    column in the frame to spread bit-identical duplicate rows."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts)
+    )
 
 
 def salted_agg(
@@ -40,18 +62,13 @@ def salted_agg(
     """Two-phase skew-safe aggregation: per-(key, salt) partials, then a
     cheap merge over at most ``n_salts`` rows per key.
 
-    The salt mixes a per-row id (monotonically_increasing_id) into the hash
-    so IDENTICAL duplicate rows — the typical hot key at scale — still
-    spread across all n_salts sub-keys; a pure row-content hash would send
-    every copy to one reducer. The aggregate RESULT is independent of salt
-    assignment, so run-to-run salt variation cannot change output.
-    Output: key_cols + sum_<c> per sum col + n_rows.
+    The salt is a deterministic content hash of the whole row (module
+    docstring: retry safety) — the aggregate RESULT is independent of
+    salt assignment either way, so the oracle attests plain-GROUP-BY
+    equality. Output: key_cols + sum_<c> per sum col + n_rows.
     """
     sum_cols = sum_cols or []
-    salt = F.pmod(
-        F.xxhash64(F.monotonically_increasing_id(), *[F.col(c) for c in df.columns]),
-        F.lit(n_salts),
-    ).alias("_salt")
+    salt = _row_salt(df.columns, n_salts).alias("_salt")
     phase1 = (
         df.select(*df.columns, salt)
         .groupBy(*key_cols, "_salt")
@@ -74,21 +91,16 @@ def salted_join(
     key: str,
     n_salts: int = 8,
 ) -> DataFrame:
-    """Skew-safe equi-join: the fact side gets a per-row salt (id-mixed, so
-    identical duplicate rows still spread), the (small) dim side is EXPLODED
-    n_salts times so every salted fact key finds its partner. Use when the
-    dim is too big to broadcast but the fact key is skewed; shuffle
-    partitions then hold at most ~1/n_salts of any hot key. Join output is
-    independent of salt assignment.
+    """Skew-safe equi-join: the fact side gets a deterministic per-row
+    content-hash salt (module docstring: retry safety; include a unique
+    id column in the fact frame to spread bit-identical duplicates), the
+    (small) dim side is EXPLODED n_salts times so every salted fact key
+    finds its partner. Use when the dim is too big to broadcast but the
+    fact key is skewed; shuffle partitions then hold at most ~1/n_salts
+    of any hot key. Join output is independent of salt assignment.
     """
     salted_fact = fact.withColumn(
-        "_salt",
-        F.pmod(
-            F.xxhash64(
-                F.monotonically_increasing_id(), *[F.col(c) for c in fact.columns]
-            ),
-            F.lit(n_salts),
-        ),
+        "_salt", _row_salt(fact.columns, n_salts)
     )
     salted_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

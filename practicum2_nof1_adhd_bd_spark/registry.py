@@ -1593,16 +1593,18 @@ def q_topk_customers(spark, sf_dir):
 )
 def q_salted_priority_counts(spark, sf_dir):
     """Skew-safe two-phase aggregation under the value-hash gate
-    (functions/skew.salted_agg): each key spreads over 16 id-mixed salt
-    sub-keys, partials aggregate map-side, then a 16-rows-per-key merge.
-    The salt assignment is intentionally nondeterministic (it mixes
-    monotonically_increasing_id so identical hot-key duplicate rows still
-    spread) — the oracle attests the CONTRACT that matters: algebraic
-    aggregates are salt-invariant, so the result equals a plain GROUP BY
-    bit-for-bit (integer sums are combine-order exact)."""
+    (functions/skew.salted_agg): each key spreads over 16 salt sub-keys,
+    partials aggregate map-side, then a 16-rows-per-key merge. The salt
+    is a DETERMINISTIC row-content hash (retry-safe: a nondeterministic
+    shuffle key double-counts/drops rows under partial stage retry);
+    o_orderkey rides along as the unique column that spreads any
+    bit-identical hot rows. The oracle attests the CONTRACT that
+    matters: algebraic aggregates are salt-invariant, so the result
+    equals a plain GROUP BY bit-for-bit (integer sums are combine-order
+    exact)."""
     orders = _cat(spark, sf_dir).orders
     return skew.salted_agg(
-        orders.select("o_orderpriority", "o_custkey"),
+        orders.select("o_orderpriority", "o_custkey", "o_orderkey"),
         ["o_orderpriority"],
         n_salts=16,
         sum_cols=["o_custkey"],
@@ -1621,15 +1623,16 @@ def q_salted_priority_counts(spark, sf_dir):
 )
 def q_salted_join_revenue(spark, sf_dir):
     """Skew-safe equi-join under the value-hash gate
-    (functions/skew.salted_join): the fact side salts per row, the dim
-    side explodes n_salts times so every salted key finds its partner —
-    shuffle partitions hold at most ~1/n_salts of any hot key. Join
-    output is salt-invariant, attested by aggregating it against a plain
-    join oracle (quantities are integral doubles — combine-order
-    exact)."""
+    (functions/skew.salted_join): the fact side salts per row with a
+    DETERMINISTIC content hash (retry-safe; l_linenumber rides along so
+    lines of one hot order still spread), the dim side explodes n_salts
+    times so every salted key finds its partner — shuffle partitions
+    hold at most ~1/n_salts of any hot key. Join output is
+    salt-invariant, attested by aggregating it against a plain join
+    oracle (quantities are integral doubles — combine-order exact)."""
     cat = _cat(spark, sf_dir)
     fact = cat.lineitem.select(
-        F.col("l_orderkey").alias("okey"), "l_quantity"
+        F.col("l_orderkey").alias("okey"), "l_quantity", "l_linenumber"
     )
     dim = cat.orders.select(
         F.col("o_orderkey").alias("okey"), "o_orderpriority"

@@ -109,6 +109,7 @@ def read_backup_manifests(
 
     def parse_enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import plistlib
+        import struct
 
         for pdf in batches:
             for src, db_blob, plist_blob in zip(
@@ -121,8 +122,13 @@ def read_backup_manifests(
                         f"failed to unlock keybag for {src}: "
                         "incorrect passphrase?"
                     )
-                plain = bc.decrypt_manifest_db(
-                    bytes(plist_blob), bytes(db_blob), pw
+                # reuse the already-unlocked keybag for the catalog —
+                # the double-PBKDF2 unlock (millions of iterations) is
+                # the dominant per-backup cost and must run exactly once
+                mk = mp["ManifestKey"]
+                cls = struct.unpack("<l", mk[:4])[0]
+                plain = bc.aes_cbc(
+                    bytes(db_blob), kb.unwrap_for_class(cls, mk[4:])
                 )
                 yield from _sqlite_rows(src, plain, keybag=kb)
 
@@ -258,9 +264,13 @@ def read_backup_files(
                 if key is None:
                     plain = bytes(blob)
                 else:
+                    # nullable bigint arrives from Arrow as float64 with
+                    # NaN for missing — `is not None` would pass NaN to
+                    # int(); pd.isna routes no-Size records to the
+                    # RFC-1423 padding fallback as intended
                     plain = bc.decrypt_file_payload(
                         bytes(blob), bytes(key),
-                        int(size) if size is not None else None,
+                        None if pd.isna(size) else int(size),
                     )
                 contents.append(plain)
                 sizes.append(len(plain))

@@ -286,7 +286,10 @@ def test_vector_index_probe_prunes_partitions(spark, tmp_path, sf_dir):
         if sum(1 << j for j in range(4) if v[j] > 0) != qb:
             continue
         sc = max(np.abs(v).max(), 1e-12) / 127.0
-        dv = np.round(v / sc) * sc
+        # replay Spark F.round HALF_UP (away from zero), not np.round's
+        # banker's half-to-even — a component landing exactly on a .5
+        # quantization boundary would otherwise flake the replay
+        dv = np.trunc(v / sc + np.copysign(0.5, v)) * sc
         cos = round(float(np.dot(dv, qvec) / (np.sqrt(np.dot(dv, dv)) * qn)), 6)
         scored.append((cos, int(r["vec_id"])))
     expect = [i for c, i in sorted(scored, key=lambda t: (-t[0], t[1]))[:5]]
