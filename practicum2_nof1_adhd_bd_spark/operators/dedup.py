@@ -197,17 +197,22 @@ def minhash_lsh_pairs_verified(
     4x the shingle pass itself). The join key (band, bucket) is uniform
     md5 — shuffle-friendly, no skew.
     """
-    # materialize the SIGNATURES (n_hashes longs per doc — tiny), never the
-    # shingle string arrays (columnar-caching those measured 4x the cost of
-    # the shingle pass itself). The self-join + every downstream reference
-    # then reuses the one tokenize+hash pass. localCheckpoint, not persist:
-    # an eager checkpoint's blocks are released with the frame's reference,
-    # while a persist() entry parks in the session cache manager for the
-    # session's lifetime (the r07-flagged leak class).
-    sig_df = minhash_signatures_df(
-        df, text_col, id_col, n_hashes, k
+    # materialize the BAND BUCKETS (bands rows of (id, band, md5) per doc —
+    # tiny), never the shingle string arrays (columnar-caching those
+    # measured 4x the cost of the shingle pass itself). The self-join's two
+    # sides then read the checkpoint directly and the one tokenize+hash
+    # pass is reused. localCheckpoint, not persist: an eager checkpoint's
+    # blocks are released with the frame's reference, while a persist()
+    # entry parks in the session cache manager for the session's lifetime
+    # (the r07-flagged leak class). Placement measured r09 (sf0.1, warm,
+    # median-of-5): band-ckpt 2.08 s vs sig-ckpt 2.01-3.08 s vs none
+    # 2.29 s — all within host noise of each other; the r08-flagged
+    # 1.89->2.14 s "regression" was CPU-steal noise, not the checkpoint
+    # (the same box shows 2.1-4.5 s spreads on identical code).
+    banded = _banded_buckets(
+        minhash_signatures_df(df, text_col, id_col, n_hashes, k),
+        id_col, n_hashes, bands,
     ).localCheckpoint(eager=True)
-    banded = _banded_buckets(sig_df, id_col, n_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
