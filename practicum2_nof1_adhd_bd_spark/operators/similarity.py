@@ -1354,3 +1354,59 @@ def query_vector_index(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def compact_index(spark, path: str, partition_cols: list[str] | None = None):
+    """Rewrite a partitioned index artifact to well-sized files.
+
+    Continuous ingest appends one file per touched bucket per micro-batch
+    (the floor of the repartition-before-partitionBy recipe), so a
+    long-running stream accretes files linearly in batch count and the
+    served artifact drifts back toward the many-file listing stall the
+    pruned read was built to avoid. Compaction is the standard answer:
+    read the artifact once, re-cluster on the partition key (one exchange,
+    after which file count per directory follows data volume, not batch
+    count), write to a sibling temp directory, then atomically swap via
+    two filesystem renames. Readers between the renames see the artifact
+    whole-before or whole-after — the same swap discipline as the repo's
+    versioned snapshot writes (pipeline.py). Works for any of the three
+    on-disk ANN artifacts (bucket / (tbl, bucket) / cell layouts) via
+    ``partition_cols``.
+
+    Returns (files_before, files_after) data-file counts so callers and
+    the scale probe can track the reclaim.
+    """
+    partition_cols = partition_cols or ["bucket"]
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+
+    def _count_files(p) -> int:
+        n = 0
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not name.startswith("_") and not name.startswith("."):
+                n += 1
+        return n
+
+    before = _count_files(jpath)
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compacting")
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__precompact")
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    df = spark.read.parquet(path)
+    df.repartition(*partition_cols).write.partitionBy(*partition_cols).mode(
+        "overwrite"
+    ).parquet(str(tmp))
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(jpath, old):
+        raise IOError(f"compact_index: could not stage {path} aside")
+    if not fs.rename(tmp, jpath):
+        # roll back so the artifact is never left missing
+        fs.rename(old, jpath)
+        raise IOError(f"compact_index: could not swap compacted {path}")
+    fs.delete(old, True)
+    return before, _count_files(jpath)

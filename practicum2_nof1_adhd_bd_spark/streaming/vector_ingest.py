@@ -238,9 +238,18 @@ def ingest_vector_stream(
         admitted.count()
         try:
             decisions.write.mode("append").parquet(decisions_dir)
-            admitted.write.partitionBy("bucket").mode("append").parquet(
-                index_dir
-            )
+            # cluster by the partition key before the append — the same
+            # partitioned-write recipe as the batch builders
+            # (similarity.write_vector_index): without it every task of
+            # every micro-batch drops one tiny file into every bucket
+            # directory (tasks x buckets x batches files), and over
+            # thousands of batches the served artifact degrades into the
+            # many-file listing stall the read side was built to avoid.
+            # Long-running ingest should still compact_index periodically
+            # (one file per bucket per batch is the floor of this recipe).
+            admitted.repartition("bucket").write.partitionBy(
+                "bucket"
+            ).mode("append").parquet(index_dir)
         finally:
             decisions.unpersist()
             admitted.unpersist()

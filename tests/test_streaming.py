@@ -429,3 +429,97 @@ def test_screen_vector_batch_internal(spark):
     assert rows[2]["status"] == "near_dup" and rows[2]["matched_id"] == 1
     assert rows[3]["status"] == "admitted"
     assert sorted(r["vec_id"] for r in adm.collect()) == [1, 3]
+
+
+def test_index_compaction_reclaims_files_and_preserves_results(
+    spark, tmp_path
+):
+    """File-hygiene contract for the continuously-ingested index: (a) each
+    micro-batch append writes at most ONE file per touched bucket (the
+    repartition-before-partitionBy recipe, not tasks x buckets), (b)
+    compact_index collapses the per-batch accretion to ~one file per
+    bucket, and (c) query_vector_index returns bit-identical rows before
+    and after the swap."""
+    import json
+    import os
+
+    from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
+    from practicum2_nof1_adhd_bd_spark.streaming import vector_ingest as vi
+
+    src = tmp_path / "src"
+    src.mkdir()
+    index_dir = str(tmp_path / "index")
+    dec_dir = str(tmp_path / "dec")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        tmp = src / f".{name}.tmp"
+        with open(tmp, "w") as f:
+            for vec_id, v in rows:
+                f.write(json.dumps({"vec_id": vec_id, "embedding": v}) + "\n")
+        tmp.rename(src / name)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "vec_id bigint, embedding array<double>"
+        ).json(str(src))
+        # admit ~everything: this test is about file accretion, not the
+        # near-dup screen (covered elsewhere)
+        q = vi.ingest_vector_stream(
+            stream, index_dir, dec_dir, ckpt, threshold=0.99999
+        )
+        assert q.awaitTermination(120)
+
+    # 6 batches concentrated on TWO sign buckets so each directory
+    # accretes one file per batch; magnitudes vary so nothing is an
+    # exact duplicate
+    signs = [(1.0, 1.0, 1.0, 1.0), (-1.0, 1.0, -1.0, 1.0)]
+    for b in range(6):
+        rows = []
+        for j in range(2):
+            s = signs[j]
+            rows.append(
+                (
+                    b * 10 + j,
+                    [s[i] * (1.0 + 0.37 * ((b + j + i) % 7)) for i in range(4)],
+                )
+            )
+        land(f"b{b}.json", rows)
+        run_once()
+
+    def files_per_bucket():
+        out = {}
+        for d in os.listdir(index_dir):
+            if not d.startswith("bucket="):
+                continue
+            out[d] = len(
+                [
+                    f
+                    for f in os.listdir(os.path.join(index_dir, d))
+                    if f.endswith(".parquet")
+                ]
+            )
+        return out
+
+    before = files_per_bucket()
+    # (a) the append recipe: a bucket touched by k batches holds exactly
+    # k files (one per append), never tasks-times-more
+    assert max(before.values()) > 1          # accretion actually happened
+    assert sum(before.values()) <= 12        # <= one file per batch-bucket
+
+    qv = [1.0, 0.3, -0.2, 0.6]
+    res_before = sim.query_vector_index(
+        spark, index_dir, qv, k=10, probe_hamming=4
+    ).collect()
+
+    nb, na = sim.compact_index(spark, index_dir)
+    after = files_per_bucket()
+    assert nb == sum(before.values())
+    assert na == sum(after.values())
+    assert na < nb                            # (b) files reclaimed
+    assert max(after.values()) == 1           # one well-sized file per dir
+
+    res_after = sim.query_vector_index(
+        spark, index_dir, qv, k=10, probe_hamming=4
+    ).collect()
+    assert res_before == res_after            # (c) serving unchanged

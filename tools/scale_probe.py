@@ -454,9 +454,12 @@ def probe_vector_ingest(
             r["status"]: r["n"]
             for r in dec.groupBy("status").agg(F.count("*").alias("n")).collect()
         }
-        admitted.write.partitionBy("bucket").mode("append").parquet(index_dir)
+        admitted.repartition("bucket").write.partitionBy("bucket").mode(
+            "append"
+        ).parquet(index_dir)
         screen_sec = time.time() - t0
         dec.unpersist()
+        n_files, max_per_bucket = _index_file_stats(index_dir)
         rows.append(
             {
                 "batch": b,
@@ -467,8 +470,18 @@ def probe_vector_ingest(
                 "batch_buckets": len(batch_buckets),
                 "pruned_read_mb": round(pruned_mb, 3),
                 "index_total_mb": round(total_mb, 3),
+                "index_files": n_files,
+                "max_files_per_bucket": max_per_bucket,
             }
         )
+    # file hygiene: compact the accreted artifact to ~one file per bucket
+    from practicum2_nof1_adhd_bd_spark.operators.similarity import (
+        compact_index,
+    )
+
+    t0 = time.time()
+    files_before, files_after = compact_index(spark, index_dir)
+    compact_sec = round(time.time() - t0, 2)
     return {
         "vector_ingest_batches": rows,
         "batch_vecs": batch_vecs,
@@ -483,7 +496,25 @@ def probe_vector_ingest(
             if rows and rows[-1]["index_total_mb"] > 0
             else None
         ),
+        "compaction": {
+            "files_before": files_before,
+            "files_after": files_after,
+            "sec": compact_sec,
+        },
     }
+
+
+def _index_file_stats(index_dir: str) -> tuple[int, int]:
+    """(total parquet data files, max files in any one bucket dir)."""
+    total, worst = 0, 0
+    for d in os.listdir(index_dir):
+        full = os.path.join(index_dir, d)
+        if not os.path.isdir(full) or "=" not in d:
+            continue
+        n = sum(1 for f in os.listdir(full) if f.endswith(".parquet"))
+        total += n
+        worst = max(worst, n)
+    return total, worst
 
 
 def probe_skew(spark, n_rows: int, n_salts: int = 8) -> dict:
