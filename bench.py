@@ -53,7 +53,12 @@ HEADLINE = [
     "apply_mixture_sample",
     "large_volume_customers",
     "calibration_bins",
-    # round-8 additions
+    # round-8 additions. The three *_index_topk queries serve from an
+    # on-disk artifact built once per (sf_dir, knobs): their FIRST repeat
+    # pays the build (SCALING.md §2f — commit-bound, e.g. multitable's
+    # 2,541-directory write) and shows up as a cold outlier in
+    # "repeats"; the median is the warm serve path, which is the number
+    # that models build-once/serve-many production use.
     "vector_index_topk",
     "ann_multiprobe_topk",
     "multitable_index_topk",

@@ -864,10 +864,17 @@ def write_multitable_index(
     # touches — tasks x L x 2^P tiny files — and each probe's scan pays
     # listing/open overhead that dwarfs the data read (measured 4.2 s ->
     # 0.6 s serving at sf0.1). One exchange at build time, one
-    # well-sized file per directory.
-    stacked.repartition("tbl", "bucket").write.partitionBy(
-        "tbl", "bucket"
-    ).mode("overwrite").parquet(path)
+    # well-sized file per directory. The partition COUNT is explicit:
+    # this build is commit-bound (one file create+rename per populated
+    # directory, L x min(2^P, n) of them), and AQE's coalescing — tuned
+    # for shuffle volume, blind to commit parallelism — would collapse a
+    # small exchange to ONE task committing every file serially
+    # (measured 35 s -> 9-12 s at sf0.1 with the explicit count; each
+    # key pair still hashes to exactly one partition, so the
+    # one-file-per-directory property is unchanged).
+    stacked.repartition(
+        stacked.sparkSession.sparkContext.defaultParallelism, "tbl", "bucket"
+    ).write.partitionBy("tbl", "bucket").mode("overwrite").parquet(path)
 
 
 def query_multitable_index(
@@ -984,9 +991,11 @@ def write_ivf_index(
         F.sqrt(_dot(F.col("dv"), F.col("dv"))).alias("nrm"),
         "cell",
     )
-    rows.repartition("cell").write.partitionBy("cell").mode(
-        "overwrite"
-    ).parquet(path)
+    # explicit count pins the commit parallelism against AQE coalescing
+    # (see write_multitable_index); one cell still -> one partition
+    rows.repartition(
+        rows.sparkSession.sparkContext.defaultParallelism, "cell"
+    ).write.partitionBy("cell").mode("overwrite").parquet(path)
     cent.select("cell", "cv").write.mode("overwrite").parquet(
         f"{path}/_centroids"
     )
@@ -1312,9 +1321,14 @@ def write_vector_index(
     # well-sized file per directory — the standard partitioned-write
     # recipe (at petabyte scale the same repartition keys the write; file
     # count within a directory then follows data volume, not task count).
-    rows.repartition("bucket").write.partitionBy("bucket").mode(
-        "overwrite"
-    ).parquet(path)
+    # Explicit partition count: AQE would coalesce a small exchange to
+    # one task and serialize the per-directory file commits (see
+    # write_multitable_index, where 2,541 dirs made this a 3x build
+    # stall); the explicit count pins commit parallelism while each
+    # bucket still hashes to one partition (one file per directory).
+    rows.repartition(
+        rows.sparkSession.sparkContext.defaultParallelism, "bucket"
+    ).write.partitionBy("bucket").mode("overwrite").parquet(path)
 
 
 def query_vector_index(
@@ -1397,9 +1411,9 @@ def compact_index(spark, path: str, partition_cols: list[str] | None = None):
     if fs.exists(tmp):
         fs.delete(tmp, True)
     df = spark.read.parquet(path)
-    df.repartition(*partition_cols).write.partitionBy(*partition_cols).mode(
-        "overwrite"
-    ).parquet(str(tmp))
+    df.repartition(
+        spark.sparkContext.defaultParallelism, *partition_cols
+    ).write.partitionBy(*partition_cols).mode("overwrite").parquet(str(tmp))
     if fs.exists(old):
         fs.delete(old, True)
     if not fs.rename(jpath, old):

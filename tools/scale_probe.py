@@ -504,6 +504,83 @@ def probe_vector_ingest(
     }
 
 
+def probe_index_build(spark, tmp: str, sf_dir: str, factor: int) -> dict:
+    """One-time BUILD cost of the three on-disk ANN artifacts (the warm
+    serve path is benched elsewhere; multitable_index_topk's 33.5 s cold
+    bench repeat is this build). Times write_vector_index /
+    write_multitable_index / write_ivf_index over the sf corpus at 1x
+    and ``factor``x (vec_id-shifted replicas, built in-memory), reporting
+    seconds + partition-directory / data-file counts + artifact MB so the
+    build's scaling axis is explicit: vector index writes 2^n_bits dirs,
+    multitable L x min(2^P, corpus) dirs (the dominant cost — one row
+    REPLICA per table), IVF n_cells dirs + the Lloyd fit's per-iteration
+    corpus exchange."""
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
+
+    emb0 = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n0 = emb0.count()
+    # throwaway warm build: the first partitioned parquet write in a
+    # session pays codegen + committer class-load that would otherwise
+    # land entirely on the 1x vector_index row
+    sim.write_vector_index(
+        emb0.limit(64), os.path.join(tmp, "_warm"), n_bits=2
+    )
+    out: dict = {"factor": factor, "builds": []}
+    for mult in (1, factor):
+        if mult == 1:
+            emb = emb0
+        else:
+            rep = spark.range(mult).select(F.col("id").alias("_rep"))
+            emb = (
+                emb0.crossJoin(rep)
+                .withColumn(
+                    "vec_id", F.col("vec_id") + F.col("_rep") * (n0 * 10)
+                )
+                .drop("_rep")
+                .repartition(32)
+                .localCheckpoint(eager=True)  # replica build off the clock
+            )
+        for name, build, pcols in (
+            (
+                "vector_index",
+                lambda p, e=emb: sim.write_vector_index(e, p),
+                1,
+            ),
+            (
+                "multitable_index",
+                lambda p, e=emb: sim.write_multitable_index(e, p),
+                2,
+            ),
+            (
+                "ivf_index",
+                lambda p, e=emb: sim.write_ivf_index(e, p),
+                1,
+            ),
+        ):
+            path = os.path.join(tmp, f"build_{name}_{mult}x")
+            t0 = time.time()
+            build(path)
+            sec = round(time.time() - t0, 2)
+            n_dirs = n_files = 0
+            for root, dirs, files in os.walk(path):
+                n_dirs += sum(1 for d in dirs if "=" in d)
+                n_files += sum(1 for f in files if f.endswith(".parquet"))
+            out["builds"].append(
+                {
+                    "artifact": name,
+                    "scale": f"{mult}x",
+                    "rows_in": n0 * mult,
+                    "build_sec": sec,
+                    "partition_dirs": n_dirs,
+                    "data_files": n_files,
+                    "mb": round(_tree_bytes(path) / 1e6, 2),
+                }
+            )
+    return out
+
+
 def _index_file_stats(index_dir: str) -> tuple[int, int]:
     """(total parquet data files, max files in any one bucket dir)."""
     total, worst = 0, 0
@@ -624,6 +701,12 @@ def main() -> None:
     )
     ap.add_argument("--vector-ingest-batch-vecs", type=int, default=5000)
     ap.add_argument(
+        "--index-build-factor",
+        type=int,
+        default=0,
+        help="run ONLY the ANN-artifact build-cost probe at 1x and Nx",
+    )
+    ap.add_argument(
         "--skew-rows",
         type=int,
         default=0,
@@ -668,6 +751,17 @@ def main() -> None:
                     probe_vector_ingest(
                         spark, tmp, args.vector_ingest_batches,
                         args.vector_ingest_batch_vecs,
+                    )
+                )
+            )
+        return
+
+    if args.index_build_factor:
+        with tempfile.TemporaryDirectory(prefix="scale_probe_ib_") as tmp:
+            print(
+                json.dumps(
+                    probe_index_build(
+                        spark, tmp, args.sf_dir, args.index_build_factor
                     )
                 )
             )
