@@ -69,6 +69,8 @@ HEADLINE = [
     "medallion_silver_scan",
     "duplicate_spans",
     "local_supplier_volume",
+    # round-9 additions
+    "duplicate_span_cut",
 ]
 
 

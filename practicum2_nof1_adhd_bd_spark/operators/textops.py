@@ -963,3 +963,99 @@ def duplicate_spans(
             ).alias("dup_token_frac"),
         )
     )
+
+
+def duplicate_span_cut(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The span-CUT intervention `duplicate_spans` is the cost model for
+    (ExactSubstr, Lee et al. 2021 "Deduplicating Training Data Makes
+    Language Models Better"): emit the cleaned corpus with every
+    duplicated span cut, keeping ONE canonical occurrence corpus-wide.
+
+    Canonical = the corpus-order FIRST occurrence of each duplicated
+    k-gram (min (doc_id, position)); every LATER occurrence is a cut
+    hit, and overlapping cut hits merge into maximal spans exactly as in
+    `duplicate_spans` (gaps-and-islands, running-max covered end). The
+    first occurrence of every duplicated k-gram therefore survives
+    somewhere in the corpus (it may still lose flanking tokens to a
+    NEIGHBORING duplicate's span — the standard ExactSubstr property;
+    the guarantee is gram-level, not span-level).
+
+    Output per doc: ``n_tokens``, ``kept_tokens``, ``cut_tokens``, and
+    ``cut_text`` — the surviving tokens of the ORIGINAL-case text joined
+    with single spaces (token-grain cut normalizes whitespace by
+    construction; matching is case-folded, emission is not, and the two
+    index identically because lowercasing never moves a \\S+ boundary).
+
+    Scale shape: one tokenize pass; the gram layer hashes AFTER
+    posexplode (codegen md5, the 17x lambda lesson); shuffles carry only
+    (id, pos, md5) rows; the canonical pick is a count+min-struct
+    aggregate on the gram hash; the island window sees only cut hits.
+    The final cut joins a per-doc SPAN ARRAY (collect_list over few
+    spans) back to the token layer and filters tokens with an
+    index-aware lambda — per-token work is O(spans-in-doc), bounded by
+    document length, never corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    from ..sources.readers import fan_out
+
+    tok_layer = fan_out(df, id_col).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    tl = F.col("_toks")
+    n = F.size(tl)
+    pos = F.sequence(F.lit(1), n - (k - 1))
+    gs = F.when(
+        n >= k,
+        F.transform(pos, lambda i: F.concat_ws(" ", F.slice(tl, i, k))),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = tok_layer.select(id_col, F.posexplode(gs)).select(
+        F.col(id_col),
+        (F.col("pos") + 1).alias("p"),
+        F.md5(F.lower(F.col("col"))).alias("h"),
+    )
+    canon = (
+        ex.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.min(F.struct(F.col(id_col).alias("cd"), F.col("p").alias("cp"))).alias("c"),
+        )
+        .filter(F.col("occ") > 1)
+        .select("h", "c.cd", "c.cp")
+    )
+    hits = (
+        ex.join(canon, "h")
+        .filter(~((F.col(id_col) == F.col("cd")) & (F.col("p") == F.col("cp"))))
+        .select(id_col, "p", (F.col("p") + F.lit(k - 1)).alias("e"))
+    )
+    w = Window.partitionBy(id_col).orderBy("p")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = hits.withColumn(
+        "new_span",
+        F.when(prev_end.isNull() | (F.col("p") > prev_end + 1), 1).otherwise(0),
+    ).withColumn("isl", F.sum("new_span").over(w))
+    spans = flagged.groupBy(id_col, "isl").agg(
+        F.min("p").alias("s"), F.max("e").alias("e")
+    )
+    doc_spans = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("_spans")
+    )
+    joined = tok_layer.join(doc_spans, id_col, "left")
+    kept = F.when(F.col("_spans").isNull(), tl).otherwise(
+        F.filter(
+            tl,
+            lambda x, i: ~F.exists(
+                F.col("_spans"),
+                lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"]),
+            ),
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        (n - F.size(kept)).cast("long").alias("cut_tokens"),
+        F.concat_ws(" ", kept).alias("cut_text"),
+    )

@@ -3566,6 +3566,72 @@ def q_duplicate_spans(spark, sf_dir):
 
 
 @register(
+    "duplicate_span_cut",
+    r"""
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(trim(text), '\s+') AS words
+               FROM documents),
+    g AS (SELECT doc_id, len(words) AS n_tokens,
+            CASE WHEN len(words) >= 8 THEN
+                list_transform(range(1, len(words) - 6),
+                    i -> {'p': i,
+                          'g': lower(array_to_string(words[i:i+7], ' '))})
+            ELSE [] END AS gs
+          FROM w),
+    ex0 AS (SELECT doc_id, unnest(gs) AS s FROM g),
+    ex AS (SELECT doc_id, s.p AS p, s.g AS gram FROM ex0),
+    c AS (SELECT gram, min(doc_id * 1000000 + p) AS c_ord
+          FROM ex GROUP BY 1 HAVING count(*) > 1),
+    hits AS (SELECT doc_id, p, p + 7 AS e FROM ex JOIN c USING (gram)
+             WHERE doc_id * 1000000 + p <> c_ord),
+    fl AS (SELECT doc_id, p, e,
+               CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                 OR p > max(e) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+               THEN 1 ELSE 0 END AS new_span
+           FROM hits),
+    isl AS (SELECT doc_id, p, e,
+                sum(new_span) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+            FROM fl),
+    spans AS (SELECT doc_id, isl, min(p) AS s, max(e) AS e
+              FROM isl GROUP BY 1, 2),
+    tk0 AS (SELECT doc_id, unnest(list_transform(range(1, len(words) + 1),
+                i -> {'i': i, 'w': words[i]})) AS t FROM w),
+    tk AS (SELECT doc_id, t.i AS i, t.w AS w FROM tk0),
+    kept AS (SELECT tk.doc_id, tk.i, tk.w FROM tk
+             WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                               WHERE sp.doc_id = tk.doc_id
+                                 AND tk.i BETWEEN sp.s AND sp.e)),
+    ka AS (SELECT doc_id, count(*) AS kept_tokens,
+                  string_agg(w, ' ' ORDER BY i) AS cut_text
+           FROM kept GROUP BY 1)
+    SELECT g.doc_id, CAST(g.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(ka.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST(g.n_tokens - coalesce(ka.kept_tokens, 0) AS BIGINT)
+               AS cut_tokens,
+           coalesce(ka.cut_text, '') AS cut_text
+    FROM g LEFT JOIN ka USING (doc_id)
+    """,
+)
+def q_duplicate_span_cut(spark, sf_dir):
+    """The span-cut INTERVENTION duplicate_spans models (ExactSubstr,
+    Lee et al. 2021): re-emit the corpus with every duplicated span cut,
+    keeping the corpus-order FIRST occurrence of each duplicated 8-gram
+    (min (doc_id, pos) — later occurrences merge into maximal spans and
+    are dropped). Output: per-doc token counts + the cleaned text
+    (original case, single-space joined — matching is case-folded, which
+    is safe because lowercasing never moves a whitespace boundary).
+    Shuffles carry only (id, pos, md5) rows; the per-doc cut is an
+    index-aware array filter against a collected span list, O(spans) per
+    token. Position ordinals are encoded as doc_id*1e6+p in the oracle
+    (docs are << 1 M tokens)."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.duplicate_span_cut(docs, k=8)
+
+
+@register(
     "token_length_profile",
     f"""
     WITH t AS (SELECT lang, len({_WORDS}) AS n_tokens FROM documents)

@@ -307,3 +307,51 @@ def test_duplicate_spans_short_doc_graceful(spark):
     out = {r["doc_id"]: r for r in textops.duplicate_spans(df, k=8).collect()}
     assert out[1]["n_tokens"] == 3 and out[1]["n_dup_spans"] == 0
     assert out[2]["n_tokens"] == 0 and out[2]["dup_token_frac"] == 0.0
+
+
+def test_duplicate_span_cut_keeps_first_occurrence(spark):
+    """Span-cut semantics: the corpus-order FIRST occurrence of a
+    duplicated 8-gram survives, later occurrences are cut; clean docs
+    pass through untouched; original case is preserved while matching is
+    case-folded; a within-doc repeat cuts only the second copy."""
+    shared = "A b c d e f g h"                      # 8 tokens, mixed case
+    d0 = f"{shared} tail0 tail1"                    # first occurrence
+    d1 = f"lead0 lead1 {shared.lower()} end0"       # later, case-folded
+    d2 = "u1 u2 u3 u4 u5 u6 u7 u8 u9"               # clean
+    d3 = f"{shared} mid {shared}"                   # within-doc repeat
+    df = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r for r in textops.duplicate_span_cut(df, k=8).collect()
+    }
+    # doc 0 holds the canonical occurrence -> nothing cut, case intact
+    assert out[0]["cut_tokens"] == 0
+    assert out[0]["cut_text"] == d0
+    # doc 1's copy is cut (case-folded match); its unique tokens survive
+    assert out[1]["cut_tokens"] == 8
+    assert out[1]["cut_text"] == "lead0 lead1 end0"
+    # clean doc unchanged
+    assert out[2]["cut_tokens"] == 0 and out[2]["cut_text"] == d2
+    # doc 3: grams spanning "... g h mid A b ..." also duplicate doc 0's?
+    # no — they contain 'mid', unique. Canonical of the shared gram is
+    # doc 0, so BOTH of doc 3's copies are cut, 'mid' survives.
+    assert out[3]["cut_text"] == "mid"
+    assert out[3]["kept_tokens"] == 1
+
+
+def test_duplicate_span_cut_totals_consistent(spark, sf_dir):
+    """kept + cut == n_tokens and cut_text token count == kept_tokens on
+    real corpus data."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textops.duplicate_span_cut(docs, k=8)
+    bad = out.filter(
+        (F.col("kept_tokens") + F.col("cut_tokens") != F.col("n_tokens"))
+        | (
+            F.size(F.regexp_extract_all(F.col("cut_text"), F.lit(r"\S+"), 0))
+            != F.col("kept_tokens")
+        )
+    ).count()
+    assert bad == 0
