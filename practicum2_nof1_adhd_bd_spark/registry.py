@@ -1379,15 +1379,41 @@ def q_quantile_3way_label(spark, sf_dir):
     )
 
 
-@register("quantile_3way_label_approx")
+@register(
+    "quantile_3way_label_approx",
+    """
+    WITH t AS (SELECT quantile_disc(l_extendedprice, 0.25) AS p_lo,
+                      quantile_disc(l_extendedprice, 0.75) AS p_hi
+               FROM lineitem)
+    SELECT CASE WHEN l_extendedprice <= p_lo THEN -1
+                WHEN l_extendedprice >= p_hi THEN 1 ELSE 0 END AS label_3cls,
+           count(*) AS n_rows,
+           min(l_extendedprice) AS price_min,
+           max(l_extendedprice) AS price_max
+    FROM lineitem CROSS JOIN t
+    GROUP BY 1
+    """,
+)
 def q_quantile_3way_label_approx(spark, sf_dir):
     """A8, 100-TB path: same two-pass broadcast shape with the
-    approx_percentile (GK sketch, mergeable) threshold pass. Rows-only by
-    design — sketch cut points differ from exact interpolation in the last
-    ulp, so a value-hash oracle would be flaky; the agreement test at
-    sf0.01 (tests/test_labels.py) bounds the divergence instead."""
+    approx_percentile (GK sketch, mergeable) threshold pass. Promoted
+    out of rows-only in r09: at accuracy=10^6 the sketch's rank error at
+    sf0.01 (60 k rows) is < 1 rank, so the cut points are EXACT discrete
+    order statistics and match DuckDB's quantile_disc bit-for-bit
+    (verified: both return [26879.39, 79193.43]); the oracle asserts the
+    per-LABEL aggregates, which is the contract that matters for the
+    labeling operator. accuracy=10^6 is still the bounded-sketch
+    production path (O(accuracy log n) partial state at any corpus
+    size); the interpolating exact twin stays `quantile_3way_label`.
+    Convention caveat: the value-level match relies on the GK sketch
+    being exact (n <= accuracy) — at larger n the sketch may legally
+    return any value within 1/accuracy rank, which is why the EXACT
+    refined path, not this one, carries the interpolated-percentile
+    contract."""
     li = _cat(spark, sf_dir).lineitem
-    labeled = labels.quantile_3way_label(li, "l_extendedprice", exact=False)
+    labeled = labels.quantile_3way_label(
+        li, "l_extendedprice", exact=False, accuracy=1_000_000
+    )
     return labeled.groupBy("label_3cls").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("l_extendedprice").alias("price_min"),
