@@ -89,6 +89,100 @@ def _forward(params: dict, X: np.ndarray) -> tuple[np.ndarray, dict]:
     return probs, cache
 
 
+def _init_gru_params(rng: np.random.Generator, d_in: int, hidden: int) -> dict:
+    """Seeded GRU init (ref ml7_extended.py:186-216 adds a GRU config to
+    the CFG grid; same Glorot-ish scheme as the LSTM). ``Wzr`` stacks the
+    update/reset gates over [h, x]; ``Wn`` maps [r*h, x] to the candidate
+    (the original Cho et al. 2014 formulation — the reset gate multiplies
+    the STATE before the matmul, which keeps the BPTT chain simple and is
+    what the finite-difference test pins)."""
+    scale = 1.0 / np.sqrt(hidden + d_in)
+    return {
+        "Wzr": rng.uniform(-scale, scale, (2 * hidden, hidden + d_in)),
+        "bzr": np.zeros(2 * hidden),
+        "Wn": rng.uniform(-scale, scale, (hidden, hidden + d_in)),
+        "bn": np.zeros(hidden),
+        "Wy": rng.uniform(-scale, scale, (hidden, 1)),
+        "by": np.zeros(1),
+    }
+
+
+def _gru_forward(params: dict, X: np.ndarray) -> tuple[np.ndarray, dict]:
+    """GRU: z=sigm, r=sigm over [h,x]; n=tanh over [r*h, x];
+    h' = (1-z)*n + z*h. X: (B,T,D) -> probabilities (B,)."""
+    B, T, D = X.shape
+    H = params["Wy"].shape[0]
+    h = np.zeros((B, H))
+    cache = {"zi": [], "z": [], "r": [], "n": [], "nin": [], "h_prev": []}
+    for t in range(T):
+        h_prev = h
+        zi = np.concatenate([h_prev, X[:, t, :]], axis=1)      # (B, H+D)
+        a = zi @ params["Wzr"].T + params["bzr"]               # (B, 2H)
+        z = _sigmoid(a[:, :H])
+        r = _sigmoid(a[:, H:])
+        nin = np.concatenate([r * h_prev, X[:, t, :]], axis=1)  # (B, H+D)
+        n = np.tanh(nin @ params["Wn"].T + params["bn"])
+        h = (1 - z) * n + z * h_prev
+        for k, v in (("zi", zi), ("z", z), ("r", r), ("n", n),
+                     ("nin", nin), ("h_prev", h_prev)):
+            cache[k].append(v)
+    logits = (h @ params["Wy"] + params["by"]).ravel()
+    probs = _sigmoid(logits)
+    cache["h_T"] = h
+    return probs, cache
+
+
+def _gru_loss_and_grads(
+    params: dict, X: np.ndarray, y: np.ndarray, w: np.ndarray
+) -> tuple[float, dict]:
+    """Weighted BCE + analytic full-BPTT GRU gradients (finite-difference
+    verified in tests/test_deep.py alongside the LSTM's)."""
+    B, T, D = X.shape
+    H = params["Wy"].shape[0]
+    probs, cache = _gru_forward(params, X)
+    eps = 1e-12
+    loss = -np.mean(
+        w * (y * np.log(probs + eps) + (1 - y) * np.log(1 - probs + eps))
+    )
+    dlogit = (w * (probs - y) / B)[:, None]
+    grads = {
+        "Wzr": np.zeros_like(params["Wzr"]),
+        "bzr": np.zeros_like(params["bzr"]),
+        "Wn": np.zeros_like(params["Wn"]),
+        "bn": np.zeros_like(params["bn"]),
+        "Wy": cache["h_T"].T @ dlogit,
+        "by": dlogit.sum(axis=0),
+    }
+    dh = dlogit @ params["Wy"].T                                # (B, H)
+    for t in range(T - 1, -1, -1):
+        z, r, n = cache["z"][t], cache["r"][t], cache["n"][t]
+        zi, nin, h_prev = cache["zi"][t], cache["nin"][t], cache["h_prev"][t]
+        dz = dh * (h_prev - n)
+        dn = dh * (1 - z)
+        dh_prev = dh * z
+        dan = dn * (1 - n * n)                                  # (B, H)
+        grads["Wn"] += dan.T @ nin
+        grads["bn"] += dan.sum(axis=0)
+        dnin = dan @ params["Wn"]                               # (B, H+D)
+        drh = dnin[:, :H]                                       # d(r*h_prev)
+        dr = drh * h_prev
+        dh_prev = dh_prev + drh * r
+        daz = dz * z * (1 - z)
+        dar = dr * r * (1 - r)
+        da = np.concatenate([daz, dar], axis=1)                 # (B, 2H)
+        grads["Wzr"] += da.T @ zi
+        grads["bzr"] += da.sum(axis=0)
+        dzi = da @ params["Wzr"]                                # (B, H+D)
+        dh = dh_prev + dzi[:, :H]
+    return loss, grads
+
+
+_CELLS = {
+    "lstm": None,  # filled below once the LSTM functions exist
+    "gru": None,
+}
+
+
 def _loss_and_grads(
     params: dict, X: np.ndarray, y: np.ndarray, w: np.ndarray
 ) -> tuple[float, dict]:
@@ -132,18 +226,21 @@ def _loss_and_grads(
     return loss, grads
 
 
-def _train_lstm(
+def _train_seq(
     X: np.ndarray,
     y: np.ndarray,
     hidden: int,
     epochs: int,
     lr: float,
     seed: int,
+    cell: str = "lstm",
 ) -> dict:
     """Full-batch Adam, fixed epochs, seeded init; balanced class weights
-    (the reference trains class_weight='balanced')."""
+    (the reference trains class_weight='balanced'). ``cell`` selects the
+    recurrent core (lstm | gru) — same optimizer, head, and weighting."""
+    init, loss_fn, _fwd = _CELLS[cell]
     rng = np.random.default_rng(seed)
-    params = _init_params(rng, X.shape[2], hidden)
+    params = init(rng, X.shape[2], hidden)
     n_pos = max(int(y.sum()), 1)
     n_neg = max(len(y) - int(y.sum()), 1)
     w = np.where(y == 1, len(y) / (2.0 * n_pos), len(y) / (2.0 * n_neg))
@@ -151,7 +248,7 @@ def _train_lstm(
     v2 = {k: np.zeros_like(v) for k, v in params.items()}
     b1, b2, eps = 0.9, 0.999, 1e-8
     for step in range(1, epochs + 1):
-        _, grads = _loss_and_grads(params, X, y, w)
+        _, grads = loss_fn(params, X, y, w)
         for k in params:
             m[k] = b1 * m[k] + (1 - b1) * grads[k].reshape(params[k].shape)
             v2[k] = b2 * v2[k] + (1 - b2) * (
@@ -175,7 +272,7 @@ def _auroc(y: np.ndarray, scores: np.ndarray) -> float:
     return float((gt + 0.5 * eq) / (len(pos) * len(neg)))
 
 
-def lstm_fold_cv(
+def _seq_fold_cv(
     df: DataFrame,
     feature_cols: list[str],
     label_col: str,
@@ -188,11 +285,13 @@ def lstm_fold_cv(
     gap_days: int = 0,
     val_days: int = 7,
     seed: int = 42,
+    cell: str = "lstm",
 ) -> DataFrame:
-    """ML7 stage: per-temporal-fold LSTM on trailing ``seq_len``-day
-    feature windows, binary target = (label != 0) (episode vs not — the
-    reference's binary framing). Returns one row per fold with n_train /
-    n_val, accuracy, macro-F1 and AUROC on the validation windows.
+    """ML7 stage: per-temporal-fold recurrent net (``cell``: lstm | gru)
+    on trailing ``seq_len``-day feature windows, binary target =
+    (label != 0) (episode vs not — the reference's binary framing).
+    Returns one row per fold with n_train / n_val, accuracy, macro-F1
+    and AUROC on the validation windows.
 
     Fold groups run concurrently via applyInPandas; features are
     per-fold z-scored with TRAIN statistics only (no leakage). Windows
@@ -251,8 +350,8 @@ def lstm_fold_cv(
         sd[sd == 0] = 1.0
         Xtr = (Xtr - mu) / sd
         Xva = (Xva - mu) / sd
-        params = _train_lstm(Xtr, ytr, hidden, epochs, lr, seed + fid)
-        probs, _ = _forward(params, Xva)
+        params = _train_seq(Xtr, ytr, hidden, epochs, lr, seed + fid, cell)
+        probs, _ = _CELLS[cell][2](params, Xva)
         pred = (probs >= 0.5).astype(float)
         acc = float((pred == yva).mean())
         f1s = []
@@ -278,3 +377,28 @@ def lstm_fold_cv(
         .applyInPandas(run, out_schema)
         .orderBy("fold_id")
     )
+
+
+_CELLS["lstm"] = (_init_params, _loss_and_grads, _forward)
+_CELLS["gru"] = (_init_gru_params, _gru_loss_and_grads, _gru_forward)
+
+
+def _train_lstm(X, y, hidden, epochs, lr, seed):
+    """Back-compat alias for the generalized trainer."""
+    return _train_seq(X, y, hidden, epochs, lr, seed, cell="lstm")
+
+
+def lstm_fold_cv(df, feature_cols, label_col, **kw) -> DataFrame:
+    """Per-temporal-fold LSTM CV (ref ml7_analysis.py:238-320)."""
+    return _seq_fold_cv(df, feature_cols, label_col, cell="lstm", **kw)
+
+
+def gru_fold_cv(df, feature_cols, label_col, **kw) -> DataFrame:
+    """Per-temporal-fold GRU CV — the next config in the reference's
+    extended sequence-model grid (ref ml7_extended.py:186-216: the CFG
+    grid's GRU entry, same windows/folds/metrics as the LSTM). Reuses
+    the whole harness: distributed window building, fold-concurrent
+    applyInPandas training, train-only z-scoring, seeded determinism;
+    only the recurrent core differs (Cho et al. 2014 GRU with analytic
+    full-BPTT gradients, finite-difference-verified)."""
+    return _seq_fold_cv(df, feature_cols, label_col, cell="gru", **kw)

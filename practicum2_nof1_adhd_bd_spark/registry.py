@@ -6133,6 +6133,38 @@ def q_lstm_fold_cv(spark, sf_dir):
 QUERIES["lstm_fold_cv"] = q_lstm_fold_cv
 
 
+def q_gru_fold_cv(spark, sf_dir):
+    """§7 ML tail, extended grid (ref ml7_extended.py:186-216: the CFG
+    grid's GRU config — the largest remaining reference module): numpy
+    GRU (Cho et al. 2014 cell) with analytic full-BPTT + Adam on the
+    SAME harness as lstm_fold_cv — distributed window building,
+    fold-concurrent applyInPandas, train-only z-scoring. Seeded + fixed
+    epochs -> deterministic; iteratively trained -> rows-only
+    (finite-difference gradient verification in tests/test_deep.py)."""
+    from .operators import deep
+
+    ev = _cat(spark, sf_dir).events
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.round(F.avg("value"), 6).alias("value_mean"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+    )
+    lab = labels.quantile_3way_label(d, "value_mean", bounded=True)
+    return deep.gru_fold_cv(
+        lab,
+        ["value_mean", "n_events", "n_users"],
+        "label_3cls",
+        seq_len=7,
+        hidden=8,
+        epochs=30,
+        train_days=14,
+        gap_days=0,
+        val_days=7,
+    )
+
+QUERIES["gru_fold_cv"] = q_gru_fold_cv
+
+
 def _daily_label_frame(spark, sf_dir):
     """Shared ML feature frame: daily event aggregates + exact-quantile
     3-way label (the reference's PBSI-style target)."""
