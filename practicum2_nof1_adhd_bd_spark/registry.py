@@ -6843,43 +6843,37 @@ _register_cluster_best_keeper()
 # whole registry, no entry stale-after-rewrite.
 _FRONT_ORDER = [
     "daily_event_stats",  # canary: green every round since r03
-    # new this round (r08): unified int8 bucket-partitioned index
-    # artifact served end to end, query-directed multi-probe ANN, the
-    # CDA source's oracle, SemDeDup over trained Lloyd cells
-    "vector_index_topk", "ann_multiprobe_topk", "multitable_index_topk",
-    "cda_probe", "semantic_dedup_ivf", "encrypted_backup_scan",
-    "encrypted_payload_scan", "ivf_index_topk",
-    "salted_priority_counts", "salted_join_revenue",
-    "csv_permissive_scan", "medallion_silver_scan", "media_resize_scan",
-    # behavior/oracle-touched r08: ingest screens now store + compare the
-    # int8 artifact form (oracle replays quantization), multitable
-    # candidates eagerly checkpointed, Lloyd fit extracted for reuse,
-    # LSH signature/pair persists swapped for localCheckpoint
+    # new this round (r09): the ExactSubstr span-cut intervention; the
+    # approx-quantile path promoted to an oracle (quantile_disc match at
+    # accuracy=1e6)
+    "duplicate_span_cut", "quantile_3way_label_approx",
+    # behavior-touched r09: deterministic content-hash salt (+ unique id
+    # column in both salted frames), minhash band-bucket checkpoint
+    # placement, artifact writers' explicit-partition-count repartition
+    # (AQE commit-parallelism fix), streaming-index append repartition +
+    # compaction, encrypted-backup single keybag unlock + NaN size guard
+    "salted_priority_counts", "salted_join_revenue", "minhash_lsh_pairs",
+    "vector_index_topk", "multitable_index_topk", "ivf_index_topk",
     "incremental_vector_decisions", "streaming_vector_decisions",
-    "ann_multitable_topk", "ivf_lloyd_topk",
-    "minhash_lsh_pairs", "incremental_near_dup",
-    # new late-r08: position-level duplicate spans (ExactSubstr refined),
-    # TPC-H Q5 6-table join-order shape
-    "duplicate_spans", "local_supplier_volume",
-    # rotation: the r03-remainder cohort (18 queries, oldest driver-green)
-    "asof_snapshot_select", "boundary_range_join", "calendar_month_folds",
-    "dedup_by_key", "point_in_interval", "safe_ratio_daily",
-    "rolling_corr_7d", "missingness_profile", "segment_zscore_month",
-    "topk_per_group", "gopher_quality_flags", "language_id",
-    "media_decode_features", "media_real_decode", "rolling_7d_mean_by_user",
-    "simhash_fingerprints", "token_stats", "winnow_fingerprints",
-    # rotation: the r05 cohort (10 of its 23 remaining; the other 13 —
-    # audio_frame_features, reagg_consistency, stratified_sample_k,
-    # ngram_novelty, langid_confusion, ngram_jaccard_pairs,
-    # cluster_best_keeper, incremental_exact_dedup, cube_segment_priority,
-    # customer_spend_quartiles, daily_tag_sets, user_last_value,
-    # xml_records_scan — roll to r09 with the r06 cohort; ledger in
-    # COVERAGE.md)
-    "bucket_balanced_sample", "coalescing_merge",
-    "daily_median_stats", "daily_pivot_sum",
-    "date_spine_unify", "gaps_islands_segments",
-    "outer_join_daily", "pretraining_split_report", "snapshot_diff_report",
-    "unigram_surprisal",
+    "encrypted_backup_scan", "encrypted_payload_scan",
+    # rotation: the r05 leftovers (13 — the oldest driver-green cohort)
+    "audio_frame_features", "cluster_best_keeper", "cube_segment_priority",
+    "customer_spend_quartiles", "daily_tag_sets", "incremental_exact_dedup",
+    "langid_confusion", "ngram_jaccard_pairs", "ngram_novelty",
+    "reagg_consistency", "stratified_sample_k", "user_last_value",
+    "xml_records_scan",
+    # rotation: 24 of the 44-query r06 cohort (alphabetical prefix;
+    # iphone_backup_scan is also r09-behavior-touched via the keybag
+    # fix). Remainder (20) rolls to r10 — ledger in COVERAGE.md.
+    "anchor_first_window", "ann_axis_topk", "ann_lsh_topk",
+    "auto_segment_triggers", "chunk_dedup_profile",
+    "cosine_topk_vectorized", "decontaminate_ngram", "dedup_clusters",
+    "dominant_source_change", "etl_audit_report", "exact_dedup",
+    "feature_attribution_topk", "fold_class_check", "forward_fill_daily",
+    "global_zscore", "high_activity_blocks", "iphone_backup_scan",
+    "jsonl_corpus_scan", "ks_drift", "label_halves_drift",
+    "lag_persistence", "late_shipment_priority", "macro_summary",
+    "majority_baseline",
 ]
 
 

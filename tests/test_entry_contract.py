@@ -39,41 +39,38 @@ def test_sample_queries_run_at_sf0001(spark, sf_dir):
 def test_attestation_window_is_stable():
     """The external harness attests the FIRST 50 queries; pin the window so
     a stray registration cannot silently displace an entry before it has
-    been attested. Round-8 window = the canary + every new or
-    behavior-touched query this round + the r03-remainder cohort + the
-    r05 cohort. Rows-only (no-oracle) queries must NOT occupy window
-    slots."""
+    been attested. Round-9 window = the canary + every new or
+    behavior-touched query this round + the 13 r05 leftovers + 24 of the
+    44-query r06 cohort (remainder rolls to r10; ledger in COVERAGE.md).
+    Rows-only (no-oracle) queries must NOT occupy window slots."""
     names = list(entrymod.queries())
     window = names[:50]
     oracles = entrymod.oracle_sql()
     assert window[0] == "daily_event_stats"  # cross-round canary
     for must in (
-        # new this round: unified int8 index artifact, directed
-        # multi-probe, CDA oracle, SemDeDup over trained cells
-        "vector_index_topk", "ann_multiprobe_topk", "multitable_index_topk",
-        "cda_probe", "semantic_dedup_ivf", "encrypted_backup_scan",
-        "encrypted_payload_scan", "ivf_index_topk",
+        # new this round: the ExactSubstr span-cut intervention; the
+        # approx-quantile path's new oracle
+        "duplicate_span_cut", "quantile_3way_label_approx",
+        # behavior-touched r09: deterministic salt, minhash checkpoint
+        # placement, artifact-writer explicit partition counts, streaming
+        # index append repartition + compaction, encrypted-backup keybag
+        # reuse + NaN size guard
         "salted_priority_counts", "salted_join_revenue",
-        "csv_permissive_scan", "medallion_silver_scan", "media_resize_scan",
-        # behavior/oracle-touched: int8-form ingest screens, checkpointed
-        # multitable candidates, Lloyd fit extraction, localCheckpoint'd
-        # LSH frames
-        "incremental_vector_decisions", "streaming_vector_decisions",
-        "ann_multitable_topk", "ivf_lloyd_topk",
-        "minhash_lsh_pairs", "incremental_near_dup",
-        # new late-r08: position-level duplicate spans, TPC-H Q5 shape
-        "duplicate_spans", "local_supplier_volume",
-        # r03-remainder cohort rotation (spot-pin a representative subset)
-        "asof_snapshot_select", "boundary_range_join", "dedup_by_key",
-        "safe_ratio_daily", "rolling_corr_7d", "segment_zscore_month",
-        "topk_per_group", "language_id", "token_stats",
-        "winnow_fingerprints", "media_real_decode",
-        # r05 cohort rotation (spot-pin a representative subset;
-        # xml_records_scan + user_last_value rolled to the r09 ledger to
-        # make room for the late-r08 queries)
-        "daily_median_stats", "date_spine_unify", "outer_join_daily",
-        "gaps_islands_segments", "unigram_surprisal",
-        "snapshot_diff_report",
+        "minhash_lsh_pairs", "vector_index_topk", "multitable_index_topk",
+        "ivf_index_topk", "incremental_vector_decisions",
+        "streaming_vector_decisions", "encrypted_backup_scan",
+        "encrypted_payload_scan",
+        # r05-leftover rotation (the full 13)
+        "audio_frame_features", "cluster_best_keeper",
+        "cube_segment_priority", "customer_spend_quartiles",
+        "daily_tag_sets", "incremental_exact_dedup", "langid_confusion",
+        "ngram_jaccard_pairs", "ngram_novelty", "reagg_consistency",
+        "stratified_sample_k", "user_last_value", "xml_records_scan",
+        # r06 cohort rotation (spot-pin a representative subset;
+        # iphone_backup_scan is also r09-behavior-touched)
+        "iphone_backup_scan", "anchor_first_window", "ann_lsh_topk",
+        "chunk_dedup_profile", "dedup_clusters", "exact_dedup",
+        "forward_fill_daily", "ks_drift", "macro_summary",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry
