@@ -315,6 +315,14 @@ NOTES = {
         "equality rides inside the customer join condition; revenue "
         "sums DECIMAL(28,12) before the 2dp round."
     ),
+    "duplicate_span_cut": (
+        "duplicate_spans' scan + hash layers, then the canonical pick is "
+        "one count+min-struct aggregate on the gram hash; only CUT hits "
+        "(non-canonical) reach the island window; the re-emit joins a "
+        "collected per-doc span array back to the token layer and "
+        "filters with an index-aware lambda — text is read once and "
+        "never shuffled (spans travel as (id, s, e) triples)."
+    ),
 }
 
 
