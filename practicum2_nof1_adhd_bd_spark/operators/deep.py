@@ -177,17 +177,159 @@ def _gru_loss_and_grads(
     return loss, grads
 
 
+def _init_conv_params(rng: np.random.Generator, d_in: int, hidden: int) -> dict:
+    """Seeded 1D-CNN init (ref ml7_extended.py:217-248: Conv1D(filters)
+    -> Conv1D(filters*2) -> GlobalMaxPooling1D -> Dense -> softmax head;
+    here ``hidden`` plays the filters role and the head is the harness's
+    binary sigmoid, the same framing as the LSTM/GRU cells). Glorot-ish
+    uniform scaled by fan-in per layer."""
+    k = 3
+    f1, f2, u = hidden, 2 * hidden, 2 * hidden
+    s1 = 1.0 / np.sqrt(k * d_in)
+    s2 = 1.0 / np.sqrt(k * f1)
+    sd = 1.0 / np.sqrt(f2)
+    sy = 1.0 / np.sqrt(u)
+    return {
+        "C1": rng.uniform(-s1, s1, (f1, k, d_in)),
+        "cb1": np.zeros(f1),
+        "C2": rng.uniform(-s2, s2, (f2, k, f1)),
+        "cb2": np.zeros(f2),
+        "Wd": rng.uniform(-sd, sd, (f2, u)),
+        "bd": np.zeros(u),
+        "Wy": rng.uniform(-sy, sy, (u, 1)),
+        "by": np.zeros(1),
+    }
+
+
+def _conv_forward(params: dict, X: np.ndarray) -> tuple[np.ndarray, dict]:
+    """Two valid 1D convolutions over time (relu), global max pool over
+    the surviving time axis, relu dense, sigmoid head. X: (B,T,D) ->
+    probabilities (B,); requires T >= 2*(K-1)+1 = 5 at K=3."""
+    k = params["C1"].shape[1]
+    Xw = np.lib.stride_tricks.sliding_window_view(X, k, axis=1)
+    a1 = np.einsum("btdk,fkd->btf", Xw, params["C1"]) + params["cb1"]
+    h1 = np.maximum(a1, 0.0)
+    H1w = np.lib.stride_tricks.sliding_window_view(h1, k, axis=1)
+    a2 = np.einsum("btfk,gkf->btg", H1w, params["C2"]) + params["cb2"]
+    h2 = np.maximum(a2, 0.0)
+    idx = h2.argmax(axis=1)                                 # (B, F2)
+    pool = h2.max(axis=1)                                   # (B, F2)
+    ad = pool @ params["Wd"] + params["bd"]
+    hd = np.maximum(ad, 0.0)
+    logits = (hd @ params["Wy"] + params["by"]).ravel()
+    probs = _sigmoid(logits)
+    cache = {"Xw": Xw, "a1": a1, "H1w": H1w, "a2": a2, "h2": h2,
+             "idx": idx, "pool": pool, "ad": ad, "hd": hd}
+    return probs, cache
+
+
+def _conv_loss_and_grads(
+    params: dict, X: np.ndarray, y: np.ndarray, w: np.ndarray
+) -> tuple[float, dict]:
+    """Weighted BCE + analytic backprop through dense / max-pool (gradient
+    routes to the argmax position) / both convolutions
+    (finite-difference verified in tests/test_deep.py)."""
+    B = X.shape[0]
+    k = params["C1"].shape[1]
+    probs, c = _conv_forward(params, X)
+    eps = 1e-12
+    loss = -np.mean(
+        w * (y * np.log(probs + eps) + (1 - y) * np.log(1 - probs + eps))
+    )
+    dlogit = (w * (probs - y) / B)[:, None]
+    grads = {"Wy": c["hd"].T @ dlogit, "by": dlogit.sum(axis=0)}
+    dhd = dlogit @ params["Wy"].T
+    dad = dhd * (c["ad"] > 0)
+    grads["Wd"] = c["pool"].T @ dad
+    grads["bd"] = dad.sum(axis=0)
+    dpool = dad @ params["Wd"].T                            # (B, F2)
+    dh2 = np.zeros_like(c["h2"])
+    np.put_along_axis(dh2, c["idx"][:, None, :], dpool[:, None, :], axis=1)
+    da2 = dh2 * (c["a2"] > 0)
+    grads["C2"] = np.einsum("btfk,btg->gkf", c["H1w"], da2)
+    grads["cb2"] = da2.sum(axis=(0, 1))
+    dh1 = np.zeros((B, c["a1"].shape[1], params["C1"].shape[0]))
+    t2 = da2.shape[1]
+    for j in range(k):
+        dh1[:, j : j + t2, :] += np.einsum(
+            "btg,gf->btf", da2, params["C2"][:, j, :]
+        )
+    da1 = dh1 * (c["a1"] > 0)
+    grads["C1"] = np.einsum("btdk,btf->fkd", c["Xw"], da1)
+    grads["cb1"] = da1.sum(axis=(0, 1))
+    return loss, grads
+
+
+def _init_cnn_lstm_params(
+    rng: np.random.Generator, d_in: int, hidden: int
+) -> dict:
+    """Seeded CNN-LSTM hybrid init (ref ml7_extended.py:251-283:
+    Conv1D(filters) front-end feeding an LSTM, dense head). The conv
+    layer draws first, then the LSTM block reuses ``_init_params`` over
+    the conv's ``hidden``-channel output."""
+    k = 3
+    s1 = 1.0 / np.sqrt(k * d_in)
+    p = {
+        "C1": rng.uniform(-s1, s1, (hidden, k, d_in)),
+        "cb1": np.zeros(hidden),
+    }
+    p.update(_init_params(rng, hidden, hidden))
+    return p
+
+
+_LSTM_KEYS = ("W", "b", "Wy", "by")
+
+
+def _cnn_lstm_forward(params: dict, X: np.ndarray) -> tuple[np.ndarray, dict]:
+    """Valid conv over time (relu) -> LSTM over the shortened sequence ->
+    sigmoid head. X: (B,T,D) -> probabilities (B,); requires T >= K."""
+    k = params["C1"].shape[1]
+    Xw = np.lib.stride_tricks.sliding_window_view(X, k, axis=1)
+    a1 = np.einsum("btdk,fkd->btf", Xw, params["C1"]) + params["cb1"]
+    h1 = np.maximum(a1, 0.0)
+    probs, lcache = _forward({key: params[key] for key in _LSTM_KEYS}, h1)
+    return probs, {"Xw": Xw, "a1": a1, "h1": h1, "lstm": lcache}
+
+
+def _cnn_lstm_loss_and_grads(
+    params: dict, X: np.ndarray, y: np.ndarray, w: np.ndarray
+) -> tuple[float, dict]:
+    """Weighted BCE + analytic gradients through the LSTM BPTT (reusing
+    ``_loss_and_grads`` with the input-gradient tap) and the conv
+    front-end (finite-difference verified in tests/test_deep.py)."""
+    k = params["C1"].shape[1]
+    Xw = np.lib.stride_tricks.sliding_window_view(X, k, axis=1)
+    a1 = np.einsum("btdk,fkd->btf", Xw, params["C1"]) + params["cb1"]
+    h1 = np.maximum(a1, 0.0)
+    loss, grads, dS = _loss_and_grads(
+        {key: params[key] for key in _LSTM_KEYS}, h1, y, w, return_dX=True
+    )
+    da1 = dS * (a1 > 0)
+    grads = dict(grads)
+    grads["C1"] = np.einsum("btdk,btf->fkd", Xw, da1)
+    grads["cb1"] = da1.sum(axis=(0, 1))
+    return loss, grads
+
+
 _CELLS = {
     "lstm": None,  # filled below once the LSTM functions exist
     "gru": None,
+    "conv1d": None,
+    "cnn_lstm": None,
 }
 
 
 def _loss_and_grads(
-    params: dict, X: np.ndarray, y: np.ndarray, w: np.ndarray
-) -> tuple[float, dict]:
+    params: dict,
+    X: np.ndarray,
+    y: np.ndarray,
+    w: np.ndarray,
+    return_dX: bool = False,
+):
     """Weighted BCE loss + analytic full-BPTT gradients (verified against
-    finite differences in tests/test_deep.py)."""
+    finite differences in tests/test_deep.py). With ``return_dX`` the
+    input gradient (B,T,D) is also returned — the tap the CNN-LSTM
+    hybrid's conv front-end backpropagates through."""
     B, T, D = X.shape
     H = params["Wy"].shape[0]
     probs, cache = _forward(params, X)
@@ -205,6 +347,7 @@ def _loss_and_grads(
     }
     dh = dlogit @ params["Wy"].T                              # (B, H)
     dc = np.zeros((B, H))
+    dX = np.zeros_like(X) if return_dX else None
     for t in range(T - 1, -1, -1):
         i, f, o, g = (cache[k][t] for k in ("i", "f", "o", "g"))
         tc, c_prev, z = cache["tanh_c"][t], cache["c_prev"][t], cache["z"][t]
@@ -222,7 +365,11 @@ def _loss_and_grads(
         grads["b"] += da.sum(axis=0)
         dz = da @ params["W"]                                 # (B, H+D)
         dh = dz[:, :H]
+        if return_dX:
+            dX[:, t, :] = dz[:, H:]
         dc = dc * f
+    if return_dX:
+        return loss, grads, dX
     return loss, grads
 
 
@@ -237,7 +384,8 @@ def _train_seq(
 ) -> dict:
     """Full-batch Adam, fixed epochs, seeded init; balanced class weights
     (the reference trains class_weight='balanced'). ``cell`` selects the
-    recurrent core (lstm | gru) — same optimizer, head, and weighting."""
+    sequence core (lstm | gru | conv1d | cnn_lstm) — same optimizer,
+    head, and weighting."""
     init, loss_fn, _fwd = _CELLS[cell]
     rng = np.random.default_rng(seed)
     params = init(rng, X.shape[2], hidden)
@@ -381,6 +529,12 @@ def _seq_fold_cv(
 
 _CELLS["lstm"] = (_init_params, _loss_and_grads, _forward)
 _CELLS["gru"] = (_init_gru_params, _gru_loss_and_grads, _gru_forward)
+_CELLS["conv1d"] = (_init_conv_params, _conv_loss_and_grads, _conv_forward)
+_CELLS["cnn_lstm"] = (
+    _init_cnn_lstm_params,
+    _cnn_lstm_loss_and_grads,
+    _cnn_lstm_forward,
+)
 
 
 def _train_lstm(X, y, hidden, epochs, lr, seed):
@@ -402,3 +556,24 @@ def gru_fold_cv(df, feature_cols, label_col, **kw) -> DataFrame:
     only the recurrent core differs (Cho et al. 2014 GRU with analytic
     full-BPTT gradients, finite-difference-verified)."""
     return _seq_fold_cv(df, feature_cols, label_col, cell="gru", **kw)
+
+
+def conv1d_fold_cv(df, feature_cols, label_col, **kw) -> DataFrame:
+    """Per-temporal-fold 1D-CNN CV (ref ml7_extended.py:217-248: the CFG
+    grid's Conv1D config — two stacked valid convolutions, global max
+    pool, relu dense, head). Same harness as the recurrent cells; the
+    ``seq_len`` must be >= 5 so two kernel-3 valid convs leave at least
+    one time step. Gradients (incl. the argmax-routed max-pool) are
+    finite-difference-verified in tests/test_deep.py."""
+    return _seq_fold_cv(df, feature_cols, label_col, cell="conv1d", **kw)
+
+
+def cnn_lstm_fold_cv(df, feature_cols, label_col, **kw) -> DataFrame:
+    """Per-temporal-fold CNN-LSTM hybrid CV (ref ml7_extended.py:251-283:
+    Conv1D front-end feeding an LSTM). The conv shortens the sequence by
+    K-1=2 steps before the LSTM consumes it; backprop reuses the LSTM
+    BPTT with its input-gradient tap, then flows through the conv.
+    Completes the reference's 4-config sequence-model grid (LSTM / GRU /
+    Conv1D / CNN-LSTM) on one shared, finite-difference-verified
+    harness."""
+    return _seq_fold_cv(df, feature_cols, label_col, cell="cnn_lstm", **kw)

@@ -6165,6 +6165,68 @@ def q_gru_fold_cv(spark, sf_dir):
 QUERIES["gru_fold_cv"] = q_gru_fold_cv
 
 
+def q_conv1d_fold_cv(spark, sf_dir):
+    """§7 ML tail, extended grid (ref ml7_extended.py:217-248: the CFG
+    grid's Conv1D config — stacked valid convolutions + global max pool
+    + dense): numpy 1D-CNN on the SAME fold harness as lstm_fold_cv.
+    seq_len=7 leaves 3 time steps after two kernel-3 valid convs.
+    Seeded + fixed epochs -> deterministic; iteratively trained ->
+    rows-only (finite-difference verification in tests/test_deep.py)."""
+    from .operators import deep
+
+    ev = _cat(spark, sf_dir).events
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.round(F.avg("value"), 6).alias("value_mean"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+    )
+    lab = labels.quantile_3way_label(d, "value_mean", bounded=True)
+    return deep.conv1d_fold_cv(
+        lab,
+        ["value_mean", "n_events", "n_users"],
+        "label_3cls",
+        seq_len=7,
+        hidden=8,
+        epochs=30,
+        train_days=14,
+        gap_days=0,
+        val_days=7,
+    )
+
+QUERIES["conv1d_fold_cv"] = q_conv1d_fold_cv
+
+
+def q_cnn_lstm_fold_cv(spark, sf_dir):
+    """§7 ML tail, extended grid (ref ml7_extended.py:251-283: the CFG
+    grid's CNN-LSTM hybrid — Conv1D front-end feeding an LSTM): numpy
+    hybrid on the SAME fold harness; with it, all four sequence-model
+    configs of the reference's extended grid (LSTM / GRU / Conv1D /
+    CNN-LSTM) run on one finite-difference-verified harness. Rows-only
+    for the same reason as the others."""
+    from .operators import deep
+
+    ev = _cat(spark, sf_dir).events
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.round(F.avg("value"), 6).alias("value_mean"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+    )
+    lab = labels.quantile_3way_label(d, "value_mean", bounded=True)
+    return deep.cnn_lstm_fold_cv(
+        lab,
+        ["value_mean", "n_events", "n_users"],
+        "label_3cls",
+        seq_len=7,
+        hidden=8,
+        epochs=30,
+        train_days=14,
+        gap_days=0,
+        val_days=7,
+    )
+
+QUERIES["cnn_lstm_fold_cv"] = q_cnn_lstm_fold_cv
+
+
 def _daily_label_frame(spark, sf_dir):
     """Shared ML feature frame: daily event aggregates + exact-quantile
     3-way label (the reference's PBSI-style target)."""
