@@ -24,7 +24,21 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument(
+        "--clustered",
+        action="store_true",
+        help=(
+            "run the panel on a CLUSTERED variant of the embeddings "
+            "(each vector mixed toward its label centroid, alpha*c + "
+            "(1-alpha)*v) — the realistic shape for trained embeddings, "
+            "where sign-LSH margins carry signal; the default table is "
+            "near-uniform, LSH's worst case (SCALING §2c)"
+        ),
+    )
+    ap.add_argument("--alpha", type=float, default=0.7)
     args = ap.parse_args()
+
+    from pyspark.sql import functions as F
 
     from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
     from practicum2_nof1_adhd_bd_spark.session import get_spark
@@ -32,7 +46,27 @@ def main() -> None:
 
     spark = get_spark("recall-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    emb = Catalog(spark, args.sf_dir).embeddings.cache()
+    emb = Catalog(spark, args.sf_dir).embeddings
+    if args.clustered:
+        dim = len(emb.select("embedding").first()[0])
+        cent = emb.groupBy("label").agg(
+            F.array(
+                *[F.avg(F.col("embedding")[i]) for i in range(dim)]
+            ).alias("c")
+        )
+        a = float(args.alpha)
+        emb = emb.join(F.broadcast(cent), "label").select(
+            "vec_id",
+            F.zip_with(
+                "embedding",
+                "c",
+                lambda x, c: (a * c + (1 - a) * x.cast("double")).cast(
+                    "float"
+                ),
+            ).alias("embedding"),
+            "label",
+        )
+    emb = emb.cache()
     emb.count()
 
     paths = {
@@ -76,6 +110,10 @@ def main() -> None:
         "mp_L10_P8_m4": lambda q: sim.ann_topk_multiprobe(
             emb, q, args.k, n_tables=10, n_planes=8, n_flips=4
         ),
+        # the <=14%-budget corner (documented cap ~0.49-0.51 both panels)
+        "mp_L10_P8_m2": lambda q: sim.ann_topk_multiprobe(
+            emb, q, args.k, n_tables=10, n_planes=8, n_flips=2
+        ),
         # int8-quantized storage form: recall here measures ranking
         # fidelity of the 4x-smaller index, not a candidate budget
         "int8_full_rank": lambda q: sim.int8_cosine_topk(emb, q, args.k),
@@ -106,6 +144,9 @@ def main() -> None:
         )[0],
         "mp_L10_P8_m4": lambda q: sim.multiprobe_candidates(
             emb, q, n_tables=10, n_planes=8, n_flips=4
+        )[0],
+        "mp_L10_P8_m2": lambda q: sim.multiprobe_candidates(
+            emb, q, n_tables=10, n_planes=8, n_flips=2
         )[0],
     }
 
