@@ -71,6 +71,8 @@ HEADLINE = [
     "local_supplier_volume",
     # round-9 additions
     "duplicate_span_cut",
+    "bloom_screen_decisions",
+    "heavy_hitter_tokens",
 ]
 
 

@@ -747,6 +747,126 @@ def incremental_exact_dedup(
     )
 
 
+def bloom_bitmap_from_hashes(
+    hash_df: DataFrame,
+    hash_col: str = "text_hash",
+    n_bits: int = 1 << 20,
+    n_probes: int = 4,
+) -> bytes:
+    """Distributed Bloom-filter build over a hash column: each executor
+    partition ORs its hashes' probe positions into a local ``n_bits``-bit
+    numpy bitmap, the driver ORs the per-partition bitmaps. Driver traffic
+    is ``num_partitions * n_bits/8`` bytes — O(1) in the data, the same
+    bounded-merge-state argument as ``snapshot_provenance``'s digests.
+
+    Probe positions are JVM-side ``pmod(xxhash64(hash, j), n_bits)`` —
+    computed identically at build and query time, deterministic across
+    runs and partitionings.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_bits % 8:
+        raise ValueError("n_bits must be a multiple of 8")
+    pos = hash_df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col(hash_col), F.lit(j)), F.lit(n_bits)
+                    )
+                    for j in range(n_probes)
+                ]
+            )
+        ).alias("pos")
+    )
+
+    def part_bitmap(it):
+        bm = np.zeros(n_bits // 8, dtype=np.uint8)
+        for pdf in it:
+            p = pdf["pos"].to_numpy()
+            np.bitwise_or.at(bm, p >> 3, (1 << (p & 7)).astype(np.uint8))
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    out = np.zeros(n_bits // 8, dtype=np.uint8)
+    for row in pos.mapInPandas(part_bitmap, "bm binary").collect():
+        out |= np.frombuffer(row["bm"], dtype=np.uint8)
+    return out.tobytes()
+
+
+def bloom_screen_exact_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 1 << 20,
+    n_probes: int = 4,
+) -> DataFrame:
+    """``incremental_exact_dedup`` with a broadcast Bloom prefilter — the
+    100 TB shape of the daily-crawl screen. The anti-join against the
+    stored index hashes is the per-batch cost that grows with the CORPUS;
+    a Bloom bitmap over the index (built once per ingest epoch, ~n_bits/8
+    bytes broadcast to every executor) screens the batch map-side:
+    bloom-NEGATIVE rows are *guaranteed* new (no false negatives) and
+    skip the join entirely; only bloom-positive rows (true dups + the
+    false-positive rate) reach the exact anti-join. Decisions are
+    therefore IDENTICAL to the plain exact screen — the oracle replays
+    exact-screen semantics, and the Bloom stage is pure join-avoidance
+    (measured in SCALING §2g; tests assert decision-equality and a
+    nonzero skipped fraction).
+
+    In production the bitmap is a stored artifact refreshed on append
+    (like the vector-index artifact); here it is built in-query from the
+    index side, which the eager localCheckpoint scans exactly once for
+    both the build and the verify join.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    idx_hashes = (
+        index.select(F.md5(norm).alias("text_hash"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bitmap = bloom_bitmap_from_hashes(
+        idx_hashes, "text_hash", n_bits=n_bits, n_probes=n_probes
+    )
+    bc = new_docs.sparkSession.sparkContext.broadcast(bitmap)
+
+    # no type hints: pandas_udf cannot infer an eval type from a *varargs
+    # signature, so the returnType string + default SCALAR kind carry it
+    @pandas_udf("boolean")
+    def _maybe_seen(*pos):
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        acc = np.ones(len(pos[0]), dtype=bool)
+        for p in pos:
+            pn = p.to_numpy()
+            acc &= ((bm[pn >> 3] >> (pn & 7)) & 1).astype(bool)
+        return pd.Series(acc)
+
+    batch = (
+        new_docs.select(F.md5(norm).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_batch_copies"),
+        )
+    )
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col("text_hash"), F.lit(j)), F.lit(n_bits))
+        for j in range(n_probes)
+    ]
+    flagged = batch.withColumn("_maybe_seen", _maybe_seen(*pos_cols))
+    fresh = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    suspects = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    verified = suspects.join(idx_hashes, "text_hash", "left_anti")
+    return fresh.unionByName(verified).select(
+        id_col, "text_hash", "n_batch_copies"
+    )
+
+
 def incremental_near_dup(
     new_docs: DataFrame,
     index: DataFrame,

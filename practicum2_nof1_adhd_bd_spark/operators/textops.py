@@ -1059,3 +1059,75 @@ def duplicate_span_cut(
         (n - F.size(kept)).cast("long").alias("cut_tokens"),
         F.concat_ws(" ", kept).alias("cut_text"),
     )
+
+
+def heavy_hitter_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 100,
+    depth: int = 4,
+    width: int = 16384,
+) -> DataFrame:
+    """Exact heavy-hitter tokens via a Count-Min-Sketch prefilter — the
+    bounded-memory two-pass recipe (Cormode & Muthukrishnan 2005) that
+    makes corpus-scale vocabulary statistics shuffle only the heavy tail.
+
+    The naive plan (groupBy(token).count over every occurrence) shuffles
+    the ENTIRE vocabulary — at 100 TB that is billions of distinct rare
+    tokens crossing the wire to be counted once and discarded. Instead:
+
+    1. CMS pass: each occurrence increments ``depth`` counters at
+       ``pmod(xxhash64(tok, j), width)``. Expressed as a groupBy over
+       (j, position): map-side partial aggregation bounds the exchange at
+       ``partitions x depth x width`` rows regardless of corpus size,
+       and the driver collects exactly the ``depth x width`` sketch —
+       the bounded-merge-state argument again.
+    2. Filter pass: every occurrence's estimate = min over j of its
+       sketch cell (depth broadcast map-side joins of the tiny per-row
+       sketch slices — zero Python, zero shuffle). CMS never
+       underestimates, so estimate < min_count is *proof* the token is
+       light: only candidate occurrences reach the exact groupBy.
+    3. Exact verify: groupBy(token) over survivors, HAVING the true
+       count >= min_count — false positives from sketch collisions die
+       here, so the output is EXACTLY the true heavy hitters (the SQL
+       oracle replays plain GROUP BY ... HAVING semantics).
+
+    Candidate-occurrence fraction is measured in SCALING §2g; collision
+    behavior is pinned in tests (a light token sharing cells with heavy
+    ones survives the prefilter but not the verify).
+    """
+    spark = df.sparkSession
+    ex = fan_out(df.select(text_col)).select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+
+    def pos(j: int) -> Column:
+        return F.pmod(F.xxhash64(F.col("tok"), F.lit(j)), F.lit(width))
+
+    sketch_pd = (
+        ex.select(
+            F.posexplode(F.array(*[pos(j) for j in range(depth)])).alias(
+                "j", "p"
+            )
+        )
+        .groupBy("j", "p")
+        .agg(F.count(F.lit(1)).alias("cms_n"))
+        .toPandas()
+    )
+    est = ex.select("tok", *[pos(j).alias(f"p{j}") for j in range(depth)])
+    mins = []
+    for j in range(depth):
+        part = sketch_pd[sketch_pd["j"] == j][["p", "cms_n"]]
+        cms_j = spark.createDataFrame(
+            part.rename(columns={"p": f"p{j}", "cms_n": f"cms_n{j}"}),
+            f"p{j} bigint, cms_n{j} bigint",
+        )
+        est = est.join(F.broadcast(cms_j), f"p{j}")
+        mins.append(F.col(f"cms_n{j}"))
+    cand = est.filter(F.least(*mins) >= min_count)
+    return (
+        cand.groupBy(F.col("tok").alias("token"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    )

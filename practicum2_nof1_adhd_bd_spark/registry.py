@@ -3451,6 +3451,61 @@ def q_incremental_exact_dedup(spark, sf_dir):
 
 
 @register(
+    "bloom_screen_decisions",
+    """
+    WITH n AS (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+                      doc_id
+               FROM documents WHERE doc_id % 10 = 0),
+    b AS (SELECT text_hash, min(doc_id) AS doc_id, count(*) AS n_batch_copies
+          FROM n GROUP BY text_hash),
+    idx AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash
+            FROM documents WHERE doc_id % 10 <> 0)
+    SELECT doc_id, text_hash, n_batch_copies
+    FROM b ANTI JOIN idx USING (text_hash)
+    """,
+)
+def q_bloom_screen_decisions(spark, sf_dir):
+    """incremental_exact_dedup's 100 TB shape: a broadcast Bloom bitmap
+    over the index hashes screens the batch MAP-SIDE — bloom-negative
+    rows are guaranteed-new (no false negatives) and skip the anti-join;
+    only bloom-positives reach it. Decisions are identical to the plain
+    exact screen, so the oracle IS the exact-screen SQL — the Bloom stage
+    is pure join-avoidance (equality + skipped-fraction pinned in
+    tests/test_dedup.py; scale probe in SCALING §2g)."""
+    docs = _cat(spark, sf_dir).documents
+    new_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    index = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.bloom_screen_exact_dedup(new_docs, index)
+
+
+@register(
+    "heavy_hitter_tokens",
+    """
+    WITH t AS (
+        SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+        FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM t
+    GROUP BY token
+    HAVING count(*) >= 100
+    ORDER BY n_occurrences DESC, token
+    """,
+)
+def q_heavy_hitter_tokens(spark, sf_dir):
+    """Exact heavy-hitter vocabulary via a Count-Min-Sketch prefilter
+    (Cormode & Muthukrishnan 2005): the CMS pass bounds its exchange at
+    partitions x depth x width rows regardless of corpus size, the
+    estimate>=threshold filter runs map-side (CMS never underestimates,
+    so light tokens are PROVABLY light and never shuffle), and the exact
+    groupBy verifies only the candidates — output is exactly the true
+    heavy hitters, which is why a plain GROUP BY ... HAVING oracle
+    replays it."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.heavy_hitter_tokens(docs, min_count=100)
+
+
+@register(
     "stratified_sample_k",
     """
     SELECT source,
@@ -6907,8 +6962,11 @@ _FRONT_ORDER = [
     "daily_event_stats",  # canary: green every round since r03
     # new this round (r09): the ExactSubstr span-cut intervention; the
     # approx-quantile path promoted to an oracle (quantile_disc match at
-    # accuracy=1e6)
+    # accuracy=1e6); the Bloom-prefiltered exact screen and the
+    # CMS-prefiltered exact heavy hitters (both sketch stages are pure
+    # shuffle-avoidance, so exact-semantics oracles replay them)
     "duplicate_span_cut", "quantile_3way_label_approx",
+    "bloom_screen_decisions", "heavy_hitter_tokens",
     # behavior-touched r09: deterministic content-hash salt (+ unique id
     # column in both salted frames), minhash band-bucket checkpoint
     # placement, artifact writers' explicit-partition-count repartition
@@ -6924,9 +6982,9 @@ _FRONT_ORDER = [
     "langid_confusion", "ngram_jaccard_pairs", "ngram_novelty",
     "reagg_consistency", "stratified_sample_k", "user_last_value",
     "xml_records_scan",
-    # rotation: 24 of the 44-query r06 cohort (alphabetical prefix;
+    # rotation: 22 of the 44-query r06 cohort (alphabetical prefix;
     # iphone_backup_scan is also r09-behavior-touched via the keybag
-    # fix). Remainder (20) rolls to r10 — ledger in COVERAGE.md.
+    # fix). Remainder (22) rolls to r10 — ledger in COVERAGE.md.
     "anchor_first_window", "ann_axis_topk", "ann_lsh_topk",
     "auto_segment_triggers", "chunk_dedup_profile",
     "cosine_topk_vectorized", "decontaminate_ngram", "dedup_clusters",
@@ -6934,8 +6992,7 @@ _FRONT_ORDER = [
     "feature_attribution_topk", "fold_class_check", "forward_fill_daily",
     "global_zscore", "high_activity_blocks", "iphone_backup_scan",
     "jsonl_corpus_scan", "ks_drift", "label_halves_drift",
-    "lag_persistence", "late_shipment_priority", "macro_summary",
-    "majority_baseline",
+    "lag_persistence", "late_shipment_priority",
 ]
 
 

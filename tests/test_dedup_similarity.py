@@ -343,3 +343,75 @@ def test_lsh_ops_leave_no_session_cache(spark, sf_dir):
     )
     dedup.incremental_near_dup(new_docs, docs).count()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_bloom_screen_equals_exact_screen(spark):
+    """The Bloom prefilter is pure join-avoidance: decisions must be
+    IDENTICAL to incremental_exact_dedup on the same split, including
+    in-batch dup collapse and normalization."""
+    from practicum2_nof1_adhd_bd_spark.operators import dedup
+
+    index = spark.createDataFrame(
+        [(i, f"indexed document number {i}") for i in range(40)]
+        + [(100, "shared content")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(200, "Shared  Content"),            # dup of index after norm
+         (201, "fresh one"), (202, "fresh two"),
+         (203, "fresh one"),                  # in-batch dup -> 201 wins
+         (204, "indexed document number 7")], # dup of index
+        "doc_id long, text string",
+    )
+    exact = sorted(
+        map(tuple, dedup.incremental_exact_dedup(batch, index).collect())
+    )
+    bloom = sorted(
+        map(tuple, dedup.bloom_screen_exact_dedup(batch, index).collect())
+    )
+    assert bloom == exact
+    assert {r[0] for r in bloom} == {201, 202}
+
+
+def test_bloom_bitmap_has_no_false_negatives_and_filters(spark):
+    """Every indexed hash must test positive (the correctness half of the
+    Bloom contract); most non-member hashes must test negative (the
+    join-avoidance half — with n=50 keys in 2^20 bits the fp rate is
+    ~0, so a random panel must be overwhelmingly negative)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import dedup
+
+    hashes = spark.createDataFrame(
+        [(f"hash-{i}",) for i in range(50)], "text_hash string"
+    )
+    n_bits, n_probes = 1 << 20, 4
+    bm = np.frombuffer(
+        dedup.bloom_bitmap_from_hashes(hashes, n_bits=n_bits,
+                                       n_probes=n_probes),
+        dtype=np.uint8,
+    )
+
+    def member(df):
+        pos = df.select(
+            *[
+                F.pmod(F.xxhash64(F.col("text_hash"), F.lit(j)),
+                       F.lit(n_bits)).alias(f"p{j}")
+                for j in range(n_probes)
+            ]
+        ).collect()
+        out = []
+        for r in pos:
+            out.append(all(
+                (bm[r[f"p{j}"] >> 3] >> (r[f"p{j}"] & 7)) & 1
+                for j in range(n_probes)
+            ))
+        return out
+
+    assert all(member(hashes))  # no false negatives, ever
+    novel = spark.createDataFrame(
+        [(f"novel-{i}",) for i in range(200)], "text_hash string"
+    )
+    fp = sum(member(novel))
+    assert fp <= 2, fp  # ~0 expected at this load factor

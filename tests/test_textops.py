@@ -355,3 +355,33 @@ def test_duplicate_span_cut_totals_consistent(spark, sf_dir):
         )
     ).count()
     assert bad == 0
+
+
+def test_heavy_hitter_tokens_exact_output(spark):
+    """CMS prefilter + exact verify returns exactly GROUP BY ... HAVING:
+    heavy tokens with true counts, light tokens absent."""
+    rows = [(i, "alpha beta alpha") for i in range(30)] + [
+        (100, "gamma delta"), (101, "gamma epsilon zeta")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["token"]: r["n_occurrences"]
+        for r in textops.heavy_hitter_tokens(df, min_count=10).collect()
+    }
+    assert out == {"alpha": 60, "beta": 30}
+
+
+def test_heavy_hitter_survives_total_collision(spark):
+    """width=1 forces EVERY token into the same sketch cell — the
+    prefilter passes everything (estimate = total occurrences) and the
+    exact verify alone must produce the right answer. Pins the
+    no-false-negative/exact-verify division of labor."""
+    rows = [(i, "hot cold") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["token"]: r["n_occurrences"]
+        for r in textops.heavy_hitter_tokens(
+            df, min_count=15, depth=2, width=1
+        ).collect()
+    }
+    assert out == {"cold": 20, "hot": 20}

@@ -323,6 +323,21 @@ NOTES = {
         "filters with an index-aware lambda — text is read once and "
         "never shuffled (spans travel as (id, s, e) triples)."
     ),
+    "bloom_screen_decisions": (
+        "The broadcast Bloom bitmap screens batch hash-groups map-side "
+        "(Arrow-batched membership over xxhash64 positions computed "
+        "JVM-side); bloom-negatives bypass the anti-join entirely and "
+        "only the positive slice joins the checkpointed index hashes — "
+        "SCALING §2g measures 80% of the join skipped at 0.1% fp."
+    ),
+    "heavy_hitter_tokens": (
+        "CMS pass: partial aggregation bounds the sketch exchange at "
+        "partitions x depth x width rows; estimate filter is depth "
+        "BROADCAST joins of the collected sketch slices at occurrence "
+        "grain (map-side, codegen, zero Python); only CMS-candidate "
+        "occurrences reach the exact groupBy — the long-tail vocabulary "
+        "(245k of 245k+30 distinct on the §2g panel) never shuffles."
+    ),
 }
 
 
