@@ -73,6 +73,8 @@ HEADLINE = [
     "duplicate_span_cut",
     "bloom_screen_decisions",
     "heavy_hitter_tokens",
+    "bm25_topk",
+    "hybrid_rrf_topk",
 ]
 
 

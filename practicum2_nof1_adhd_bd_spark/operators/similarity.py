@@ -1424,3 +1424,48 @@ def compact_index(spark, path: str, partition_cols: list[str] | None = None):
         raise IOError(f"compact_index: could not swap compacted {path}")
     fs.delete(old, True)
     return before, _count_files(jpath)
+
+
+def rrf_fuse(
+    ranked: list[tuple[DataFrame, str]],
+    id_col: str = "doc_id",
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of pre-limited ranked
+    result frames — the standard hybrid-retrieval combiner (lexical BM25
+    + embedding cosine in one engine, each side produced by its own
+    scale path). ``ranked`` is [(frame, score_col), ...]; each frame is
+    ranked by (score desc, id asc) and a document scores
+    sum(1 / (rrf_k + rank_i)) over the lists it appears in (absent ->
+    no contribution).
+
+    The single-partition rank windows are safe BY CONTRACT: inputs are
+    the top-N outputs of their retrievers (N ~ 50), so this fuses
+    list-sized frames — the corpus-scale work already happened inside
+    the retrievers.
+    """
+    from pyspark.sql import Window
+
+    fused = None
+    contribs = []
+    for i, (fr, score_col) in enumerate(ranked):
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        r = fr.select(
+            F.col(id_col), F.row_number().over(w).alias(f"_r{i}")
+        )
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+        contribs.append(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(f"_r{i}")),
+                F.lit(0.0),
+            )
+        )
+    rrf = contribs[0]
+    for c in contribs[1:]:
+        rrf = rrf + c
+    return (
+        fused.select(F.col(id_col), F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1131,3 +1131,81 @@ def heavy_hitter_tokens(
         .filter(F.col("n_occurrences") >= min_count)
         .orderBy(F.col("n_occurrences").desc(), F.col("token"))
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact BM25 (Robertson-Sparck Jones) lexical retrieval top-k — the
+    keyword side of a retrieval pipeline, complementing the ANN stack's
+    embedding side.
+
+    Scale shape: the heavy pass explodes tokens but filters to the query
+    terms MAP-SIDE before any aggregation, so the (doc, term) frequency
+    shuffle carries only matching occurrences — O(query hits), not
+    O(corpus tokens). Document length rides through that same explode
+    (size computed pre-explode), so no second join against a length
+    table; the corpus stats (N, avgdl) fold to ONE row, broadcast via
+    crossJoin; per-term document frequencies are a query-terms-sized
+    frame, broadcast into the scoring join. Total: one token-bearing
+    scan + one tiny length scan, zero corpus-sized joins.
+
+    Scores are rounded to 6dp (the accepted float boundary class shared
+    with the cosine oracles).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    dl = df.select(F.col(id_col), F.size(toks).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    occ = (
+        df.select(F.col(id_col), F.size(toks).alias("dl"),
+                  F.explode(toks).alias("tok"))
+        .filter(F.col("tok").isin([str(t) for t in query_terms]))
+    )
+    # tf feeds BOTH the df_t broadcast branch and the scoring branch;
+    # without materialization the corpus explode runs twice (the
+    # no-subplan-sharing gotcha, same as Q15). The frame is query-hits
+    # sized, so the eager checkpoint is cheap and releases with scope.
+    tf = (
+        occ.groupBy(id_col, "tok")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("tf"),
+            F.first("dl").alias("dl"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dfreq = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("df_t")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_s",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5)
+            )
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -5343,6 +5343,112 @@ _COSINE_ORACLE = """
     LIMIT 10
 """
 
+_BM25_ORACLE = """
+    WITH tk AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+        FROM documents
+    ),
+    dl AS (SELECT doc_id,
+                  len(regexp_extract_all(lower(text), '\\S+')) AS dl
+           FROM documents),
+    st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf
+           FROM tk WHERE tok IN ('hash', 'join', 'scan')
+           GROUP BY doc_id, tok),
+    dq AS (SELECT tok, count(*)::DOUBLE AS df_t FROM tf GROUP BY tok)
+    SELECT tf.doc_id,
+           round(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                     * tf * (1.2 + 1.0)
+                     / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+    FROM tf JOIN dq USING (tok) JOIN dl USING (doc_id), st
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 10
+"""
+
+
+@register("bm25_topk", _BM25_ORACLE)
+def q_bm25_topk(spark, sf_dir):
+    """Exact BM25 lexical retrieval top-10 for the query terms
+    ('hash', 'join', 'scan') — the keyword side of hybrid retrieval. The
+    occurrence explode filters to query terms MAP-SIDE (the shuffle
+    carries query hits, not corpus tokens), corpus stats fold to one
+    broadcast row, per-term document frequencies broadcast into the
+    scoring join."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.bm25_topk(docs, ["hash", "join", "scan"], k=10)
+
+
+_RRF_ORACLE = """
+    WITH tk AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+        FROM documents
+    ),
+    dl AS (SELECT doc_id,
+                  len(regexp_extract_all(lower(text), '\\S+')) AS dl
+           FROM documents),
+    st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf
+           FROM tk WHERE tok IN ('hash', 'join', 'scan')
+           GROUP BY doc_id, tok),
+    dq AS (SELECT tok, count(*)::DOUBLE AS df_t FROM tf GROUP BY tok),
+    lex AS (
+        SELECT tf.doc_id,
+               round(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                         * tf * (1.2 + 1.0)
+                         / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+                   AS bm25
+        FROM tf JOIN dq USING (tok) JOIN dl USING (doc_id), st
+        GROUP BY tf.doc_id
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT 50
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    sem AS (
+        SELECT vec_id AS doc_id,
+               round(list_inner_product(v, qv)
+                     / (sqrt(list_inner_product(v, v))
+                        * sqrt(list_inner_product(qv, qv))), 6) AS cosine
+        FROM e, q
+        WHERE vec_id != 0
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 50
+    ),
+    lr AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r0
+           FROM lex),
+    sr AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS r1
+           FROM sem)
+    SELECT doc_id,
+           round(coalesce(1.0 / (60.0 + r0), 0.0)
+                 + coalesce(1.0 / (60.0 + r1), 0.0), 6) AS rrf
+    FROM lr FULL OUTER JOIN sr USING (doc_id)
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT 10
+"""
+
+
+@register("hybrid_rrf_topk", _RRF_ORACLE)
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-50 + exact cosine top-50 fused
+    by reciprocal-rank fusion (Cormack et al. 2009, k=60) — the standard
+    RAG retrieval combiner, both sides produced by their own scale paths
+    (map-side-filtered BM25; broadcast-query cosine) and fused over
+    list-sized frames only. doc_id and vec_id are aligned in the
+    testdata corpus."""
+    docs = _cat(spark, sf_dir).documents
+    emb = _cat(spark, sf_dir).embeddings
+    lex = textops.bm25_topk(docs, ["hash", "join", "scan"], k=50)
+    sem = sim.cosine_topk_bruteforce(emb, query_id=0, k=50).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return sim.rrf_fuse([(lex, "bm25"), (sem, "cosine")], k=10)
+
+
 @register("cosine_topk", _COSINE_ORACLE)
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-k over the embedding column (codegen'd
@@ -6967,6 +7073,9 @@ _FRONT_ORDER = [
     # shuffle-avoidance, so exact-semantics oracles replay them)
     "duplicate_span_cut", "quantile_3way_label_approx",
     "bloom_screen_decisions", "heavy_hitter_tokens",
+    # new this round (r09, continued): BM25 lexical retrieval + the
+    # RRF hybrid combiner (lexical + embedding in one engine)
+    "bm25_topk", "hybrid_rrf_topk",
     # behavior-touched r09: deterministic content-hash salt (+ unique id
     # column in both salted frames), minhash band-bucket checkpoint
     # placement, artifact writers' explicit-partition-count repartition
@@ -6982,9 +7091,9 @@ _FRONT_ORDER = [
     "langid_confusion", "ngram_jaccard_pairs", "ngram_novelty",
     "reagg_consistency", "stratified_sample_k", "user_last_value",
     "xml_records_scan",
-    # rotation: 22 of the 44-query r06 cohort (alphabetical prefix;
+    # rotation: 20 of the 44-query r06 cohort (alphabetical prefix;
     # iphone_backup_scan is also r09-behavior-touched via the keybag
-    # fix). Remainder (22) rolls to r10 — ledger in COVERAGE.md.
+    # fix). Remainder (24) rolls to r10 — ledger in COVERAGE.md.
     "anchor_first_window", "ann_axis_topk", "ann_lsh_topk",
     "auto_segment_triggers", "chunk_dedup_profile",
     "cosine_topk_vectorized", "decontaminate_ngram", "dedup_clusters",
@@ -6992,7 +7101,6 @@ _FRONT_ORDER = [
     "feature_attribution_topk", "fold_class_check", "forward_fill_daily",
     "global_zscore", "high_activity_blocks", "iphone_backup_scan",
     "jsonl_corpus_scan", "ks_drift", "label_halves_drift",
-    "lag_persistence", "late_shipment_priority",
 ]
 
 

@@ -42,7 +42,7 @@ def test_attestation_window_is_stable():
     """The external harness attests the FIRST 50 queries; pin the window so
     a stray registration cannot silently displace an entry before it has
     been attested. Round-9 window = the canary + every new or
-    behavior-touched query this round + the 13 r05 leftovers + 22 of the
+    behavior-touched query this round + the 13 r05 leftovers + 20 of the
     44-query r06 cohort (remainder rolls to r10; ledger in COVERAGE.md).
     Rows-only (no-oracle) queries must NOT occupy window slots."""
     names = list(entrymod.queries())
@@ -52,9 +52,11 @@ def test_attestation_window_is_stable():
     for must in (
         # new this round: the ExactSubstr span-cut intervention; the
         # approx-quantile path's new oracle; the Bloom-prefiltered exact
-        # screen; the CMS-prefiltered exact heavy hitters
+        # screen; the CMS-prefiltered exact heavy hitters; BM25 lexical
+        # retrieval; the RRF hybrid combiner
         "duplicate_span_cut", "quantile_3way_label_approx",
         "bloom_screen_decisions", "heavy_hitter_tokens",
+        "bm25_topk", "hybrid_rrf_topk",
         # behavior-touched r09: deterministic salt, minhash checkpoint
         # placement, artifact-writer explicit partition counts, streaming
         # index append repartition + compaction, encrypted-backup keybag
@@ -74,7 +76,7 @@ def test_attestation_window_is_stable():
         # iphone_backup_scan is also r09-behavior-touched)
         "iphone_backup_scan", "anchor_first_window", "ann_lsh_topk",
         "chunk_dedup_profile", "dedup_clusters", "exact_dedup",
-        "forward_fill_daily", "ks_drift", "late_shipment_priority",
+        "forward_fill_daily", "ks_drift", "label_halves_drift",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry

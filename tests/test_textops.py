@@ -385,3 +385,43 @@ def test_heavy_hitter_survives_total_collision(spark):
         ).collect()
     }
     assert out == {"cold": 20, "hot": 20}
+
+
+def test_bm25_scores_and_ranking(spark):
+    """BM25 hand-check on a 3-doc corpus: a doc without any query term
+    never appears; higher tf at equal length ranks higher; the score
+    matches the closed-form Robertson formula."""
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "spark spark join"), (1, "spark filter scan"),
+         (2, "window lag lead")],
+        "doc_id long, text string",
+    )
+    out = textops.bm25_topk(df, ["spark"], k=10).collect()
+    assert [r["doc_id"] for r in out] == [0, 1]
+    # closed form: N=3, df=2, dl=3 for every doc, avgdl=3
+    idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    def s(tf):
+        return round(idf * tf * (1.2 + 1.0) / (tf + 1.2 * (0.25 + 0.75)), 6)
+    assert out[0]["bm25"] == s(2.0)
+    assert out[1]["bm25"] == s(1.0)
+
+
+def test_rrf_fuse_partial_overlap(spark):
+    """RRF sums 1/(60+rank) per list; docs on one list only get the
+    single contribution; ties broken by id."""
+    from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
+
+    a = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id long, s1 double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.99), (4, 0.5)], "doc_id long, s2 double"
+    )
+    out = {r["doc_id"]: r["rrf"] for r in
+           sim.rrf_fuse([(a, "s1"), (b, "s2")], k=10).collect()}
+    assert out[2] == round(1 / 62 + 1 / 61, 6)   # rank 2 in a, rank 1 in b
+    assert out[1] == round(1 / 61, 6)
+    assert out[3] == round(1 / 63, 6)
+    assert out[4] == round(1 / 62, 6)

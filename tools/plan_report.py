@@ -338,6 +338,18 @@ NOTES = {
         "occurrences reach the exact groupBy — the long-tail vocabulary "
         "(245k of 245k+30 distinct on the §2g panel) never shuffles."
     ),
+    "bm25_topk": (
+        "The occurrence explode filters to the query terms MAP-SIDE, so "
+        "the (doc, term) shuffle carries query hits only; corpus stats "
+        "fold to one broadcast row (crossJoin of a 1-row frame); df_t "
+        "is a query-terms-sized broadcast; top-k is TakeOrdered."
+    ),
+    "hybrid_rrf_topk": (
+        "Each retriever runs its own scale path (BM25 map-side filter; "
+        "cosine broadcast-query fold); fusion windows/joins touch only "
+        "the two top-50 frames — the single-partition rank window is "
+        "safe by contract on list-sized input."
+    ),
 }
 
 
