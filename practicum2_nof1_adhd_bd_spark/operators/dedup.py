@@ -794,6 +794,49 @@ def bloom_bitmap_from_hashes(
     return out.tobytes()
 
 
+def bloom_member_expr(
+    df_or_spark,
+    bitmap: bytes,
+    hash_col: str = "text_hash",
+    n_bits: int = 1 << 20,
+    n_probes: int = 4,
+):
+    """Boolean Column testing ``hash_col`` against a broadcast Bloom
+    bitmap: positions are JVM-side ``pmod(xxhash64(hash, j), n_bits)``
+    (identical to the build in ``bloom_bitmap_from_hashes``), membership
+    is an Arrow-batched numpy bit test. True = maybe-seen; False =
+    PROVABLY absent (no false negatives)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    spark = (
+        df_or_spark
+        if isinstance(df_or_spark, SparkSession)
+        else df_or_spark.sparkSession
+    )
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    # no type hints: pandas_udf cannot infer an eval type from a *varargs
+    # signature, so the returnType string + default SCALAR kind carry it
+    @pandas_udf("boolean")
+    def _maybe_seen(*pos):
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        acc = np.ones(len(pos[0]), dtype=bool)
+        for p in pos:
+            pn = p.to_numpy()
+            acc &= ((bm[pn >> 3] >> (pn & 7)) & 1).astype(bool)
+        return pd.Series(acc)
+
+    return _maybe_seen(
+        *[
+            F.pmod(F.xxhash64(F.col(hash_col), F.lit(j)), F.lit(n_bits))
+            for j in range(n_probes)
+        ]
+    )
+
+
 def bloom_screen_exact_dedup(
     new_docs: DataFrame,
     index: DataFrame,
@@ -820,10 +863,6 @@ def bloom_screen_exact_dedup(
     index side, which the eager localCheckpoint scans exactly once for
     both the build and the verify join.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     idx_hashes = (
         index.select(F.md5(norm).alias("text_hash"))
@@ -833,19 +872,6 @@ def bloom_screen_exact_dedup(
     bitmap = bloom_bitmap_from_hashes(
         idx_hashes, "text_hash", n_bits=n_bits, n_probes=n_probes
     )
-    bc = new_docs.sparkSession.sparkContext.broadcast(bitmap)
-
-    # no type hints: pandas_udf cannot infer an eval type from a *varargs
-    # signature, so the returnType string + default SCALAR kind carry it
-    @pandas_udf("boolean")
-    def _maybe_seen(*pos):
-        bm = np.frombuffer(bc.value, dtype=np.uint8)
-        acc = np.ones(len(pos[0]), dtype=bool)
-        for p in pos:
-            pn = p.to_numpy()
-            acc &= ((bm[pn >> 3] >> (pn & 7)) & 1).astype(bool)
-        return pd.Series(acc)
-
     batch = (
         new_docs.select(F.md5(norm).alias("text_hash"), F.col(id_col))
         .groupBy("text_hash")
@@ -854,11 +880,12 @@ def bloom_screen_exact_dedup(
             F.count(F.lit(1)).alias("n_batch_copies"),
         )
     )
-    pos_cols = [
-        F.pmod(F.xxhash64(F.col("text_hash"), F.lit(j)), F.lit(n_bits))
-        for j in range(n_probes)
-    ]
-    flagged = batch.withColumn("_maybe_seen", _maybe_seen(*pos_cols))
+    flagged = batch.withColumn(
+        "_maybe_seen",
+        bloom_member_expr(
+            new_docs, bitmap, "text_hash", n_bits=n_bits, n_probes=n_probes
+        ),
+    )
     fresh = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     suspects = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     verified = suspects.join(idx_hashes, "text_hash", "left_anti")

@@ -4467,10 +4467,16 @@ def q_streaming_ingest_decisions(spark, sf_dir):
     )
     src, index_dir = os.path.join(work, "src"), os.path.join(work, "index")
     dec_dir, ckpt = os.path.join(work, "dec"), os.path.join(work, "ckpt")
-    # bootstrap the stored index artifact: signatures of the corpus side
-    ci._batch_signatures(
-        docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id", 8, 3
-    ).write.mode("overwrite").parquet(index_dir)
+    # bootstrap the stored index artifact in the canonical hp-partitioned
+    # layout (r09): the micro-batch's exact screen then runs the
+    # Bloom-pruned prefix read — the sidecar is built lazily on first
+    # batch, and decisions stay identical to the full-index screen
+    ci.write_index(
+        ci._batch_signatures(
+            docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id", 8, 3
+        ),
+        index_dir,
+    )
     batch = (
         docs.filter(F.col("doc_id") % 10 == 1)
         .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
@@ -7076,6 +7082,10 @@ _FRONT_ORDER = [
     # new this round (r09, continued): BM25 lexical retrieval + the
     # RRF hybrid combiner (lexical + embedding in one engine)
     "bm25_topk", "hybrid_rrf_topk",
+    # behavior-touched r09 (late): the corpus-ingest stream now writes
+    # the hp-prefix-partitioned index + Bloom sidecar and exact-screens
+    # via the pruned read — decisions identical, layout new
+    "streaming_ingest_decisions",
     # behavior-touched r09: deterministic content-hash salt (+ unique id
     # column in both salted frames), minhash band-bucket checkpoint
     # placement, artifact writers' explicit-partition-count repartition
@@ -7100,7 +7110,7 @@ _FRONT_ORDER = [
     "dominant_source_change", "etl_audit_report", "exact_dedup",
     "feature_attribution_topk", "fold_class_check", "forward_fill_daily",
     "global_zscore", "high_activity_blocks", "iphone_backup_scan",
-    "jsonl_corpus_scan", "ks_drift", "label_halves_drift",
+    "jsonl_corpus_scan", "ks_drift",
 ]
 
 

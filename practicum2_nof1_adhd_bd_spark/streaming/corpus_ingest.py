@@ -40,20 +40,99 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup import _banded_buckets, minhash_signatures_df
+from ..operators.dedup import (
+    _banded_buckets,
+    bloom_bitmap_from_hashes,
+    bloom_member_expr,
+    minhash_signatures_df,
+)
 
 INDEX_SCHEMA = "doc_id bigint, text_hash string, sig array<bigint>"
 DECISION_SCHEMA = "doc_id bigint, status string, matched_id bigint"
+
+# Bloom sidecar knobs: 2^23 bits = 1 MB broadcast supports ~1M stored
+# hashes at ~2% fp with 4 probes. At larger corpora, scale n_bits with
+# the expected corpus (the sidecar stays tiny relative to the index) or
+# rebuild it on compaction; an UNDERSIZED bloom only raises the fp rate
+# — it can never produce a wrong decision, just a less-pruned scan.
+BLOOM_BITS = 1 << 23
+BLOOM_PROBES = 4
+_BLOOM_FILE = "_bloom.bin"  # leading underscore: invisible to parquet reads
+
+
+def _hadoop_fs(spark, path_str: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path, jvm
 
 
 def _index_exists(spark, index_dir: str) -> bool:
     """True iff the signature-index path exists, via the Hadoop FileSystem
     of the path (works for hdfs:// and s3a:// URIs as well as local dirs —
     os.path.exists would only see the driver's local filesystem)."""
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(index_dir)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, path, _ = _hadoop_fs(spark, index_dir)
     return fs.exists(path)
+
+
+def _hp_dirs(spark, index_dir: str) -> set[str]:
+    """Prefix-partition directory names (``hp=xx``) present under the
+    index, empty for a legacy flat layout."""
+    fs, path, _ = _hadoop_fs(spark, index_dir)
+    out = set()
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("hp="):
+            out.add(name[3:])
+    return out
+
+
+def _read_bloom(spark, index_dir: str) -> bytes | None:
+    fs, _, jvm = _hadoop_fs(spark, index_dir)
+    p = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{_BLOOM_FILE}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        # commons-io toByteArray returns byte[] -> Python bytes via py4j.
+        # (Do NOT readFully into a Python bytearray: py4j passes arrays
+        # by value, so the JVM fills a COPY and the caller gets zeros.)
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+
+
+def _write_bloom(spark, index_dir: str, data: bytes) -> None:
+    """Atomic sidecar replace: write tmp, rename over. Ordered BEFORE the
+    index append in the caller, so a crash between the two leaves the
+    bloom a SUPERSET of the index (extra fp, never a false negative)."""
+    fs, _, jvm = _hadoop_fs(spark, index_dir)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{_BLOOM_FILE}.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{_BLOOM_FILE}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"could not rename bloom sidecar under {index_dir}")
+
+
+def write_index(sig_df: DataFrame, index_dir: str, mode: str = "overwrite") -> None:
+    """Write signature rows in the canonical index layout: partitioned by
+    the 2-hex-char hash prefix ``hp`` (256 directories), one file per
+    directory per write (repartition on the partition column first — the
+    tasks-x-dirs tiny-file recipe). The prefix partitioning is what makes
+    the Bloom-pruned exact screen PHYSICAL: a batch's bloom-positive
+    hashes name exactly the directories the screen must read."""
+    (
+        sig_df.withColumn("hp", F.substring("text_hash", 1, 2))
+        .repartition("hp")
+        .write.partitionBy("hp")
+        .mode(mode)
+        .parquet(index_dir)
+    )
 
 
 def _batch_signatures(
@@ -77,8 +156,16 @@ def screen_batch(
     k: int = 3,
     est_threshold: float = 0.8,
     batch_internal_near: bool = False,
+    exact_index: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, "Callable[[], None]"]:
     """Screen one batch against a signature index.
+
+    ``exact_index`` (optional) substitutes the EXACT screen's index side
+    only — the Bloom-pruned prefix-partitioned read in ``ingest_stream``.
+    It must contain every index row whose hash could match the batch
+    (the Bloom no-false-negative contract guarantees this for
+    bloom-positive prefixes), so decisions are identical to screening
+    against the full index. The near screen always uses ``index``.
 
     Returns ``(decisions, admitted_sigs, cleanup)``: per-doc status
     frame, the signature rows of admitted documents (the index append
@@ -112,8 +199,10 @@ def screen_batch(
     )
     survivors = sig_b.join(canon.select(F.col("_keep").alias(id_col)), id_col, "left_semi")
 
-    # exact screen vs stored hashes
-    idx_hash = index.select("text_hash", F.col(id_col).alias("_idx_id"))
+    # exact screen vs stored hashes (or the bloom-pruned slice of them)
+    idx_hash = (
+        exact_index if exact_index is not None else index
+    ).select("text_hash", F.col(id_col).alias("_idx_id"))
     exact_hit = (
         survivors.join(idx_hash, "text_hash")
         .groupBy(id_col)
@@ -259,12 +348,71 @@ def ingest_stream(
         # propagate and fail the micro-batch — falling back to an empty
         # index there would silently admit duplicates and append duplicate
         # signature rows. foreachBatch retries the failed batch on restart.
+        exact_index = None
+        hp_dirs: set[str] = set()
         if _index_exists(spark, index_dir):
-            index = spark.read.schema(INDEX_SCHEMA).parquet(index_dir)
+            hp_dirs = _hp_dirs(spark, index_dir)
+            index = spark.read.schema(INDEX_SCHEMA).parquet(index_dir).select(
+                "doc_id", "text_hash", "sig"
+            )
+            if hp_dirs:
+                # canonical prefix-partitioned layout: Bloom-prune the
+                # EXACT screen. The sidecar names the maybe-seen batch
+                # hashes; their 2-char prefixes name exactly the hp=
+                # directories the exact screen must read (basePath +
+                # literal predicate, the partition-pruning recipe).
+                bloom = _read_bloom(spark, index_dir)
+                if bloom is None:
+                    # sidecar missing (e.g. bootstrap wrote only rows):
+                    # build once from the stored hashes, persist for
+                    # every later batch
+                    bloom = bloom_bitmap_from_hashes(
+                        index.select("text_hash"),
+                        n_bits=BLOOM_BITS,
+                        n_probes=BLOOM_PROBES,
+                    )
+                    _write_bloom(spark, index_dir, bloom)
+                norm = F.regexp_replace(
+                    F.lower(F.trim(F.col(text_col))), r"\s+", " "
+                )
+                pos_pref = sorted(
+                    {
+                        r["hp"]
+                        for r in batch.select(F.md5(norm).alias("text_hash"))
+                        .distinct()
+                        .withColumn(
+                            "_m",
+                            bloom_member_expr(
+                                spark, bloom, "text_hash",
+                                n_bits=BLOOM_BITS, n_probes=BLOOM_PROBES,
+                            ),
+                        )
+                        .filter(F.col("_m"))
+                        .select(
+                            F.substring("text_hash", 1, 2).alias("hp")
+                        )
+                        .distinct()
+                        .collect()  # bounded: <= 256 prefix rows
+                    }
+                    & hp_dirs
+                )
+                if pos_pref:
+                    exact_index = (
+                        spark.read.option("basePath", index_dir)
+                        .schema(INDEX_SCHEMA)
+                        .parquet(
+                            *[f"{index_dir}/hp={p}" for p in pos_pref]
+                        )
+                        .filter(F.col("hp").isin(pos_pref))
+                        .select("doc_id", "text_hash", "sig")
+                    )
+                else:
+                    exact_index = spark.createDataFrame([], INDEX_SCHEMA)
         else:
             index = spark.createDataFrame([], INDEX_SCHEMA)
         decisions, admitted_sigs, cleanup = screen_batch(
-            batch, index, text_col, id_col, n_hashes, bands, k, est_threshold
+            batch, index, text_col, id_col, n_hashes, bands, k,
+            est_threshold, exact_index=exact_index,
         )
         # materialize BOTH outputs, then write decisions BEFORE the index
         # append: appending to index_dir refreshes every cached relation
@@ -277,7 +425,34 @@ def ingest_stream(
         admitted_sigs.count()
         try:
             decisions.write.mode("append").parquet(decisions_dir)
-            admitted_sigs.write.mode("append").parquet(index_dir)
+            # bloom BEFORE the index append: a crash between the two
+            # leaves the sidecar a superset of the index (extra fp only)
+            legacy_flat = _index_exists(spark, index_dir) and not hp_dirs
+            if not legacy_flat:
+                old = _read_bloom(spark, index_dir) if _index_exists(
+                    spark, index_dir
+                ) else None
+                add = bloom_bitmap_from_hashes(
+                    admitted_sigs.select("text_hash"),
+                    n_bits=BLOOM_BITS,
+                    n_probes=BLOOM_PROBES,
+                )
+                if old is not None and len(old) == len(add):
+                    import numpy as np
+
+                    merged = (
+                        np.frombuffer(old, dtype="uint8")
+                        | np.frombuffer(add, dtype="uint8")
+                    ).tobytes()
+                else:
+                    merged = add
+                _write_bloom(spark, index_dir, merged)
+                write_index(admitted_sigs, index_dir, mode="append")
+            else:
+                # legacy flat dir: appending hp= subdirs would corrupt
+                # partition discovery — keep the original layout (and no
+                # pruning) for dirs created before the canonical writer
+                admitted_sigs.write.mode("append").parquet(index_dir)
         finally:
             decisions.unpersist()
             admitted_sigs.unpersist()

@@ -42,7 +42,7 @@ def test_attestation_window_is_stable():
     """The external harness attests the FIRST 50 queries; pin the window so
     a stray registration cannot silently displace an entry before it has
     been attested. Round-9 window = the canary + every new or
-    behavior-touched query this round + the 13 r05 leftovers + 20 of the
+    behavior-touched query this round + the 13 r05 leftovers + 19 of the
     44-query r06 cohort (remainder rolls to r10; ledger in COVERAGE.md).
     Rows-only (no-oracle) queries must NOT occupy window slots."""
     names = list(entrymod.queries())
@@ -57,6 +57,9 @@ def test_attestation_window_is_stable():
         "duplicate_span_cut", "quantile_3way_label_approx",
         "bloom_screen_decisions", "heavy_hitter_tokens",
         "bm25_topk", "hybrid_rrf_topk",
+        # behavior-touched late-r09: the ingest stream's new
+        # hp-partitioned index layout + Bloom-pruned exact screen
+        "streaming_ingest_decisions",
         # behavior-touched r09: deterministic salt, minhash checkpoint
         # placement, artifact-writer explicit partition counts, streaming
         # index append repartition + compaction, encrypted-backup keybag
@@ -76,7 +79,7 @@ def test_attestation_window_is_stable():
         # iphone_backup_scan is also r09-behavior-touched)
         "iphone_backup_scan", "anchor_first_window", "ann_lsh_topk",
         "chunk_dedup_profile", "dedup_clusters", "exact_dedup",
-        "forward_fill_daily", "ks_drift", "label_halves_drift",
+        "forward_fill_daily", "ks_drift", "jsonl_corpus_scan",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry

@@ -523,3 +523,91 @@ def test_index_compaction_reclaims_files_and_preserves_results(
         spark, index_dir, qv, k=10, probe_hamming=4
     ).collect()
     assert res_before == res_after            # (c) serving unchanged
+
+
+def test_ingest_bloom_sidecar_and_pruned_screen_parity(spark, tmp_path):
+    """r09 canonical index layout: cold-start ingest writes hp=xx
+    partition dirs plus the _bloom.bin sidecar (invisible to parquet
+    reads); a later batch's decisions under the Bloom-pruned exact
+    screen are IDENTICAL to screening the full index directly; the
+    sidecar has no false negatives over the stored hashes."""
+    import json
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import dedup
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+
+    texts = {
+        i: f"document number {i} with shared words alpha bravo charlie "
+           f"delta echo foxtrot golf hotel india juliet kilo"
+        for i in range(20)
+    }
+    src = tmp_path / "src"
+    src.mkdir()
+    index_dir = str(tmp_path / "index")
+    with open(src / "b1.json", "w") as f:
+        for i in range(20):
+            f.write(json.dumps({"doc_id": i, "text": texts[i]}) + "\n")
+    stream = spark.readStream.schema("doc_id bigint, text string").json(
+        str(src)
+    )
+    q = ci.ingest_stream(
+        stream, index_dir, str(tmp_path / "dec"), str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(120)
+
+    # canonical layout + sidecar
+    entries = os.listdir(index_dir)
+    assert ci._BLOOM_FILE in entries
+    assert any(e.startswith("hp=") for e in entries)
+    # parquet read is undisturbed by the sidecar
+    idx = spark.read.schema(ci.INDEX_SCHEMA).parquet(index_dir)
+    assert idx.count() == 20
+
+    # no false negatives: every stored hash tests positive
+    bloom = ci._read_bloom(spark, index_dir)
+    assert bloom is not None and len(bloom) == ci.BLOOM_BITS // 8
+    assert np.frombuffer(bloom, dtype=np.uint8).any()
+    member = idx.select("text_hash").withColumn(
+        "_m",
+        dedup.bloom_member_expr(
+            spark, bloom, "text_hash",
+            n_bits=ci.BLOOM_BITS, n_probes=ci.BLOOM_PROBES,
+        ),
+    )
+    assert member.filter(~F.col("_m")).count() == 0
+
+    # batch 2 through the stream (pruned path) vs direct full screen
+    b2 = [(100, texts[3]), (101, "completely novel words here today"),
+          (102, texts[7])]
+    with open(src / ".b2.tmp", "w") as f:
+        for d, t in b2:
+            f.write(json.dumps({"doc_id": d, "text": t}) + "\n")
+    os.rename(src / ".b2.tmp", src / "b2.json")
+    full_index = idx.select("doc_id", "text_hash", "sig")
+    batch_df = spark.createDataFrame(b2, "doc_id long, text string")
+    dec_direct, _sigs, cleanup = ci.screen_batch(batch_df, full_index)
+    expected = sorted(map(tuple, dec_direct.collect()))
+    cleanup()
+
+    stream2 = spark.readStream.schema("doc_id bigint, text string").json(
+        str(src)
+    )
+    q2 = ci.ingest_stream(
+        stream2, index_dir, str(tmp_path / "dec"), str(tmp_path / "ckpt")
+    )
+    assert q2.awaitTermination(120)
+    got = sorted(
+        map(
+            tuple,
+            spark.read.schema(ci.DECISION_SCHEMA)
+            .parquet(str(tmp_path / "dec"))
+            .filter(F.col("doc_id") >= 100)
+            .collect(),
+        )
+    )
+    assert got == expected
+    assert {d for d, *_ in got} == {100, 101, 102}
