@@ -75,6 +75,9 @@ HEADLINE = [
     "heavy_hitter_tokens",
     "bm25_topk",
     "hybrid_rrf_topk",
+    "bigram_surprisal",
+    "volume_shipping",
+    "returned_item_report",
 ]
 
 

@@ -1414,6 +1414,19 @@ def compact_index(spark, path: str, partition_cols: list[str] | None = None):
     df.repartition(
         spark.sparkContext.defaultParallelism, *partition_cols
     ).write.partitionBy(*partition_cols).mode("overwrite").parquet(str(tmp))
+    # Carry root-level sidecar files (e.g. the corpus index's _bloom.bin)
+    # into the compacted tree: compaction does not change CONTENT, so a
+    # membership sidecar stays exactly valid — dropping it would force the
+    # next reader into a full-index rebuild. Parquet-invisible "_" names
+    # only; Spark's own _SUCCESS marker is already in the new tree.
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isFile() and name.startswith("_") and name != "_SUCCESS":
+            jvm.org.apache.hadoop.fs.FileUtil.copy(
+                fs, st.getPath(), fs,
+                jvm.org.apache.hadoop.fs.Path(str(tmp) + "/" + name),
+                False, hconf,
+            )
     if fs.exists(old):
         fs.delete(old, True)
     if not fs.rename(jpath, old):

@@ -587,6 +587,95 @@ def unigram_surprisal(
     )
 
 
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document bigram LM score: mean -log2 p(w2|w1) under the
+    corpus's own add-alpha-smoothed bigram model — the conditional step
+    up from ``unigram_surprisal`` toward the CCNet/KenLM perplexity
+    filter. p(w2|w1) = (c(w1,w2) + a) / (c(w1) + a*V) with V = distinct
+    token count; every observed bigram is in the model (trained on the
+    corpus it scores), so scoring is an inner equi-join that drops
+    nothing. Docs with < 2 tokens carry n_bigrams=0 and a NULL score
+    (left join from the id spine) instead of vanishing.
+
+    Shuffle budget: ONE corpus-token explode feeds both the bigram frame
+    and the (tiny, 1-row) vocab-size aggregate; bigram counts come out of
+    one map-side-combined groupBy; context counts c(w1) re-aggregate the
+    bigram-vocabulary frame (vocab-sized, not corpus-sized). With
+    ``broadcast_model`` (default) the scoring join is map-side — same
+    ceiling/fallback contract as ``unigram_surprisal``: at web-scale
+    bigram vocabularies (~10^9 rows) pass False and the join falls back
+    to a shuffle join on (w1, w2).
+
+    The adjacent-pair construction is two ``slice`` calls zipped
+    JVM-side; ``zip_with`` is an interpreted higher-order expression but
+    runs once per token (no Python, no shuffle) — the codegen-safe
+    regexp devices used elsewhere don't extend to pairing."""
+    base = fan_out(df, id_col).select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_w")
+    )
+    pairs = F.zip_with(
+        F.slice(F.col("_w"), 1, F.size("_w") - 1),
+        F.slice(F.col("_w"), 2, F.size("_w") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        base.filter(F.size("_w") >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("_p"))
+        .select(
+            F.col(id_col),
+            F.col("_p.w1").alias("_w1"),
+            F.col("_p.w2").alias("_w2"),
+        )
+    )
+    c12 = big.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c12"))
+    # c(w1) = occurrences of w1 as a context == sum over the bigram-vocab
+    # frame — no second corpus pass.
+    c1 = c12.groupBy("_w1").agg(F.sum("_c12").alias("_c1"))
+    vsize = base.select(F.explode("_w").alias("_t")).agg(
+        F.count_distinct("_t").alias("_v")
+    )
+    model = (
+        c12.join(c1, "_w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "_w1",
+            "_w2",
+            (
+                -F.log2(
+                    (F.col("_c12") + F.lit(alpha))
+                    / (F.col("_c1") + F.lit(alpha) * F.col("_v"))
+                )
+            ).alias("_bits"),
+        )
+    )
+    mside = F.broadcast(model) if broadcast_model else model
+    scored = (
+        big.join(mside, ["_w1", "_w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("_bits") / F.count(F.lit(1)), 6).alias(
+                "bits_per_bigram"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "bits_per_bigram",
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 5,

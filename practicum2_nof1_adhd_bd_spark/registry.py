@@ -1236,6 +1236,145 @@ def q_local_supplier_volume(spark, sf_dir):
 
 
 @register(
+    "volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(28,12))) AS DOUBLE), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): bilateral trade between two
+    nations by ship year. The nation pair folds to ONE broadcast frame
+    applied twice — supplier and customer are each semi-pruned to the
+    two nations BEFORE any fact-table shuffle, so the expensive joins
+    move only pair-relevant rows. Because both sides then carry a
+    nation in {A, B}, the disjunctive pair predicate collapses to
+    supp_nation != cust_nation, applied INSIDE the customer join — rows
+    for same-nation trade never survive the join. The shipdate filter
+    pushes to the lineitem scan; revenue sums as DECIMAL(28,12) before
+    the 2dp round (combine-order exact). At 100 TB: nation always
+    broadcasts, the pruned supplier/customer sides fall under the AQE
+    broadcast threshold at runtime, and lineitem/orders shuffle once
+    each on orderkey."""
+    cat = _cat(spark, sf_dir)
+    nats = cat.nation.filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    ).select("n_nationkey", "n_name")
+    s = cat.supplier.join(
+        F.broadcast(nats), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c = cat.customer.join(
+        F.broadcast(nats), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    li = cat.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("l_year"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(28,12)")
+        .alias("_vol"),
+    )
+    j = (
+        li.join(
+            cat.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            c,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("supp_nation") != F.col("cust_nation")),
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(F.sum("_vol").cast("double"), 2).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "returned_item_report",
+    """
+    WITH rev AS (
+        SELECT o.o_custkey,
+               round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(28,12))) AS DOUBLE), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1995-10-01'
+          AND o.o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY o.o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, rev.revenue, c.c_acctbal, n.n_name
+    FROM rev
+    JOIN customer c ON rev.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY rev.revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_returned_item_report(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item report): top-20 customers by
+    revenue lost to returns in one quarter. Deliberately NOT the
+    textbook grouping-by-every-customer-column plan: revenue aggregates
+    on o_custkey alone FIRST (the only fact-sized shuffle, map-side
+    combined), and the wide customer/nation dimension columns join onto
+    the already-aggregated frame — at 100 TB the shuffle carries an
+    8-byte key + one decimal instead of name/acctbal strings. The
+    returnflag and quarter filters push to their scans; top-20 is
+    orderBy+limit (TakeOrdered per partition + driver merge of 20-row
+    heads, never a global sort) with c_custkey as the deterministic
+    tie-break."""
+    cat = _cat(spark, sf_dir)
+    o = cat.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = cat.lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(28,12)")
+        .alias("_vol"),
+    )
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("_vol").cast("double"), 2).alias("revenue"))
+    )
+    cust = cat.customer.join(
+        F.broadcast(cat.nation),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        rev.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
     "topk_per_group",
     """
     WITH j AS (
@@ -3780,6 +3919,44 @@ def q_unigram_surprisal(spark, sf_dir):
     distribution. Vocab frame broadcasts; corpus text never shuffles."""
     docs = _cat(spark, sf_dir).documents
     return textops.unigram_surprisal(docs)
+
+
+@register(
+    "bigram_surprisal",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS _t FROM w),
+    v AS (SELECT count(DISTINCT _t) AS _v FROM tok),
+    bp AS (
+        SELECT doc_id, p.w1 AS _w1, p.w2 AS _w2
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws)),
+                                           i -> struct_pack(w1 := ws[i],
+                                                            w2 := ws[i+1]))) AS p
+              FROM w WHERE len(ws) >= 2)
+    ),
+    c12 AS (SELECT _w1, _w2, count(*) AS _c12 FROM bp GROUP BY _w1, _w2),
+    c1 AS (SELECT _w1, CAST(sum(_c12) AS BIGINT) AS _c1 FROM c12 GROUP BY _w1),
+    m AS (SELECT _w1, _w2, -log2((_c12 + 0.1) / (_c1 + 0.1 * _v)) AS _bits
+          FROM c12 JOIN c1 USING (_w1) CROSS JOIN v),
+    s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 round(sum(_bits) / count(*), 6) AS bits_per_bigram
+          FROM bp JOIN m USING (_w1, _w2) GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(s.n_bigrams, 0) AS n_bigrams,
+           s.bits_per_bigram
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+)
+def q_bigram_surprisal(spark, sf_dir):
+    """The conditional step up from unigram_surprisal toward the full
+    CCNet/KenLM perplexity filter: mean -log2 p(w2|w1) per doc under the
+    corpus's own add-0.1-smoothed bigram model. One corpus-token
+    explode feeds bigram counts AND the vocab-size scalar; context
+    counts re-aggregate the (vocab-sized) bigram frame; the model
+    broadcasts so scoring is map-side."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.bigram_surprisal(docs)
 
 
 @register(
@@ -7080,8 +7257,10 @@ _FRONT_ORDER = [
     "duplicate_span_cut", "quantile_3way_label_approx",
     "bloom_screen_decisions", "heavy_hitter_tokens",
     # new this round (r09, continued): BM25 lexical retrieval + the
-    # RRF hybrid combiner (lexical + embedding in one engine)
-    "bm25_topk", "hybrid_rrf_topk",
+    # RRF hybrid combiner (lexical + embedding in one engine); the
+    # bigram LM quality score; TPC-H Q7/Q10 join-order shapes
+    "bm25_topk", "hybrid_rrf_topk", "bigram_surprisal",
+    "volume_shipping", "returned_item_report",
     # behavior-touched r09 (late): the corpus-ingest stream now writes
     # the hp-prefix-partitioned index + Bloom sidecar and exact-screens
     # via the pruned read — decisions identical, layout new
@@ -7101,16 +7280,15 @@ _FRONT_ORDER = [
     "langid_confusion", "ngram_jaccard_pairs", "ngram_novelty",
     "reagg_consistency", "stratified_sample_k", "user_last_value",
     "xml_records_scan",
-    # rotation: 20 of the 44-query r06 cohort (alphabetical prefix;
+    # rotation: 16 of the 44-query r06 cohort (alphabetical prefix;
     # iphone_backup_scan is also r09-behavior-touched via the keybag
-    # fix). Remainder (24) rolls to r10 — ledger in COVERAGE.md.
+    # fix). Remainder (28) rolls to r10 — ledger in COVERAGE.md.
     "anchor_first_window", "ann_axis_topk", "ann_lsh_topk",
     "auto_segment_triggers", "chunk_dedup_profile",
     "cosine_topk_vectorized", "decontaminate_ngram", "dedup_clusters",
     "dominant_source_change", "etl_audit_report", "exact_dedup",
     "feature_attribution_topk", "fold_class_check", "forward_fill_daily",
-    "global_zscore", "high_activity_blocks", "iphone_backup_scan",
-    "jsonl_corpus_scan", "ks_drift",
+    "global_zscore", "iphone_backup_scan",
 ]
 
 

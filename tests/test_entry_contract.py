@@ -42,7 +42,7 @@ def test_attestation_window_is_stable():
     """The external harness attests the FIRST 50 queries; pin the window so
     a stray registration cannot silently displace an entry before it has
     been attested. Round-9 window = the canary + every new or
-    behavior-touched query this round + the 13 r05 leftovers + 19 of the
+    behavior-touched query this round + the 13 r05 leftovers + 16 of the
     44-query r06 cohort (remainder rolls to r10; ledger in COVERAGE.md).
     Rows-only (no-oracle) queries must NOT occupy window slots."""
     names = list(entrymod.queries())
@@ -53,10 +53,12 @@ def test_attestation_window_is_stable():
         # new this round: the ExactSubstr span-cut intervention; the
         # approx-quantile path's new oracle; the Bloom-prefiltered exact
         # screen; the CMS-prefiltered exact heavy hitters; BM25 lexical
-        # retrieval; the RRF hybrid combiner
+        # retrieval; the RRF hybrid combiner; the bigram LM quality
+        # score; the TPC-H Q7/Q10 join-order shapes
         "duplicate_span_cut", "quantile_3way_label_approx",
         "bloom_screen_decisions", "heavy_hitter_tokens",
-        "bm25_topk", "hybrid_rrf_topk",
+        "bm25_topk", "hybrid_rrf_topk", "bigram_surprisal",
+        "volume_shipping", "returned_item_report",
         # behavior-touched late-r09: the ingest stream's new
         # hp-partitioned index layout + Bloom-pruned exact screen
         "streaming_ingest_decisions",
@@ -79,7 +81,7 @@ def test_attestation_window_is_stable():
         # iphone_backup_scan is also r09-behavior-touched)
         "iphone_backup_scan", "anchor_first_window", "ann_lsh_topk",
         "chunk_dedup_profile", "dedup_clusters", "exact_dedup",
-        "forward_fill_daily", "ks_drift", "jsonl_corpus_scan",
+        "forward_fill_daily",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry

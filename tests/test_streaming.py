@@ -611,3 +611,114 @@ def test_ingest_bloom_sidecar_and_pruned_screen_parity(spark, tmp_path):
     )
     assert got == expected
     assert {d for d, *_ in got} == {100, 101, 102}
+
+
+def test_corpus_index_compaction_preserves_sidecar_and_decisions(
+    spark, tmp_path
+):
+    """compact_index over the hp-partitioned corpus signature index:
+    (a) per-batch file accretion collapses (prefix dirs hit by several
+    batches hold several files before, one after), (b) the _bloom.bin
+    sidecar SURVIVES the swap byte-identical (compaction never changes
+    content, so the membership sidecar stays exactly valid — no
+    full-index rebuild on the next screen), and (c) a post-compaction
+    batch's decisions are identical to a direct screen of the full
+    index."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+
+    src = tmp_path / "src"
+    src.mkdir()
+    index_dir = str(tmp_path / "index")
+    dec_dir = str(tmp_path / "dec")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        p = src / f".{name}.tmp"
+        with open(p, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        os.rename(p, src / name)
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id bigint, text string").json(
+            str(src)
+        )
+        q = ci.ingest_stream(stream, index_dir, dec_dir, ckpt)
+        assert q.awaitTermination(120)
+
+    # 3 batches x 30 distinct docs: 90 md5 prefixes over 256 hp dirs, so
+    # tens of prefixes are hit by more than one batch (deterministic
+    # texts -> deterministic layout) and accrete multiple files
+    for b in range(3):
+        land(
+            f"b{b}.json",
+            [
+                (b * 100 + i,
+                 f"corpus compaction doc {b * 100 + i} alpha bravo")
+                for i in range(30)
+            ],
+        )
+        run_once()
+
+    def total_files():
+        n = 0
+        for d in os.listdir(index_dir):
+            if d.startswith("hp="):
+                n += len(
+                    [
+                        f
+                        for f in os.listdir(os.path.join(index_dir, d))
+                        if f.endswith(".parquet")
+                    ]
+                )
+        return n
+
+    bloom_before = ci._read_bloom(spark, index_dir)
+    assert bloom_before is not None
+    files_before = total_files()
+
+    nb, na = sim.compact_index(spark, index_dir, partition_cols=["hp"])
+    assert nb == files_before
+    assert na == total_files() and na < nb          # (a) reclaimed
+
+    # (b) sidecar survived byte-identical — next screen reuses it
+    assert ci._read_bloom(spark, index_dir) == bloom_before
+
+    # (c) decisions identical to the direct full-index screen
+    idx = (
+        spark.read.schema(ci.INDEX_SCHEMA)
+        .option("basePath", index_dir)
+        .parquet(index_dir)
+        .select("doc_id", "text_hash", "sig")
+    )
+    assert idx.count() == 90
+    b3 = [
+        (900, "corpus compaction doc 5 alpha bravo"),       # exact dup of 5
+        (901, "a genuinely novel document after compaction"),
+        (902, "corpus compaction doc 117 alpha bravo"),     # exact dup of 117
+    ]
+    batch_df = spark.createDataFrame(b3, "doc_id long, text string")
+    dec_direct, _sigs, cleanup = ci.screen_batch(batch_df, idx)
+    expected = sorted(map(tuple, dec_direct.collect()))
+    cleanup()
+
+    land("b3.json", b3)
+    run_once()
+    got = sorted(
+        map(
+            tuple,
+            spark.read.schema(ci.DECISION_SCHEMA)
+            .parquet(dec_dir)
+            .filter(F.col("doc_id") >= 900)
+            .collect(),
+        )
+    )
+    assert got == expected
+    statuses = {d: s for d, s, _m in got}
+    assert statuses[900] == "exact_dup" and statuses[901] == "admitted"

@@ -180,6 +180,27 @@ def test_unigram_surprisal_rare_tokens_cost_more(spark):
     assert out[9]["bits_per_token"] > out[0]["bits_per_token"]
 
 
+def test_bigram_surprisal_closed_form(spark):
+    # corpus: "a b" (x2), "a c", "solo" -> bigrams (a,b) x2, (a,c) x1.
+    # V = 4 distinct tokens (a b c solo), context c(a) = 3, alpha = 0.1:
+    #   p(b|a) = (2 + 0.1) / (3 + 0.4),  p(c|a) = (1 + 0.1) / (3 + 0.4)
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo"), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.bigram_surprisal(df).collect()}
+    assert abs(out[1]["bits_per_bigram"] - (-math.log2(2.1 / 3.4))) < 1e-5
+    assert abs(out[3]["bits_per_bigram"] - (-math.log2(1.1 / 3.4))) < 1e-5
+    # the rarer continuation costs more bits
+    assert out[3]["bits_per_bigram"] > out[1]["bits_per_bigram"]
+    # docs with < 2 tokens (or NULL text) keep a row: 0 bigrams, NULL score
+    assert out[4]["n_bigrams"] == 0 and out[4]["bits_per_bigram"] is None
+    assert out[5]["n_bigrams"] == 0 and out[5]["bits_per_bigram"] is None
+    assert set(out) == {1, 2, 3, 4, 5}
+
+
 def test_tfidf_top_terms_ranks_distinctive_terms(spark):
     df = spark.createDataFrame(
         [

@@ -350,6 +350,27 @@ NOTES = {
         "the two top-50 frames — the single-partition rank window is "
         "safe by contract on list-sized input."
     ),
+    "bigram_surprisal": (
+        "One corpus-token explode feeds both the bigram counts and the "
+        "1-row vocab-size scalar; context counts re-aggregate the "
+        "vocab-sized bigram frame (never the corpus); the smoothed "
+        "model broadcasts so scoring is a map-side join + map-side-"
+        "combined per-doc aggregate. Corpus text shuffles zero times."
+    ),
+    "volume_shipping": (
+        "TPC-H Q7 shape: the 2-nation frame broadcasts onto supplier "
+        "AND customer before any fact shuffle, the pair disjunction "
+        "collapses to supp_nation != cust_nation INSIDE the customer "
+        "join, and the shipdate filter is pushed to the lineitem scan. "
+        "Only pair-relevant rows ever cross the wire."
+    ),
+    "returned_item_report": (
+        "TPC-H Q10 reworked for scale: revenue aggregates on the 8-byte "
+        "custkey BEFORE the wide customer/nation dims join on (both "
+        "broadcast) — the textbook group-by-every-column plan would "
+        "shuffle name/acctbal strings at fact grain. Top-20 is "
+        "TakeOrdered, never a global sort."
+    ),
 }
 
 
