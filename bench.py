@@ -76,6 +76,7 @@ HEADLINE = [
     "bm25_topk",
     "hybrid_rrf_topk",
     "bigram_surprisal",
+    "repetition_profile",
     "volume_shipping",
     "returned_item_report",
 ]

@@ -587,6 +587,147 @@ def unigram_surprisal(
     )
 
 
+def repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dup_k: int = 6,
+) -> DataFrame:
+    """The rest of the Gopher repetition battery (Rae et al. 2021,
+    appendix A1), WITHIN-document: fraction of characters covered by the
+    single most frequent {2,3,4}-gram, plus the fraction of tokens
+    inside duplicated ``dup_k``-grams (k-grams occurring >= 2 times in
+    the SAME document), overlapping hits merged to maximal spans via
+    gaps-and-islands. Complements ``gopher_quality_flags`` (which keeps
+    only the top-2-gram rule as a flag) and ``duplicate_spans`` (the
+    CORPUS-wide cross-document span profile — Gopher's within-doc
+    metric answers a different question: self-repetition, the
+    boilerplate/listicle signal).
+
+    Plan shape: ONE posexplode + one per-doc lead window materializes
+    every gram column in a single pass; the top-n fractions melt the
+    three gram columns into (n, gram) rows for ONE count aggregate
+    (conditional-max back to columns, no pivot scan), while the dup-k
+    branch re-reads the explode for its per-(doc, gram) occurrence
+    count — two token-grain passes total, each shuffling only
+    doc-key-partitioned partial counts. The island window sees only
+    duplicate hits, bounded by document length.
+    """
+    from pyspark.sql.window import Window
+
+    tok_layer = fan_out(df, id_col).select(
+        F.col(id_col),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+        F.length(text_col).alias("_chars"),
+    )
+    base = tok_layer.select(
+        id_col, F.size("_toks").cast("long").alias("n_tokens"), "_chars"
+    )
+    ex = tok_layer.select(
+        id_col, F.posexplode("_toks").alias("_pos", "_t")
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    leads = [F.col("_t")] + [
+        F.lead("_t", i).over(w) for i in range(1, dup_k)
+    ]
+    for n in (2, 3, 4):
+        ex = ex.withColumn(
+            f"_g{n}",
+            F.when(
+                leads[n - 1].isNotNull(), F.concat_ws(" ", *leads[:n])
+            ),
+        )
+    ex = ex.withColumn(
+        f"_g{dup_k}",
+        F.when(leads[dup_k - 1].isNotNull(), F.concat_ws(" ", *leads)),
+    )
+
+    melted = ex.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("n"), F.col(f"_g{n}").alias("g")
+                    )
+                    for n in (2, 3, 4)
+                ]
+            )
+        ).alias("_m"),
+    ).filter(F.col("_m.g").isNotNull())
+    top = (
+        melted.groupBy(id_col, "_m.n", "_m.g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col, "n")
+        .agg(F.max(F.col("_c") * F.length("g")).alias("_v"))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.max(F.when(F.col("n") == n, F.col("_v"))).alias(
+                    f"_top{n}"
+                )
+                for n in (2, 3, 4)
+            ]
+        )
+    )
+
+    g6 = ex.filter(F.col(f"_g{dup_k}").isNotNull()).select(
+        id_col,
+        (F.col("_pos") + 1).alias("p"),
+        F.col(f"_g{dup_k}").alias("_g"),
+    )
+    dup_grams = (
+        g6.groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") > 1)
+        .select(id_col, "_g")
+    )
+    hits = g6.join(dup_grams, [id_col, "_g"], "left_semi").select(
+        id_col, "p", (F.col("p") + F.lit(dup_k - 1)).alias("e")
+    )
+    wi = Window.partitionBy(id_col).orderBy("p")
+    prev_end = F.max("e").over(wi.rowsBetween(Window.unboundedPreceding, -1))
+    spans = (
+        hits.withColumn(
+            "_new",
+            F.when(prev_end.isNull() | (F.col("p") > prev_end + 1), 1)
+            .otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(wi))
+        .groupBy(id_col, "_isl")
+        .agg(F.min("p").alias("s"), F.max("e").alias("e"))
+    )
+    dup = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("_cov"),
+    )
+
+    return (
+        base.join(top, id_col, "left")
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            *[
+                F.round(
+                    F.coalesce(F.col(f"_top{n}"), F.lit(0))
+                    / F.greatest(F.col("_chars"), F.lit(1)),
+                    6,
+                ).alias(f"top{n}_char_frac")
+                for n in (2, 3, 4)
+            ],
+            F.coalesce(F.col("dup_spans"), F.lit(0))
+            .cast("long")
+            .alias(f"dup{dup_k}_spans"),
+            F.round(
+                F.coalesce(F.col("_cov"), F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias(f"dup{dup_k}_token_frac"),
+        )
+    )
+
+
 def bigram_surprisal(
     df: DataFrame,
     text_col: str = "text",

@@ -3960,6 +3960,91 @@ def q_bigram_surprisal(spark, sf_dir):
 
 
 @register(
+    "repetition_profile",
+    f"""
+    WITH w AS (SELECT doc_id, length(text) AS chars, {_WORDS} AS ws
+               FROM documents),
+    b AS (SELECT doc_id, chars, len(ws) AS n_tokens, ws FROM w),
+    t AS (
+        SELECT doc_id, n, max(c * length(g)) AS v FROM (
+            SELECT doc_id, n, g, count(*) AS c FROM (
+                SELECT doc_id, 2 AS n,
+                       unnest(CASE WHEN len(ws) >= 2 THEN
+                           list_transform(range(1, len(ws)),
+                               i -> array_to_string(ws[i:i+1], ' '))
+                           ELSE [] END) AS g
+                FROM b
+                UNION ALL
+                SELECT doc_id, 3 AS n,
+                       unnest(CASE WHEN len(ws) >= 3 THEN
+                           list_transform(range(1, len(ws) - 1),
+                               i -> array_to_string(ws[i:i+2], ' '))
+                           ELSE [] END) AS g
+                FROM b
+                UNION ALL
+                SELECT doc_id, 4 AS n,
+                       unnest(CASE WHEN len(ws) >= 4 THEN
+                           list_transform(range(1, len(ws) - 2),
+                               i -> array_to_string(ws[i:i+3], ' '))
+                           ELSE [] END) AS g
+                FROM b
+            ) GROUP BY doc_id, n, g
+        ) GROUP BY doc_id, n
+    ),
+    e6 AS (SELECT doc_id, s.p AS p, s.p + 5 AS e, s.g AS g FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(ws) >= 6 THEN
+                       list_transform(range(1, len(ws) - 4),
+                           i -> struct_pack(p := i,
+                                g := array_to_string(ws[i:i+5], ' ')))
+                       ELSE [] END) AS s
+            FROM b)),
+    d6 AS (SELECT doc_id, g FROM e6 GROUP BY doc_id, g
+           HAVING count(*) > 1),
+    hits AS (SELECT e6.doc_id, p, e FROM e6 JOIN d6 USING (doc_id, g)),
+    fl AS (SELECT doc_id, p, e,
+               CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                 OR p > max(e) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+               THEN 1 ELSE 0 END AS new_span
+           FROM hits),
+    isl AS (SELECT doc_id, p, e,
+                sum(new_span) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+            FROM fl),
+    spans AS (SELECT doc_id, isl, min(p) AS s, max(e) AS e
+              FROM isl GROUP BY 1, 2),
+    pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+                  CAST(sum(e - s + 1) AS BIGINT) AS cov
+           FROM spans GROUP BY 1)
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           round(coalesce(t2.v, 0) / greatest(b.chars, 1), 6)
+               AS top2_char_frac,
+           round(coalesce(t3.v, 0) / greatest(b.chars, 1), 6)
+               AS top3_char_frac,
+           round(coalesce(t4.v, 0) / greatest(b.chars, 1), 6)
+               AS top4_char_frac,
+           coalesce(pd.dup_spans, 0) AS dup6_spans,
+           round(coalesce(pd.cov, 0) / greatest(b.n_tokens, 1), 6)
+               AS dup6_token_frac
+    FROM b
+    LEFT JOIN (SELECT doc_id, v FROM t WHERE n = 2) t2 USING (doc_id)
+    LEFT JOIN (SELECT doc_id, v FROM t WHERE n = 3) t3 USING (doc_id)
+    LEFT JOIN (SELECT doc_id, v FROM t WHERE n = 4) t4 USING (doc_id)
+    LEFT JOIN pd USING (doc_id)
+    """,
+)
+def q_repetition_profile(spark, sf_dir):
+    """The within-document Gopher repetition battery (Rae et al. 2021
+    A1): top-{2,3,4}-gram character fractions + overlap-merged
+    duplicated-6-gram token coverage. One explode + one lead window
+    feeds every gram column; dup hits island per doc."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.repetition_profile(docs)
+
+
+@register(
     "tfidf_top_terms",
     f"""
     WITH tok AS (SELECT doc_id, source, unnest({_WORDS}) AS term FROM documents),
@@ -7260,7 +7345,7 @@ _FRONT_ORDER = [
     # RRF hybrid combiner (lexical + embedding in one engine); the
     # bigram LM quality score; TPC-H Q7/Q10 join-order shapes
     "bm25_topk", "hybrid_rrf_topk", "bigram_surprisal",
-    "volume_shipping", "returned_item_report",
+    "repetition_profile", "volume_shipping", "returned_item_report",
     # behavior-touched r09 (late): the corpus-ingest stream now writes
     # the hp-prefix-partitioned index + Bloom sidecar and exact-screens
     # via the pruned read — decisions identical, layout new
@@ -7280,15 +7365,15 @@ _FRONT_ORDER = [
     "langid_confusion", "ngram_jaccard_pairs", "ngram_novelty",
     "reagg_consistency", "stratified_sample_k", "user_last_value",
     "xml_records_scan",
-    # rotation: 16 of the 44-query r06 cohort (alphabetical prefix;
+    # rotation: 15 of the 44-query r06 cohort (alphabetical prefix;
     # iphone_backup_scan is also r09-behavior-touched via the keybag
-    # fix). Remainder (28) rolls to r10 — ledger in COVERAGE.md.
+    # fix). Remainder (29) rolls to r10 — ledger in COVERAGE.md.
     "anchor_first_window", "ann_axis_topk", "ann_lsh_topk",
     "auto_segment_triggers", "chunk_dedup_profile",
     "cosine_topk_vectorized", "decontaminate_ngram", "dedup_clusters",
     "dominant_source_change", "etl_audit_report", "exact_dedup",
     "feature_attribution_topk", "fold_class_check", "forward_fill_daily",
-    "global_zscore", "iphone_backup_scan",
+    "iphone_backup_scan",
 ]
 
 

@@ -58,7 +58,7 @@ def test_attestation_window_is_stable():
         "duplicate_span_cut", "quantile_3way_label_approx",
         "bloom_screen_decisions", "heavy_hitter_tokens",
         "bm25_topk", "hybrid_rrf_topk", "bigram_surprisal",
-        "volume_shipping", "returned_item_report",
+        "repetition_profile", "volume_shipping", "returned_item_report",
         # behavior-touched late-r09: the ingest stream's new
         # hp-partitioned index layout + Bloom-pruned exact screen
         "streaming_ingest_decisions",

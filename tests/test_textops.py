@@ -201,6 +201,40 @@ def test_bigram_surprisal_closed_form(spark):
     assert set(out) == {1, 2, 3, 4, 5}
 
 
+def test_repetition_profile_closed_form(spark):
+    # doc 1: "x x x y z x x" (13 chars, 7 tokens)
+    #   top2 = "x x" count 3 * len 3 = 9 -> 9/13; top3 = any trigram
+    #   count 1 * len 5 -> 5/13; top4 -> 7/13; no repeated 6-gram.
+    # doc 2: "a b c d e f" x3 (35 chars, 18 tokens): every 6-gram
+    #   repeats -> ONE merged span covering all 18 tokens (frac 1.0);
+    #   top2 = 3*3/35, top3 = 3*5/35, top4 = 3*7/35.
+    # doc 3: single token -> no grams anywhere, zeros all the way.
+    df = spark.createDataFrame(
+        [
+            (1, "x x x y z x x"),
+            (2, "a b c d e f a b c d e f a b c d e f"),
+            (3, "hi"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.repetition_profile(df).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 7
+    assert abs(r1["top2_char_frac"] - 9 / 13) < 1e-5
+    assert abs(r1["top3_char_frac"] - 5 / 13) < 1e-5
+    assert abs(r1["top4_char_frac"] - 7 / 13) < 1e-5
+    assert r1["dup6_spans"] == 0 and r1["dup6_token_frac"] == 0.0
+    r2 = out[2]
+    assert r2["n_tokens"] == 18
+    assert abs(r2["top2_char_frac"] - 9 / 35) < 1e-5
+    assert abs(r2["top3_char_frac"] - 15 / 35) < 1e-5
+    assert abs(r2["top4_char_frac"] - 21 / 35) < 1e-5
+    assert r2["dup6_spans"] == 1 and r2["dup6_token_frac"] == 1.0
+    r3 = out[3]
+    assert r3["n_tokens"] == 1
+    assert r3["top2_char_frac"] == 0.0 and r3["dup6_token_frac"] == 0.0
+
+
 def test_tfidf_top_terms_ranks_distinctive_terms(spark):
     df = spark.createDataFrame(
         [

@@ -350,6 +350,14 @@ NOTES = {
         "the two top-50 frames — the single-partition rank window is "
         "safe by contract on list-sized input."
     ),
+    "repetition_profile": (
+        "One posexplode + one per-doc lead window materializes the "
+        "2/3/4/6-gram columns in a single pass; the top-n fractions "
+        "melt three gram columns into ONE count aggregate (conditional "
+        "max back to columns — no pivot rescan); the dup-6 island "
+        "window sees only within-doc duplicate hits, bounded by doc "
+        "length. All aggregates ride the doc_id hash partitioning."
+    ),
     "bigram_surprisal": (
         "One corpus-token explode feeds both the bigram counts and the "
         "1-row vocab-size scalar; context counts re-aggregate the "
