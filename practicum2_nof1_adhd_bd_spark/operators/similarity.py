@@ -1214,6 +1214,79 @@ def int8_cosine_topk(
     )
 
 
+def int8_rerank_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_tables: int = 10,
+    n_planes: int = 8,
+    n_flips: int = 4,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN serving — the asymmetric-distance re-rank recipe
+    (Jegou et al. 2011, ADC): a WIDE query-directed multi-probe
+    candidate set is ranked by int8 ASYMMETRIC cosine (quantized corpus
+    vector against the full-precision query), and only the top
+    ``rerank`` survivors get the exact full-precision re-rank to top-k.
+
+    The scale story: the wide coarse stage touches int8 rows — 4x fewer
+    bytes than a float32 rank over the same candidate fraction (16x vs
+    float64) — while exact arithmetic touches only rerank/corpus rows
+    (the broadcast id-join back to the corpus here stands in for the
+    artifact form's id-keyed fetch). Recall is bounded above by the
+    probe stage's candidate recall; int8 ranking fidelity costs ~0-2
+    points of it at practical rerank depths (SCALING §2c measures the
+    operating point). The top-R frame is eagerly localCheckpointed so
+    the exact stage never recomputes the candidate scan (the
+    two-consumer subplan rule)."""
+    cand, qv = multiprobe_candidates(
+        embeddings, query_id, n_tables, n_planes, n_flips, id_col, vec_col
+    )
+    cand = cand.filter(F.col(id_col) != F.lit(query_id))
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scaled = cand.select(F.col(id_col), dvec.alias("v")).withColumn(
+        "scale",
+        F.greatest(
+            F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))),
+            F.lit(1e-12),
+        )
+        / 127.0,
+    )
+    qlit = F.array([F.lit(float(x)) for x in qv])
+    coarse = (
+        scaled.select(
+            F.col(id_col),
+            cosine(
+                F.transform(
+                    F.col("v"),
+                    lambda x: F.round(x / F.col("scale")) * F.col("scale"),
+                ),
+                qlit,
+            ).alias("_approx"),
+        )
+        .orderBy(F.desc("_approx"), F.asc(id_col))
+        .limit(rerank)
+        .localCheckpoint(eager=True)
+    )
+    exact = embeddings.join(F.broadcast(coarse.select(id_col)), id_col)
+    return (
+        exact.select(
+            F.col(id_col),
+            F.round(
+                cosine(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                    qlit,
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 VECTOR_INDEX_SCHEMA = (
     "vec_id bigint, qvec array<tinyint>, scale double, nrm double, bucket int"
 )

@@ -339,3 +339,28 @@ def test_external_query_vector_matches_corpus_query(spark):
         emb, None, k=2, query_vec=[0.5, 0.5, 0.0]
     ).collect()
     assert len(out) == 2
+
+
+def test_int8_rerank_topk_matches_exact_rank_of_candidates(spark):
+    """ADC re-rank invariant: with rerank >= candidate count the output
+    IS the exact cosine ranking restricted to the directed probe's
+    candidate set (int8 coarse ordering cannot drop anything when
+    everything survives to the exact stage), and ranked scores are the
+    full-precision ones, not the quantized approximations."""
+    emb = _emb(spark)
+    args = dict(n_tables=3, n_planes=4, n_flips=2)
+    out = sim.int8_rerank_topk(emb, 0, k=3, rerank=1000, **args).collect()
+    cand, qv = sim.multiprobe_candidates(emb, 0, **args)
+    cand_ids = {
+        r["vec_id"] for r in cand.collect() if r["vec_id"] != 0
+    }
+    exp = [
+        r["vec_id"]
+        for r in sim.cosine_topk_bruteforce(emb, 0, k=len(cand_ids) + 1)
+        .collect()
+        if r["vec_id"] in cand_ids
+    ][:3]
+    assert [r["vec_id"] for r in out] == exp
+    assert 0 not in {r["vec_id"] for r in out}
+    cs = [r["cosine"] for r in out]
+    assert cs == sorted(cs, reverse=True)

@@ -117,6 +117,13 @@ def main() -> None:
         # int8-quantized storage form: recall here measures ranking
         # fidelity of the 4x-smaller index, not a candidate budget
         "int8_full_rank": lambda q: sim.int8_cosine_topk(emb, q, args.k),
+        # ADC re-rank (Jegou et al. 2011): the m=4 directed probe's
+        # candidates ranked by int8 ASYMMETRIC cosine, exact re-rank of
+        # the top 100 only — the candidate fraction is paid in int8
+        # bytes (4x cheaper than float32), exact touches 100/corpus
+        "rr_L10_P8_m4_r100": lambda q: sim.int8_rerank_topk(
+            emb, q, args.k, n_tables=10, n_planes=8, n_flips=4, rerank=100
+        ),
     }
     # candidate-set generators for the paths whose candidate fraction the
     # SCALING table reports (recall means nothing without the budget paid)
