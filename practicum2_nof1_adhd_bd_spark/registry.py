@@ -1375,6 +1375,275 @@ def q_returned_item_report(spark, sf_dir):
 
 
 @register(
+    "market_share",
+    """
+    WITH vol AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(28,12)) AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey
+                     AND r.r_name = 'EUROPE'
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                               THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): NATION_1's share of PROMO
+    part volume sold to EUROPE customers, by order year. The dimension
+    stack folds to three broadcast frames before the fact tables move:
+    PROMO partkeys prune lineitem at its scan-side join (1/6 of rows),
+    region->nation semi-prunes customer to EUROPE (1/5), and the
+    supplier->nation lookup tags each line with its supplier nation.
+    The only fact-sized exchange is lineitem |><| orders on orderkey;
+    orders->customer rides the already-date-filtered orders side. The
+    share is a conditional sum over ONE aggregated frame — not two
+    scans — summed as DECIMAL(28,12) (combine-order exact) and divided
+    as double only at the end. At 100 TB every dimension here is MBs
+    against a fact table of TBs, exactly the broadcast-star case AQE
+    handles; the one shuffle is unavoidable and carries pre-filtered,
+    pre-projected rows (ref etl's star-join reports; TPC-H Q8)."""
+    cat = _cat(spark, sf_dir)
+    eur_nat = cat.nation.join(
+        F.broadcast(cat.region.filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    cust = cat.customer.join(
+        F.broadcast(eur_nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    supp = cat.supplier.join(
+        F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    promo = cat.part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    o = cat.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    li = cat.lineitem.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(28,12)")
+        .alias("volume"),
+    )
+    j = (
+        li.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    nat_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(28,12)")
+        )
+    )
+    return (
+        j.groupBy("o_year")
+        .agg(
+            F.round(
+                nat_vol.cast("double") / F.sum("volume").cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "customer_order_distribution",
+    """
+    WITH oc AS (
+        SELECT c.c_custkey, count(o.o_custkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           count(*) AS custdist
+    FROM oc GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): how many
+    customers placed exactly N non-urgent orders, including the
+    zero-order bucket the outer join exists for. Deliberately NOT the
+    textbook one-row-per-order outer join: orders pre-aggregate to
+    (custkey, count) with map-side combine FIRST — the only fact-sized
+    shuffle carries an 8-byte key + a count — and the left join onto
+    the customer key spine (coalesce 0 for the orderless) moves one row
+    per customer, not one per order. The priority filter sits on the
+    pre-aggregate scan, equivalent to Q13's filtered-join predicate.
+    The count-of-counts re-aggregation is O(distinct counts) — tiny
+    at any scale (TPC-H Q13)."""
+    cat = _cat(spark, sf_dir)
+    cnt = (
+        cat.orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    oc = (
+        cat.customer.select("c_custkey")
+        .join(cnt, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
+    )
+    return (
+        oc.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    """
+    WITH pk AS (
+        SELECT p_partkey FROM part
+        WHERE p_brand = 'Brand#1' AND p_type = 'ECONOMY'
+    ),
+    th AS (
+        SELECT l.l_partkey, 0.2 * avg(l.l_quantity) AS qty_thresh
+        FROM lineitem l JOIN pk ON l.l_partkey = pk.p_partkey
+        GROUP BY l.l_partkey
+    )
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN th ON l.l_partkey = th.l_partkey
+    WHERE l.l_quantity < th.qty_thresh
+    """,
+)
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue from
+    lines ordering less than 20% of a part's average quantity, for one
+    brand/type slice. The correlated scalar subquery becomes a
+    per-part aggregate JOINED BACK: the tiny brand-filtered partkey
+    set broadcasts into lineitem's scan (predicate reaches the
+    parquet reader via the broadcast hash join's runtime side), the
+    per-part thresholds aggregate over only that sliver, and the
+    threshold frame — O(matching parts) rows — broadcasts into the
+    second pass. Lineitem is scanned twice but shuffled ZERO times;
+    both passes are scan->broadcast-join->local work. The quantity
+    average is exact (integer-valued doubles, sums < 2^53), so the
+    threshold compare is order-independent; revenue sums as
+    DECIMAL(18,2) for combine-order exactness (TPC-H Q17)."""
+    cat = _cat(spark, sf_dir)
+    pk = cat.part.filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey")
+    li = cat.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+    th = (
+        li.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh"))
+        .select(F.col("l_partkey").alias("t_partkey"), "qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(th), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "idle_customer_balance",
+    """
+    WITH s AS (
+        SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum,
+               count(*) AS bal_cnt
+        FROM customer WHERE c_acctbal > 0.0
+    ),
+    idle AS (
+        SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+        FROM customer c, s
+        WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * s.bal_cnt > s.bal_sum
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-08-01')
+    )
+    SELECT n.n_name, count(*) AS numcust,
+           round(CAST(sum(CAST(i.c_acctbal AS DECIMAL(18,2))) AS DOUBLE),
+                 2) AS totacctbal
+    FROM idle i JOIN nation n ON i.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def q_idle_customer_balance(spark, sf_dir):
+    """TPC-H Q22 shape (global-potential idle customers): per nation,
+    customers whose balance beats the positive-balance average but who
+    placed no order in the trailing year. The global average becomes a
+    ONE-ROW broadcast crossJoin — and the compare is restated as
+    acctbal * count > sum so it runs in exact decimal*integer
+    arithmetic: no engine-dependent double averaging can flip a
+    boundary customer. The "no recent orders" EXISTS becomes a
+    left_anti join against the date-filtered order custkeys (the
+    filter pushes to the orders scan; the anti side shrinks to the
+    recent slice before shuffling). At 100 TB the anti join shuffles
+    only (custkey) pairs and AQE picks broadcast-anti when the recent
+    slice is small enough (TPC-H Q22)."""
+    cat = _cat(spark, sf_dir)
+    s = (
+        cat.customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("bal_sum"),
+            F.count(F.lit(1)).alias("bal_cnt"),
+        )
+    )
+    rich = (
+        cat.customer.crossJoin(F.broadcast(s))
+        .filter(
+            F.col("c_acctbal").cast("decimal(18,2)") * F.col("bal_cnt")
+            > F.col("bal_sum")
+        )
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    recent = cat.orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-08-01").cast("timestamp")
+    ).select("o_custkey")
+    idle = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        idle.join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
     "topk_per_group",
     """
     WITH j AS (
