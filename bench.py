@@ -79,6 +79,12 @@ HEADLINE = [
     "repetition_profile",
     "volume_shipping",
     "returned_item_report",
+    # round-9 third-session additions: PQ serving (fit+encode+ADC each
+    # run — the in-memory twin of a build-once artifact, like
+    # ann_multiprobe_topk) and the Q8/Q13 join-order shapes
+    "pq_adc_topk",
+    "market_share",
+    "customer_order_distribution",
 ]
 
 

@@ -1555,3 +1555,236 @@ def rrf_fuse(
         .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — Jegou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search". The corpus memory story beyond int8: each
+# vector is stored as m sub-space codebook ids (m bytes at k<=256), so a
+# 64-dim float64 row (512 B) compresses to 4 B — 128x. ADC (asymmetric
+# distance computation) ranks candidates by m table lookups per row
+# against a per-query lookup table, never touching the original floats.
+# ---------------------------------------------------------------------------
+
+
+def pq_fit_encode(
+    embeddings: DataFrame,
+    m: int = 4,
+    k_codes: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic PQ codebook fit + corpus encode. Returns
+    ``(codes(vec_id, codes array<int>), cent(sub, code, cv, cc))``.
+
+    Fit: the vector space splits into ``m`` contiguous sub-spaces of
+    dim/m components; each sub-space gets its own ``k_codes``-centroid
+    Lloyd quantizer (``n_iters`` unrolled rounds). Seeds reuse the
+    _lloyd_fit device — the k_codes corpus vectors with the smallest
+    md5(id), each SLICED per sub-space — so the whole build is
+    engine-neutral and SQL-replayable (no RNG). All m sub-quantizers
+    train in ONE pass per iteration over an exploded (vec_id, sub, sv)
+    frame: F.inline fans each row out to its m slices in the scan
+    projection (no join), assignment is the broadcast-centroids +
+    map-side min_by argmin keyed (vec_id, sub) — one exchange per
+    iteration carrying 1/m-width slices — and recompute is the same
+    posexplode + (sub, code, pos) partial avg as _lloyd_fit.
+
+    Scale note: like ivf_kmeans_topk's max_fit_rows, a 100-TB fit would
+    first prune the exploded frame to a deterministic md5-prefix sample
+    (WHERE md5(id) < '04...') — centroid quality saturates orders of
+    magnitude below corpus size; the encode pass (assign against fixed
+    centroids) is the only stage that must see every row, and it is a
+    broadcast map. Float note: centroid means inherit engine summation
+    order — the same accepted ulp-boundary class as ivf_lloyd_topk."""
+    from pyspark.sql import Window
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    d = dim // m
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(F.col(id_col), dvec.alias("v"))
+    sub = base.select(
+        id_col,
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("v", s * d + 1, d).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ),
+    ).withColumn("svv", _dot(F.col("sv"), F.col("sv")))
+
+    seeds = (
+        base.select(
+            F.col(id_col),
+            F.col("v"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", id_col)
+        .limit(k_codes)
+    )
+    # number the seeds BEFORE the inline fan-out: a generator in the same
+    # projection expands rows first, so row_number would count the m-fold
+    # expansion (0..m*k-1), not the seeds
+    numbered = seeds.select(
+        (F.row_number().over(Window.orderBy("_h", id_col)) - 1).alias("code"),
+        "v",
+    )
+    cent = numbered.select(
+        "code",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("v", s * d + 1, d).alias("cv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ),
+    ).withColumn("cc", _dot(F.col("cv"), F.col("cv")))
+    cent = cent.localCheckpoint(eager=True)
+
+    def assign(c: DataFrame) -> DataFrame:
+        j = sub.join(F.broadcast(c), "sub")
+        d2 = F.col("svv") - 2 * _dot(F.col("sv"), F.col("cv")) + F.col("cc")
+        return j.groupBy(id_col, "sub").agg(
+            F.min_by(
+                F.col("code"), F.struct(d2.alias("d"), F.col("code"))
+            ).alias("code"),
+            F.first("sv").alias("sv"),
+            F.first("svv").alias("svv"),
+        )
+
+    for _ in range(n_iters):
+        assigned = assign(cent)
+        ex = assigned.select(
+            "sub", "code", F.posexplode("sv").alias("pos", "val")
+        )
+        cm = ex.groupBy("sub", "code", "pos").agg(F.avg("val").alias("mu"))
+        cent = (
+            cm.groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                    lambda s: s["mu"],
+                ).alias("cv")
+            )
+            .withColumn("cc", _dot(F.col("cv"), F.col("cv")))
+            .localCheckpoint(eager=True)
+        )
+
+    final = assign(cent)
+    codes = final.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+    return codes, cent
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m: int = 4,
+    k_codes: int = 8,
+    n_iters: int = 2,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-compressed ANN serving with asymmetric distance + exact
+    re-rank (Jegou et al. 2011 ADC; ref analytics' similarity reports
+    are the spec surface, ml7_analysis.py:118-170 neighbor panels).
+
+    Serving shape: the per-query lookup table — inner product and
+    squared norm of every (sub, code) centroid against the query's
+    slice — is m*k_codes scalars, computed DRIVER-side from the
+    collected centroid frame (bounded constants, the multiprobe
+    literal-probe device). The ADC scan then scores every encoded row
+    with a FIXED-ORDER chain of m element_at lookups into literal
+    arrays — zero joins, zero shuffles, whole-stage codegen over rows
+    that are m small ints wide. approx_cos rounds to 6dp before the
+    top-``rerank`` cut (ulp-robust cross-engine ordering, vec_id
+    tie-break), survivors are eagerly localCheckpointed (two-consumer
+    rule) and re-ranked exact via a broadcast id fetch.
+
+    At 100 TB: the coarse scan reads m bytes per vector instead of
+    512 — the table that doesn't fit in cluster RAM as float64 does as
+    PQ codes — and recall is bounded by code granularity; rerank depth
+    trades it back (SCALING §2c measures the operating point)."""
+    codes, cent = pq_fit_encode(
+        embeddings, m, k_codes, n_iters, id_col, vec_col
+    )
+    row = (
+        embeddings.filter(F.col(id_col) == query_id)
+        .select(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+        )
+        .collect()
+    )
+    if not row:
+        raise ValueError(f"query id {query_id} not found")
+    qv = [float(x) for x in row[0]["v"]]
+    d = len(qv) // m
+    qnorm = 0.0
+    for x in qv:
+        qnorm += x * x
+    qnorm = qnorm ** 0.5
+
+    # driver-side LUT from the (bounded) centroid frame: ip[sub][code],
+    # cc[sub][code] — python loops mirror _dot's left-to-right fold
+    ip = [[0.0] * k_codes for _ in range(m)]
+    cc = [[0.0] * k_codes for _ in range(m)]
+    for r in cent.collect():
+        s, c = int(r["sub"]), int(r["code"])
+        acc = 0.0
+        for j, x in enumerate(r["cv"]):
+            acc += float(x) * qv[s * d + j]
+        ip[s][c] = acc
+        cc[s][c] = float(r["cc"])
+
+    adc_ip = None
+    adc_cc = None
+    for s in range(m):
+        t_ip = F.element_at(
+            F.array([F.lit(v) for v in ip[s]]), F.col("codes")[s] + 1
+        )
+        t_cc = F.element_at(
+            F.array([F.lit(v) for v in cc[s]]), F.col("codes")[s] + 1
+        )
+        adc_ip = t_ip if adc_ip is None else adc_ip + t_ip
+        adc_cc = t_cc if adc_cc is None else adc_cc + t_cc
+    approx = adc_ip / (F.lit(qnorm) * F.sqrt(adc_cc))
+
+    coarse = (
+        codes.filter(F.col(id_col) != query_id)
+        .select(id_col, F.round(approx, 6).alias("_approx"))
+        .orderBy(F.desc("_approx"), F.asc(id_col))
+        .limit(rerank)
+        .localCheckpoint(eager=True)
+    )
+    qlit = F.array([F.lit(x) for x in qv])
+    exact = embeddings.join(F.broadcast(coarse.select(id_col)), id_col)
+    return (
+        exact.select(
+            F.col(id_col),
+            F.round(
+                cosine(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                    qlit,
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

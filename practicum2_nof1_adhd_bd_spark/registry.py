@@ -6664,6 +6664,119 @@ def q_ivf_lloyd_topk(spark, sf_dir):
     return sim.ivf_lloyd_topk(emb, query_id=0, k=10, n_cells=8, n_probe=2)
 
 
+def _pq_adc_oracle(
+    m: int = 4, d: int = 16, k_codes: int = 8, rerank: int = 50, k: int = 10
+) -> str:
+    """DuckDB twin of sim.pq_adc_topk: per-sub-space Lloyd codebooks
+    (seeds = the k_codes smallest-md5 corpus vectors, SLICED per sub —
+    the _lloyd_prefix_ctes device applied per sub-space), 2 unrolled
+    assign/recompute rounds keyed (vec_id, sub)/(sub, code), corpus
+    encode, then the ADC stage replayed with the SAME fixed-order
+    addition as the Spark element_at chain: four correlated scalar
+    lookups summed left-associatively, rounded to 6dp before the
+    top-rerank cut, exact cosine re-rank on the survivors."""
+
+    def assign(cent: str, name: str) -> str:
+        return f"""{name} AS (
+        SELECT vec_id, sub, sv, svv, code FROM (
+            SELECT t.vec_id, t.sub, t.sv, t.svv, c.code,
+                   row_number() OVER (PARTITION BY t.vec_id, t.sub
+                       ORDER BY t.svv - 2 * list_inner_product(t.sv, c.cv)
+                                + c.cc ASC, c.code ASC) AS rn
+            FROM es t JOIN {cent} c ON t.sub = c.sub) x WHERE rn = 1)"""
+
+    def recompute(a: str, name: str) -> str:
+        return f"""{name}l AS (
+        SELECT sub, code, list(mu ORDER BY pos) AS cv FROM (
+            SELECT sub, code, pos, avg(val) AS mu FROM (
+                SELECT sub, code, generate_subscripts(sv, 1) AS pos,
+                       unnest(sv) AS val FROM {a}) u
+            GROUP BY 1, 2, 3) g GROUP BY sub, code),
+    {name} AS (SELECT sub, code, cv, list_inner_product(cv, cv) AS cc
+               FROM {name}l)"""
+
+    def chain(col: str) -> str:
+        terms = [
+            f"(SELECT {col} FROM lut WHERE sub={s} AND code=kk.codes[{s + 1}])"
+            for s in range(m)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"({out} + {t})"
+        return out
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    subs AS (SELECT unnest(generate_series(0, {m - 1})) AS sub),
+    es0 AS (
+        SELECT e.vec_id, s.sub,
+               e.v[s.sub * {d} + 1 : s.sub * {d} + {d}] AS sv
+        FROM e, subs s),
+    es AS (SELECT vec_id, sub, sv,
+                  list_inner_product(sv, sv) AS svv FROM es0),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) - 1 AS code, v
+        FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {k_codes}),
+    c0l AS (
+        SELECT s.sub, sd.code,
+               sd.v[s.sub * {d} + 1 : s.sub * {d} + {d}] AS cv
+        FROM seeds sd, subs s),
+    c0 AS (SELECT sub, code, cv, list_inner_product(cv, cv) AS cc FROM c0l),
+    {assign('c0', 'a1')},
+    {recompute('a1', 'c1')},
+    {assign('c1', 'a2')},
+    {recompute('a2', 'c2')},
+    {assign('c2', 'a3')},
+    codes AS (SELECT vec_id, list(code ORDER BY sub) AS codes
+              FROM a3 GROUP BY vec_id),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    lut AS (SELECT c.sub, c.code,
+                   list_inner_product(
+                       c.cv, q.qv[c.sub * {d} + 1 : c.sub * {d} + {d}]) AS ip,
+                   c.cc AS cc
+            FROM c2 c, q),
+    scored AS (
+        SELECT kk.vec_id,
+               {chain('ip')} AS adc_ip,
+               {chain('cc')} AS adc_cc
+        FROM codes kk),
+    cand AS (
+        SELECT s.vec_id
+        FROM scored s, q
+        WHERE s.vec_id != 0
+        ORDER BY round(s.adc_ip
+                       / (sqrt(list_inner_product(q.qv, q.qv))
+                          * sqrt(s.adc_cc)), 6) DESC,
+                 s.vec_id ASC
+        LIMIT {rerank})
+    SELECT e.vec_id,
+           round(list_inner_product(e.v, q.qv)
+                 / (sqrt(list_inner_product(e.v, e.v))
+                    * sqrt(list_inner_product(q.qv, q.qv))), 6) AS cosine
+    FROM e JOIN cand USING (vec_id), q
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register("pq_adc_topk", _pq_adc_oracle())
+def q_pq_adc_topk(spark, sf_dir):
+    """Product-quantized ANN serving (Jegou et al. 2011 ADC): per-sub-space
+    deterministic Lloyd codebooks compress each vector to m=4 code bytes
+    (128x vs float64), the per-query lookup table is m*k_codes driver-side
+    constants, the coarse scan is a zero-shuffle fixed-order element_at
+    chain over the codes, and the top-50 survivors get the exact cosine
+    re-rank (sim.pq_adc_topk). The full build->encode->serve path sits
+    behind the value-hash gate via the md5-seeded-Lloyd attestation
+    device."""
+    emb = _cat(spark, sf_dir).embeddings
+    return sim.pq_adc_topk(
+        emb, query_id=0, k=10, m=4, k_codes=8, n_iters=2, rerank=50
+    )
+
+
 def _register_ivf_index_topk() -> None:
     sql = f"""
     WITH {_lloyd_prefix_ctes(8)},
@@ -7615,6 +7728,13 @@ _FRONT_ORDER = [
     # bigram LM quality score; TPC-H Q7/Q10 join-order shapes
     "bm25_topk", "hybrid_rrf_topk", "bigram_surprisal",
     "repetition_profile", "volume_shipping", "returned_item_report",
+    # new this round (r09, third session): product quantization — the
+    # full Jegou et al. build->encode->ADC-serve path under the gate —
+    # and the TPC-H Q8/Q13/Q17/Q22 shapes (market share, outer-join
+    # count distribution, correlated-threshold join, scalar-subquery +
+    # anti-join)
+    "pq_adc_topk", "market_share", "customer_order_distribution",
+    "small_quantity_revenue", "idle_customer_balance",
     # behavior-touched r09 (late): the corpus-ingest stream now writes
     # the hp-prefix-partitioned index + Bloom sidecar and exact-screens
     # via the pruned read — decisions identical, layout new
@@ -7634,15 +7754,14 @@ _FRONT_ORDER = [
     "langid_confusion", "ngram_jaccard_pairs", "ngram_novelty",
     "reagg_consistency", "stratified_sample_k", "user_last_value",
     "xml_records_scan",
-    # rotation: 15 of the 44-query r06 cohort (alphabetical prefix;
+    # rotation: 10 of the 44-query r06 cohort (alphabetical prefix;
     # iphone_backup_scan is also r09-behavior-touched via the keybag
-    # fix). Remainder (29) rolls to r10 — ledger in COVERAGE.md.
+    # fix). Remainder (34, from etl_audit_report) rolls to r10 —
+    # ledger in COVERAGE.md.
     "anchor_first_window", "ann_axis_topk", "ann_lsh_topk",
     "auto_segment_triggers", "chunk_dedup_profile",
     "cosine_topk_vectorized", "decontaminate_ngram", "dedup_clusters",
-    "dominant_source_change", "etl_audit_report", "exact_dedup",
-    "feature_attribution_topk", "fold_class_check", "forward_fill_daily",
-    "iphone_backup_scan",
+    "dominant_source_change", "iphone_backup_scan",
 ]
 
 

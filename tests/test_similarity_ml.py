@@ -2,6 +2,8 @@
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from practicum2_nof1_adhd_bd_spark.operators import ml, similarity as sim
 
 
@@ -364,3 +366,41 @@ def test_int8_rerank_topk_matches_exact_rank_of_candidates(spark):
     assert 0 not in {r["vec_id"] for r in out}
     cs = [r["cosine"] for r in out]
     assert cs == sorted(cs, reverse=True)
+
+
+def test_pq_fit_encode_shapes_and_determinism(spark):
+    """PQ build invariants: every vector gets exactly m codes, each code
+    is a valid codebook id, the centroid frame covers every non-empty
+    (sub, code) cell with dim/m-wide vectors, and a rebuild is
+    bit-identical (md5 seeds + unrolled Lloyd — no RNG anywhere)."""
+    emb = _emb(spark).select(
+        "vec_id",
+        F.flatten(F.array_repeat(F.col("embedding"), 4)).alias("embedding"),
+    )  # 12-dim so m=3 -> d=4
+    codes, cent = sim.pq_fit_encode(emb, m=3, k_codes=2, n_iters=2)
+    got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert all(len(c) == 3 for c in got.values())
+    assert all(0 <= x < 2 for c in got.values() for x in c)
+    cent_rows = cent.collect()
+    assert all(len(r["cv"]) == 4 for r in cent_rows)
+    assert {r["sub"] for r in cent_rows} == {0, 1, 2}
+    codes2, _ = sim.pq_fit_encode(emb, m=3, k_codes=2, n_iters=2)
+    assert got == {r["vec_id"]: list(r["codes"]) for r in codes2.collect()}
+
+
+def test_pq_adc_topk_full_rerank_matches_bruteforce(spark):
+    """With rerank >= corpus size the ADC coarse stage cannot drop a true
+    neighbor: pq_adc_topk degenerates to the exact brute-force ranking —
+    the PQ twin of the int8 re-rank invariant."""
+    emb = _emb(spark).select(
+        "vec_id",
+        F.flatten(F.array_repeat(F.col("embedding"), 4)).alias("embedding"),
+    )
+    out = sim.pq_adc_topk(
+        emb, 0, k=3, m=3, k_codes=2, n_iters=1, rerank=100
+    ).collect()
+    exp = sim.cosine_topk_bruteforce(emb, 0, k=3).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in out] == [
+        (r["vec_id"], r["cosine"]) for r in exp
+    ]
