@@ -83,6 +83,7 @@ HEADLINE = [
     # run — the in-memory twin of a build-once artifact, like
     # ann_multiprobe_topk) and the Q8/Q13 join-order shapes
     "pq_adc_topk",
+    "ivf_pq_topk",
     "market_share",
     "customer_order_distribution",
 ]

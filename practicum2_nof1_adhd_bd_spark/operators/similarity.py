@@ -1788,3 +1788,161 @@ def pq_adc_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k_codes: int = 8,
+    n_iters: int = 2,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC — the full FAISS-style production recipe (Jegou et al.
+    2011 §IV): a trained coarse quantizer partitions the corpus into
+    cells, each vector's RESIDUAL against its cell centroid is
+    product-quantized, and a query scans only its n_probe nearest
+    cells, scoring candidates by lookup-table ADC over the residual
+    codes before the exact top-k re-rank.
+
+    Residual encoding is what separates this from flat PQ: residuals
+    concentrate near the origin, so the same codebook budget spends
+    its resolution on a much smaller ball — and the cell id itself
+    carries the coarse position for free. Storage per vector is
+    log2(n_cells) bits + m code bytes.
+
+    Build shape: _lloyd_fit (the shared deterministic coarse
+    quantizer), one broadcast join to materialize residuals, then
+    pq_fit_encode on the residual frame (ONE shared codebook across
+    cells — the standard IVFADC memory/quality trade). Serving shape:
+    the probe set, the per-cell query dots and the three ADC tables
+    (query.residual-codeword, cellcentroid.codeword, codeword norms)
+    are ALL driver-side constants built from the two bounded centroid
+    frames; the candidate scan is cell-membership filter + fixed-order
+    element_at chains — zero shuffles, and at 100 TB (artifact form:
+    partitionBy(cell), the write_ivf_index layout) the n_probe cell
+    directories are the only bytes read. approx cosine =
+    (q.c + sum_sub q_sub.cw) / (|q| * sqrt(|c|^2 + 2*sum c_sub.cw +
+    sum |cw|^2)) — exact expansion of cos(q, c + r_hat), fixed
+    left-associative addition order so the SQL oracle replays it
+    bit-for-bit. Same ulp-boundary caveat class as ivf_lloyd_topk."""
+    final, cent, base = _lloyd_fit(embeddings, n_cells, n_iters, id_col, vec_col)
+    resid = final.join(F.broadcast(cent), "cell").select(
+        id_col,
+        "cell",
+        F.zip_with("v", "cv", lambda a, b: a - b).alias("rv"),
+    )
+    codes, books = pq_fit_encode(
+        resid, m=m, k_codes=k_codes, n_iters=n_iters,
+        id_col=id_col, vec_col="rv",
+    )
+    enc = resid.select(id_col, "cell").join(codes, id_col)
+
+    row = (
+        embeddings.filter(F.col(id_col) == query_id)
+        .select(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+        )
+        .collect()
+    )
+    if not row:
+        raise ValueError(f"query id {query_id} not found")
+    qv = [float(x) for x in row[0]["v"]]
+    d = len(qv) // m
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    qnorm = dot(qv, qv) ** 0.5
+
+    # bounded collects: n_cells coarse centroids, m*k_codes codewords
+    cells = {int(r["cell"]): (list(r["cv"]), float(r["cc"])) for r in cent.collect()}
+    cw = {}
+    for r in books.collect():
+        cw[(int(r["sub"]), int(r["code"]))] = (list(r["cv"]), float(r["cc"]))
+
+    probe_rank = sorted(
+        (
+            (-(dot(cv, qv) / ((cc ** 0.5) * qnorm)), cell)
+            for cell, (cv, cc) in cells.items()
+        ),
+    )[:n_probe]
+    probes = [cell for _, cell in probe_rank]
+
+    n_all = max(cells) + 1
+    qc_arr = [0.0] * n_all
+    cc_arr = [0.0] * n_all
+    for cell, (cv, cc) in cells.items():
+        qc_arr[cell] = dot(cv, qv)
+        cc_arr[cell] = cc
+    ipq = [[0.0] * k_codes for _ in range(m)]
+    rr = [[0.0] * k_codes for _ in range(m)]
+    ipc = [[[0.0] * k_codes for _ in range(m)] for _ in range(n_all)]
+    for (s, c), (w, wcc) in cw.items():
+        ipq[s][c] = dot(w, qv[s * d:(s + 1) * d])
+        rr[s][c] = wcc
+        for cell, (cv, _) in cells.items():
+            ipc[cell][s][c] = dot(w, cv[s * d:(s + 1) * d])
+
+    cell1 = F.col("cell") + 1
+    qc_term = F.element_at(F.array([F.lit(v) for v in qc_arr]), cell1)
+    cc_term = F.element_at(F.array([F.lit(v) for v in cc_arr]), cell1)
+
+    def chain(tables_per_sub):
+        out = None
+        for s in range(m):
+            t = F.element_at(
+                F.array([F.lit(v) for v in tables_per_sub[s]]),
+                F.col("codes")[s] + 1,
+            )
+            out = t if out is None else out + t
+        return out
+
+    def chain_cellwise(tab3):
+        # flattened (cell, code) literal per sub: idx = cell*k_codes + code
+        out = None
+        for s in range(m):
+            flat = [tab3[cell][s][c] for cell in range(n_all) for c in range(k_codes)]
+            t = F.element_at(
+                F.array([F.lit(v) for v in flat]),
+                F.col("cell") * k_codes + F.col("codes")[s] + 1,
+            )
+            out = t if out is None else out + t
+        return out
+
+    adc_ip = qc_term + chain(ipq)
+    n2 = cc_term + F.lit(2.0) * chain_cellwise(ipc) + chain(rr)
+    approx = adc_ip / (F.lit(qnorm) * F.sqrt(n2))
+
+    coarse = (
+        enc.filter(F.col("cell").isin(probes))
+        .filter(F.col(id_col) != query_id)
+        .select(id_col, F.round(approx, 6).alias("_approx"))
+        .orderBy(F.desc("_approx"), F.asc(id_col))
+        .limit(rerank)
+        .localCheckpoint(eager=True)
+    )
+    qlit = F.array([F.lit(x) for x in qv])
+    exact = embeddings.join(F.broadcast(coarse.select(id_col)), id_col)
+    return (
+        exact.select(
+            F.col(id_col),
+            F.round(
+                cosine(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                    qlit,
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -6761,6 +6761,154 @@ def _pq_adc_oracle(
     """
 
 
+def _ivf_pq_oracle(
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    d: int = 16,
+    k_codes: int = 8,
+    rerank: int = 50,
+    k: int = 10,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of sim.ivf_pq_topk (IVFADC): the shared Lloyd coarse
+    prefix (_lloyd_prefix_ctes -> a3/c2), elementwise residuals, a
+    p-prefixed per-sub-space Lloyd codebook fit over the residuals,
+    then the ADC cosine expansion cos(q, c + r_hat) replayed with the
+    exact left-associative addition trees the Spark element_at chains
+    build: adc_ip = qc + (((ipq0+ipq1)+ipq2)+ipq3), n2 = (cc +
+    2*ipc-chain) + rr-chain."""
+
+    def passign(cent: str, name: str) -> str:
+        return f"""{name} AS (
+        SELECT vec_id, sub, sv, svv, code FROM (
+            SELECT t.vec_id, t.sub, t.sv, t.svv, c.code,
+                   row_number() OVER (PARTITION BY t.vec_id, t.sub
+                       ORDER BY t.svv - 2 * list_inner_product(t.sv, c.cv)
+                                + c.cc ASC, c.code ASC) AS rn
+            FROM pes t JOIN {cent} c ON t.sub = c.sub) x WHERE rn = 1)"""
+
+    def precompute(a: str, name: str) -> str:
+        return f"""{name}l AS (
+        SELECT sub, code, list(mu ORDER BY pos) AS cv FROM (
+            SELECT sub, code, pos, avg(val) AS mu FROM (
+                SELECT sub, code, generate_subscripts(sv, 1) AS pos,
+                       unnest(sv) AS val FROM {a}) u
+            GROUP BY 1, 2, 3) g GROUP BY sub, code),
+    {name} AS (SELECT sub, code, cv, list_inner_product(cv, cv) AS cc
+               FROM {name}l)"""
+
+    def chain(col: str, with_cell: bool) -> str:
+        terms = []
+        for s in range(m):
+            cell_pred = " AND cell = enc.cell" if with_cell else ""
+            terms.append(
+                f"(SELECT {col} FROM {'lutc' if with_cell else 'lutq'} "
+                f"WHERE sub={s} AND code=enc.codes[{s + 1}]{cell_pred})"
+            )
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"({out} + {t})"
+        return out
+
+    return f"""
+    WITH {_lloyd_prefix_ctes(n_cells)},
+    rs AS (
+        SELECT a3.vec_id, a3.cell,
+               list_transform(generate_series(1, {dim}),
+                              i -> a3.v[i] - c.cv[i]) AS rv
+        FROM a3 JOIN c2 c USING (cell)),
+    psubs AS (SELECT unnest(generate_series(0, {m - 1})) AS sub),
+    pes0 AS (
+        SELECT rs.vec_id, s.sub,
+               rs.rv[s.sub * {d} + 1 : s.sub * {d} + {d}] AS sv
+        FROM rs, psubs s),
+    pes AS (SELECT vec_id, sub, sv,
+                   list_inner_product(sv, sv) AS svv FROM pes0),
+    pseeds AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) - 1 AS code, rv
+        FROM rs ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {k_codes}),
+    pc0l AS (
+        SELECT s.sub, sd.code,
+               sd.rv[s.sub * {d} + 1 : s.sub * {d} + {d}] AS cv
+        FROM pseeds sd, psubs s),
+    pc0 AS (SELECT sub, code, cv, list_inner_product(cv, cv) AS cc
+            FROM pc0l),
+    {passign('pc0', 'pa1')},
+    {precompute('pa1', 'pc1')},
+    {passign('pc1', 'pa2')},
+    {precompute('pa2', 'pc2')},
+    {passign('pc2', 'pa3')},
+    pcodes AS (SELECT vec_id, list(code ORDER BY sub) AS codes
+               FROM pa3 GROUP BY vec_id),
+    enc AS (SELECT a3.vec_id, a3.cell, p.codes
+            FROM a3 JOIN pcodes p USING (vec_id)),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probes AS (
+        SELECT cell FROM c2, q
+        ORDER BY list_inner_product(cv, qv)
+                 / (sqrt(list_inner_product(cv, cv))
+                    * sqrt(list_inner_product(qv, qv))) DESC, cell ASC
+        LIMIT {n_probe}),
+    t1 AS (SELECT c.cell, list_inner_product(c.cv, q.qv) AS qc,
+                  c.cc AS cc
+           FROM c2 c, q),
+    lutq AS (SELECT p.sub, p.code,
+                    list_inner_product(
+                        p.cv,
+                        q.qv[p.sub * {d} + 1 : p.sub * {d} + {d}]) AS ipq,
+                    p.cc AS rr
+             FROM pc2 p, q),
+    lutc AS (SELECT c.cell, p.sub, p.code,
+                    list_inner_product(
+                        p.cv,
+                        c.cv[p.sub * {d} + 1 : p.sub * {d} + {d}]) AS ipc
+             FROM pc2 p, c2 c),
+    scored AS (
+        SELECT enc.vec_id,
+               ((SELECT qc FROM t1 WHERE t1.cell = enc.cell)
+                + {chain('ipq', False)}) AS adc_ip,
+               (((SELECT cc FROM t1 WHERE t1.cell = enc.cell)
+                 + 2.0 * {chain('ipc', True)})
+                + {chain('rr', False)}) AS n2
+        FROM enc JOIN probes USING (cell)),
+    cand AS (
+        SELECT s.vec_id
+        FROM scored s, q
+        WHERE s.vec_id != 0
+        ORDER BY round(s.adc_ip
+                       / (sqrt(list_inner_product(q.qv, q.qv))
+                          * sqrt(s.n2)), 6) DESC,
+                 s.vec_id ASC
+        LIMIT {rerank})
+    SELECT e.vec_id,
+           round(list_inner_product(e.v, q.qv)
+                 / (sqrt(list_inner_product(e.v, e.v))
+                    * sqrt(list_inner_product(q.qv, q.qv))), 6) AS cosine
+    FROM e JOIN cand USING (vec_id), q
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register("ivf_pq_topk", _ivf_pq_oracle())
+def q_ivf_pq_topk(spark, sf_dir):
+    """IVFADC (Jegou et al. 2011 §IV, the FAISS-style production
+    layout): trained coarse cells + one shared product-quantizer over
+    cell RESIDUALS; the query probes 2 cells and ADC-scores only their
+    members via driver-side lookup tables before the exact top-k
+    re-rank (sim.ivf_pq_topk). Storage per vector = 3 bits of cell +
+    m=4 code bytes; the whole build->encode->probe->serve path sits
+    behind the value-hash gate."""
+    emb = _cat(spark, sf_dir).embeddings
+    return sim.ivf_pq_topk(
+        emb, query_id=0, k=10, n_cells=8, n_probe=2, m=4, k_codes=8,
+        n_iters=2, rerank=50,
+    )
+
+
 @register("pq_adc_topk", _pq_adc_oracle())
 def q_pq_adc_topk(spark, sf_dir):
     """Product-quantized ANN serving (Jegou et al. 2011 ADC): per-sub-space
@@ -7733,7 +7881,8 @@ _FRONT_ORDER = [
     # and the TPC-H Q8/Q13/Q17/Q22 shapes (market share, outer-join
     # count distribution, correlated-threshold join, scalar-subquery +
     # anti-join)
-    "pq_adc_topk", "market_share", "customer_order_distribution",
+    "pq_adc_topk", "ivf_pq_topk", "market_share",
+    "customer_order_distribution",
     "small_quantity_revenue", "idle_customer_balance",
     # behavior-touched r09 (late): the corpus-ingest stream now writes
     # the hp-prefix-partitioned index + Bloom sidecar and exact-screens
@@ -7754,14 +7903,14 @@ _FRONT_ORDER = [
     "langid_confusion", "ngram_jaccard_pairs", "ngram_novelty",
     "reagg_consistency", "stratified_sample_k", "user_last_value",
     "xml_records_scan",
-    # rotation: 10 of the 44-query r06 cohort (alphabetical prefix;
+    # rotation: 9 of the 44-query r06 cohort (alphabetical prefix;
     # iphone_backup_scan is also r09-behavior-touched via the keybag
-    # fix). Remainder (34, from etl_audit_report) rolls to r10 —
+    # fix). Remainder (35, from dominant_source_change) rolls to r10 —
     # ledger in COVERAGE.md.
     "anchor_first_window", "ann_axis_topk", "ann_lsh_topk",
     "auto_segment_triggers", "chunk_dedup_profile",
     "cosine_topk_vectorized", "decontaminate_ngram", "dedup_clusters",
-    "dominant_source_change", "iphone_backup_scan",
+    "iphone_backup_scan",
 ]
 
 

@@ -404,3 +404,22 @@ def test_pq_adc_topk_full_rerank_matches_bruteforce(spark):
     assert [(r["vec_id"], r["cosine"]) for r in out] == [
         (r["vec_id"], r["cosine"]) for r in exp
     ]
+
+
+def test_ivf_pq_topk_full_probe_full_rerank_matches_bruteforce(spark):
+    """IVFADC degenerate invariant: probing every cell with rerank >=
+    corpus size leaves nothing for the coarse stages to drop — the
+    output must be the exact brute-force ranking (residual encoding,
+    ADC expansion and cell routing all cancel out)."""
+    emb = _emb(spark).select(
+        "vec_id",
+        F.flatten(F.array_repeat(F.col("embedding"), 4)).alias("embedding"),
+    )
+    out = sim.ivf_pq_topk(
+        emb, 0, k=3, n_cells=2, n_probe=2, m=3, k_codes=2,
+        n_iters=1, rerank=100,
+    ).collect()
+    exp = sim.cosine_topk_bruteforce(emb, 0, k=3).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in out] == [
+        (r["vec_id"], r["cosine"]) for r in exp
+    ]

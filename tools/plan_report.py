@@ -379,6 +379,53 @@ NOTES = {
         "shuffle name/acctbal strings at fact grain. Top-20 is "
         "TakeOrdered, never a global sort."
     ),
+    "pq_adc_topk": (
+        "Product quantization end to end: the codebook fit touches "
+        "exploded 1/m-width slices (one exchange per Lloyd round, "
+        "broadcast centroids, map-side min_by argmin), and the ADC "
+        "serving scan is ZERO-shuffle — per-query lookup tables are "
+        "driver-side literals, scoring is a fixed-order element_at "
+        "chain in whole-stage codegen over rows that are m small ints "
+        "wide. Only the top-rerank survivors touch full-precision "
+        "vectors (broadcast id fetch). At 100 TB the coarse scan reads "
+        "m bytes/vector — 64-128x less than the float corpus."
+    ),
+    "ivf_pq_topk": (
+        "IVFADC serving: cell membership + codes are the only corpus "
+        "columns touched; the probe set, per-cell query dots and all "
+        "three ADC tables are driver-side literals, so the coarse scan "
+        "is a zero-shuffle codegen filter+project. Residual encoding "
+        "rides the same broadcast joins the coarse fit already paid."
+    ),
+    "market_share": (
+        "TPC-H Q8 as a broadcast star: PROMO partkeys, EUROPE custkeys "
+        "and the supplier->nation tag are all broadcast into the fact "
+        "scan side; the single fact-sized exchange is lineitem |><| "
+        "orders on orderkey, carrying pre-filtered pre-projected rows. "
+        "The share is one conditional aggregate over one frame — not "
+        "two passes."
+    ),
+    "customer_order_distribution": (
+        "TPC-H Q13 without the fact-grain outer join: orders "
+        "pre-aggregate to (custkey, n) map-side-combined, the left "
+        "join onto the customer spine moves one row per CUSTOMER, and "
+        "the count-of-counts re-agg is O(distinct counts). The naive "
+        "plan shuffles one row per ORDER through the outer join."
+    ),
+    "small_quantity_revenue": (
+        "TPC-H Q17's correlated subquery as two broadcast-pruned "
+        "passes: the brand slice's partkeys broadcast into lineitem's "
+        "scan, per-part thresholds aggregate over that sliver only, "
+        "and the O(parts) threshold frame broadcasts back into the "
+        "second pass. Lineitem shuffles zero times."
+    ),
+    "idle_customer_balance": (
+        "TPC-H Q22: the global-average scalar is a 1-row broadcast "
+        "crossJoin restated in exact decimal (bal*cnt > sum) so no "
+        "double-averaging boundary exists; the NOT-EXISTS is a "
+        "left_anti join whose build side is pre-shrunk by the "
+        "order-date pushdown."
+    ),
 }
 
 
