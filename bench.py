@@ -84,6 +84,7 @@ HEADLINE = [
     # ann_multiprobe_topk) and the Q8/Q13 join-order shapes
     "pq_adc_topk",
     "ivf_pq_topk",
+    "ivfpq_index_topk",
     "market_share",
     "customer_order_distribution",
 ]

@@ -1853,6 +1853,55 @@ def ivf_pq_topk(
     if not row:
         raise ValueError(f"query id {query_id} not found")
     qv = [float(x) for x in row[0]["v"]]
+
+    cells = {int(r["cell"]): (list(r["cv"]), float(r["cc"])) for r in cent.collect()}
+    cw = {}
+    for r in books.collect():
+        cw[(int(r["sub"]), int(r["code"]))] = (list(r["cv"]), float(r["cc"]))
+    probes, approx = _ivfpq_probe_and_approx(cells, cw, qv, m, k_codes, n_probe)
+
+    coarse = (
+        enc.filter(F.col("cell").isin(probes))
+        .filter(F.col(id_col) != query_id)
+        .select(id_col, F.round(approx, 6).alias("_approx"))
+        .orderBy(F.desc("_approx"), F.asc(id_col))
+        .limit(rerank)
+        .localCheckpoint(eager=True)
+    )
+    qlit = F.array([F.lit(x) for x in qv])
+    exact = embeddings.join(F.broadcast(coarse.select(id_col)), id_col)
+    return (
+        exact.select(
+            F.col(id_col),
+            F.round(
+                cosine(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                    qlit,
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _ivfpq_probe_and_approx(
+    cells: dict[int, tuple[list[float], float]],
+    cw: dict[tuple[int, int], tuple[list[float], float]],
+    qv: list[float],
+    m: int,
+    k_codes: int,
+    n_probe: int,
+):
+    """The driver-side half of IVFADC serving, shared by ivf_pq_topk
+    (in-memory) and query_ivfpq_index (artifact): given the two bounded
+    centroid tables as plain dicts, pick the n_probe cells and build
+    the ADC approx-cosine Column over rows carrying (cell, codes).
+    Python dots fold left-to-right (the _dot order), every table
+    becomes a literal array indexed by element_at, and the addition
+    trees are fixed left-associative — the exact shape _ivf_pq_oracle
+    replays in SQL. Returns (probes, approx_col)."""
     d = len(qv) // m
 
     def dot(a, b):
@@ -1862,13 +1911,6 @@ def ivf_pq_topk(
         return acc
 
     qnorm = dot(qv, qv) ** 0.5
-
-    # bounded collects: n_cells coarse centroids, m*k_codes codewords
-    cells = {int(r["cell"]): (list(r["cv"]), float(r["cc"])) for r in cent.collect()}
-    cw = {}
-    for r in books.collect():
-        cw[(int(r["sub"]), int(r["code"]))] = (list(r["cv"]), float(r["cc"]))
-
     probe_rank = sorted(
         (
             (-(dot(cv, qv) / ((cc ** 0.5) * qnorm)), cell)
@@ -1910,7 +1952,11 @@ def ivf_pq_topk(
         # flattened (cell, code) literal per sub: idx = cell*k_codes + code
         out = None
         for s in range(m):
-            flat = [tab3[cell][s][c] for cell in range(n_all) for c in range(k_codes)]
+            flat = [
+                tab3[cell][s][c]
+                for cell in range(n_all)
+                for c in range(k_codes)
+            ]
             t = F.element_at(
                 F.array([F.lit(v) for v in flat]),
                 F.col("cell") * k_codes + F.col("codes")[s] + 1,
@@ -1920,29 +1966,126 @@ def ivf_pq_topk(
 
     adc_ip = qc_term + chain(ipq)
     n2 = cc_term + F.lit(2.0) * chain_cellwise(ipc) + chain(rr)
-    approx = adc_ip / (F.lit(qnorm) * F.sqrt(n2))
+    return probes, adc_ip / (F.lit(qnorm) * F.sqrt(n2))
 
-    coarse = (
-        enc.filter(F.col("cell").isin(probes))
-        .filter(F.col(id_col) != query_id)
-        .select(id_col, F.round(approx, 6).alias("_approx"))
-        .orderBy(F.desc("_approx"), F.asc(id_col))
-        .limit(rerank)
-        .localCheckpoint(eager=True)
+
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    m: int = 4,
+    k_codes: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The IVFADC serving ARTIFACT — the compressed member of the index
+    family (int8 axis: write_vector_index; int8 LSH: write_multitable_
+    index; int8 IVF: write_ivf_index): each row stores ONLY its m
+    residual code bytes, parquet-partitioned by trained-Lloyd cell,
+    with three sidecars beside the data — ``_centroids`` (coarse),
+    ``_codebooks`` (the shared residual PQ tables) and ``_store`` (the
+    full-precision rows the exact re-rank fetches by id; in production
+    this is the source corpus itself, carried here so the artifact is
+    self-contained). At 100 TB the codes partition is ~m bytes/vector —
+    the candidate scan that fits in page cache when even int8 doesn't —
+    and a query opens n_probe cell directories of it plus an id-pruned
+    read of the store."""
+    final, cent, base = _lloyd_fit(embeddings, n_cells, n_iters, id_col, vec_col)
+    resid = final.join(F.broadcast(cent), "cell").select(
+        id_col,
+        "cell",
+        F.zip_with("v", "cv", lambda a, b: a - b).alias("rv"),
     )
-    qlit = F.array([F.lit(x) for x in qv])
-    exact = embeddings.join(F.broadcast(coarse.select(id_col)), id_col)
-    return (
-        exact.select(
-            F.col(id_col),
-            F.round(
-                cosine(
-                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
-                    qlit,
-                ),
-                6,
-            ).alias("cosine"),
+    codes, books = pq_fit_encode(
+        resid, m=m, k_codes=k_codes, n_iters=n_iters,
+        id_col=id_col, vec_col="rv",
+    )
+    rows = resid.select(F.col(id_col).alias("vec_id"), "cell").join(
+        codes.select(F.col(id_col).alias("vec_id"), "codes"), "vec_id"
+    )
+    rows.repartition(
+        rows.sparkSession.sparkContext.defaultParallelism, "cell"
+    ).write.partitionBy("cell").mode("overwrite").parquet(path)
+    cent.select("cell", "cv").write.mode("overwrite").parquet(
+        f"{path}/_centroids"
+    )
+    books.select("sub", "code", "cv", "cc").write.mode("overwrite").parquet(
+        f"{path}/_codebooks"
+    )
+    base.select(F.col(id_col).alias("vec_id"), "v").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_store")
+
+
+def query_ivfpq_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 50,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Serve top-k from a write_ivfpq_index artifact: both sidecar
+    centroid tables are O(1) driver reads; probes and the three ADC
+    lookup tables become literals (_ivfpq_probe_and_approx); ONLY the
+    n_probe winning cell directories of the codes partition are opened
+    (named explicitly + basePath — the partition-discovery device); and
+    the exact re-rank reads the ``_store`` with the rerank ids pushed
+    into its scan filter. No corpus-sized frame is ever shuffled."""
+    qv_list = [float(x) for x in query_vec]
+    cells = {}
+    for r in spark.read.parquet(f"{path}/_centroids").collect():
+        cv = [float(x) for x in r["cv"]]
+        acc = 0.0  # same left-to-right fold as the build's _dot
+        for x in cv:
+            acc += x * x
+        cells[int(r["cell"])] = (cv, acc)
+    cw = {}
+    for r in spark.read.parquet(f"{path}/_codebooks").collect():
+        cw[(int(r["sub"]), int(r["code"]))] = (
+            [float(x) for x in r["cv"]],
+            float(r["cc"]),
         )
-        .orderBy(F.desc("cosine"), F.asc(id_col))
+    m = max(s for s, _ in cw) + 1
+    k_codes = max(c for _, c in cw) + 1
+    probes, approx = _ivfpq_probe_and_approx(
+        cells, cw, qv_list, m, k_codes, n_probe
+    )
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    probe_dirs = [
+        d
+        for d in (f"{path}/cell={c}" for c in probes)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(d))
+    ]
+    if not probe_dirs:
+        return spark.createDataFrame([], "vec_id bigint, cosine double")
+    idx = (
+        spark.read.option("basePath", path)
+        .parquet(*probe_dirs)
+        .filter(F.col("cell").isin(probes))
+    )
+    if exclude_id is not None:
+        idx = idx.filter(F.col("vec_id") != exclude_id)
+    coarse = (
+        idx.select("vec_id", F.round(approx, 6).alias("_approx"))
+        .orderBy(F.desc("_approx"), F.asc("vec_id"))
+        .limit(rerank)
+    )
+    ids = [int(r["vec_id"]) for r in coarse.collect()]
+    qlit = F.array([F.lit(x) for x in qv_list])
+    store = spark.read.parquet(f"{path}/_store").filter(
+        F.col("vec_id").isin(ids)
+    )
+    return (
+        store.select(
+            "vec_id",
+            F.round(cosine(F.col("v"), qlit), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )

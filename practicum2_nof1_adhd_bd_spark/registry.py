@@ -6909,6 +6909,41 @@ def q_ivf_pq_topk(spark, sf_dir):
     )
 
 
+@register("ivfpq_index_topk", _ivf_pq_oracle())
+def q_ivfpq_index_topk(spark, sf_dir):
+    """The IVFADC serving ARTIFACT end to end under the value-hash gate
+    — the compressed member of the index family: m=4 residual code
+    bytes per row, parquet-partitioned by trained-Lloyd cell, with
+    centroid/codebook/store sidecars. Serving ranks the sidecar
+    centroids driver-side, opens ONLY the n_probe winning cell
+    directories, ADC-scores codes against literal lookup tables, and
+    exact-re-ranks via an id-pruned read of the store
+    (sim.query_ivfpq_index). Oracle = _ivf_pq_oracle verbatim: the
+    artifact round-trip must be value-identical to the in-memory
+    ivf_pq_topk."""
+    import os
+    import tempfile
+
+    emb = _cat(spark, sf_dir).embeddings
+    fp = _source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    prefix = os.path.join(tempfile.gettempdir(), "spark_graft_ivfpq_v1")
+    path = _land_once(
+        prefix, fp,
+        lambda tmp: sim.write_ivfpq_index(
+            emb, tmp, n_cells=8, m=4, k_codes=8, n_iters=2
+        ),
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()[0]
+    ]
+    return sim.query_ivfpq_index(
+        spark, path, qvec, k=10, n_probe=2, rerank=50, exclude_id=0
+    )
+
+
 @register("pq_adc_topk", _pq_adc_oracle())
 def q_pq_adc_topk(spark, sf_dir):
     """Product-quantized ANN serving (Jegou et al. 2011 ADC): per-sub-space
@@ -7881,7 +7916,7 @@ _FRONT_ORDER = [
     # and the TPC-H Q8/Q13/Q17/Q22 shapes (market share, outer-join
     # count distribution, correlated-threshold join, scalar-subquery +
     # anti-join)
-    "pq_adc_topk", "ivf_pq_topk", "market_share",
+    "pq_adc_topk", "ivf_pq_topk", "ivfpq_index_topk", "market_share",
     "customer_order_distribution",
     "small_quantity_revenue", "idle_customer_balance",
     # behavior-touched r09 (late): the corpus-ingest stream now writes
@@ -7903,13 +7938,13 @@ _FRONT_ORDER = [
     "langid_confusion", "ngram_jaccard_pairs", "ngram_novelty",
     "reagg_consistency", "stratified_sample_k", "user_last_value",
     "xml_records_scan",
-    # rotation: 9 of the 44-query r06 cohort (alphabetical prefix;
+    # rotation: 8 of the 44-query r06 cohort (alphabetical prefix;
     # iphone_backup_scan is also r09-behavior-touched via the keybag
-    # fix). Remainder (35, from dominant_source_change) rolls to r10 —
+    # fix). Remainder (36, from decontaminate_ngram) rolls to r10 —
     # ledger in COVERAGE.md.
     "anchor_first_window", "ann_axis_topk", "ann_lsh_topk",
     "auto_segment_triggers", "chunk_dedup_profile",
-    "cosine_topk_vectorized", "decontaminate_ngram", "dedup_clusters",
+    "cosine_topk_vectorized", "dedup_clusters",
     "iphone_backup_scan",
 ]
 

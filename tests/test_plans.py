@@ -384,3 +384,59 @@ def test_ivf_index_probe_prunes_to_cells(spark, tmp_path, sf_dir):
     assert dict(stored.dtypes)["qvec"] == "array<tinyint>"
     cells = {r["cell"] for r in out.sparkSession.read.parquet(path).select("cell").distinct().collect()}
     assert len(cells) >= 2
+
+
+def test_ivfpq_index_probe_prunes_partitions(spark, tmp_path, sf_dir):
+    """write_ivfpq_index + query_ivfpq_index: the probe's cell filter
+    must reach the codes scan as PartitionFilters, the codes partition
+    must store ONLY (vec_id, codes, cell) — the m-byte compressed form,
+    no float columns — and the artifact serve must be value-identical
+    to the in-memory ivf_pq_topk (same fit, same ADC, same re-rank)."""
+    from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
+    from practicum2_nof1_adhd_bd_spark.sources.readers import Catalog
+
+    emb = Catalog(spark, sf_dir).embeddings
+    path = str(tmp_path / "ivfpq")
+    sim.write_ivfpq_index(emb, path, n_cells=4, m=4, k_codes=4, n_iters=1)
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    out = sim.query_ivfpq_index(
+        spark, path, qvec, k=5, n_probe=2, rerank=20, exclude_id=0
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+
+    # the codes partition holds only the compressed columns
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"vec_id", "codes", "cell"}
+
+    # the coarse scan prunes to the probed cell directories: rebuild the
+    # pruned read the query used and assert PartitionFilters
+    cells = {}
+    for r in spark.read.parquet(f"{path}/_centroids").collect():
+        cv = [float(x) for x in r["cv"]]
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        cells[int(r["cell"])] = (cv, acc)
+    cw = {
+        (int(r["sub"]), int(r["code"])): ([float(x) for x in r["cv"]], float(r["cc"]))
+        for r in spark.read.parquet(f"{path}/_codebooks").collect()
+    }
+    probes, _ = sim._ivfpq_probe_and_approx(cells, cw, qvec, 4, 4, 2)
+    pruned = (
+        spark.read.option("basePath", path)
+        .parquet(*[f"{path}/cell={c}" for c in probes])
+        .filter(f"cell in ({','.join(map(str, probes))})")
+    )
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:200]
+
+    # artifact serve == in-memory serve, value for value
+    mem = sim.ivf_pq_topk(
+        emb, 0, k=5, n_cells=4, n_probe=2, m=4, k_codes=4,
+        n_iters=1, rerank=20,
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in rows] == [
+        (r["vec_id"], r["cosine"]) for r in mem
+    ]

@@ -397,6 +397,13 @@ NOTES = {
         "is a zero-shuffle codegen filter+project. Residual encoding "
         "rides the same broadcast joins the coarse fit already paid."
     ),
+    "ivfpq_index_topk": (
+        "The IVFADC artifact serve: two O(1) sidecar reads, n_probe "
+        "cell directories of m-byte code rows (PartitionFilters "
+        "asserted in tests/test_plans.py), ADC against literal tables, "
+        "and an id-pruned store read for the exact re-rank — bytes "
+        "touched track probes x codes + rerank x floats, never corpus."
+    ),
     "market_share": (
         "TPC-H Q8 as a broadcast star: PROMO partkeys, EUROPE custkeys "
         "and the supplier->nation tag are all broadcast into the fact "
