@@ -558,6 +558,11 @@ def probe_index_build(spark, tmp: str, sf_dir: str, factor: int) -> dict:
                 lambda p, e=emb: sim.write_ivf_index(e, p),
                 1,
             ),
+            (
+                "ivfpq_index",
+                lambda p, e=emb: sim.write_ivfpq_index(e, p),
+                1,
+            ),
         ):
             path = os.path.join(tmp, f"build_{name}_{mult}x")
             t0 = time.time()
