@@ -87,6 +87,7 @@ HEADLINE = [
     "ivfpq_index_topk",
     "market_share",
     "customer_order_distribution",
+    "sole_return_supplier",
 ]
 
 

@@ -62,12 +62,18 @@ def main(argv: list[str] | None = None) -> int:
     p_ann.add_argument("--k", type=int, default=10)
     p_ann.add_argument("--probe-hamming", type=int, default=0)
     p_ann.add_argument(
-        "--layout", choices=["axis", "multitable", "ivf"], default="axis",
+        "--layout", choices=["axis", "multitable", "ivf", "ivfpq"],
+        default="axis",
         help="axis = single axis-sign bucket partitioning; multitable = "
              "L-way-replicated (tbl, bucket) partitioning with "
              "query-directed probing; ivf = trained-Lloyd cell "
-             "partitioning with centroid sidecar",
+             "partitioning with centroid sidecar; ivfpq = cell-"
+             "partitioned residual PQ codes with codebook/store "
+             "sidecars (IVFADC)",
     )
+    p_ann.add_argument("--pq-m", type=int, default=4)
+    p_ann.add_argument("--pq-codes", type=int, default=8)
+    p_ann.add_argument("--rerank", type=int, default=50)
     p_ann.add_argument("--n-tables", type=int, default=10)
     p_ann.add_argument("--n-planes", type=int, default=8)
     p_ann.add_argument("--n-flips", type=int, default=3)
@@ -110,6 +116,12 @@ def main(argv: list[str] | None = None) -> int:
             elif args.layout == "ivf":
                 sim.write_ivf_index(emb, args.index, n_cells=args.n_cells)
                 print(f"wrote cell-partitioned int8 IVF index at {args.index}")
+            elif args.layout == "ivfpq":
+                sim.write_ivfpq_index(
+                    emb, args.index, n_cells=args.n_cells,
+                    m=args.pq_m, k_codes=args.pq_codes,
+                )
+                print(f"wrote cell-partitioned IVFADC code index at {args.index}")
             else:
                 sim.write_vector_index(emb, args.index, n_bits=args.n_bits)
                 print(f"wrote bucket-partitioned int8 index at {args.index}")
@@ -127,6 +139,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.layout == "ivf":
             sim.query_ivf_index(
                 spark, args.index, qvec, k=args.k, n_probe=args.n_probe
+            ).show(args.k, truncate=False)
+        elif args.layout == "ivfpq":
+            sim.query_ivfpq_index(
+                spark, args.index, qvec, k=args.k, n_probe=args.n_probe,
+                rerank=args.rerank,
             ).show(args.k, truncate=False)
         else:
             sim.query_vector_index(

@@ -1644,6 +1644,146 @@ def q_idle_customer_balance(spark, sf_dir):
 
 
 @register(
+    "disjunctive_brand_revenue",
+    """
+    SELECT round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(28,12))) AS DOUBLE), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 5 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q_disjunctive_brand_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive predicate revenue): an OR of three
+    (brand, size-range, quantity-range) conjunctions across the join.
+    The scale move is FACTORING the disjunction: the part-only terms
+    (brand IN the three values, size in the union envelope) prune the
+    part side BEFORE it broadcasts, and the lineitem-only envelope
+    (quantity between the global min and max of the three ranges)
+    pushes to the fact scan — so the join sees both sides pre-shrunk
+    while the exact three-way disjunction evaluates as the join's
+    residual condition. Catalyst cannot derive these envelope filters
+    itself from an OR-of-ANDs; writing them explicitly is the
+    difference between scanning 1/6 of parts and all of them
+    (TPC-H Q19)."""
+    cat = _cat(spark, sf_dir)
+    p = cat.part.filter(
+        F.col("p_brand").isin("Brand#1", "Brand#5", "Brand#9")
+        & F.col("p_size").between(1, 50)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = cat.lineitem.filter(F.col("l_quantity").between(1, 40)).select(
+        "l_partkey",
+        "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(28,12)")
+        .alias("_vol"),
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(5, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#9")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    j = li.join(
+        F.broadcast(p), (F.col("l_partkey") == F.col("p_partkey")) & cond
+    )
+    return j.agg(
+        F.round(F.sum("_vol").cast("double"), 2).alias("revenue")
+    )
+
+
+@register(
+    "sole_return_supplier",
+    """
+    WITH per AS (
+        SELECT l_orderkey, l_suppkey,
+               max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_ret
+        FROM lineitem GROUP BY 1, 2
+    ),
+    ok AS (
+        SELECT l_orderkey, count(*) AS n_supp, sum(has_ret) AS n_ret
+        FROM per GROUP BY 1
+    ),
+    sole AS (
+        SELECT p.l_suppkey
+        FROM per p JOIN ok o ON p.l_orderkey = o.l_orderkey
+        WHERE o.n_supp >= 2 AND o.n_ret = 1 AND p.has_ret = 1
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM sole JOIN supplier s ON sole.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 10
+    """,
+)
+def q_sole_return_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (the sole-blame supplier): in orders served by
+    at least two suppliers, find the supplier whose lines were the
+    ONLY returned ones — Q21's EXISTS + NOT-EXISTS pair re-expressed
+    without either self-join. The textbook plan scans lineitem three
+    times and shuffles it twice for the two correlated subqueries;
+    here ONE pass aggregates to (order, supplier) grain with a
+    per-supplier returned flag, a second map-side-combined aggregate
+    to order grain counts suppliers and returned-suppliers, and the
+    exists/not-exists pair becomes two integer predicates on the
+    joined grains (n_ret = 1 AND has_ret = 1 means: this supplier
+    returned, no other did). The only fact-sized exchange is the
+    first groupBy; everything after is (order x supplier)-grain or
+    smaller, and the supplier dim broadcasts (TPC-H Q21)."""
+    cat = _cat(spark, sf_dir)
+    per = (
+        cat.lineitem.select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(F.col("l_returnflag") == "R", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("_r"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("_r").alias("has_ret"))
+    )
+    ok = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_ret").alias("n_ret"),
+    )
+    sole = (
+        per.join(ok.select(F.col("l_orderkey").alias("_ok"), "n_supp", "n_ret"),
+                 F.col("l_orderkey") == F.col("_ok"))
+        .filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("n_ret") == 1)
+            & (F.col("has_ret") == 1)
+        )
+        .select("l_suppkey")
+    )
+    return (
+        sole.join(
+            F.broadcast(cat.supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+@register(
     "topk_per_group",
     """
     WITH j AS (
@@ -7919,6 +8059,7 @@ _FRONT_ORDER = [
     "pq_adc_topk", "ivf_pq_topk", "ivfpq_index_topk", "market_share",
     "customer_order_distribution",
     "small_quantity_revenue", "idle_customer_balance",
+    "disjunctive_brand_revenue", "sole_return_supplier",
     # behavior-touched r09 (late): the corpus-ingest stream now writes
     # the hp-prefix-partitioned index + Bloom sidecar and exact-screens
     # via the pruned read — decisions identical, layout new
@@ -7938,12 +8079,12 @@ _FRONT_ORDER = [
     "langid_confusion", "ngram_jaccard_pairs", "ngram_novelty",
     "reagg_consistency", "stratified_sample_k", "user_last_value",
     "xml_records_scan",
-    # rotation: 8 of the 44-query r06 cohort (alphabetical prefix;
+    # rotation: 6 of the 44-query r06 cohort (alphabetical prefix;
     # iphone_backup_scan is also r09-behavior-touched via the keybag
-    # fix). Remainder (36, from decontaminate_ngram) rolls to r10 —
+    # fix). Remainder (38, from ann_axis_topk) rolls to r10 —
     # ledger in COVERAGE.md.
-    "anchor_first_window", "ann_axis_topk", "ann_lsh_topk",
-    "auto_segment_triggers", "chunk_dedup_profile",
+    "anchor_first_window", "ann_lsh_topk",
+    "chunk_dedup_profile",
     "cosine_topk_vectorized", "dedup_clusters",
     "iphone_backup_scan",
 ]

@@ -42,7 +42,7 @@ def test_attestation_window_is_stable():
     """The external harness attests the FIRST 50 queries; pin the window so
     a stray registration cannot silently displace an entry before it has
     been attested. Round-9 window = the canary + every new or
-    behavior-touched query this round + the 13 r05 leftovers + 9 of the
+    behavior-touched query this round + the 13 r05 leftovers + 6 of the
     44-query r06 cohort (remainder rolls to r10; ledger in COVERAGE.md).
     Rows-only (no-oracle) queries must NOT occupy window slots."""
     names = list(entrymod.queries())
@@ -82,6 +82,7 @@ def test_attestation_window_is_stable():
         "pq_adc_topk", "ivf_pq_topk", "ivfpq_index_topk", "market_share",
         "customer_order_distribution",
         "small_quantity_revenue", "idle_customer_balance",
+        "disjunctive_brand_revenue", "sole_return_supplier",
         # r06 cohort rotation (spot-pin a representative subset;
         # iphone_backup_scan is also r09-behavior-touched)
         "iphone_backup_scan", "anchor_first_window", "ann_lsh_topk",

@@ -404,6 +404,12 @@ NOTES = {
         "and an id-pruned store read for the exact re-rank — bytes "
         "touched track probes x codes + rerank x floats, never corpus."
     ),
+    "sole_return_supplier": (
+        "Q21's EXISTS + NOT-EXISTS without self-joins: one fact pass to "
+        "(order, supplier) grain, one map-side-combined order-grain "
+        "count, two integer predicates. One fact-sized exchange total "
+        "vs the textbook plan's three scans and two shuffle joins."
+    ),
     "market_share": (
         "TPC-H Q8 as a broadcast star: PROMO partkeys, EUROPE custkeys "
         "and the supplier->nation tag are all broadcast into the fact "
