@@ -124,6 +124,16 @@ def main() -> None:
         "rr_L10_P8_m4_r100": lambda q: sim.int8_rerank_topk(
             emb, q, args.k, n_tables=10, n_planes=8, n_flips=4, rerank=100
         ),
+        # product quantization (SCALING §2c): flat PQ full ADC scan vs
+        # IVFADC probing 2 of 8 cells — the memory floor of the curve;
+        # both pay a 10% exact-rerank budget
+        "pq_m4k8_r200": lambda q: sim.pq_adc_topk(
+            emb, q, args.k, m=4, k_codes=8, n_iters=2, rerank=200
+        ),
+        "ivfpq_p2of8_m4k8_r200": lambda q: sim.ivf_pq_topk(
+            emb, q, args.k, n_cells=8, n_probe=2, m=4, k_codes=8,
+            n_iters=2, rerank=200
+        ),
     }
     # candidate-set generators for the paths whose candidate fraction the
     # SCALING table reports (recall means nothing without the budget paid)
