@@ -397,6 +397,14 @@ NOTES = {
         "is a zero-shuffle codegen filter+project. Residual encoding "
         "rides the same broadcast joins the coarse fit already paid."
     ),
+    "ivf_pq_topk": (
+        "The in-memory IVFADC twin: its bench cost (~5-6 s at sf0.1) is "
+        "BUILD-per-run — two deterministic Lloyd fits (coarse + residual "
+        "codebooks, one corpus exchange per iteration) plus the encode "
+        "join — not serving. The artifact form (ivfpq_index_topk) pays "
+        "that once at write time and serves warm in ~1.2 s; this query "
+        "exists to put the full build path under the value-hash gate."
+    ),
     "ivfpq_index_topk": (
         "The IVFADC artifact serve: two O(1) sidecar reads, n_probe "
         "cell directories of m-byte code rows (PartitionFilters "
