@@ -1738,13 +1738,16 @@ def q_sole_return_supplier(spark, sf_dir):
     without either self-join. The textbook plan scans lineitem three
     times and shuffles it twice for the two correlated subqueries;
     here ONE pass aggregates to (order, supplier) grain with a
-    per-supplier returned flag, a second map-side-combined aggregate
-    to order grain counts suppliers and returned-suppliers, and the
-    exists/not-exists pair becomes two integer predicates on the
-    joined grains (n_ret = 1 AND has_ret = 1 means: this supplier
-    returned, no other did). The only fact-sized exchange is the
-    first groupBy; everything after is (order x supplier)-grain or
-    smaller, and the supplier dim broadcasts (TPC-H Q21)."""
+    per-supplier returned flag, the order-grain counts come from a
+    WINDOW over that frame (not a groupBy + join back — the
+    two-consumer rule: a per-frame joined to its own aggregate has no
+    subplan sharing and re-scans lineitem, which the plan test pins),
+    and the exists/not-exists pair becomes two integer predicates
+    (n_ret = 1 AND has_ret = 1 means: this supplier returned, no other
+    did). Lineitem is scanned ONCE; the only fact-sized exchange is
+    the (order, supplier) groupBy, the window re-hashes the already
+    order-x-supplier-grain frame, and the supplier dim broadcasts
+    (TPC-H Q21)."""
     cat = _cat(spark, sf_dir)
     per = (
         cat.lineitem.select(
@@ -1757,13 +1760,10 @@ def q_sole_return_supplier(spark, sf_dir):
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("_r").alias("has_ret"))
     )
-    ok = per.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("has_ret").alias("n_ret"),
-    )
+    w = Window.partitionBy("l_orderkey")
     sole = (
-        per.join(ok.select(F.col("l_orderkey").alias("_ok"), "n_supp", "n_ret"),
-                 F.col("l_orderkey") == F.col("_ok"))
+        per.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_ret", F.sum("has_ret").over(w))
         .filter(
             (F.col("n_supp") >= 2)
             & (F.col("n_ret") == 1)

@@ -440,3 +440,52 @@ def test_ivfpq_index_probe_prunes_partitions(spark, tmp_path, sf_dir):
     assert [(r["vec_id"], r["cosine"]) for r in rows] == [
         (r["vec_id"], r["cosine"]) for r in mem
     ]
+
+
+def test_disjunctive_envelope_filters_reach_both_scans(spark, sf_dir):
+    """Q19 shape contract: Catalyst cannot derive per-side envelope
+    filters from an OR-of-ANDs join predicate, so the query writes them
+    explicitly — the brand IN-list must be pushed to the part scan and
+    the quantity envelope to the lineitem scan. If either pushdown
+    disappears, the join sees an unpruned side and the plan silently
+    degrades to scanning everything."""
+    df = registry.QUERIES["disjunctive_brand_revenue"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    scans = plan.split("PushedFilters")[1:]
+    assert any("p_brand" in s[:400] and "In(" in s[:400] for s in scans)
+    assert any(
+        "l_quantity" in s[:400]
+        and "GreaterThanOrEqual" in s[:400]
+        and "LessThanOrEqual" in s[:400]
+        for s in scans
+    )
+    assert "BroadcastHashJoin" in plan  # part side broadcasts
+
+
+def test_market_share_is_broadcast_star(spark, sf_dir):
+    """Q8 shape contract: every dimension (PROMO parts, EUROPE
+    customers, supplier-nation tag) joins by broadcast; the only
+    shuffle pair in the plan is the lineitem |><| orders equijoin plus
+    the final year aggregate — no dimension may fall back to a
+    sort-merge join of the fact."""
+    df = registry.QUERIES["market_share"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    # the disjunction-free dims never sort-merge against the fact
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_sole_return_supplier_single_fact_exchange(spark, sf_dir):
+    """Q21 shape contract: the exists/not-exists pair is expressed as
+    two cascaded aggregations, so lineitem is scanned ONCE and the only
+    fact-grain exchange is the (orderkey, suppkey) groupBy — the
+    textbook three-scan, two-self-join plan must not reappear. The
+    supplier dim broadcasts."""
+    df = registry.QUERIES["sole_return_supplier"](spark, sf_dir)
+    plan = _plan(df)
+    # exactly one scan of lineitem
+    assert plan.count("lineitem.parquet") == 1 or plan.count("lineitem") >= 1
+    scans = [seg for seg in plan.split("FileScan") if "lineitem" in seg[:300]]
+    assert len(scans) == 1
+    assert "BroadcastHashJoin" in plan

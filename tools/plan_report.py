@@ -414,9 +414,12 @@ NOTES = {
     ),
     "sole_return_supplier": (
         "Q21's EXISTS + NOT-EXISTS without self-joins: one fact pass to "
-        "(order, supplier) grain, one map-side-combined order-grain "
-        "count, two integer predicates. One fact-sized exchange total "
-        "vs the textbook plan's three scans and two shuffle joins."
+        "(order, supplier) grain, order-grain counts via a WINDOW over "
+        "that frame (a groupBy+join-back would re-scan lineitem — no "
+        "subplan sharing; the plan test pins the single FileScan), two "
+        "integer predicates. One fact-sized exchange + one grain-sized "
+        "re-hash vs the textbook plan's three scans and two shuffle "
+        "joins."
     ),
     "market_share": (
         "TPC-H Q8 as a broadcast star: PROMO partkeys, EUROPE custkeys "
