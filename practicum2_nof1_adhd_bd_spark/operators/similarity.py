@@ -1470,11 +1470,17 @@ def compact_index(spark, path: str, partition_cols: list[str] | None = None):
     fs = jpath.getFileSystem(hconf)
 
     def _count_files(p) -> int:
+        # data files only: skip hidden names AND anything under a hidden
+        # directory (sidecar parquet like _centroids/, commit markers
+        # under _commits/)
+        base = str(fs.makeQualified(p)).rstrip("/")
         n = 0
         it = fs.listFiles(p, True)
         while it.hasNext():
-            name = it.next().getPath().getName()
-            if not name.startswith("_") and not name.startswith("."):
+            rel = str(it.next().getPath())[len(base):].lstrip("/")
+            if not any(
+                seg.startswith(("_", ".")) for seg in rel.split("/")
+            ):
                 n += 1
         return n
 
@@ -1487,14 +1493,18 @@ def compact_index(spark, path: str, partition_cols: list[str] | None = None):
     df.repartition(
         spark.sparkContext.defaultParallelism, *partition_cols
     ).write.partitionBy(*partition_cols).mode("overwrite").parquet(str(tmp))
-    # Carry root-level sidecar files (e.g. the corpus index's _bloom.bin)
-    # into the compacted tree: compaction does not change CONTENT, so a
-    # membership sidecar stays exactly valid — dropping it would force the
-    # next reader into a full-index rebuild. Parquet-invisible "_" names
-    # only; Spark's own _SUCCESS marker is already in the new tree.
+    # Carry root-level sidecars into the compacted tree: compaction does
+    # not change CONTENT, so membership/quantizer sidecars stay exactly
+    # valid — dropping one would force a full-index rebuild (_bloom.bin)
+    # or break serving outright (the cell layouts store _centroids /
+    # _codebooks / _store as parquet DIRECTORIES, and query_ivf_index /
+    # query_ivfpq_index fail without them). FileUtil.copy recurses for
+    # directory sources, so files and directories take the same call.
+    # Parquet-invisible "_" names only; Spark's own _SUCCESS marker is
+    # already in the new tree.
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
-        if st.isFile() and name.startswith("_") and name != "_SUCCESS":
+        if name.startswith("_") and name != "_SUCCESS":
             jvm.org.apache.hadoop.fs.FileUtil.copy(
                 fs, st.getPath(), fs,
                 jvm.org.apache.hadoop.fs.Path(str(tmp) + "/" + name),

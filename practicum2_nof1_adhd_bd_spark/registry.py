@@ -5163,7 +5163,9 @@ def q_streaming_ingest_decisions(spark, sf_dir):
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError("streaming_ingest_decisions: stream did not finish in 300s")
-    return spark.read.schema(ci.DECISION_SCHEMA).parquet(dec_dir)
+    return spark.read.schema(ci.DECISION_SCHEMA).parquet(dec_dir).select(
+        "doc_id", "status", "matched_id"
+    )
 
 
 ORACLES["streaming_ingest_decisions"] = _ingest_decisions_oracle()
@@ -5293,7 +5295,9 @@ def q_streaming_vector_decisions(spark, sf_dir):
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError("streaming_vector_decisions: stream did not finish in 300s")
-    return spark.read.schema(vi.VDECISION_SCHEMA).parquet(dec_dir)
+    return spark.read.schema(vi.VDECISION_SCHEMA).parquet(dec_dir).select(
+        "vec_id", "status", "matched_id"
+    )
 
 
 ORACLES["streaming_vector_decisions"] = _vector_ingest_oracle()

@@ -119,6 +119,33 @@ def _write_bloom(spark, index_dir: str, data: bytes) -> None:
         raise IOError(f"could not rename bloom sidecar under {index_dir}")
 
 
+def _marker_path(jvm, index_dir: str, batch_id: int):
+    # "_commits" is parquet-invisible (leading underscore), lives beside
+    # the artifact it guards, and — because compact_index carries "_"
+    # entries into the compacted tree — survives compaction.
+    return jvm.org.apache.hadoop.fs.Path(
+        f"{index_dir}/_commits/{batch_id}"
+    )
+
+
+def batch_committed(spark, index_dir: str, batch_id: int) -> bool:
+    """True iff ``batch_id`` already ran to completion against this index
+    (its commit marker exists). foreachBatch is at-least-once: after a
+    crash the engine replays the failed batch with the SAME batch_id, so
+    a marker written as the last step of the batch turns replay into a
+    no-op — the exactly-once upgrade."""
+    fs, _, jvm = _hadoop_fs(spark, index_dir)
+    return fs.exists(_marker_path(jvm, index_dir, batch_id))
+
+
+def mark_batch_committed(spark, index_dir: str, batch_id: int) -> None:
+    """Write the batch's commit marker — called ONLY after every data
+    write of the batch (decisions, bloom, index append) is durable."""
+    fs, _, jvm = _hadoop_fs(spark, index_dir)
+    out = fs.create(_marker_path(jvm, index_dir, batch_id), True)
+    out.close()
+
+
 def write_index(sig_df: DataFrame, index_dir: str, mode: str = "overwrite") -> None:
     """Write signature rows in the canonical index layout: partitioned by
     the 2-hex-char hash prefix ``hp`` (256 directories), one file per
@@ -339,10 +366,36 @@ def ingest_stream(
     must outlive the query, be readable by OTHER jobs, and hold corpus-
     scale state that belongs on disk, not in a state store. Batches are
     processed sequentially per stream, so read-then-append is safe.
-    Returns the started StreamingQuery (caller awaits/stops)."""
+    Returns the started StreamingQuery (caller awaits/stops).
+
+    Commit protocol — foreachBatch is at-least-once, this makes the batch
+    EFFECTIVELY exactly-once. A replayed batch keeps its batch_id, so:
+
+    * a batch_id commit marker (``{index_dir}/_commits/{batch_id}``,
+      written LAST) turns a replay of a fully committed batch into a
+      no-op;
+    * decisions land in a per-batch directory (``batch={batch_id}``)
+      with mode=overwrite, so re-running a crashed batch replaces its
+      partial decisions instead of double-appending (the sink reads the
+      root; ``batch`` surfaces as a partition column = free provenance);
+    * the bloom merge is an idempotent OR (a superset sidecar is fp-only
+      by contract);
+    * the screens exclude index rows whose id is in the current batch,
+      so if the crash hit AFTER the index append but BEFORE the marker,
+      the replay does not flag the batch's own prior admissions as
+      duplicates of themselves — decisions come out identical to the
+      uninterrupted run. (Stream ids are unique across batches — the
+      same contract the decisions sink already relies on.) In that one
+      marker-create-sized window the replayed index append duplicates
+      the batch's signature rows; duplicate rows are decision-invariant
+      for later batches (same min matched id) and compaction rewrites
+      them away.
+    """
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if batch_committed(spark, index_dir, batch_id):
+            return  # at-least-once replay of a fully committed batch
         # Cold start ONLY: an absent index dir means nothing ingested yet.
         # Any other read failure (corrupt parquet, transient IO) must
         # propagate and fail the micro-batch — falling back to an empty
@@ -362,6 +415,13 @@ def ingest_stream(
                 # directories the exact screen must read (basePath +
                 # literal predicate, the partition-pruning recipe).
                 bloom = _read_bloom(spark, index_dir)
+                if bloom is not None and len(bloom) * 8 != BLOOM_BITS:
+                    # width mismatch (BLOOM_BITS bumped between versions,
+                    # or a truncated sidecar): probing it at the current
+                    # width would yield false NEGATIVES — the one failure
+                    # a bloom prune must never have. Treat as missing and
+                    # rebuild below.
+                    bloom = None
                 if bloom is None:
                     # sidecar missing (e.g. bootstrap wrote only rows):
                     # build once from the stored hashes, persist for
@@ -410,6 +470,15 @@ def ingest_stream(
                     exact_index = spark.createDataFrame([], INDEX_SCHEMA)
         else:
             index = spark.createDataFrame([], INDEX_SCHEMA)
+        # Replay shield (see commit protocol above): stored rows whose id
+        # is in the current batch can only be this batch's own prior
+        # admissions from a crash after the index append — excluding them
+        # keeps replayed decisions identical to the uninterrupted run.
+        # The batch-id frame is batch-sized; broadcast the anti-join.
+        own = F.broadcast(batch.select(F.col(id_col)).distinct())
+        index = index.join(own, id_col, "left_anti")
+        if exact_index is not None:
+            exact_index = exact_index.join(own, id_col, "left_anti")
         decisions, admitted_sigs, cleanup = screen_batch(
             batch, index, text_col, id_col, n_hashes, bands, k,
             est_threshold, exact_index=exact_index,
@@ -424,11 +493,17 @@ def ingest_stream(
         decisions.count()
         admitted_sigs.count()
         try:
-            decisions.write.mode("append").parquet(decisions_dir)
+            # per-batch overwrite, not append: a replayed batch REPLACES
+            # its own (possibly partial) decisions — idempotent
+            decisions.write.mode("overwrite").parquet(
+                f"{decisions_dir}/batch={batch_id}"
+            )
             # bloom BEFORE the index append: a crash between the two
             # leaves the sidecar a superset of the index (extra fp only)
             legacy_flat = _index_exists(spark, index_dir) and not hp_dirs
             if not legacy_flat:
+                import numpy as np
+
                 old = _read_bloom(spark, index_dir) if _index_exists(
                     spark, index_dir
                 ) else None
@@ -437,9 +512,23 @@ def ingest_stream(
                     n_bits=BLOOM_BITS,
                     n_probes=BLOOM_PROBES,
                 )
-                if old is not None and len(old) == len(add):
-                    import numpy as np
-
+                if old is not None and len(old) != len(add):
+                    # stored sidecar width differs (BLOOM_BITS bumped
+                    # between versions, or a truncated write). A
+                    # batch-only bitmap would turn every stored hash
+                    # bloom-NEGATIVE, the pruned exact screen would skip
+                    # their directories, and duplicates would be silently
+                    # admitted — the no-false-negative invariant. Rebuild
+                    # membership from the FULL stored index at the
+                    # current width instead, then OR the batch in.
+                    old = bloom_bitmap_from_hashes(
+                        spark.read.schema(INDEX_SCHEMA)
+                        .parquet(index_dir)
+                        .select("text_hash"),
+                        n_bits=BLOOM_BITS,
+                        n_probes=BLOOM_PROBES,
+                    )
+                if old is not None:
                     merged = (
                         np.frombuffer(old, dtype="uint8")
                         | np.frombuffer(add, dtype="uint8")
@@ -453,6 +542,8 @@ def ingest_stream(
                 # partition discovery — keep the original layout (and no
                 # pruning) for dirs created before the canonical writer
                 admitted_sigs.write.mode("append").parquet(index_dir)
+            # marker LAST: everything above is durable, replay is a no-op
+            mark_batch_committed(spark, index_dir, batch_id)
         finally:
             decisions.unpersist()
             admitted_sigs.unpersist()

@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 from ..operators import similarity as sim
 from ..operators.similarity import _dot, dequantized, hamming_ball
-from .corpus_ingest import _index_exists
+from .corpus_ingest import _index_exists, batch_committed, mark_batch_committed
 
 VINDEX_SCHEMA = sim.VECTOR_INDEX_SCHEMA
 VDECISION_SCHEMA = "vec_id bigint, status string, matched_id bigint"
@@ -215,17 +215,35 @@ def ingest_vector_stream(
     admissions (appending to index_dir first would refresh relations over
     that path and make the still-lazy decisions plan see the batch's own
     admissions). Batches run sequentially per stream, so read-then-append
-    is safe. Returns the started query."""
+    is safe. Returns the started query.
+
+    Same effectively-exactly-once commit protocol as
+    ``corpus_ingest.ingest_stream`` (foreachBatch replays a failed batch
+    under the SAME batch_id): a batch_id commit marker under the index
+    makes replaying a committed batch a no-op, decisions overwrite a
+    per-batch directory instead of appending, and the screen excludes
+    stored rows whose vec_id is in the current batch so a replay after a
+    crash between the index append and the marker still produces the
+    uninterrupted run's decisions."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if batch_committed(spark, index_dir, batch_id):
+            return  # at-least-once replay of a fully committed batch
         vb = _batch_vectors(batch, id_col, vec_col, n_bits).localCheckpoint(
             eager=True
         )
         batch_buckets = [r[0] for r in vb.select("bucket").distinct().collect()]
         ball = hamming_ball(batch_buckets, n_bits, probe_hamming)
         if _index_exists(spark, index_dir):
-            index = read_index_pruned(spark, index_dir, ball)
+            # replay shield: stored rows with the batch's own ids can only
+            # be this batch's prior admissions (crash after the append,
+            # before the marker) — excluding them keeps replayed decisions
+            # identical to the uninterrupted run
+            own = F.broadcast(vb.select("vec_id").distinct())
+            index = read_index_pruned(spark, index_dir, ball).join(
+                own, "vec_id", "left_anti"
+            )
         else:
             index = spark.createDataFrame([], VINDEX_SCHEMA)
         decisions, admitted = screen_vector_batch(
@@ -237,7 +255,9 @@ def ingest_vector_stream(
         decisions.count()
         admitted.count()
         try:
-            decisions.write.mode("append").parquet(decisions_dir)
+            decisions.write.mode("overwrite").parquet(
+                f"{decisions_dir}/batch={batch_id}"
+            )
             # cluster by the partition key before the append — the same
             # partitioned-write recipe as the batch builders
             # (similarity.write_vector_index): without it every task of
@@ -250,6 +270,8 @@ def ingest_vector_stream(
             admitted.repartition("bucket").write.partitionBy(
                 "bucket"
             ).mode("append").parquet(index_dir)
+            # marker LAST: everything above is durable, replay is a no-op
+            mark_batch_committed(spark, index_dir, batch_id)
         finally:
             decisions.unpersist()
             admitted.unpersist()

@@ -605,6 +605,7 @@ def test_ingest_bloom_sidecar_and_pruned_screen_parity(spark, tmp_path):
             tuple,
             spark.read.schema(ci.DECISION_SCHEMA)
             .parquet(str(tmp_path / "dec"))
+            .select("doc_id", "status", "matched_id")
             .filter(F.col("doc_id") >= 100)
             .collect(),
         )
@@ -715,6 +716,7 @@ def test_corpus_index_compaction_preserves_sidecar_and_decisions(
             tuple,
             spark.read.schema(ci.DECISION_SCHEMA)
             .parquet(dec_dir)
+            .select("doc_id", "status", "matched_id")
             .filter(F.col("doc_id") >= 900)
             .collect(),
         )
@@ -722,3 +724,297 @@ def test_corpus_index_compaction_preserves_sidecar_and_decisions(
     assert got == expected
     statuses = {d: s for d, s, _m in got}
     assert statuses[900] == "exact_dup" and statuses[901] == "admitted"
+
+
+def test_compact_index_preserves_cell_layout_sidecars(spark, tmp_path):
+    """compact_index over the CELL-layout artifacts (write_ivf_index /
+    write_ivfpq_index), whose quantizer sidecars are parquet DIRECTORIES
+    (_centroids, _codebooks, _store) rather than root-level files: the
+    carry loop must copy them recursively, or the post-swap delete of the
+    precompact tree destroys the quantizer and serving fails on a missing
+    _centroids path. Serving must return bit-identical rows before and
+    after the swap for BOTH artifact kinds."""
+    import os
+
+    from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + j * 3) % 11) - 5.0 + 0.1 * j for j in range(4)])
+            for i in range(24)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    qv = [0.2, -0.1, 0.9, 0.4]
+
+    ivf = str(tmp_path / "ivf")
+    sim.write_ivf_index(emb, ivf, n_cells=4, n_iters=2)
+    before = sim.query_ivf_index(spark, ivf, qv, k=5, n_probe=2).collect()
+    nb, na = sim.compact_index(spark, ivf, partition_cols=["cell"])
+    assert nb > 0 and na > 0
+    assert os.path.isdir(os.path.join(ivf, "_centroids"))
+    after = sim.query_ivf_index(spark, ivf, qv, k=5, n_probe=2).collect()
+    assert before == after
+
+    ivfpq = str(tmp_path / "ivfpq")
+    sim.write_ivfpq_index(emb, ivfpq, n_cells=4, m=2, k_codes=4, n_iters=2)
+    before = sim.query_ivfpq_index(
+        spark, ivfpq, qv, k=5, n_probe=2, rerank=10
+    ).collect()
+    nb, na = sim.compact_index(spark, ivfpq, partition_cols=["cell"])
+    assert nb > 0 and na > 0
+    for side in ("_centroids", "_codebooks", "_store"):
+        assert os.path.isdir(os.path.join(ivfpq, side)), side
+    after = sim.query_ivfpq_index(
+        spark, ivfpq, qv, k=5, n_probe=2, rerank=10
+    ).collect()
+    assert before == after
+
+
+def _corpus_ingest_harness(spark, tmp_path, sub):
+    """(land, run_once, dirs) helpers for a jsonl-file-fed corpus ingest."""
+    import json
+
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+
+    root = tmp_path / sub
+    src = root / "src"
+    src.mkdir(parents=True)
+    index_dir = str(root / "index")
+    dec_dir = str(root / "dec")
+    ckpt = str(root / "ckpt")
+
+    def land(name, rows):
+        p = src / f".{name}.tmp"
+        with open(p, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        p.rename(src / name)
+
+    def run_once(expect_fail=False):
+        stream = spark.readStream.schema("doc_id bigint, text string").json(
+            str(src)
+        )
+        q = ci.ingest_stream(stream, index_dir, dec_dir, ckpt)
+        if expect_fail:
+            failed = False
+            try:
+                q.awaitTermination(120)
+            except Exception:
+                failed = True
+            assert failed, "stream was expected to fail"
+        else:
+            assert q.awaitTermination(120)
+
+    return land, run_once, index_dir, dec_dir
+
+
+def test_ingest_bloom_width_mismatch_still_rejects_stored_dups(
+    spark, tmp_path
+):
+    """A stored sidecar whose width differs from BLOOM_BITS (version bump
+    or truncated write) must NOT degrade to a batch-only bitmap — that
+    would turn every stored hash bloom-negative, skip their hp dirs in
+    the pruned exact screen, and silently admit duplicates. The screen
+    rebuilds membership from the full stored index instead: a previously
+    stored duplicate is still rejected, and the sidecar comes back at the
+    current width."""
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+
+    land, run_once, index_dir, dec_dir = _corpus_ingest_harness(
+        spark, tmp_path, "bloomw"
+    )
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    land("b1.json", [(1, base), (2, "other words entirely here")])
+    run_once()
+
+    # corrupt: replace the sidecar with a wrong-width (truncated) bitmap
+    ci._write_bloom(spark, index_dir, b"\x00" * 16)
+
+    land("b2.json", [(11, base), (12, "a novel doc after corruption")])
+    run_once()
+
+    dec = {
+        r["doc_id"]: r for r in spark.read.parquet(dec_dir).collect()
+    }
+    assert dec[11]["status"] == "exact_dup" and dec[11]["matched_id"] == 1
+    assert dec[12]["status"] == "admitted"
+    assert len(ci._read_bloom(spark, index_dir)) * 8 == ci.BLOOM_BITS
+
+
+def test_ingest_crash_between_decisions_and_index_append_is_idempotent(
+    spark, tmp_path, monkeypatch
+):
+    """Crash injection for the foreachBatch commit protocol: batch 2 fails
+    BETWEEN the decisions write and the index append, the stream is
+    restarted (same checkpoint -> same batch_id replays), and the final
+    decisions + index are hash-equal to an uninterrupted control run —
+    no double-appended decisions, no duplicate signature rows, no
+    self-flagged admissions."""
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+
+    base = "pack my box with five dozen liquor jugs for the daily run"
+    b1 = [(1, base), (2, "completely different content here")]
+    b2 = [(11, base), (12, "novel words that match nothing stored")]
+
+    # control: uninterrupted run
+    land, run_once, c_index, c_dec = _corpus_ingest_harness(
+        spark, tmp_path, "control"
+    )
+    land("b1.json", b1)
+    run_once()
+    land("b2.json", b2)
+    run_once()
+
+    def read_state(index_dir, dec_dir):
+        dec = sorted(
+            map(
+                tuple,
+                spark.read.schema(ci.DECISION_SCHEMA)
+                .parquet(dec_dir)
+                .select("doc_id", "status", "matched_id")
+                .collect(),
+            )
+        )
+        idx = sorted(
+            map(
+                tuple,
+                spark.read.schema(ci.INDEX_SCHEMA)
+                .option("basePath", index_dir)
+                .parquet(index_dir)
+                .select("doc_id", "text_hash")
+                .collect(),
+            )
+        )
+        return dec, idx
+
+    want_dec, want_idx = read_state(c_index, c_dec)
+
+    # crash run: write_index raises once, exactly at the injection point
+    land, run_once, x_index, x_dec = _corpus_ingest_harness(
+        spark, tmp_path, "crash"
+    )
+    land("b1.json", b1)
+    run_once()
+
+    real_write_index = ci.write_index
+    state = {"fail": True}
+
+    def failing_write_index(sig_df, index_dir, mode="overwrite"):
+        if state["fail"]:
+            state["fail"] = False
+            raise IOError("injected crash between decisions and index append")
+        return real_write_index(sig_df, index_dir, mode)
+
+    monkeypatch.setattr(ci, "write_index", failing_write_index)
+    land("b2.json", b2)
+    run_once(expect_fail=True)   # decisions written, index append failed
+    run_once()                   # restart: same batch_id replays
+
+    got_dec, got_idx = read_state(x_index, x_dec)
+    assert got_dec == want_dec
+    assert got_idx == want_idx
+    # replaying a fully committed batch is a no-op (marker short-circuit)
+    assert ci.batch_committed(spark, x_index, 1)
+    n_before = spark.read.parquet(x_dec).count()
+    run_once()
+    assert spark.read.parquet(x_dec).count() == n_before
+
+
+def test_vector_ingest_crash_before_marker_replay_idempotent(
+    spark, tmp_path, monkeypatch
+):
+    """The worst-window crash for the vector ingest: the index append
+    COMMITTED but the batch marker did not. The replay re-screens with
+    the batch's own prior admissions excluded (id shield), so decisions
+    come out identical to an uninterrupted run and nothing is flagged as
+    a duplicate of itself."""
+    import json
+
+    from practicum2_nof1_adhd_bd_spark.streaming import vector_ingest as vi
+
+    def harness(sub):
+        root = tmp_path / sub
+        src = root / "src"
+        src.mkdir(parents=True)
+        dirs = (str(root / "index"), str(root / "dec"), str(root / "ckpt"))
+
+        def land(name, rows):
+            p = src / f".{name}.tmp"
+            with open(p, "w") as f:
+                for vec_id, v in rows:
+                    f.write(
+                        json.dumps({"vec_id": vec_id, "embedding": v}) + "\n"
+                    )
+            p.rename(src / name)
+
+        def run_once(expect_fail=False):
+            stream = spark.readStream.schema(
+                "vec_id bigint, embedding array<double>"
+            ).json(str(src))
+            q = vi.ingest_vector_stream(stream, *dirs)
+            if expect_fail:
+                failed = False
+                try:
+                    q.awaitTermination(120)
+                except Exception:
+                    failed = True
+                assert failed, "stream was expected to fail"
+            else:
+                assert q.awaitTermination(120)
+
+        return land, run_once, dirs
+
+    e1 = [0.5, -0.2, 0.8, 0.1]
+    b1 = [(1, e1), (2, [-0.6, 0.4, -0.1, 0.9])]
+    b2 = [(11, [x * 2 for x in e1]), (12, [0.05, -1.0, 0.2, -0.3])]
+
+    land, run_once, (c_index, c_dec, _) = harness("vcontrol")
+    land("b1.json", b1)
+    run_once()
+    land("b2.json", b2)
+    run_once()
+
+    def read_state(index_dir, dec_dir):
+        dec = sorted(
+            map(
+                tuple,
+                spark.read.schema(vi.VDECISION_SCHEMA)
+                .parquet(dec_dir)
+                .select("vec_id", "status", "matched_id")
+                .collect(),
+            )
+        )
+        idx = sorted(
+            r["vec_id"]
+            for r in spark.read.schema(vi.VINDEX_SCHEMA)
+            .parquet(index_dir)
+            .select("vec_id")
+            .distinct()
+            .collect()
+        )
+        return dec, idx
+
+    want_dec, want_idx = read_state(c_index, c_dec)
+
+    land, run_once, (x_index, x_dec, _) = harness("vcrash")
+    land("b1.json", b1)
+    run_once()
+
+    real_mark = vi.mark_batch_committed
+    state = {"fail": True}
+
+    def failing_mark(spark_, index_dir, batch_id):
+        if state["fail"]:
+            state["fail"] = False
+            raise IOError("injected crash after index append, before marker")
+        return real_mark(spark_, index_dir, batch_id)
+
+    monkeypatch.setattr(vi, "mark_batch_committed", failing_mark)
+    land("b2.json", b2)
+    run_once(expect_fail=True)   # index appended, marker missing
+    run_once()                   # replay: id shield keeps decisions right
+
+    got_dec, got_idx = read_state(x_index, x_dec)
+    assert got_dec == want_dec
+    assert got_idx == want_idx
