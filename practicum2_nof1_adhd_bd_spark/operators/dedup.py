@@ -755,9 +755,14 @@ def bloom_bitmap_from_hashes(
 ) -> bytes:
     """Distributed Bloom-filter build over a hash column: each executor
     partition ORs its hashes' probe positions into a local ``n_bits``-bit
-    numpy bitmap, the driver ORs the per-partition bitmaps. Driver traffic
-    is ``num_partitions * n_bits/8`` bytes — O(1) in the data, the same
-    bounded-merge-state argument as ``snapshot_provenance``'s digests.
+    numpy bitmap, the bitmaps fold through a two-level OR merge — a
+    repartition to <=32 groups ORs executor-side first, then the driver
+    ORs the group bitmaps. Driver traffic is ``32 * n_bits/8`` bytes,
+    flat in BOTH the data and the partition count (a one-level merge
+    ships partitions x n_bits/8 — ~12 GB to the driver at 100k input
+    partitions and the default 1 MB bitmap); the shuffle moves the same
+    bytes but spread across the cluster. Same bounded-merge-state
+    argument as ``snapshot_provenance``'s digests.
 
     Probe positions are JVM-side ``pmod(xxhash64(hash, j), n_bits)`` —
     computed identically at build and query time, deterministic across
@@ -788,8 +793,23 @@ def bloom_bitmap_from_hashes(
             np.bitwise_or.at(bm, p >> 3, (1 << (p & 7)).astype(np.uint8))
         yield pd.DataFrame({"bm": [bm.tobytes()]})
 
+    def or_group(it):
+        bm = np.zeros(n_bits // 8, dtype=np.uint8)
+        for pdf in it:
+            for b in pdf["bm"]:
+                bm |= np.frombuffer(b, dtype=np.uint8)
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    n_groups = min(
+        32, max(1, hash_df.sparkSession.sparkContext.defaultParallelism)
+    )
+    grouped = (
+        pos.mapInPandas(part_bitmap, "bm binary")
+        .repartition(n_groups)
+        .mapInPandas(or_group, "bm binary")
+    )
     out = np.zeros(n_bits // 8, dtype=np.uint8)
-    for row in pos.mapInPandas(part_bitmap, "bm binary").collect():
+    for row in grouped.collect():
         out |= np.frombuffer(row["bm"], dtype=np.uint8)
     return out.tobytes()
 

@@ -1957,10 +1957,21 @@ def q_quantile_3way_label_approx(spark, sf_dir):
     being exact (n <= accuracy) — at larger n the sketch may legally
     return any value within 1/accuracy rank, which is why the EXACT
     refined path, not this one, carries the interpolated-percentile
-    contract."""
+    contract. That assumption is ENFORCED below: if a harness scale bump
+    ever pushes the scanned rows past the sketch accuracy, the query
+    fails loudly (telling the maintainer to demote it to rows-only)
+    instead of letting the oracle go silently flaky."""
     li = _cat(spark, sf_dir).lineitem
+    accuracy = 1_000_000
+    n = li.count()
+    if n > accuracy:
+        raise AssertionError(
+            f"quantile_3way_label_approx oracle premise broken: {n} rows > "
+            f"accuracy={accuracy}; the GK sketch is no longer rank-exact — "
+            "demote this entry to rows-only (ORACLES.pop) or raise accuracy"
+        )
     labeled = labels.quantile_3way_label(
-        li, "l_extendedprice", exact=False, accuracy=1_000_000
+        li, "l_extendedprice", exact=False, accuracy=accuracy
     )
     return labeled.groupBy("label_3cls").agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -44,6 +44,18 @@ def main() -> None:
             "shape the prefilters exist for."
         ),
     )
+    ap.add_argument(
+        "--bloom-merge-partitions",
+        type=int,
+        default=0,
+        metavar="P",
+        help=(
+            "probe the Bloom build's two-level OR merge: build the bitmap "
+            "over P and 10*P input partitions, report per-run driver "
+            "collect bytes (vs what a one-level merge would ship) and "
+            "bitmap byte-equality across partitionings"
+        ),
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -55,6 +67,44 @@ def main() -> None:
 
     spark = get_spark("sketch-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.bloom_merge_partitions:
+        # Two-level merge probe: the bitmap must be byte-identical no
+        # matter how the hash frame is partitioned, while driver collect
+        # traffic stays capped at n_groups (<=32) bitmaps instead of one
+        # per input partition.
+        import time
+
+        p = args.bloom_merge_partitions
+        n_bits = 1 << 23
+        hashes = spark.range(200_000).select(
+            F.md5(F.col("id").cast("string")).alias("text_hash")
+        )
+        out = {"n_bits": n_bits, "runs": []}
+        bitmaps = []
+        for parts in (p, 10 * p):
+            hf = hashes.repartition(parts)
+            t0 = time.time()
+            bm = dedup.bloom_bitmap_from_hashes(hf, n_bits=n_bits)
+            sec = time.time() - t0
+            n_groups = min(32, spark.sparkContext.defaultParallelism)
+            out["runs"].append(
+                {
+                    "partitions": parts,
+                    "build_sec": round(sec, 2),
+                    "driver_collect_mb": round(
+                        n_groups * n_bits / 8 / 1e6, 1
+                    ),
+                    "one_level_would_collect_mb": round(
+                        parts * n_bits / 8 / 1e6, 1
+                    ),
+                }
+            )
+            bitmaps.append(bm)
+        out["bitmaps_identical_across_partitionings"] = (
+            bitmaps[0] == bitmaps[1]
+        )
+        print(json.dumps(out))
+        return
     if args.synthetic:
         head_arr = F.array(*[F.lit(f"w{h}") for h in range(30)])
         # text is a pure function of the EFFECTIVE id: 1-in-5 batch docs
