@@ -144,3 +144,90 @@ def adwin_changes(
         return pd.DataFrame(rows, columns=gnames + [order_col, "change_index"])
 
     return src.groupBy(*gnames).applyInPandas(detect, out_schema)
+
+
+def temporal_instability(
+    features_df: DataFrame,
+    segments: DataFrame,
+    feature_cols: list[str],
+    date_col: str = "date",
+    seg_id_col: str = "seg_id",
+    start_col: str = "date_start",
+    end_col: str = "date_end",
+    normalize: bool = True,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Temporal-instability feature scores (ref
+    src/utils/temporal_instability.py:30-185): assign each row to a
+    behavioral segment by date containment, compute each feature's mean
+    per segment, score the feature by the SAMPLE variance of its segment
+    means, and (optionally) normalize scores to [0, 1] by the max. High
+    instability = the feature's level moves between behavioral regimes —
+    the reference uses it to regularize temporal prediction.
+
+    Reference semantics preserved exactly: the ref assigns segment ids in
+    a loop over segments, so on OVERLAPPING segments the LAST (highest
+    id) wins — here max(seg_id) over containing intervals; rows matching
+    no segment are dropped; a feature missing everywhere (or with <2
+    segment means) scores 0.0; pandas' nan-skipping mean/var map to
+    Spark's null-skipping avg/var_samp; normalization divides by the max
+    only when it is positive.
+
+    Spark-first shape: segment assignment depends only on the DATE, so
+    the containment join runs over the distinct dates x broadcast
+    segments (segments are O(100) rows — the probe frame never shuffles),
+    then one melt (stack) + two hash aggregations. No windows, no UDFs;
+    the 1-row max frame broadcasts for the normalization, so the plan is
+    scan -> partial agg -> 2 small exchanges at any corpus size.
+    """
+    n = len(feature_cols)
+    stack_cols = ", ".join(f"'{c}', `{c}`" for c in feature_cols)
+    seg_of_date = (
+        features_df.select(date_col)
+        .distinct()
+        .join(
+            F.broadcast(segments),
+            (F.col(date_col) >= F.col(start_col))
+            & (F.col(date_col) <= F.col(end_col)),
+        )
+        .groupBy(date_col)
+        .agg(F.max(seg_id_col).alias("_seg"))
+    )
+    long = features_df.selectExpr(
+        date_col, f"stack({n}, {stack_cols}) as (feature, value)"
+    )
+    seg_means = (
+        long.join(seg_of_date, date_col)
+        .groupBy("feature", "_seg")
+        .agg(F.avg("value").alias("_m"))
+    )
+    inst = seg_means.groupBy("feature").agg(
+        F.coalesce(F.var_samp("_m"), F.lit(0.0)).alias("instability")
+    )
+    # every requested feature gets a row, ref-style: absent/all-null -> 0.0
+    all_feats = features_df.sparkSession.createDataFrame(
+        [(c,) for c in feature_cols], "feature string"
+    )
+    inst = all_feats.join(inst, "feature", "left").select(
+        "feature", F.coalesce("instability", F.lit(0.0)).alias("instability")
+    )
+    if normalize:
+        mx = inst.agg(F.max("instability").alias("_mx"))
+        inst = inst.crossJoin(F.broadcast(mx)).select(
+            "feature",
+            "instability",
+            F.when(
+                F.col("_mx") > 0, F.col("instability") / F.col("_mx")
+            )
+            .otherwise(F.col("instability"))
+            .alias("instability_norm"),
+        )
+    out_cols = [
+        F.col("feature"),
+        F.round("instability", round_dp).alias("instability"),
+    ]
+    if normalize:
+        out_cols.append(
+            F.round("instability_norm", round_dp).alias("instability_norm")
+        )
+    return inst.select(*out_cols).orderBy(F.desc("instability"), "feature")

@@ -1439,3 +1439,152 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def trigram_surprisal(
+    df: DataFrame,
+    model_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+    alpha: float = 0.1,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document trigram LM score with STUPID BACKOFF (Brants et al.
+    2007) — the order-3 step from ``bigram_surprisal`` toward the
+    KenLM-class perplexity filter, and the first of the family where the
+    model can be trained on a DIFFERENT corpus than it scores
+    (``model_df``; CCNet trains on Wikipedia, scores the crawl). Score
+    per position:
+
+        S(w3 | w1 w2) = c(w1 w2 w3) / c(w1 w2)        if the trigram is
+                                                       in the model
+                      = backoff * S(w3 | w2)           else
+        S(w3 | w2)    = c(w2 w3) / c(w2)               if the bigram is
+                      = backoff * S(w3)                else
+        S(w3)         = (c(w3) + alpha) / (N + alpha*V)
+
+    — pure count ratios at the trigram/bigram levels (stupid backoff
+    uses no discounting), with one add-alpha pseudo-count at the unigram
+    floor so out-of-vocabulary words score finitely instead of -inf
+    (Brants leaves OOV handling to the application). Contexts are
+    re-aggregations of the gram frames (c(w1 w2) = occurrences as a
+    trigram context), so the model build is ONE token explode over the
+    model corpus feeding three map-side-combined groupBys; scoring is
+    ONE explode over the scored corpus and three broadcast left joins
+    (same web-scale fallback contract as ``bigram_surprisal``:
+    ``broadcast_model=False`` switches to shuffle joins). Docs with
+    < 3 tokens keep n_trigrams=0 and a NULL score.
+    """
+    model_df = df if model_df is None else model_df
+
+    def _grams(frame):
+        base = fan_out(frame, id_col).select(
+            F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_w")
+        )
+        n2 = F.size("_w") - 1
+        n3 = F.size("_w") - 2
+        p23 = F.zip_with(
+            F.slice(F.col("_w"), 2, n3),
+            F.slice(F.col("_w"), 3, n3),
+            lambda b, c: F.struct(b.alias("w2"), c.alias("w3")),
+        )
+        tri = F.zip_with(
+            F.slice(F.col("_w"), 1, n3),
+            p23,
+            lambda a, bc: F.struct(
+                a.alias("w1"),
+                bc["w2"].alias("w2"),
+                bc["w3"].alias("w3"),
+            ),
+        )
+        pair = F.zip_with(
+            F.slice(F.col("_w"), 1, n2),
+            F.slice(F.col("_w"), 2, n2),
+            lambda a, b: F.struct(a.alias("w2"), b.alias("w3")),
+        )
+        return base, tri, pair
+
+    mbase, mtri, mpair = _grams(model_df)
+    tri_counts = (
+        mbase.filter(F.size("_w") >= 3)
+        .select(F.explode(mtri).alias("_t"))
+        .select(
+            F.col("_t.w1").alias("_w1"),
+            F.col("_t.w2").alias("_w2"),
+            F.col("_t.w3").alias("_w3"),
+        )
+        .groupBy("_w1", "_w2", "_w3")
+        .agg(F.count(F.lit(1)).alias("_c123"))
+    )
+    tri_ctx = tri_counts.groupBy("_w1", "_w2").agg(
+        F.sum("_c123").alias("_c12")
+    )
+    tri_model = tri_counts.join(tri_ctx, ["_w1", "_w2"]).select(
+        "_w1", "_w2", "_w3", (F.col("_c123") / F.col("_c12")).alias("_s3")
+    )
+    big_counts = (
+        mbase.filter(F.size("_w") >= 2)
+        .select(F.explode(mpair).alias("_p"))
+        .select(F.col("_p.w2").alias("_w2"), F.col("_p.w3").alias("_w3"))
+        .groupBy("_w2", "_w3")
+        .agg(F.count(F.lit(1)).alias("_c23"))
+    )
+    big_ctx = big_counts.groupBy("_w2").agg(F.sum("_c23").alias("_c2"))
+    big_model = big_counts.join(big_ctx, "_w2").select(
+        "_w2", "_w3", (F.col("_c23") / F.col("_c2")).alias("_s2")
+    )
+    mtok = mbase.select(F.explode("_w").alias("_w3"))
+    uni_counts = mtok.groupBy("_w3").agg(F.count(F.lit(1)).alias("_c3"))
+    totals = mtok.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct("_w3").alias("_v"),
+    )
+
+    def _m(frame):
+        return F.broadcast(frame) if broadcast_model else frame
+
+    sbase, stri, _sp = _grams(df)
+    pos = (
+        sbase.filter(F.size("_w") >= 3)
+        .select(F.col(id_col), F.explode(stri).alias("_t"))
+        .select(
+            F.col(id_col),
+            F.col("_t.w1").alias("_w1"),
+            F.col("_t.w2").alias("_w2"),
+            F.col("_t.w3").alias("_w3"),
+        )
+    )
+    uni_s = (F.coalesce(F.col("_c3"), F.lit(0)) + F.lit(alpha)) / (
+        F.col("_n") + F.lit(alpha) * F.col("_v")
+    )
+    scored = (
+        pos.join(_m(tri_model), ["_w1", "_w2", "_w3"], "left")
+        .join(_m(big_model), ["_w2", "_w3"], "left")
+        .join(_m(uni_counts), ["_w3"], "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_s",
+            F.coalesce(
+                F.col("_s3"),
+                F.lit(backoff)
+                * F.coalesce(F.col("_s2"), F.lit(backoff) * uni_s),
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(
+                F.sum(-F.log2(F.col("_s"))) / F.count(F.lit(1)), 6
+            ).alias("bits_per_trigram"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).alias("n_trigrams"),
+            "bits_per_trigram",
+        )
+    )

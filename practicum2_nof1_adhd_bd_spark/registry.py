@@ -1784,6 +1784,206 @@ def q_sole_return_supplier(spark, sf_dir):
 
 
 @register(
+    "min_cost_supplier",
+    """
+    WITH eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    selp AS (
+        SELECT p_partkey, p_brand FROM part
+        WHERE p_type = 'ECONOMY' AND p_size <= 15
+    ),
+    cost AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM selp)
+          AND l_suppkey IN (SELECT s_suppkey FROM eu)
+        GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT *, min(unit_cost) OVER (PARTITION BY l_partkey) AS mc
+        FROM cost
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name,
+           w.l_partkey AS p_partkey, p.p_brand,
+           round(w.unit_cost, 6) AS unit_cost
+    FROM win w
+    JOIN eu e ON w.l_suppkey = e.s_suppkey
+    JOIN selp p ON w.l_partkey = p.p_partkey
+    WHERE w.unit_cost = w.mc
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (correlated min-cost supplier per part): for each
+    selected part, the EUROPE suppliers offering it at the minimum unit
+    cost — Q2's correlated `= (select min(ps_supplycost) ...)` subquery
+    re-expressed with NO second pass over the cost fact. The textbook
+    plan evaluates the subquery as a second scan + self-join of partsupp
+    per part; here the (part, supplier) unit-cost grain aggregates ONCE
+    from the fact (this schema's partsupp analog: the observed
+    min(l_extendedprice / l_quantity) per pair), the correlated min
+    becomes a window over that grain (ties keep every min-cost supplier,
+    Q2 semantics), and all three dims broadcast. The region prune and
+    the part prune push into the fact scan as broadcast semi joins
+    BEFORE the aggregation — at 100 TB the groupBy sees only the
+    selected-part, selected-region slice, the join-order trap Q2 sets
+    (TPC-H Q2)."""
+    cat = _cat(spark, sf_dir)
+    eu = (
+        cat.supplier.join(
+            F.broadcast(cat.nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(cat.region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    selp = cat.part.filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand")
+    cost = (
+        cat.lineitem.select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("_uc"),
+        )
+        .join(
+            F.broadcast(selp.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(eu.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("_uc").alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    winners = cost.withColumn("_mc", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("_mc")
+    )
+    return (
+        winners.join(
+            F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(selp), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "excess_shipment_suppliers",
+    """
+    WITH selp AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    ),
+    grain AS (
+        SELECT l_suppkey, l_partkey, count(*) AS n_lines,
+               sum(CASE WHEN l_shipdate < DATE '1996-07-01'
+                        THEN l_quantity ELSE 0 END) AS q_early,
+               sum(l_quantity) AS q_total
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM selp)
+        GROUP BY 1, 2
+    ),
+    qual AS (
+        SELECT DISTINCT l_suppkey FROM grain
+        WHERE n_lines >= 3 AND q_early > 0.5 * q_total
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM qual)
+    ORDER BY s.s_name
+    """,
+)
+def q_excess_shipment_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (the nested semi-join chain with a correlated
+    half-quantity threshold): ASIA suppliers who front-loaded more than
+    HALF their total shipped quantity of some selected part before the
+    cutoff — Q20's `ps_availqty > 0.5 * (select sum(l_quantity) ...)`
+    chain restated on this schema (no partsupp: availability becomes the
+    early-window shipped quantity). The trap Q20 sets is evaluating the
+    correlated sum per (part, supplier) probe — a second fact scan and a
+    shuffle per level of the nesting. Here BOTH sides of the comparison
+    are conditional sums of ONE (suppkey, partkey)-grain aggregation of
+    the part-pruned fact (the broadcast semi join pushes the part
+    selection into the scan), the EXISTS collapses to a distinct
+    projection of the filtered grain, and the supplier/nation/region
+    chain stays dim-sized with broadcasts. One fact scan, one fact-grain
+    exchange (TPC-H Q20)."""
+    cat = _cat(spark, sf_dir)
+    selp = cat.part.filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    grain = (
+        cat.lineitem.select("l_suppkey", "l_partkey", "l_quantity", "l_shipdate")
+        .join(
+            F.broadcast(selp),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(
+                    F.col("l_shipdate") < F.lit("1996-07-01").cast("date"),
+                    F.col("l_quantity"),
+                ).otherwise(F.lit(0.0))
+            ).alias("q_early"),
+            F.sum("l_quantity").alias("q_total"),
+        )
+    )
+    qual = (
+        grain.filter(
+            (F.col("n_lines") >= 3)
+            & (F.col("q_early") > 0.5 * F.col("q_total"))
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        cat.supplier.join(
+            F.broadcast(cat.nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(cat.region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@register(
     "topk_per_group",
     """
     WITH j AS (
@@ -2450,6 +2650,92 @@ def q_ks_drift(spark, sf_dir):
         "is_a", (F.to_date("ts") < F.lit("2024-01-16")).cast("int")
     )
     return drift.ks_statistic(ev, "value", "is_a", ["event_type"])
+
+
+_INSTABILITY_SEGMENTS = [
+    # deterministic behavioral segments over the events span, with one
+    # OVERLAP (segs 0/1 share Jan 06-07 — ref's loop order means the
+    # later segment wins) and one GAP (Jan 20-21 -> rows dropped), so the
+    # query exercises every branch of the ref's assignment semantics
+    (0, "2024-01-01", "2024-01-07"),
+    (1, "2024-01-06", "2024-01-13"),
+    (2, "2024-01-14", "2024-01-19"),
+    (3, "2024-01-22", "2024-01-26"),
+    (4, "2024-01-27", "2024-12-31"),
+]
+
+
+@register(
+    "temporal_instability_scores",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS date,
+               {daily_cols}
+        FROM events GROUP BY 1
+    ),
+    seg(seg_id, date_start, date_end) AS (VALUES {seg_rows}),
+    sod AS (
+        SELECT date, max(seg_id) AS seg
+        FROM daily JOIN seg ON date BETWEEN date_start AND date_end
+        GROUP BY 1
+    ),
+    lng AS ({melt}),
+    sm AS (SELECT feature, seg, avg(value) AS m FROM lng GROUP BY 1, 2),
+    inst AS (
+        SELECT feature, coalesce(var_samp(m), 0.0) AS instability
+        FROM sm GROUP BY 1
+    ),
+    mx AS (SELECT max(instability) AS mx FROM inst)
+    SELECT feature,
+           round(instability, 6) AS instability,
+           round(CASE WHEN mx > 0 THEN instability / mx
+                      ELSE instability END, 6) AS instability_norm
+    FROM inst, mx
+    """.format(
+        daily_cols=",\n               ".join(
+            f"round(avg(value) FILTER (WHERE event_type = '{t}'), 6)"
+            f" AS {t}_mean"
+            for t in _EVENT_TYPES
+        ),
+        seg_rows=", ".join(
+            f"({i}, DATE '{s}', DATE '{e}')"
+            for i, s, e in _INSTABILITY_SEGMENTS
+        ),
+        melt="\n        UNION ALL ".join(
+            f"SELECT seg, '{t}_mean' AS feature, {t}_mean AS value "
+            "FROM daily JOIN sod USING (date)"
+            for t in _EVENT_TYPES
+        ),
+    ),
+)
+def q_temporal_instability_scores(spark, sf_dir):
+    """Temporal-instability feature scores (ref
+    src/utils/temporal_instability.py:30-185 — the variance of a
+    feature's per-segment means, max-normalized): daily per-type mean
+    features, assigned to deterministic behavioral segments by date
+    containment (last segment wins on overlap, unmatched days drop),
+    scored per feature. Closes the last uncovered reference analytics
+    module; composes the J9 point-in-interval device with A7-style
+    segment stats — one broadcast range join over distinct dates, one
+    melt, two hash aggregations, no windows."""
+    ev = _cat(spark, sf_dir).events
+    feats = [f"{t}_mean" for t in _EVENT_TYPES]
+    daily_f = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        *[
+            F.round(
+                F.avg(F.when(F.col("event_type") == t, F.col("value"))), 6
+            ).alias(f"{t}_mean")
+            for t in _EVENT_TYPES
+        ]
+    )
+    segments = spark.createDataFrame(
+        _INSTABILITY_SEGMENTS, "seg_id int, date_start string, date_end string"
+    ).select(
+        "seg_id",
+        F.to_date("date_start").alias("date_start"),
+        F.to_date("date_end").alias("date_end"),
+    )
+    return drift.temporal_instability(daily_f, segments, feats, "date")
 
 
 def q_adwin_changes(spark, sf_dir):
@@ -4377,6 +4663,69 @@ def q_bigram_surprisal(spark, sf_dir):
     broadcasts so scoring is map-side."""
     docs = _cat(spark, sf_dir).documents
     return textops.bigram_surprisal(docs)
+
+
+@register(
+    "trigram_surprisal",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    mw AS (SELECT ws FROM w WHERE doc_id % 2 = 0),
+    mtok AS (SELECT unnest(ws) AS w3 FROM mw),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT w3) AS BIGINT) AS v
+            FROM mtok),
+    uni AS (SELECT w3, count(*) AS c3 FROM mtok GROUP BY 1),
+    mbp AS (SELECT p.w2 AS w2, p.w3 AS w3
+            FROM (SELECT unnest(list_transform(range(1, len(ws)),
+                        i -> struct_pack(w2 := ws[i], w3 := ws[i+1]))) AS p
+                  FROM mw WHERE len(ws) >= 2)),
+    c23 AS (SELECT w2, w3, count(*) AS c23 FROM mbp GROUP BY 1, 2),
+    c2 AS (SELECT w2, CAST(sum(c23) AS BIGINT) AS c2 FROM c23 GROUP BY 1),
+    big AS (SELECT w2, w3, c23 * 1.0 / c2 AS s2
+            FROM c23 JOIN c2 USING (w2)),
+    mtp AS (SELECT p.w1 AS w1, p.w2 AS w2, p.w3 AS w3
+            FROM (SELECT unnest(list_transform(range(1, len(ws) - 1),
+                        i -> struct_pack(w1 := ws[i], w2 := ws[i+1],
+                                         w3 := ws[i+2]))) AS p
+                  FROM mw WHERE len(ws) >= 3)),
+    c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM mtp GROUP BY 1, 2, 3),
+    c12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12
+            FROM c123 GROUP BY 1, 2),
+    tri AS (SELECT w1, w2, w3, c123 * 1.0 / c12 AS s3
+            FROM c123 JOIN c12 USING (w1, w2)),
+    sp AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, p.w3 AS w3
+           FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+                        i -> struct_pack(w1 := ws[i], w2 := ws[i+1],
+                                         w3 := ws[i+2]))) AS p
+                 FROM w WHERE len(ws) >= 3)),
+    sc AS (SELECT doc_id,
+                  coalesce(s3, 0.4 * coalesce(s2,
+                      0.4 * ((coalesce(c3, 0) + 0.1) / (n + 0.1 * v)))) AS s
+           FROM sp LEFT JOIN tri USING (w1, w2, w3)
+                   LEFT JOIN big USING (w2, w3)
+                   LEFT JOIN uni USING (w3)
+                   CROSS JOIN tot),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                   round(sum(-log2(s)) / count(*), 6) AS bits_per_trigram
+            FROM sc GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(a.n_trigrams, 0) AS n_trigrams,
+           a.bits_per_trigram
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_trigram_surprisal(spark, sf_dir):
+    """Order-3 LM surprisal with stupid backoff (Brants et al. 2007) —
+    the KenLM-class perplexity-filter step after `bigram_surprisal`, and
+    the first trained on a SPLIT (even doc_ids) and scored on the whole
+    corpus, so unseen trigrams genuinely exercise the trigram -> bigram
+    -> add-alpha-unigram backoff chain (a self-trained model never backs
+    off). One model-corpus explode builds all three count levels;
+    contexts re-aggregate the gram frames; scoring is one scored-corpus
+    explode + three broadcast left joins."""
+    docs = _cat(spark, sf_dir).documents
+    model = docs.filter(F.col("doc_id") % 2 == 0)
+    return textops.trigram_surprisal(docs, model_df=model)
 
 
 @register(

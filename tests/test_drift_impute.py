@@ -62,3 +62,55 @@ def test_impute_deterministic_across_runs(spark):
     a = sorted(map(str, impute.impute_per_segment(df, ["x", "y"]).collect()))
     b = sorted(map(str, impute.impute_per_segment(df, ["x", "y"]).collect()))
     assert a == b
+
+
+def test_temporal_instability_reference_semantics(spark):
+    """Pins the ref's assignment/scoring rules
+    (src/utils/temporal_instability.py:30-185): overlapping segments ->
+    LAST wins; unmatched dates drop; sample variance of segment means;
+    all-null feature scores 0.0; max-normalization to [0, 1]."""
+    import datetime as dt
+
+    from practicum2_nof1_adhd_bd_spark.operators import drift
+
+    d = dt.date
+    feats = spark.createDataFrame(
+        [
+            # seg 0: days 1-2 ; seg 1: days 3-4 (day 3 overlaps seg 0 ->
+            # seg 1 wins) ; day 9 matches nothing -> dropped
+            (d(2024, 1, 1), 1.0, None),
+            (d(2024, 1, 2), 3.0, None),
+            (d(2024, 1, 3), 10.0, None),
+            (d(2024, 1, 4), 20.0, None),
+            (d(2024, 1, 9), 999.0, None),
+        ],
+        "date date, f1 double, f2 double",
+    )
+    segs = spark.createDataFrame(
+        [
+            (0, d(2024, 1, 1), d(2024, 1, 3)),
+            (1, d(2024, 1, 3), d(2024, 1, 4)),
+        ],
+        "seg_id int, date_start date, date_end date",
+    )
+    out = {
+        r["feature"]: r
+        for r in drift.temporal_instability(
+            feats, segs, ["f1", "f2"], "date"
+        ).collect()
+    }
+    # seg 0 mean = (1+3)/2 = 2 ; seg 1 mean = (10+20)/2 = 15 (day 3 in
+    # seg 1, day 9 dropped) ; var_samp([2, 15]) = 84.5
+    assert out["f1"]["instability"] == 84.5
+    assert out["f1"]["instability_norm"] == 1.0
+    # all-null feature -> 0.0 raw; normalized leaves 0.0
+    assert out["f2"]["instability"] == 0.0
+    assert out["f2"]["instability_norm"] == 0.0
+
+    # single segment -> var_samp undefined -> 0.0 everywhere; max == 0 so
+    # normalization must NOT divide (ref guards max > 0)
+    one_seg = drift.temporal_instability(
+        feats, segs.filter("seg_id = 0"), ["f1"], "date"
+    ).collect()
+    assert one_seg[0]["instability"] == 0.0
+    assert one_seg[0]["instability_norm"] == 0.0

@@ -489,3 +489,34 @@ def test_sole_return_supplier_single_fact_exchange(spark, sf_dir):
     scans = [seg for seg in plan.split("FileScan") if "lineitem" in seg[:300]]
     assert len(scans) == 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_min_cost_supplier_single_fact_scan_window_not_selfjoin(spark, sf_dir):
+    """Q2 shape contract: the correlated min-cost subquery is a WINDOW
+    over the once-aggregated (part, supplier) cost grain — lineitem is
+    scanned ONCE (no per-probe re-evaluation), both prunes reach the
+    fact as broadcast semi joins BEFORE the groupBy, and every dim join
+    broadcasts."""
+    df = registry.QUERIES["min_cost_supplier"](spark, sf_dir)
+    plan = _plan(df)
+    scans = [seg for seg in plan.split("FileScan") if "lineitem" in seg[:300]]
+    assert len(scans) == 1
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "Window" in plan
+    # the semi prunes sit below the aggregation: the lineitem scan's
+    # section of the plan joins before any HashAggregate above it runs
+    assert "SortMergeJoin" not in plan
+
+
+def test_excess_shipment_suppliers_single_fact_exchange(spark, sf_dir):
+    """Q20 shape contract: the correlated half-quantity threshold and
+    its probe side are conditional sums of ONE (suppkey, partkey)
+    aggregation — one lineitem scan, the part selection pushed in as a
+    broadcast semi join, and the supplier/nation/region chain
+    broadcast."""
+    df = registry.QUERIES["excess_shipment_suppliers"](spark, sf_dir)
+    plan = _plan(df)
+    scans = [seg for seg in plan.split("FileScan") if "lineitem" in seg[:300]]
+    assert len(scans) == 1
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan

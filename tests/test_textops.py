@@ -480,3 +480,51 @@ def test_rrf_fuse_partial_overlap(spark):
     assert out[1] == round(1 / 61, 6)
     assert out[3] == round(1 / 63, 6)
     assert out[4] == round(1 / 62, 6)
+
+
+def test_trigram_surprisal_stupid_backoff_closed_form(spark):
+    """Every backoff level hit once (Brants et al. 2007 stupid backoff):
+    model = docs 2/4 -> trigram counts {(a b c): 1, (b c d): 1}, bigram
+    counts {(a,b):1, (b,c):1, (c,d):1, (x,y):1}, unigrams
+    {a,b,c,d:1, x,y:1} with N=6, V=6. Scored doc "a b c q x y d":
+      pos (a,b,c):  in the trigram model           -> s = 1/1
+      pos (b,c,q):  unseen tri, unseen bigram (c,q), q OOV
+                    -> s = 0.4 * 0.4 * (0 + 0.1)/(6 + 0.6)
+      pos (c,q,x):  unseen tri, unseen bigram (q,x), x seen
+                    -> s = 0.4 * 0.4 * (1 + 0.1)/(6 + 0.6)
+      pos (q,x,y):  unseen tri, bigram (x,y) seen: c23/c2 = 1/1
+                    -> s = 0.4 * 1.0
+      pos (x,y,d):  unseen tri, unseen bigram (y,d), d seen
+                    -> s = 0.4 * 0.4 * 1.1/6.6
+    """
+    import math
+
+    from practicum2_nof1_adhd_bd_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "a b c q x y d"), (2, "a b c d"), (3, "zz"), (4, "x y")],
+        "doc_id long, text string",
+    )
+    model = docs.filter("doc_id % 2 = 0")
+    out = {
+        r["doc_id"]: r
+        for r in textops.trigram_surprisal(docs, model_df=model).collect()
+    }
+    uni = lambda c: (c + 0.1) / (6 + 0.1 * 6)
+    expected = [
+        1.0,
+        0.4 * 0.4 * uni(0),
+        0.4 * 0.4 * uni(1),
+        0.4 * 1.0,
+        0.4 * 0.4 * uni(1),
+    ]
+    want = sum(-math.log2(s) for s in expected) / len(expected)
+    assert out[1]["n_trigrams"] == 5
+    assert abs(out[1]["bits_per_trigram"] - want) < 1e-5
+    # model doc scored too: its own trigrams are all in the model
+    assert out[2]["n_trigrams"] == 2
+    w2 = (-math.log2(1.0) - math.log2(1.0)) / 2
+    assert abs(out[2]["bits_per_trigram"] - w2) < 1e-9
+    # < 3 tokens -> row kept, 0 trigrams, NULL score
+    assert out[3]["n_trigrams"] == 0 and out[3]["bits_per_trigram"] is None
+    assert out[4]["n_trigrams"] == 0 and out[4]["bits_per_trigram"] is None
