@@ -88,6 +88,12 @@ HEADLINE = [
     "market_share",
     "customer_order_distribution",
     "sole_return_supplier",
+    # round-11 additions: the last reference analytics module, the TPC-H
+    # Q2/Q20 shapes, the split-trained trigram backoff LM
+    "temporal_instability_scores",
+    "min_cost_supplier",
+    "excess_shipment_suppliers",
+    "trigram_surprisal",
 ]
 
 
@@ -141,6 +147,26 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    record = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "repeats": repeats,
+        "mins": mins,
+        "min_total": round(sum(mins.values()), 3),
+        "sf": sf_val,
+    }
+    # The full record (with per-repeat spreads and mins) outgrew the
+    # driver's 2000-char stdout tail, which made past BENCH artifacts
+    # non-reproducible (r10 advice). Persist it whole to a sidecar file
+    # and keep the stdout line compact: the driver-required fields plus
+    # min_total (the noise-floor headline ratios are computed from).
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(record, f)
     print(
         json.dumps(
             {
@@ -148,10 +174,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "repeats": repeats,
-                "mins": mins,
-                "min_total": round(sum(mins.values()), 3),
+                "min_total": record["min_total"],
                 "sf": sf_val,
+                "full_record": "BENCH_FULL.json",
             }
         )
     )

@@ -8403,54 +8403,39 @@ _register_cluster_best_keeper()
 # whole registry, no entry stale-after-rewrite.
 _FRONT_ORDER = [
     "daily_event_stats",  # canary: green every round since r03
-    # new this round (r09): the ExactSubstr span-cut intervention; the
-    # approx-quantile path promoted to an oracle (quantile_disc match at
-    # accuracy=1e6); the Bloom-prefiltered exact screen and the
-    # CMS-prefiltered exact heavy hitters (both sketch stages are pure
-    # shuffle-avoidance, so exact-semantics oracles replay them)
-    "duplicate_span_cut", "quantile_3way_label_approx",
-    "bloom_screen_decisions", "heavy_hitter_tokens",
-    # new this round (r09, continued): BM25 lexical retrieval + the
-    # RRF hybrid combiner (lexical + embedding in one engine); the
-    # bigram LM quality score; TPC-H Q7/Q10 join-order shapes
-    "bm25_topk", "hybrid_rrf_topk", "bigram_surprisal",
-    "repetition_profile", "volume_shipping", "returned_item_report",
-    # new this round (r09, third session): product quantization — the
-    # full Jegou et al. build->encode->ADC-serve path under the gate —
-    # and the TPC-H Q8/Q13/Q17/Q22 shapes (market share, outer-join
-    # count distribution, correlated-threshold join, scalar-subquery +
-    # anti-join)
-    "pq_adc_topk", "ivf_pq_topk", "ivfpq_index_topk", "market_share",
-    "customer_order_distribution",
-    "small_quantity_revenue", "idle_customer_balance",
-    "disjunctive_brand_revenue", "sole_return_supplier",
-    # behavior-touched r09 (late): the corpus-ingest stream now writes
-    # the hp-prefix-partitioned index + Bloom sidecar and exact-screens
-    # via the pruned read — decisions identical, layout new
-    "streaming_ingest_decisions",
-    # behavior-touched r09: deterministic content-hash salt (+ unique id
-    # column in both salted frames), minhash band-bucket checkpoint
-    # placement, artifact writers' explicit-partition-count repartition
-    # (AQE commit-parallelism fix), streaming-index append repartition +
-    # compaction, encrypted-backup single keybag unlock + NaN size guard
-    "salted_priority_counts", "salted_join_revenue", "minhash_lsh_pairs",
-    "vector_index_topk", "multitable_index_topk", "ivf_index_topk",
-    "incremental_vector_decisions", "streaming_vector_decisions",
-    "encrypted_backup_scan", "encrypted_payload_scan",
-    # rotation: the r05 leftovers (13 — the oldest driver-green cohort)
-    "audio_frame_features", "cluster_best_keeper", "cube_segment_priority",
-    "customer_spend_quartiles", "daily_tag_sets", "incremental_exact_dedup",
-    "langid_confusion", "ngram_jaccard_pairs", "ngram_novelty",
-    "reagg_consistency", "stratified_sample_k", "user_last_value",
-    "xml_records_scan",
-    # rotation: 6 of the 44-query r06 cohort (alphabetical prefix;
-    # iphone_backup_scan is also r09-behavior-touched via the keybag
-    # fix). Remainder (38, from ann_axis_topk) rolls to r10 —
-    # ledger in COVERAGE.md.
-    "anchor_first_window", "ann_lsh_topk",
-    "chunk_dedup_profile",
-    "cosine_topk_vectorized", "dedup_clusters",
-    "iphone_backup_scan",
+    # new this round (r11): temporal-instability feature scores (the
+    # last uncovered reference analytics module); the TPC-H Q2/Q20
+    # join-order shapes (correlated min via window over the cost grain;
+    # nested semi-join chain with a correlated half-quantity threshold);
+    # the trigram stupid-backoff LM trained on a split
+    "temporal_instability_scores", "min_cost_supplier",
+    "excess_shipment_suppliers", "trigram_surprisal",
+    # behavior-touched r11: both ingest streams now commit idempotently
+    # (batch_id markers, per-batch decisions overwrite, own-id replay
+    # shield) and the bloom sidecar rebuilds on width mismatch; the
+    # Bloom build merges bitmaps two-level; the approx-quantile query
+    # asserts its oracle premise
+    "streaming_ingest_decisions", "streaming_vector_decisions",
+    "bloom_screen_decisions", "quantile_3way_label_approx",
+    # rotation: the FULL 38-query r06-cohort remainder (last driver
+    # attestation r06 — two rounds overdue; ledger in COVERAGE.md)
+    "ann_axis_topk", "auto_segment_triggers", "decontaminate_ngram",
+    "dominant_source_change", "etl_audit_report", "exact_dedup",
+    "feature_attribution_topk", "fold_class_check", "forward_fill_daily",
+    "global_zscore", "high_activity_blocks", "jsonl_corpus_scan",
+    "ks_drift", "label_halves_drift", "lag_persistence",
+    "late_shipment_priority", "macro_summary", "majority_baseline",
+    "missing_days_per_user", "nway_outer_merge", "pbsi_composite",
+    "per_class_metrics", "pipeline_report", "pricing_summary",
+    "quantile_3way_label", "rolling_7d_mean", "rolling_modal_label",
+    "selection_rule_report", "shipping_priority", "sliding_seq_stats",
+    "snapshot_provenance", "source_mixture_weights", "stratified_baseline",
+    "streaming_daily_stats", "streaming_sessions", "union_mean_fusion",
+    "unit_coercion_hours", "zip_ingest_scan",
+    # rotation: 3 of the 44-query r07 cohort (alphabetical prefix;
+    # remainder from calibration_bins rolls to r12 — ledger in
+    # COVERAGE.md)
+    "apply_mixture_sample", "auc_persistence", "bpe_token_stats",
 ]
 
 

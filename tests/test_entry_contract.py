@@ -41,52 +41,42 @@ def test_sample_queries_run_at_sf0001(spark, sf_dir):
 def test_attestation_window_is_stable():
     """The external harness attests the FIRST 50 queries; pin the window so
     a stray registration cannot silently displace an entry before it has
-    been attested. Round-9 window = the canary + every new or
-    behavior-touched query this round + the 13 r05 leftovers + 6 of the
-    44-query r06 cohort (remainder rolls to r10; ledger in COVERAGE.md).
+    been attested. Round-11 window = the canary + the 4 r11-new queries +
+    the 4 r11-behavior-touched queries + the FULL 38-query r06-cohort
+    remainder (two rounds overdue) + 3 of the 44-query r07 cohort
+    (remainder rolls to r12; ledger in COVERAGE.md).
     Rows-only (no-oracle) queries must NOT occupy window slots."""
     names = list(entrymod.queries())
     window = names[:50]
     oracles = entrymod.oracle_sql()
     assert window[0] == "daily_event_stats"  # cross-round canary
     for must in (
-        # new this round: the ExactSubstr span-cut intervention; the
-        # approx-quantile path's new oracle; the Bloom-prefiltered exact
-        # screen; the CMS-prefiltered exact heavy hitters; BM25 lexical
-        # retrieval; the RRF hybrid combiner; the bigram LM quality
-        # score; the TPC-H Q7/Q10 join-order shapes
-        "duplicate_span_cut", "quantile_3way_label_approx",
-        "bloom_screen_decisions", "heavy_hitter_tokens",
-        "bm25_topk", "hybrid_rrf_topk", "bigram_surprisal",
-        "repetition_profile", "volume_shipping", "returned_item_report",
-        # behavior-touched late-r09: the ingest stream's new
-        # hp-partitioned index layout + Bloom-pruned exact screen
-        "streaming_ingest_decisions",
-        # behavior-touched r09: deterministic salt, minhash checkpoint
-        # placement, artifact-writer explicit partition counts, streaming
-        # index append repartition + compaction, encrypted-backup keybag
-        # reuse + NaN size guard
-        "salted_priority_counts", "salted_join_revenue",
-        "minhash_lsh_pairs", "vector_index_topk", "multitable_index_topk",
-        "ivf_index_topk", "incremental_vector_decisions",
-        "streaming_vector_decisions", "encrypted_backup_scan",
-        "encrypted_payload_scan",
-        # r05-leftover rotation (the full 13)
-        "audio_frame_features", "cluster_best_keeper",
-        "cube_segment_priority", "customer_spend_quartiles",
-        "daily_tag_sets", "incremental_exact_dedup", "langid_confusion",
-        "ngram_jaccard_pairs", "ngram_novelty", "reagg_consistency",
-        "stratified_sample_k", "user_last_value", "xml_records_scan",
-        # new this round (third session): flat PQ, IVFADC (residual
-        # PQ over trained cells) and the TPC-H Q8/Q13/Q17/Q22 shapes
-        "pq_adc_topk", "ivf_pq_topk", "ivfpq_index_topk", "market_share",
-        "customer_order_distribution",
-        "small_quantity_revenue", "idle_customer_balance",
-        "disjunctive_brand_revenue", "sole_return_supplier",
-        # r06 cohort rotation (spot-pin a representative subset;
-        # iphone_backup_scan is also r09-behavior-touched)
-        "iphone_backup_scan", "anchor_first_window", "ann_lsh_topk",
-        "chunk_dedup_profile", "dedup_clusters",
+        # new this round (r11): the last uncovered reference analytics
+        # module, the TPC-H Q2/Q20 shapes, the trigram backoff LM
+        "temporal_instability_scores", "min_cost_supplier",
+        "excess_shipment_suppliers", "trigram_surprisal",
+        # behavior-touched r11: idempotent ingest commits + per-batch
+        # decisions layout (both streams), two-level bloom merge, the
+        # approx-quantile premise guard
+        "streaming_ingest_decisions", "streaming_vector_decisions",
+        "bloom_screen_decisions", "quantile_3way_label_approx",
+        # r06-cohort rotation (the full 38-query remainder)
+        "ann_axis_topk", "auto_segment_triggers", "decontaminate_ngram",
+        "dominant_source_change", "etl_audit_report", "exact_dedup",
+        "feature_attribution_topk", "fold_class_check",
+        "forward_fill_daily", "global_zscore", "high_activity_blocks",
+        "jsonl_corpus_scan", "ks_drift", "label_halves_drift",
+        "lag_persistence", "late_shipment_priority", "macro_summary",
+        "majority_baseline", "missing_days_per_user", "nway_outer_merge",
+        "pbsi_composite", "per_class_metrics", "pipeline_report",
+        "pricing_summary", "quantile_3way_label", "rolling_7d_mean",
+        "rolling_modal_label", "selection_rule_report",
+        "shipping_priority", "sliding_seq_stats", "snapshot_provenance",
+        "source_mixture_weights", "stratified_baseline",
+        "streaming_daily_stats", "streaming_sessions",
+        "union_mean_fusion", "unit_coercion_hours", "zip_ingest_scan",
+        # r07-cohort rotation start (alphabetical prefix)
+        "apply_mixture_sample", "auc_persistence", "bpe_token_stats",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry
