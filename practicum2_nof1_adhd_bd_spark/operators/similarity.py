@@ -1453,12 +1453,18 @@ def compact_index(spark, path: str, partition_cols: list[str] | None = None):
     pruned read was built to avoid. Compaction is the standard answer:
     read the artifact once, re-cluster on the partition key (one exchange,
     after which file count per directory follows data volume, not batch
-    count), write to a sibling temp directory, then atomically swap via
-    two filesystem renames. Readers between the renames see the artifact
-    whole-before or whole-after — the same swap discipline as the repo's
-    versioned snapshot writes (pipeline.py). Works for any of the three
-    on-disk ANN artifacts (bucket / (tbl, bucket) / cell layouts) via
-    ``partition_cols``.
+    count), write to a sibling temp directory, then swap via two
+    filesystem renames (each rename is atomic; the swap as a whole is
+    not — a reader that lists the path in the instant between them sees
+    a missing directory and must retry, and a reader holding file
+    handles across the swap sees the OLD files. Run compaction in the
+    ingest's batch gap, where foreachBatch's sequential execution
+    guarantees no concurrent reader; for genuinely concurrent serving,
+    layer a versioned-directory pointer like pipeline.py's snapshot
+    writes on top). Works for any of the three on-disk ANN artifacts
+    (bucket / (tbl, bucket) / cell layouts) via ``partition_cols`` —
+    root-level ``_`` sidecars, files AND directories (_bloom.bin,
+    _centroids, _codebooks, _store, _commits), are carried over.
 
     Returns (files_before, files_after) data-file counts so callers and
     the scale probe can track the reclaim.

@@ -1911,7 +1911,7 @@ def q_min_cost_supplier(spark, sf_dir):
     ),
     qual AS (
         SELECT DISTINCT l_suppkey FROM grain
-        WHERE n_lines >= 3 AND q_early > 0.5 * q_total
+        WHERE n_lines >= 2 AND q_early > 0.75 * q_total
     )
     SELECT s.s_name, n.n_name
     FROM supplier s
@@ -1928,7 +1928,10 @@ def q_excess_shipment_suppliers(spark, sf_dir):
     HALF their total shipped quantity of some selected part before the
     cutoff — Q20's `ps_availqty > 0.5 * (select sum(l_quantity) ...)`
     chain restated on this schema (no partsupp: availability becomes the
-    early-window shipped quantity). The trap Q20 sets is evaluating the
+    early-window shipped quantity; the 0.75 fraction + 2-line floor are
+    tuned so the rule discriminates at BOTH the sf0.01 gate and the
+    sf0.1 bench — l_quantity is integer-valued, so every sum is exact in
+    doubles and the strict comparison is combine-order-deterministic). The trap Q20 sets is evaluating the
     correlated sum per (part, supplier) probe — a second fact scan and a
     shuffle per level of the nesting. Here BOTH sides of the comparison
     are conditional sums of ONE (suppkey, partkey)-grain aggregation of
@@ -1962,8 +1965,8 @@ def q_excess_shipment_suppliers(spark, sf_dir):
     )
     qual = (
         grain.filter(
-            (F.col("n_lines") >= 3)
-            & (F.col("q_early") > 0.5 * F.col("q_total"))
+            (F.col("n_lines") >= 2)
+            & (F.col("q_early") > 0.75 * F.col("q_total"))
         )
         .select("l_suppkey")
         .distinct()

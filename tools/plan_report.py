@@ -450,6 +450,40 @@ NOTES = {
         "left_anti join whose build side is pre-shrunk by the "
         "order-date pushdown."
     ),
+    "min_cost_supplier": (
+        "TPC-H Q2: the correlated min-cost subquery is a WINDOW over "
+        "the once-aggregated (part, supplier) cost grain — no second "
+        "pass over the fact. Region and part prunes reach the lineitem "
+        "scan as broadcast semi joins BEFORE the groupBy, so the "
+        "aggregation sees only the selected-part, selected-region "
+        "sliver; all dims broadcast and the top-100 is a TakeOrdered."
+    ),
+    "excess_shipment_suppliers": (
+        "TPC-H Q20: both sides of the correlated quantity-fraction "
+        "threshold are conditional sums of ONE (suppkey, partkey) "
+        "aggregation of the part-pruned fact (broadcast semi pushes "
+        "the part selection into the scan); the EXISTS chain collapses "
+        "to a distinct projection + left_semi, and the supplier/"
+        "nation/region chain stays broadcast. One fact scan, one "
+        "fact-grain exchange."
+    ),
+    "temporal_instability_scores": (
+        "Segment assignment depends only on the date, so the interval "
+        "join runs over DISTINCT dates x broadcast segments (O(days) "
+        "rows); the melt is one generator projection and both "
+        "aggregations are map-side-combined hash aggs over "
+        "(feature x segment)-bounded frames. The normalization max is "
+        "a 1-row broadcast crossJoin — no collect, no windows."
+    ),
+    "trigram_surprisal": (
+        "One explode over the model corpus feeds all three count "
+        "levels (contexts re-aggregate the gram frames, never the "
+        "corpus); one explode over the scored corpus probes the three "
+        "models as broadcast left joins. At open-vocabulary scale the "
+        "model frames outgrow broadcast and broadcast_model=False "
+        "switches the probes to shuffle joins on the gram keys — the "
+        "documented regime for order 3 (SCALING 2h)."
+    ),
 }
 
 
