@@ -94,6 +94,7 @@ HEADLINE = [
     "min_cost_supplier",
     "excess_shipment_suppliers",
     "trigram_surprisal",
+    "decontaminate_fuzzy",
 ]
 
 

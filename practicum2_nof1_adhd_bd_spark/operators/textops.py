@@ -1588,3 +1588,55 @@ def trigram_surprisal(
             "bits_per_trigram",
         )
     )
+
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """FUZZY benchmark decontamination report: per-source rates of
+    training documents that are NEAR-duplicates of an eval/benchmark doc
+    (exact k-shingle Jaccard >= threshold) — the companion to
+    ``ngram_decontaminate`` for leakage that survives a paraphrase or
+    reformat, where no single long n-gram matches verbatim but most of
+    the shingle set does (the fuzzy dedup rule the Llama/GPT corpus
+    reports describe for eval scrubbing).
+
+    Scale shape: candidate generation is the LSH band equijoin of
+    ``dedup.incremental_near_dup`` with the EVAL set as the index side —
+    eval sets are tiny, so their signature/band frames broadcast and the
+    training corpus is one signature pass; the exact-Jaccard verify
+    re-shingles only candidate docs on both sides. Output grain is the
+    SOURCE (the curation decision unit): docs, contaminated docs, rate,
+    and the worst observed similarity — the audit view a corpus owner
+    reads before cutting a source or tightening the threshold.
+    """
+    from .dedup import incremental_near_dup
+
+    pairs = incremental_near_dup(
+        train, eval_docs, text_col, id_col, n_hashes, bands, k,
+        threshold=threshold,
+    )
+    flagged = pairs.groupBy(F.col("id_a").alias(id_col)).agg(
+        F.max("jaccard").alias("_best")
+    )
+    per_doc = train.select(id_col, group_col).join(flagged, id_col, "left")
+    return (
+        per_doc.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_best").alias("n_contaminated"),
+            F.round(
+                F.count("_best") / F.count(F.lit(1)), 6
+            ).alias("contamination_rate"),
+            F.max("_best").alias("max_jaccard"),
+        )
+        .orderBy(group_col)
+    )

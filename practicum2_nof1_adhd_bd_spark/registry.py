@@ -4141,6 +4141,7 @@ def q_decontaminate_ngram(spark, sf_dir):
     return textops.ngram_decontaminate(tr, ev, n=5)
 
 
+
 @register(
     "source_mixture_weights",
     f"""
@@ -5191,6 +5192,75 @@ def q_incremental_near_dup(spark, sf_dir):
     index = docs.filter(F.col("doc_id") % 10 != 0)
     out = dedup.incremental_near_dup(batch, index, n_hashes=8, bands=4, k=3)
     return out.select("id_a", "id_b", "jaccard")
+
+
+def _fuzzy_decontaminate_oracle(n_hashes: int = 8, bands: int = 4) -> str:
+    """Replays the full fuzzy path: MinHash signatures -> band buckets ->
+    train-vs-eval candidate pairs -> exact shingle-Jaccard verify at the
+    threshold -> per-doc best match -> per-source rollup."""
+    rows = n_hashes // bands
+    sig_cols = ",\n           ".join(
+        f"{_mh_expr(i)} AS mh{i}" for i in range(n_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"mh{b * rows + r}" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sig AS (SELECT doc_id, {sig_cols} FROM sh),
+    banded AS ({band_rows}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id % 100 <> 0 AND b.doc_id % 100 = 0
+    ),
+    ver AS (
+        SELECT id_a,
+               round(CAST(len(list_intersect(sa.shingles, sb.shingles))
+                          AS DOUBLE)
+                     / len(list_distinct(
+                           list_concat(sa.shingles, sb.shingles))),
+                     6) AS jaccard
+        FROM pairs
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+    ),
+    flagged AS (
+        SELECT id_a AS doc_id, max(jaccard) AS best
+        FROM ver WHERE jaccard >= 0.5 GROUP BY 1
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           count(f.best) AS n_contaminated,
+           round(count(f.best) / count(*), 6) AS contamination_rate,
+           max(f.best) AS max_jaccard
+    FROM documents d LEFT JOIN flagged f USING (doc_id)
+    WHERE d.doc_id % 100 <> 0
+    GROUP BY d.source
+    """
+
+
+@register("decontaminate_fuzzy", _fuzzy_decontaminate_oracle())
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """FUZZY benchmark decontamination (the Llama-style near-duplicate
+    eval scrub, complementing the exact 5-gram rule): training docs
+    whose exact 3-shingle Jaccard vs ANY eval doc (doc_id % 100 == 0)
+    is >= 0.5, rolled up to the per-source contamination report. LSH
+    band join generates candidates (the tiny eval side broadcasts),
+    exact Jaccard verifies only candidates — training text never
+    shuffles."""
+    docs = _cat(spark, sf_dir).documents
+    ev = docs.filter(F.col("doc_id") % 100 == 0)
+    tr = docs.filter(F.col("doc_id") % 100 != 0)
+    return textops.fuzzy_decontaminate(tr, ev, threshold=0.5)
 
 
 def _ingest_decisions_oracle() -> str:
@@ -8435,10 +8505,12 @@ _FRONT_ORDER = [
     "snapshot_provenance", "source_mixture_weights", "stratified_baseline",
     "streaming_daily_stats", "streaming_sessions", "union_mean_fusion",
     "unit_coercion_hours", "zip_ingest_scan",
-    # rotation: 3 of the 44-query r07 cohort (alphabetical prefix;
-    # remainder from calibration_bins rolls to r12 — ledger in
+    # new this round (r11, late): the fuzzy eval-leakage report
+    "decontaminate_fuzzy",
+    # rotation: 2 of the 44-query r07 cohort (alphabetical prefix;
+    # remainder from bpe_token_stats rolls to r12 — ledger in
     # COVERAGE.md)
-    "apply_mixture_sample", "auc_persistence", "bpe_token_stats",
+    "apply_mixture_sample", "auc_persistence",
 ]
 
 

@@ -43,8 +43,9 @@ def test_attestation_window_is_stable():
     a stray registration cannot silently displace an entry before it has
     been attested. Round-11 window = the canary + the 4 r11-new queries +
     the 4 r11-behavior-touched queries + the FULL 38-query r06-cohort
-    remainder (two rounds overdue) + 3 of the 44-query r07 cohort
-    (remainder rolls to r12; ledger in COVERAGE.md).
+    remainder (two rounds overdue) + the late-r11 fuzzy-decontamination
+    query + 2 of the 44-query r07 cohort (remainder rolls to r12;
+    ledger in COVERAGE.md).
     Rows-only (no-oracle) queries must NOT occupy window slots."""
     names = list(entrymod.queries())
     window = names[:50]
@@ -52,9 +53,11 @@ def test_attestation_window_is_stable():
     assert window[0] == "daily_event_stats"  # cross-round canary
     for must in (
         # new this round (r11): the last uncovered reference analytics
-        # module, the TPC-H Q2/Q20 shapes, the trigram backoff LM
+        # module, the TPC-H Q2/Q20 shapes, the trigram backoff LM, the
+        # fuzzy eval-leakage report
         "temporal_instability_scores", "min_cost_supplier",
         "excess_shipment_suppliers", "trigram_surprisal",
+        "decontaminate_fuzzy",
         # behavior-touched r11: idempotent ingest commits + per-batch
         # decisions layout (both streams), two-level bloom merge, the
         # approx-quantile premise guard
@@ -76,7 +79,7 @@ def test_attestation_window_is_stable():
         "streaming_daily_stats", "streaming_sessions",
         "union_mean_fusion", "unit_coercion_hours", "zip_ingest_scan",
         # r07-cohort rotation start (alphabetical prefix)
-        "apply_mixture_sample", "auc_persistence", "bpe_token_stats",
+        "apply_mixture_sample", "auc_persistence",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry

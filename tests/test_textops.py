@@ -528,3 +528,43 @@ def test_trigram_surprisal_stupid_backoff_closed_form(spark):
     # < 3 tokens -> row kept, 0 trigrams, NULL score
     assert out[3]["n_trigrams"] == 0 and out[3]["bits_per_trigram"] is None
     assert out[4]["n_trigrams"] == 0 and out[4]["bits_per_trigram"] is None
+
+
+def test_fuzzy_decontaminate_report_closed_form(spark):
+    """Near-copy of an eval doc is flagged (Jaccard >= threshold via the
+    LSH candidate path), an unrelated doc is not, and the per-source
+    report carries exact counts/rates. Doc 1 shares 8 of its 3-shingles
+    with the eval doc (one appended token changes the tail shingles):
+    jaccard = |inter| / |union| is high; doc 2 shares nothing."""
+    from practicum2_nof1_adhd_bd_spark.operators import textops
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, base + " extra", "web"),
+            (2, "totally different words about other topics entirely", "web"),
+            (3, "unrelated content from the books corpus here", "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    ev = spark.createDataFrame(
+        [(100, base, "eval")], "doc_id long, text string, source string"
+    )
+    out = {
+        r["source"]: r
+        for r in textops.fuzzy_decontaminate(
+            train, ev, threshold=0.5
+        ).collect()
+    }
+    assert out["web"]["n_docs"] == 2
+    assert out["web"]["n_contaminated"] == 1
+    assert abs(out["web"]["contamination_rate"] - 0.5) < 1e-9
+    # 10 shared shingles of 11 union... exact: base has 10 3-shingles,
+    # base+" extra" has 11; intersection 10, union 11
+    assert abs(out["web"]["max_jaccard"] - round(10 / 11, 6)) < 1e-6
+    assert out["books"]["n_docs"] == 1
+    assert out["books"]["n_contaminated"] == 0
+    assert out["books"]["max_jaccard"] is None
