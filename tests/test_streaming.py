@@ -1018,3 +1018,82 @@ def test_vector_ingest_crash_before_marker_replay_idempotent(
     got_dec, got_idx = read_state(x_index, x_dec)
     assert got_dec == want_dec
     assert got_idx == want_idx
+
+
+def test_corpus_ingest_crash_before_marker_replay_idempotent(
+    spark, tmp_path, monkeypatch
+):
+    """Worst-window crash for the CORPUS ingest: the index append
+    committed but the batch marker did not. The replay must not flag the
+    batch's own prior admissions as duplicates of themselves — the
+    own-id shield excludes them from both screens — so decisions come
+    out identical to an uninterrupted control run."""
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+
+    base = "sphinx of black quartz judge my vow again and again today"
+    b1 = [(1, base), (2, "some other unrelated content entirely")]
+    b2 = [(11, base), (12, "fresh novel words matching nothing stored")]
+
+    land, run_once, c_index, c_dec = _corpus_ingest_harness(
+        spark, tmp_path, "mcontrol"
+    )
+    land("b1.json", b1)
+    run_once()
+    land("b2.json", b2)
+    run_once()
+
+    def read_dec(dec_dir):
+        return sorted(
+            map(
+                tuple,
+                spark.read.schema(ci.DECISION_SCHEMA)
+                .parquet(dec_dir)
+                .select("doc_id", "status", "matched_id")
+                .collect(),
+            )
+        )
+
+    want = read_dec(c_dec)
+
+    land, run_once, x_index, x_dec = _corpus_ingest_harness(
+        spark, tmp_path, "mcrash"
+    )
+    land("b1.json", b1)
+    run_once()
+
+    real_mark = ci.mark_batch_committed
+    state = {"fail": True}
+
+    def failing_mark(spark_, index_dir, batch_id):
+        if state["fail"]:
+            state["fail"] = False
+            raise IOError("injected crash after index append, before marker")
+        return real_mark(spark_, index_dir, batch_id)
+
+    monkeypatch.setattr(ci, "mark_batch_committed", failing_mark)
+    land("b2.json", b2)
+    run_once(expect_fail=True)   # index already holds batch 1's admissions
+    run_once()                   # replay: own-id shield keeps decisions right
+
+    assert read_dec(x_dec) == want
+    # the stored index may carry duplicate signature ROWS for the batch
+    # (documented marker-window residue); the distinct id set must match
+    ids = sorted(
+        r["doc_id"]
+        for r in spark.read.schema(ci.INDEX_SCHEMA)
+        .option("basePath", x_index)
+        .parquet(x_index)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    want_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.schema(ci.INDEX_SCHEMA)
+        .option("basePath", c_index)
+        .parquet(c_index)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    assert ids == want_ids
