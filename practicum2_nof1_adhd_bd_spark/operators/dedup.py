@@ -923,6 +923,7 @@ def incremental_near_dup(
     bands: int = 4,
     k: int = 3,
     threshold: float = 0.0,
+    broadcast_index: bool = False,
 ) -> DataFrame:
     """Incremental near-dup screen: batch documents LSH-banded against the
     existing corpus index, Jaccard-verified — the companion to
@@ -941,6 +942,13 @@ def incremental_near_dup(
     sig_i = minhash_signatures_df(index, text_col, id_col, n_hashes, k)
     bb = _banded_buckets(sig_b, id_col, n_hashes, bands).alias("a")
     bi = _banded_buckets(sig_i, id_col, n_hashes, bands).alias("b")
+    # broadcast_index: when the index side is KNOWN tiny (an eval set in
+    # fuzzy_decontaminate), say so explicitly — the optimizer cannot see
+    # through the signature derivation's filter selectivity, and at
+    # corpus scale a mis-planned sort-merge join here would shuffle every
+    # training signature for a benchmark measured in megabytes.
+    if broadcast_index:
+        bi = F.broadcast(bi)
     # Each signature frame feeds the band join exactly once, so only the
     # candidate-pair id frame is worth materializing: it has three
     # consumers (two cand_ids legs + the verify join). An eager

@@ -1622,7 +1622,7 @@ def fuzzy_decontaminate(
 
     pairs = incremental_near_dup(
         train, eval_docs, text_col, id_col, n_hashes, bands, k,
-        threshold=threshold,
+        threshold=threshold, broadcast_index=True,
     )
     flagged = pairs.groupBy(F.col("id_a").alias(id_col)).agg(
         F.max("jaccard").alias("_best")

@@ -520,3 +520,13 @@ def test_excess_shipment_suppliers_single_fact_exchange(spark, sf_dir):
     assert len(scans) == 1
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The eval/benchmark side of the fuzzy decontamination screen is
+    megabytes against a 100-TB corpus, but the optimizer cannot infer
+    that through the signature derivation — the operator must broadcast
+    it explicitly so the band join never shuffles training signatures."""
+    df = registry.QUERIES["decontaminate_fuzzy"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
