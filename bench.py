@@ -95,6 +95,7 @@ HEADLINE = [
     "excess_shipment_suppliers",
     "trigram_surprisal",
     "decontaminate_fuzzy",
+    "nation_profit_share",
 ]
 
 

@@ -1987,6 +1987,80 @@ def q_excess_shipment_suppliers(spark, sf_dir):
 
 
 @register(
+    "nation_profit_share",
+    """
+    WITH selp AS (
+        SELECT p_partkey, p_retailprice FROM part
+        WHERE p_name LIKE '%gear%'
+    ),
+    profit AS (
+        SELECT s.s_nationkey,
+               CAST(strftime(o.o_orderdate, '%Y') AS INT) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                    - 0.6 * p.p_retailprice * l.l_quantity
+                    AS DECIMAL(28,12)) AS amount
+        FROM lineitem l
+        JOIN selp p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT n.n_name AS nation, o_year,
+           round(CAST(sum(amount) AS DOUBLE), 2) AS sum_profit
+    FROM profit JOIN nation n ON profit.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_nation_profit_share(spark, sf_dir):
+    """TPC-H Q9 shape (product-line profit by nation and year) — the
+    join-ORDER stress query: six tables, one LIKE-filtered dim, and the
+    one shape in the family where a genuine FACT-TO-FACT shuffle join is
+    unavoidable (lineitem needs o_orderdate; orders cannot broadcast).
+    The plan you want at 100 TB and the plan Catalyst would not pick
+    unaided: the part selection broadcasts into the lineitem scan FIRST
+    (no cost model sees through the LIKE, so written join order is the
+    prune), supplier/nation ride as broadcasts, and ONLY the pre-pruned
+    ~13% slice of lineitem reaches the orderkey shuffle against orders.
+    Profit arithmetic runs in decimal so the sum is combine-order-exact
+    (no partsupp here: unit cost is the deterministic 0.6 x retailprice
+    carried on the broadcast part dim). (TPC-H Q9)"""
+    cat = _cat(spark, sf_dir)
+    selp = cat.part.filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    li = cat.lineitem.select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    ).join(F.broadcast(selp), F.col("l_partkey") == F.col("p_partkey"))
+    li = li.join(
+        F.broadcast(cat.supplier.select("s_suppkey", "s_nationkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).select(
+        "l_orderkey",
+        "s_nationkey",
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        .cast("decimal(28,12)")
+        .alias("amount"),
+    )
+    orders = cat.orders.select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    profit = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    return (
+        profit.join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.round(F.sum("amount").cast("double"), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
     "topk_per_group",
     """
     WITH j AS (
@@ -8505,12 +8579,13 @@ _FRONT_ORDER = [
     "snapshot_provenance", "source_mixture_weights", "stratified_baseline",
     "streaming_daily_stats", "streaming_sessions", "union_mean_fusion",
     "unit_coercion_hours", "zip_ingest_scan",
-    # new this round (r11, late): the fuzzy eval-leakage report
-    "decontaminate_fuzzy",
-    # rotation: 2 of the 44-query r07 cohort (alphabetical prefix;
-    # remainder from bpe_token_stats rolls to r12 — ledger in
+    # new this round (r11, late): the fuzzy eval-leakage report and the
+    # TPC-H Q9 shape (the fact-to-fact join-order query)
+    "decontaminate_fuzzy", "nation_profit_share",
+    # rotation: 1 of the 44-query r07 cohort (alphabetical first;
+    # remainder from auc_persistence rolls to r12 — ledger in
     # COVERAGE.md)
-    "apply_mixture_sample", "auc_persistence",
+    "apply_mixture_sample",
 ]
 
 

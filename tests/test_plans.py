@@ -530,3 +530,15 @@ def test_fuzzy_decontaminate_broadcasts_eval_side(spark, sf_dir):
     df = registry.QUERIES["decontaminate_fuzzy"](spark, sf_dir)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_nation_profit_single_fact_fact_shuffle(spark, sf_dir):
+    """Q9 shape contract: the part LIKE prune broadcasts into lineitem
+    BEFORE the unavoidable fact-to-fact orderkey join, supplier/nation
+    broadcast, and lineitem is scanned once — the pruned slice, not the
+    whole fact, meets orders at the shuffle."""
+    df = registry.QUERIES["nation_profit_share"](spark, sf_dir)
+    plan = _plan(df)
+    scans = [seg for seg in plan.split("FileScan") if "lineitem" in seg[:300]]
+    assert len(scans) == 1
+    assert "BroadcastHashJoin" in plan

@@ -475,6 +475,14 @@ NOTES = {
         "(feature x segment)-bounded frames. The normalization max is "
         "a 1-row broadcast crossJoin — no collect, no windows."
     ),
+    "nation_profit_share": (
+        "TPC-H Q9 — the fact-to-fact join-order query: the part LIKE "
+        "prune broadcasts into the lineitem scan FIRST (no cost model "
+        "sees through a LIKE; written join order IS the prune), "
+        "supplier/nation broadcast, and only the pruned ~13% slice "
+        "meets orders at the one unavoidable orderkey shuffle. Profit "
+        "sums in decimal — combine-order exact."
+    ),
     "trigram_surprisal": (
         "One explode over the model corpus feeds all three count "
         "levels (contexts re-aggregate the gram frames, never the "
