@@ -96,6 +96,7 @@ HEADLINE = [
     "trigram_surprisal",
     "decontaminate_fuzzy",
     "nation_profit_share",
+    "dsir_select_topk",
 ]
 
 

@@ -1640,3 +1640,78 @@ def fuzzy_decontaminate(
         )
         .orderBy(group_col)
     )
+
+
+def dsir_importance(
+    pool: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """DSIR-style importance scores for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score each pool document by how much more likely its tokens are
+    under the TARGET domain's unigram LM than under the pool's own —
+    log p_t(w) - log p_c(w) summed over the doc, reported per token so
+    the score ranks content, not length. Both LMs are add-alpha
+    smoothed over the UNION vocabulary, so out-of-domain tokens get a
+    finite penalty instead of -inf. (DSIR proper hashes n-grams into
+    buckets and Gumbel-samples; the unigram exact form keeps the same
+    importance-weight structure SQL-replayable, and selection downstream
+    is the deterministic top-k — a TakeOrdered, not a global window.)
+
+    Scale shape: one token explode per side; the two count frames merge
+    with a full-outer join into ONE vocab-sized log-ratio model that
+    broadcasts into the scoring join (``broadcast_model=False`` for
+    open-vocabulary corpora switches to a shuffle join on the token —
+    same contract as the surprisal family). Scalars (N_t, N_c, V) ride
+    a 1-row broadcast crossJoin; nothing collects.
+    """
+    ptok = fan_out(pool, id_col).select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_w")
+    )
+    ttok = target.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_w")
+    )
+    cc = ptok.groupBy("_w").agg(F.count(F.lit(1)).alias("_cc"))
+    ct = ttok.groupBy("_w").agg(F.count(F.lit(1)).alias("_ct"))
+    counts = cc.join(ct, "_w", "full_outer").select(
+        "_w",
+        F.coalesce("_cc", F.lit(0)).alias("_cc"),
+        F.coalesce("_ct", F.lit(0)).alias("_ct"),
+    )
+    scalars = counts.agg(
+        F.sum("_cc").alias("_nc"),
+        F.sum("_ct").alias("_nt"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    model = counts.crossJoin(F.broadcast(scalars)).select(
+        "_w",
+        (
+            F.log((F.col("_ct") + F.lit(alpha)) / (F.col("_nt") + F.lit(alpha) * F.col("_v")))
+            - F.log((F.col("_cc") + F.lit(alpha)) / (F.col("_nc") + F.lit(alpha) * F.col("_v")))
+        ).alias("_lr"),
+    )
+    mside = F.broadcast(model) if broadcast_model else model
+    scored = (
+        ptok.join(mside, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("_lr") / F.count(F.lit(1)), 6).alias(
+                "logratio_per_token"
+            ),
+        )
+    )
+    # every pool doc keeps a row: token-less docs score 0 tokens, NULL
+    return (
+        pool.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "logratio_per_token",
+        )
+    )

@@ -4807,6 +4807,57 @@ def q_trigram_surprisal(spark, sf_dir):
 
 
 @register(
+    "dsir_select_topk",
+    f"""
+    WITH pt AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents
+                WHERE source <> 'src0'),
+    tt AS (SELECT unnest({_WORDS}) AS w FROM documents
+           WHERE source = 'src0'),
+    cc AS (SELECT w, count(*) AS cc FROM pt GROUP BY 1),
+    ct AS (SELECT w, count(*) AS ct FROM tt GROUP BY 1),
+    counts AS (
+        SELECT w, coalesce(cc, 0) AS cc, coalesce(ct, 0) AS ct
+        FROM cc FULL OUTER JOIN ct USING (w)
+    ),
+    sc AS (SELECT CAST(sum(cc) AS BIGINT) AS nc,
+                  CAST(sum(ct) AS BIGINT) AS nt,
+                  CAST(count(*) AS BIGINT) AS v
+           FROM counts),
+    model AS (
+        SELECT w, ln((ct + 0.1) / (nt + 0.1 * v))
+                  - ln((cc + 0.1) / (nc + 0.1 * v)) AS lr
+        FROM counts CROSS JOIN sc
+    ),
+    scored AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(sum(lr) / count(*), 6) AS logratio_per_token
+        FROM pt JOIN model USING (w) GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, logratio_per_token
+    FROM scored
+    ORDER BY logratio_per_token DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_dsir_select_topk(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023): rank the pool
+    (sources != src0) by per-token unigram log-importance toward the
+    target domain (src0) and keep the top-100 — the deterministic
+    importance-resampling form of 'pick pool data that looks like the
+    target'. One explode per side, one broadcast log-ratio model,
+    TakeOrdered selection (no global window)."""
+    docs = _cat(spark, sf_dir).documents
+    target = docs.filter(F.col("source") == "src0")
+    pool = docs.filter(F.col("source") != "src0")
+    scores = textops.dsir_importance(pool, target)
+    return (
+        scores.filter(F.col("logratio_per_token").isNotNull())
+        .orderBy(F.desc("logratio_per_token"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+@register(
     "repetition_profile",
     f"""
     WITH w AS (SELECT doc_id, length(text) AS chars, {_WORDS} AS ws
@@ -8579,13 +8630,11 @@ _FRONT_ORDER = [
     "snapshot_provenance", "source_mixture_weights", "stratified_baseline",
     "streaming_daily_stats", "streaming_sessions", "union_mean_fusion",
     "unit_coercion_hours", "zip_ingest_scan",
-    # new this round (r11, late): the fuzzy eval-leakage report and the
-    # TPC-H Q9 shape (the fact-to-fact join-order query)
-    "decontaminate_fuzzy", "nation_profit_share",
-    # rotation: 1 of the 44-query r07 cohort (alphabetical first;
-    # remainder from auc_persistence rolls to r12 — ledger in
-    # COVERAGE.md)
-    "apply_mixture_sample",
+    # new this round (r11, late): the fuzzy eval-leakage report, the
+    # TPC-H Q9 shape (the fact-to-fact join-order query), and DSIR
+    # importance selection — every r11-new query is in the window, so
+    # the full 44-query r07 cohort rolls to r12 (ledger in COVERAGE.md)
+    "decontaminate_fuzzy", "nation_profit_share", "dsir_select_topk",
 ]
 
 

@@ -43,9 +43,9 @@ def test_attestation_window_is_stable():
     a stray registration cannot silently displace an entry before it has
     been attested. Round-11 window = the canary + the 4 r11-new queries +
     the 4 r11-behavior-touched queries + the FULL 38-query r06-cohort
-    remainder (two rounds overdue) + the late-r11 fuzzy-decontamination
-    and TPC-H-Q9 queries + 1 of the 44-query r07 cohort (remainder
-    rolls to r12; ledger in COVERAGE.md).
+    remainder (two rounds overdue) + the late-r11 fuzzy-decontamination,
+    TPC-H-Q9 and DSIR queries (the full 44-query r07 cohort rolls to
+    r12; ledger in COVERAGE.md).
     Rows-only (no-oracle) queries must NOT occupy window slots."""
     names = list(entrymod.queries())
     window = names[:50]
@@ -57,7 +57,7 @@ def test_attestation_window_is_stable():
         # fuzzy eval-leakage report
         "temporal_instability_scores", "min_cost_supplier",
         "excess_shipment_suppliers", "trigram_surprisal",
-        "decontaminate_fuzzy", "nation_profit_share",
+        "decontaminate_fuzzy", "nation_profit_share", "dsir_select_topk",
         # behavior-touched r11: idempotent ingest commits + per-batch
         # decisions layout (both streams), two-level bloom merge, the
         # approx-quantile premise guard
@@ -78,8 +78,7 @@ def test_attestation_window_is_stable():
         "source_mixture_weights", "stratified_baseline",
         "streaming_daily_stats", "streaming_sessions",
         "union_mean_fusion", "unit_coercion_hours", "zip_ingest_scan",
-        # r07-cohort rotation start (alphabetical first)
-        "apply_mixture_sample",
+
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry

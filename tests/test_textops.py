@@ -568,3 +568,32 @@ def test_fuzzy_decontaminate_report_closed_form(spark):
     assert out["books"]["n_docs"] == 1
     assert out["books"]["n_contaminated"] == 0
     assert out["books"]["max_jaccard"] is None
+
+
+def test_dsir_importance_closed_form(spark):
+    """Hand-check of the DSIR log-ratio: target = "a a b", pool doc 1 =
+    "a a", doc 2 = "c c", doc 3 = "" (kept with NULL score). Union vocab
+    {a, b, c} (V=3), N_t=3, N_c=4, alpha=0.1:
+      lr(a) = ln(2.1/3.3) - ln(2.1/4.3)
+      lr(c) = ln(0.1/3.3) - ln(2.1/4.3)
+    Doc 1 scores lr(a) (mean of two equal terms); doc 2 scores lr(c) —
+    the target-like doc must outrank the off-domain one."""
+    import math
+
+    from practicum2_nof1_adhd_bd_spark.operators import textops
+
+    pool = spark.createDataFrame(
+        [(1, "a a"), (2, "c c"), (3, "")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame([(100, "a a b")], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textops.dsir_importance(pool, target).collect()
+    }
+    lr_a = math.log(2.1 / 3.3) - math.log(2.1 / 4.3)
+    lr_c = math.log(0.1 / 3.3) - math.log(2.1 / 4.3)
+    assert out[1]["n_tokens"] == 2
+    assert abs(out[1]["logratio_per_token"] - lr_a) < 1e-5
+    assert abs(out[2]["logratio_per_token"] - lr_c) < 1e-5
+    assert out[1]["logratio_per_token"] > out[2]["logratio_per_token"]
+    assert out[3]["n_tokens"] == 0 and out[3]["logratio_per_token"] is None

@@ -475,6 +475,20 @@ NOTES = {
         "(feature x segment)-bounded frames. The normalization max is "
         "a 1-row broadcast crossJoin — no collect, no windows."
     ),
+    "dsir_select_topk": (
+        "One explode per corpus side; the two count frames full-outer "
+        "merge into ONE vocab-sized log-ratio model that broadcasts "
+        "into the scoring join (shuffle-join fallback documented for "
+        "open vocabularies); selection is a TakeOrdered top-k, not a "
+        "global window — pool text never shuffles."
+    ),
+    "decontaminate_fuzzy": (
+        "Candidate generation is the LSH band equijoin with the eval "
+        "side EXPLICITLY broadcast (the optimizer cannot infer a "
+        "benchmark's size through the signature derivation); the exact "
+        "Jaccard verify re-shingles candidates only, and the rollup is "
+        "one source-grain aggregate — training text never shuffles."
+    ),
     "nation_profit_share": (
         "TPC-H Q9 — the fact-to-fact join-order query: the part LIKE "
         "prune broadcasts into the lineitem scan FIRST (no cost model "
