@@ -499,7 +499,10 @@ def test_min_cost_supplier_single_fact_scan_window_not_selfjoin(spark, sf_dir):
     broadcasts."""
     df = registry.QUERIES["min_cost_supplier"](spark, sf_dir)
     plan = _plan(df)
-    scans = [seg for seg in plan.split("FileScan") if "lineitem" in seg[:300]]
+    # seg[:1000], not [:300]: in a long-lived session attribute ids grow
+    # to 4-5 digits and the scan's column list pushes the file path past
+    # 300 chars
+    scans = [seg for seg in plan.split("FileScan") if "lineitem" in seg[:1000]]
     assert len(scans) == 1
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "Window" in plan
@@ -516,7 +519,7 @@ def test_excess_shipment_suppliers_single_fact_exchange(spark, sf_dir):
     broadcast."""
     df = registry.QUERIES["excess_shipment_suppliers"](spark, sf_dir)
     plan = _plan(df)
-    scans = [seg for seg in plan.split("FileScan") if "lineitem" in seg[:300]]
+    scans = [seg for seg in plan.split("FileScan") if "lineitem" in seg[:1000]]
     assert len(scans) == 1
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
@@ -539,6 +542,6 @@ def test_nation_profit_single_fact_fact_shuffle(spark, sf_dir):
     whole fact, meets orders at the shuffle."""
     df = registry.QUERIES["nation_profit_share"](spark, sf_dir)
     plan = _plan(df)
-    scans = [seg for seg in plan.split("FileScan") if "lineitem" in seg[:300]]
+    scans = [seg for seg in plan.split("FileScan") if "lineitem" in seg[:1000]]
     assert len(scans) == 1
     assert "BroadcastHashJoin" in plan
