@@ -436,3 +436,73 @@ def test_backup_crypto_roundtrip(payload, pw):
     assert kb.unwrap_for_class(1, wrapped) == _h.md5(b"file-key").digest() * 2
     kb2 = bc.BackupKeybag(blob)
     assert not kb2.unlock(pw + "x")
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    model_docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=1, max_size=8
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@_settings
+def test_trigram_stupid_backoff_matches_pure_python(spark, docs, model_docs):
+    """trigram_surprisal against an independent pure-Python stupid-backoff
+    model for ANY tiny corpus: same per-doc trigram counts and mean bits
+    (token 'd' never appears in the model, so OOV paths get exercised
+    whenever the scored side draws it)."""
+    import math
+    from collections import Counter
+
+    from practicum2_nof1_adhd_bd_spark.operators import textops
+
+    pool = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    model = [(1000 + i, " ".join(toks)) for i, toks in enumerate(model_docs)]
+    df = spark.createDataFrame(pool, "doc_id long, text string")
+    mdf = spark.createDataFrame(model, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textops.trigram_surprisal(df, model_df=mdf).collect()
+    }
+
+    # pure-Python reference
+    tri, big, uni = Counter(), Counter(), Counter()
+    n_tok = 0
+    for toks in model_docs:
+        n_tok += len(toks)
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+        tri.update(zip(toks, toks[1:], toks[2:]))
+    tri_ctx = Counter()
+    for (w1, w2, _w3), c in tri.items():
+        tri_ctx[(w1, w2)] += c
+    big_ctx = Counter()
+    for (w2, _w3), c in big.items():
+        big_ctx[w2] += c
+    v = len(uni)
+
+    def s(w1, w2, w3):
+        if tri[(w1, w2, w3)]:
+            return tri[(w1, w2, w3)] / tri_ctx[(w1, w2)]
+        if big[(w2, w3)]:
+            return 0.4 * big[(w2, w3)] / big_ctx[w2]
+        return 0.4 * 0.4 * (uni[w3] + 0.1) / (n_tok + 0.1 * v)
+
+    for i, toks in enumerate(docs):
+        row = out[i]
+        grams = list(zip(toks, toks[1:], toks[2:]))
+        assert row["n_trigrams"] == len(grams)
+        if not grams:
+            assert row["bits_per_trigram"] is None
+            continue
+        want = sum(-math.log2(s(*g)) for g in grams) / len(grams)
+        assert abs(row["bits_per_trigram"] - want) < 1e-5, (toks, want, row)

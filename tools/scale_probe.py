@@ -184,6 +184,16 @@ QUERIES = [
     "multitable_index_topk",
     "duplicate_spans",
     "local_supplier_volume",
+    # round-11 additions (decontaminate_fuzzy excluded: replication makes
+    # every replica an exact eval-dup, so the pair stage degenerates to
+    # the C(10,2)-per-group blowup already characterized by the
+    # minhash_lsh_pairs / semantic_dedup_ivf footnotes)
+    "temporal_instability_scores",
+    "trigram_surprisal",
+    "dsir_select_topk",
+    "min_cost_supplier",
+    "excess_shipment_suppliers",
+    "nation_profit_share",
 ]
 
 # artifact-serving queries: run once UNTIMED first so _land_once builds
@@ -683,6 +693,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--xml-mb", type=int, default=200)
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--queries",
+        default="",
+        help="comma-separated subset of the QUERIES list to time "
+        "(default: all)",
+    )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument(
         "--quantile-n",
@@ -719,6 +735,12 @@ def main() -> None:
     )
     ap.add_argument("--skew-salts", type=int, default=16)
     args = ap.parse_args()
+    if args.queries:
+        sel = [q.strip() for q in args.queries.split(",") if q.strip()]
+        unknown = [q for q in sel if q not in QUERIES]
+        if unknown:
+            raise SystemExit(f"not in QUERIES: {unknown}")
+        QUERIES[:] = sel
 
     from practicum2_nof1_adhd_bd_spark.session import get_spark
 
