@@ -506,3 +506,63 @@ def test_trigram_stupid_backoff_matches_pure_python(spark, docs, model_docs):
             continue
         want = sum(-math.log2(s(*g)) for g in grams) / len(grams)
         assert abs(row["bits_per_trigram"] - want) < 1e-5, (toks, want, row)
+
+
+@given(
+    pool=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    target=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=1, max_size=8
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@_settings
+def test_dsir_importance_matches_pure_python(spark, pool, target):
+    """dsir_importance against an independent pure-Python computation of
+    the add-alpha log-ratio for ANY tiny corpus pair ('d' exists only in
+    the pool, exercising the ct=0 penalty side)."""
+    import math
+    from collections import Counter
+
+    from practicum2_nof1_adhd_bd_spark.operators import textops
+
+    pdf = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(pool)],
+        "doc_id long, text string",
+    )
+    tdf = spark.createDataFrame(
+        [(100 + i, " ".join(t)) for i, t in enumerate(target)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in textops.dsir_importance(pdf, tdf).collect()
+    }
+    cc, ct = Counter(), Counter()
+    for t in pool:
+        cc.update(t)
+    for t in target:
+        ct.update(t)
+    vocab = set(cc) | set(ct)
+    nc, nt, v = sum(cc.values()), sum(ct.values()), len(vocab)
+
+    def lr(w):
+        return math.log((ct[w] + 0.1) / (nt + 0.1 * v)) - math.log(
+            (cc[w] + 0.1) / (nc + 0.1 * v)
+        )
+
+    for i, toks in enumerate(pool):
+        row = out[i]
+        assert row["n_tokens"] == len(toks)
+        if not toks:
+            assert row["logratio_per_token"] is None
+            continue
+        want = sum(lr(w) for w in toks) / len(toks)
+        assert abs(row["logratio_per_token"] - want) < 1e-5, (toks, want, row)
