@@ -1528,6 +1528,49 @@ def compact_index(spark, path: str, partition_cols: list[str] | None = None):
     return before, _count_files(jpath)
 
 
+def maybe_compact_index(
+    spark,
+    path: str,
+    partition_cols: list[str] | None = None,
+    max_files_per_dir: int = 16,
+):
+    """Compaction POLICY for continuously-ingested artifacts: compact only
+    when some partition directory has accreted more than
+    ``max_files_per_dir`` data files. Each micro-batch append lands at
+    most one file per touched partition (the repartition-before-
+    partitionBy floor), so the threshold reads as "compact a partition
+    roughly every N batches that touch it" — hot partitions trigger
+    compaction on their own schedule, cold ones never force a rewrite.
+    Call it in the ingest's batch gap (foreachBatch runs batches
+    sequentially, so no reader races the swap — see ``compact_index`` on
+    concurrent-reader semantics). Returns
+    ``(compacted, files_before, files_after)``; when under threshold the
+    artifact is untouched and before == after.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    total = 0
+    worst = 0
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not st.isDirectory() or name.startswith(("_", ".")):
+            continue
+        n = 0
+        it = fs.listFiles(st.getPath(), True)
+        while it.hasNext():
+            fname = it.next().getPath().getName()
+            if not fname.startswith(("_", ".")):
+                n += 1
+        total += n
+        worst = max(worst, n)
+    if worst <= max_files_per_dir:
+        return False, total, total
+    before, after = compact_index(spark, path, partition_cols)
+    return True, before, after
+
+
 def rrf_fuse(
     ranked: list[tuple[DataFrame, str]],
     id_col: str = "doc_id",

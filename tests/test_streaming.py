@@ -1097,3 +1097,62 @@ def test_corpus_ingest_crash_before_marker_replay_idempotent(
         .collect()
     )
     assert ids == want_ids
+
+
+def test_maybe_compact_index_policy(spark, tmp_path):
+    """The compaction policy fires only past the files-per-directory
+    threshold, leaves the artifact untouched below it, and serving stays
+    bit-identical across a triggered compaction."""
+    from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+
+    index_dir = str(tmp_path / "idx")
+    for b in range(4):
+        batch = spark.createDataFrame(
+            [
+                # same TEXTS every batch (fresh ids): identical hashes
+                # land in the same hp= dirs, so hot dirs accrete one
+                # file per append
+                (b * 10 + i, f"policy doc {i} alpha bravo charlie")
+                for i in range(6)
+            ],
+            "doc_id long, text string",
+        )
+        ci.write_index(
+            ci._batch_signatures(batch, "text", "doc_id", 8, 3),
+            index_dir,
+            mode="append",
+        )
+
+    # 4 appends -> hot hp dirs hold up to 4 files; generous threshold: no-op
+    did, nb, na = sim.maybe_compact_index(
+        spark, index_dir, ["hp"], max_files_per_dir=16
+    )
+    assert did is False and nb == na
+
+    rows_before = sorted(
+        map(
+            tuple,
+            spark.read.schema(ci.INDEX_SCHEMA)
+            .option("basePath", index_dir)
+            .parquet(index_dir)
+            .select("doc_id", "text_hash")
+            .collect(),
+        )
+    )
+    # tight threshold: compaction fires and reclaims files
+    did, nb, na = sim.maybe_compact_index(
+        spark, index_dir, ["hp"], max_files_per_dir=1
+    )
+    assert did is True and na < nb
+    rows_after = sorted(
+        map(
+            tuple,
+            spark.read.schema(ci.INDEX_SCHEMA)
+            .option("basePath", index_dir)
+            .parquet(index_dir)
+            .select("doc_id", "text_hash")
+            .collect(),
+        )
+    )
+    assert rows_after == rows_before
