@@ -359,6 +359,7 @@ def ingest_stream(
     bands: int = 4,
     k: int = 3,
     est_threshold: float = 0.8,
+    auto_compact_max_files: int | None = None,
 ):
     """Wire the screen into a foreachBatch stream: each micro-batch reads
     the current index, screens, appends decisions + admitted signatures.
@@ -390,6 +391,13 @@ def ingest_stream(
       the batch's signature rows; duplicate rows are decision-invariant
       for later batches (same min matched id) and compaction rewrites
       them away.
+
+    ``auto_compact_max_files`` (optional) runs the
+    ``similarity.maybe_compact_index`` policy in the batch gap after
+    each commit: when a hot hp= directory accretes more files than the
+    threshold, the index is rewritten to well-sized files. foreachBatch
+    executes batches sequentially, so no reader races the swap, and the
+    commit-marker directory is carried through compaction.
     """
 
     def _process(batch: DataFrame, batch_id: int) -> None:
@@ -548,6 +556,13 @@ def ingest_stream(
             decisions.unpersist()
             admitted_sigs.unpersist()
             cleanup()
+        if auto_compact_max_files is not None and not legacy_flat:
+            from ..operators.similarity import maybe_compact_index
+
+            maybe_compact_index(
+                spark, index_dir, ["hp"],
+                max_files_per_dir=auto_compact_max_files,
+            )
 
     return (
         stream_docs.writeStream.foreachBatch(_process)

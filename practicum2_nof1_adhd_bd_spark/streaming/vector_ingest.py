@@ -207,6 +207,7 @@ def ingest_vector_stream(
     threshold: float = 0.9,
     n_bits: int = 4,
     probe_hamming: int = 0,
+    auto_compact_max_files: int | None = None,
 ):
     """foreachBatch wiring: quantize the batch once (localCheckpoint —
     shared by the bucket collect, the screen, and the append without a
@@ -224,7 +225,9 @@ def ingest_vector_stream(
     per-batch directory instead of appending, and the screen excludes
     stored rows whose vec_id is in the current batch so a replay after a
     crash between the index append and the marker still produces the
-    uninterrupted run's decisions."""
+    uninterrupted run's decisions. ``auto_compact_max_files`` (optional)
+    runs the ``maybe_compact_index`` policy in the batch gap after each
+    commit, same contract as ``corpus_ingest.ingest_stream``."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -275,6 +278,13 @@ def ingest_vector_stream(
         finally:
             decisions.unpersist()
             admitted.unpersist()
+        if auto_compact_max_files is not None:
+            from ..operators.similarity import maybe_compact_index
+
+            maybe_compact_index(
+                spark, index_dir, ["bucket"],
+                max_files_per_dir=auto_compact_max_files,
+            )
 
     return (
         stream_vectors.writeStream.foreachBatch(_process)

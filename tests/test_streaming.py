@@ -1156,3 +1156,81 @@ def test_maybe_compact_index_policy(spark, tmp_path):
         )
     )
     assert rows_after == rows_before
+
+
+def test_ingest_stream_auto_compaction_end_to_end(spark, tmp_path):
+    """ingest_stream(auto_compact_max_files=1): compaction triggers in
+    the batch gaps of a live stream, the bloom sidecar and commit
+    markers survive the swaps, and decisions across batches are
+    identical to an uncompacted control run."""
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+
+    base = "how vexingly quick daft zebras jump over and over again"
+
+    def harness(sub, **kw):
+        import json
+
+        root = tmp_path / sub
+        src = root / "src"
+        src.mkdir(parents=True)
+        index_dir = str(root / "index")
+        dec_dir = str(root / "dec")
+        ckpt = str(root / "ckpt")
+
+        def land(name, rows):
+            p = src / f".{name}.tmp"
+            with open(p, "w") as f:
+                for doc_id, text in rows:
+                    f.write(
+                        json.dumps({"doc_id": doc_id, "text": text}) + "\n"
+                    )
+            p.rename(src / name)
+
+        def run_once():
+            stream = spark.readStream.schema(
+                "doc_id bigint, text string"
+            ).json(str(src))
+            q = ci.ingest_stream(stream, index_dir, dec_dir, ckpt, **kw)
+            assert q.awaitTermination(120)
+
+        return land, run_once, index_dir, dec_dir
+
+    batches = [
+        [(1, base), (2, "first batch other content")],
+        [(11, base), (12, "second batch novel words")],
+        [(21, base), (22, "third batch more novel words")],
+    ]
+
+    land, run_once, _c_idx, c_dec = harness("nocompact")
+    for b, rows in enumerate(batches):
+        land(f"b{b}.json", rows)
+        run_once()
+    want = sorted(
+        map(
+            tuple,
+            spark.read.schema(ci.DECISION_SCHEMA)
+            .parquet(c_dec)
+            .select("doc_id", "status", "matched_id")
+            .collect(),
+        )
+    )
+
+    land, run_once, x_idx, x_dec = harness(
+        "autocompact", auto_compact_max_files=1
+    )
+    for b, rows in enumerate(batches):
+        land(f"b{b}.json", rows)
+        run_once()
+    got = sorted(
+        map(
+            tuple,
+            spark.read.schema(ci.DECISION_SCHEMA)
+            .parquet(x_dec)
+            .select("doc_id", "status", "matched_id")
+            .collect(),
+        )
+    )
+    assert got == want
+    # bloom and markers survived the mid-stream compactions
+    assert ci._read_bloom(spark, x_idx) is not None
+    assert ci.batch_committed(spark, x_idx, 2)
