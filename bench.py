@@ -170,13 +170,16 @@ def main() -> None:
     )
     with open(full_path, "w") as f:
         json.dump(record, f)
+    # stdout medians at 2dp: the driver keeps only a 2000-char stdout
+    # tail, and at 3dp the 64-query line already measures ~1950 chars —
+    # full 3dp precision lives in BENCH_FULL.json
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "min_total": record["min_total"],
                 "sf": sf_val,
                 "full_record": "BENCH_FULL.json",
