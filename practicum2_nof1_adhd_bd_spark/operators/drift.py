@@ -180,8 +180,13 @@ def temporal_instability(
     the 1-row max frame broadcasts for the normalization, so the plan is
     scan -> partial agg -> 2 small exchanges at any corpus size.
     """
-    n = len(feature_cols)
-    stack_cols = ", ".join(f"'{c}', `{c}`" for c in feature_cols)
+    # Features absent from the frame score 0.0, same as all-null ones:
+    # the ref guards with `if feat not in df.columns or ...isna().all()`
+    # (temporal_instability.py:112), so a missing column is a 0-score
+    # row, not an AnalysisException from the stack below.
+    present = [c for c in feature_cols if c in features_df.columns]
+    n = len(present)
+    stack_cols = ", ".join(f"'{c}', `{c}`" for c in present)
     seg_of_date = (
         features_df.select(date_col)
         .distinct()
@@ -193,17 +198,22 @@ def temporal_instability(
         .groupBy(date_col)
         .agg(F.max(seg_id_col).alias("_seg"))
     )
-    long = features_df.selectExpr(
-        date_col, f"stack({n}, {stack_cols}) as (feature, value)"
-    )
-    seg_means = (
-        long.join(seg_of_date, date_col)
-        .groupBy("feature", "_seg")
-        .agg(F.avg("value").alias("_m"))
-    )
-    inst = seg_means.groupBy("feature").agg(
-        F.coalesce(F.var_samp("_m"), F.lit(0.0)).alias("instability")
-    )
+    if n:
+        long = features_df.selectExpr(
+            date_col, f"stack({n}, {stack_cols}) as (feature, value)"
+        )
+        seg_means = (
+            long.join(seg_of_date, date_col)
+            .groupBy("feature", "_seg")
+            .agg(F.avg("value").alias("_m"))
+        )
+        inst = seg_means.groupBy("feature").agg(
+            F.coalesce(F.var_samp("_m"), F.lit(0.0)).alias("instability")
+        )
+    else:  # every requested feature is missing: all rows come from the pad
+        inst = features_df.sparkSession.createDataFrame(
+            [], "feature string, instability double"
+        )
     # every requested feature gets a row, ref-style: absent/all-null -> 0.0
     all_feats = features_df.sparkSession.createDataFrame(
         [(c,) for c in feature_cols], "feature string"

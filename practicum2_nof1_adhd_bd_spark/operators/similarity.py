@@ -1443,7 +1443,42 @@ def query_vector_index(
     )
 
 
-def compact_index(spark, path: str, partition_cols: list[str] | None = None):
+def recover_interrupted_compaction(spark, path: str) -> bool:
+    """Restore an artifact parked by a crashed ``compact_index`` swap.
+
+    The swap is two renames: ``path -> path__precompact`` then
+    ``path__compacting -> path``. A crash between them leaves ``path``
+    absent with the full pre-compaction artifact intact at
+    ``path__precompact`` — and any consumer whose cold-start policy
+    treats "path missing" as "nothing written yet" (the ingest streams
+    do) would silently rebuild from an empty index, losing all dedup
+    state. Call this before any such existence check: if ``path`` is
+    missing but the ``__precompact`` sibling exists, the sibling is
+    renamed back into place. Returns True iff a recovery happened.
+    (If BOTH exist, the swap completed and the sibling is just an
+    undeleted leftover — ``compact_index`` clears it on its next run.)
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__precompact")
+    if not fs.exists(jpath) and fs.exists(old):
+        if not fs.rename(old, jpath):
+            raise IOError(
+                f"compact_index recovery: could not restore {path} from "
+                f"its __precompact sibling"
+            )
+        return True
+    return False
+
+
+def compact_index(
+    spark,
+    path: str,
+    partition_cols: list[str] | None = None,
+    dedup_cols: list[str] | None = None,
+):
     """Rewrite a partitioned index artifact to well-sized files.
 
     Continuous ingest appends one file per touched bucket per micro-batch
@@ -1465,6 +1500,13 @@ def compact_index(spark, path: str, partition_cols: list[str] | None = None):
     (bucket / (tbl, bucket) / cell layouts) via ``partition_cols`` —
     root-level ``_`` sidecars, files AND directories (_bloom.bin,
     _centroids, _codebooks, _store, _commits), are carried over.
+
+    ``dedup_cols`` (optional): dropDuplicates on these key columns during
+    the rewrite. The streaming ingests pass their id column so that the
+    one replay window that can duplicate rows (crash between the index
+    append and the commit marker) is repaired by the next compaction —
+    duplicate rows there are full-row identical, so keeping any one is
+    exact.
 
     Returns (files_before, files_after) data-file counts so callers and
     the scale probe can track the reclaim.
@@ -1490,15 +1532,35 @@ def compact_index(spark, path: str, partition_cols: list[str] | None = None):
                 n += 1
         return n
 
+    recover_interrupted_compaction(spark, path)
     before = _count_files(jpath)
     tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compacting")
     old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__precompact")
     if fs.exists(tmp):
         fs.delete(tmp, True)
-    df = spark.read.parquet(path)
-    df.repartition(
-        spark.sparkContext.defaultParallelism, *partition_cols
-    ).write.partitionBy(*partition_cols).mode("overwrite").parquet(str(tmp))
+    # Read with partition-column type INFERENCE OFF: the rewrite must
+    # round-trip directory names byte-for-byte. With inference on, an
+    # all-digit partition value set (e.g. a young corpus index whose
+    # every hp= prefix happens to be numeric) re-types the column as int
+    # and rewrites 'hp=07' as 'hp=7' — and the Bloom-pruned exact screen
+    # intersects 2-char string prefixes against directory names, so the
+    # renamed hashes would be silently skipped (duplicates admitted).
+    # As strings, values are exactly the directory-name text, so int-typed
+    # layouts (bucket=, cell=) round-trip unchanged too.
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    infer_prev = spark.conf.get(infer_key)
+    spark.conf.set(infer_key, "false")
+    try:
+        df = spark.read.parquet(path)
+        if dedup_cols:
+            df = df.dropDuplicates(dedup_cols)
+        df.repartition(
+            spark.sparkContext.defaultParallelism, *partition_cols
+        ).write.partitionBy(*partition_cols).mode("overwrite").parquet(
+            str(tmp)
+        )
+    finally:
+        spark.conf.set(infer_key, infer_prev)
     # Carry root-level sidecars into the compacted tree: compaction does
     # not change CONTENT, so membership/quantizer sidecars stay exactly
     # valid — dropping one would force a full-index rebuild (_bloom.bin)
@@ -1533,6 +1595,9 @@ def maybe_compact_index(
     path: str,
     partition_cols: list[str] | None = None,
     max_files_per_dir: int = 16,
+    dedup_cols: list[str] | None = None,
+    sample_dirs: int = 256,
+    cursor: int = 0,
 ):
     """Compaction POLICY for continuously-ingested artifacts: compact only
     when some partition directory has accreted more than
@@ -1543,22 +1608,45 @@ def maybe_compact_index(
     compaction on their own schedule, cold ones never force a rewrite.
     Call it in the ingest's batch gap (foreachBatch runs batches
     sequentially, so no reader races the swap — see ``compact_index`` on
-    concurrent-reader semantics). Returns
-    ``(compacted, files_before, files_after)``; when under threshold the
-    artifact is untouched and before == after.
+    concurrent-reader semantics).
+
+    Listing cost is BOUNDED: at most ``sample_dirs`` partition
+    directories are listed per invocation. Up to that many dirs (every
+    current artifact layout — the hp index tops out at 256) the probe is
+    exhaustive and the policy exact; past it, a rotating window of
+    ``sample_dirs`` dirs (advanced by ``cursor``, e.g. the stream's
+    batch_id) is probed instead, so a thousand-partition artifact costs
+    the same per batch and a hot directory is still seen within
+    ceil(n_dirs / sample_dirs) batches — detection latency, not a miss.
+    Without this cap the per-batch full recursive listing would itself
+    become the hot spot at scale.
+
+    Returns ``(compacted, files_before, files_after)``; when under
+    threshold the artifact is untouched and before == after (the count
+    covers the probed dirs only when sampling kicked in).
     """
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(hconf)
+    names = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(jpath)
+        if st.isDirectory()
+        and not st.getPath().getName().startswith(("_", "."))
+    )
+    if len(names) > sample_dirs:
+        start = (cursor * sample_dirs) % len(names)
+        names = [
+            names[(start + i) % len(names)] for i in range(sample_dirs)
+        ]
     total = 0
     worst = 0
-    for st in fs.listStatus(jpath):
-        name = st.getPath().getName()
-        if not st.isDirectory() or name.startswith(("_", ".")):
-            continue
+    for name in names:
         n = 0
-        it = fs.listFiles(st.getPath(), True)
+        it = fs.listFiles(
+            jvm.org.apache.hadoop.fs.Path(str(jpath) + "/" + name), True
+        )
         while it.hasNext():
             fname = it.next().getPath().getName()
             if not fname.startswith(("_", ".")):
@@ -1567,7 +1655,9 @@ def maybe_compact_index(
         worst = max(worst, n)
     if worst <= max_files_per_dir:
         return False, total, total
-    before, after = compact_index(spark, path, partition_cols)
+    before, after = compact_index(
+        spark, path, partition_cols, dedup_cols=dedup_cols
+    )
     return True, before, after
 
 

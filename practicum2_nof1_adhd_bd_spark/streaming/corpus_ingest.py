@@ -46,6 +46,7 @@ from ..operators.dedup import (
     bloom_member_expr,
     minhash_signatures_df,
 )
+from ..operators.similarity import recover_interrupted_compaction
 
 INDEX_SCHEMA = "doc_id bigint, text_hash string, sig array<bigint>"
 DECISION_SCHEMA = "doc_id bigint, status string, matched_id bigint"
@@ -126,6 +127,31 @@ def _marker_path(jvm, index_dir: str, batch_id: int):
     return jvm.org.apache.hadoop.fs.Path(
         f"{index_dir}/_commits/{batch_id}"
     )
+
+
+def _guard_decisions_layout(spark, decisions_dir: str) -> None:
+    """Fail loudly when a per-batch (``batch=N``) decisions sink is
+    pointed at a PRE-EXISTING flat-layout decisions directory. The sink
+    switched from append-at-root to per-batch partition directories (the
+    idempotent-replay upgrade); mixing root-level parquet files with
+    partition directories breaks partition discovery for every reader of
+    the root. Legacy dirs must be migrated (move the flat files under a
+    ``batch=-1`` directory, or start a fresh sink) — silently corrupting
+    the layout is worse than stopping the stream."""
+    fs, path, _ = _hadoop_fs(spark, decisions_dir)
+    if not fs.exists(path):
+        return
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            raise ValueError(
+                f"decisions sink {decisions_dir} contains legacy "
+                f"root-level data file {name!r}: this stream writes "
+                f"per-batch batch=N directories, and mixing the two "
+                f"layouts breaks partition discovery for readers of the "
+                f"root. Migrate the flat files (e.g. under batch=-1) or "
+                f"point the stream at a fresh decisions_dir."
+            )
 
 
 def batch_committed(spark, index_dir: str, batch_id: int) -> bool:
@@ -389,8 +415,11 @@ def ingest_stream(
       same contract the decisions sink already relies on.) In that one
       marker-create-sized window the replayed index append duplicates
       the batch's signature rows; duplicate rows are decision-invariant
-      for later batches (same min matched id) and compaction rewrites
-      them away.
+      for later batches (same min matched id). With auto-compaction
+      enabled the next compaction dedups them (``compact_index`` is
+      called with ``dedup_cols=[id_col]``); without it they persist
+      harmlessly — row-count consumers of the raw index should
+      countDistinct the id column.
 
     ``auto_compact_max_files`` (optional) runs the
     ``similarity.maybe_compact_index`` policy in the batch gap after
@@ -402,6 +431,14 @@ def ingest_stream(
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # A compact_index swap that crashed between its two renames parks
+        # the artifact at {index_dir}__precompact with index_dir absent —
+        # which the cold-start branch below would misread as "nothing
+        # ingested yet" and silently rebuild from an empty index. Restore
+        # it first; with auto-compaction running in every batch gap this
+        # crash window recurs for the life of the stream.
+        recover_interrupted_compaction(spark, index_dir)
+        _guard_decisions_layout(spark, decisions_dir)
         if batch_committed(spark, index_dir, batch_id):
             return  # at-least-once replay of a fully committed batch
         # Cold start ONLY: an absent index dir means nothing ingested yet.
@@ -562,6 +599,10 @@ def ingest_stream(
             maybe_compact_index(
                 spark, index_dir, ["hp"],
                 max_files_per_dir=auto_compact_max_files,
+                # replay-window duplicate signature rows (see commit
+                # protocol above) are repaired here
+                dedup_cols=[id_col],
+                cursor=batch_id,
             )
 
     return (

@@ -49,7 +49,12 @@ from pyspark.sql import functions as F
 
 from ..operators import similarity as sim
 from ..operators.similarity import _dot, dequantized, hamming_ball
-from .corpus_ingest import _index_exists, batch_committed, mark_batch_committed
+from .corpus_ingest import (
+    _guard_decisions_layout,
+    _index_exists,
+    batch_committed,
+    mark_batch_committed,
+)
 
 VINDEX_SCHEMA = sim.VECTOR_INDEX_SCHEMA
 VDECISION_SCHEMA = "vec_id bigint, status string, matched_id bigint"
@@ -231,6 +236,11 @@ def ingest_vector_stream(
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # restore an artifact parked by a crashed compact_index swap
+        # BEFORE the existence checks (else cold-start logic rebuilds
+        # from an empty index); then refuse legacy flat decisions dirs
+        sim.recover_interrupted_compaction(spark, index_dir)
+        _guard_decisions_layout(spark, decisions_dir)
         if batch_committed(spark, index_dir, batch_id):
             return  # at-least-once replay of a fully committed batch
         vb = _batch_vectors(batch, id_col, vec_col, n_bits).localCheckpoint(
@@ -284,6 +294,10 @@ def ingest_vector_stream(
             maybe_compact_index(
                 spark, index_dir, ["bucket"],
                 max_files_per_dir=auto_compact_max_files,
+                # stored rows carry the canonical vec_id name regardless
+                # of the stream's id_col (see VINDEX_SCHEMA)
+                dedup_cols=["vec_id"],
+                cursor=batch_id,
             )
 
     return (

@@ -114,3 +114,46 @@ def test_temporal_instability_reference_semantics(spark):
     ).collect()
     assert one_seg[0]["instability"] == 0.0
     assert one_seg[0]["instability_norm"] == 0.0
+
+
+def test_temporal_instability_missing_feature_scores_zero(spark):
+    """A feature name absent from the frame scores 0.0 (ref
+    temporal_instability.py:112 guards `feat not in df.columns` the same
+    way as an all-null column) instead of raising from the stack; an
+    ALL-missing request yields all-zero rows."""
+    import datetime as dt
+
+    from practicum2_nof1_adhd_bd_spark.operators import drift
+
+    d = dt.date
+    feats = spark.createDataFrame(
+        [
+            (d(2024, 1, 1), 1.0),
+            (d(2024, 1, 2), 3.0),
+            (d(2024, 1, 3), 10.0),
+            (d(2024, 1, 4), 20.0),
+        ],
+        "date date, f1 double",
+    )
+    segs = spark.createDataFrame(
+        [
+            (0, d(2024, 1, 1), d(2024, 1, 2)),
+            (1, d(2024, 1, 3), d(2024, 1, 4)),
+        ],
+        "seg_id int, date_start date, date_end date",
+    )
+    out = {
+        r["feature"]: r
+        for r in drift.temporal_instability(
+            feats, segs, ["f1", "nope"], "date"
+        ).collect()
+    }
+    assert out["f1"]["instability"] == 84.5
+    assert out["nope"]["instability"] == 0.0
+    assert out["nope"]["instability_norm"] == 0.0
+
+    all_missing = drift.temporal_instability(
+        feats, segs, ["ghost_a", "ghost_b"], "date"
+    ).collect()
+    assert sorted(r["feature"] for r in all_missing) == ["ghost_a", "ghost_b"]
+    assert all(r["instability"] == 0.0 for r in all_missing)

@@ -1234,3 +1234,209 @@ def test_ingest_stream_auto_compaction_end_to_end(spark, tmp_path):
     # bloom and markers survived the mid-stream compactions
     assert ci._read_bloom(spark, x_idx) is not None
     assert ci.batch_committed(spark, x_idx, 2)
+
+
+def test_compact_index_preserves_all_digit_partition_names(spark, tmp_path):
+    """Partition directory names must round-trip BYTE-FOR-BYTE through
+    compaction. With Spark's partition-column type inference on, an
+    artifact whose every hp= value is all-digits ('hp=07', 'hp=12') is
+    re-typed int during the compaction read and rewritten unpadded
+    ('hp=7') — and the Bloom-pruned exact screen intersects 2-char
+    string prefixes against directory names, so those hashes would be
+    silently skipped (dup admitted). compact_index reads with inference
+    disabled, so string values are exactly the directory-name text."""
+    import os
+
+    from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
+
+    index_dir = str(tmp_path / "digit_idx")
+    rows = [
+        (1, "07" + "a" * 30, [1, 2], "07"),
+        (2, "12" + "b" * 30, [3, 4], "12"),
+        (3, "99" + "c" * 30, [5, 6], "99"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text_hash string, sig array<bigint>, hp string"
+    )
+    df.write.partitionBy("hp").parquet(index_dir)
+    before = {
+        n for n in os.listdir(index_dir) if n.startswith("hp=")
+    }
+    assert before == {"hp=07", "hp=12", "hp=99"}
+    sim.compact_index(spark, index_dir, partition_cols=["hp"])
+    after = {n for n in os.listdir(index_dir) if n.startswith("hp=")}
+    assert after == before  # 'hp=07' NOT rewritten as 'hp=7'
+    got = sorted(
+        (r["doc_id"], r["text_hash"])
+        for r in spark.read.parquet(index_dir)
+        .select("doc_id", "text_hash")
+        .collect()
+    )
+    assert got == sorted((r[0], r[1]) for r in rows)
+
+
+def test_recover_interrupted_compaction_restores_parked_artifact(
+    spark, tmp_path
+):
+    """A crash between compact_index's two renames leaves the artifact
+    parked at path__precompact with path absent — exactly the state the
+    ingest cold-start check would misread as 'nothing ingested yet'.
+    Recovery renames it back; a committed-swap leftover (both exist) is
+    left alone."""
+    import os
+
+    from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
+
+    index_dir = str(tmp_path / "park_idx")
+    spark.createDataFrame(
+        [(1, "ab" + "x" * 30, [1], "ab")],
+        "doc_id long, text_hash string, sig array<bigint>, hp string",
+    ).write.partitionBy("hp").parquet(index_dir)
+    # simulate the crash window: first rename done, second never ran
+    os.rename(index_dir, index_dir + "__precompact")
+    assert sim.recover_interrupted_compaction(spark, index_dir) is True
+    assert os.path.isdir(index_dir)
+    assert not os.path.exists(index_dir + "__precompact")
+    assert spark.read.parquet(index_dir).count() == 1
+    # nothing parked: no-op
+    assert sim.recover_interrupted_compaction(spark, index_dir) is False
+
+
+def test_corpus_ingest_recovers_from_interrupted_compaction(
+    spark, tmp_path
+):
+    """End-to-end: park the corpus signature index (crashed swap), then
+    run the NEXT micro-batch — the stream must restore the artifact
+    before its cold-start check, so a stored duplicate is still
+    rejected instead of the stream silently rebuilding from empty."""
+    import json
+    import os
+
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+
+    base = (
+        "recovery alpha bravo charlie delta echo foxtrot golf hotel "
+        "india juliet kilo lima mike november oscar papa quebec romeo"
+    )
+    src = tmp_path / "rsrc"
+    src.mkdir()
+    index_dir = str(tmp_path / "ridx")
+    dec_dir = str(tmp_path / "rdec")
+    ckpt = str(tmp_path / "rckpt")
+
+    def land(name, rows):
+        tmp = src / f".{name}.tmp"
+        with open(tmp, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        tmp.rename(src / name)
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id bigint, text string").json(
+            str(src)
+        )
+        q = ci.ingest_stream(stream, index_dir, dec_dir, ckpt)
+        assert q.awaitTermination(120)
+
+    land("b1.json", [(1, base)])
+    run_once()
+    # crashed swap: artifact parked, index_dir gone
+    os.rename(index_dir, index_dir + "__precompact")
+    land("b2.json", [(21, base), (22, "another novel document words")])
+    run_once()
+    dec = {r["doc_id"]: r for r in spark.read.parquet(dec_dir).collect()}
+    assert dec[21]["status"] == "exact_dup" and dec[21]["matched_id"] == 1
+    assert dec[22]["status"] == "admitted"
+    idx = spark.read.schema(ci.INDEX_SCHEMA).parquet(index_dir)
+    assert sorted(r["doc_id"] for r in idx.collect()) == [1, 22]
+
+
+def test_compact_index_dedup_cols_repairs_replay_duplicates(
+    spark, tmp_path
+):
+    """compact_index(dedup_cols=[id]) drops the full-row-identical
+    duplicates the marker-window replay can append, making the ingest
+    docstring's 'compaction rewrites them away' claim literally true."""
+    from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+
+    index_dir = str(tmp_path / "dup_idx")
+    batch = spark.createDataFrame(
+        [(i, f"dedup doc {i} alpha bravo charlie") for i in range(5)],
+        "doc_id long, text string",
+    )
+    sigs = ci._batch_signatures(batch, "text", "doc_id", 8, 3)
+    ci.write_index(sigs, index_dir, mode="append")
+    ci.write_index(sigs, index_dir, mode="append")  # replayed append
+    assert (
+        spark.read.schema(ci.INDEX_SCHEMA).parquet(index_dir).count() == 10
+    )
+    sim.compact_index(
+        spark, index_dir, partition_cols=["hp"], dedup_cols=["doc_id"]
+    )
+    after = spark.read.schema(ci.INDEX_SCHEMA).parquet(index_dir)
+    assert after.count() == 5
+    assert sorted(r["doc_id"] for r in after.collect()) == list(range(5))
+
+
+def test_guard_decisions_layout_rejects_legacy_flat_sink(spark, tmp_path):
+    """Pointing the per-batch (batch=N) decisions sink at a pre-existing
+    flat-layout decisions dir must fail loudly — mixing root-level data
+    files with partition dirs breaks partition discovery for readers."""
+    import pytest
+
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+
+    legacy = str(tmp_path / "legacy_dec")
+    spark.createDataFrame(
+        [(1, "admitted", None)], ci.DECISION_SCHEMA
+    ).coalesce(1).write.parquet(legacy)
+    with pytest.raises(ValueError, match="legacy"):
+        ci._guard_decisions_layout(spark, legacy)
+    # absent dir and per-batch layout both pass
+    ci._guard_decisions_layout(spark, str(tmp_path / "never_written"))
+    ok = str(tmp_path / "ok_dec")
+    spark.createDataFrame(
+        [(1, "admitted", None)], ci.DECISION_SCHEMA
+    ).write.parquet(f"{ok}/batch=0")
+    ci._guard_decisions_layout(spark, ok)
+
+
+def test_maybe_compact_index_sampling_bounds_listing(spark, tmp_path):
+    """With sample_dirs below the directory count, the policy probes a
+    rotating window: any single call lists at most sample_dirs dirs, and
+    a hot directory is still detected within ceil(n/sample) cursor
+    steps — bounded per-batch listing cost at scale."""
+    from practicum2_nof1_adhd_bd_spark.operators import similarity as sim
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+
+    index_dir = str(tmp_path / "sample_idx")
+    batch = spark.createDataFrame(
+        [(i, f"sampling doc {i} alpha bravo charlie") for i in range(8)],
+        "doc_id long, text string",
+    )
+    sigs = ci._batch_signatures(batch, "text", "doc_id", 8, 3)
+    for _ in range(3):  # hot dirs accrete 3 files each
+        ci.write_index(sigs, index_dir, mode="append")
+    n_dirs = len(ci._hp_dirs(spark, index_dir))
+    assert n_dirs >= 2
+
+    # sampled probe, generous threshold: never fires, and the probed
+    # count is bounded by one directory's files (3), not the artifact's
+    did, nb, na = sim.maybe_compact_index(
+        spark, index_dir, ["hp"], max_files_per_dir=16, sample_dirs=1,
+        cursor=0,
+    )
+    assert did is False and nb == na <= 3
+
+    # tight threshold: a full cursor rotation must hit a hot dir
+    fired_at = None
+    for cur in range(n_dirs):
+        did, nb, na = sim.maybe_compact_index(
+            spark, index_dir, ["hp"], max_files_per_dir=1, sample_dirs=1,
+            cursor=cur,
+        )
+        if did:
+            fired_at = cur
+            break
+    assert fired_at is not None
