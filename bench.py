@@ -3,6 +3,12 @@
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+The stdout "queries" dict is a bounded DIGEST — {name: [median_sec,
+ratio_to_floor]} for the queries furthest over their cross-round floor,
+sized to stay inside the driver's 2000-char stdout tail at any headline
+count. The FULL per-query record (medians, repeats, mins, floors,
+ratios) is persisted to BENCH_FULL.json every run; the cross-round
+per-query floor ledger lives in BENCH_FLOORS.json.
 
 Each query is forced to full execution with the noop sink (count() would let
 Catalyst prune away computed columns and under-measure).
@@ -100,6 +106,68 @@ HEADLINE = [
 ]
 
 
+def _load_floors(path: str, sf: str = "0.1") -> dict[str, float]:
+    """Cross-round per-query noise floors (seconds), KEYED BY SCALE
+    FACTOR — a local sf0.01 iteration run must not pollute the sf0.1
+    floors the driver's rounds compare against. The ledger is the
+    running min over every round's per-query MIN — the best this host
+    has ever run the query — so ratio-to-floor separates a real code
+    regression (ratio drifts up and stays) from the documented host-tax
+    rounds (every ratio drifts together, then returns). Missing or
+    corrupt ledger just means an empty seed. (A flat legacy file is read
+    as the sf0.1 ledger.)"""
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if data and all(isinstance(v, dict) for v in data.values()):
+        data = data.get(sf, {})
+    elif sf != "0.1":
+        return {}
+    return {k: float(v) for k, v in data.items()}
+
+
+def _stdout_line(record: dict, ratios: dict[str, float], budget: int = 1600) -> str:
+    """ONE compact JSON line for the driver's 2000-char stdout tail.
+
+    At 64 headline queries a full per-query dict measured ~1,894 chars —
+    r09/r10 both lost their parsed blobs to exactly this truncation, so
+    the full dict now lives ONLY in BENCH_FULL.json and stdout carries a
+    DIGEST: the queries most over their cross-round floor (the ones a
+    reader of the bench line actually needs to see), greedily added
+    until the line would exceed ``budget``. The driver-contract fields
+    (metric/value/unit/queries/sf) all stay present; n_queries says how
+    many the totals cover."""
+    timings = record["queries"]
+    base = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": record["unit"],
+        "queries": {},
+        "n_queries": len(timings),
+        "min_total": record["min_total"],
+        "sf": record["sf"],
+        "full_record": "BENCH_FULL.json",
+    }
+    # worst ratio-to-floor first: regressions outrank big-but-normal
+    order = sorted(
+        timings, key=lambda q: ratios.get(q, 1.0), reverse=True
+    )
+    line = json.dumps(base, separators=(",", ":"))
+    for q in order:
+        trial = dict(base)
+        trial["queries"] = {
+            **base["queries"],
+            q: [round(timings[q], 2), round(ratios.get(q, 1.0), 2)],
+        }
+        s = json.dumps(trial, separators=(",", ":"))
+        if len(s) > budget:
+            break
+        base, line = trial, s
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from practicum2_nof1_adhd_bd_spark import registry
@@ -150,6 +218,29 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # Floors ledger: running per-query min across every round on this
+    # host. ratio_to_floor = this round's median / the cross-round floor
+    # — the regression signal VERDICT r11 asked for, so host-tax rounds
+    # (all ratios drift together) stop needing a hand-audit.
+    here = os.path.dirname(os.path.abspath(__file__))
+    floors_path = os.path.join(here, "BENCH_FLOORS.json")
+    floors = _load_floors(floors_path, sf=str(sf_val))
+    for k, v in mins.items():
+        floors[k] = round(min(floors.get(k, v), v), 3)
+    try:
+        with open(floors_path) as f:
+            ledger = json.load(f)
+        if not (ledger and all(isinstance(v, dict) for v in ledger.values())):
+            ledger = {"0.1": ledger} if ledger else {}
+    except (OSError, ValueError):
+        ledger = {}
+    ledger[str(sf_val)] = dict(sorted(floors.items()))
+    with open(floors_path, "w") as f:
+        json.dump(ledger, f, indent=0, sort_keys=True)
+    ratios = {
+        k: round(timings[k] / floors[k], 3) if floors.get(k) else 1.0
+        for k in timings
+    }
     record = {
         "metric": "headline_queries_total",
         "value": total,
@@ -158,34 +249,17 @@ def main() -> None:
         "repeats": repeats,
         "mins": mins,
         "min_total": round(sum(mins.values()), 3),
+        "floors": {k: floors[k] for k in timings},
+        "ratio_to_floor": ratios,
         "sf": sf_val,
     }
-    # The full record (with per-repeat spreads and mins) outgrew the
+    # The full record (with per-repeat spreads, mins, floors) outgrew the
     # driver's 2000-char stdout tail, which made past BENCH artifacts
-    # non-reproducible (r10 advice). Persist it whole to a sidecar file
-    # and keep the stdout line compact: the driver-required fields plus
-    # min_total (the noise-floor headline ratios are computed from).
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
-    with open(full_path, "w") as f:
+    # non-reproducible (r10 advice). Persist it whole to a sidecar file;
+    # stdout carries a bounded digest (see _stdout_line).
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         json.dump(record, f)
-    # stdout medians at 2dp: the driver keeps only a 2000-char stdout
-    # tail, and at 3dp the 64-query line already measures ~1950 chars —
-    # full 3dp precision lives in BENCH_FULL.json
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": {k: round(v, 2) for k, v in timings.items()},
-                "min_total": record["min_total"],
-                "sf": sf_val,
-                "full_record": "BENCH_FULL.json",
-            }
-        )
-    )
+    print(_stdout_line(record, ratios))
 
 
 if __name__ == "__main__":

@@ -142,3 +142,54 @@ def test_bench_headline_queries_exist():
     qs = entrymod.queries()
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert not missing, missing
+
+
+def test_bench_stdout_line_bounded_at_any_headline_count():
+    """The driver keeps only a 2000-char stdout tail; r09/r10 lost their
+    parsed bench blobs when the full per-query dict outgrew it. The
+    digest line must stay inside budget even at 90 long-named queries,
+    keep the driver-contract fields, and surface the worst
+    ratio-to-floor queries first."""
+    import json
+
+    import bench
+
+    names = [f"extremely_long_headline_query_name_{i:03d}" for i in range(90)]
+    timings = {n: 1.0 + (i % 7) * 0.37 for i, n in enumerate(names)}
+    ratios = {n: 1.0 + (i % 13) * 0.25 for i, n in enumerate(names)}
+    record = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "min_total": 12.345,
+        "sf": 0.1,
+    }
+    line = bench._stdout_line(record, ratios)
+    assert len(line) <= 1600, len(line)
+    parsed = json.loads(line)
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in parsed
+    assert parsed["n_queries"] == 90
+    assert parsed["queries"], "digest must carry at least some queries"
+    # digest is the worst-ratio prefix: every included ratio >= every
+    # excluded one
+    included = set(parsed["queries"])
+    worst_excluded = max(
+        (ratios[n] for n in names if n not in included), default=0.0
+    )
+    assert all(ratios[n] >= worst_excluded for n in included)
+    # entries are [median, ratio] pairs at 2dp
+    some = next(iter(parsed["queries"].values()))
+    assert isinstance(some, list) and len(some) == 2
+
+
+def test_bench_floors_ledger_covers_headline():
+    """BENCH_FLOORS.json (the cross-round noise-floor ledger) must exist
+    and only shrink: every floor is positive, and _load_floors
+    round-trips it."""
+    import bench
+
+    floors = bench._load_floors("BENCH_FLOORS.json", sf="0.1")
+    assert floors, "floors ledger missing"
+    assert all(v > 0 for v in floors.values())
