@@ -103,6 +103,10 @@ HEADLINE = [
     "decontaminate_fuzzy",
     "nation_profit_share",
     "dsir_select_topk",
+    # round-12 additions (stdout is a bounded digest now — headline
+    # count no longer risks the driver's 2000-char tail)
+    "important_stock_parts",
+    "parts_supplier_counts",
 ]
 
 

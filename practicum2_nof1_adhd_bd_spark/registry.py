@@ -2061,6 +2061,146 @@ def q_nation_profit_share(spark, sf_dir):
 
 
 @register(
+    "important_stock_parts",
+    """
+    WITH eu AS (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    pv AS (
+        SELECT l_partkey AS p_partkey,
+               sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6)))
+                   AS val
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM eu)
+        GROUP BY 1
+    ),
+    g AS (SELECT sum(val) AS tot, count(*) AS np FROM pv)
+    SELECT p_partkey, round(CAST(val AS DOUBLE), 2) AS part_value
+    FROM pv, g
+    WHERE 2 * np * val > 3 * tot
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def q_important_stock_parts(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification): per-part value
+    held by one region's suppliers, keeping the parts whose value
+    exceeds a GLOBAL scalar threshold — the group-share-vs-global-agg
+    pattern where the HAVING subquery aggregates the SAME slice the
+    outer query groups. One pass builds the per-part grain; because the
+    grain fans out to TWO consumers (the threshold re-aggregation and
+    the filter side) and Spark shares no subplan across branches, it is
+    eagerly localCheckpoint'ed — the Q15 device — so lineitem is scanned
+    ONCE and the 1-row (total, n_parts) frame broadcasts back over the
+    materialized grain. No second fact scan, no collect. The threshold
+    (value > 1.5x the mean part value,
+    restated exactly as 2*np*val > 3*tot) self-scales with sf — TPC-H's
+    own FRACTION/SF scaling — and the cross-multiplied form compares
+    exact decimals, so no engine pair can disagree at the boundary.
+    Constants probed at sf0.001/0.01/0.1: 20/381/3460 qualifying parts.
+    (TPC-H Q11; region prune broadcast-semi'd into the fact scan.)"""
+    cat = _cat(spark, sf_dir)
+    eu = (
+        cat.supplier.join(
+            F.broadcast(cat.nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(cat.region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    pv = (
+        cat.lineitem.select(
+            "l_suppkey",
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("l_extendedprice") * F.col("l_quantity"))
+            .cast("decimal(28,6)")
+            .alias("_v"),
+        )
+        .join(
+            F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("p_partkey")
+        .agg(F.sum("_v").alias("val"))
+        .localCheckpoint(eager=True)
+    )
+    g = pv.agg(
+        F.sum("val").alias("tot"), F.count(F.lit(1)).alias("np")
+    )
+    return (
+        pv.crossJoin(F.broadcast(g))
+        .filter(2 * F.col("np") * F.col("val") > 3 * F.col("tot"))
+        .select(
+            "p_partkey",
+            F.round(F.col("val").cast("double"), 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+@register(
+    "parts_supplier_counts",
+    """
+    WITH selp AS (
+        SELECT p_partkey, p_brand, p_type, p_size FROM part
+        WHERE p_brand <> 'Brand#11' AND p_type NOT LIKE 'MEDIUM%'
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN selp ON l_partkey = p_partkey
+    WHERE l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1500
+    )
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_parts_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    counts per (brand, type, size) over the selected parts, EXCLUDING a
+    NOT-IN supplier set. The two distinctive pieces: the NOT IN becomes
+    a broadcast LEFT ANTI join (s_suppkey is non-null by schema, so
+    anti-join and NOT IN agree; the excluded set is a filtered dim that
+    always broadcasts), and the count(DISTINCT) aggregates the fact
+    AFTER the part prune broadcast-joins in — at 100 TB only the
+    ~13%-selected slice of lineitem reaches the distinct aggregation,
+    and Spark's two-phase distinct (partial de-dup per partition, then
+    exchange on the group keys) never materializes the pair set
+    globally. Exclusion threshold probed non-vacuous at every sf
+    (1/24/222 suppliers excluded; group counts 24/234/926).
+    (TPC-H Q16)"""
+    cat = _cat(spark, sf_dir)
+    selp = cat.part.filter(
+        (F.col("p_brand") != "Brand#11")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excl = cat.supplier.filter(F.col("s_acctbal") < 1500).select(
+        "s_suppkey"
+    )
+    return (
+        cat.lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(selp), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(excl),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@register(
     "topk_per_group",
     """
     WITH j AS (

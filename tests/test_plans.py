@@ -545,3 +545,32 @@ def test_nation_profit_single_fact_fact_shuffle(spark, sf_dir):
     scans = [seg for seg in plan.split("FileScan") if "lineitem" in seg[:1000]]
     assert len(scans) == 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_important_stock_single_fact_scan_broadcast_threshold(spark, sf_dir):
+    """Q11 shape contract: the per-part grain fans out to the threshold
+    re-aggregation AND the filter side, so it is eagerly checkpointed
+    (the Q15 device) — the returned plan reads the materialized grain
+    with ZERO lineitem scans (the one scan happened at build), and the
+    1-row (total, n_parts) threshold joins back as a broadcast."""
+    df = registry.QUERIES["important_stock_parts"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") == 0, plan.count("lineitem.parquet")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_parts_supplier_counts_anti_join_broadcasts(spark, sf_dir):
+    """Q16 shape contract: the NOT-IN supplier exclusion is a BROADCAST
+    left anti join (never a shuffle), the part prune broadcasts into the
+    fact before the distinct aggregation, and the distinct-count runs as
+    Spark's two-phase partial/final HashAggregate — one lineitem scan,
+    no sort-merge join."""
+    df = registry.QUERIES["parts_supplier_counts"](spark, sf_dir)
+    plan = _plan(df)
+    scans = [seg for seg in plan.split("FileScan") if "lineitem" in seg[:1000]]
+    assert len(scans) == 1
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "HashAggregate" in plan

@@ -497,6 +497,24 @@ NOTES = {
         "meets orders at the one unavoidable orderkey shuffle. Profit "
         "sums in decimal — combine-order exact."
     ),
+    "important_stock_parts": (
+        "TPC-H Q11 — group-share vs a global-scalar threshold: the "
+        "per-part value grain fans out to the (total, n_parts) "
+        "re-aggregation AND the filter, so it is eagerly checkpointed "
+        "(the Q15 device) — ONE lineitem scan, and the 1-row threshold "
+        "broadcasts back over the materialized grain. The HAVING is "
+        "cross-multiplied into exact decimals (2*np*val > 3*tot), so "
+        "no engine pair can disagree at the boundary; the region prune "
+        "reaches the fact as a broadcast semi join."
+    ),
+    "parts_supplier_counts": (
+        "TPC-H Q16: the NOT-IN supplier exclusion is a broadcast LEFT "
+        "ANTI join (s_suppkey non-null, so anti-join == NOT IN); the "
+        "part prune broadcasts into the fact BEFORE the distinct "
+        "aggregation, and count(DISTINCT) runs as Spark's two-phase "
+        "partial/final hash aggregate — the pair set never "
+        "materializes globally. One fact scan, no sort-merge join."
+    ),
     "trigram_surprisal": (
         "One explode over the model corpus feeds all three count "
         "levels (contexts re-aggregate the gram frames, never the "

@@ -194,6 +194,9 @@ QUERIES = [
     "min_cost_supplier",
     "excess_shipment_suppliers",
     "nation_profit_share",
+    # round-12 additions
+    "important_stock_parts",
+    "parts_supplier_counts",
 ]
 
 # artifact-serving queries: run once UNTIMED first so _land_once builds
