@@ -107,6 +107,7 @@ HEADLINE = [
     # count no longer risks the driver's 2000-char tail)
     "important_stock_parts",
     "parts_supplier_counts",
+    "quality_classifier_scores",
 ]
 
 

@@ -1715,3 +1715,229 @@ def dsir_importance(
             "logratio_per_token",
         )
     )
+
+
+def hashed_gram_buckets(
+    text_col: Column, n_buckets: int = 4096
+) -> Column:
+    """Hashing-trick feature ids for a document: unigrams AND word
+    bigrams hashed into a FIXED ``n_buckets``-dimensional space — the
+    fastText / CCNet quality-classifier feature map (Joulin et al. 2016;
+    Wenzek et al. 2020 use exactly this family to score crawl text
+    against a clean corpus). Collisions are intended: the model size is
+    bounded by the bucket count, never the vocabulary, which is what
+    lets the weight vector broadcast at 100-TB corpus scale.
+
+    The hash is md5-prefix mod buckets, NOT Spark's murmur `hash()` —
+    md5 is bit-identical across engines, so a DuckDB oracle can replay
+    bucket assignment exactly (the `('0x'||substr(md5(g),1,8))::BIGINT`
+    device). Returns an array<bigint> of bucket ids, one per gram
+    occurrence (callers binarize with array_distinct / DISTINCT where
+    NBSVM-style indicators are wanted)."""
+    w = tokens(F.lower(text_col))
+    pair_len = F.greatest(F.size(w) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(w, F.lit(1), pair_len),
+        F.slice(w, F.lit(2), pair_len),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.transform(
+        F.concat(w, bigrams),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % F.lit(n_buckets),
+    )
+
+
+def _with_buckets(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, bucket) pairs, BINARIZED per document (NBSVM indicators:
+    Wang & Manning 2012 measure presence, not count — binarized NB
+    features are the stronger text-classification baseline)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                hashed_gram_buckets(F.col(text_col), n_buckets)
+            )
+        ).alias("bucket"),
+    )
+
+
+def quality_classifier_nb(
+    train: DataFrame,
+    score: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Learned quality-filter SCORING path (CCNet, Wenzek et al. 2020):
+    train per-bucket log-odds weights from a labeled corpus half, then
+    score held-out documents with a logistic link over the hashed-gram
+    indicators. The weights are the closed-form Naive-Bayes log-count
+    ratios of NBSVM (Wang & Manning 2012) —
+    w_j = ln((pos_j+a)/(POS+aB)) - ln((neg_j+a)/(NEG+aB)), bias =
+    ln(n_pos/n_neg) — i.e. the logistic-regression scoring form with
+    analytically-frozen weights, which keeps the whole path (train
+    counts -> weights -> sigmoid scores) SQL-replayable the way
+    `dsir_importance` replays its LM. For iteratively-TRAINED weights
+    see `logistic_fit_hashed` (the rows-only twin).
+
+    Scale shape: one gram explode per side; training is two hash
+    aggregations to a ≤n_buckets weight frame that BROADCASTS into the
+    scoring join (the fixed bucket space is the point — vocabulary
+    growth never inflates the model); class totals ride a 1-row
+    broadcast crossJoin; buckets unseen in training score the smoothed
+    OOV weight (never silently 0). Nothing collects.
+    """
+    tb = _with_buckets(train, text_col, id_col, n_buckets)
+    lab = train.select(F.col(id_col), F.col(label_col).cast("int").alias("_y"))
+    counts = (
+        tb.join(lab, id_col)
+        .groupBy("bucket")
+        .agg(
+            F.sum("_y").alias("_pos"),
+            F.sum(1 - F.col("_y")).alias("_neg"),
+        )
+    )
+    scalars = counts.agg(
+        F.sum("_pos").alias("_post"), F.sum("_neg").alias("_negt")
+    ).crossJoin(
+        F.broadcast(
+            lab.agg(
+                F.sum("_y").alias("_npos"),
+                F.sum(1 - F.col("_y")).alias("_nneg"),
+            )
+        )
+    )
+    aB = alpha * n_buckets
+
+    def _w(pos, neg):
+        return F.log((pos + F.lit(alpha)) / (F.col("_post") + F.lit(aB))) - F.log(
+            (neg + F.lit(alpha)) / (F.col("_negt") + F.lit(aB))
+        )
+
+    weights = counts.crossJoin(F.broadcast(scalars)).select(
+        "bucket", _w(F.col("_pos"), F.col("_neg")).alias("_w")
+    )
+    sb = _with_buckets(score, text_col, id_col, n_buckets)
+    wside = F.broadcast(weights) if broadcast_model else weights
+    # scalars again for the OOV weight + bias; 1 row, broadcast
+    summed = (
+        sb.join(wside, "bucket", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_w"), _w(F.lit(0), F.lit(0))).alias("_wv"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("_wv").alias("_s"),
+        )
+    )
+    bias = F.log(F.col("_npos") / F.col("_nneg"))
+    return (
+        score.select(id_col)
+        .join(summed, id_col, "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.round(
+                F.lit(1)
+                / (F.lit(1) + F.exp(-(F.coalesce(F.col("_s"), F.lit(0.0)) + bias))),
+                6,
+            ).alias("quality_prob"),
+        )
+        .withColumn("keep", F.col("quality_prob") >= 0.5)
+        .orderBy(id_col)
+    )
+
+
+def logistic_fit_hashed(
+    train: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    n_iters: int = 20,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Distributed logistic-regression TRAINING over hashed-gram
+    indicators — full-batch gradient descent where the DATA never moves
+    and only the O(n_buckets) weight vector does. Each iteration:
+    broadcast w into a margin join (per-doc score = b + sum w_j), one
+    aggregation for the per-doc residual (sigma(s) - y), one join+agg
+    back to bucket grain for the gradient, and a driver-side update of
+    the <=n_buckets-row weight array. That is the scalable shape for a
+    trained quality filter at 100 TB: K passes over distributed
+    indicators, never a collected design matrix. Iterative training is
+    genuinely non-SQL-expressible, so this is a rows-only surface
+    (pytest-verified against a pure-numpy reference on the same data);
+    the frozen-weight SCORING path with the analytic NBSVM weights is
+    the oracle-attested twin (`quality_classifier_nb`).
+
+    Returns (bucket, weight) rows plus a bucket=-1 row carrying the
+    bias, rounded 6dp.
+    """
+    import numpy as np
+
+    feats = _with_buckets(train, text_col, id_col, n_buckets).persist()
+    lab = (
+        train.select(F.col(id_col), F.col(label_col).cast("double").alias("_y"))
+        .persist()
+    )
+    n_docs = lab.count()
+    feats.count()
+    spark = train.sparkSession
+    w = np.zeros(n_buckets)
+    b = 0.0
+    try:
+        for _ in range(n_iters):
+            wdf = F.broadcast(
+                spark.createDataFrame(
+                    [(int(j), float(w[j])) for j in range(n_buckets)],
+                    "bucket bigint, _w double",
+                )
+            )
+            resid = (
+                feats.join(wdf, "bucket")
+                .groupBy(id_col)
+                .agg(F.sum("_w").alias("_s"))
+                .join(lab, id_col, "right")
+                .select(
+                    F.col(id_col),
+                    (
+                        F.lit(1)
+                        / (
+                            F.lit(1)
+                            + F.exp(-(F.coalesce(F.col("_s"), F.lit(0.0)) + F.lit(b)))
+                        )
+                        - F.col("_y")
+                    ).alias("_r"),
+                )
+            )
+            grad_rows = (
+                feats.join(resid, id_col)
+                .groupBy("bucket")
+                .agg(F.sum("_r").alias("_g"))
+                .collect()  # bounded: <= n_buckets rows
+            )
+            gb = resid.agg(F.sum("_r")).collect()[0][0]  # 1 scalar
+            g = np.zeros(n_buckets)
+            for r in grad_rows:
+                g[r["bucket"]] = r["_g"]
+            w -= lr * g / n_docs
+            b -= lr * float(gb) / n_docs
+    finally:
+        feats.unpersist()
+        lab.unpersist()
+    rows = [(int(j), round(float(w[j]), 6)) for j in range(n_buckets)]
+    rows.append((-1, round(b, 6)))
+    return spark.createDataFrame(rows, "bucket bigint, weight double")

@@ -4998,6 +4998,115 @@ def q_dsir_select_topk(spark, sf_dir):
 
 
 @register(
+    "quality_classifier_scores",
+    """
+    WITH tr AS (
+        SELECT doc_id, lower(text) AS t,
+               CAST(n_chars >= 250 AS INT) AS y
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    sc AS (
+        SELECT doc_id, lower(text) AS t
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    trg AS (
+        SELECT doc_id, y, g FROM (
+            SELECT doc_id, y, unnest(
+                regexp_extract_all(t, '\\S+') ||
+                list_transform(
+                    generate_series(1, len(regexp_extract_all(t, '\\S+')) - 1),
+                    i -> regexp_extract_all(t, '\\S+')[i] || ' ' ||
+                         regexp_extract_all(t, '\\S+')[i + 1])
+            ) AS g FROM tr)
+    ),
+    trb AS (
+        SELECT DISTINCT doc_id, y,
+               ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS bucket
+        FROM trg
+    ),
+    cnt AS (SELECT bucket, sum(y) AS pos, sum(1 - y) AS neg
+            FROM trb GROUP BY 1),
+    tot AS (SELECT sum(pos) AS post, sum(neg) AS negt FROM cnt),
+    cls AS (SELECT CAST(sum(y) AS DOUBLE) AS npos,
+                   CAST(sum(1 - y) AS DOUBLE) AS nneg FROM tr),
+    w AS (
+        SELECT bucket,
+               ln((pos + 1.0) / (post + 4096.0))
+               - ln((neg + 1.0) / (negt + 4096.0)) AS w
+        FROM cnt CROSS JOIN tot
+    ),
+    scg AS (
+        SELECT doc_id, g FROM (
+            SELECT doc_id, unnest(
+                regexp_extract_all(t, '\\S+') ||
+                list_transform(
+                    generate_series(1, len(regexp_extract_all(t, '\\S+')) - 1),
+                    i -> regexp_extract_all(t, '\\S+')[i] || ' ' ||
+                         regexp_extract_all(t, '\\S+')[i + 1])
+            ) AS g FROM sc)
+    ),
+    scb AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS bucket
+        FROM scg
+    ),
+    summed AS (
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+               sum(coalesce(w.w,
+                   ln(1.0 / (post + 4096.0))
+                   - ln(1.0 / (negt + 4096.0)))) AS sw
+        FROM scb s LEFT JOIN w ON s.bucket = w.bucket
+        CROSS JOIN tot
+        GROUP BY 1
+    )
+    SELECT sc.doc_id, coalesce(n_feats, 0) AS n_feats,
+           round(1 / (1 + exp(-(coalesce(sw, 0.0) + ln(npos / nneg)))), 6)
+               AS quality_prob,
+           round(1 / (1 + exp(-(coalesce(sw, 0.0) + ln(npos / nneg)))), 6)
+               >= 0.5 AS keep
+    FROM sc LEFT JOIN summed ON sc.doc_id = summed.doc_id
+    CROSS JOIN cls
+    ORDER BY sc.doc_id
+    """,
+)
+def q_quality_classifier_scores(spark, sf_dir):
+    """Learned quality-filter scoring (CCNet, Wenzek et al. 2020): the
+    even-doc_id half trains NBSVM log-odds weights (Wang & Manning
+    2012) over hashing-trick unigram+bigram indicators (4,096 buckets —
+    the fastText device that bounds model size by bucket count, not
+    vocabulary), labels from the deterministic weak rule n_chars>=250
+    (the clean-vs-crawl proxy); the odd half is scored through the
+    logistic link. The analytic weights keep the ENTIRE path — counts,
+    smoothing, OOV weight, bias, sigmoid — SQL-replayable; the
+    iteratively-TRAINED twin is `quality_classifier_fit` (rows-only by
+    nature). Train is two hash aggs to a <=4,096-row weight frame that
+    broadcasts into the scoring join; class totals ride 1-row
+    broadcasts; nothing collects."""
+    docs = _cat(spark, sf_dir).documents
+    train = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", (F.col("n_chars") >= 250).cast("int")
+    )
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+    return textops.quality_classifier_nb(train, score)
+
+
+@register("quality_classifier_fit")
+def q_quality_classifier_fit(spark, sf_dir):
+    """Distributed full-batch logistic GD over the hashed-gram
+    indicators (rows-only: iterative training is non-SQL-expressible;
+    pytest verifies the trainer against a pure-numpy reference). Only
+    the <=256-row weight vector moves per iteration — the data-parallel
+    shape a 100-TB trained quality filter needs."""
+    docs = _cat(spark, sf_dir).documents
+    train = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", (F.col("n_chars") >= 250).cast("int")
+    )
+    return textops.logistic_fit_hashed(
+        train, n_buckets=256, n_iters=8
+    ).orderBy("bucket")
+
+
+@register(
     "repetition_profile",
     f"""
     WITH w AS (SELECT doc_id, length(text) AS chars, {_WORDS} AS ws

@@ -597,3 +597,133 @@ def test_dsir_importance_closed_form(spark):
     assert abs(out[2]["logratio_per_token"] - lr_c) < 1e-5
     assert out[1]["logratio_per_token"] > out[2]["logratio_per_token"]
     assert out[3]["n_tokens"] == 0 and out[3]["logratio_per_token"] is None
+
+
+def test_quality_classifier_nb_closed_form(spark):
+    """Hand-check the NBSVM scoring path on a 4-doc corpus small enough
+    to compute by hand: bucket indicators binarize, weights are the
+    smoothed log-count ratios, OOV buckets get the nonzero smoothed
+    weight, bias = ln(npos/nneg), and the sigmoid ranks a
+    positive-vocabulary doc above a negative-vocabulary one."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import textops
+
+    B = 64
+    train = spark.createDataFrame(
+        [
+            (0, "good fine good", 1),
+            (2, "good solid", 1),
+            (4, "bad awful", 0),
+            (6, "bad bad spam", 0),
+        ],
+        "doc_id long, text string, label int",
+    )
+    score = spark.createDataFrame(
+        [(1, "good fine"), (3, "bad spam"), (5, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textops.quality_classifier_nb(
+            train, score, n_buckets=B
+        ).collect()
+    }
+    # replicate in pure python
+    def buckets(t):
+        ws = t.lower().split()
+        grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        import hashlib
+
+        return {
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+            for g in grams
+        }
+
+    pos_docs = [("good fine good", 1), ("good solid", 1)]
+    neg_docs = [("bad awful", 0), ("bad bad spam", 0)]
+    from collections import Counter
+
+    pos_c, neg_c = Counter(), Counter()
+    for t, _ in pos_docs:
+        pos_c.update(buckets(t))
+    for t, _ in neg_docs:
+        neg_c.update(buckets(t))
+    post, negt = sum(pos_c.values()), sum(neg_c.values())
+
+    def wgt(j):
+        return math.log((pos_c.get(j, 0) + 1.0) / (post + B)) - math.log(
+            (neg_c.get(j, 0) + 1.0) / (negt + B)
+        )
+
+    for doc_id, text in [(1, "good fine"), (3, "bad spam")]:
+        s = sum(wgt(j) for j in buckets(text)) + math.log(2 / 2)
+        want = round(1 / (1 + math.exp(-s)), 6)
+        assert abs(out[doc_id]["quality_prob"] - want) < 1e-6, doc_id
+        assert out[doc_id]["n_feats"] == len(buckets(text))
+    assert out[1]["quality_prob"] > 0.5 and out[1]["keep"]
+    assert out[3]["quality_prob"] < 0.5 and not out[3]["keep"]
+    # token-less doc: no features, bias-only score
+    assert out[5]["n_feats"] == 0 and out[5]["quality_prob"] == 0.5
+
+
+def test_logistic_fit_hashed_matches_numpy_reference(spark):
+    """The distributed full-batch GD trainer must match a pure-numpy
+    implementation run on the same binarized hashed indicators, same
+    iterations, same learning rate — gradient exchange is exact modulo
+    float-sum order, so weights agree to rounding tolerance, and the
+    learned model must separate the training labels."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from practicum2_nof1_adhd_bd_spark.operators import textops
+
+    B, iters, lr = 32, 12, 0.5
+    rows = [
+        (0, "good fine good solid", 1),
+        (1, "good nice fine", 1),
+        (2, "bad awful spam", 0),
+        (3, "bad spam junk junk", 0),
+        (4, "solid nice good", 1),
+        (5, "awful junk spam bad", 0),
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    got = {
+        r["bucket"]: r["weight"]
+        for r in textops.logistic_fit_hashed(
+            train, n_buckets=B, n_iters=iters, lr=lr
+        ).collect()
+    }
+
+    def buckets(t):
+        ws = t.lower().split()
+        grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        return sorted(
+            {
+                int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+                for g in grams
+            }
+        )
+
+    X = np.zeros((len(rows), B))
+    y = np.array([r[2] for r in rows], dtype=float)
+    for i, (_, t, _l) in enumerate(rows):
+        for j in buckets(t):
+            X[i, j] = 1.0
+    w = np.zeros(B)
+    b = 0.0
+    for _ in range(iters):
+        p = 1 / (1 + np.exp(-(X @ w + b)))
+        r = p - y
+        w -= lr * (X.T @ r) / len(rows)
+        b -= lr * r.sum() / len(rows)
+    for j in range(B):
+        assert abs(got[j] - round(float(w[j]), 6)) < 2e-6, j
+    assert abs(got[-1] - round(b, 6)) < 2e-6
+    # and the learned weights actually separate the training set
+    p = 1 / (1 + np.exp(-(X @ w + b)))
+    assert all((p[i] >= 0.5) == (y[i] == 1.0) for i in range(len(rows)))

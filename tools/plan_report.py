@@ -515,6 +515,15 @@ NOTES = {
         "partial/final hash aggregate — the pair set never "
         "materializes globally. One fact scan, no sort-merge join."
     ),
+    "quality_classifier_scores": (
+        "CCNet-style learned filter: one gram explode per side, "
+        "training collapses to two hash aggregations over the FIXED "
+        "4,096-bucket space, and the weight frame broadcasts into the "
+        "scoring join — vocabulary growth never inflates the model. "
+        "Class totals and the OOV weight ride 1-row broadcast "
+        "crossJoins; scores are a sigmoid projection; nothing "
+        "collects."
+    ),
     "trigram_surprisal": (
         "One explode over the model corpus feeds all three count "
         "levels (contexts re-aggregate the gram frames, never the "

@@ -197,6 +197,7 @@ QUERIES = [
     # round-12 additions
     "important_stock_parts",
     "parts_supplier_counts",
+    "quality_classifier_scores",
 ]
 
 # artifact-serving queries: run once UNTIMED first so _land_once builds
