@@ -1941,3 +1941,156 @@ def logistic_fit_hashed(
     rows = [(int(j), round(float(w[j]), 6)) for j in range(n_buckets)]
     rows.append((-1, round(b, 6)))
     return spark.createDataFrame(rows, "bucket bigint, weight double")
+
+
+_BPE_MARK = "·"  # symbol-boundary marker for the string-shape device
+
+
+def _bpe_shape(col: Column) -> Column:
+    """A word as its BPE symbol-shape string: every symbol wrapped in
+    its OWN marker pair ('low' -> '·l··o··w·' — a DOUBLE marker between
+    symbols, single at the ends). A merge (a, b) is then ONE codegen'd
+    global regexp_replace of '·a··b·' with '·ab·': each match consumes
+    one marker from each side's double boundary, so two ADJACENT
+    occurrences still both match ('s e s e s' + merge (e,s) ->
+    [s, es, es], the greedy leftmost pass of the reference algorithm —
+    a single-marker scheme would silently skip the second occurrence
+    because the shared boundary is consumed by the first match, and
+    lookahead is off the table: DuckDB's RE2 oracle side has none)."""
+    return F.concat(
+        F.lit(_BPE_MARK),
+        F.array_join(
+            F.filter(F.split(col, ""), lambda c: c != ""),
+            _BPE_MARK + _BPE_MARK,
+        ),
+        F.lit(_BPE_MARK),
+    )
+
+
+def _bpe_merge_expr(col: Column, left: str, right: str) -> Column:
+    """Apply one learned merge to a shape column (regex-escaped via
+    java.util-compatible re.escape; replacement escapes \\ and $)."""
+    import re
+
+    pat = (
+        _BPE_MARK
+        + re.escape(left)
+        + _BPE_MARK
+        + _BPE_MARK
+        + re.escape(right)
+        + _BPE_MARK
+    )
+    rep = (
+        _BPE_MARK
+        + (left + right).replace("\\", "\\\\").replace("$", "\\$")
+        + _BPE_MARK
+    )
+    return F.regexp_replace(col, pat, rep)
+
+
+def bpe_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 16,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge table (Sennrich et al. 2016) with the
+    distributed merge loop: K rounds, each one pair-count aggregation
+    over the corpus + a deterministic argmax (count desc, then pair asc
+    — the tie-break that makes training reproducible across engines and
+    partitionings) + one merge applied to the working shapes.
+
+    Scale shape — the classic BPE optimization made distributed: merges
+    operate on the DISTINCT word shapes weighted by word frequency
+    (`groupBy(word).count()`), so per-round work is bounded by
+    vocabulary, not corpus; the corpus text is read ONCE. Each round
+    moves exactly one (pair, count) row to the driver (TakeOrdered 1),
+    the merge is a codegen'd regexp_replace over the shape strings (see
+    `_bpe_shape`), and the shape frame is eagerly checkpointed per round
+    so lineage stays flat across K rounds. Word-internal merges only
+    (the GPT-2 pre-tokenize-then-merge convention; no end-of-word
+    symbol). Training is inherently iterative — the ENCODE path with the
+    frozen merge table is the oracle-attestable surface
+    (`bpe_encode_merges`); `tests/test_properties.py` pins this trainer
+    to a pure-Python reference implementation on randomized corpora.
+
+    Returns the learned merges as [(left, right), ...] in rank order.
+    """
+    shapes = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(_bpe_shape(F.col("_w")).alias("_s"), "_n")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(k):
+        arr = F.filter(F.split(F.col("_s"), _BPE_MARK), lambda x: x != "")
+        n1 = F.greatest(F.size(arr) - 1, F.lit(0))
+        pairs = (
+            shapes.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(arr, F.lit(1), n1),
+                        F.slice(arr, F.lit(2), n1),
+                        lambda a, b: F.struct(
+                            a.alias("l"), b.alias("r")
+                        ),
+                    )
+                ).alias("_p"),
+                "_n",
+            )
+            .groupBy("_p.l", "_p.r")
+            .agg(F.sum("_n").alias("_c"))
+            .orderBy(F.desc("_c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()  # exactly one row per round
+        )
+        if not pairs:
+            break
+        left, right = pairs[0]["l"], pairs[0]["r"]
+        merges.append((left, right))
+        shapes = shapes.select(
+            _bpe_merge_expr(F.col("_s"), left, right).alias("_s"), "_n"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_encode_merges(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with a FROZEN merge table: lowercase whitespace
+    pre-tokenization, each word to its symbol shape, then the merges
+    applied in rank order as a chain of codegen'd global
+    regexp_replaces (word boundaries are plain spaces, which no '·a·b·'
+    pattern can cross, so merges stay word-internal). The scoring twin
+    of `bpe_fit`: a pure projection — no joins, no shuffles, no Python
+    — so encoding at 100 TB is scan-speed.
+
+    Output per document: the encoded text (space-joined subword
+    tokens), subword count, and the subwords-per-word expansion ratio
+    (the corpus-budgeting statistic `bpe_token_stats` estimates with a
+    regex; this is the learned-tokenizer exact form).
+    """
+    ws = tokens(F.lower(F.col(text_col)))
+    shaped = F.array_join(
+        F.transform(ws, lambda w: _bpe_shape(w)), " "
+    )
+    for left, right in merges:
+        shaped = _bpe_merge_expr(shaped, left, right)
+    encoded = F.trim(
+        F.regexp_replace(shaped, f"[{_BPE_MARK} ]+", " ")
+    )
+    n_sub = F.when(encoded == "", F.lit(0)).otherwise(
+        F.size(F.split(encoded, " "))
+    )
+    return df.select(
+        F.col(id_col),
+        encoded.alias("encoded"),
+        n_sub.cast("int").alias("n_subwords"),
+        F.round(
+            n_sub / F.greatest(F.size(ws), F.lit(1)), 6
+        ).alias("subwords_per_word"),
+    )

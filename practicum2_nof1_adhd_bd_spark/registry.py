@@ -5106,6 +5106,86 @@ def q_quality_classifier_fit(spark, sf_dir):
     ).orderBy("bucket")
 
 
+# BPE fixture: the corpus is a pure function of the doc index (the
+# fixture-formula oracle device), so training is deterministic and the
+# learned merge table is KNOWN at authoring time — computed with the
+# pure-Python reference BPE that tests/test_properties.py pins
+# `textops.bpe_fit` to on randomized corpora. The oracle replays
+# ENCODING with those merges as literals; a trainer that learned any
+# different merge (or applied one in the wrong order / with wrong
+# greedy-leftmost semantics) changes the encoded strings and fails the
+# value hash.
+_BPE_FIX_WORDS = [
+    "low", "lower", "lowest", "new", "newer", "newest", "wide", "widest",
+]
+_BPE_FIX_MERGES = [
+    ("w", "e"), ("n", "e"), ("s", "t"), ("l", "o"), ("d", "e"),
+    ("i", "de"), ("w", "ide"), ("lo", "we"), ("ne", "we"), ("ne", "w"),
+    ("lowe", "r"), ("newe", "st"),
+]
+
+
+def _bpe_oracle_sql() -> str:
+    wl = ", ".join(f"'{w}'" for w in _BPE_FIX_WORDS)
+    shaped = "regexp_replace(text, '(\\S)', '·\\1·', 'g')"
+    for a, b in _BPE_FIX_MERGES:
+        shaped = (
+            f"regexp_replace({shaped}, '·{a}··{b}·', '·{a}{b}·', 'g')"
+        )
+    return f"""
+    WITH corpus AS (
+        SELECT i AS doc_id,
+               array_to_string(list_transform(
+                   generate_series(0, i % 6 + 3),
+                   j -> ([{wl}])[(i * 7 + j * 3) % 8 + 1]), ' ') AS text
+        FROM generate_series(0, 149) t(i)
+    ),
+    enc AS (
+        SELECT doc_id, text,
+               trim(regexp_replace({shaped}, '[· ]+', ' ', 'g')) AS encoded
+        FROM corpus
+    )
+    SELECT doc_id, encoded,
+           CAST(len(string_split(encoded, ' ')) AS INT) AS n_subwords,
+           round(CAST(len(string_split(encoded, ' ')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS subwords_per_word
+    FROM enc ORDER BY doc_id
+    """
+
+
+@register("bpe_learned_encode", _bpe_oracle_sql())
+def q_bpe_learned_encode(spark, sf_dir):
+    """Learned BPE tokenizer, end to end (Sennrich et al. 2016): train
+    12 merge rounds on the deterministic fixture corpus with the
+    DISTRIBUTED merge loop (`textops.bpe_fit`: per-round pair counts
+    aggregate over distinct word shapes weighted by frequency — work
+    bounded by vocabulary, not corpus — with the count-desc/pair-asc
+    deterministic tie-break and exactly one collected row per round),
+    then ENCODE the corpus with the frozen merge table as a chain of
+    codegen'd greedy-leftmost regexp merges (`bpe_encode_merges`, a
+    pure projection: scan-speed at 100 TB). The oracle replays encoding
+    with the reference-computed merge literals, so a trainer that
+    learns a different table or wrong merge semantics fails the hash.
+    sf-independent fixture (like zip_ingest_scan): the corpus is a pure
+    function of the doc index."""
+    n_words = F.col("id") % 6 + 4
+    warr = F.array([F.lit(w) for w in _BPE_FIX_WORDS])
+    corpus = spark.range(150).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_words - 1),
+                lambda j: F.element_at(
+                    warr, ((F.col("id") * 7 + j * 3) % 8 + 1).cast("int")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    merges = textops.bpe_fit(corpus, k=12)
+    return textops.bpe_encode_merges(corpus, merges).orderBy("doc_id")
+
+
 @register(
     "repetition_profile",
     f"""

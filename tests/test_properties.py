@@ -566,3 +566,92 @@ def test_dsir_importance_matches_pure_python(spark, pool, target):
             continue
         want = sum(lr(w) for w in toks) / len(toks)
         assert abs(row["logratio_per_token"] - want) < 1e-5, (toks, want, row)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=6),
+            min_size=1,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=1, max_value=8),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_fit_and_encode_match_pure_python(spark, docs, k):
+    """The distributed BPE merge loop must learn EXACTLY the merges the
+    reference algorithm (Sennrich et al. 2016) learns — same pair
+    counts, same count-desc/pair-asc tie-break, same greedy-leftmost
+    merge pass — and encoding with the frozen table must reproduce the
+    reference segmentation token for token, on arbitrary corpora."""
+    from collections import Counter
+
+    from practicum2_nof1_adhd_bd_spark.operators import textops
+
+    def ref_fit(words, k):
+        shapes = Counter()
+        for w in words:
+            shapes[tuple(w)] += 1
+        merges = []
+        for _ in range(k):
+            pc = Counter()
+            for s, c in shapes.items():
+                for a, b in zip(s, s[1:]):
+                    pc[(a, b)] += c
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            ns = Counter()
+            for s, c in shapes.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                        out.append(s[i] + s[i + 1])
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                ns[tuple(out)] += c
+            shapes = ns
+        return merges
+
+    def ref_encode(word, merges):
+        syms = list(word)
+        for m in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == m:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    words = [w for t in docs for w in t.lower().split()]
+    want_merges = ref_fit(words, k)
+    got_merges = textops.bpe_fit(df, k=k)
+    assert got_merges == want_merges
+
+    enc = {
+        r["doc_id"]: r
+        for r in textops.bpe_encode_merges(df, got_merges).collect()
+    }
+    for i, t in enumerate(docs):
+        want = [
+            s for w in t.lower().split() for s in ref_encode(w, want_merges)
+        ]
+        assert enc[i]["encoded"] == " ".join(want), (i, t)
+        assert enc[i]["n_subwords"] == len(want)
