@@ -1079,3 +1079,171 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
+
+
+def lsh_batch_pairs(
+    docs: DataFrame,
+    batch_ids: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.0,
+    index_banded: DataFrame | None = None,
+) -> DataFrame:
+    """Jaccard-verified near-dup pairs TOUCHING a batch: the incremental
+    complement of `minhash_lsh_pairs_verified` — the band join runs
+    batch-side x full-side instead of full x full, so candidate work
+    scales with the batch's bucket collisions, never corpus². Together
+    with the stored side's own historical pairs this reproduces exactly
+    the full-run pair set (every band collision either lies inside the
+    history or touches the batch), which is what makes incremental
+    cluster maintenance provably equal to a batch recompute
+    (`merge_components`). Pairs are canonicalized (least, greatest) so
+    batch-internal pairs are emitted once.
+
+    ``index_banded`` (optional): the STORED side's band buckets,
+    precomputed — the production form, where history signatures live in
+    a signature index (corpus_ingest's layout) and never re-derive from
+    text. With it, only the BATCH is tokenized/hashed here; without it,
+    one banding pass over ``docs`` derives both sides (fine for
+    correctness runs, corpus-scale for continuous ingest)."""
+    if index_banded is not None:
+        bb = _banded_buckets(
+            minhash_signatures_df(
+                docs.join(
+                    F.broadcast(batch_ids.select(id_col)),
+                    id_col, "left_semi",
+                ),
+                text_col, id_col, n_hashes, k,
+            ),
+            id_col, n_hashes, bands,
+        ).localCheckpoint(eager=True)
+        banded = index_banded.unionByName(bb)
+    else:
+        banded = _banded_buckets(
+            minhash_signatures_df(docs, text_col, id_col, n_hashes, k),
+            id_col, n_hashes, bands,
+        ).localCheckpoint(eager=True)
+        bb = banded.join(
+            F.broadcast(batch_ids.select(id_col)), id_col, "left_semi"
+        )
+    a, b = bb.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(
+                F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+            ).alias("id_a"),
+            F.greatest(
+                F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+            ).alias("id_b"),
+        )
+        .distinct()
+    )
+    cand_ids = pairs.select(F.col("id_a").alias(id_col)).union(
+        pairs.select(F.col("id_b").alias(id_col))
+    )
+    cand_sh = docs.join(cand_ids, id_col, "left_semi").select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("sh")
+    )
+    return jaccard_verify(
+        pairs, cand_sh, id_col=id_col, threshold=threshold,
+        precomputed_shingles=True,
+    )
+
+
+def merge_components(
+    assign: DataFrame,
+    new_pairs: DataFrame,
+    new_nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Incremental connected-components maintenance: merge a batch's new
+    nodes and new pairs into STORED cluster assignments without
+    re-clustering the corpus. `connected_components` from scratch is
+    O(corpus) per round; at 100 TB continuous ingest needs per-batch
+    work that scales with the batch.
+
+    The contraction argument that makes this EXACT: stored labels are
+    min-ids of the old graph's components, so contracting every node to
+    its label preserves connectivity; new pairs therefore become edges
+    of a LABEL GRAPH whose size is bounded by 2x the batch's pair count
+    (old clusters appear as single vertices, new nodes as their own
+    ids). Min-label propagation on that batch-sized graph yields, per
+    merged group, min over member labels == min over all member node
+    ids (each label already IS its component's min) — identical to a
+    full recompute over (all nodes, all pairs). The remap frame (old
+    label -> merged label, changed rows only) is batch-sized and
+    BROADCASTS back over the stored assignment: one scan of the store,
+    zero store shuffles, propagation cost bounded by batch diameter.
+
+    `assign` carries (id_col, cluster_id); returns the updated full
+    assignment in `connected_components`' schema (id, cluster_id,
+    is_canonical)."""
+    base = assign.select(
+        F.col(id_col).alias("node"), F.col("cluster_id").alias("lab")
+    )
+    newn = (
+        new_nodes.select(F.col(id_col).alias("node"))
+        .join(base.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("lab"))
+    )
+    lookup = base.unionByName(newn)
+    pe = new_pairs.select(
+        F.col(a_col).alias("_na"), F.col(b_col).alias("_nb")
+    )
+    # contract endpoints to labels: the pair side is batch-sized, so it
+    # broadcasts and the corpus-sized lookup streams past it twice
+    lab_edges = (
+        F.broadcast(pe)
+        .join(
+            lookup.select(
+                F.col("node").alias("_na"), F.col("lab").alias("_la")
+            ),
+            "_na",
+        )
+        .join(
+            lookup.select(
+                F.col("node").alias("_nb"), F.col("lab").alias("_lb")
+            ),
+            "_nb",
+        )
+        .filter(F.col("_la") != F.col("_lb"))
+        .select(F.col("_la").alias("id_a"), F.col("_lb").alias("id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # batch-sized; feeds nodes + CC loop
+    )
+    lnodes = (
+        lab_edges.select(F.col("id_a").alias("lab"))
+        .union(lab_edges.select("id_b"))
+        .distinct()
+    )
+    comp = connected_components(
+        lab_edges, lnodes, id_col="lab", a_col="id_a", b_col="id_b",
+        max_iter=max_iter,
+    )
+    remap = comp.filter(F.col("lab") != F.col("cluster_id")).select(
+        F.col("lab").alias("_old"), F.col("cluster_id").alias("_new")
+    )
+    return (
+        lookup.join(
+            F.broadcast(remap), lookup["lab"] == F.col("_old"), "left"
+        )
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("_new", "lab").alias("cluster_id"),
+        )
+        .withColumn(
+            "is_canonical", F.col(id_col) == F.col("cluster_id")
+        )
+    )

@@ -4227,6 +4227,39 @@ def _register_dedup_clusters() -> None:
         ).filter(F.col("jaccard") >= 0.5)
         return dedup.connected_components(pairs, docs.select("doc_id"))
 
+    # parity twin: SAME oracle (a full recompute over all docs) but the
+    # Spark side takes the INCREMENTAL path — history clusters first,
+    # then the batch third merges in via label-graph contraction
+    # (dedup.merge_components). A hash match IS the proof that
+    # incremental maintenance == batch recompute.
+    @register("incremental_cluster_parity", sql)
+    def q_incremental_cluster_parity(spark, sf_dir):
+        """Incremental cluster maintenance parity: documents split into a
+        stored history (doc_id % 3 != 0, clustered the batch way) and an
+        arriving batch (doc_id % 3 == 0). Batch-touching pairs come from
+        the batch-side band join (`lsh_batch_pairs`: batch x full, never
+        full x full), and `merge_components` contracts them onto the
+        stored labels — per-batch work scales with the batch's collision
+        fan-out; the store is scanned once and never shuffled (the remap
+        broadcasts). The oracle recomputes clustering from scratch over
+        ALL documents, so the value hash attests incremental == full."""
+        docs = _cat(spark, sf_dir).documents
+        hist = docs.filter(F.col("doc_id") % 3 != 0)
+        batch = docs.filter(F.col("doc_id") % 3 == 0)
+        hist_pairs = dedup.minhash_lsh_pairs_verified(
+            hist, n_hashes=8, bands=4, k=3, threshold=0.0
+        ).filter(F.col("jaccard") >= 0.5)
+        stored = dedup.connected_components(
+            hist_pairs, hist.select("doc_id")
+        ).select("doc_id", "cluster_id")
+        new_pairs = dedup.lsh_batch_pairs(
+            docs, batch.select("doc_id"), n_hashes=8, bands=4, k=3,
+            threshold=0.0,
+        ).filter(F.col("jaccard") >= 0.5)
+        return dedup.merge_components(
+            stored, new_pairs, batch.select("doc_id")
+        )
+
 
 @register(
     "gopher_quality_flags",

@@ -415,3 +415,93 @@ def test_bloom_bitmap_has_no_false_negatives_and_filters(spark):
     )
     fp = sum(member(novel))
     assert fp <= 2, fp  # ~0 expected at this load factor
+
+
+def test_merge_components_adversarial_topologies(spark):
+    """Hand-built incremental-merge cases: one batch pair joining two
+    stored clusters, a batch chain bridging three, a batch-only
+    component, an untouched stored cluster, and an isolated new node —
+    each must come out identical to a full recompute over the union
+    graph."""
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import dedup
+
+    # stored state: clusters {1,5}, {2,8}, {3,9}, {4} (labels = min ids)
+    assign = spark.createDataFrame(
+        [(1, 1), (5, 1), (2, 2), (8, 2), (3, 3), (9, 3), (4, 4)],
+        "doc_id long, cluster_id long",
+    )
+    new_nodes = spark.createDataFrame(
+        [(10,), (11,), (12,), (13,)], "doc_id long"
+    )
+    # batch pairs: 10 bridges clusters 1 and 2 (via members 5 and 8);
+    # 11-12 is a batch-only pair; 12-9 chains the batch pair into
+    # cluster 3; stored-stored new pair none; 13 isolated; cluster {4}
+    # untouched.
+    new_pairs = spark.createDataFrame(
+        [(5, 10), (10, 8), (11, 12), (12, 9)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup.merge_components(assign, new_pairs, new_nodes).collect()
+    }
+
+    # full recompute over the union graph as the truth
+    all_nodes = spark.createDataFrame(
+        [(i,) for i in [1, 5, 2, 8, 3, 9, 4, 10, 11, 12, 13]],
+        "doc_id long",
+    )
+    all_pairs = spark.createDataFrame(
+        [(1, 5), (2, 8), (3, 9), (5, 10), (10, 8), (11, 12), (12, 9)],
+        "id_a long, id_b long",
+    )
+    want = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup.connected_components(all_pairs, all_nodes).collect()
+    }
+    assert got == want
+    # spot-check the semantics, not just parity with the other impl
+    assert got[10] == (1, False)          # bridge merged {1,5}+{2,8}+10
+    assert got[8] == (1, False)
+    assert got[11] == (3, False)          # chain 11-12-9 joins cluster 3
+    assert got[3] == (3, True)
+    assert got[4] == (4, True)            # untouched cluster survives
+    assert got[13] == (13, True)          # isolated new node = own cluster
+
+
+def test_lsh_batch_pairs_union_covers_full_pair_set(spark, sf_dir):
+    """The incremental pair decomposition: history-internal pairs plus
+    batch-touching pairs (from the batch x full band join) must equal
+    the full-corpus pair set exactly — band collisions are pairwise
+    properties, so the split loses nothing."""
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import dedup
+    from practicum2_nof1_adhd_bd_spark.sources.readers import Catalog
+
+    docs = Catalog(spark, sf_dir).documents
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs_verified(
+            docs, n_hashes=8, bands=4, k=3, threshold=0.0
+        ).filter(F.col("jaccard") >= 0.5).collect()
+    }
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    hist_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs_verified(
+            hist, n_hashes=8, bands=4, k=3, threshold=0.0
+        ).filter(F.col("jaccard") >= 0.5).collect()
+    }
+    batch_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_batch_pairs(
+            docs, docs.filter(F.col("doc_id") % 3 == 0).select("doc_id"),
+            n_hashes=8, bands=4, k=3, threshold=0.0,
+        ).filter(F.col("jaccard") >= 0.5).collect()
+    }
+    assert hist_pairs | batch_pairs == full
+    assert all(
+        a % 3 == 0 or b % 3 == 0 for a, b in batch_pairs
+    )  # batch pairs all touch the batch

@@ -515,6 +515,15 @@ NOTES = {
         "partial/final hash aggregate — the pair set never "
         "materializes globally. One fact scan, no sort-merge join."
     ),
+    "incremental_cluster_parity": (
+        "Incremental cluster maintenance: the batch's band buckets join "
+        "the stored index (batch x collision fan-out, never full x "
+        "full), new pairs CONTRACT onto stored labels, min-label "
+        "propagation runs on the batch-sized label graph, and the "
+        "changed-labels remap broadcasts back over ONE scan of the "
+        "store — no store shuffle. The oracle is a full recompute, so "
+        "the green hash attests incremental == batch re-cluster."
+    ),
     "quality_classifier_scores": (
         "CCNet-style learned filter: one gram explode per side, "
         "training collapses to two hash aggregations over the FIXED "

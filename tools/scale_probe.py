@@ -613,6 +613,106 @@ def _index_file_stats(index_dir: str) -> tuple[int, int]:
     return total, worst
 
 
+def probe_cluster_merge(spark, sf_dir: str, batch_n: int, factor: int) -> dict:
+    """Incremental cluster maintenance scaling: a FIXED batch of
+    ``batch_n`` near-dup docs merges into stored clusters over a base
+    corpus and a ``factor``x corpus. The synthetic corpus is groups of 3
+    near-dup docs (disjoint 10-word vocabularies per group), so cluster
+    structure is controlled and replication does NOT produce the
+    exact-replica pair blowup the documents-table replication would.
+    Stored state (cluster assignment + the signature index's band
+    buckets) is built UNTIMED — that is what a production store holds.
+    Timed: batch banding + batch-vs-index band join + Jaccard verify +
+    label-graph merge (`merge_components`). The full-recompute time over
+    the same corpus is reported beside it; incremental must track the
+    batch, full must track the corpus."""
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import dedup
+
+    def corpus(n_groups, id_start=0):
+        # group g owns words g*10..g*10+9; member m drops word m (high
+        # within-group jaccard, zero cross-group overlap)
+        g = F.floor((F.col("id") - id_start) / 3)
+        m = (F.col("id") - id_start) % 3
+        words = F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(9)),
+                lambda j: F.concat(F.lit("w"), (g * 10 + j).cast("string")),
+            ),
+            lambda w, i: i != m,
+        )
+        return spark.range(id_start, id_start + n_groups * 3).select(
+            F.col("id").alias("doc_id"),
+            F.array_join(words, " ").alias("text"),
+        )
+
+    out: dict = {"batch_n": batch_n, "factor": factor}
+    base_groups = 2000
+    for tag, n_groups in (("1x", base_groups), (f"{factor}x", base_groups * factor)):
+        hist = corpus(n_groups).localCheckpoint(eager=True)
+        # batch: one new near-dup member for each of batch_n distinct groups
+        bg = F.floor((F.col("id") - 10_000_000) % n_groups)
+        batch = spark.range(10_000_000, 10_000_000 + batch_n).select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(9)),
+                    lambda j: F.concat(
+                        F.lit("w"), (bg * 10 + j).cast("string")
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        ).localCheckpoint(eager=True)
+        all_docs = hist.unionByName(batch).localCheckpoint(eager=True)
+        # stored state, untimed: cluster assignment + banded signature index
+        hist_pairs = dedup.minhash_lsh_pairs_verified(
+            hist, n_hashes=8, bands=4, k=3, threshold=0.0
+        ).filter(F.col("jaccard") >= 0.5)
+        stored = dedup.connected_components(
+            hist_pairs, hist.select("doc_id")
+        ).select("doc_id", "cluster_id").localCheckpoint(eager=True)
+        index_banded = dedup._banded_buckets(
+            dedup.minhash_signatures_df(hist, "text", "doc_id", 8, 3),
+            "doc_id", 8, 4,
+        ).localCheckpoint(eager=True)
+
+        t0 = time.time()
+        new_pairs = dedup.lsh_batch_pairs(
+            all_docs, batch.select("doc_id"), n_hashes=8, bands=4, k=3,
+            threshold=0.0, index_banded=index_banded,
+        ).filter(F.col("jaccard") >= 0.5)
+        merged = dedup.merge_components(
+            stored, new_pairs, batch.select("doc_id")
+        )
+        merged.write.format("noop").mode("overwrite").save()
+        t_incr = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        full_pairs = dedup.minhash_lsh_pairs_verified(
+            all_docs, n_hashes=8, bands=4, k=3, threshold=0.0
+        ).filter(F.col("jaccard") >= 0.5)
+        dedup.connected_components(
+            full_pairs, all_docs.select("doc_id")
+        ).write.format("noop").mode("overwrite").save()
+        t_full = round(time.time() - t0, 2)
+        out[tag] = {
+            "corpus_docs": n_groups * 3,
+            "incremental_sec": t_incr,
+            "full_recompute_sec": t_full,
+        }
+        spark.catalog.clearCache()
+    out["incremental_ratio"] = round(
+        out[f"{factor}x"]["incremental_sec"] / out["1x"]["incremental_sec"], 2
+    )
+    out["full_ratio"] = round(
+        out[f"{factor}x"]["full_recompute_sec"]
+        / out["1x"]["full_recompute_sec"], 2
+    )
+    return out
+
+
 def probe_skew(spark, n_rows: int, n_salts: int = 8) -> dict:
     """Hot-key JOIN probe for functions/skew.salted_join — measured where
     salting genuinely matters. For algebraic AGGREGATES, map-side combine
@@ -738,6 +838,15 @@ def main() -> None:
         help="run ONLY the hot-key salted-agg probe on n synthetic rows",
     )
     ap.add_argument("--skew-salts", type=int, default=16)
+    ap.add_argument(
+        "--cluster-merge-batch",
+        type=int,
+        default=0,
+        help="run ONLY the incremental-cluster-maintenance probe: a "
+        "FIXED batch of N docs merges into stored clusters over a 1x "
+        "and a --factor x corpus — incremental time must track the "
+        "batch, full recompute tracks the corpus",
+    )
     args = ap.parse_args()
     if args.queries:
         sel = [q.strip() for q in args.queries.split(",") if q.strip()]
@@ -760,6 +869,16 @@ def main() -> None:
         print(
             json.dumps(
                 probe_quantile(spark, args.quantile_n, args.quantile_accuracy)
+            )
+        )
+        return
+
+    if args.cluster_merge_batch:
+        print(
+            json.dumps(
+                probe_cluster_merge(
+                    spark, args.sf_dir, args.cluster_merge_batch, args.factor
+                )
             )
         )
         return
