@@ -1590,6 +1590,10 @@ def compact_index(
     return before, _count_files(jpath)
 
 
+# (path -> (root mtime, sorted partition-dir names)) — see maybe_compact_index
+_COMPACT_DIR_CACHE: dict = {}
+
+
 def maybe_compact_index(
     spark,
     path: str,
@@ -1610,16 +1614,21 @@ def maybe_compact_index(
     sequentially, so no reader races the swap — see ``compact_index`` on
     concurrent-reader semantics).
 
-    Listing cost is BOUNDED: at most ``sample_dirs`` partition
-    directories are listed per invocation. Up to that many dirs (every
-    current artifact layout — the hp index tops out at 256) the probe is
-    exhaustive and the policy exact; past it, a rotating window of
-    ``sample_dirs`` dirs (advanced by ``cursor``, e.g. the stream's
-    batch_id) is probed instead, so a thousand-partition artifact costs
-    the same per batch and a hot directory is still seen within
-    ceil(n_dirs / sample_dirs) batches — detection latency, not a miss.
-    Without this cap the per-batch full recursive listing would itself
-    become the hot spot at scale.
+    Listing cost is BOUNDED two ways. (a) At most ``sample_dirs``
+    partition directories are probed per invocation: up to that many
+    dirs (every current artifact layout — the hp index tops out at 256)
+    the probe is exhaustive and the policy exact; past it, a rotating
+    window of ``sample_dirs`` dirs (advanced by ``cursor``, e.g. the
+    stream's batch_id) is probed instead, so a thousand-partition
+    artifact costs the same per batch and a hot directory is still seen
+    within ceil(n_dirs / sample_dirs) batches — detection latency, not
+    a miss. (b) Each probed dir is counted with ONE JVM-side globStatus
+    call (Spark data files are always ``part-*``, which also excludes
+    hidden sidecars and local-FS .crc twins for free) — the per-FILE
+    py4j iteration this replaces measured ~5 ms per file, i.e. ~10 s
+    per policy call on a 256-dir x 8-file artifact, all driver-side
+    round-trip chatter. Measured after: ~0.4 s at 256 dirs, flat at
+    2,560 dirs with the default sample cap (SCALING §2i2).
 
     Returns ``(compacted, files_before, files_after)``; when under
     threshold the artifact is untouched and before == after (the count
@@ -1629,28 +1638,48 @@ def maybe_compact_index(
     hconf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(hconf)
-    names = sorted(
-        st.getPath().getName()
-        for st in fs.listStatus(jpath)
-        if st.isDirectory()
-        and not st.getPath().getName().startswith(("_", "."))
-    )
+    # Partition-dir NAME extraction costs ~3 py4j round trips per
+    # FileStatus — seconds of pure driver chatter at thousands of dirs,
+    # every batch. A directory's mtime changes exactly when a direct
+    # child is created or removed (local FS and HDFS semantics), so the
+    # name list is cached per (path, root mtime) and steady-state calls
+    # pay 2 round trips for the mtime probe instead of 3N for the
+    # listing. (Object stores with weak dir mtimes degrade to delayed
+    # discovery of NEW dirs only — a new dir holds one file per batch
+    # that touched it since creation, so it cannot be the worst-dir
+    # trigger before a cache refresh catches up with it.)
+    mtime = fs.getFileStatus(jpath).getModificationTime()
+    cached = _COMPACT_DIR_CACHE.get(path)
+    if cached is not None and cached[0] == mtime:
+        names = cached[1]
+    else:
+        names = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(jpath)
+            if st.isDirectory()
+            and not st.getPath().getName().startswith(("_", "."))
+        )
+        _COMPACT_DIR_CACHE[path] = (mtime, names)
     if len(names) > sample_dirs:
         start = (cursor * sample_dirs) % len(names)
         names = [
             names[(start + i) % len(names)] for i in range(sample_dirs)
         ]
+    # data files sit len(partition_cols) levels below the root: the
+    # first level is the probed dir itself, deeper partition levels are
+    # one glob '*' each
+    depth = len(partition_cols or ["bucket"])
+    sub = "/*" * (depth - 1)
     total = 0
     worst = 0
     for name in names:
-        n = 0
-        it = fs.listFiles(
-            jvm.org.apache.hadoop.fs.Path(str(jpath) + "/" + name), True
+        n = len(
+            fs.globStatus(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{jpath}/{name}{sub}/part-*"
+                )
+            )
         )
-        while it.hasNext():
-            fname = it.next().getPath().getName()
-            if not fname.startswith(("_", ".")):
-                n += 1
         total += n
         worst = max(worst, n)
     if worst <= max_files_per_dir:
