@@ -8963,40 +8963,41 @@ _register_cluster_best_keeper()
 # whole registry, no entry stale-after-rewrite.
 _FRONT_ORDER = [
     "daily_event_stats",  # canary: green every round since r03
-    # new this round (r11): temporal-instability feature scores (the
-    # last uncovered reference analytics module); the TPC-H Q2/Q20
-    # join-order shapes (correlated min via window over the cost grain;
-    # nested semi-join chain with a correlated half-quantity threshold);
-    # the trigram stupid-backoff LM trained on a split
-    "temporal_instability_scores", "min_cost_supplier",
-    "excess_shipment_suppliers", "trigram_surprisal",
-    # behavior-touched r11: both ingest streams now commit idempotently
-    # (batch_id markers, per-batch decisions overwrite, own-id replay
-    # shield) and the bloom sidecar rebuilds on width mismatch; the
-    # Bloom build merges bitmaps two-level; the approx-quantile query
-    # asserts its oracle premise
-    "streaming_ingest_decisions", "streaming_vector_decisions",
-    "bloom_screen_decisions", "quantile_3way_label_approx",
-    # rotation: the FULL 38-query r06-cohort remainder (last driver
-    # attestation r06 — two rounds overdue; ledger in COVERAGE.md)
-    "ann_axis_topk", "auto_segment_triggers", "decontaminate_ngram",
-    "dominant_source_change", "etl_audit_report", "exact_dedup",
-    "feature_attribution_topk", "fold_class_check", "forward_fill_daily",
-    "global_zscore", "high_activity_blocks", "jsonl_corpus_scan",
-    "ks_drift", "label_halves_drift", "lag_persistence",
-    "late_shipment_priority", "macro_summary", "majority_baseline",
-    "missing_days_per_user", "nway_outer_merge", "pbsi_composite",
-    "per_class_metrics", "pipeline_report", "pricing_summary",
-    "quantile_3way_label", "rolling_7d_mean", "rolling_modal_label",
-    "selection_rule_report", "shipping_priority", "sliding_seq_stats",
-    "snapshot_provenance", "source_mixture_weights", "stratified_baseline",
-    "streaming_daily_stats", "streaming_sessions", "union_mean_fusion",
-    "unit_coercion_hours", "zip_ingest_scan",
-    # new this round (r11, late): the fuzzy eval-leakage report, the
-    # TPC-H Q9 shape (the fact-to-fact join-order query), and DSIR
-    # importance selection — every r11-new query is in the window, so
-    # the full 44-query r07 cohort rolls to r12 (ledger in COVERAGE.md)
-    "decontaminate_fuzzy", "nation_profit_share", "dsir_select_topk",
+    # new this round (r12): the TPC-H Q11/Q16 shapes (global-scalar
+    # HAVING over a checkpointed grain; NOT-IN exclusion as broadcast
+    # anti + two-phase distinct), the learned quality-classifier scoring
+    # path (NBSVM weights + logistic link, fully SQL-replayed), the
+    # learned BPE tokenizer (distributed merge loop + frozen-table
+    # encode vs reference-computed merge literals), and incremental
+    # cluster maintenance (oracle = full recompute, so the hash match
+    # IS the incremental == batch proof)
+    "important_stock_parts", "parts_supplier_counts",
+    "quality_classifier_scores", "bpe_learned_encode",
+    "incremental_cluster_parity",
+    # behavior-touched r12: temporal_instability now scores absent
+    # feature columns 0.0 (ref parity) instead of raising; both ingest
+    # streams gained crashed-compaction recovery, the legacy-decisions
+    # layout guard, and dedup-on-auto-compaction
+    "temporal_instability_scores", "streaming_ingest_decisions",
+    "streaming_vector_decisions",
+    # rotation: 41 of the 44-query r07 cohort (last driver attestation
+    # r07 — five rounds overdue; ledger in COVERAGE.md). The remaining
+    # 3 (tz_cutover_daily, union_sum_fusion, user_sessions) spill to
+    # r13 with the aging r08 cohort.
+    "apply_mixture_sample", "auc_persistence", "bpe_token_stats",
+    "calibration_bins", "char_ngram_entropy", "circadian_midpoint",
+    "corpus_clean", "cosine_topk", "daily_modal_type", "doc_fingerprint",
+    "dup_ngram_profile", "embedding_near_dup",
+    "embedding_near_dup_bucketed", "hash_split", "hrv_time_domain",
+    "incremental_ingest_decisions", "ingest_internal_near_decisions",
+    "int8_cosine_topk", "interpolate_daily", "interval_efficiency",
+    "ivf_ann_topk", "json_props_daily", "large_volume_customers",
+    "media_frame_sample", "minhash_signatures", "multiformat_ts_parse",
+    "pack_sequences", "pii_redact_stats", "pipe_split_union",
+    "quality_adjusted_label", "quality_score", "region_revenue",
+    "rollup_nation_year", "semantic_dedup", "semantic_dedup_bucketed",
+    "som_daily_agg", "sql_top_order_per_customer", "tfidf_top_terms",
+    "token_length_profile", "top_supplier_revenue", "topk_customers",
 ]
 
 

@@ -44,44 +44,43 @@ def test_sample_queries_run_at_sf0001(spark, sf_dir):
 def test_attestation_window_is_stable():
     """The external harness attests the FIRST 50 queries; pin the window so
     a stray registration cannot silently displace an entry before it has
-    been attested. Round-11 window = the canary + the 4 r11-new queries +
-    the 4 r11-behavior-touched queries + the FULL 38-query r06-cohort
-    remainder (two rounds overdue) + the late-r11 fuzzy-decontamination,
-    TPC-H-Q9 and DSIR queries (the full 44-query r07 cohort rolls to
-    r12; ledger in COVERAGE.md).
-    Rows-only (no-oracle) queries must NOT occupy window slots."""
+    been attested. Round-12 window = the canary + the 5 r12-new queries
+    (TPC-H Q11/Q16, the learned quality classifier, the learned BPE
+    tokenizer, incremental cluster parity) + the 3 r12-behavior-touched
+    queries (temporal_instability's missing-column guard; both ingest
+    streams' crashed-compaction recovery + layout guard) + 41 of the
+    44-query r07 cohort (five rounds overdue; tz_cutover_daily,
+    union_sum_fusion, user_sessions spill to r13 — ledger in
+    COVERAGE.md). Rows-only (no-oracle) queries must NOT occupy window
+    slots."""
     names = list(entrymod.queries())
     window = names[:50]
     oracles = entrymod.oracle_sql()
     assert window[0] == "daily_event_stats"  # cross-round canary
     for must in (
-        # new this round (r11): the last uncovered reference analytics
-        # module, the TPC-H Q2/Q20 shapes, the trigram backoff LM, the
-        # fuzzy eval-leakage report
-        "temporal_instability_scores", "min_cost_supplier",
-        "excess_shipment_suppliers", "trigram_surprisal",
-        "decontaminate_fuzzy", "nation_profit_share", "dsir_select_topk",
-        # behavior-touched r11: idempotent ingest commits + per-batch
-        # decisions layout (both streams), two-level bloom merge, the
-        # approx-quantile premise guard
-        "streaming_ingest_decisions", "streaming_vector_decisions",
-        "bloom_screen_decisions", "quantile_3way_label_approx",
-        # r06-cohort rotation (the full 38-query remainder)
-        "ann_axis_topk", "auto_segment_triggers", "decontaminate_ngram",
-        "dominant_source_change", "etl_audit_report", "exact_dedup",
-        "feature_attribution_topk", "fold_class_check",
-        "forward_fill_daily", "global_zscore", "high_activity_blocks",
-        "jsonl_corpus_scan", "ks_drift", "label_halves_drift",
-        "lag_persistence", "late_shipment_priority", "macro_summary",
-        "majority_baseline", "missing_days_per_user", "nway_outer_merge",
-        "pbsi_composite", "per_class_metrics", "pipeline_report",
-        "pricing_summary", "quantile_3way_label", "rolling_7d_mean",
-        "rolling_modal_label", "selection_rule_report",
-        "shipping_priority", "sliding_seq_stats", "snapshot_provenance",
-        "source_mixture_weights", "stratified_baseline",
-        "streaming_daily_stats", "streaming_sessions",
-        "union_mean_fusion", "unit_coercion_hours", "zip_ingest_scan",
-
+        # new this round (r12)
+        "important_stock_parts", "parts_supplier_counts",
+        "quality_classifier_scores", "bpe_learned_encode",
+        "incremental_cluster_parity",
+        # behavior-touched r12
+        "temporal_instability_scores", "streaming_ingest_decisions",
+        "streaming_vector_decisions",
+        # r07-cohort rotation (41 of 44)
+        "apply_mixture_sample", "auc_persistence", "bpe_token_stats",
+        "calibration_bins", "char_ngram_entropy", "circadian_midpoint",
+        "corpus_clean", "cosine_topk", "daily_modal_type",
+        "doc_fingerprint", "dup_ngram_profile", "embedding_near_dup",
+        "embedding_near_dup_bucketed", "hash_split", "hrv_time_domain",
+        "incremental_ingest_decisions", "ingest_internal_near_decisions",
+        "int8_cosine_topk", "interpolate_daily", "interval_efficiency",
+        "ivf_ann_topk", "json_props_daily", "large_volume_customers",
+        "media_frame_sample", "minhash_signatures",
+        "multiformat_ts_parse", "pack_sequences", "pii_redact_stats",
+        "pipe_split_union", "quality_adjusted_label", "quality_score",
+        "region_revenue", "rollup_nation_year", "semantic_dedup",
+        "semantic_dedup_bucketed", "som_daily_agg",
+        "sql_top_order_per_customer", "tfidf_top_terms",
+        "token_length_profile", "top_supplier_revenue", "topk_customers",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry
