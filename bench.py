@@ -108,6 +108,8 @@ HEADLINE = [
     "important_stock_parts",
     "parts_supplier_counts",
     "quality_classifier_scores",
+    "forecast_revenue_change",
+    "promo_revenue_share",
 ]
 
 

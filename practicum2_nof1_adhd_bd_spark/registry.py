@@ -2201,6 +2201,103 @@ def q_parts_supplier_counts(spark, sf_dir):
 
 
 @register(
+    "forecast_revenue_change",
+    """
+    SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
+                              AS DECIMAL(28,12))) AS DOUBLE), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue_change(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change): the pure-pushdown
+    query — no join, no group key, just three predicates and one sum.
+    Its whole value at 100 TB is WHERE the predicates execute: all
+    three must reach the parquet scan as PushedFilters (date range,
+    discount band, quantity cap) so row groups prune on statistics and
+    the aggregate sees only survivors — plan-contract-tested. Revenue
+    sums in decimal (combine-order exact). (TPC-H Q6)"""
+    li = _cat(spark, sf_dir).lineitem
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(28,12)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "promo_revenue_share",
+    """
+    WITH j AS (
+        SELECT CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(28,12)) AS rev,
+               p_type LIKE 'PROMO%' AS is_promo
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= '1995-09-01' AND l_shipdate < '1995-10-01'
+    )
+    SELECT round(CAST(100.0 * sum(CASE WHEN is_promo THEN rev
+                                       ELSE CAST(0 AS DECIMAL(28,12)) END)
+                      / sum(rev) AS DOUBLE), 6) AS promo_share,
+           round(CAST(sum(rev) AS DOUBLE), 2) AS total_revenue
+    FROM j
+    """,
+)
+def q_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): the conditional-sum RATIO over
+    a broadcast dim join — one month of lineitem (date range pushed to
+    the scan) joins the part dim for its type flag, and both the promo
+    and total sums come out of ONE aggregate over that join (no second
+    pass, no separate filtered subquery). Sums in decimal so the ratio
+    is combine-order exact. (TPC-H Q14)"""
+    cat = _cat(spark, sf_dir)
+    li = cat.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    j = li.join(
+        F.broadcast(cat.part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(28,12)")
+        .alias("rev"),
+        F.col("p_type").like("PROMO%").alias("is_promo"),
+    )
+    return j.agg(
+        F.round(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("is_promo"), F.col("rev")).otherwise(
+                        F.lit(0).cast("decimal(28,12)")
+                    )
+                )
+                / F.sum("rev")
+            ).cast("double"),
+            6,
+        ).alias("promo_share"),
+        F.round(F.sum("rev").cast("double"), 2).alias("total_revenue"),
+    )
+
+
+@register(
     "topk_per_group",
     """
     WITH j AS (
@@ -8973,17 +9070,19 @@ _FRONT_ORDER = [
     # IS the incremental == batch proof)
     "important_stock_parts", "parts_supplier_counts",
     "quality_classifier_scores", "bpe_learned_encode",
-    "incremental_cluster_parity",
+    "incremental_cluster_parity", "forecast_revenue_change",
+    "promo_revenue_share",
     # behavior-touched r12: temporal_instability now scores absent
     # feature columns 0.0 (ref parity) instead of raising; both ingest
     # streams gained crashed-compaction recovery, the legacy-decisions
     # layout guard, and dedup-on-auto-compaction
     "temporal_instability_scores", "streaming_ingest_decisions",
     "streaming_vector_decisions",
-    # rotation: 41 of the 44-query r07 cohort (last driver attestation
+    # rotation: 39 of the 44-query r07 cohort (last driver attestation
     # r07 — five rounds overdue; ledger in COVERAGE.md). The remaining
-    # 3 (tz_cutover_daily, union_sum_fusion, user_sessions) spill to
-    # r13 with the aging r08 cohort.
+    # 5 (top_supplier_revenue, topk_customers, tz_cutover_daily,
+    # union_sum_fusion, user_sessions) spill to r13 with the aging r08
+    # cohort.
     "apply_mixture_sample", "auc_persistence", "bpe_token_stats",
     "calibration_bins", "char_ngram_entropy", "circadian_midpoint",
     "corpus_clean", "cosine_topk", "daily_modal_type", "doc_fingerprint",
@@ -8997,7 +9096,7 @@ _FRONT_ORDER = [
     "quality_adjusted_label", "quality_score", "region_revenue",
     "rollup_nation_year", "semantic_dedup", "semantic_dedup_bucketed",
     "som_daily_agg", "sql_top_order_per_customer", "tfidf_top_terms",
-    "token_length_profile", "top_supplier_revenue", "topk_customers",
+    "token_length_profile",
 ]
 
 

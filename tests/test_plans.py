@@ -574,3 +574,33 @@ def test_parts_supplier_counts_anti_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_q6_all_predicates_pushed_to_scan(spark, sf_dir):
+    """Q6 shape contract: the date range, discount band, and quantity cap
+    must all reach the parquet scan as pushed filters — the aggregate
+    runs over statistics-pruned row groups, which is the entire point of
+    the query at 100 TB. No join, no exchange beyond the final 1-row
+    partial-agg merge."""
+    df = registry.QUERIES["forecast_revenue_change"](spark, sf_dir)
+    plan = _plan(df)
+    scan = [seg for seg in plan.split("FileScan") if "lineitem" in seg[:1000]]
+    assert len(scan) == 1
+    pushed = scan[0][scan[0].find("PushedFilters"):][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    assert "Join" not in plan
+
+
+def test_q14_single_aggregate_broadcast_dim(spark, sf_dir):
+    """Q14 shape contract: one lineitem scan (date range pushed), the
+    part dim broadcast, and BOTH conditional sums from a single
+    aggregate — no second pass, no sort-merge join."""
+    df = registry.QUERIES["promo_revenue_share"](spark, sf_dir)
+    plan = _plan(df)
+    scans = [seg for seg in plan.split("FileScan") if "lineitem" in seg[:1000]]
+    assert len(scans) == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    pushed = scans[0][scans[0].find("PushedFilters"):][:300]
+    assert "l_shipdate" in pushed

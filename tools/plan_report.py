@@ -533,6 +533,19 @@ NOTES = {
         "crossJoins; scores are a sigmoid projection; nothing "
         "collects."
     ),
+    "forecast_revenue_change": (
+        "TPC-H Q6, the pure-pushdown query: all three predicates reach "
+        "the parquet scan as PushedFilters (row groups prune on "
+        "statistics), no join, and the only exchange is the 1-row "
+        "partial-agg merge — at 100 TB this is IO-bound on the pruned "
+        "scan, exactly as it should be."
+    ),
+    "promo_revenue_share": (
+        "TPC-H Q14: one month of lineitem (date pushed to the scan) "
+        "joins the broadcast part dim; BOTH conditional sums of the "
+        "ratio come from one aggregate — no second pass, decimal-exact "
+        "so the ratio cannot wobble with combine order."
+    ),
     "trigram_surprisal": (
         "One explode over the model corpus feeds all three count "
         "levels (contexts re-aggregate the gram frames, never the "

@@ -198,6 +198,8 @@ QUERIES = [
     "important_stock_parts",
     "parts_supplier_counts",
     "quality_classifier_scores",
+    "forecast_revenue_change",
+    "promo_revenue_share",
 ]
 
 # artifact-serving queries: run once UNTIMED first so _land_once builds
