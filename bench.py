@@ -110,6 +110,7 @@ HEADLINE = [
     "quality_classifier_scores",
     "forecast_revenue_change",
     "promo_revenue_share",
+    "boilerplate_strip_report",
 ]
 
 

@@ -2094,3 +2094,100 @@ def bpe_encode_merges(
             n_sub / F.greatest(F.size(ws), F.lit(1)), 6
         ).alias("subwords_per_word"),
     )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_content_words: int = 8,
+    min_stop_frac: float = 0.15,
+    max_upper_frac: float = 0.3,
+) -> DataFrame:
+    """Line-grain boilerplate removal — the jusText/trafilatura-family
+    content-extraction step every web-crawl curation pipeline runs
+    before quality filtering (Pomikálek 2011; CCNet strips boilerplate
+    before its LM filter). Two passes, both pure column algebra:
+
+    1. BASE class per line: GOOD when it reads like prose (>= ``min_
+       content_words`` words, stopword fraction >= ``min_stop_frac``,
+       no link marker, uppercase fraction < ``max_upper_frac``); BAD
+       when it cannot be (under 3 words, a link, or near-zero stopword
+       density — nav bars, copyright lines, button text); SHORT
+       otherwise.
+    2. CONTEXT smoothing, the jusText idea that separates it from a
+       plain threshold: a SHORT line adjacent to a GOOD line is kept
+       (it is usually a heading or a continuation), one lag/lead window
+       per document.
+
+    Plan shape: one posexplode (line order preserved by position), all
+    features codegen'd, one per-doc window for the smoothing, one
+    groupBy back to doc grain with the kept lines re-joined in
+    position order. Shuffles carry (doc, pos, class) — never more than
+    the line table. Returns (id, kept_text, n_lines, n_kept,
+    boilerplate_frac)."""
+    from pyspark.sql import Window
+
+    lines = fan_out(df, id_col).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    ws = tokens(F.lower(F.col("line")))
+    n_words = F.size(ws)
+    sw = F.array([F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
+    stop_frac = n_stop / F.greatest(n_words, F.lit(1))
+    n_alpha = F.length(F.regexp_replace(F.col("line"), r"[^A-Za-z]", ""))
+    n_upper = F.length(F.regexp_replace(F.col("line"), r"[^A-Z]", ""))
+    upper_frac = n_upper / F.greatest(n_alpha, F.lit(1))
+    has_link = F.col("line").contains("http")
+    base = (
+        F.when(
+            (n_words < 3) | has_link | (stop_frac < 0.05), F.lit("bad")
+        )
+        .when(
+            (n_words >= min_content_words)
+            & (stop_frac >= min_stop_frac)
+            & (upper_frac < max_upper_frac),
+            F.lit("good"),
+        )
+        .otherwise(F.lit("short"))
+    )
+    classified = lines.select(id_col, "pos", "line", base.alias("_cls"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    kept = classified.withColumn(
+        "_keep",
+        (F.col("_cls") == "good")
+        | (
+            (F.col("_cls") == "short")
+            & (
+                (F.lag("_cls").over(w) == "good")
+                | (F.lead("_cls").over(w) == "good")
+            )
+        ),
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("kept_text"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("_keep").cast("int")).alias("n_kept"),
+            F.round(
+                1 - F.sum(F.col("_keep").cast("int")) / F.count(F.lit(1)), 6
+            ).alias("boilerplate_frac"),
+        )
+        .orderBy(id_col)
+    )

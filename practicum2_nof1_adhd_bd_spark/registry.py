@@ -2298,6 +2298,115 @@ def q_promo_revenue_share(spark, sf_dir):
 
 
 @register(
+    "boilerplate_strip_report",
+    """
+    WITH docs AS (
+        SELECT i AS doc_id, i % 4 + 2 AS nc
+        FROM generate_series(0, 119) t(i)
+    ),
+    built AS (
+        SELECT doc_id,
+               ['HOME | PRODUCTS | ABOUT | CONTACT',
+                'A Review of Topic ' || doc_id] ||
+               list_transform(generate_series(0, nc - 1),
+                   j -> 'the value ' || (doc_id * 31 + j * 7) ||
+                        ' of the table is in the row and the part ' ||
+                        j || ' was on it') ||
+               ['(c) 2024 example corp', 'click here for more',
+                'HOME | PRIVACY | TERMS http://example.com'] AS arr
+        FROM docs
+    ),
+    feat AS (
+        SELECT doc_id, i AS pos, arr[i] AS line,
+               regexp_extract_all(lower(arr[i]), '\\S+') AS ws
+        FROM built, unnest(generate_series(1, len(arr))) AS t(i)
+    ),
+    cls AS (
+        SELECT doc_id, pos, line,
+               len(ws) AS nw,
+               len(list_filter(ws, w -> list_contains(
+                   ['the','a','an','and','or','of','to','in','is','it',
+                    'that','for','on','with','as','was','at','by','this'],
+                   w))) AS nstop,
+               length(regexp_replace(line, '[^A-Za-z]', '', 'g'))
+                   AS nalpha,
+               length(regexp_replace(line, '[^A-Z]', '', 'g')) AS nupper,
+               contains(line, 'http') AS haslink
+        FROM feat
+    ),
+    base AS (
+        SELECT doc_id, pos, line,
+               CASE WHEN nw < 3 OR haslink
+                         OR nstop * 1.0 / greatest(nw, 1) < 0.05
+                    THEN 'bad'
+                    WHEN nw >= 8
+                         AND nstop * 1.0 / greatest(nw, 1) >= 0.15
+                         AND nupper * 1.0 / greatest(nalpha, 1) < 0.3
+                    THEN 'good'
+                    ELSE 'short' END AS cls
+        FROM cls
+    ),
+    sm AS (
+        SELECT doc_id, pos, line,
+               cls = 'good' OR (cls = 'short' AND
+                   (lag(cls) OVER w = 'good'
+                    OR lead(cls) OVER w = 'good')) AS keep
+        FROM base WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY pos), '') AS kept_text,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           round(1 - sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 6) AS boilerplate_frac
+    FROM sm GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_boilerplate_strip_report(spark, sf_dir):
+    """Boilerplate removal (jusText family, Pomikálek 2011 — the
+    content-extraction step CCNet-style curation runs before quality
+    filtering) over a deterministic web-page-shaped fixture corpus:
+    nav bars, a stopword-bearing heading, formula content sentences, a
+    copyright line, a 'click here' line, and a link footer per doc.
+    The heading survives ONLY via the jusText context rule (short line
+    adjacent to good content), and 'click here' dies by the same rule
+    (short between two bads) — so the oracle, which replays the full
+    two-pass classifier in SQL, attests the smoothing semantics, not
+    just the thresholds. sf-independent fixture (pure function of the
+    doc index)."""
+    nc = F.col("id") % 4 + 2
+    content = F.transform(
+        F.sequence(F.lit(0), nc - 1),
+        lambda j: F.concat(
+            F.lit("the value "),
+            (F.col("id") * 31 + j * 7).cast("string"),
+            F.lit(" of the table is in the row and the part "),
+            j.cast("string"),
+            F.lit(" was on it"),
+        ),
+    )
+    lines = F.concat(
+        F.array(
+            F.lit("HOME | PRODUCTS | ABOUT | CONTACT"),
+            F.concat(F.lit("A Review of Topic "), F.col("id").cast("string")),
+        ),
+        content,
+        F.array(
+            F.lit("(c) 2024 example corp"),
+            F.lit("click here for more"),
+            F.lit("HOME | PRIVACY | TERMS http://example.com"),
+        ),
+    )
+    corpus = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(lines, "\n").alias("text"),
+    )
+    return textops.boilerplate_strip(corpus)
+
+
+@register(
     "topk_per_group",
     """
     WITH j AS (
@@ -9071,18 +9180,18 @@ _FRONT_ORDER = [
     "important_stock_parts", "parts_supplier_counts",
     "quality_classifier_scores", "bpe_learned_encode",
     "incremental_cluster_parity", "forecast_revenue_change",
-    "promo_revenue_share",
+    "promo_revenue_share", "boilerplate_strip_report",
     # behavior-touched r12: temporal_instability now scores absent
     # feature columns 0.0 (ref parity) instead of raising; both ingest
     # streams gained crashed-compaction recovery, the legacy-decisions
     # layout guard, and dedup-on-auto-compaction
     "temporal_instability_scores", "streaming_ingest_decisions",
     "streaming_vector_decisions",
-    # rotation: 39 of the 44-query r07 cohort (last driver attestation
+    # rotation: 38 of the 44-query r07 cohort (last driver attestation
     # r07 — five rounds overdue; ledger in COVERAGE.md). The remaining
-    # 5 (top_supplier_revenue, topk_customers, tz_cutover_daily,
-    # union_sum_fusion, user_sessions) spill to r13 with the aging r08
-    # cohort.
+    # 6 (token_length_profile, top_supplier_revenue, topk_customers,
+    # tz_cutover_daily, union_sum_fusion, user_sessions) spill to r13
+    # with the aging r08 cohort.
     "apply_mixture_sample", "auc_persistence", "bpe_token_stats",
     "calibration_bins", "char_ngram_entropy", "circadian_midpoint",
     "corpus_clean", "cosine_topk", "daily_modal_type", "doc_fingerprint",
@@ -9096,7 +9205,6 @@ _FRONT_ORDER = [
     "quality_adjusted_label", "quality_score", "region_revenue",
     "rollup_nation_year", "semantic_dedup", "semantic_dedup_bucketed",
     "som_daily_agg", "sql_top_order_per_customer", "tfidf_top_terms",
-    "token_length_profile",
 ]
 
 

@@ -48,10 +48,11 @@ def test_attestation_window_is_stable():
     (TPC-H Q11/Q16, the learned quality classifier, the learned BPE
     tokenizer, incremental cluster parity) + the 3 r12-behavior-touched
     queries (temporal_instability's missing-column guard; both ingest
-    streams' crashed-compaction recovery + layout guard) + 39 of the
-    44-query r07 cohort (five rounds overdue; top_supplier_revenue,
-    topk_customers, tz_cutover_daily, union_sum_fusion, user_sessions
-    spill to r13 — ledger in COVERAGE.md). Rows-only (no-oracle)
+    streams' crashed-compaction recovery + layout guard) + 38 of the
+    44-query r07 cohort (five rounds overdue; token_length_profile,
+    top_supplier_revenue, topk_customers, tz_cutover_daily,
+    union_sum_fusion, user_sessions spill to r13 — ledger in
+    COVERAGE.md). Rows-only (no-oracle)
     queries must NOT occupy window slots."""
     names = list(entrymod.queries())
     window = names[:50]
@@ -62,11 +63,11 @@ def test_attestation_window_is_stable():
         "important_stock_parts", "parts_supplier_counts",
         "quality_classifier_scores", "bpe_learned_encode",
         "incremental_cluster_parity", "forecast_revenue_change",
-        "promo_revenue_share",
+        "promo_revenue_share", "boilerplate_strip_report",
         # behavior-touched r12
         "temporal_instability_scores", "streaming_ingest_decisions",
         "streaming_vector_decisions",
-        # r07-cohort rotation (39 of 44)
+        # r07-cohort rotation (38 of 44)
         "apply_mixture_sample", "auc_persistence", "bpe_token_stats",
         "calibration_bins", "char_ngram_entropy", "circadian_midpoint",
         "corpus_clean", "cosine_topk", "daily_modal_type",
@@ -81,7 +82,6 @@ def test_attestation_window_is_stable():
         "region_revenue", "rollup_nation_year", "semantic_dedup",
         "semantic_dedup_bucketed", "som_daily_agg",
         "sql_top_order_per_customer", "tfidf_top_terms",
-        "token_length_profile",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry

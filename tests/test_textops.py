@@ -727,3 +727,43 @@ def test_logistic_fit_hashed_matches_numpy_reference(spark):
     # and the learned weights actually separate the training set
     p = 1 / (1 + np.exp(-(X @ w + b)))
     assert all((p[i] >= 0.5) == (y[i] == 1.0) for i in range(len(rows)))
+
+
+def test_boilerplate_strip_context_smoothing(spark):
+    """Pins the jusText two-pass semantics on a hand-built page: nav and
+    copyright lines die as BAD, the stopword-bearing heading survives
+    ONLY because it neighbors good content (context rule), 'click here'
+    dies because both neighbors are bad, link lines always die, and the
+    kept text preserves line order."""
+    from practicum2_nof1_adhd_bd_spark.operators import textops
+
+    heading = "A Review of Topic 9"
+    good1 = "the value of the table is in the row and the part was on it"
+    good2 = "it was a value of the row and the table is on the part too"
+    doc = "\n".join(
+        [
+            "HOME | PRODUCTS | ABOUT | CONTACT",  # bad: zero stopwords
+            heading,                               # short -> kept via next good
+            good1,
+            good2,
+            "(c) 2024 example corp",               # bad: zero stopwords
+            "click here for more",                 # short, both neighbors bad
+            "HOME | PRIVACY | TERMS http://example.com",  # bad: link
+        ]
+    )
+    # control doc: the same heading with NO adjacent content must die
+    lonely = "\n".join(
+        [
+            "HOME | PRODUCTS | ABOUT | CONTACT",
+            heading,
+            "(c) 2024 example corp",
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, doc), (2, lonely)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textops.boilerplate_strip(df).collect()}
+    assert out[1]["kept_text"] == "\n".join([heading, good1, good2])
+    assert out[1]["n_lines"] == 7 and out[1]["n_kept"] == 3
+    assert abs(out[1]["boilerplate_frac"] - round(4 / 7, 6)) < 1e-9
+    assert out[2]["kept_text"] == "" and out[2]["n_kept"] == 0

@@ -546,6 +546,13 @@ NOTES = {
         "ratio come from one aggregate — no second pass, decimal-exact "
         "so the ratio cannot wobble with combine order."
     ),
+    "boilerplate_strip_report": (
+        "One posexplode to line grain (order carried by position), all "
+        "features codegen'd, ONE per-doc window for the jusText context "
+        "rule, one groupBy back to doc grain re-joining kept lines in "
+        "position order — shuffles carry (doc, pos, class), never more "
+        "than the line table."
+    ),
     "trigram_surprisal": (
         "One explode over the model corpus feeds all three count "
         "levels (contexts re-aggregate the gram frames, never the "
