@@ -111,6 +111,7 @@ HEADLINE = [
     "forecast_revenue_change",
     "promo_revenue_share",
     "boilerplate_strip_report",
+    "warc_response_scan",
 ]
 
 

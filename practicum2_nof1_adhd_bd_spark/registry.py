@@ -2407,6 +2407,67 @@ def q_boilerplate_strip_report(spark, sf_dir):
 
 
 @register(
+    "warc_response_scan",
+    """
+    WITH idx AS (
+        SELECT i FROM generate_series(0, 239) t(i) WHERE i % 4 != 3
+    ),
+    rec AS (
+        SELECT i AS doc_id,
+               'site' || (i % 7) || '.example' AS host,
+               CASE WHEN i % 6 = 0 THEN 404 ELSE 200 END AS http_status,
+               'text/html' AS content_type,
+               'doc ' || i || ' the value ' || (i * 13) % 97 ||
+               ' of the table is here' ||
+               CASE WHEN i % 5 = 0
+                    THEN chr(13) || chr(10) || chr(13) || chr(10) ||
+                         'second paragraph ' || i
+                    ELSE '' END AS body
+        FROM idx
+    )
+    SELECT doc_id, host, http_status, content_type, body,
+           CAST(length(body) AS INT) AS n_body_chars,
+           host IN ('site0.example', 'site3.example') AS blocked
+    FROM rec ORDER BY doc_id
+    """,
+)
+def q_warc_response_scan(spark, sf_dir):
+    """WARC ingest (the Common Crawl interchange format — the raw input
+    of web-scale pretraining pipelines): splittable lineSep='WARC/1.0'
+    text scan, response records parsed with codegen'd column algebra
+    (status/content-type from the HTTP preamble, body after two
+    FRONT-anchored blank-line splits so embedded blank lines survive),
+    host extraction, and the UT1-style domain-blocklist screen as a
+    broadcast join. Fixture-formula oracle over a deterministic
+    synthesized crawl (request records must drop, every-fifth body
+    carries an embedded blank line, trailing inter-record CRLFs trim);
+    split-robustness pinned in tests/test_sources.py. sf-independent
+    fixture."""
+    from .sources import warc as warc_src
+
+    src = _land_once(
+        "/tmp/spark_graft_warc", "v1",
+        lambda d: warc_src.synthesize_warc(d, n_records=240),
+    )
+    resp = warc_src.warc_responses(spark, src)
+    blocked = spark.createDataFrame(
+        [("site0.example",), ("site3.example",)], "host string"
+    )
+    out = warc_src.filter_blocklist(resp, blocked)
+    return out.select(
+        F.regexp_extract("target_uri", r"/page/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "host",
+        "http_status",
+        "content_type",
+        "body",
+        F.col("n_body_chars").cast("int").alias("n_body_chars"),
+        "blocked",
+    ).orderBy("doc_id")
+
+
+@register(
     "topk_per_group",
     """
     WITH j AS (
@@ -9181,17 +9242,18 @@ _FRONT_ORDER = [
     "quality_classifier_scores", "bpe_learned_encode",
     "incremental_cluster_parity", "forecast_revenue_change",
     "promo_revenue_share", "boilerplate_strip_report",
+    "warc_response_scan",
     # behavior-touched r12: temporal_instability now scores absent
     # feature columns 0.0 (ref parity) instead of raising; both ingest
     # streams gained crashed-compaction recovery, the legacy-decisions
     # layout guard, and dedup-on-auto-compaction
     "temporal_instability_scores", "streaming_ingest_decisions",
     "streaming_vector_decisions",
-    # rotation: 38 of the 44-query r07 cohort (last driver attestation
+    # rotation: 37 of the 44-query r07 cohort (last driver attestation
     # r07 — five rounds overdue; ledger in COVERAGE.md). The remaining
-    # 6 (token_length_profile, top_supplier_revenue, topk_customers,
-    # tz_cutover_daily, union_sum_fusion, user_sessions) spill to r13
-    # with the aging r08 cohort.
+    # 7 (tfidf_top_terms, token_length_profile, top_supplier_revenue,
+    # topk_customers, tz_cutover_daily, union_sum_fusion, user_sessions)
+    # spill to r13 with the aging r08 cohort.
     "apply_mixture_sample", "auc_persistence", "bpe_token_stats",
     "calibration_bins", "char_ngram_entropy", "circadian_midpoint",
     "corpus_clean", "cosine_topk", "daily_modal_type", "doc_fingerprint",
@@ -9204,7 +9266,7 @@ _FRONT_ORDER = [
     "pack_sequences", "pii_redact_stats", "pipe_split_union",
     "quality_adjusted_label", "quality_score", "region_revenue",
     "rollup_nation_year", "semantic_dedup", "semantic_dedup_bucketed",
-    "som_daily_agg", "sql_top_order_per_customer", "tfidf_top_terms",
+    "som_daily_agg", "sql_top_order_per_customer",
 ]
 
 

@@ -172,6 +172,9 @@ def shift_detector_tws(
             )
 
         def close(self) -> None:
+            # required StatefulProcessor lifecycle hook; this detector
+            # holds no resources outside the state store, so teardown is
+            # genuinely a no-op (nothing is being swallowed here)
             pass
 
     return events.groupBy(key_col).transformWithStateInPandas(

@@ -546,6 +546,13 @@ NOTES = {
         "ratio come from one aggregate — no second pass, decimal-exact "
         "so the ratio cannot wobble with combine order."
     ),
+    "warc_response_scan": (
+        "Splittable lineSep text scan — records split across executors "
+        "at maxPartitionBytes grain; every header/payload extraction is "
+        "codegen'd regexp/substring algebra (no Python in the scan "
+        "path), and the domain blocklist joins as a broadcast anti — "
+        "the crawl never shuffles."
+    ),
     "boilerplate_strip_report": (
         "One posexplode to line grain (order carried by position), all "
         "features codegen'd, ONE per-doc window for the jusText context "
