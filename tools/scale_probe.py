@@ -96,6 +96,53 @@ def probe_xml(spark, tmp: str, xml_mb: int) -> dict:
     }
 
 
+def probe_warc(spark, tmp: str, warc_mb: int) -> dict:
+    """WARC-scan throughput: synthesize ~warc_mb MB of records with
+    body sizes in the fixture formula's shape, scan with
+    sources.warc.warc_responses (splittable lineSep text scan + codegen
+    parsing), and aggregate a per-host rollup — MB/s and records/s for
+    the crawl-ingest front door."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.sources import warc
+
+    # ~430 bytes/record in the fixture shape
+    n_records = math.ceil(warc_mb * 1024 * 1024 / 430)
+    path = os.path.join(tmp, "warc_probe")
+    warc.synthesize_warc(path, n_records=n_records)
+    real_mb = sum(
+        os.path.getsize(os.path.join(path, f)) for f in os.listdir(path)
+    ) / 1e6
+    prev_split = spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+    )
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+    times = []
+    for _ in range(2):  # cold then warm
+        t0 = time.time()
+        resp = warc.warc_responses(spark, path)
+        n_hosts = (
+            resp.groupBy("host")
+            .agg(F.count(F.lit(1)), F.sum("n_body_chars"))
+            .count()
+        )
+        times.append(time.time() - t0)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+    dt = times[-1]
+    n_resp = int(n_records - n_records // 4)
+    return {
+        "warc_mb": round(real_mb, 1),
+        "warc_records": n_records,
+        "warc_scan_agg_cold_sec": round(times[0], 2),
+        "warc_scan_agg_warm_sec": round(dt, 2),
+        "warc_mb_per_sec": round(real_mb / dt, 1),
+        "warc_responses_per_sec": int(n_resp / dt),
+        "n_hosts": n_hosts,
+    }
+
+
 def replicate(spark, src: str, dst: str, factor: int) -> None:
     from pyspark.sql import functions as F
 
@@ -841,6 +888,13 @@ def main() -> None:
     )
     ap.add_argument("--skew-salts", type=int, default=16)
     ap.add_argument(
+        "--warc-mb",
+        type=int,
+        default=0,
+        help="run ONLY the WARC-scan throughput probe on ~N MB of "
+        "synthesized records",
+    )
+    ap.add_argument(
         "--cluster-merge-batch",
         type=int,
         default=0,
@@ -873,6 +927,11 @@ def main() -> None:
                 probe_quantile(spark, args.quantile_n, args.quantile_accuracy)
             )
         )
+        return
+
+    if args.warc_mb:
+        with tempfile.TemporaryDirectory(prefix="scale_probe_warc_") as tmp:
+            print(json.dumps(probe_warc(spark, tmp, args.warc_mb)))
         return
 
     if args.cluster_merge_batch:
