@@ -44,15 +44,16 @@ def test_sample_queries_run_at_sf0001(spark, sf_dir):
 def test_attestation_window_is_stable():
     """The external harness attests the FIRST 50 queries; pin the window so
     a stray registration cannot silently displace an entry before it has
-    been attested. Round-12 window = the canary + the 5 r12-new queries
-    (TPC-H Q11/Q16, the learned quality classifier, the learned BPE
-    tokenizer, incremental cluster parity) + the 3 r12-behavior-touched
+    been attested. Round-12 window = the canary + the r12-new queries
+    (TPC-H Q6/Q11/Q12/Q14/Q16, the learned quality classifier, the
+    learned BPE tokenizer, incremental cluster parity, boilerplate
+    strip, WARC scan) + the 3 r12-behavior-touched
     queries (temporal_instability's missing-column guard; both ingest
-    streams' crashed-compaction recovery + layout guard) + 37 of the
-    44-query r07 cohort (five rounds overdue; tfidf_top_terms,
-    token_length_profile, top_supplier_revenue, topk_customers,
-    tz_cutover_daily, union_sum_fusion, user_sessions spill to r13 —
-    ledger in COVERAGE.md). Rows-only (no-oracle)
+    streams' crashed-compaction recovery + layout guard) + 36 of the
+    44-query r07 cohort (five rounds overdue; sql_top_order_per_customer,
+    tfidf_top_terms, token_length_profile, top_supplier_revenue,
+    topk_customers, tz_cutover_daily, union_sum_fusion, user_sessions
+    spill to r13 — ledger in COVERAGE.md). Rows-only (no-oracle)
     queries must NOT occupy window slots."""
     names = list(entrymod.queries())
     window = names[:50]
@@ -63,12 +64,12 @@ def test_attestation_window_is_stable():
         "important_stock_parts", "parts_supplier_counts",
         "quality_classifier_scores", "bpe_learned_encode",
         "incremental_cluster_parity", "forecast_revenue_change",
-        "promo_revenue_share", "boilerplate_strip_report",
-        "warc_response_scan",
+        "promo_revenue_share", "shipmode_priority_counts",
+        "boilerplate_strip_report", "warc_response_scan",
         # behavior-touched r12
         "temporal_instability_scores", "streaming_ingest_decisions",
         "streaming_vector_decisions",
-        # r07-cohort rotation (37 of 44)
+        # r07-cohort rotation (36 of 44)
         "apply_mixture_sample", "auc_persistence", "bpe_token_stats",
         "calibration_bins", "char_ngram_entropy", "circadian_midpoint",
         "corpus_clean", "cosine_topk", "daily_modal_type",
@@ -82,7 +83,6 @@ def test_attestation_window_is_stable():
         "pipe_split_union", "quality_adjusted_label", "quality_score",
         "region_revenue", "rollup_nation_year", "semantic_dedup",
         "semantic_dedup_bucketed", "som_daily_agg",
-        "sql_top_order_per_customer",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry

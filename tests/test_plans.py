@@ -604,3 +604,20 @@ def test_q14_single_aggregate_broadcast_dim(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     pushed = scans[0][scans[0].find("PushedFilters"):][:300]
     assert "l_shipdate" in pushed
+
+
+def test_q12_date_pushdown_single_join_pass(spark, sf_dir):
+    """Q12 shape contract: the ship-year range reaches the lineitem scan
+    as pushed filters (the derived ship_mode membership can't — it's an
+    expression over stored columns, so it runs as a post-scan filter),
+    each fact is scanned once, and BOTH priority counts come out of ONE
+    join pass — no second orders scan, no pivot. The late predicate
+    rides the equi-join as a residual condition, never a second pass."""
+    df = registry.QUERIES["shipmode_priority_counts"](spark, sf_dir)
+    plan = _plan(df)
+    li_scans = [seg for seg in plan.split("FileScan") if "lineitem" in seg[:1000]]
+    o_scans = [seg for seg in plan.split("FileScan") if "orders" in seg[:1000]]
+    assert len(li_scans) == 1 and len(o_scans) == 1
+    pushed = li_scans[0][li_scans[0].find("PushedFilters"):][:300]
+    assert "l_shipdate" in pushed, pushed
+    assert plan.count("Join") >= 1
