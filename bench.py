@@ -112,6 +112,8 @@ HEADLINE = [
     "promo_revenue_share",
     "boilerplate_strip_report",
     "warc_response_scan",
+    "shipmode_priority_counts",
+    "url_canonical_dedup",
 ]
 
 

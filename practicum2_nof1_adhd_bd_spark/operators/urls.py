@@ -1,0 +1,130 @@
+"""URL canonicalization + URL-grain dedup (brief §"Beyond").
+
+The first screen of every crawl-curation pipeline: before any content
+hashing, collapse the many spellings of the same resource — scheme/host
+case, default ports, `www.` prefixes, fragments, tracking query
+parameters, parameter order, duplicate/trailing slashes — onto ONE
+canonical string, then dedup at that grain. CCNet/RefinedWeb-style
+pipelines run this URL dedup ahead of MinHash because it is pure column
+algebra on a short string: no shingling, no signature, no pair join.
+
+Design for 100 TB:
+
+- ``canonical_url`` is a single codegen'd expression tree (regexp + array
+  ops on the split query string) — it runs inside the scan's
+  WholeStageCodegen span, shuffles nothing, and never leaves the JVM.
+- ``url_dedup_decisions`` aggregates (min id, count) per canonical URL
+  with a hash-groupBy FIRST — map-side partial aggregation collapses hot
+  URLs (the canonical example of key skew: a popular page crawled
+  millions of times) before anything shuffles — and then joins the tiny
+  per-URL verdict back to the rows. A window over the canonical key
+  would shuffle EVERY row and buffer entire hot groups in one task; the
+  agg+join shape leaves hot-key splitting to AQE's skew join instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Query-string keys that identify a CLICK, not a resource (the UTM tag
+# set plus the common platform click ids) — dropped during
+# canonicalization the way url-normalization layers in crawl pipelines
+# (and the public tracking-param blocklists they embed) do.
+TRACKING_KEYS = (
+    "fbclid", "gclid", "dclid", "msclkid", "mc_cid", "mc_eid",
+    "igshid", "ref", "ref_src", "spm", "_ga",
+)
+TRACKING_PREFIXES = ("utm_",)
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an absolute URL as one codegen'd expression.
+
+    Steps (each a documented URL equivalence, RFC 3986 §6):
+    scheme + host lowercase; default port stripped (:80 http, :443
+    https); leading ``www.`` stripped; fragment dropped; duplicate
+    path slashes collapsed and trailing slashes stripped (root path
+    becomes empty); tracking query params dropped (``utm_*`` + the
+    click-id set), remaining params sorted bytewise and re-joined.
+    Non-absolute input (no ``scheme://``) canonicalizes to NULL so
+    malformed rows are countable instead of silently passing through.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(
+        F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", ""), r"#.*$", ""
+    )
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    host = (
+        F.when(
+            (scheme == F.lit("http")) & hostport.rlike(":80$"),
+            F.regexp_replace(hostport, ":80$", ""),
+        )
+        .when(
+            (scheme == F.lit("https")) & hostport.rlike(":443$"),
+            F.regexp_replace(hostport, ":443$", ""),
+        )
+        .otherwise(hostport)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    path_q = rest.substr(F.length(hostport) + 1, F.length(rest))
+    path = F.regexp_replace(
+        F.regexp_replace(F.regexp_extract(path_q, r"^([^?]*)", 1), r"/{2,}", "/"),
+        r"/+$",
+        "",
+    )
+    raw_params = F.split(F.regexp_extract(path_q, r"\?(.*)$", 1), "&")
+
+    def _keep(p: Column) -> Column:
+        key = F.regexp_extract(p, r"^([^=]*)", 1)
+        cond = p != F.lit("")
+        for pref in TRACKING_PREFIXES:
+            cond = cond & ~key.startswith(pref)
+        return cond & ~key.isin(*TRACKING_KEYS)
+
+    qstr = F.array_join(F.array_sort(F.filter(raw_params, _keep)), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qstr != F.lit(""), F.concat(F.lit("?"), qstr)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == F.lit(""), F.lit(None).cast("string")).otherwise(canon)
+
+
+def url_dedup_decisions(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-row URL-dedup verdict: ``canonical_url``, ``group_size``, and
+    ``keep`` (smallest id per canonical group wins — deterministic, so
+    re-runs and the DuckDB oracle agree). Rows whose URL fails to
+    canonicalize (NULL) are their own group of 1 and kept, so malformed
+    URLs are never silently dropped.
+
+    Shuffle budget: one hash-groupBy on the canonical string (partial
+    map-side combine absorbs hot-URL skew) + one join of the per-URL
+    verdict back to the rows; AQE's skew join splits any residual hot
+    key. Nothing buffers a whole group in memory — contrast a window
+    over the canonical key, which would.
+    """
+    canon = df.withColumn("canonical_url", canonical_url(F.col(url_col)))
+    groups = (
+        canon.filter(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("_keeper"),
+            F.count(F.lit(1)).alias("_gsize"),
+        )
+    )
+    return (
+        canon.join(groups, "canonical_url", "left")
+        .select(
+            F.col(id_col),
+            "canonical_url",
+            F.coalesce(F.col("_gsize"), F.lit(1)).cast("long").alias("group_size"),
+            F.coalesce(F.col(id_col) == F.col("_keeper"), F.lit(True)).alias(
+                "keep"
+            ),
+        )
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from .functions import skew
 from .operators import biomarkers, daily, dedup, drift, folds, impute, joins, labels
 from .operators import metrics, multimodal, similarity as sim
-from .operators import textops, windows
+from .operators import textops, urls, windows
 from .sources.readers import Catalog
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2548,6 +2548,78 @@ def q_warc_response_scan(spark, sf_dir):
         F.col("n_body_chars").cast("int").alias("n_body_chars"),
         "blocked",
     ).orderBy("doc_id")
+
+
+@register(
+    "url_canonical_dedup",
+    """
+    WITH f AS (
+        SELECT i AS doc_id, i // 2 AS g, i % 2 AS v,
+               (i % 9 = 8) AS solo,
+               ((CASE WHEN i % 2 = 0 THEN i + 1 ELSE i - 1 END) % 9 = 8)
+                   AS partner_solo
+        FROM generate_series(0, 179) t(i)
+    )
+    SELECT doc_id,
+           CASE WHEN g % 5 = 0 THEN 'https' ELSE 'http' END
+               || '://site' || (g % 7) || '.example'
+               || CASE WHEN solo THEN '/solo/' || doc_id
+                       ELSE '/path/' || g END
+               || '?id=' || g
+               || CASE WHEN g % 3 = 0 THEN '&q=x' ELSE '' END
+               AS canonical_url,
+           CAST(CASE WHEN solo OR partner_solo THEN 1 ELSE 2 END AS BIGINT)
+               AS group_size,
+           (solo OR partner_solo OR v = 0) AS keep
+    FROM f ORDER BY doc_id
+    """,
+)
+def q_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + URL-grain dedup (operators/urls.py) — the
+    crawl pipeline's first screen, run BEFORE any content hashing.
+    Fixture-formula oracle: doc i is one of two deterministic messy
+    spellings of canonical group g = i DIV 2 — even docs carry uppercase
+    scheme, mixed-case host, and the scheme's default port; odd docs
+    carry a www. prefix, a trailing path slash, reversed query-param
+    order, utm/fbclid tracking params, and a fragment. Every ninth doc
+    is a singleton (unique /solo path, #frag). The oracle replays the
+    expected CANONICAL string and verdict from the index formula, so the
+    value hash attests the whole normalization chain (case, ports, www,
+    fragments, tracking filter, param sort, slash collapse) plus the
+    min-id-wins group decision. sf-independent fixture."""
+    i = F.col("id")
+    g = F.expr("id DIV 2")
+    v = i % 2
+    solo = (i % 9) == 8
+    scheme = F.when(g % 5 == 0, F.lit("https")).otherwise(F.lit("http"))
+    host_n = (g % 7).cast("string")
+    pathp = F.when(
+        solo, F.concat(F.lit("/solo/"), i.cast("string"))
+    ).otherwise(F.concat(F.lit("/path/"), g.cast("string")))
+    q_can = F.concat(
+        F.lit("id="),
+        g.cast("string"),
+        F.when(g % 3 == 0, F.lit("&q=x")).otherwise(F.lit("")),
+    )
+    defport = F.when(g % 5 == 0, F.lit(":443")).otherwise(F.lit(":80"))
+    messy_even = F.concat(
+        F.upper(scheme), F.lit("://Site"), host_n, F.lit(".Example"),
+        defport, pathp, F.lit("?"), q_can,
+        F.when(solo, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    messy_odd = F.concat(
+        scheme, F.lit("://www.site"), host_n, F.lit(".example"), pathp,
+        F.lit("/?utm_source=news&"),
+        F.when(
+            g % 3 == 0, F.concat(F.lit("q=x&id="), g.cast("string"))
+        ).otherwise(F.concat(F.lit("id="), g.cast("string"))),
+        F.lit("&fbclid=abc#top"),
+    )
+    raw = spark.range(180).select(
+        i.alias("doc_id"),
+        F.when(solo | (v == 0), messy_even).otherwise(messy_odd).alias("url"),
+    )
+    return urls.url_dedup_decisions(raw, "url", "doc_id").orderBy("doc_id")
 
 
 @register(
@@ -9326,15 +9398,16 @@ _FRONT_ORDER = [
     "incremental_cluster_parity", "forecast_revenue_change",
     "promo_revenue_share", "shipmode_priority_counts",
     "boilerplate_strip_report", "warc_response_scan",
+    "url_canonical_dedup",
     # behavior-touched r12: temporal_instability now scores absent
     # feature columns 0.0 (ref parity) instead of raising; both ingest
     # streams gained crashed-compaction recovery, the legacy-decisions
     # layout guard, and dedup-on-auto-compaction
     "temporal_instability_scores", "streaming_ingest_decisions",
     "streaming_vector_decisions",
-    # rotation: 36 of the 44-query r07 cohort (last driver attestation
+    # rotation: 35 of the 44-query r07 cohort (last driver attestation
     # r07 — five rounds overdue; ledger in COVERAGE.md). The remaining
-    # 8 (sql_top_order_per_customer, tfidf_top_terms,
+    # 9 (som_daily_agg, sql_top_order_per_customer, tfidf_top_terms,
     # token_length_profile, top_supplier_revenue, topk_customers,
     # tz_cutover_daily, union_sum_fusion, user_sessions) spill to r13
     # with the aging r08 cohort.
@@ -9350,7 +9423,6 @@ _FRONT_ORDER = [
     "pack_sequences", "pii_redact_stats", "pipe_split_union",
     "quality_adjusted_label", "quality_score", "region_revenue",
     "rollup_nation_year", "semantic_dedup", "semantic_dedup_bucketed",
-    "som_daily_agg",
 ]
 
 

@@ -1,0 +1,72 @@
+"""URL canonicalization + URL-grain dedup (operators/urls.py)."""
+
+from pyspark.sql import functions as F
+
+from practicum2_nof1_adhd_bd_spark.operators import urls
+
+CASES = [
+    # (raw, expected canonical) — each exercises one RFC 3986 §6
+    # equivalence or one pipeline-specific normalization
+    ("HTTP://Site3.Example:80/path/9?id=9", "http://site3.example/path/9?id=9"),
+    (
+        "https://www.example.com:443/a/b/?utm_source=x&b=2&a=1#frag",
+        "https://example.com/a/b?a=1&b=2",
+    ),
+    ("http://example.com/", "http://example.com"),
+    ("http://example.com//a//b", "http://example.com/a/b"),
+    # non-default ports survive
+    ("http://example.com:8080/x", "http://example.com:8080/x"),
+    (":443 is not http's default", None),  # malformed: no scheme
+    ("https://example.com:80/x", "https://example.com:80/x"),
+    # tracking-only query drops the '?' entirely
+    ("http://e.com/p?utm_campaign=c&fbclid=z", "http://e.com/p"),
+    ("http://e.com/p?", "http://e.com/p"),
+    # bare (no '=') params sort with the rest
+    ("http://e.com/p?flag&a=1", "http://e.com/p?a=1&flag"),
+    # utm must match as a PREFIX of the key, not anywhere in the param
+    ("http://e.com/p?a=utm_x", "http://e.com/p?a=utm_x"),
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(CASES)], "i int, url string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", urls.canonical_url(F.col("url")).alias("c")).collect()
+    }
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, (raw, got[i], want)
+
+
+def test_url_dedup_decisions_groups_and_keepers(spark):
+    rows = [
+        (1, "HTTP://A.com:80/x?id=1"),   # group a: two spellings
+        (2, "http://a.com/x/?id=1&utm_source=s#f"),
+        (3, "http://b.com/solo"),        # singleton
+        (4, "no scheme here"),           # malformed -> NULL group of 1, kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+    out = {
+        r["doc_id"]: r
+        for r in urls.url_dedup_decisions(df, "url", "doc_id").collect()
+    }
+    assert out[1]["canonical_url"] == out[2]["canonical_url"] == "http://a.com/x?id=1"
+    assert out[1]["keep"] and not out[2]["keep"]
+    assert out[1]["group_size"] == out[2]["group_size"] == 2
+    assert out[3]["keep"] and out[3]["group_size"] == 1
+    assert out[4]["canonical_url"] is None
+    assert out[4]["keep"] and out[4]["group_size"] == 1
+
+
+def test_url_dedup_is_agg_join_not_window(spark):
+    """Scale contract: the verdict comes from a hash-groupBy (map-side
+    partial combine absorbs hot-URL skew) joined back — never a window
+    over the canonical key, which would buffer whole hot groups in one
+    task."""
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("http://h.com/p/"), (F.col("id") % 10).cast("string")).alias("url"),
+    )
+    plan = urls.url_dedup_decisions(df, "url", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
