@@ -2587,6 +2587,15 @@ def q_url_canonical_dedup(spark, sf_dir):
     value hash attests the whole normalization chain (case, ports, www,
     fragments, tracking filter, param sort, slash collapse) plus the
     min-id-wins group decision. sf-independent fixture."""
+    raw = _messy_url_frame(spark, 180)
+    return urls.url_dedup_decisions(raw, "url", "doc_id").orderBy("doc_id")
+
+
+def _messy_url_frame(spark, n: int, id_offset: int = 0) -> DataFrame:
+    """The deterministic messy-URL fixture shared by the batch and
+    streaming URL-dedup queries: doc i is one of two spellings of
+    canonical group g = i DIV 2 (see q_url_canonical_dedup's docstring),
+    every ninth doc a /solo singleton."""
     i = F.col("id")
     g = F.expr("id DIV 2")
     v = i % 2
@@ -2615,11 +2624,94 @@ def q_url_canonical_dedup(spark, sf_dir):
         ).otherwise(F.concat(F.lit("id="), g.cast("string"))),
         F.lit("&fbclid=abc#top"),
     )
-    raw = spark.range(180).select(
-        i.alias("doc_id"),
+    return spark.range(n).select(
+        (i + id_offset).alias("doc_id"),
         F.when(solo | (v == 0), messy_even).otherwise(messy_odd).alias("url"),
     )
-    return urls.url_dedup_decisions(raw, "url", "doc_id").orderBy("doc_id")
+
+
+@register(
+    "streaming_url_seen_decisions",
+    """
+    WITH f AS (
+        SELECT i, i // 2 AS g, i % 2 AS v,
+               (i % 9 = 8) AS solo,
+               ((CASE WHEN i % 2 = 0 THEN i + 1 ELSE i - 1 END) % 9 = 8)
+                   AS partner_solo,
+               1000000 + i AS doc_id
+        FROM generate_series(0, 179) t(i)
+    )
+    SELECT doc_id,
+           CASE WHEN solo THEN 'admitted'
+                WHEN v = 1 AND NOT partner_solo THEN 'exact_dup'
+                WHEN g < 60 THEN 'exact_dup'
+                ELSE 'admitted' END AS status,
+           CAST(CASE WHEN solo THEN NULL
+                     WHEN v = 1 AND NOT partner_solo THEN 1000000 + 2 * g
+                     WHEN g < 60 THEN g
+                     ELSE NULL END AS BIGINT) AS matched_id
+    FROM f ORDER BY doc_id
+    """,
+)
+def q_streaming_url_seen_decisions(spark, sf_dir):
+    """§2.9: the crawl frontier's URL seen-filter as a real stream —
+    corpus_ingest.ingest_stream keyed on md5(canonical_url(url)) via
+    key_expr, against a STORED index of already-crawled canonical URLs
+    (groups g < 60, bootstrapped in the hp-partitioned layout so the
+    micro-batch runs the Bloom-pruned prefix read). The batch is the
+    180-doc messy-URL fixture re-keyed +1e6: each crawled group's two
+    spellings must come back exact_dup (the smaller-id spelling matched
+    to the INDEX id g, the larger to its batch twin via the
+    batch-internal collapse — two distinct matched_id paths attested),
+    /solo URLs and uncrawled groups' min-id spellings admit, and near
+    screens are vacuous by construction (null sigs at URL grain: two
+    URLs are the same resource or they aren't). The oracle replays the
+    decision table from the index formula. Same commit protocol as
+    streaming_ingest_decisions (idempotent markers, per-batch decisions,
+    bloom-before-index). sf-independent fixture."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming import corpus_ingest as ci
+
+    work = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_urlseen_{uuid.uuid4().hex[:8]}"
+    )
+    src, index_dir = os.path.join(work, "src"), os.path.join(work, "index")
+    dec_dir, ckpt = os.path.join(work, "dec"), os.path.join(work, "ckpt")
+    key = urls.canonical_url(F.col("url"))
+    # already-crawled store: one row per group g < 60, carrying the
+    # group's CANONICAL pair URL (built clean by the formula —
+    # canonical_url is idempotent on it, which this also exercises)
+    gg = F.col("id")
+    crawled = spark.range(60).select(
+        gg.alias("doc_id"),
+        F.concat(
+            F.when(gg % 5 == 0, F.lit("https")).otherwise(F.lit("http")),
+            F.lit("://site"), (gg % 7).cast("string"), F.lit(".example/path/"),
+            gg.cast("string"), F.lit("?id="), gg.cast("string"),
+            F.when(gg % 3 == 0, F.lit("&q=x")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    ci.write_index(
+        ci._batch_signatures(crawled, "url", "doc_id", 8, 3, key_expr=key),
+        index_dir,
+    )
+    batch = _messy_url_frame(spark, 180, id_offset=1000000)
+    batch.coalesce(1).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema("doc_id bigint, url string").json(src)
+    q = ci.ingest_stream(
+        stream, index_dir, dec_dir, ckpt, text_col="url", key_expr=key
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_url_seen_decisions: stream did not finish in 300s"
+        )
+    return spark.read.schema(ci.DECISION_SCHEMA).parquet(dec_dir).select(
+        "doc_id", "status", "matched_id"
+    )
 
 
 @register(
@@ -9398,16 +9490,17 @@ _FRONT_ORDER = [
     "incremental_cluster_parity", "forecast_revenue_change",
     "promo_revenue_share", "shipmode_priority_counts",
     "boilerplate_strip_report", "warc_response_scan",
-    "url_canonical_dedup",
+    "url_canonical_dedup", "streaming_url_seen_decisions",
     # behavior-touched r12: temporal_instability now scores absent
     # feature columns 0.0 (ref parity) instead of raising; both ingest
     # streams gained crashed-compaction recovery, the legacy-decisions
     # layout guard, and dedup-on-auto-compaction
     "temporal_instability_scores", "streaming_ingest_decisions",
     "streaming_vector_decisions",
-    # rotation: 35 of the 44-query r07 cohort (last driver attestation
+    # rotation: 34 of the 44-query r07 cohort (last driver attestation
     # r07 — five rounds overdue; ledger in COVERAGE.md). The remaining
-    # 9 (som_daily_agg, sql_top_order_per_customer, tfidf_top_terms,
+    # 10 (semantic_dedup_bucketed, som_daily_agg,
+    # sql_top_order_per_customer, tfidf_top_terms,
     # token_length_profile, top_supplier_revenue, topk_customers,
     # tz_cutover_daily, union_sum_fusion, user_sessions) spill to r13
     # with the aging r08 cohort.
@@ -9422,7 +9515,7 @@ _FRONT_ORDER = [
     "media_frame_sample", "minhash_signatures", "multiformat_ts_parse",
     "pack_sequences", "pii_redact_stats", "pipe_split_union",
     "quality_adjusted_label", "quality_score", "region_revenue",
-    "rollup_nation_year", "semantic_dedup", "semantic_dedup_bucketed",
+    "rollup_nation_year", "semantic_dedup",
 ]
 
 

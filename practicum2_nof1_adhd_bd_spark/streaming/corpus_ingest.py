@@ -188,11 +188,34 @@ def write_index(sig_df: DataFrame, index_dir: str, mode: str = "overwrite") -> N
     )
 
 
+def _key_hash(text_col: str, key_expr=None):
+    """The index key: md5 of the whitespace-normalized text by default,
+    md5 of ``key_expr`` when the stream dedups at a different grain
+    (e.g. canonical URL — a crawl frontier's seen-filter). ONE definition
+    shared by the signature builder and the bloom prefix derivation so
+    the two can never disagree."""
+    if key_expr is not None:
+        return F.md5(key_expr)
+    return F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    )
+
+
 def _batch_signatures(
-    batch: DataFrame, text_col: str, id_col: str, n_hashes: int, k: int
+    batch: DataFrame, text_col: str, id_col: str, n_hashes: int, k: int,
+    key_expr=None,
 ) -> DataFrame:
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    hashes = batch.select(F.col(id_col), F.md5(norm).alias("text_hash"))
+    hashes = batch.select(
+        F.col(id_col), _key_hash(text_col, key_expr).alias("text_hash")
+    )
+    if key_expr is not None:
+        # keyed (non-content) grain: near-dup screening is meaningless —
+        # two URLs are the same resource or they aren't — so no MinHash;
+        # null sigs make every near path downstream vacuous by the same
+        # rule as short documents
+        return hashes.withColumn(
+            "sig", F.lit(None).cast("array<bigint>")
+        )
     sigs = minhash_signatures_df(batch, text_col, id_col, n_hashes, k)
     # docs with < k tokens have no shingles -> no signature row; they
     # still get exact screening via text_hash (sig stays null)
@@ -210,8 +233,16 @@ def screen_batch(
     est_threshold: float = 0.8,
     batch_internal_near: bool = False,
     exact_index: DataFrame | None = None,
+    key_expr=None,
 ) -> tuple[DataFrame, DataFrame, "Callable[[], None]"]:
     """Screen one batch against a signature index.
+
+    ``key_expr`` (optional Column) switches the dedup GRAIN: the index
+    key becomes md5(key_expr) instead of md5(normalized text), and the
+    near screens go vacuous (null sigs) because near-duplicate semantics
+    only exist at content grain. The crawl-frontier use: key_expr =
+    canonical_url(url) turns the stream into a URL seen-filter with the
+    same stored index, Bloom pruning, and commit protocol.
 
     ``exact_index`` (optional) substitutes the EXACT screen's index side
     only — the Bloom-pruned prefix-partitioned read in ``ingest_stream``.
@@ -239,7 +270,9 @@ def screen_batch(
     batch-partition-invariant either way; near statuses are invariant
     only under this flag (or when admitted docs are mutually non-near).
     """
-    sig_b = _batch_signatures(batch, text_col, id_col, n_hashes, k).persist()
+    sig_b = _batch_signatures(
+        batch, text_col, id_col, n_hashes, k, key_expr
+    ).persist()
     sig_b.count()  # materialize: one text pass feeds all three screens
 
     # batch-internal exact collapse: min id per content survives
@@ -386,6 +419,7 @@ def ingest_stream(
     k: int = 3,
     est_threshold: float = 0.8,
     auto_compact_max_files: int | None = None,
+    key_expr=None,
 ):
     """Wire the screen into a foreachBatch stream: each micro-batch reads
     the current index, screens, appends decisions + admitted signatures.
@@ -477,13 +511,12 @@ def ingest_stream(
                         n_probes=BLOOM_PROBES,
                     )
                     _write_bloom(spark, index_dir, bloom)
-                norm = F.regexp_replace(
-                    F.lower(F.trim(F.col(text_col))), r"\s+", " "
-                )
                 pos_pref = sorted(
                     {
                         r["hp"]
-                        for r in batch.select(F.md5(norm).alias("text_hash"))
+                        for r in batch.select(
+                            _key_hash(text_col, key_expr).alias("text_hash")
+                        )
                         .distinct()
                         .withColumn(
                             "_m",
@@ -526,7 +559,7 @@ def ingest_stream(
             exact_index = exact_index.join(own, id_col, "left_anti")
         decisions, admitted_sigs, cleanup = screen_batch(
             batch, index, text_col, id_col, n_hashes, bands, k,
-            est_threshold, exact_index=exact_index,
+            est_threshold, exact_index=exact_index, key_expr=key_expr,
         )
         # materialize BOTH outputs, then write decisions BEFORE the index
         # append: appending to index_dir refreshes every cached relation

@@ -1440,3 +1440,47 @@ def test_maybe_compact_index_sampling_bounds_listing(spark, tmp_path):
             fired_at = cur
             break
     assert fired_at is not None
+
+
+def test_screen_batch_keyed_grain_url_seen_filter(spark):
+    """key_expr switches the dedup grain: the index key is
+    md5(canonical_url(url)), near screens are vacuous (null sigs), and
+    two spellings of one resource collapse — in-batch (min id wins) and
+    against the stored index — while distinct resources admit even when
+    their TEXT would be near-identical."""
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import urls
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+
+    key = urls.canonical_url(F.col("url"))
+    index = ci._batch_signatures(
+        spark.createDataFrame(
+            [(1, "http://a.com/x?id=1")], "doc_id bigint, url string"
+        ),
+        "url", "doc_id", 8, 3, key_expr=key,
+    )
+    assert index.filter(F.col("sig").isNotNull()).count() == 0
+    batch = spark.createDataFrame(
+        [
+            (10, "HTTP://A.com:80/x/?id=1&utm_source=s"),  # stored, respelled
+            (11, "http://b.com/p?q=1"),                     # new resource
+            (12, "http://www.b.com/p?q=1#top"),             # batch twin of 11
+            (13, "http://b.com/p?q=2"),  # near-identical TEXT, distinct URL
+        ],
+        "doc_id bigint, url string",
+    )
+    dec, sigs, cleanup = ci.screen_batch(batch, index, "url", key_expr=key)
+    try:
+        d = {r["doc_id"]: r for r in dec.collect()}
+        assert d[10]["status"] == "exact_dup" and d[10]["matched_id"] == 1
+        assert d[11]["status"] == "admitted"
+        assert d[12]["status"] == "exact_dup" and d[12]["matched_id"] == 11
+        assert d[13]["status"] == "admitted"
+        # admitted signature rows carry the KEY hash and null sigs, so the
+        # appended index stays at URL grain
+        s = sigs.collect()
+        assert sorted(r["doc_id"] for r in s) == [11, 13]
+        assert all(r["sig"] is None for r in s)
+    finally:
+        cleanup()
