@@ -114,6 +114,8 @@ HEADLINE = [
     "warc_response_scan",
     "shipmode_priority_counts",
     "url_canonical_dedup",
+    "streaming_url_seen_decisions",
+    "html_text_extract",
 ]
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from .functions import skew
 from .operators import biomarkers, daily, dedup, drift, folds, impute, joins, labels
 from .operators import metrics, multimodal, similarity as sim
+from .operators import html as htmlops
 from .operators import textops, urls, windows
 from .sources.readers import Catalog
 
@@ -2628,6 +2629,85 @@ def _messy_url_frame(spark, n: int, id_offset: int = 0) -> DataFrame:
         (i + id_offset).alias("doc_id"),
         F.when(solo | (v == 0), messy_even).otherwise(messy_odd).alias("url"),
     )
+
+
+@register(
+    "html_text_extract",
+    """
+    WITH d AS (SELECT i FROM generate_series(0, 139) t(i)),
+    f AS (
+        SELECT i, i % 3 AS k3, (i % 4 = 0) AS has_link,
+               '<html><head><title>Doc ' || i || '</title>'
+               || '<style>body {color: red}</style>'
+               || '<script>var x = ' || i || ';</script></head><body>'
+               || '<!-- c' || i || ' --><h1>Doc ' || i || '</h1>'
+               || '<p>para ' || i || ' 0 with &amp; and &lt;tag&gt;</p>'
+               || CASE WHEN i % 3 >= 1 THEN '<p>para ' || i
+                       || ' 1 with &amp; and &lt;tag&gt;</p>' ELSE '' END
+               || CASE WHEN i % 3 >= 2 THEN '<p>para ' || i
+                       || ' 2 with &amp; and &lt;tag&gt;</p>' ELSE '' END
+               || CASE WHEN i % 4 = 0 THEN '<a href="http://site'
+                       || (i % 7) || '.example/page/' || i || '">more '
+                       || i || '</a>' ELSE '' END
+               || '</body></html>' AS html,
+               'Doc ' || i || chr(10) || 'Doc ' || i || chr(10)
+               || 'para ' || i || ' 0 with & and <tag>'
+               || CASE WHEN i % 3 >= 1 THEN chr(10) || 'para ' || i
+                       || ' 1 with & and <tag>' ELSE '' END
+               || CASE WHEN i % 3 >= 2 THEN chr(10) || 'para ' || i
+                       || ' 2 with & and <tag>' ELSE '' END
+               || CASE WHEN i % 4 = 0 THEN chr(10) || 'more ' || i
+                       ELSE '' END AS text
+        FROM d
+    )
+    SELECT i AS doc_id, text,
+           CAST(CASE WHEN has_link THEN 1 ELSE 0 END AS BIGINT) AS n_links,
+           CAST(15 + 2 * (k3 + 1) + CASE WHEN has_link THEN 2 ELSE 0 END
+                AS BIGINT) AS n_tags,
+           round(CAST(length(text) AS DOUBLE) / greatest(length(html), 1),
+                 6) AS text_frac
+    FROM f ORDER BY doc_id
+    """,
+)
+def q_html_text_extract(spark, sf_dir):
+    """HTML text extraction (operators/html.py) — the step between the
+    WARC scan and boilerplate removal, as pure codegen'd column algebra
+    (no DOM, no UDF: a Python parser per document is the row-at-a-time
+    trap at crawl scale). Fixture-formula oracle: doc i's HTML is built
+    by formula (title + style + script + comment + h1 + 1..3 entity-
+    laden paragraphs + an anchor on every 4th doc) and the oracle
+    replays the EXPECTED extracted text independently — so the value
+    hash attests script/style/comment dropping, block-tag line
+    structure, inline-tag stripping, entity decoding (incl. the
+    no-double-decode order), whitespace collapse, and the link/tag/
+    text_frac signals. sf-independent fixture."""
+    i = F.col("id")
+    s = i.cast("string")
+    para = lambda j: F.concat(  # noqa: E731
+        F.lit("<p>para "), s, F.lit(f" {j} with &amp; and &lt;tag&gt;</p>")
+    )
+    raw = spark.range(140).select(
+        i.alias("doc_id"),
+        F.concat(
+            F.lit("<html><head><title>Doc "), s, F.lit("</title>"),
+            F.lit("<style>body {color: red}</style>"),
+            F.lit("<script>var x = "), s, F.lit(";</script></head><body>"),
+            F.lit("<!-- c"), s, F.lit(" --><h1>Doc "), s, F.lit("</h1>"),
+            para(0),
+            F.when(i % 3 >= 1, para(1)).otherwise(F.lit("")),
+            F.when(i % 3 >= 2, para(2)).otherwise(F.lit("")),
+            F.when(
+                i % 4 == 0,
+                F.concat(
+                    F.lit('<a href="http://site'), (i % 7).cast("string"),
+                    F.lit(".example/page/"), s, F.lit('">more '), s,
+                    F.lit("</a>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return htmlops.html_extract(raw).orderBy("doc_id")
 
 
 @register(
@@ -9491,15 +9571,16 @@ _FRONT_ORDER = [
     "promo_revenue_share", "shipmode_priority_counts",
     "boilerplate_strip_report", "warc_response_scan",
     "url_canonical_dedup", "streaming_url_seen_decisions",
+    "html_text_extract",
     # behavior-touched r12: temporal_instability now scores absent
     # feature columns 0.0 (ref parity) instead of raising; both ingest
     # streams gained crashed-compaction recovery, the legacy-decisions
     # layout guard, and dedup-on-auto-compaction
     "temporal_instability_scores", "streaming_ingest_decisions",
     "streaming_vector_decisions",
-    # rotation: 34 of the 44-query r07 cohort (last driver attestation
+    # rotation: 33 of the 44-query r07 cohort (last driver attestation
     # r07 — five rounds overdue; ledger in COVERAGE.md). The remaining
-    # 10 (semantic_dedup_bucketed, som_daily_agg,
+    # 11 (semantic_dedup, semantic_dedup_bucketed, som_daily_agg,
     # sql_top_order_per_customer, tfidf_top_terms,
     # token_length_profile, top_supplier_revenue, topk_customers,
     # tz_cutover_daily, union_sum_fusion, user_sessions) spill to r13
@@ -9515,7 +9596,7 @@ _FRONT_ORDER = [
     "media_frame_sample", "minhash_signatures", "multiformat_ts_parse",
     "pack_sequences", "pii_redact_stats", "pipe_split_union",
     "quality_adjusted_label", "quality_score", "region_revenue",
-    "rollup_nation_year", "semantic_dedup",
+    "rollup_nation_year",
 ]
 
 
