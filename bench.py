@@ -116,6 +116,7 @@ HEADLINE = [
     "url_canonical_dedup",
     "streaming_url_seen_decisions",
     "html_text_extract",
+    "crawl_silver_scan",
 ]
 
 

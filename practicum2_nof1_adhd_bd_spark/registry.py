@@ -2632,6 +2632,66 @@ def _messy_url_frame(spark, n: int, id_offset: int = 0) -> DataFrame:
 
 
 @register(
+    "crawl_silver_scan",
+    """
+    WITH r AS (
+        SELECT i, CASE WHEN i % 8 = 6 THEN i - 2 ELSE i END AS p
+        FROM generate_series(0, 239) t(i)
+        WHERE i % 4 != 3 AND i % 6 != 0
+    ),
+    s AS (
+        SELECT i, p, p % 7 AS h FROM r WHERE p % 7 NOT IN (0, 3)
+    ),
+    k AS (SELECT i, p, h, min(i) OVER (PARTITION BY p) AS w FROM s),
+    x AS (
+        SELECT i, p, h,
+               'Page ' || i || chr(10) || 'Page ' || i || chr(10) ||
+               'text ' || i || ' alpha & beta' ||
+               CASE WHEN i % 5 = 0 THEN chr(10) || 'extra ' || i
+                    ELSE '' END AS text
+        FROM k WHERE i = w
+    )
+    SELECT i AS doc_id,
+           'site' || h || '.example' AS host,
+           'http://site' || h || '.example/page/' || p AS canonical_url,
+           text,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM x ORDER BY doc_id
+    """,
+)
+def q_crawl_silver_scan(spark, sf_dir):
+    """The crawl-corpus medallion END-TO-END (corpus_pipeline.py):
+    synthesize an HTML-body WARC fixture (every 8th record a RESPELLED
+    recrawl of page i-2 — uppercase scheme, www., default port), land
+    bronze (parsed responses + canonical URL/host) and silver (status +
+    content-type screens, blocklist on the CANONICAL host, URL-grain
+    dedup, HTML→text) under /tmp, and read silver back. The oracle
+    replays every stage from the record-index formula, so one value hash
+    attests the whole composition: WARC parsing → canonicalization →
+    blocklist → dedup (min record per canonical URL, including the case
+    where the ORIGINAL died on HTTP 404 and its respelled recrawl
+    survives alone) → text extraction. sf-independent fixture."""
+    import os
+
+    from . import corpus_pipeline as cp
+    from .sources import warc as warc_src
+
+    def _build(d):
+        wd = os.path.join(d, "warc")
+        warc_src.synthesize_warc(wd, 240, html_bodies=True)
+        blocked = spark.createDataFrame(
+            [("site0.example",), ("site3.example",)], "host string"
+        )
+        bronze = cp.build_crawl_bronze(spark, wd, d)
+        cp.build_crawl_silver(spark, bronze, d, blocked)
+
+    root = _land_once("/tmp/spark_graft_crawlmed", "v1", _build)
+    return spark.read.parquet(os.path.join(root, "silver", "docs")).orderBy(
+        "doc_id"
+    )
+
+
+@register(
     "html_text_extract",
     """
     WITH d AS (SELECT i FROM generate_series(0, 139) t(i)),
@@ -9571,16 +9631,17 @@ _FRONT_ORDER = [
     "promo_revenue_share", "shipmode_priority_counts",
     "boilerplate_strip_report", "warc_response_scan",
     "url_canonical_dedup", "streaming_url_seen_decisions",
-    "html_text_extract",
+    "html_text_extract", "crawl_silver_scan",
     # behavior-touched r12: temporal_instability now scores absent
     # feature columns 0.0 (ref parity) instead of raising; both ingest
     # streams gained crashed-compaction recovery, the legacy-decisions
     # layout guard, and dedup-on-auto-compaction
     "temporal_instability_scores", "streaming_ingest_decisions",
     "streaming_vector_decisions",
-    # rotation: 33 of the 44-query r07 cohort (last driver attestation
+    # rotation: 32 of the 44-query r07 cohort (last driver attestation
     # r07 — five rounds overdue; ledger in COVERAGE.md). The remaining
-    # 11 (semantic_dedup, semantic_dedup_bucketed, som_daily_agg,
+    # 12 (rollup_nation_year, semantic_dedup, semantic_dedup_bucketed,
+    # som_daily_agg,
     # sql_top_order_per_customer, tfidf_top_terms,
     # token_length_profile, top_supplier_revenue, topk_customers,
     # tz_cutover_daily, union_sum_fusion, user_sessions) spill to r13
@@ -9596,7 +9657,6 @@ _FRONT_ORDER = [
     "media_frame_sample", "minhash_signatures", "multiformat_ts_parse",
     "pack_sequences", "pii_redact_stats", "pipe_split_union",
     "quality_adjusted_label", "quality_score", "region_revenue",
-    "rollup_nation_year",
 ]
 
 

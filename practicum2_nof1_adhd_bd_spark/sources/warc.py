@@ -44,8 +44,10 @@ def read_warc_records(spark: SparkSession, path: str) -> DataFrame:
 
 def warc_responses(spark: SparkSession, path: str) -> DataFrame:
     """Response records parsed to the columns a curation pipeline keys on:
-    target_uri, host, http_status, content_type, body (the HTTP payload
-    with both header blocks stripped), n_body_chars.
+    record_id (the stable per-record identity — target URIs duplicate
+    under recrawls and respellings), target_uri, host, http_status,
+    content_type, body (the HTTP payload with both header blocks
+    stripped), n_body_chars.
 
     All parsing is column algebra over the record block: the payload
     starts after the WARC-header blank line (first ``\\r\\n\\r\\n``), the
@@ -79,6 +81,7 @@ def warc_responses(spark: SparkSession, path: str) -> DataFrame:
     )
     out_body = F.regexp_replace(body, r"(\r\n)+$", "")
     return rec.select(
+        "record_id",
         "target_uri",
         host.alias("host"),
         status.alias("http_status"),
@@ -111,27 +114,51 @@ def filter_blocklist(
     )
 
 
-def synthesize_warc(path: str, n_records: int = 240) -> None:
+def synthesize_warc(
+    path: str, n_records: int = 240, html_bodies: bool = False
+) -> None:
     """Deterministic WARC fixture — every field a pure function of the
     record index (the fixture-formula oracle device, like
     zip_ingest/cda): record i is a response unless i % 4 == 3 (request),
     uri http://site{i%7}.example/page/{i}, status 404 when i % 6 == 0
     else 200, and every fifth body carries an EMBEDDED blank line (the
     case that breaks back-anchored payload splits). Written as one plain
-    (uncompressed, splittable) .warc file."""
+    (uncompressed, splittable) .warc file.
+
+    ``html_bodies=True`` is the corpus-pipeline variant: bodies are
+    formula-built HTML (title + script + h1 + entity-laden paragraph,
+    every fifth page an extra paragraph), and every record with
+    i % 8 == 6 is a RESPELLED RECRAWL of page i-2 — uppercase scheme,
+    www. prefix, default port — so URL canonicalization has real
+    duplicates to collapse downstream."""
     import os
 
     os.makedirs(path, exist_ok=True)
     out = []
     for i in range(n_records):
         uri = f"http://site{i % 7}.example/page/{i}"
+        if html_bodies and i % 4 != 3 and i % 8 == 6:
+            uri = f"HTTP://WWW.site{(i - 2) % 7}.example:80/page/{i - 2}"
         if i % 4 == 3:
             payload = f"GET /page/{i} HTTP/1.1\r\nHost: site{i % 7}.example\r\n\r\n"
             wtype = "request"
         else:
-            body = f"doc {i} the value {(i * 13) % 97} of the table is here"
-            if i % 5 == 0:
-                body += f"\r\n\r\nsecond paragraph {i}"
+            if html_bodies:
+                body = (
+                    f"<html><head><title>Page {i}</title>"
+                    f"<script>var x={i};</script></head>"
+                    f"<body><h1>Page {i}</h1>"
+                    f"<p>text {i} alpha &amp; beta</p>"
+                )
+                if i % 5 == 0:
+                    body += f"<p>extra {i}</p>"
+                body += "</body></html>"
+            else:
+                body = (
+                    f"doc {i} the value {(i * 13) % 97} of the table is here"
+                )
+                if i % 5 == 0:
+                    body += f"\r\n\r\nsecond paragraph {i}"
             status = "404 Not Found" if i % 6 == 0 else "200 OK"
             payload = (
                 f"HTTP/1.1 {status}\r\n"
