@@ -114,7 +114,9 @@ HEADLINE = [
     "warc_response_scan",
     "shipmode_priority_counts",
     "url_canonical_dedup",
-    "streaming_url_seen_decisions",
+    # streaming_url_seen_decisions excluded: an availableNow stream per
+    # repeat measures stream machinery, not throughput (same reason
+    # streaming_ingest_decisions never entered HEADLINE)
     "html_text_extract",
     "crawl_silver_scan",
 ]

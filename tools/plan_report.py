@@ -569,6 +569,35 @@ NOTES = {
         "switches the probes to shuffle joins on the gram keys — the "
         "documented regime for order 3 (SCALING 2h)."
     ),
+    "shipmode_priority_counts": (
+        "TPC-H Q12: the ship-year range is pushed to the lineitem scan; "
+        "the derived ship_mode membership filters the fact BEFORE the "
+        "unavoidable fact-to-fact orderkey join; the late predicate "
+        "rides that join as a residual; both priority counts come from "
+        "ONE join pass (no second orders scan, no pivot)."
+    ),
+    "url_canonical_dedup": (
+        "Canonicalization is one codegen'd projection riding the scan "
+        "(zero shuffles, text never leaves the executor); the verdict "
+        "is a hash-groupBy on the canonical key — map-side partial "
+        "combine absorbs hot-URL skew — joined back once. No window "
+        "over the canonical key, so no whole-group buffering."
+    ),
+    "html_text_extract": (
+        "The entire extraction (script/style/comment drop, block-tag "
+        "line structure, tag strip, entity decode, whitespace collapse, "
+        "link/tag counts, text_frac) is ONE shuffle-free projection "
+        "inside a single WholeStageCodegen span — no DOM, no Python, "
+        "plan-contract-tested in tests/test_html.py."
+    ),
+    "crawl_silver_scan": (
+        "Reads the landed silver layer: every upstream screen "
+        "(status, content-type, blocklist anti-join, HTML→text) was "
+        "scan-local or broadcast at build time; the pipeline's only "
+        "shuffle is the URL-dedup verdict groupBy+join inside "
+        "build_crawl_silver. The serve plan is a bare parquet scan + "
+        "sort — re-entrancy means downstream never re-pays curation."
+    ),
 }
 
 
