@@ -42,19 +42,26 @@ def canonical_url(url: Column) -> Column:
     """Canonical form of an absolute URL as one codegen'd expression.
 
     Steps (each a documented URL equivalence, RFC 3986 §6):
-    scheme + host lowercase; default port stripped (:80 http, :443
-    https); leading ``www.`` stripped; fragment dropped; duplicate
-    path slashes collapsed and trailing slashes stripped (root path
-    becomes empty); tracking query params dropped (``utm_*`` + the
+    scheme + host lowercase; userinfo (``user:pw@``) dropped — crawlers
+    dedup the resource, not the credential; default port stripped (:80
+    http, :443 https); leading ``www.`` stripped; fragment dropped;
+    duplicate path slashes collapsed and trailing slashes stripped (root
+    path becomes empty); tracking query params dropped (``utm_*`` + the
     click-id set), remaining params sorted bytewise and re-joined.
     Non-absolute input (no ``scheme://``) canonicalizes to NULL so
     malformed rows are countable instead of silently passing through.
+    Out of scope (documented boundary): percent-encoding normalization
+    and IDN/punycode folding — both need a decoder, not column algebra.
     """
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(
         F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", ""), r"#.*$", ""
     )
-    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    # raw authority keeps its original length: path_q slices rest at
+    # length(rawauth), so userinfo must be stripped AFTER the slice base
+    # is fixed, never from the string the offset is measured on
+    rawauth = F.regexp_extract(rest, r"^([^/?]+)", 1)
+    hostport = F.lower(F.regexp_replace(rawauth, r"^[^@]*@", ""))
     host = (
         F.when(
             (scheme == F.lit("http")) & hostport.rlike(":80$"),
@@ -67,7 +74,7 @@ def canonical_url(url: Column) -> Column:
         .otherwise(hostport)
     )
     host = F.regexp_replace(host, r"^www\.", "")
-    path_q = rest.substr(F.length(hostport) + 1, F.length(rest))
+    path_q = rest.substr(F.length(rawauth) + 1, F.length(rest))
     path = F.regexp_replace(
         F.regexp_replace(F.regexp_extract(path_q, r"^([^?]*)", 1), r"/{2,}", "/"),
         r"/+$",

@@ -25,6 +25,9 @@ CASES = [
     ("http://e.com/p?flag&a=1", "http://e.com/p?a=1&flag"),
     # utm must match as a PREFIX of the key, not anywhere in the param
     ("http://e.com/p?a=utm_x", "http://e.com/p?a=utm_x"),
+    # userinfo drops; the path offset must not shift (regression: the
+    # slice base is the RAW authority length, not the stripped host's)
+    ("http://User:Pw@Example.com:80/x?b=1", "http://example.com/x?b=1"),
 ]
 
 
