@@ -114,6 +114,43 @@ def build_crawl_silver(
     return path
 
 
+def build_crawl_gold(
+    spark: SparkSession, silver_path: str, out_dir: str, budget: int = 64
+) -> dict[str, str]:
+    """Training-ready gold: sequence-packing offsets over the curated
+    docs (gold/packed — textops.pack_sequences, the bucketed two-level
+    prefix sum, no single-task window) plus the provenance manifest
+    (gold/manifest — one (n_rows, content_digest) row per layer, the
+    snapshot_provenance device). The manifest is the re-entrancy
+    receipt: rebuilding gold from the same silver must reproduce the
+    digests bit-for-bit, so a scheduler can skip or verify layers
+    without reading them."""
+    from .operators import provenance
+    from .operators import textops
+
+    packed_path = os.path.join(out_dir, "gold", "packed")
+    docs = spark.read.parquet(silver_path)
+    textops.pack_sequences(
+        docs, budget=budget, text_col="text", id_col="doc_id"
+    ).write.mode("overwrite").parquet(packed_path)
+    manifest_path = os.path.join(out_dir, "gold", "manifest")
+    packed = spark.read.parquet(packed_path)
+    provenance.provenance_manifest(
+        {
+            "silver_docs": (
+                docs,
+                ["doc_id", "canonical_url", "md5(text)", "n_chars"],
+            ),
+            "gold_packed": (
+                packed,
+                ["doc_id", "n_tokens", "start_offset", "first_seq",
+                 "last_seq", "n_seqs"],
+            ),
+        }
+    ).write.mode("overwrite").parquet(manifest_path)
+    return {"packed": packed_path, "manifest": manifest_path}
+
+
 def main(argv: list[str] | None = None) -> None:
     """CLI: ``python -m practicum2_nof1_adhd_bd_spark.corpus_pipeline
     --warc-dir ... --out ... [--blocked host1,host2]``"""
@@ -133,7 +170,8 @@ def main(argv: list[str] | None = None) -> None:
     )
     bronze = build_crawl_bronze(spark, args.warc_dir, args.out)
     silver = build_crawl_silver(spark, bronze, args.out, blocked)
-    print(silver)
+    gold = build_crawl_gold(spark, silver, args.out)
+    print(silver, gold["packed"], gold["manifest"])
 
 
 if __name__ == "__main__":

@@ -32,3 +32,32 @@ def test_silver_screens_dedups_and_extracts(spark, tmp_path):
     assert s[4]["text"] == "Page 4\nPage 4\ntext 4 alpha & beta"
     assert s[5]["text"].endswith("extra 5")
     assert s[4]["n_chars"] == len(s[4]["text"])
+
+
+def test_gold_packs_and_manifest_is_rebuild_stable(spark, tmp_path):
+    """Gold = packing offsets + the provenance manifest. The manifest is
+    the re-entrancy receipt: rebuilding gold from the SAME silver must
+    reproduce (n_rows, content_digest) bit-for-bit."""
+    wd = os.path.join(str(tmp_path), "warc")
+    warc.synthesize_warc(wd, 48, html_bodies=True)
+    bronze = cp.build_crawl_bronze(spark, wd, str(tmp_path))
+    blocked = spark.createDataFrame([("site0.example",)], "host string")
+    silver = cp.build_crawl_silver(spark, bronze, str(tmp_path), blocked)
+    gold = cp.build_crawl_gold(spark, silver, str(tmp_path), budget=8)
+    packed = {r["doc_id"]: r for r in spark.read.parquet(gold["packed"]).collect()}
+    docs = {r["doc_id"]: r for r in spark.read.parquet(silver).collect()}
+    assert set(packed) == set(docs)
+    # offsets tile the token stream in doc_id order with no gaps
+    ordered = [packed[i] for i in sorted(packed)]
+    run = 0
+    for r in ordered:
+        assert r["start_offset"] == run
+        run += r["n_tokens"]
+    m1 = sorted(
+        tuple(r) for r in spark.read.parquet(gold["manifest"]).collect()
+    )
+    gold2 = cp.build_crawl_gold(spark, silver, str(tmp_path), budget=8)
+    m2 = sorted(
+        tuple(r) for r in spark.read.parquet(gold2["manifest"]).collect()
+    )
+    assert m1 == m2 and len(m1) == 2

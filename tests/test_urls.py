@@ -73,3 +73,39 @@ def test_url_dedup_is_agg_join_not_window(spark):
     plan = urls.url_dedup_decisions(df, "url", "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_canonical_url_is_idempotent_over_component_grid(spark):
+    """Canonicalization must be a FIXED POINT: canonical(canonical(u)) ==
+    canonical(u), or re-canonicalizing stored canonical URLs (exactly what
+    an incremental pipeline does on every batch) would split dedup groups.
+    One Spark job over the full component grid: scheme case x userinfo x
+    host case/www x port x path slashes x param order/tracking x
+    fragment = 768 combinations."""
+    from itertools import product
+
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import urls
+
+    rows = []
+    for scheme, user, host, port, path, query, frag in product(
+        ["http", "HTTPS"],
+        ["", "u:p@"],
+        ["Example.com", "www.example.COM"],
+        ["", ":80", ":443", ":8080"],
+        ["/", "/a//b/", "/a/b"],
+        ["", "?utm_source=x", "?b=2&a=1&gclid=z", "?a=1"],
+        ["", "#frag"],
+    ):
+        rows.append((f"{scheme}://{user}{host}{port}{path}{query}{frag}",))
+    df = spark.createDataFrame(rows, "url string")
+    out = df.select(
+        urls.canonical_url(F.col("url")).alias("c1")
+    ).select(
+        "c1", urls.canonical_url(F.col("c1")).alias("c2")
+    )
+    bad = out.filter(
+        F.col("c1").isNull() | (F.col("c1") != F.col("c2"))
+    ).collect()
+    assert not bad, bad[:5]
