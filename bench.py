@@ -119,6 +119,7 @@ HEADLINE = [
     # streaming_ingest_decisions never entered HEADLINE)
     "html_text_extract",
     "crawl_silver_scan",
+    "robots_screen_decisions",
 ]
 
 

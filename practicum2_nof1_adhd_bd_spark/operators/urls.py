@@ -100,6 +100,142 @@ def canonical_url(url: Column) -> Column:
     return F.when(scheme == F.lit(""), F.lit(None).cast("string")).otherwise(canon)
 
 
+def parse_robots(
+    robots_df: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """Parse robots.txt bodies to rule rows: ``(host, agent, allow,
+    prefix, prefix_len)`` — one row per (agent, rule) pair, agents
+    lowercased, empty-prefix rules dropped (an empty ``Disallow:`` means
+    allow-everything, i.e. no rule).
+
+    Group structure is positional — a rule belongs to the nearest
+    preceding RUN of consecutive ``User-agent`` lines — recovered
+    distributively: posexplode the lines, flag agent-run STARTS (an
+    agent line whose previous line isn't one, via lag), running-sum the
+    flags into a run id (the gaps-and-islands device), then join rules
+    to their run's agents. All windows partition by host: robots files
+    are bounded (hundreds of lines), so per-host state never grows with
+    the corpus. Prefix matching downstream is literal (original REP);
+    the ``*``/``$`` wildcard extension is a documented non-goal."""
+    from pyspark.sql import Window
+
+    lines = robots_df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "_l"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace("_l", r"#.*$", "")).alias("line"),
+    ).filter(F.col("line") != "")
+    kind = (
+        F.when(F.lower("line").rlike(r"^user-agent\s*:"), F.lit("agent"))
+        .when(F.lower("line").rlike(r"^disallow\s*:"), F.lit("disallow"))
+        .when(F.lower("line").rlike(r"^allow\s*:"), F.lit("allow"))
+    )
+    val = F.trim(F.regexp_extract("line", r":(.*)$", 1))
+    w = Window.partitionBy("host").orderBy("pos")
+    typed = lines.select(
+        "host", "pos", kind.alias("kind"), val.alias("val")
+    ).filter(F.col("kind").isNotNull())
+    runs = typed.withColumn(
+        "_new_run",
+        (
+            (F.col("kind") == "agent")
+            & (F.coalesce(F.lag("kind").over(w), F.lit("")) != "agent")
+        ).cast("int"),
+    ).withColumn("run_id", F.sum("_new_run").over(w))
+    agents = (
+        runs.filter(F.col("kind") == "agent")
+        .select("host", "run_id", F.lower("val").alias("agent"))
+        .distinct()
+    )
+    rules = runs.filter(
+        F.col("kind").isin("allow", "disallow") & (F.col("val") != "")
+        & (F.col("run_id") > 0)
+    ).select(
+        "host",
+        "run_id",
+        (F.col("kind") == "allow").alias("allow"),
+        F.col("val").alias("prefix"),
+        F.length("val").alias("prefix_len"),
+    )
+    return rules.join(agents, ["host", "run_id"]).select(
+        "host", "agent", "allow", "prefix", "prefix_len"
+    )
+
+
+def robots_screen(
+    urls_df: DataFrame,
+    robots_df: DataFrame,
+    agent: str = "graftbot",
+    url_col: str = "url",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-URL crawl-permission verdict under the REP longest-match rule:
+    pick the host's most specific agent group (exact agent name if it
+    has one, else ``*``), match the URL path against that group's
+    prefixes, and let the LONGEST matching prefix decide — tie goes to
+    Allow; no match (or no robots) means crawlable.
+
+    Scale shape: robots rules are a dim (one bounded file per host vs a
+    100-TB crawl) — the parsed rules BROADCAST, the path-prefix match is
+    a broadcast theta-join, and the winner per URL is one hash-groupBy
+    max over (prefix_len, allow). The crawl never shuffles."""
+    rules = parse_robots(robots_df, host_col, txt_col)
+    a = F.lit(agent.lower())
+    has_exact = rules.groupBy("host").agg(
+        F.max((F.col("agent") == a).cast("int")).alias("_he")
+    )
+    grp = (
+        rules.join(has_exact, "host")
+        .filter(
+            ((F.col("_he") == 1) & (F.col("agent") == a))
+            | ((F.col("_he") == 0) & (F.col("agent") == "*"))
+        )
+        .select(
+            F.col("host").alias("_rhost"), "allow", "prefix", "prefix_len"
+        )
+    )
+    raw_path = F.regexp_extract(F.col(url_col), r"^[A-Za-z]+://[^/]+(/.*)$", 1)
+    u = urls_df.withColumn(
+        "_path", F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    ).withColumn(
+        "_host",
+        F.lower(
+            F.regexp_extract(F.col(url_col), r"^[A-Za-z]+://([^/:?@]+)", 1)
+        ),
+    )
+    m = u.join(
+        F.broadcast(grp),
+        (F.col("_host") == F.col("_rhost"))
+        & F.col("_path").startswith(F.col("prefix")),
+        "left",
+    )
+    # Restore the input grain by grouping on ALL input columns — rows
+    # that were distinct stay distinct even when their URLs coincide
+    # (fully identical rows collapse, which is the only honest answer a
+    # set-semantics aggregation can give them).
+    return (
+        m.groupBy(*urls_df.columns)
+        .agg(
+            F.max(
+                F.when(
+                    F.col("prefix_len").isNotNull(),
+                    F.struct(
+                        F.col("prefix_len").alias("l"),
+                        F.col("allow").cast("int").alias("a"),
+                    ),
+                )
+            ).alias("_win"),
+        )
+        .withColumn(
+            "crawlable", F.coalesce(F.col("_win.a") == 1, F.lit(True))
+        )
+        .drop("_win")
+    )
+
+
 def url_dedup_decisions(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -2692,6 +2692,86 @@ def q_crawl_silver_scan(spark, sf_dir):
 
 
 @register(
+    "robots_screen_decisions",
+    """
+    WITH u AS (
+        SELECT i, i % 4 AS k, i % 6 AS c, i // 24 AS g
+        FROM generate_series(0, 119) t(i)
+    )
+    SELECT i AS doc_id,
+           'http://' || ['a.com','b.com','c.com','d.com'][1 + CAST(k AS INT)]
+               || CASE c WHEN 0 THEN '/'
+                         WHEN 1 THEN '/page/' || g
+                         WHEN 2 THEN '/private/p' || g
+                         WHEN 3 THEN '/private/ok/' || g
+                         WHEN 4 THEN '/x/y/' || g
+                         ELSE '/x/z' || g END AS url,
+           CASE WHEN k = 0 THEN FALSE
+                WHEN k = 1 THEN c != 1
+                WHEN k = 2 THEN c != 5
+                ELSE TRUE END AS crawlable
+    FROM u ORDER BY doc_id
+    """,
+)
+def q_robots_screen_decisions(spark, sf_dir):
+    """Robots.txt crawl-permission screen (operators/urls.py): parse
+    robots bodies to (agent, allow, prefix) rule rows — group structure
+    recovered distributively via the gaps-and-islands device over
+    User-agent runs — then screen URLs under the REP longest-match rule
+    with EXCLUSIVE group selection (an exact agent group shadows ``*``
+    entirely; b.com proves it: the * group disallows /private but the
+    graftbot group doesn't, so /private stays crawlable for graftbot).
+    Fixture: four hosts covering blanket disallow, exact-vs-* shadowing,
+    stacked agents with an Allow carve-out under a Disallow (longest
+    match flips it), and a no-matching-group host; the oracle is the
+    hand-derived permission truth table. Rules broadcast; the crawl
+    side never shuffles (one groupBy restores the URL grain).
+    sf-independent fixture."""
+    i = F.col("id")
+    k, c = i % 4, i % 6
+    g = F.expr("id DIV 24").cast("string")
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in ("a.com", "b.com", "c.com", "d.com")]),
+        (k + 1).cast("int"),
+    )
+    path = (
+        F.when(c == 0, F.lit("/"))
+        .when(c == 1, F.concat(F.lit("/page/"), g))
+        .when(c == 2, F.concat(F.lit("/private/p"), g))
+        .when(c == 3, F.concat(F.lit("/private/ok/"), g))
+        .when(c == 4, F.concat(F.lit("/x/y/"), g))
+        .otherwise(F.concat(F.lit("/x/z"), g))
+    )
+    u = spark.range(120).select(
+        i.alias("doc_id"),
+        F.concat(F.lit("http://"), host, path).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /\n"),
+            (
+                "b.com",
+                "# site policy\nUser-agent: *\nDisallow: /private\n"
+                "Allow: /private/ok\n\nUser-agent: graftbot\n"
+                "Disallow: /page\n",
+            ),
+            (
+                "c.com",
+                "User-agent: graftbot\nUser-agent: otherbot\n"
+                "Disallow: /x\nAllow: /x/y\n",
+            ),
+            ("d.com", "User-agent: otherbot\nDisallow: /\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    return (
+        urls.robots_screen(u, robots, agent="graftbot")
+        .select("doc_id", "url", "crawlable")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "html_text_extract",
     """
     WITH d AS (SELECT i FROM generate_series(0, 139) t(i)),
@@ -9631,17 +9711,17 @@ _FRONT_ORDER = [
     "promo_revenue_share", "shipmode_priority_counts",
     "boilerplate_strip_report", "warc_response_scan",
     "url_canonical_dedup", "streaming_url_seen_decisions",
-    "html_text_extract", "crawl_silver_scan",
+    "html_text_extract", "crawl_silver_scan", "robots_screen_decisions",
     # behavior-touched r12: temporal_instability now scores absent
     # feature columns 0.0 (ref parity) instead of raising; both ingest
     # streams gained crashed-compaction recovery, the legacy-decisions
     # layout guard, and dedup-on-auto-compaction
     "temporal_instability_scores", "streaming_ingest_decisions",
     "streaming_vector_decisions",
-    # rotation: 32 of the 44-query r07 cohort (last driver attestation
+    # rotation: 31 of the 44-query r07 cohort (last driver attestation
     # r07 — five rounds overdue; ledger in COVERAGE.md). The remaining
-    # 12 (rollup_nation_year, semantic_dedup, semantic_dedup_bucketed,
-    # som_daily_agg,
+    # 13 (region_revenue, rollup_nation_year, semantic_dedup,
+    # semantic_dedup_bucketed, som_daily_agg,
     # sql_top_order_per_customer, tfidf_top_terms,
     # token_length_profile, top_supplier_revenue, topk_customers,
     # tz_cutover_daily, union_sum_fusion, user_sessions) spill to r13
@@ -9656,7 +9736,7 @@ _FRONT_ORDER = [
     "ivf_ann_topk", "json_props_daily", "large_volume_customers",
     "media_frame_sample", "minhash_signatures", "multiformat_ts_parse",
     "pack_sequences", "pii_redact_stats", "pipe_split_union",
-    "quality_adjusted_label", "quality_score", "region_revenue",
+    "quality_adjusted_label", "quality_score",
 ]
 
 

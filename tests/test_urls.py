@@ -109,3 +109,67 @@ def test_canonical_url_is_idempotent_over_component_grid(spark):
         F.col("c1").isNull() | (F.col("c1") != F.col("c2"))
     ).collect()
     assert not bad, bad[:5]
+
+
+ROBOTS = [
+    ("a.com", "User-agent: *\nDisallow: /\n"),
+    (
+        "b.com",
+        "# policy\nUser-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+        "\nUser-agent: graftbot\nDisallow: /page\n",
+    ),
+    # stacked agents share one rule group
+    ("c.com", "User-agent: graftbot\nUser-agent: otherbot\nDisallow: /x\nAllow: /x/y\n"),
+    ("d.com", "User-agent: otherbot\nDisallow: /\n"),
+]
+
+
+def test_parse_robots_groups_and_stacked_agents(spark):
+    from practicum2_nof1_adhd_bd_spark.operators import urls
+
+    df = spark.createDataFrame(ROBOTS, "host string, robots_txt string")
+    rules = {
+        (r["host"], r["agent"], r["prefix"]): r["allow"]
+        for r in urls.parse_robots(df).collect()
+    }
+    assert rules[("a.com", "*", "/")] is False
+    assert rules[("b.com", "*", "/private")] is False
+    assert rules[("b.com", "*", "/private/ok")] is True
+    assert rules[("b.com", "graftbot", "/page")] is False
+    # stacked agents: both carry the group's rules
+    assert rules[("c.com", "graftbot", "/x")] is False
+    assert rules[("c.com", "otherbot", "/x/y")] is True
+    assert ("b.com", "graftbot", "/private") not in rules  # group isolation
+
+
+def test_robots_screen_longest_match_and_group_selection(spark):
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import urls
+
+    robots = spark.createDataFrame(ROBOTS, "host string, robots_txt string")
+    cases = {
+        "http://a.com/anything": False,     # blanket * disallow
+        # group selection is EXCLUSIVE (REP): b.com has an exact
+        # graftbot group, so the * group's /private rules never apply —
+        # only /page is disallowed for this agent
+        "http://b.com/private/z": True,
+        "http://b.com/page/1": False,
+        "http://b.com/other": True,
+        "http://b.com/private/ok/2": True,
+        "http://c.com/x/z": False,          # stacked-agent group
+        "http://c.com/x/y/3": True,         # longest match: Allow /x/y
+        "http://d.com/w": True,             # no matching group at all
+        "http://nobots.example/p": True,    # host without robots
+    }
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)], "doc_id int, url string"
+    )
+    out = {
+        r["url"]: r["crawlable"]
+        for r in urls.robots_screen(df, robots, agent="GraftBot").collect()
+    }
+    assert out == cases
+    # plan contract: the rules side broadcasts; the crawl never shuffles
+    plan = urls.robots_screen(df, robots)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
