@@ -590,6 +590,14 @@ NOTES = {
         "inside a single WholeStageCodegen span — no DOM, no Python, "
         "plan-contract-tested in tests/test_html.py."
     ),
+    "robots_screen_decisions": (
+        "The parsed rules are a per-host dim and BROADCAST; the "
+        "path-prefix match is a broadcast theta-join against the crawl "
+        "side, which never shuffles — the only aggregation is the "
+        "verdict groupBy restoring the URL grain. Robots files are "
+        "bounded, so the parse windows (partitioned by host) hold "
+        "hundreds of lines of state, never corpus-scale."
+    ),
     "crawl_silver_scan": (
         "Reads the landed silver layer: every upstream screen "
         "(status, content-type, blocklist anti-join, HTML→text) was "
