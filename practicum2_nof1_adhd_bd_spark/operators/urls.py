@@ -83,7 +83,9 @@ def canonical_url(url: Column) -> Column:
     raw_params = F.split(F.regexp_extract(path_q, r"\?(.*)$", 1), "&")
 
     def _keep(p: Column) -> Column:
-        key = F.regexp_extract(p, r"^([^=]*)", 1)
+        # tracking detection is case-insensitive (UTM_SOURCE tracks the
+        # same click utm_source does); the kept params keep their case
+        key = F.lower(F.regexp_extract(p, r"^([^=]*)", 1))
         cond = p != F.lit("")
         for pref in TRACKING_PREFIXES:
             cond = cond & ~key.startswith(pref)
@@ -198,12 +200,18 @@ def robots_screen(
         )
     )
     raw_path = F.regexp_extract(F.col(url_col), r"^[A-Za-z]+://[^/]+(/.*)$", 1)
+    # authority first, then strip userinfo and port — a bare
+    # "[^/:?@]+" capture would stop BEFORE the @ and mis-key
+    # user@host URLs on the userinfo
+    auth = F.regexp_extract(F.col(url_col), r"^[A-Za-z]+://([^/?]+)", 1)
     u = urls_df.withColumn(
         "_path", F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     ).withColumn(
         "_host",
         F.lower(
-            F.regexp_extract(F.col(url_col), r"^[A-Za-z]+://([^/:?@]+)", 1)
+            F.regexp_replace(
+                F.regexp_replace(auth, r"^[^@]*@", ""), r":\d+$", ""
+            )
         ),
     )
     m = u.join(

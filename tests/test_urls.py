@@ -28,6 +28,8 @@ CASES = [
     # userinfo drops; the path offset must not shift (regression: the
     # slice base is the RAW authority length, not the stripped host's)
     ("http://User:Pw@Example.com:80/x?b=1", "http://example.com/x?b=1"),
+    # tracking detection is case-insensitive; kept params keep case
+    ("http://e.com/p?UTM_SOURCE=x&B=2", "http://e.com/p?B=2"),
 ]
 
 
@@ -161,6 +163,9 @@ def test_robots_screen_longest_match_and_group_selection(spark):
         "http://c.com/x/y/3": True,         # longest match: Allow /x/y
         "http://d.com/w": True,             # no matching group at all
         "http://nobots.example/p": True,    # host without robots
+        # userinfo/port must not defeat host keying (regression: a
+        # [^@]-less capture would match the userinfo as the host)
+        "http://u:p@a.com:8080/q": False,
     }
     df = spark.createDataFrame(
         [(i, u) for i, u in enumerate(cases)], "doc_id int, url string"

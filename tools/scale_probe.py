@@ -909,6 +909,64 @@ def probe_urls(spark, n_rows: int, factor: int = 10) -> dict:
     return out
 
 
+def probe_html(spark, n_rows: int, factor: int = 10) -> dict:
+    """HTML→text extraction throughput at realistic document sizes: each
+    synthesized doc is ~1.6 KB of markup (title, style, script, comment,
+    20 entity-laden paragraphs, anchors) so every regex in the chain
+    does real work per row. Timings at n and factor*n docs via the noop
+    sink (min-of-2); reports MB/s of raw HTML through the full
+    extraction projection and the 10x ratio (expect ~1.0: one
+    shuffle-free codegen span, cost linear in input bytes)."""
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import html as H
+
+    def corpus(n: int):
+        i = F.col("id")
+        s = i.cast("string")
+        para = F.concat(
+            F.lit("<p>the quick value "), s,
+            F.lit(" of row &amp; table is &lt;here&gt; in the set</p>"),
+        )
+        paras = F.concat(*([para] * 20))
+        return spark.range(n).select(
+            i.alias("doc_id"),
+            F.concat(
+                F.lit("<html><head><title>Doc "), s, F.lit("</title>"),
+                F.lit("<style>body {margin: 0}</style>"),
+                F.lit("<script>var x = 1;</script></head><body>"),
+                F.lit("<!-- generated --><h1>Doc "), s, F.lit("</h1>"),
+                paras,
+                F.lit('<a href="/next">next</a></body></html>'),
+            ).alias("html"),
+        ).localCheckpoint(eager=True)
+
+    def timed(df) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    out = {"html_rows": n_rows, "html_factor": factor}
+    doc_bytes = None
+    for tag, n in (("1x", n_rows), (f"{factor}x", n_rows * factor)):
+        base = corpus(n)
+        if doc_bytes is None:
+            doc_bytes = base.select(F.avg(F.length("html"))).first()[0]
+        out[f"extract_{tag}_sec"] = timed(H.html_extract(base))
+        base.unpersist()
+    out["doc_bytes"] = int(doc_bytes)
+    big_mb = n_rows * factor * doc_bytes / 1e6
+    out["html_mb_per_sec"] = round(big_mb / out[f"extract_{factor}x_sec"], 1)
+    out["extract_ratio_10x"] = round(
+        out[f"extract_{factor}x_sec"] / max(out["extract_1x_sec"], 1e-9) / factor,
+        2,
+    )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--xml-mb", type=int, default=200)
@@ -977,6 +1035,13 @@ def main() -> None:
         help="run ONLY the URL-canonicalization throughput probe at n "
         "and --factor x n synthesized messy URLs",
     )
+    ap.add_argument(
+        "--html-rows",
+        type=int,
+        default=0,
+        help="run ONLY the HTML-extraction throughput probe at n and "
+        "--factor x n synthesized ~1.6 KB documents",
+    )
     args = ap.parse_args()
     if args.queries:
         sel = [q.strip() for q in args.queries.split(",") if q.strip()]
@@ -1010,6 +1075,10 @@ def main() -> None:
 
     if args.url_rows:
         print(json.dumps(probe_urls(spark, args.url_rows, args.factor)))
+        return
+
+    if args.html_rows:
+        print(json.dumps(probe_html(spark, args.html_rows, args.factor)))
         return
 
     if args.cluster_merge_batch:
