@@ -11,6 +11,7 @@ the uniform surface is the query registry:
         [--limit N] [--out PARQUET_DIR] [--explain]
     python -m practicum2_nof1_adhd_bd_spark audit [--sf-dir D]
     python -m practicum2_nof1_adhd_bd_spark pipeline ...  (medallion CLI)
+    python -m practicum2_nof1_adhd_bd_spark corpus ...    (crawl-corpus medallion)
     python -m practicum2_nof1_adhd_bd_spark ann build --index DIR
         [--sf-dir D] [--n-bits B]           (bucket-partitioned artifact)
     python -m practicum2_nof1_adhd_bd_spark ann query --index DIR
@@ -49,6 +50,7 @@ def main(argv: list[str] | None = None) -> int:
     p_audit.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
 
     sub.add_parser("pipeline", add_help=False)
+    sub.add_parser("corpus", add_help=False)
 
     p_ann = sub.add_parser(
         "ann", help="vector-index serving: build / query the partitioned artifact"
@@ -86,6 +88,11 @@ def main(argv: list[str] | None = None) -> int:
         from .pipeline import main as pipeline_main
 
         return pipeline_main(rest) or 0
+
+    if args.cmd == "corpus":
+        from .corpus_pipeline import main as corpus_main
+
+        return corpus_main(rest) or 0
 
     from . import registry
 

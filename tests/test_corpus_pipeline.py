@@ -61,3 +61,19 @@ def test_gold_packs_and_manifest_is_rebuild_stable(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(gold2["manifest"]).collect()
     )
     assert m1 == m2 and len(m1) == 2
+
+
+def test_corpus_cli_runs_all_layers(spark, tmp_path):
+    from practicum2_nof1_adhd_bd_spark.__main__ import main
+
+    wd = os.path.join(str(tmp_path), "warc")
+    warc.synthesize_warc(wd, 48, html_bodies=True)
+    out = os.path.join(str(tmp_path), "out")
+    rc = main(
+        ["corpus", "--warc-dir", wd, "--out", out,
+         "--blocked", "site0.example,site3.example"]
+    )
+    assert rc == 0
+    for layer in ("bronze/responses", "silver/docs", "gold/packed",
+                  "gold/manifest"):
+        assert spark.read.parquet(os.path.join(out, layer)).count() > 0
