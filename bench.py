@@ -120,6 +120,7 @@ HEADLINE = [
     "html_text_extract",
     "crawl_silver_scan",
     "robots_screen_decisions",
+    "host_pagerank",
 ]
 
 

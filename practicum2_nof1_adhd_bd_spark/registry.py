@@ -2692,6 +2692,105 @@ def q_crawl_silver_scan(spark, sf_dir):
 
 
 @register(
+    "host_pagerank",
+    """
+    WITH e0 AS (
+        SELECT i AS src,
+               CASE WHEN (2*i+1) % 60 = i THEN (2*i+2) % 60
+                    ELSE (2*i+1) % 60 END AS dst
+        FROM generate_series(0, 59) t(i) WHERE i % 7 != 0
+        UNION
+        SELECT i,
+               CASE WHEN (3*i+2) % 60 = i THEN (3*i+3) % 60
+                    ELSE (3*i+2) % 60 END
+        FROM generate_series(0, 59) t(i) WHERE i % 7 != 0
+    ),
+    nodes AS (
+        SELECT DISTINCT node FROM
+        (SELECT src AS node FROM e0 UNION SELECT dst FROM e0)
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM nodes),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e0 GROUP BY 1),
+    r0 AS (SELECT node, 1.0 / N AS rank FROM nodes, nn),
+    r1 AS (
+        SELECT n.node,
+               0.15 / nn.N + 0.85 * (COALESCE(s.in_sum, 0)
+                   + dm.m / nn.N) AS rank
+        FROM nodes n
+        LEFT JOIN (SELECT e.dst AS node, sum(r.rank / deg.od) AS in_sum
+                   FROM r0 r JOIN deg ON r.node = deg.src
+                   JOIN e0 e ON e.src = r.node GROUP BY 1) s
+            ON n.node = s.node
+        CROSS JOIN (SELECT COALESCE(sum(r.rank), 0) AS m FROM r0 r
+                    LEFT JOIN deg ON r.node = deg.src
+                    WHERE deg.src IS NULL) dm
+        CROSS JOIN nn
+    ),
+    r2 AS (
+        SELECT n.node,
+               0.15 / nn.N + 0.85 * (COALESCE(s.in_sum, 0)
+                   + dm.m / nn.N) AS rank
+        FROM nodes n
+        LEFT JOIN (SELECT e.dst AS node, sum(r.rank / deg.od) AS in_sum
+                   FROM r1 r JOIN deg ON r.node = deg.src
+                   JOIN e0 e ON e.src = r.node GROUP BY 1) s
+            ON n.node = s.node
+        CROSS JOIN (SELECT COALESCE(sum(r.rank), 0) AS m FROM r1 r
+                    LEFT JOIN deg ON r.node = deg.src
+                    WHERE deg.src IS NULL) dm
+        CROSS JOIN nn
+    ),
+    r3 AS (
+        SELECT n.node,
+               0.15 / nn.N + 0.85 * (COALESCE(s.in_sum, 0)
+                   + dm.m / nn.N) AS rank
+        FROM nodes n
+        LEFT JOIN (SELECT e.dst AS node, sum(r.rank / deg.od) AS in_sum
+                   FROM r2 r JOIN deg ON r.node = deg.src
+                   JOIN e0 e ON e.src = r.node GROUP BY 1) s
+            ON n.node = s.node
+        CROSS JOIN (SELECT COALESCE(sum(r.rank), 0) AS m FROM r2 r
+                    LEFT JOIN deg ON r.node = deg.src
+                    WHERE deg.src IS NULL) dm
+        CROSS JOIN nn
+    )
+    SELECT node, round(rank, 7) AS rank FROM r3 ORDER BY node
+    """,
+)
+def q_host_pagerank(spark, sf_dir):
+    """PageRank host ranking (operators/graph.py) — the crawl-
+    prioritization centrality Common Crawl publishes per host, and the
+    engine's iterative-graph-algorithm witness: K synchronous rounds of
+    ranks-join-edges + groupBy(dst) sums, dangling mass as a 1-row
+    broadcast, lineage cut per round with localCheckpoint. Fixture: a
+    deterministic 2-out-regular formula graph on 60 ids with every 7th
+    node DANGLING (no out-edges, so the redistribution term is live) and
+    one formula-collision node with out-degree 1 (distinct() collapse,
+    exercised on both engines). The oracle unrolls the SAME three rounds
+    symbolically as chained CTEs — iteration-for-iteration parity, not
+    just a final sanity check. Outputs round to 7dp; double combine-
+    order differences live at ~1e-15, eight orders below the gate.
+    sf-independent fixture."""
+    i = F.col("id")
+    e1 = F.when((2 * i + 1) % 60 == i, (2 * i + 2) % 60).otherwise(
+        (2 * i + 1) % 60
+    )
+    e2 = F.when((3 * i + 2) % 60 == i, (3 * i + 3) % 60).otherwise(
+        (3 * i + 2) % 60
+    )
+    base = spark.range(60).filter(i % 7 != 0)
+    edges = base.select(i.alias("src"), e1.alias("dst")).unionByName(
+        base.select(i.alias("src"), e2.alias("dst"))
+    )
+    from .operators import graph
+
+    pr = graph.pagerank(edges, n_iter=3, damping=0.85)
+    return pr.select(
+        "node", F.round("rank", 7).alias("rank")
+    ).orderBy("node")
+
+
+@register(
     "robots_screen_decisions",
     """
     WITH u AS (
@@ -9712,15 +9811,17 @@ _FRONT_ORDER = [
     "boilerplate_strip_report", "warc_response_scan",
     "url_canonical_dedup", "streaming_url_seen_decisions",
     "html_text_extract", "crawl_silver_scan", "robots_screen_decisions",
+    "host_pagerank",
     # behavior-touched r12: temporal_instability now scores absent
     # feature columns 0.0 (ref parity) instead of raising; both ingest
     # streams gained crashed-compaction recovery, the legacy-decisions
     # layout guard, and dedup-on-auto-compaction
     "temporal_instability_scores", "streaming_ingest_decisions",
     "streaming_vector_decisions",
-    # rotation: 31 of the 44-query r07 cohort (last driver attestation
+    # rotation: 30 of the 44-query r07 cohort (last driver attestation
     # r07 — five rounds overdue; ledger in COVERAGE.md). The remaining
-    # 13 (region_revenue, rollup_nation_year, semantic_dedup,
+    # 14 (quality_score, region_revenue, rollup_nation_year,
+    # semantic_dedup,
     # semantic_dedup_bucketed, som_daily_agg,
     # sql_top_order_per_customer, tfidf_top_terms,
     # token_length_profile, top_supplier_revenue, topk_customers,
@@ -9736,7 +9837,7 @@ _FRONT_ORDER = [
     "ivf_ann_topk", "json_props_daily", "large_volume_customers",
     "media_frame_sample", "minhash_signatures", "multiformat_ts_parse",
     "pack_sequences", "pii_redact_stats", "pipe_split_union",
-    "quality_adjusted_label", "quality_score",
+    "quality_adjusted_label",
 ]
 
 

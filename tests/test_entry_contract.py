@@ -50,7 +50,8 @@ def test_attestation_window_is_stable():
     strip, WARC scan) + the 3 r12-behavior-touched
     queries (temporal_instability's missing-column guard; both ingest
     streams' crashed-compaction recovery + layout guard) + 36 of the
-    44-query r07 cohort (five rounds overdue; region_revenue,
+    44-query r07 cohort (five rounds overdue; quality_score,
+    region_revenue,
     rollup_nation_year,
     semantic_dedup,
     semantic_dedup_bucketed,
@@ -72,11 +73,11 @@ def test_attestation_window_is_stable():
         "boilerplate_strip_report", "warc_response_scan",
         "url_canonical_dedup", "streaming_url_seen_decisions",
         "html_text_extract", "crawl_silver_scan",
-        "robots_screen_decisions",
+        "robots_screen_decisions", "host_pagerank",
         # behavior-touched r12
         "temporal_instability_scores", "streaming_ingest_decisions",
         "streaming_vector_decisions",
-        # r07-cohort rotation (31 of 44)
+        # r07-cohort rotation (30 of 44)
         "apply_mixture_sample", "auc_persistence", "bpe_token_stats",
         "calibration_bins", "char_ngram_entropy", "circadian_midpoint",
         "corpus_clean", "cosine_topk", "daily_modal_type",
@@ -87,7 +88,7 @@ def test_attestation_window_is_stable():
         "ivf_ann_topk", "json_props_daily", "large_volume_customers",
         "media_frame_sample", "minhash_signatures",
         "multiformat_ts_parse", "pack_sequences", "pii_redact_stats",
-        "pipe_split_union", "quality_adjusted_label", "quality_score",
+        "pipe_split_union", "quality_adjusted_label",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry

@@ -1,0 +1,51 @@
+"""Iterative graph operators (operators/graph.py)."""
+
+from pyspark.sql import functions as F
+
+from practicum2_nof1_adhd_bd_spark.operators import graph
+
+
+def test_pagerank_hand_computed_triangle_with_dangler(spark):
+    """a->b, a->c, b->c; c dangling. One round from uniform 1/3, d=0.85:
+    contribs: b gets 1/3/2, c gets 1/3/2 + 1/3; dangling mass = 1/3.
+    rank(a) = .15/3 + .85*(0 + (1/3)/3)        = 0.14444444...
+    rank(b) = .15/3 + .85*(1/6 + 1/9)          = 0.28611111...
+    rank(c) = .15/3 + .85*(1/2 + 1/9)          = 0.56944444...
+    """
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(edges, n_iter=1).collect()
+    }
+    assert abs(got["a"] - 0.144444444) < 1e-8
+    assert abs(got["b"] - 0.286111111) < 1e-8
+    assert abs(got["c"] - 0.569444444) < 1e-8
+
+
+def test_pagerank_mass_conserved_and_duplicate_edges_collapse(spark):
+    """Total rank mass stays 1.0 every round (the dangling redistribution
+    is what makes this hold), and duplicate edge rows don't double a
+    contribution."""
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 2), (2, 0), (3, 0)],  # dup (0,1); 3 dangles? no: 3->0
+        "src int, dst int",
+    )
+    for k in (1, 3):
+        total = (
+            graph.pagerank(edges, n_iter=k)
+            .agg(F.sum("rank").alias("s"))
+            .first()["s"]
+        )
+        assert abs(total - 1.0) < 1e-9, (k, total)
+    one = {
+        r["node"]: r["rank"] for r in graph.pagerank(edges, n_iter=1).collect()
+    }
+    nodup = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 0)], "src int, dst int"
+    )
+    one_nodup = {
+        r["node"]: r["rank"] for r in graph.pagerank(nodup, n_iter=1).collect()
+    }
+    assert one == one_nodup
