@@ -590,6 +590,14 @@ NOTES = {
         "inside a single WholeStageCodegen span — no DOM, no Python, "
         "plan-contract-tested in tests/test_html.py."
     ),
+    "host_pagerank": (
+        "Each round is exactly two exchanges — the ranks-edges join on "
+        "src and the contribution sum on dst — and the per-round "
+        "localCheckpoint keeps the K-iteration plan flat (the returned "
+        "plan reads the final checkpoint, not K stacked joins). "
+        "Dangling mass enters as a broadcast 1-row cross join, never a "
+        "collect."
+    ),
     "robots_screen_decisions": (
         "The parsed rules are a per-host dim and BROADCAST; the "
         "path-prefix match is a broadcast theta-join against the crawl "

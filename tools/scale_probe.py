@@ -967,6 +967,53 @@ def probe_html(spark, n_rows: int, factor: int = 10) -> dict:
     return out
 
 
+def probe_pagerank(spark, n_edges: int, factor: int = 10) -> dict:
+    """PageRank iteration cost at volume: a synthetic graph with a
+    hub-skewed degree distribution (destination = id % sqrt-ish modulus,
+    so a few nodes take most in-links — the realistic web shape that
+    stresses the dst-sum aggregation) at n and factor*n edges, 3 rounds
+    each. Expect near-linear edge scaling: each round is one src join +
+    one dst partial-aggregated sum, and the hub skew is absorbed
+    map-side by the partial sum exactly like hot URLs in §2k."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import graph
+
+    def edges(n: int):
+        m = int(math.isqrt(n))
+        i = F.col("id")
+        return spark.range(n).select(
+            (i % (n // 4)).alias("src"),
+            # 80% of edges land on the first ~sqrt(n) ids (hub skew)
+            F.when(i % 5 < 4, (i * 7919) % m)
+            .otherwise((i * 104729) % (n // 4))
+            .alias("dst"),
+        ).localCheckpoint(eager=True)
+
+    out = {"pagerank_edges": n_edges, "pagerank_factor": factor,
+           "n_iter": 3}
+    for tag, n in (("1x", n_edges), (f"{factor}x", n_edges * factor)):
+        e = edges(n)
+        t0 = time.time()
+        graph.pagerank(e, n_iter=3).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[f"pagerank_{tag}_sec"] = round(time.time() - t0, 2)
+        e.unpersist()
+    out["edges_per_sec"] = int(
+        3 * n_edges * factor / out[f"pagerank_{factor}x_sec"]
+    )
+    out["pagerank_ratio_10x"] = round(
+        out[f"pagerank_{factor}x_sec"]
+        / max(out["pagerank_1x_sec"], 1e-9)
+        / factor,
+        2,
+    )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--xml-mb", type=int, default=200)
@@ -1042,6 +1089,13 @@ def main() -> None:
         help="run ONLY the HTML-extraction throughput probe at n and "
         "--factor x n synthesized ~1.6 KB documents",
     )
+    ap.add_argument(
+        "--pagerank-edges",
+        type=int,
+        default=0,
+        help="run ONLY the PageRank iteration-cost probe on a synthetic "
+        "power-law-ish graph at n and --factor x n edges",
+    )
     args = ap.parse_args()
     if args.queries:
         sel = [q.strip() for q in args.queries.split(",") if q.strip()]
@@ -1079,6 +1133,14 @@ def main() -> None:
 
     if args.html_rows:
         print(json.dumps(probe_html(spark, args.html_rows, args.factor)))
+        return
+
+    if args.pagerank_edges:
+        print(
+            json.dumps(
+                probe_pagerank(spark, args.pagerank_edges, args.factor)
+            )
+        )
         return
 
     if args.cluster_merge_batch:
