@@ -881,6 +881,11 @@ def probe_urls(spark, n_rows: int, factor: int = 10) -> dict:
         ).localCheckpoint(eager=True)
 
     def timed(df) -> float:
+        # UNTIMED warmup first: the regex-heavy projections keep JIT-
+        # warming for several million invocations (measured: 4.7 -> 2.7 s
+        # across four repeats at 2M rows), so a cold 1x number reads as
+        # fake sub-linearity against the already-warm 10x run
+        df.write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
@@ -942,6 +947,8 @@ def probe_html(spark, n_rows: int, factor: int = 10) -> dict:
         ).localCheckpoint(eager=True)
 
     def timed(df) -> float:
+        # untimed JIT warmup first (see probe_urls)
+        df.write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
@@ -996,6 +1003,10 @@ def probe_pagerank(spark, n_edges: int, factor: int = 10) -> dict:
            "n_iter": 3}
     for tag, n in (("1x", n_edges), (f"{factor}x", n_edges * factor)):
         e = edges(n)
+        # untimed warmup absorbs JIT + first-plan compile (see probe_urls)
+        graph.pagerank(e, n_iter=3).write.format("noop").mode(
+            "overwrite"
+        ).save()
         t0 = time.time()
         graph.pagerank(e, n_iter=3).write.format("noop").mode(
             "overwrite"
