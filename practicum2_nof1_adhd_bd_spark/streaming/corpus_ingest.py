@@ -31,6 +31,13 @@ State never lives in executor memory: the index is disk-backed and
 band-bucket joins scale with batch x candidate fan-out, not corpus size.
 Batch-internal duplicates are also collapsed (min-id wins), so a batch
 containing its own copies admits exactly one.
+
+The dedup GRAIN is pluggable via ``key_expr`` (r12): pass a Column
+(e.g. ``urls.canonical_url(F.col("url"))``) and the stream becomes a
+keyed seen-filter — index key md5(key_expr), near screens vacuous —
+over the same stored index, Bloom pruning, and commit protocol. The
+crawl frontier's URL case is attested as
+``streaming_url_seen_decisions``.
 """
 
 from __future__ import annotations
