@@ -27,6 +27,134 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _hll_estimate(regs, m: int):
+    """HyperLogLog cardinality estimate from a register array column
+    (Flajolet et al. 2007): alpha_m * m^2 / sum(2^-M_j), with the
+    small-range linear-counting correction when the raw estimate is
+    under 2.5m and empty registers exist."""
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 64 else (0.709 if m == 32 else 0.673)
+    inv_sum = F.aggregate(
+        regs, F.lit(0.0), lambda acc, r: acc + F.pow(F.lit(2.0), -r)
+    )
+    raw = F.lit(alpha * m * m) / inv_sum
+    zeros = F.size(F.filter(regs, lambda r: r == 0))
+    return F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    n_iter: int = 4,
+    log2m: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HyperBall approximate harmonic centrality (Boldi & Vigna 2013) —
+    the algorithm behind Common Crawl's published host rankings, where
+    exact all-pairs distances are unthinkable. Per node keep an
+    m=2^log2m-register HLL counter of its in-ball (nodes that REACH it);
+    round r merges every in-neighbor's counter (elementwise register
+    max — union of the underlying sets) and adds
+    ``(|B_r| - |B_{r-1}|) / r`` to the harmonic sum, crediting nodes
+    first reached at distance r.
+
+    Distributed shape per round: registers explode to (node, idx, reg)
+    triples only ALONG EDGES (the join carries m small ints per edge),
+    the elementwise max is a hash aggregate on (dst, idx) — partial
+    map-side, so hub in-degrees collapse before the shuffle — and the
+    array rebuilds with an order-pinned sort_array(collect_list).
+    Estimates are HLL (~1.04/sqrt(m) relative error), which is why this
+    is a rows-only operator: exact parity is the wrong spec for a
+    sketch. Register hashing uses the md5-derived device every sketch
+    in this engine uses, so runs are deterministic."""
+    from pyspark.sql import Window  # noqa: F401  (parity with pagerank)
+
+    m = 1 << log2m
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # init: each node's counter contains exactly itself — one hashed
+    # item: bucket = low log2m bits, rank = leading-zeros+1 of the rest
+    h = F.conv(F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    bucket = (h % m).cast("int")
+    rest = F.floor(h / m).cast("long")
+    # HLL rank = leading zeros + 1 within the quotient's fixed bit
+    # budget: h < 2^60 and bucket takes log2m bits, so rest < 2^(60-log2m)
+    # and rank = (60-log2m) - floor(log2(rest)); uniform values give the
+    # geometric rank distribution HLL needs. rest == 0 maps to the
+    # all-zeros word (maximum rank). Ranks are STRICTLY POSITIVE — the
+    # elementwise-max merge treats 0 as "empty register".
+    width = 60 - log2m
+    rank = F.when(rest == 0, F.lit(width + 1)).otherwise(
+        (F.lit(width) - F.floor(F.log2(rest))).cast("int")
+    )
+    state = nodes.select(
+        "node",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.when(j == bucket, rank).otherwise(F.lit(0)),
+        ).alias("regs"),
+    ).localCheckpoint(eager=True)
+    harm = nodes.select("node", F.lit(0.0).alias("harmonic"))
+    prev_card = state.select("node", _hll_estimate(F.col("regs"), m).alias("card"))
+    for r in range(1, n_iter + 1):
+        # gather in-neighbors' registers along edges, elementwise max
+        flat = (
+            state.join(e, state["node"] == e["src"])
+            .select(F.col("dst").alias("node"), F.posexplode("regs"))
+            .groupBy("node", "pos")
+            .agg(F.max("col").alias("mx"))
+            .groupBy("node")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "mx"))),
+                    lambda s: s["mx"],
+                ).alias("in_regs")
+            )
+        )
+        state = (
+            state.join(flat, "node", "left")
+            .select(
+                "node",
+                F.when(
+                    F.col("in_regs").isNotNull(),
+                    F.zip_with("regs", "in_regs", lambda a, b: F.greatest(a, b)),
+                )
+                .otherwise(F.col("regs"))
+                .alias("regs"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        card = state.select("node", _hll_estimate(F.col("regs"), m).alias("card"))
+        delta = card.alias("c").join(
+            prev_card.select("node", F.col("card").alias("pc")), "node"
+        )
+        harm = (
+            harm.join(
+                delta.select(
+                    "node",
+                    (F.greatest(F.col("card") - F.col("pc"), F.lit(0.0)) / r).alias(
+                        "d"
+                    ),
+                ),
+                "node",
+            )
+            .select("node", (F.col("harmonic") + F.col("d")).alias("harmonic"))
+            .localCheckpoint(eager=True)
+        )
+        prev_card = card
+    return harm.select("node", F.round("harmonic", 6).alias("harmonic"))
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 3,

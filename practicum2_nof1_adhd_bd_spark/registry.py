@@ -2790,6 +2790,34 @@ def q_host_pagerank(spark, sf_dir):
     ).orderBy("node")
 
 
+@register("harmonic_centrality_approx", None)
+def q_harmonic_centrality_approx(spark, sf_dir):
+    """HyperBall approximate harmonic centrality (operators/graph.py) —
+    the Boldi-Vigna algorithm behind Common Crawl's published host
+    rankings: per-node HLL in-ball counters, K rounds of elementwise-max
+    merges along edges, (|B_r|-|B_{r-1}|)/r credited per round. Runs on
+    the same formula graph as host_pagerank. ROWS-ONLY by design: the
+    output is a sketch ESTIMATE (~1.04/sqrt(m) relative error), so exact
+    SQL parity is the wrong spec — correctness is pinned in
+    tests/test_graph.py against exact BFS harmonic centrality on
+    hand-analyzable graphs (path monotonicity + hub dominance), and the
+    register/merge determinism follows from the md5 hashing device."""
+    i = F.col("id")
+    e1 = F.when((2 * i + 1) % 60 == i, (2 * i + 2) % 60).otherwise(
+        (2 * i + 1) % 60
+    )
+    e2 = F.when((3 * i + 2) % 60 == i, (3 * i + 3) % 60).otherwise(
+        (3 * i + 2) % 60
+    )
+    base = spark.range(60).filter(i % 7 != 0)
+    edges = base.select(i.alias("src"), e1.alias("dst")).unionByName(
+        base.select(i.alias("src"), e2.alias("dst"))
+    )
+    from .operators import graph
+
+    return graph.hyperball_harmonic(edges, n_iter=3).orderBy("node")
+
+
 @register(
     "robots_screen_decisions",
     """

@@ -21,8 +21,12 @@ def test_oracle_keys_subset_of_queries():
     # (SQL-replayable) hyperplanes; ivf_kmeans got its deterministic
     # twin ivf_lloyd_topk in r07; quantile_3way_label_approx graduated
     # in r09 via a label-level (cut-point-free) oracle.
+    # harmonic_centrality_approx (r12) is rows-only BY DESIGN: HyperBall
+    # outputs sketch ESTIMATES, so exact SQL parity is the wrong spec —
+    # its correctness pin is exact-BFS parity tests on hand-analyzable
+    # graphs (tests/test_graph.py).
     assert len(qs) >= 40
-    assert len(set(qs) - set(oracles)) <= 11
+    assert len(set(qs) - set(oracles)) <= 12
 
 
 def test_entry_runs_and_is_deterministic(spark):

@@ -49,3 +49,39 @@ def test_pagerank_mass_conserved_and_duplicate_edges_collapse(spark):
         r["node"]: r["rank"] for r in graph.pagerank(nodup, n_iter=1).collect()
     }
     assert one == one_nodup
+
+
+def test_hyperball_harmonic_tracks_exact_on_a_path_graph(spark):
+    """Directed path 0->1->2->3->4: exact harmonic centrality of node v
+    is sum over u<v of 1/(v-u). With one item per counter and 64
+    registers, collisions are absent at this size, so the HLL estimates
+    sit within sketch error and the RANKING must match exactly
+    (monotone along the path)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src int, dst int"
+    )
+    got = {
+        r["node"]: r["harmonic"]
+        for r in graph.hyperball_harmonic(edges, n_iter=4).collect()
+    }
+    exact = {v: sum(1.0 / d for d in range(1, v + 1)) for v in range(5)}
+    order = sorted(got, key=got.get)
+    assert order == [0, 1, 2, 3, 4]
+    for v in range(5):
+        assert abs(got[v] - exact[v]) <= 0.30 * max(exact[v], 1.0), (
+            v, got[v], exact[v],
+        )
+
+
+def test_hyperball_hub_outranks_periphery(spark):
+    """A star pointing at one hub: the hub's in-ball is the whole graph
+    at distance 1, so its harmonic score must dominate every leaf."""
+    edges = spark.createDataFrame(
+        [(i, 99) for i in range(1, 25)], "src int, dst int"
+    )
+    got = {
+        r["node"]: r["harmonic"]
+        for r in graph.hyperball_harmonic(edges, n_iter=2).collect()
+    }
+    hub = got.pop(99)
+    assert hub > max(got.values()) * 3
