@@ -216,3 +216,91 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient via
+    degree orientation (Suri & Vassilvitskii, WWW 2011) — the link-farm
+    / community-density signal a crawl ranker reads next to PageRank.
+
+    The naive wedge join explodes on hubs (a degree-d node contributes
+    d^2 wedges). Orienting every undirected edge from its (degree, id)-
+    smaller endpoint to the larger caps oriented out-degree at
+    O(sqrt(m)), so total wedge work is O(m^1.5) regardless of skew —
+    the hub's star is charged to its many low-degree neighbors. Each
+    triangle is generated exactly once: wedges fan out from the
+    orientation-minimal apex and close along the oriented (v1, v2) edge.
+
+    Plan: canonicalize (least, greatest) + distinct (drops reversed
+    duplicates and self-loops); degree is one map-side-combined count
+    over the exploded endpoints; the two degree attachments broadcast
+    (node-dim, far smaller than edges); wedge formation and closure are
+    two self-equi-joins on edge keys — standard exchanges, no driver
+    state, no collect."""
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    dd = e.join(
+        F.broadcast(deg.select(F.col("node").alias("a"), F.col("degree").alias("_da"))),
+        "a",
+    ).join(
+        F.broadcast(deg.select(F.col("node").alias("b"), F.col("degree").alias("_db"))),
+        "b",
+    )
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = dd.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("_dv"),
+    )
+    o1 = oriented.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("_dv").alias("_d1")
+    )
+    o2 = oriented.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("_dv").alias("_d2")
+    )
+    v1_first = (F.col("_d1") < F.col("_d2")) | (
+        (F.col("_d1") == F.col("_d2")) & (F.col("v1") < F.col("v2"))
+    )
+    wedges = o1.join(o2, "u").filter(v1_first).select("u", "v1", "v2")
+    tri = wedges.join(
+        oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+    )
+    per_node = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("v1").alias("node")))
+        .unionByName(tri.select(F.col("v2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.coalesce(F.col("n_triangles"), F.lit(0))
+                    * 2.0
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            ).alias("clustering"),
+        )
+    )

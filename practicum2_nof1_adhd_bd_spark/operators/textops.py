@@ -2191,3 +2191,79 @@ def boilerplate_strip(
         )
         .orderBy(id_col)
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 3,
+    k: int = 50,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information — the
+    phrase-mining pass (word2phrase, Mikolov et al. 2013) a pretraining
+    pipeline runs to promote multi-word units ("new york", "machine
+    learning") to vocabulary entries before tokenizer training.
+
+    PMI(w1,w2) = log2( p(w1,w2) / (p(w1) p(w2)) ) with p(w1,w2) =
+    c12/NB over adjacent pairs and p(w) = c/N over the full token
+    stream; pairs below ``min_count`` joint occurrences are dropped
+    (PMI's classic low-count pathology: a hapax pair of two hapax words
+    maxes the score). Output is the top ``k`` by (pmi desc, pair asc) —
+    the tie-break makes the cut deterministic on both engines.
+
+    Shuffle budget: ONE corpus-token explode feeds the unigram counts
+    and the token total; ONE pair explode (two JVM-side slices zipped,
+    as in ``bigram_surprisal``) feeds the map-side-combined pair counts.
+    The unigram frame is vocabulary-sized and joins onto the pair frame
+    twice — broadcast under ``broadcast_vocab`` (default), else a
+    shuffle join on the token key (the web-scale regime, same contract
+    as ``unigram_surprisal``). Totals are 1-row broadcasts. The final
+    top-k is a TakeOrdered over the surviving (>= min_count) pair frame
+    — never a global sort of the corpus.
+    """
+    base = fan_out(df, id_col).select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_w")
+    )
+    tok = base.select(F.explode("_w").alias("_t"))
+    uni = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    tot = uni.agg(F.sum("_c").alias("_n"))
+    pairs = F.zip_with(
+        F.slice(F.col("_w"), 1, F.size("_w") - 1),
+        F.slice(F.col("_w"), 2, F.size("_w") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bp = (
+        base.filter(F.size("_w") >= 2)
+        .select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+    c12 = (
+        bp.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    nb = bp.agg(F.count(F.lit(1)).alias("_nb"))
+    uside = F.broadcast(uni) if broadcast_vocab else uni
+    scored = (
+        c12.join(uside.select(F.col("_t").alias("w1"), F.col("_c").alias("_c1")), "w1")
+        .join(uside.select(F.col("_t").alias("w2"), F.col("_c").alias("_c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(
+                F.log2(
+                    (F.col("pair_count") / F.col("_nb"))
+                    / ((F.col("_c1") / F.col("_n")) * (F.col("_c2") / F.col("_n")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")
+    ).limit(k)

@@ -2819,6 +2819,88 @@ def q_harmonic_centrality_approx(spark, sf_dir):
 
 
 @register(
+    "host_triangle_count",
+    """
+    WITH raw AS (
+        SELECT i AS s, (i + 1) % 48 AS t FROM generate_series(0, 47) g(i)
+        UNION ALL
+        SELECT i, (i + 2) % 48 FROM generate_series(0, 47) g(i)
+        UNION ALL
+        SELECT (i + 1) % 48, i FROM generate_series(0, 47) g(i) WHERE i % 3 = 0
+        UNION ALL
+        SELECT 0, i FROM generate_series(5, 45, 5) g(i)
+        UNION ALL
+        SELECT i, i FROM generate_series(0, 47) g(i) WHERE i % 11 = 0
+    ),
+    e AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+          FROM raw WHERE s <> t),
+    deg AS (SELECT node, count(*) AS degree
+            FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            GROUP BY 1),
+    dd AS (SELECT e.a, e.b, da.degree AS da, db.degree AS db
+           FROM e JOIN deg da ON e.a = da.node
+                  JOIN deg db ON e.b = db.node),
+    o AS (SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+                 CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v,
+                 CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dv
+          FROM dd),
+    w AS (SELECT o1.u, o1.v AS v1, o2.v AS v2
+          FROM o o1 JOIN o o2 ON o1.u = o2.u
+          WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)),
+    tri AS (SELECT w.u, w.v1, w.v2
+            FROM w JOIN o ON o.u = w.v1 AND o.v = w.v2),
+    pn AS (SELECT node, count(*) AS n_triangles
+           FROM (SELECT u AS node FROM tri
+                 UNION ALL SELECT v1 FROM tri
+                 UNION ALL SELECT v2 FROM tri)
+           GROUP BY 1)
+    SELECT deg.node, deg.degree,
+           CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN round(coalesce(pn.n_triangles, 0) * 2.0
+                           / (deg.degree * (deg.degree - 1)), 6)
+           END AS clustering
+    FROM deg LEFT JOIN pn USING (node)
+    ORDER BY deg.node
+    """,
+)
+def q_host_triangle_count(spark, sf_dir):
+    """Degree-oriented triangle counting (operators/graph.py,
+    Suri-Vassilvitskii 2011) — per-host triangle participation and
+    local clustering coefficient, the community-density/link-farm
+    signal next to host_pagerank. Fixture: a circulant ring (i->i+1,
+    i->i+2 mod 48, so every ring node closes {i, i+1, i+2}) plus a
+    degree-skewed hub (0 -> every 5th node) to exercise the
+    orientation's skew bound, reversed-duplicate edges (every 3rd ring
+    edge also arrives flipped) and self-loops (every 11th node) to
+    attest canonicalization hygiene. The oracle replays orientation,
+    wedge formation, and closure symbolically. sf-independent
+    fixture."""
+    i = F.col("id")
+    base = spark.range(48)
+    ring1 = base.select(i.alias("src"), ((i + 1) % 48).alias("dst"))
+    ring2 = base.select(i.alias("src"), ((i + 2) % 48).alias("dst"))
+    rev = base.filter(i % 3 == 0).select(
+        ((i + 1) % 48).alias("src"), i.alias("dst")
+    )
+    hub = base.filter((i % 5 == 0) & (i != 0)).select(
+        F.lit(0).cast("long").alias("src"), i.alias("dst")
+    )
+    loops = base.filter(i % 11 == 0).select(
+        i.alias("src"), i.alias("dst")
+    )
+    edges = (
+        ring1.unionByName(ring2)
+        .unionByName(rev)
+        .unionByName(hub)
+        .unionByName(loops)
+    )
+    from .operators import graph
+
+    return graph.triangle_count(edges).orderBy("node")
+
+
+@register(
     "robots_screen_decisions",
     """
     WITH u AS (
@@ -5889,6 +5971,42 @@ def q_dsir_select_topk(spark, sf_dir):
         .orderBy(F.desc("logratio_per_token"), F.asc("doc_id"))
         .limit(100)
     )
+
+
+@register(
+    "pmi_collocations",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    tok AS (SELECT unnest(ws) AS t FROM w),
+    uni AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+    bp AS (SELECT p.w1 AS w1, p.w2 AS w2
+           FROM (SELECT unnest(list_transform(range(1, len(ws)),
+                         i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS p
+                 FROM w WHERE len(ws) >= 2)),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bp),
+    c12 AS (SELECT w1, w2, count(*) AS pair_count FROM bp GROUP BY 1, 2
+            HAVING count(*) >= 3)
+    SELECT w1, w2, pair_count,
+           round(log2((pair_count * 1.0 / nb.nb) /
+                 ((u1.c * 1.0 / tot.n) * (u2.c * 1.0 / tot.n))), 6) AS pmi
+    FROM c12 JOIN uni u1 ON c12.w1 = u1.t JOIN uni u2 ON c12.w2 = u2.t
+    CROSS JOIN tot CROSS JOIN nb
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def q_pmi_collocations(spark, sf_dir):
+    """Phrase mining by pointwise mutual information (word2phrase,
+    Mikolov et al. 2013): top-50 adjacent-pair collocations with >= 3
+    joint occurrences, scored log2(p(w1,w2)/(p(w1)p(w2))) against the
+    corpus's own unigram distribution — the pass that promotes
+    multi-word units to tokenizer-vocabulary candidates. One token
+    explode + one pair explode, vocabulary-frame broadcast joins, 1-row
+    total broadcasts, TakeOrdered cut with a (pmi desc, pair asc)
+    tie-break so the boundary is deterministic on both engines."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.pmi_collocations(docs, min_count=3, k=50)
 
 
 @register(

@@ -85,3 +85,66 @@ def test_hyperball_hub_outranks_periphery(spark):
     }
     hub = got.pop(99)
     assert hub > max(got.values()) * 3
+
+
+def test_triangle_count_k4_every_node_fully_clustered(spark):
+    """K4: 4 triangles total, every node in C(3,2)=3 of them, local
+    clustering exactly 1.0."""
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src int, dst int",
+    )
+    rows = {r["node"]: r for r in graph.triangle_count(edges).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    for r in rows.values():
+        assert r["degree"] == 3
+        assert r["n_triangles"] == 3
+        assert r["clustering"] == 1.0
+
+
+def test_triangle_count_path_graph_has_none(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src int, dst int"
+    )
+    rows = graph.triangle_count(edges).collect()
+    assert all(r["n_triangles"] == 0 for r in rows)
+    # degree-1 endpoints carry NULL clustering (undefined), middles 0.0
+    by = {r["node"]: r for r in rows}
+    assert by[0]["clustering"] is None and by[5]["clustering"] is None
+    assert by[2]["clustering"] == 0.0
+
+
+def test_triangle_count_canonicalization_hygiene(spark):
+    """Reversed duplicates, exact duplicates, and self-loops must not
+    change counts: one triangle {0,1,2} however noisily it arrives."""
+    clean = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "src int, dst int"
+    )
+    noisy = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 1), (1, 2), (2, 1), (0, 2), (0, 0), (2, 2)],
+        "src int, dst int",
+    )
+    a = sorted(map(tuple, graph.triangle_count(clean).collect()))
+    b = sorted(map(tuple, graph.triangle_count(noisy).collect()))
+    assert a == b
+    assert a[0][2] == 1  # n_triangles
+
+
+def test_triangle_count_skewed_hub_matches_brute_force(spark):
+    """Wheel graph (hub 9 joined to an 8-cycle): brute-force the
+    triangle set in Python and compare per-node counts exactly."""
+    import itertools
+
+    ring = [(i, (i + 1) % 8) for i in range(8)]
+    spokes = [(9, i) for i in range(8)]
+    adj = set()
+    for s, t in ring + spokes:
+        adj.add((min(s, t), max(s, t)))
+    tri_per_node = {n: 0 for n in list(range(8)) + [9]}
+    for x, y, z in itertools.combinations(sorted(tri_per_node), 3):
+        if {(x, y), (y, z), (x, z)} <= adj:
+            for n in (x, y, z):
+                tri_per_node[n] += 1
+    edges = spark.createDataFrame(ring + spokes, "src int, dst int")
+    rows = {r["node"]: r for r in graph.triangle_count(edges).collect()}
+    assert {n: r["n_triangles"] for n, r in rows.items()} == tri_per_node

@@ -767,3 +767,39 @@ def test_boilerplate_strip_context_smoothing(spark):
     assert out[1]["n_lines"] == 7 and out[1]["n_kept"] == 3
     assert abs(out[1]["boilerplate_frac"] - round(4 / 7, 6)) < 1e-9
     assert out[2]["kept_text"] == "" and out[2]["n_kept"] == 0
+
+
+def test_pmi_collocations_closed_form(spark):
+    """Hand-checkable corpus: 'new york' co-occurs always; 'the dog'
+    co-occurs once among independent uses of 'the'."""
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "new york new york new york"),
+            (2, "the dog the cat the bird"),
+            (3, "new york"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["w1"], r["w2"]): r for r in
+           textops.pmi_collocations(df, min_count=2, k=10).collect()}
+    # corpus: tokens N=14; c(new)=c(york)=4; pairs NB=11; c12(new,york)=4
+    r = out[("new", "york")]
+    assert r["pair_count"] == 4
+    expect = math.log2((4 / 11) / ((4 / 14) * (4 / 14)))
+    assert abs(r["pmi"] - round(expect, 6)) < 1e-9
+    # (york, new) adjacent within doc 1 (3 times) -> present at min_count=2
+    assert ("york", "new") in out
+    # pairs under min_count are dropped: ('the','dog') occurs once
+    assert ("the", "dog") not in out
+
+
+def test_pmi_collocations_deterministic_cut(spark):
+    df = spark.createDataFrame(
+        [(i, "a b c d a b c d") for i in range(6)], "doc_id long, text string"
+    )
+    a = textops.pmi_collocations(df, min_count=2, k=3).collect()
+    b = textops.pmi_collocations(df, min_count=2, k=3).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 3
