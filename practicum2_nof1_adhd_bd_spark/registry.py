@@ -7521,6 +7521,52 @@ def q_encrypted_payload_scan(spark, sf_dir):
 
 
 @register(
+    "scd2_merge_parity",
+    """
+    WITH ord AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS pv
+        FROM events
+    ),
+    kept AS (SELECT user_id, ts, event_id, event_type FROM ord
+             WHERE pv IS NULL OR event_type <> pv)
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           CAST(row_number() OVER w AS INT) AS version,
+           CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
+    FROM kept
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, version
+    """,
+)
+def q_scd2_merge_parity(spark, sf_dir):
+    """SCD Type-2 dimension maintenance (operators/scd.py) — the
+    medallion upsert: the Spark side builds the dimension from the
+    change log BEFORE 2024-01-16 (scd2_from_log), then folds the
+    remainder in as one batch (scd2_merge: closed versions pass through
+    untouched, each key's current row seeds the no-op collapse, versions
+    chain off the stored number). The oracle rebuilds from the FULL log,
+    so the value-hash match IS the merge == rebuild proof — same device
+    as incremental_cluster_parity. Tracked value: event_type per
+    user_id, ordered by (ts, event_id)."""
+    ev = _cat(spark, sf_dir).events
+    from .operators import scd
+
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    dim = scd.scd2_from_log(
+        ev.filter(F.col("ts") < cutoff), "user_id", ["ts", "event_id"],
+        "event_type",
+    )
+    merged = scd.scd2_merge(
+        dim, ev.filter(F.col("ts") >= cutoff), "user_id",
+        ["ts", "event_id"], "event_type",
+    )
+    return merged.orderBy("user_id", "version")
+
+
+@register(
     "snapshot_diff_report",
     """
     WITH o AS (SELECT doc_id FROM documents WHERE doc_id % 10 != 3),
