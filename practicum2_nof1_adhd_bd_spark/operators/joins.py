@@ -160,3 +160,67 @@ def asof_latest(
         F.max(ts_col).alias(f"{ts_col}_latest"),
         *[F.expr(f"max_by({c}, {ts_col})").alias(f"{c}_at") for c in value_cols],
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    l_bounds: tuple[str, str],
+    r_bounds: tuple[str, str],
+    bucket_size: int,
+) -> DataFrame:
+    """Interval x interval overlap join where BOTH sides are large.
+
+    ``boundary_range_join`` / ``point_in_interval_join`` broadcast a
+    small interval side; when both sides are corpus-scale a theta join
+    (``l.start < r.end AND r.start < l.end``) degenerates to a
+    per-key cross product. This re-expresses it as an EQUI-join: each
+    interval explodes to the ``bucket_size``-wide buckets it covers
+    (``sequence`` + ``explode``, JVM-side), the join key becomes
+    (*on, bucket), and two overlapping intervals necessarily co-occur in
+    the bucket containing ``greatest(l.start, r.start)`` — emitting the
+    pair ONLY in that bucket makes the output exactly-once with no
+    distinct/dedup shuffle. Work scales with sum(interval_len)/bucket
+    + true pair count, never |L| x |R|; pick ``bucket_size`` near the
+    typical interval length so most intervals land in O(1) buckets.
+
+    Bounds are numeric (epoch seconds for time intervals — cast
+    upstream) and intervals are half-open [start, end): touching
+    intervals do not match. Column names must be disjoint apart from
+    ``on``; output carries every column of both sides plus
+    ``overlap_start/overlap_end/overlap_len``.
+    """
+    ls, le = (F.col(c) for c in l_bounds)
+    rs, re_ = (F.col(c) for c in r_bounds)
+    # empty intervals ([s, s) under half-open semantics) can match nothing
+    # and would make `sequence` run DESCENDING (Spark infers step -1);
+    # drop them before bucketing
+    left = left.filter(le > ls)
+    right = right.filter(re_ > rs)
+    lb = left.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(ls / bucket_size), F.floor((le - 1) / bucket_size)
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(rs / bucket_size), F.floor((re_ - 1) / bucket_size)
+            )
+        ),
+    )
+    ov_start = F.greatest(ls, rs)
+    joined = lb.join(rb, [*on, "_bkt"]).filter(
+        (ls < re_) & (rs < le) & (F.col("_bkt") == F.floor(ov_start / bucket_size))
+    )
+    return joined.drop("_bkt").select(
+        "*",
+        ov_start.alias("overlap_start"),
+        F.least(le, re_).alias("overlap_end"),
+        (F.least(le, re_) - ov_start).alias("overlap_len"),
+    )

@@ -884,6 +884,88 @@ def q_user_sessions(spark, sf_dir):
 
 
 @register(
+    "session_episode_overlap",
+    """
+    WITH m AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT user_id, ts,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS s_id
+        FROM m
+    ), sess AS (
+        SELECT user_id, s_id,
+               epoch_us(min(ts)) // 1000000 AS s_start,
+               epoch_us(max(ts)) // 1000000 + 1 AS s_end
+        FROM s GROUP BY 1, 2
+    ), hm AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 7200
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WHERE value >= 120
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), h AS (
+        SELECT user_id, ts,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS e_id
+        FROM hm
+    ), ep AS (
+        SELECT user_id, e_id,
+               epoch_us(min(ts)) // 1000000 AS e_start,
+               epoch_us(max(ts)) // 1000000 + 1 AS e_end
+        FROM h GROUP BY 1, 2
+    )
+    SELECT sess.user_id, s_id, e_id,
+           greatest(s_start, e_start) AS overlap_start,
+           least(s_end, e_end) AS overlap_end,
+           least(s_end, e_end) - greatest(s_start, e_start) AS overlap_len
+    FROM sess JOIN ep ON sess.user_id = ep.user_id
+    WHERE s_start < e_end AND e_start < s_end
+    ORDER BY sess.user_id, s_id, e_id
+    """,
+)
+def q_session_episode_overlap(spark, sf_dir):
+    """Interval x interval overlap join where BOTH sides are corpus-scale
+    (operators/joins.interval_overlap_join): per-user 30-min-gap sessions
+    vs 2-hour-gap high-value (>= 120) episodes, half-open epoch-second
+    intervals, 6-hour bucket blocking. The bucketed equi-join emits each
+    overlapping pair exactly once (only in the bucket containing the
+    overlap start — no distinct pass); the oracle is the naive theta
+    join, so the hash match proves blocked == exhaustive. The interval
+    sides reuse the attested sessionization device."""
+    ev = _cat(spark, sf_dir).events
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+
+    def _bounds(df, gap_min, idname, lo, hi):
+        s = windows.sessionize(
+            df, "ts", "user_id", gap_minutes=gap_min, id_col="_sid"
+        )
+        return s.groupBy("user_id", F.col("_sid").alias(idname)).agg(
+            F.min(sec).alias(lo), (F.max(sec) + 1).alias(hi)
+        )
+
+    sess = _bounds(ev, 30, "s_id", "s_start", "s_end")
+    ep = _bounds(
+        ev.filter(F.col("value") >= 120), 120, "e_id", "e_start", "e_end"
+    )
+    out = joins.interval_overlap_join(
+        sess, ep, ["user_id"], ("s_start", "s_end"), ("e_start", "e_end"),
+        bucket_size=21600,
+    )
+    return out.select(
+        "user_id", "s_id", "e_id", "overlap_start", "overlap_end",
+        "overlap_len",
+    ).orderBy("user_id", "s_id", "e_id")
+
+
+@register(
     "streaming_sessions",
     """
     WITH m AS (

@@ -87,3 +87,58 @@ def test_missing_days(spark):
     df = _daily(spark, [("2024-01-01", 1.0), ("2024-01-04", 4.0)])
     missing = sorted(r["date"] for r in joins.missing_days(df, "date").collect())
     assert missing == [dt.date(2024, 1, 2), dt.date(2024, 1, 3)]
+
+
+def test_interval_overlap_join_exactly_once_and_bounds(spark):
+    from practicum2_nof1_adhd_bd_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [("u", 1, 0, 100), ("u", 2, 200, 210), ("v", 3, 0, 50)],
+        "k string, lid long, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", 10, 90, 250),   # overlaps lid=1 [90,100) and lid=2 fully
+            ("u", 11, 100, 150),  # TOUCHES lid=1 (half-open: no match)
+            ("v", 12, 40, 45),    # inside lid=3
+            ("v", 13, 7, 7),      # empty: dropped
+        ],
+        "k string, rid long, rs long, re long",
+    )
+    out = joins.interval_overlap_join(
+        left, right, ["k"], ("ls", "le"), ("rs", "re"), bucket_size=10
+    )
+    rows = {(r["lid"], r["rid"]): r for r in out.collect()}
+    # exactly-once despite lid=2/rid=10 sharing multiple 10-wide buckets
+    assert len(rows) == len(out.collect())
+    assert set(rows) == {(1, 10), (2, 10), (3, 12)}
+    assert (rows[(1, 10)]["overlap_start"], rows[(1, 10)]["overlap_end"],
+            rows[(1, 10)]["overlap_len"]) == (90, 100, 10)
+    assert rows[(2, 10)]["overlap_len"] == 10
+    assert rows[(3, 12)]["overlap_len"] == 5
+
+
+def test_interval_overlap_join_matches_naive_theta_join(spark):
+    from practicum2_nof1_adhd_bd_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [("k%d" % (i % 3), i, (7 * i) % 50, (7 * i) % 50 + 1 + (i % 13))
+         for i in range(40)],
+        "k string, lid long, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [("k%d" % (j % 3), j, (11 * j) % 60, (11 * j) % 60 + 1 + (j % 9))
+         for j in range(40)],
+        "k string, rid long, rs long, re long",
+    )
+    fast = joins.interval_overlap_join(
+        left, right, ["k"], ("ls", "le"), ("rs", "re"), bucket_size=8
+    )
+    naive = (
+        left.join(right, "k")
+        .filter((F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le")))
+        .select("lid", "rid")
+    )
+    got = sorted((r["lid"], r["rid"]) for r in fast.collect())
+    want = sorted((r["lid"], r["rid"]) for r in naive.collect())
+    assert got == want and len(got) == len(set(got))
