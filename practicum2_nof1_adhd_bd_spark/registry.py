@@ -7602,6 +7602,49 @@ def q_encrypted_payload_scan(spark, sf_dir):
     )
 
 
+def _register_zorder_cell_stats() -> None:
+    from .operators import layout
+
+    mz = layout.morton_sql("xs", "ys")
+    sql = f"""
+    WITH b AS (SELECT min(l_partkey) AS x0, max(l_partkey) AS x1,
+                      min(l_suppkey) AS y0, max(l_suppkey) AS y1
+               FROM lineitem),
+    s AS (
+        SELECT l_partkey, l_suppkey,
+               ((l_partkey - x0) * 65535) // greatest(x1 - x0, 1) AS xs,
+               ((l_suppkey - y0) * 65535) // greatest(y1 - y0, 1) AS ys
+        FROM lineitem, b
+    ),
+    m AS (SELECT l_partkey, l_suppkey, {mz} AS z FROM s)
+    SELECT z >> 26 AS cell, count(*) AS n_rows,
+           min(l_partkey) AS x_min, max(l_partkey) AS x_max,
+           min(l_suppkey) AS y_min, max(l_suppkey) AS y_max
+    FROM m GROUP BY 1 ORDER BY 1
+    """
+
+    @register("zorder_cell_stats", sql)
+    def q_zorder_cell_stats(spark, sf_dir):
+        """Z-order (Morton) clustering statistics (operators/layout.py)
+        — the multi-dim layout device behind Delta/Iceberg OPTIMIZE
+        ZORDER: normalize l_partkey/l_suppkey onto equal 16-bit widths
+        (exact integer scaling — unequal raw domains would hand every
+        high interleaved bit to the wide dimension, measured in SCALING
+        §2n), interleave, group by the top 6 Morton bits (a 64-cell
+        quadtree over the data's own bounding box at any scale), report
+        per-cell counts and (x, y) bounding boxes. The hash match
+        attests scaling + interleave + cell aggregation on both engines;
+        the physical row-group-skipping payoff of writing this layout is
+        measured in SCALING §2n via zorder_repartition."""
+        li = _cat(spark, sf_dir).lineitem
+        return layout.zorder_cells(
+            li, "l_partkey", "l_suppkey"
+        ).orderBy("cell")
+
+
+_register_zorder_cell_stats()
+
+
 @register(
     "scd2_merge_parity",
     """
