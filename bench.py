@@ -121,6 +121,12 @@ HEADLINE = [
     "crawl_silver_scan",
     "robots_screen_decisions",
     "host_pagerank",
+    # round-12 session-4 additions
+    "pmi_collocations",
+    "host_triangle_count",
+    "scd2_merge_parity",
+    "session_episode_overlap",
+    "zorder_cell_stats",
 ]
 
 

@@ -10129,16 +10129,23 @@ _FRONT_ORDER = [
     "url_canonical_dedup", "streaming_url_seen_decisions",
     "html_text_extract", "crawl_silver_scan", "robots_screen_decisions",
     "host_pagerank",
+    # new in r12 session 4: PMI phrase mining, degree-oriented triangle
+    # counting, the SCD2 medallion upsert (merge == rebuild proof),
+    # the bucketed interval-overlap join (blocked == exhaustive proof),
+    # and Z-order layout cell stats
+    "pmi_collocations", "host_triangle_count", "scd2_merge_parity",
+    "session_episode_overlap", "zorder_cell_stats",
     # behavior-touched r12: temporal_instability now scores absent
     # feature columns 0.0 (ref parity) instead of raising; both ingest
     # streams gained crashed-compaction recovery, the legacy-decisions
     # layout guard, and dedup-on-auto-compaction
     "temporal_instability_scores", "streaming_ingest_decisions",
     "streaming_vector_decisions",
-    # rotation: 30 of the 44-query r07 cohort (last driver attestation
+    # rotation: 25 of the 44-query r07 cohort (last driver attestation
     # r07 — five rounds overdue; ledger in COVERAGE.md). The remaining
-    # 14 (quality_score, region_revenue, rollup_nation_year,
-    # semantic_dedup,
+    # 19 (multiformat_ts_parse, pack_sequences, pii_redact_stats,
+    # pipe_split_union, quality_adjusted_label, quality_score,
+    # region_revenue, rollup_nation_year, semantic_dedup,
     # semantic_dedup_bucketed, som_daily_agg,
     # sql_top_order_per_customer, tfidf_top_terms,
     # token_length_profile, top_supplier_revenue, topk_customers,
@@ -10152,9 +10159,7 @@ _FRONT_ORDER = [
     "incremental_ingest_decisions", "ingest_internal_near_decisions",
     "int8_cosine_topk", "interpolate_daily", "interval_efficiency",
     "ivf_ann_topk", "json_props_daily", "large_volume_customers",
-    "media_frame_sample", "minhash_signatures", "multiformat_ts_parse",
-    "pack_sequences", "pii_redact_stats", "pipe_split_union",
-    "quality_adjusted_label",
+    "media_frame_sample", "minhash_signatures",
 ]
 
 

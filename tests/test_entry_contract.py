@@ -51,17 +51,13 @@ def test_attestation_window_is_stable():
     been attested. Round-12 window = the canary + the r12-new queries
     (TPC-H Q6/Q11/Q12/Q14/Q16, the learned quality classifier, the
     learned BPE tokenizer, incremental cluster parity, boilerplate
-    strip, WARC scan) + the 3 r12-behavior-touched
+    strip, WARC scan; session 4 adds PMI collocations, triangle
+    counting, the SCD2 upsert, the interval-overlap join, Z-order cell
+    stats) + the 3 r12-behavior-touched
     queries (temporal_instability's missing-column guard; both ingest
-    streams' crashed-compaction recovery + layout guard) + 36 of the
-    44-query r07 cohort (five rounds overdue; quality_score,
-    region_revenue,
-    rollup_nation_year,
-    semantic_dedup,
-    semantic_dedup_bucketed,
-    som_daily_agg, sql_top_order_per_customer,
-    tfidf_top_terms, token_length_profile, top_supplier_revenue,
-    topk_customers, tz_cutover_daily, union_sum_fusion, user_sessions
+    streams' crashed-compaction recovery + layout guard) + 25 of the
+    44-query r07 cohort (five rounds overdue; the remaining 19 —
+    multiformat_ts_parse through user_sessions in ledger order —
     spill to r13 — ledger in COVERAGE.md). Rows-only (no-oracle)
     queries must NOT occupy window slots."""
     names = list(entrymod.queries())
@@ -78,10 +74,13 @@ def test_attestation_window_is_stable():
         "url_canonical_dedup", "streaming_url_seen_decisions",
         "html_text_extract", "crawl_silver_scan",
         "robots_screen_decisions", "host_pagerank",
+        # new r12 session 4
+        "pmi_collocations", "host_triangle_count", "scd2_merge_parity",
+        "session_episode_overlap", "zorder_cell_stats",
         # behavior-touched r12
         "temporal_instability_scores", "streaming_ingest_decisions",
         "streaming_vector_decisions",
-        # r07-cohort rotation (30 of 44)
+        # r07-cohort rotation (25 of 44)
         "apply_mixture_sample", "auc_persistence", "bpe_token_stats",
         "calibration_bins", "char_ngram_entropy", "circadian_midpoint",
         "corpus_clean", "cosine_topk", "daily_modal_type",
@@ -91,8 +90,6 @@ def test_attestation_window_is_stable():
         "int8_cosine_topk", "interpolate_daily", "interval_efficiency",
         "ivf_ann_topk", "json_props_daily", "large_volume_customers",
         "media_frame_sample", "minhash_signatures",
-        "multiformat_ts_parse", "pack_sequences", "pii_redact_stats",
-        "pipe_split_union", "quality_adjusted_label",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry
