@@ -1247,3 +1247,138 @@ def merge_components(
             "is_canonical", F.col(id_col) == F.col("cluster_id")
         )
     )
+
+
+def _prefix_filter_parts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    num: int,
+    den: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared preprocessing for the prefix-filtered set-similarity join:
+    returns ``(docs, cand)`` where ``docs`` is the per-doc sorted
+    global-rarity rank array (+ its size ``n``) and ``cand`` is the
+    distinct prefix-collision candidate pair set (id_a < id_b), already
+    size-ratio pruned with exact integer cross-multiplication."""
+    from pyspark.sql import Window
+
+    sh = (
+        fan_out(df, id_col)
+        .select(
+            F.col(id_col), word_shingles(F.col(text_col), k).alias("toks")
+        )
+        .filter(F.size("toks") > 0)
+    )
+    tok = sh.select(id_col, F.explode("toks").alias("token"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # global rarity rank: vocab-sized single-partition window — the
+    # dictionary, not the corpus, flows through it (the published
+    # All-Pairs preprocessing step); ties broken by token so both
+    # engines order identically.
+    rk = dfreq.select(
+        "token", F.row_number().over(Window.orderBy("df", "token")).alias("rnk")
+    )
+    dr = tok.join(F.broadcast(rk), "token").select(id_col, "rnk")
+    docs = dr.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("rnk")).alias("ranks"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # prefix length p = n - ceil(t*n) + 1, all-integer:
+    # ceil(num*n/den) = (num*n + den - 1) DIV den
+    p = F.expr(f"CAST(n - ({num} * n + {den - 1}) DIV {den} + 1 AS INT)")
+    pre = docs.select(
+        F.col(id_col),
+        F.col("n"),
+        F.explode(F.slice("ranks", F.lit(1), p)).alias("rnk"),
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.rnk") == F.col("b.rnk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # size-ratio prune, cross-multiplied: J>=t needs
+            # den*min(|a|,|b|) >= num*max(|a|,|b|)
+            & (
+                F.lit(den) * F.least("a.n", "b.n")
+                >= F.lit(num) * F.greatest("a.n", "b.n")
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return docs, cand
+
+
+def prefix_jaccard_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Prefix-filtered set-similarity self-join (SSJoin / All-Pairs /
+    PPJoin: Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07, Xiao et
+    al. WWW'08) over k-word shingle sets — the published scalable
+    alternative to attribute blocking for Jaccard joins.
+
+    Principle: order every doc's shingles by GLOBAL rarity (document
+    frequency asc, token asc). For Jaccard >= t = num/den a matching
+    pair must overlap in o >= ceil(t*|x|) elements for EACH side x, and
+    the classic prefix lemma then guarantees the two docs share a token
+    within their first ``|x| - ceil(t*|x|) + 1`` rarest shingles. So
+    only the (1-t) rarest slice of each doc is exploded as join keys —
+    rare tokens fan out to few docs, so candidate pairs collapse from
+    C(n,2) to nearly the true-pair count (SCALING §2p measures the
+    ratio), with NO false negatives (unlike MinHash banding, which is
+    probabilistic, and unlike size-octave blocking, which prunes only
+    by length).
+
+    Scale shape: the rank dictionary is vocab-sized (<< corpus) and
+    broadcast; the only corpus-grain shuffles are the doc-frequency
+    groupBy, the per-doc rank collect, and the prefix-token equi-join.
+    Verification joins candidates back to the integer rank arrays by
+    id — set intersection on sorted int arrays, never a second pass
+    over text. The threshold is a rational num/den and every prune and
+    the final accept use exact integer cross-multiplication, so no
+    float boundary can disagree between engines.
+    """
+    num, den = int(threshold_num), int(threshold_den)
+    docs, cand = _prefix_filter_parts(df, text_col, id_col, k, num, den)
+    da = docs.select(F.col(id_col).alias("id_a"), F.col("ranks").alias("ranks_a"))
+    db = docs.select(F.col(id_col).alias("id_b"), F.col("ranks").alias("ranks_b"))
+    ver = (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("ranks_a", "ranks_b")))
+        .withColumn("uni", F.size(F.array_union("ranks_a", "ranks_b")))
+        .filter(F.col("uni") > 0)
+        .filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("uni"))
+    )
+    return ver.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("inter") / F.col("uni"), 6).alias("jaccard"),
+    )
+
+
+def prefix_join_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Candidate pairs only (pre-verify) from the prefix filter — the
+    probe surface for measuring candidate reduction vs C(n,2)."""
+    _, cand = _prefix_filter_parts(
+        df, text_col, id_col, k, int(threshold_num), int(threshold_den)
+    )
+    return cand

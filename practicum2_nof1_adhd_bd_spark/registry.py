@@ -7337,6 +7337,54 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 @register(
+    "setsim_prefix_join",
+    r"""
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(trim(lower(text)), '\s+') AS words
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(words) - 1),
+                      i -> array_to_string(words[i:i+2], ' '))) AS toks
+           FROM w WHERE len(words) >= 3),
+    t AS (SELECT doc_id, unnest(toks) AS token FROM sh),
+    dfreq AS (SELECT token, count(*) AS df FROM t GROUP BY 1),
+    rk AS (SELECT token, row_number() OVER (ORDER BY df, token) AS rnk
+           FROM dfreq),
+    dr AS (SELECT t.doc_id, rk.rnk FROM t JOIN rk USING (token)),
+    docs AS (SELECT doc_id, list_sort(list(rnk)) AS ranks, count(*) AS n
+             FROM dr GROUP BY doc_id),
+    pre AS (SELECT doc_id, n,
+                   unnest(ranks[1 : CAST(n - (1 * n + 1) // 2 + 1 AS INT)])
+                       AS rnk
+            FROM docs),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM pre a JOIN pre b ON a.rnk = b.rnk AND a.doc_id < b.doc_id
+              AND 2 * least(a.n, b.n) >= 1 * greatest(a.n, b.n)),
+    v AS (SELECT id_a, id_b,
+                 len(list_intersect(da.ranks, db.ranks)) AS inter,
+                 len(list_distinct(list_concat(da.ranks, db.ranks))) AS uni
+          FROM cand JOIN docs da ON cand.id_a = da.doc_id
+                    JOIN docs db ON cand.id_b = db.doc_id)
+    SELECT id_a, id_b, round(inter * 1.0 / uni, 6) AS jaccard
+    FROM v WHERE 2 * inter >= 1 * uni
+    """,
+)
+def q_setsim_prefix_join(spark, sf_dir):
+    """Prefix-filtered set-similarity self-join (SSJoin/All-Pairs/PPJoin;
+    dedup.prefix_jaccard_join): Jaccard >= 1/2 over 3-word shingle sets
+    with the GLOBAL-rarity prefix filter as the blocking device — exact
+    (no false negatives, unlike MinHash banding) yet near-linear in the
+    true-pair count: at sf0.01 the filter admits 772 candidate pairs
+    where the unblocked cross-join would score 124,750 (SCALING §2p).
+    The oracle replays the whole pipeline — rarity ranking, prefix
+    slicing, collision join, size-ratio prune, integer-exact verify —
+    symbolically in SQL; the brute-force-equality property is pinned in
+    tests/test_dedup.py."""
+    docs = _cat(spark, sf_dir).documents
+    return dedup.prefix_jaccard_join(docs, k=3, threshold_num=1, threshold_den=2)
+
+
+@register(
     "chunk_dedup_profile",
     """
     WITH t AS (
