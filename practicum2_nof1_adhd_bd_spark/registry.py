@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from .functions import skew
 from .operators import biomarkers, daily, dedup, drift, folds, impute, joins, labels
-from .operators import metrics, multimodal, similarity as sim
+from .operators import metrics, multimodal, similarity as sim, sketches
 from .operators import html as htmlops
 from .operators import textops, urls, windows
 from .sources.readers import Catalog
@@ -7382,6 +7382,60 @@ def q_setsim_prefix_join(spark, sf_dir):
     tests/test_dedup.py."""
     docs = _cat(spark, sf_dir).documents
     return dedup.prefix_jaccard_join(docs, k=3, threshold_num=1, threshold_den=2)
+
+
+@register(
+    "kmv_distinct_estimate",
+    """
+    WITH h AS (SELECT DISTINCT l_returnflag,
+                      ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+               FROM lineitem),
+    r AS (SELECT l_returnflag, h,
+                 row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+          FROM h),
+    sk AS (SELECT l_returnflag, count(*) AS sketch_size,
+                  max(CASE WHEN rn = 64 THEN h END) AS hk
+           FROM r WHERE rn <= 64 GROUP BY 1),
+    ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact
+           FROM lineitem GROUP BY 1),
+    est AS (SELECT sk.l_returnflag, ex.n_exact, sk.sketch_size,
+                   round(CASE WHEN sk.sketch_size < 64 THEN sk.sketch_size * 1.0
+                              ELSE 63.0 * 1152921504606846976 / sk.hk END, 4)
+                       AS kmv_estimate
+            FROM sk JOIN ex USING (l_returnflag))
+    SELECT l_returnflag, n_exact, sketch_size, kmv_estimate,
+           round(abs(kmv_estimate - n_exact) / n_exact, 6) AS rel_err
+    FROM est
+    """,
+)
+def q_kmv_distinct_estimate(spark, sf_dir):
+    """KMV / bottom-k distinct sketch (operators/sketches.py — the
+    structure behind DataSketches' Theta sketch) estimating distinct
+    orderkeys per returnflag, joined to the exact count so the row
+    carries its own measured error. The two-level plan is the 100-TB
+    shape: per-partition partial sketches cap the shuffle at k=64 rows
+    per (group, partition) — the distinct values themselves never
+    shuffle — and bottomk(bottomk(A) ∪ bottomk(B)) = bottomk(A ∪ B)
+    makes the merged sketch partitioning-invariant, which is what lets
+    a single-node DuckDB replay (row_number <= k over distinct md5
+    hashes) hash-match the distributed merge bit-for-bit. Spark's own
+    approx_count_distinct is HLL++ with engine-private registers —
+    usable, but not oracle-attestable; KMV is. Merge-invariance and
+    the small-set exact path are pinned in tests/test_sketches.py."""
+    li = _cat(spark, sf_dir).lineitem
+    sk = sketches.kmv_estimate(li, ["l_returnflag"], "l_orderkey", k=64)
+    ex = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact")
+    )
+    return sk.join(ex, "l_returnflag").select(
+        "l_returnflag",
+        "n_exact",
+        F.col("sketch_size").cast("long").alias("sketch_size"),
+        "kmv_estimate",
+        F.round(
+            F.abs(F.col("kmv_estimate") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+    )
 
 
 @register(
