@@ -979,6 +979,61 @@ def stratified_sample_k(
     )
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int = 50,
+    weight_col: str = "n_chars",
+    seed: str = "w42",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling without replacement in ONE distributed pass
+    (Efraimidis & Spirakis 2006, A-ES): each row draws a deterministic
+    uniform u from md5(seed||id) and enters the race with exponential
+    key e = -ln(u)/w — the k SMALLEST keys are exactly a weighted
+    sample without replacement (the monotone transform of the paper's
+    u^(1/w) top-k form). No RNG state, no sequential reservoir: the
+    same draw on any cluster, any partitioning.
+
+    Scale shape: orderBy(key).limit(k) compiles to TakeOrdered — each
+    partition surfaces only its local top-k and the driver merges k
+    rows per partition, which IS the published distributed-reservoir
+    merge. Contrast apply_mixture_sample (per-source quotas) and
+    stratified_sample_k (fixed-k per group, unweighted): this is the
+    corpus-wide draw where selection probability must track a weight
+    column (tokens, quality score) — the sampler behind
+    temperature-free data mixing.
+
+    u is offset to (0,1): u = (h32 + 0.5) / 2^32, so ln never sees 0
+    and no row gets key 0 for free.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    ekey = -F.log(u) / F.col(weight_col)
+    top = (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col), ekey.alias("_ekey"))
+        .orderBy(F.col("_ekey").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("_ekey").asc(), F.col(id_col).asc())
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("sample_rank"),
+        id_col,
+        weight_col,
+        F.round("_ekey", 6).alias("sample_key"),
+    )
+
+
 def _split_u(seed: str, id_col: str) -> Column:
     """md5(seed || id) mapped to [0, 1) — the shared split coordinate."""
     return (

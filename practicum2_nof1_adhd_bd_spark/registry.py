@@ -5649,6 +5649,36 @@ def q_stratified_sample_k(spark, sf_dir):
 
 
 @register(
+    "weighted_sample_topk",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             -ln((('0x' || substr(md5('w42' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                 / 4294967296.0) / n_chars AS ekey
+      FROM documents WHERE n_chars > 0),
+    top AS (SELECT doc_id, n_chars, ekey,
+                   row_number() OVER (ORDER BY ekey, doc_id) AS sample_rank
+            FROM keyed QUALIFY sample_rank <= 50)
+    SELECT CAST(sample_rank AS BIGINT) AS sample_rank, doc_id, n_chars,
+           round(ekey, 6) AS sample_key
+    FROM top
+    """,
+)
+def q_weighted_sample_topk(spark, sf_dir):
+    """Efraimidis-Spirakis one-pass weighted sampling without replacement
+    (textops.weighted_sample_topk): k=50 docs drawn with probability
+    tracking n_chars via the exponential-clock key -ln(u)/w over the
+    deterministic md5 coordinate — no RNG state, so the draw is
+    identical on any cluster and the oracle replays it row-for-row.
+    orderBy(key).limit(k) compiles to TakeOrdered (per-partition local
+    top-k, k-row merge), the distributed-reservoir merge shape; the
+    plan assertion is in tests/test_plans.py and pure-python parity in
+    tests/test_textops.py."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.weighted_sample_topk(docs, k=50)
+
+
+@register(
     "dup_ngram_profile",
     f"""
     WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),

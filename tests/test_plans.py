@@ -621,3 +621,17 @@ def test_q12_date_pushdown_single_join_pass(spark, sf_dir):
     pushed = li_scans[0][li_scans[0].find("PushedFilters"):][:300]
     assert "l_shipdate" in pushed, pushed
     assert plan.count("Join") >= 1
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """The E-S sampler's physical plan must be the k-row-per-partition
+    TakeOrdered merge, never a global sort of the corpus."""
+    plan = _plan(registry.QUERIES["weighted_sample_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_setsim_prefix_rank_map_broadcasts(spark, sf_dir):
+    """The global-rarity rank dictionary is vocab-sized and must reach
+    the corpus-grain token table as a broadcast, not a shuffle join."""
+    plan = _plan(registry.QUERIES["setsim_prefix_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

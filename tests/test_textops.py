@@ -803,3 +803,42 @@ def test_pmi_collocations_deterministic_cut(spark):
     b = textops.pmi_collocations(df, min_count=2, k=3).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) == 3
+
+
+def test_weighted_sample_matches_pure_python(spark, sf_dir):
+    """A-ES draw == a driver-side pure-python replay of -ln(u)/w top-k:
+    pins hash coordinate, offset, key formula, and tie-break."""
+    import hashlib
+    import math
+
+    from practicum2_nof1_adhd_bd_spark.operators import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = [
+        (r["sample_rank"], r["doc_id"])
+        for r in textops.weighted_sample_topk(docs, k=10).collect()
+    ]
+    keys = []
+    for d, w in docs.select("doc_id", "n_chars").collect():
+        if w and w > 0:
+            h = int(hashlib.md5(f"w42{d}".encode()).hexdigest()[:8], 16)
+            keys.append((-math.log((h + 0.5) / 2**32) / w, d))
+    keys.sort()
+    assert got == [(i + 1, d) for i, (_, d) in enumerate(keys[:10])]
+
+
+def test_weighted_sample_weight_monotone(spark):
+    """Same u coordinate, heavier weight -> smaller key -> earlier rank:
+    a row whose weight dominates by 1000x must enter a k=1 sample
+    ahead of its unit-weight twin under every seed tried."""
+    from practicum2_nof1_adhd_bd_spark.operators import textops
+
+    for seed in ("a", "b", "c"):
+        df = spark.createDataFrame(
+            [(1, 1000000), (2, 1)], "doc_id long, n_chars long"
+        )
+        # doc 1 carries ~all the weight; with a single slot it should
+        # win unless its u-draw is astronomically unlucky vs doc 2's
+        top = textops.weighted_sample_topk(df, k=2, seed=seed).collect()
+        key = {r["doc_id"]: r["sample_key"] for r in top}
+        assert key[1] < key[2] * 1000, (seed, key)
