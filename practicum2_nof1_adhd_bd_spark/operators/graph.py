@@ -304,3 +304,60 @@ def triangle_count(
             ).alias("clustering"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007) with DETERMINISTIC tie-breaks — the near-
+    linear community pass a crawl/link graph gets next to PageRank
+    (centrality) and triangle counting (density).
+
+    Semantics, pinned so a SQL oracle can replay every round: the graph
+    is symmetrized (both directions, self-loops dropped, distinct);
+    labels start as the node id; each round every node adopts the label
+    with the HIGHEST neighbor count, ties broken by SMALLEST label —
+    GraphX's LPA breaks ties by hash-map iteration order and is run-to-
+    run unstable; this one is bit-stable anywhere.
+
+    Scale shape: one round = an edge-grain hash join (messages flow
+    along edges), a (node, label) count — which collapses a hub's
+    millions of neighbor messages to its distinct incident labels
+    before the top-1 window sees them — and a per-node top-1 window
+    bounded by distinct-label degree. Work is O(E) per round with no
+    dependence on round number; localCheckpoint truncates the iterative
+    lineage exactly as pagerank() does.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("lab").asc())
+    for _ in range(n_iter):
+        msgs = sym.join(labels.withColumnRenamed("node", "dst"), "dst").select(
+            F.col("src").alias("node"), "lab"
+        )
+        votes = msgs.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("n"))
+        labels = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("community_size"))
+    return labels.join(sizes, "lab").select(
+        "node", F.col("lab").alias("community"), "community_size"
+    )

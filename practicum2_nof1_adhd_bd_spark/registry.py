@@ -2983,6 +2983,65 @@ def q_host_triangle_count(spark, sf_dir):
 
 
 @register(
+    "host_lpa_communities",
+    """
+    WITH raw AS (
+      SELECT i AS src, (i // 8) * 8 + ((i % 8) + 1) % 8 AS dst
+      FROM generate_series(0, 47) t(i)
+      UNION ALL
+      SELECT i, (i // 8) * 8 + ((i % 8) + 2) % 8 FROM generate_series(0, 47) t(i)
+      UNION ALL
+      SELECT i, i + 1 FROM generate_series(0, 47) t(i) WHERE i % 8 = 7 AND i < 40
+    ),
+    sym AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM raw WHERE src <> dst
+        UNION ALL SELECT dst, src FROM raw WHERE src <> dst)),
+    l0 AS (SELECT DISTINCT src AS node, src AS lab FROM sym),
+    v1 AS (SELECT s.src AS node, l.lab, count(*) AS n
+           FROM sym s JOIN l0 l ON s.dst = l.node GROUP BY 1, 2),
+    l1 AS (SELECT node, lab FROM v1
+           QUALIFY row_number() OVER (PARTITION BY node ORDER BY n DESC, lab ASC) = 1),
+    v2 AS (SELECT s.src AS node, l.lab, count(*) AS n
+           FROM sym s JOIN l1 l ON s.dst = l.node GROUP BY 1, 2),
+    l2 AS (SELECT node, lab FROM v2
+           QUALIFY row_number() OVER (PARTITION BY node ORDER BY n DESC, lab ASC) = 1),
+    v3 AS (SELECT s.src AS node, l.lab, count(*) AS n
+           FROM sym s JOIN l2 l ON s.dst = l.node GROUP BY 1, 2),
+    l3 AS (SELECT node, lab FROM v3
+           QUALIFY row_number() OVER (PARTITION BY node ORDER BY n DESC, lab ASC) = 1),
+    sz AS (SELECT lab, count(*) AS community_size FROM l3 GROUP BY 1)
+    SELECT l3.node, l3.lab AS community, sz.community_size
+    FROM l3 JOIN sz USING (lab)
+    """,
+)
+def q_host_lpa_communities(spark, sf_dir):
+    """Synchronous label-propagation communities (graph.label_propagation,
+    Raghavan et al. 2007) with pinned deterministic tie-breaks (count
+    desc, label asc — GraphX's hash-order LPA is run-to-run unstable,
+    this one is oracle-attestable). Fixture: six 8-node circulant
+    blocks (i->i+1, i->i+2 within the block) chained by single bridge
+    edges — dense blocks must coalesce onto their minimum node id while
+    the weak bridges must NOT merge neighbouring blocks in 3 rounds.
+    The oracle unrolls all three vote/top-1 rounds symbolically, so the
+    hash match proves every round's message join, vote count, and
+    tie-break. sf-independent fixture; convergence/tie-break unit
+    tests in tests/test_graph.py."""
+    i = F.col("id")
+    base = spark.range(48)
+    blk = F.expr("(id DIV 8) * 8")
+    e1 = base.select(i.alias("src"), (blk + (i % 8 + 1) % 8).alias("dst"))
+    e2 = base.select(i.alias("src"), (blk + (i % 8 + 2) % 8).alias("dst"))
+    eb = base.filter((i % 8 == 7) & (i < 40)).select(
+        i.alias("src"), (i + 1).alias("dst")
+    )
+    from .operators import graph
+
+    return graph.label_propagation(
+        e1.unionByName(e2).unionByName(eb), n_iter=3
+    ).orderBy("node")
+
+
+@register(
     "robots_screen_decisions",
     """
     WITH u AS (

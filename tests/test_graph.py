@@ -148,3 +148,52 @@ def test_triangle_count_skewed_hub_matches_brute_force(spark):
     edges = spark.createDataFrame(ring + spokes, "src int, dst int")
     rows = {r["node"]: r for r in graph.triangle_count(edges).collect()}
     assert {n: r["n_triangles"] for n, r in rows.items()} == tri_per_node
+
+
+def test_lpa_two_cliques_separate_communities(spark):
+    """Two K4 cliques joined by one bridge edge: LPA must give each
+    clique one label and must not merge them across the weak tie."""
+    from practicum2_nof1_adhd_bd_spark.operators import graph
+
+    k4a = [(a, b) for a in range(4) for b in range(4) if a < b]
+    k4b = [(a + 10, b + 10) for a, b in k4a]
+    edges = spark.createDataFrame(
+        k4a + k4b + [(3, 10)], "src long, dst long"
+    )
+    out = {r["node"]: r["community"]
+           for r in graph.label_propagation(edges, n_iter=4).collect()}
+    assert len({out[n] for n in (0, 1, 2, 3)}) == 1
+    assert len({out[n] for n in (10, 11, 12, 13)}) == 1
+    assert out[0] != out[10]
+
+
+def test_lpa_tie_breaks_to_smallest_label(spark):
+    """Single triangle, round 1: every node sees two distinct labels
+    with equal counts — the pinned tie-break must choose the smaller,
+    and by round 2 the whole triangle must sit on label 0."""
+    from practicum2_nof1_adhd_bd_spark.operators import graph
+
+    tri = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    r1 = {r["node"]: r["community"]
+          for r in graph.label_propagation(tri, n_iter=1).collect()}
+    assert r1 == {0: 1, 1: 0, 2: 0}
+    r2 = {r["node"]: r["community"]
+          for r in graph.label_propagation(tri, n_iter=2).collect()}
+    assert r2 == {0: 0, 1: 0, 2: 0}
+
+
+def test_lpa_symmetrizes_and_drops_self_loops(spark):
+    """Directed duplicates and self-loops must not distort the vote:
+    an edge given in both directions plus a self-loop behaves exactly
+    like the plain undirected edge."""
+    from practicum2_nof1_adhd_bd_spark.operators import graph
+
+    noisy = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 0), (1, 2)], "src long, dst long"
+    )
+    clean = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    a = sorted(map(tuple, graph.label_propagation(noisy, n_iter=3).collect()))
+    b = sorted(map(tuple, graph.label_propagation(clean, n_iter=3).collect()))
+    assert a == b
