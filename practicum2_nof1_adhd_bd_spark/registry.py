@@ -608,6 +608,83 @@ def q_streaming_daily_stats(spark, sf_dir):
 
 
 @register(
+    "streaming_attribution_join",
+    """
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id,
+           date_diff('second', a.ts, b.ts) AS latency_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+    """,
+)
+def q_streaming_attribution_join(spark, sf_dir):
+    """§2.9: a REAL watermarked stream-STREAM interval join under
+    attestation (streaming.attribution_join_stream) — clicks and
+    purchases read as two unbounded file-source streams from the same
+    landed events snapshot, joined per user with a 2-hour event-time
+    horizon, run to completion with availableNow into a memory sink,
+    and compared value-for-value against the batch join the DuckDB
+    oracle computes. Both sides carry watermarks and the join condition
+    carries the time range — the two ingredients that bound join state
+    at O(key-rate x (watermark + horizon)) on an infinite feed instead
+    of O(stream length). Late/horizon-edge semantics are pinned in
+    tests/test_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming import attribution_join_stream
+
+    cat = _cat(spark, sf_dir)
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
+    fp = _source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    src = _land_once(
+        os.path.join(tempfile.gettempdir(), f"spark_graft_attrib_src{tag}"),
+        fp,
+        lambda tmp: cat.events.select("event_id", "ts", "user_id", "event_type")
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    clicks = (
+        spark.readStream.schema(schema).parquet(src)
+        .filter(F.col("event_type") == "click")
+    )
+    purchases = (
+        spark.readStream.schema(schema).parquet(src)
+        .filter(F.col("event_type") == "purchase")
+    )
+    joined = attribution_join_stream(clicks, purchases).select(
+        F.col("t.event_id").alias("click_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("t.user_id").alias("user_id"),
+        (F.unix_timestamp("r.ts") - F.unix_timestamp("t.ts")).alias("latency_s"),
+    )
+    name = f"stream_attrib_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_attribution_join: stream did not finish in 300s"
+            )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)  # single-use by design
+    return spark.table(name)
+
+
+@register(
     "rolling_7d_mean",
     f"""
     WITH d AS ({_DAILY_MEAN})

@@ -1,4 +1,5 @@
 from .daily_stream import (
+    attribution_join_stream,
     daily_exact_stream,
     daily_stats_stream,
     dedup_stream,
@@ -8,6 +9,7 @@ from .daily_stream import (
 from .stateful import shift_detector_stream
 
 __all__ = [
+    "attribution_join_stream",
     "daily_exact_stream",
     "daily_stats_stream",
     "dedup_stream",

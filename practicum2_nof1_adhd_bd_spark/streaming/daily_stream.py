@@ -186,3 +186,37 @@ def daily_exact_stream(
             "value_mean",
         )
     )
+
+
+def attribution_join_stream(
+    triggers: DataFrame,
+    responses: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon_sql: str = "INTERVAL 2 HOURS",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: the click->conversion
+    attribution shape (each response matches every trigger by the same
+    key in the preceding ``horizon``), the one streaming operator class
+    the rest of §2.9 didn't cover — both sides are UNBOUNDED, so unlike
+    stream-static enrichment Spark must buffer state for each.
+
+    The two ingredients that keep that state finite at firehose scale
+    (and that Spark REQUIRES for append-mode correctness): a watermark
+    on BOTH sides, and an event-time range in the join condition. With
+    watermark d and horizon h the trigger buffer can evict rows older
+    than wm - h and the response buffer rows older than wm — state is
+    O(key-rate x (d + h)), not O(stream length). Inner join only emits
+    matched pairs, so results are append-deterministic: the availableNow
+    replay of a finite snapshot produces exactly the batch join, which
+    is what the oracle attests.
+    """
+    t = triggers.withWatermark(ts_col, watermark).alias("t")
+    r = responses.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"t.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"t.{ts_col}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"t.{ts_col}") + F.expr(horizon_sql))
+    )
+    return t.join(r, cond, "inner")

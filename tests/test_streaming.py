@@ -1484,3 +1484,48 @@ def test_screen_batch_keyed_grain_url_seen_filter(spark):
         assert all(r["sig"] is None for r in s)
     finally:
         cleanup()
+
+
+def test_attribution_join_stream_horizon_edges(spark, tmp_path):
+    """Stream-stream interval join semantics: a response exactly AT the
+    horizon is included, one second past it is excluded, same-instant
+    matches count, and keys never cross."""
+    from practicum2_nof1_adhd_bd_spark.streaming import attribution_join_stream
+
+    rows = [
+        # (event_id, ts, user_id, kind)
+        (1, "2024-01-01 10:00:00", 1, "t"),
+        (2, "2024-01-01 12:00:00", 1, "r"),   # exactly +2h -> in
+        (3, "2024-01-01 12:00:01", 1, "r"),   # +2h 1s -> out
+        (4, "2024-01-01 10:00:00", 1, "r"),   # same instant -> in
+        (5, "2024-01-01 09:59:59", 1, "r"),   # before trigger -> out
+        (6, "2024-01-01 10:30:00", 2, "r"),   # other user -> out
+        (7, "2024-01-01 11:00:00", 2, "t"),
+        (8, "2024-01-01 11:05:00", 2, "r2"),  # matches trigger 7
+    ]
+    schema = "event_id bigint, ts timestamp, user_id bigint, kind string"
+    src = str(tmp_path / "attrib_src")
+    spark.createDataFrame(
+        [(i, dt.datetime.fromisoformat(t), u, k) for i, t, u, k in rows], schema
+    ).write.mode("overwrite").parquet(src)
+
+    triggers = spark.readStream.schema(schema).parquet(src).filter(
+        F.col("kind") == "t"
+    )
+    responses = spark.readStream.schema(schema).parquet(src).filter(
+        F.col("kind").startswith("r")
+    )
+    joined = attribution_join_stream(triggers, responses).select(
+        F.col("t.event_id").alias("tid"), F.col("r.event_id").alias("rid")
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attrib"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {(r["tid"], r["rid"]) for r in spark.sql("SELECT * FROM attrib_t").collect()}
+    assert got == {(1, 2), (1, 4), (7, 8)}
