@@ -10403,17 +10403,25 @@ _FRONT_ORDER = [
     # and Z-order layout cell stats
     "pmi_collocations", "host_triangle_count", "scd2_merge_parity",
     "session_episode_overlap", "zorder_cell_stats",
+    # new in r12 session 5: the prefix-filtered set-similarity join
+    # (exact Jaccard pairs, no blocking loss), the KMV bottom-k distinct
+    # sketch, the Efraimidis-Spirakis weighted draw, LPA communities,
+    # and the watermarked stream-stream interval join
+    "setsim_prefix_join", "kmv_distinct_estimate", "weighted_sample_topk",
+    "host_lpa_communities", "streaming_attribution_join",
     # behavior-touched r12: temporal_instability now scores absent
     # feature columns 0.0 (ref parity) instead of raising; both ingest
     # streams gained crashed-compaction recovery, the legacy-decisions
     # layout guard, and dedup-on-auto-compaction
     "temporal_instability_scores", "streaming_ingest_decisions",
     "streaming_vector_decisions",
-    # rotation: 25 of the 44-query r07 cohort (last driver attestation
+    # rotation: 20 of the 44-query r07 cohort (last driver attestation
     # r07 — five rounds overdue; ledger in COVERAGE.md). The remaining
-    # 19 (multiformat_ts_parse, pack_sequences, pii_redact_stats,
-    # pipe_split_union, quality_adjusted_label, quality_score,
-    # region_revenue, rollup_nation_year, semantic_dedup,
+    # 24 (ivf_ann_topk, json_props_daily, large_volume_customers,
+    # media_frame_sample, minhash_signatures — displaced by the
+    # session-5 five — plus multiformat_ts_parse, pack_sequences,
+    # pii_redact_stats, pipe_split_union, quality_adjusted_label,
+    # quality_score, region_revenue, rollup_nation_year, semantic_dedup,
     # semantic_dedup_bucketed, som_daily_agg,
     # sql_top_order_per_customer, tfidf_top_terms,
     # token_length_profile, top_supplier_revenue, topk_customers,
@@ -10426,8 +10434,6 @@ _FRONT_ORDER = [
     "embedding_near_dup_bucketed", "hash_split", "hrv_time_domain",
     "incremental_ingest_decisions", "ingest_internal_near_decisions",
     "int8_cosine_topk", "interpolate_daily", "interval_efficiency",
-    "ivf_ann_topk", "json_props_daily", "large_volume_customers",
-    "media_frame_sample", "minhash_signatures",
 ]
 
 
