@@ -127,6 +127,12 @@ HEADLINE = [
     "scd2_merge_parity",
     "session_episode_overlap",
     "zorder_cell_stats",
+    # round-12 session-5 additions (streaming_attribution_join excluded:
+    # availableNow stream per repeat measures stream machinery)
+    "setsim_prefix_join",
+    "kmv_distinct_estimate",
+    "weighted_sample_topk",
+    "host_lpa_communities",
 ]
 
 

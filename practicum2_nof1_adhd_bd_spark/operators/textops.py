@@ -374,6 +374,74 @@ def ngram_decontaminate(
     )
 
 
+def containment_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Containment-based decontamination: flag training docs that CONTAIN
+    an eval/benchmark item — containment C(train, ev) =
+    |shingles(train) ∩ shingles(ev)| / |shingles(ev)| >= t.
+
+    Why a third rule next to the exact any-n-gram flag
+    (ngram_decontaminate) and the fuzzy Jaccard scrub
+    (decontaminate_fuzzy): a 50-token benchmark item pasted into a
+    5,000-token web page has Jaccard ~0.01 — the symmetric rule can
+    never see it — while containment is 1.0. Normalizing by the EVAL
+    side only is what makes the screen length-asymmetric, which is the
+    actual contamination geometry (long train doc, short benchmark
+    item).
+
+    Scale shape: the eval shingle table is benchmark-sized and
+    BROADCASTS; the training side is one scan + explode; and because
+    word_shingles is distinct-per-doc, |∩| is simply count(*) per
+    (train, eval) pair after the hash join — map-side combinable, no
+    arrays shuffled, no all-pairs stage. The threshold is rational and
+    cross-multiplied (den * inter >= num * n_ev), so no float boundary
+    can disagree with the oracle; per train doc the worst (max
+    containment) eval hit is kept with a deterministic (containment
+    desc, eval id asc) tie-break.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import word_shingles
+
+    num, den = int(threshold_num), int(threshold_den)
+    ev = eval_docs.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("g"),
+    )
+    ev_sz = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    ev = ev.join(ev_sz, "eval_id")
+    tr = fan_out(train, id_col).select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("g")
+    )
+    hits = (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy(id_col, "eval_id", "n_ev")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("n_ev"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        (F.col("inter") / F.col("n_ev")).desc(), F.col("eval_id").asc()
+    )
+    return (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            "eval_id",
+            F.col("inter").alias("n_shared"),
+            F.col("n_ev").alias("n_eval_shingles"),
+            F.round(F.col("inter") / F.col("n_ev"), 6).alias("containment"),
+        )
+    )
+
+
 def source_mixture_weights(
     df: DataFrame,
     alpha: float = 0.7,

@@ -6977,6 +6977,60 @@ def q_decontaminate_fuzzy(spark, sf_dir):
     return textops.fuzzy_decontaminate(tr, ev, threshold=0.5)
 
 
+@register(
+    "decontaminate_containment",
+    r"""
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(trim(lower(text)), '\s+') AS words
+               FROM documents),
+    evd AS (SELECT doc_id AS eval_id,
+                   regexp_split_to_array(array_to_string(words[1:12], ' '), '\s+')
+                       AS words
+            FROM w WHERE doc_id % 50 = 0),
+    evg AS (SELECT eval_id,
+                   unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                       i -> array_to_string(words[i:i+2], ' ')))) AS g
+            FROM evd WHERE len(words) >= 3),
+    evs AS (SELECT eval_id, count(*) AS n_ev FROM evg GROUP BY 1),
+    trg AS (SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                       i -> array_to_string(words[i:i+2], ' ')))) AS g
+            FROM w WHERE len(words) >= 3),
+    hits AS (SELECT trg.doc_id, evg.eval_id, evs.n_ev, count(*) AS inter
+             FROM trg JOIN evg USING (g) JOIN evs USING (eval_id)
+             GROUP BY 1, 2, 3
+             HAVING 5 * count(*) >= 4 * evs.n_ev),
+    best AS (SELECT doc_id, eval_id, inter, n_ev,
+                    row_number() OVER (PARTITION BY doc_id
+                        ORDER BY inter * 1.0 / n_ev DESC, eval_id ASC) AS rn
+             FROM hits)
+    SELECT doc_id, eval_id, inter AS n_shared, n_ev AS n_eval_shingles,
+           round(inter * 1.0 / n_ev, 6) AS containment
+    FROM best WHERE rn = 1
+    """,
+)
+def q_decontaminate_containment(spark, sf_dir):
+    """CONTAINMENT decontamination (textops.containment_decontaminate),
+    the third screen beside the exact any-5-gram flag and the fuzzy
+    Jaccard scrub: flags corpus docs whose shingle sets COVER >= 4/5 of
+    an eval item's shingles. A 50-token benchmark item pasted into a
+    5,000-token page has Jaccard ~0.01 — invisible to the symmetric
+    rule — but containment 1.0; normalizing by the eval side only is
+    what matches the real contamination geometry. Fixture: eval items
+    are 12-token snippets of every 50th doc, so each snippet must find
+    its source (containment 1.0) and any of its near-dups; the screen
+    runs over the FULL corpus as a decontamination pass would. Eval
+    shingles broadcast; |intersection| falls out as count(*) per pair
+    after the hash join (shingles are distinct-per-doc) — no arrays
+    shuffle, threshold integer-cross-multiplied."""
+    docs = _cat(spark, sf_dir).documents
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    ev = docs.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id", F.array_join(F.slice(toks, 1, 12), " ").alias("text")
+    )
+    return textops.containment_decontaminate(docs, ev, k=3)
+
+
 def _ingest_decisions_oracle() -> str:
     """DuckDB twin of streaming.corpus_ingest.screen_batch over the
     deterministic batch/index split used by q_incremental_ingest_decisions:
@@ -10409,17 +10463,18 @@ _FRONT_ORDER = [
     # and the watermarked stream-stream interval join
     "setsim_prefix_join", "kmv_distinct_estimate", "weighted_sample_topk",
     "host_lpa_communities", "streaming_attribution_join",
+    "decontaminate_containment",
     # behavior-touched r12: temporal_instability now scores absent
     # feature columns 0.0 (ref parity) instead of raising; both ingest
     # streams gained crashed-compaction recovery, the legacy-decisions
     # layout guard, and dedup-on-auto-compaction
     "temporal_instability_scores", "streaming_ingest_decisions",
     "streaming_vector_decisions",
-    # rotation: 20 of the 44-query r07 cohort (last driver attestation
+    # rotation: 19 of the 44-query r07 cohort (last driver attestation
     # r07 — five rounds overdue; ledger in COVERAGE.md). The remaining
-    # 24 (ivf_ann_topk, json_props_daily, large_volume_customers,
-    # media_frame_sample, minhash_signatures — displaced by the
-    # session-5 five — plus multiformat_ts_parse, pack_sequences,
+    # 25 (interval_efficiency, ivf_ann_topk, json_props_daily,
+    # large_volume_customers, media_frame_sample, minhash_signatures —
+    # displaced by the session-5 six — plus multiformat_ts_parse, pack_sequences,
     # pii_redact_stats, pipe_split_union, quality_adjusted_label,
     # quality_score, region_revenue, rollup_nation_year, semantic_dedup,
     # semantic_dedup_bucketed, som_daily_agg,
@@ -10433,7 +10488,7 @@ _FRONT_ORDER = [
     "dup_ngram_profile", "embedding_near_dup",
     "embedding_near_dup_bucketed", "hash_split", "hrv_time_domain",
     "incremental_ingest_decisions", "ingest_internal_near_decisions",
-    "int8_cosine_topk", "interpolate_daily", "interval_efficiency",
+    "int8_cosine_topk", "interpolate_daily",
 ]
 
 

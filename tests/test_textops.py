@@ -842,3 +842,53 @@ def test_weighted_sample_weight_monotone(spark):
         top = textops.weighted_sample_topk(df, k=2, seed=seed).collect()
         key = {r["doc_id"]: r["sample_key"] for r in top}
         assert key[1] < key[2] * 1000, (seed, key)
+
+
+def test_containment_finds_pasted_snippet_jaccard_misses(spark):
+    """The operator's reason to exist: a short benchmark item pasted
+    into a long page has near-zero Jaccard but containment 1.0 —
+    the containment screen must flag it; full-containment arithmetic
+    and the no-hit case are checked alongside."""
+    from practicum2_nof1_adhd_bd_spark.operators import dedup, textops
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i}" for i in range(200))
+    train = spark.createDataFrame(
+        [(1, filler + " " + bench), (2, filler)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+    out = textops.containment_decontaminate(train, ev, k=3).collect()
+    # only doc 1 hits; its containment on the 6 bench shingles is 1.0
+    assert [(r["doc_id"], r["eval_id"], r["containment"]) for r in out] == [
+        (1, 100, 1.0)
+    ]
+    assert out[0]["n_eval_shingles"] == 6
+    # the symmetric rule really would have missed it
+    from pyspark.sql import functions as F
+
+    both = train.unionByName(
+        ev.select(F.lit(100).cast("long").alias("doc_id"), "text")
+    ).withColumn("lang", F.lit("en"))
+    jac = dedup.ngram_jaccard_pairs(
+        both, bucket_cols=["lang"], k=3, threshold=0.5, length_bucket=False
+    )
+    assert jac.filter("id_a = 1 AND id_b = 100").count() == 0
+
+
+def test_containment_keeps_worst_hit_deterministically(spark):
+    """Two eval items above threshold for one train doc: keep the max
+    containment; on exact ties keep the smaller eval id."""
+    from practicum2_nof1_adhd_bd_spark.operators import textops
+
+    doc = "a b c d e f g h i j"
+    train = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(20, "a b c d e f g h i j"), (10, "a b c d e f g h i j"),
+         (30, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    out = textops.containment_decontaminate(train, ev, k=3).collect()
+    assert len(out) == 1
+    # 10 and 20 both have containment 1.0 -> tie-break to eval_id 10
+    assert (out[0]["eval_id"], out[0]["containment"]) == (10, 1.0)
