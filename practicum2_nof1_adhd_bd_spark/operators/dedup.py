@@ -1285,6 +1285,11 @@ def _prefix_filter_parts(
         F.sort_array(F.collect_list("rnk")).alias("ranks"),
         F.count(F.lit(1)).alias("n"),
     )
+    # NOTE measured, not assumed: docs feeds several consumers (prefix
+    # explode + both verify sides) and its lineage does re-execute for
+    # each — but an eager localCheckpoint here is ~1.3x SLOWER at sf0.1
+    # (13.7s vs 10.5s warm median): the rank arrays are cheap to
+    # recompute and expensive to materialize. Leave the plan lazy.
     # prefix length p = n - ceil(t*n) + 1, all-integer:
     # ceil(num*n/den) = (num*n + den - 1) DIV den
     p = F.expr(f"CAST(n - ({num} * n + {den - 1}) DIV {den} + 1 AS INT)")
