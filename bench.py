@@ -133,6 +133,8 @@ HEADLINE = [
     "kmv_distinct_estimate",
     "weighted_sample_topk",
     "host_lpa_communities",
+    "decontaminate_containment",
+    "zipf_law_fit",
 ]
 
 

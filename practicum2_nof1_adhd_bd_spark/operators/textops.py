@@ -374,6 +374,72 @@ def ngram_decontaminate(
     )
 
 
+def zipf_law_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Zipf power-law fit per group: OLS of ln(freq) on ln(rank) over the
+    group's token frequency table — alpha (the negated slope) and R^2,
+    the corpus-health diagnostic that flags template/boilerplate-heavy
+    or deduplication-damaged slices (natural text sits near alpha ~ 1;
+    a flat curve means synthetic repetition, a cliff means over-pruned
+    vocabulary).
+
+    Engine-exactness design (the part worth copying): the five OLS
+    moments (n, Σx, Σy, Σxx, Σxy, Σyy) are summed as DECIMAL(28,12) —
+    each ln() term is cast once, so the SUM is order-invariant and a
+    1000-partition Spark aggregation produces the same bytes as
+    DuckDB's sequential one — and only the final slope/R^2 arithmetic
+    runs in double, on five scalars. Summing raw doubles here would
+    hash-mismatch the oracle on partial-aggregation order alone.
+
+    One corpus scan -> (group, token) count -> per-group rank window ->
+    one tiny per-group moment aggregation; output is group-cardinality
+    rows.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(group_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    freq = tok.groupBy(group_col, "token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("freq").desc(), F.col("token").asc()
+    )
+    ranked = freq.withColumn("rank", F.row_number().over(w))
+    # x, y and their PRODUCTS are computed in double (both engines do
+    # identical IEEE arithmetic per term); each term is cast to decimal
+    # ONCE at the sum, because decimal*decimal would trigger Spark's
+    # precision-loss re-scaling, which DuckDB does not mirror.
+    dec = "decimal(28,12)"
+    xy = ranked.select(
+        group_col,
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    m = xy.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+    )
+    cov = m["n"] * m["sxy"] - m["sx"] * m["sy"]
+    varx = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+    vary = m["n"] * m["syy"] - m["sy"] * m["sy"]
+    return m.select(
+        group_col,
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.round(-cov / varx, 6).alias("zipf_alpha"),
+        F.round(
+            F.when(vary > 0, cov * cov / (varx * vary)).otherwise(F.lit(None)), 6
+        ).alias("r2"),
+    )
+
+
 def containment_decontaminate(
     train: DataFrame,
     eval_docs: DataFrame,

@@ -5785,6 +5785,53 @@ def q_stratified_sample_k(spark, sf_dir):
 
 
 @register(
+    "zipf_law_fit",
+    r"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    freq AS (SELECT source, token, count(*) AS freq
+             FROM tok WHERE token <> '' GROUP BY 1, 2),
+    ranked AS (SELECT source, freq,
+                      row_number() OVER (PARTITION BY source
+                          ORDER BY freq DESC, token ASC) AS rank
+               FROM freq),
+    xy AS (SELECT source, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+           FROM ranked),
+    m AS (SELECT source,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS syy
+          FROM xy GROUP BY 1)
+    SELECT source, CAST(n AS BIGINT) AS n_tokens,
+           round(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_alpha,
+           round(CASE WHEN (n * syy - sy * sy) > 0
+                      THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+    FROM m
+    """,
+)
+def q_zipf_law_fit(spark, sf_dir):
+    """Per-source Zipf power-law fit (textops.zipf_law_fit): OLS of
+    ln(freq) on ln(rank) over each source's token frequency table —
+    the corpus-health diagnostic next to char_ngram_entropy and
+    token_stats (natural text sits near alpha ~ 1; flat = synthetic
+    repetition, cliff = over-pruned vocabulary; the fixture's sources
+    really do separate, R^2 0.12-0.90). The OLS moments are summed as
+    DECIMAL(28,12) — per-term double->decimal casts, so a
+    1000-partition Spark aggregation is order-invariant and
+    byte-matches DuckDB's sequential sum — and only the final
+    slope/R^2 arithmetic runs in double on five scalars. Closed-form
+    regression parity is pinned in tests/test_textops.py."""
+    docs = _cat(spark, sf_dir).documents
+    return textops.zipf_law_fit(docs)
+
+
+@register(
     "weighted_sample_topk",
     """
     WITH keyed AS (
@@ -10463,18 +10510,19 @@ _FRONT_ORDER = [
     # and the watermarked stream-stream interval join
     "setsim_prefix_join", "kmv_distinct_estimate", "weighted_sample_topk",
     "host_lpa_communities", "streaming_attribution_join",
-    "decontaminate_containment",
+    "decontaminate_containment", "zipf_law_fit",
     # behavior-touched r12: temporal_instability now scores absent
     # feature columns 0.0 (ref parity) instead of raising; both ingest
     # streams gained crashed-compaction recovery, the legacy-decisions
     # layout guard, and dedup-on-auto-compaction
     "temporal_instability_scores", "streaming_ingest_decisions",
     "streaming_vector_decisions",
-    # rotation: 19 of the 44-query r07 cohort (last driver attestation
+    # rotation: 18 of the 44-query r07 cohort (last driver attestation
     # r07 — five rounds overdue; ledger in COVERAGE.md). The remaining
-    # 25 (interval_efficiency, ivf_ann_topk, json_props_daily,
-    # large_volume_customers, media_frame_sample, minhash_signatures —
-    # displaced by the session-5 six — plus multiformat_ts_parse, pack_sequences,
+    # 26 (interpolate_daily, interval_efficiency, ivf_ann_topk,
+    # json_props_daily, large_volume_customers, media_frame_sample,
+    # minhash_signatures — displaced by the session-5 seven — plus
+    # multiformat_ts_parse, pack_sequences,
     # pii_redact_stats, pipe_split_union, quality_adjusted_label,
     # quality_score, region_revenue, rollup_nation_year, semantic_dedup,
     # semantic_dedup_bucketed, som_daily_agg,
@@ -10488,7 +10536,7 @@ _FRONT_ORDER = [
     "dup_ngram_profile", "embedding_near_dup",
     "embedding_near_dup_bucketed", "hash_split", "hrv_time_domain",
     "incremental_ingest_decisions", "ingest_internal_near_decisions",
-    "int8_cosine_topk", "interpolate_daily",
+    "int8_cosine_topk",
 ]
 
 

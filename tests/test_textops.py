@@ -892,3 +892,42 @@ def test_containment_keeps_worst_hit_deterministically(spark):
     assert len(out) == 1
     # 10 and 20 both have containment 1.0 -> tie-break to eval_id 10
     assert (out[0]["eval_id"], out[0]["containment"]) == (10, 1.0)
+
+
+def test_zipf_fit_matches_numpy_ols(spark):
+    """Closed-form regression parity: the distributed moment
+    aggregation must reproduce numpy's polyfit slope and correlation
+    on a crafted frequency table."""
+    import math
+
+    import numpy as np
+
+    from practicum2_nof1_adhd_bd_spark.operators import textops
+
+    # craft a corpus with an exact frequency ladder: token t_i appears
+    # freq_i times within one source
+    freqs = {"aa": 32, "bb": 16, "cc": 8, "dd": 4, "ee": 2, "ff": 1}
+    text = " ".join(t for t, f in freqs.items() for _ in range(f))
+    df = spark.createDataFrame([(1, text, "s1")], "doc_id long, text string, source string")
+    row = textops.zipf_law_fit(df).collect()[0]
+    assert row["n_tokens"] == 6
+    x = np.log(np.arange(1, 7, dtype=float))
+    y = np.log(np.array(sorted(freqs.values(), reverse=True), dtype=float))
+    slope = np.polyfit(x, y, 1)[0]
+    r = np.corrcoef(x, y)[0, 1]
+    assert math.isclose(row["zipf_alpha"], -slope, abs_tol=5e-6)
+    assert math.isclose(row["r2"], r * r, abs_tol=5e-6)
+
+
+def test_zipf_fit_single_token_group_null_r2(spark):
+    """A one-token group has zero x-variance... one token gives rank=1
+    only; guard: two tokens with EQUAL freq -> vary == 0 -> r2 null,
+    alpha 0 (flat)."""
+    df = spark.createDataFrame(
+        [(1, "aa bb", "s1")], "doc_id long, text string, source string"
+    )
+    from practicum2_nof1_adhd_bd_spark.operators import textops
+
+    row = textops.zipf_law_fit(df).collect()[0]
+    assert row["zipf_alpha"] == 0.0
+    assert row["r2"] is None
