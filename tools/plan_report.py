@@ -614,6 +614,50 @@ NOTES = {
         "build_crawl_silver. The serve plan is a bare parquet scan + "
         "sort — re-entrancy means downstream never re-pays curation."
     ),
+    "setsim_prefix_join": (
+        "The global-rarity rank dictionary is vocab-sized and BROADCAST "
+        "onto the corpus-grain token table; only the (1-t) rarest prefix "
+        "slice of each doc explodes into the collision join, and the "
+        "verify stage intersects integer rank arrays joined by id — "
+        "document text crosses the wire zero times after tokenization."
+    ),
+    "kmv_distinct_estimate": (
+        "Two-level sketch merge: the per-partition partial (groupBy "
+        "group, partition_id) caps what enters the exchange at k=64 "
+        "hashes per (group, input partition); the distinct values "
+        "themselves never shuffle. bottomk(bottomk(A) ∪ bottomk(B)) = "
+        "bottomk(A ∪ B) makes the merged estimate partitioning-"
+        "invariant — the property the oracle hash-attests."
+    ),
+    "weighted_sample_topk": (
+        "The Efraimidis-Spirakis draw compiles to TakeOrderedAndProject: "
+        "each partition surfaces only its local k smallest exponential "
+        "keys and the driver merges k rows per partition — the published "
+        "distributed-reservoir merge, with no global sort and no RNG "
+        "state."
+    ),
+    "decontaminate_containment": (
+        "The eval-side shingle table is benchmark-sized and BROADCAST; "
+        "the corpus side is one scan + explode, and |intersection| falls "
+        "out as a map-side-combinable count(*) per (train, eval) pair — "
+        "no arrays shuffle, no all-pairs stage, and the per-doc argmax "
+        "window runs on the post-threshold hits only."
+    ),
+    "host_lpa_communities": (
+        "Each LPA round is one edge-grain hash join (messages along "
+        "edges) + a (node, label) count that collapses hub fan-in to "
+        "distinct incident labels before the per-node top-1 window; the "
+        "per-round localCheckpoint keeps the returned plan flat (it "
+        "reads the final round's checkpoint, not K stacked joins), the "
+        "same lineage-cut discipline as host_pagerank."
+    ),
+    "zipf_law_fit": (
+        "One corpus scan -> (source, token) count -> per-source rank "
+        "window over the vocabulary (corpus-independent cardinality) -> "
+        "a six-moment DECIMAL aggregation whose order-invariance is what "
+        "lets a 1000-partition sum byte-match the sequential oracle; the "
+        "OLS finish is scalar arithmetic on one row per source."
+    ),
 }
 
 
