@@ -135,6 +135,7 @@ HEADLINE = [
     "host_lpa_communities",
     "decontaminate_containment",
     "zipf_law_fit",
+    "benford_digit_audit",
 ]
 
 

@@ -288,3 +288,54 @@ def audit_exit_code(report: DataFrame) -> int:
         ).alias("code")
     ).first()
     return int(row["code"] or 0)
+
+
+def benford_digit_audit(
+    df: DataFrame, value_col: str, digits_scale: int = 2
+) -> DataFrame:
+    """Benford first-digit audit of a money-scale column — the classic
+    fabrication / synthetic-data detector next to the constancy checks
+    above: naturally-grown magnitudes follow P(d) = log10(1 + 1/d),
+    while fabricated, truncated, or template-generated values flatten
+    or spike the curve. One row per leading digit 1-9 with observed vs
+    expected frequency and the chi-square contribution; the total
+    chi-square is the sum over the nine rows (reader-side or one more
+    agg).
+
+    Engine-exactness: the value is cast to DECIMAL(18, digits_scale)
+    FIRST and the digit taken from the decimal's string form —
+    double->string rendering differs between engines (scientific
+    notation thresholds), decimal->string does not. Counts are exact
+    ints; the only transcendental (log10) is evaluated on nine
+    constants. One scan, one 9-group aggregate: audit cost is scan
+    cost at any corpus size.
+    """
+    # try_cast: ANSI mode would ERROR the whole audit on one value past
+    # 16 integer digits — an out-of-domain outlier is excluded (null ->
+    # empty digit -> filtered), not fatal. DuckDB TRY_CAST mirrors it.
+    dec = F.col(value_col).try_cast(f"decimal(18,{digits_scale})")
+    digit = F.regexp_extract(dec.cast("string"), "[1-9]", 0)
+    counts = (
+        df.filter(F.col(value_col) > 0)
+        .select(digit.alias("digit"))
+        .filter(F.col("digit") != "")
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    exp = (
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    )
+    obs = F.col("n") / F.col("_total")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("digit").cast("int").alias("digit"),
+            "n",
+            F.round(obs, 6).alias("obs_freq"),
+            F.round(exp, 6).alias("exp_freq"),
+            F.round(
+                F.col("_total") * (obs - exp) * (obs - exp) / exp, 6
+            ).alias("chi2_term"),
+        )
+    )

@@ -5785,6 +5785,42 @@ def q_stratified_sample_k(spark, sf_dir):
 
 
 @register(
+    "benford_digit_audit",
+    """
+    WITH v AS (SELECT CAST(TRY_CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS s
+               FROM orders WHERE o_totalprice > 0),
+    d AS (SELECT regexp_extract(s, '[1-9]') AS digit FROM v
+          WHERE s IS NOT NULL AND regexp_extract(s, '[1-9]') <> ''),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT CAST(digit AS INT) AS digit, n,
+           round(n * 1.0 / total, 6) AS obs_freq,
+           round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS exp_freq,
+           round(total * (n * 1.0 / total - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                       * (n * 1.0 / total - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                       / log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS chi2_term
+    FROM c, t
+    """,
+)
+def q_benford_digit_audit(spark, sf_dir):
+    """Benford first-digit audit (audit.benford_digit_audit) of
+    o_totalprice — the fabrication/synthetic-data detector in the audit
+    family: observed vs log10(1+1/d) expected frequency per leading
+    digit plus chi-square contributions. The value is cast to
+    DECIMAL(18,2) before taking the digit from its STRING form —
+    double->string rendering differs between engines, decimal->string
+    does not (the device that makes the audit oracle-attestable). The
+    synthetic orders table duly FAILS Benford (chi2 ~ 5,900 at sf0.01)
+    — exactly the report a fabrication audit should emit for generated
+    data. One scan + one 9-group aggregate; tests in
+    tests/test_audit.py."""
+    orders = _cat(spark, sf_dir).orders
+    from .operators import audit as auditops
+
+    return auditops.benford_digit_audit(orders, "o_totalprice")
+
+
+@register(
     "zipf_law_fit",
     r"""
     WITH tok AS (
@@ -10510,19 +10546,19 @@ _FRONT_ORDER = [
     # and the watermarked stream-stream interval join
     "setsim_prefix_join", "kmv_distinct_estimate", "weighted_sample_topk",
     "host_lpa_communities", "streaming_attribution_join",
-    "decontaminate_containment", "zipf_law_fit",
+    "decontaminate_containment", "zipf_law_fit", "benford_digit_audit",
     # behavior-touched r12: temporal_instability now scores absent
     # feature columns 0.0 (ref parity) instead of raising; both ingest
     # streams gained crashed-compaction recovery, the legacy-decisions
     # layout guard, and dedup-on-auto-compaction
     "temporal_instability_scores", "streaming_ingest_decisions",
     "streaming_vector_decisions",
-    # rotation: 18 of the 44-query r07 cohort (last driver attestation
+    # rotation: 17 of the 44-query r07 cohort (last driver attestation
     # r07 — five rounds overdue; ledger in COVERAGE.md). The remaining
-    # 26 (interpolate_daily, interval_efficiency, ivf_ann_topk,
-    # json_props_daily, large_volume_customers, media_frame_sample,
-    # minhash_signatures — displaced by the session-5 seven — plus
-    # multiformat_ts_parse, pack_sequences,
+    # 27 (int8_cosine_topk, interpolate_daily, interval_efficiency,
+    # ivf_ann_topk, json_props_daily, large_volume_customers,
+    # media_frame_sample, minhash_signatures — displaced by the
+    # session-5 eight — plus multiformat_ts_parse, pack_sequences,
     # pii_redact_stats, pipe_split_union, quality_adjusted_label,
     # quality_score, region_revenue, rollup_nation_year, semantic_dedup,
     # semantic_dedup_bucketed, som_daily_agg,
@@ -10536,7 +10572,6 @@ _FRONT_ORDER = [
     "dup_ngram_profile", "embedding_near_dup",
     "embedding_near_dup_bucketed", "hash_split", "hrv_time_domain",
     "incremental_ingest_decisions", "ingest_internal_near_decisions",
-    "int8_cosine_topk",
 ]
 
 

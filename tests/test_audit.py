@@ -190,3 +190,53 @@ def test_audit_hourly_midnight_wrap_imbalance(spark):
         for r in audit.audit_hourly_frame(_events(spark, rows)).collect()
     }
     assert rep["midnight_wrap_imbalance_pct"]["metric"] == 100.0
+
+
+def test_benford_audit_recognizes_benford_and_flat_data(spark):
+    """A 1..N integer range IS Benford-ish only in log-complete spans:
+    2^k geometric data follows Benford closely (every chi2 term small),
+    while a constant-magnitude block (all values 5xxx) concentrates on
+    one digit — the audit must separate the two."""
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import audit
+
+    # geometric series 1.5^k spans magnitudes uniformly in log space
+    # (k <= 80 keeps every value inside DECIMAL(18,2)'s 16 integer digits)
+    geo = spark.range(1, 81).select(
+        F.pow(F.lit(1.5), F.col("id").cast("double")).alias("v")
+    )
+    rows = {r["digit"]: r for r in audit.benford_digit_audit(geo, "v").collect()}
+    assert set(rows) == set(range(1, 10))
+    assert sum(r["n"] for r in rows.values()) == 80
+    # out-of-domain outliers are EXCLUDED, never fatal (try_cast):
+    huge = spark.range(1, 200).select(
+        F.pow(F.lit(1.5), F.col("id").cast("double")).alias("v")
+    )
+    n_in_domain = sum(
+        r["n"] for r in audit.benford_digit_audit(huge, "v").collect()
+    )
+    assert 0 < n_in_domain < 199
+    # digit 1 most frequent, monotone-ish decline, and obs tracks exp
+    assert rows[1]["n"] == max(r["n"] for r in rows.values())
+    for d in range(1, 10):
+        assert abs(rows[d]["obs_freq"] - rows[d]["exp_freq"]) < 0.05, d
+
+    flat = spark.range(1000).select((F.col("id") % 7 + 5000).alias("v"))
+    frows = {r["digit"]: r for r in audit.benford_digit_audit(flat, "v").collect()}
+    assert set(frows) == {5}  # every value leads with 5
+    assert frows[5]["obs_freq"] == 1.0
+    assert frows[5]["chi2_term"] > 1000  # massive deviation flagged
+
+
+def test_benford_audit_ignores_nonpositive_and_reads_decimal_digit(spark):
+    """Zero/negative rows are excluded; sub-1 values take their first
+    NONZERO digit (0.0042 -> 4) via the decimal string form."""
+    from practicum2_nof1_adhd_bd_spark.operators import audit
+
+    df = spark.createDataFrame(
+        [(0.0,), (-12.0,), (0.4212,), (0.43,)], "v double"
+    )
+    rows = {r["digit"]: r["n"]
+            for r in audit.benford_digit_audit(df, "v", digits_scale=4).collect()}
+    assert rows == {4: 2}
