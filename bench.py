@@ -136,6 +136,7 @@ HEADLINE = [
     "decontaminate_containment",
     "zipf_law_fit",
     "benford_digit_audit",
+    "int8_rerank_topk",
 ]
 
 

@@ -8795,6 +8795,108 @@ def q_ann_multiprobe_topk(spark, sf_dir):
     )
 
 
+def _int8_rerank_oracle(
+    n_tables: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_flips: int = 4,
+    rerank: int = 100,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of sim.int8_rerank_topk: multiprobe candidate choice
+    (raw-vector buckets, query-directed flips) -> coarse ASYMMETRIC rank
+    (int8-dequantized corpus vector x full-precision query) cut at
+    ``rerank`` with (approx DESC, id ASC) ties -> exact full-precision
+    re-rank to top-k. Attests both stages AND the cut boundary."""
+    table_bits = []
+    dot_rows = []
+    for t in range(n_tables):
+        planes = sim.md5_planes(n_planes, dim, salt=f"{t}:")
+        bits = " + ".join(
+            f"(CASE WHEN list_inner_product(v, "
+            f"[{', '.join(repr(x) for x in p)}]::DOUBLE[]) > 0 "
+            f"THEN {2 ** i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        table_bits.append(f"({bits}) AS b{t}")
+        for i, p in enumerate(planes):
+            arr = ", ".join(repr(x) for x in p)
+            dot_rows.append(
+                f"SELECT {t} AS t, {i} AS i, {2 ** i} AS w, "
+                f"list_inner_product(qv, [{arr}]::DOUBLE[]) AS d FROM q"
+            )
+    bcols = ",\n           ".join(table_bits)
+    dots_union = "\n        UNION ALL ".join(dot_rows)
+    any_hit = " OR ".join(
+        f"EXISTS (SELECT 1 FROM probes p WHERE p.t = {t} AND p.pb = b.b{t})"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    b AS (SELECT vec_id, v,
+           {bcols}
+          FROM e),
+    dots AS ({dots_union}),
+    qb AS (SELECT t, CAST(sum(CASE WHEN d > 0 THEN w ELSE 0 END) AS INT)
+                  AS qb
+           FROM dots GROUP BY t),
+    fl AS (SELECT t, w,
+                  row_number() OVER (PARTITION BY t
+                                     ORDER BY abs(d) ASC, i ASC) AS rk
+           FROM dots),
+    probes AS (
+        SELECT t, qb AS pb FROM qb
+        UNION
+        SELECT f.t, xor(g.qb, f.w) AS pb
+        FROM fl f JOIN qb g ON f.t = g.t WHERE f.rk <= {n_flips}
+    ),
+    cand AS (SELECT vec_id, v FROM b, q
+             WHERE vec_id != 0 AND ({any_hit})),
+    s AS (SELECT vec_id, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)
+                     / 127.0 AS sc
+          FROM cand),
+    d AS (SELECT vec_id, list_transform(v, x -> round(x / sc) * sc) AS dv
+          FROM s),
+    coarse AS (SELECT vec_id,
+                      list_inner_product(dv, qv)
+                      / (sqrt(list_inner_product(dv, dv))
+                         * sqrt(list_inner_product(qv, qv))) AS approx,
+                      row_number() OVER (
+                          ORDER BY list_inner_product(dv, qv)
+                              / (sqrt(list_inner_product(dv, dv))
+                                 * sqrt(list_inner_product(qv, qv))) DESC,
+                              vec_id ASC) AS rk
+               FROM d, q
+               QUALIFY rk <= {rerank})
+    SELECT e.vec_id,
+           round(list_inner_product(e.v, qv)
+                 / (sqrt(list_inner_product(e.v, e.v))
+                    * sqrt(list_inner_product(qv, qv))), 6) AS cosine
+    FROM e JOIN coarse USING (vec_id), q
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register("int8_rerank_topk", _int8_rerank_oracle())
+def q_int8_rerank_topk(spark, sf_dir):
+    """Two-stage ANN serving under the value-hash gate
+    (sim.int8_rerank_topk, the Jegou et al. ADC re-rank recipe —
+    previously pytest-only): a wide query-directed multiprobe candidate
+    set is ranked by int8 ASYMMETRIC cosine (4x fewer bytes touched
+    than float32 at the same candidate fraction), and only the top-100
+    survivors pay the exact full-precision re-rank to top-10. The
+    oracle replays candidate choice, quantization, the asymmetric
+    coarse rank INCLUDING its cut boundary, and the exact re-rank —
+    operating-point numbers in SCALING §2c."""
+    emb = _cat(spark, sf_dir).embeddings
+    return sim.int8_rerank_topk(
+        emb, query_id=0, k=10, n_tables=10, n_planes=8, n_flips=4, rerank=100
+    )
+
+
 @register(
     "multitable_index_topk",
     _multiprobe_lsh_oracle(n_tables=10, n_flips=3, rank_int8=True),
@@ -10547,18 +10649,20 @@ _FRONT_ORDER = [
     "setsim_prefix_join", "kmv_distinct_estimate", "weighted_sample_topk",
     "host_lpa_communities", "streaming_attribution_join",
     "decontaminate_containment", "zipf_law_fit", "benford_digit_audit",
+    "int8_rerank_topk",
     # behavior-touched r12: temporal_instability now scores absent
     # feature columns 0.0 (ref parity) instead of raising; both ingest
     # streams gained crashed-compaction recovery, the legacy-decisions
     # layout guard, and dedup-on-auto-compaction
     "temporal_instability_scores", "streaming_ingest_decisions",
     "streaming_vector_decisions",
-    # rotation: 17 of the 44-query r07 cohort (last driver attestation
+    # rotation: 16 of the 44-query r07 cohort (last driver attestation
     # r07 — five rounds overdue; ledger in COVERAGE.md). The remaining
-    # 27 (int8_cosine_topk, interpolate_daily, interval_efficiency,
-    # ivf_ann_topk, json_props_daily, large_volume_customers,
-    # media_frame_sample, minhash_signatures — displaced by the
-    # session-5 eight — plus multiformat_ts_parse, pack_sequences,
+    # 28 (ingest_internal_near_decisions, int8_cosine_topk,
+    # interpolate_daily, interval_efficiency, ivf_ann_topk,
+    # json_props_daily, large_volume_customers, media_frame_sample,
+    # minhash_signatures — displaced by the session-5 nine — plus
+    # multiformat_ts_parse, pack_sequences,
     # pii_redact_stats, pipe_split_union, quality_adjusted_label,
     # quality_score, region_revenue, rollup_nation_year, semantic_dedup,
     # semantic_dedup_bucketed, som_daily_agg,
@@ -10571,7 +10675,7 @@ _FRONT_ORDER = [
     "corpus_clean", "cosine_topk", "daily_modal_type", "doc_fingerprint",
     "dup_ngram_profile", "embedding_near_dup",
     "embedding_near_dup_bucketed", "hash_split", "hrv_time_domain",
-    "incremental_ingest_decisions", "ingest_internal_near_decisions",
+    "incremental_ingest_decisions",
 ]
 
 

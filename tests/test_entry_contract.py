@@ -56,12 +56,14 @@ def test_attestation_window_is_stable():
     stats; session 5 adds the prefix-filtered set-similarity join, the
     KMV distinct sketch, the Efraimidis-Spirakis weighted draw, LPA
     communities, the stream-stream interval join, the containment
-    decontamination screen, the per-source Zipf fit, and the Benford
-    first-digit audit) + the 3
+    decontamination screen, the per-source Zipf fit, the Benford
+    first-digit audit, and the int8 asymmetric re-rank under the gate)
+    + the 3
     r12-behavior-touched queries (temporal_instability's missing-column
     guard; both ingest streams' crashed-compaction recovery + layout
-    guard) + 17 of the 44-query r07 cohort (five rounds overdue; the
-    remaining 27 — int8_cosine_topk through minhash_signatures displaced by
+    guard) + 16 of the 44-query r07 cohort (five rounds overdue; the
+    remaining 28 — ingest_internal_near_decisions through
+    minhash_signatures displaced by
     session 5, plus multiformat_ts_parse through user_sessions in
     ledger order — spill to r13 — ledger in COVERAGE.md). Rows-only
     (no-oracle) queries must NOT occupy window slots."""
@@ -86,17 +88,17 @@ def test_attestation_window_is_stable():
         "setsim_prefix_join", "kmv_distinct_estimate",
         "weighted_sample_topk", "host_lpa_communities",
         "streaming_attribution_join", "decontaminate_containment",
-        "zipf_law_fit", "benford_digit_audit",
+        "zipf_law_fit", "benford_digit_audit", "int8_rerank_topk",
         # behavior-touched r12
         "temporal_instability_scores", "streaming_ingest_decisions",
         "streaming_vector_decisions",
-        # r07-cohort rotation (17 of 44)
+        # r07-cohort rotation (16 of 44)
         "apply_mixture_sample", "auc_persistence", "bpe_token_stats",
         "calibration_bins", "char_ngram_entropy", "circadian_midpoint",
         "corpus_clean", "cosine_topk", "daily_modal_type",
         "doc_fingerprint", "dup_ngram_profile", "embedding_near_dup",
         "embedding_near_dup_bucketed", "hash_split", "hrv_time_domain",
-        "incremental_ingest_decisions", "ingest_internal_near_decisions",
+        "incremental_ingest_decisions",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry
