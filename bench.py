@@ -137,6 +137,7 @@ HEADLINE = [
     "zipf_law_fit",
     "benford_digit_audit",
     "int8_rerank_topk",
+    "simhash_near_dups",
 ]
 
 

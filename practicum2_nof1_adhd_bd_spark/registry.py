@@ -7611,6 +7611,45 @@ def q_simhash_fingerprints(spark, sf_dir):
 
 
 @register(
+    "simhash_near_dups",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    t AS (SELECT doc_id, list_distinct(words) AS toks FROM w),
+    h AS (SELECT doc_id,
+                 list_transform(toks, tk -> ('0x' || substr(md5(tk), 1, 7))::BIGINT) AS hs
+          FROM t),
+    fp AS (SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 28),
+                b -> CASE WHEN list_sum(list_transform(hs,
+                            hv -> CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                     THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+           FROM h),
+    banded AS (SELECT doc_id, simhash, b.band,
+                      (simhash >> (b.band * 7)) & 127 AS bucket
+               FROM fp, (SELECT unnest(range(0, 4)) AS band) b)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup PAIRS under the gate (dedup.simhash_near_dups —
+    previously pytest-only; simhash_fingerprints attested only the
+    fingerprint): 4 bands x 7 bits as the candidate blocking, bucket
+    equijoin, exact hamming verify via bit_count(xor). At max_hamming=3
+    the pigeonhole bound makes the blocking EXACT — any pair within 3
+    differing bits must share one full band — so the blocked result
+    equals the brute-force quadratic join (pinned in
+    tests/test_dedup_similarity.py), the same no-false-negative
+    property the prefix join has for Jaccard. Pure integer algebra end
+    to end; the oracle replays fingerprint, banding, join, verify."""
+    docs = _cat(spark, sf_dir).documents
+    return dedup.simhash_near_dups(docs, max_hamming=3)
+
+
+@register(
     "ngram_jaccard_pairs",
     f"""
     WITH w AS (SELECT doc_id, lang, source, {_WORDS} AS words FROM documents),
@@ -10649,20 +10688,20 @@ _FRONT_ORDER = [
     "setsim_prefix_join", "kmv_distinct_estimate", "weighted_sample_topk",
     "host_lpa_communities", "streaming_attribution_join",
     "decontaminate_containment", "zipf_law_fit", "benford_digit_audit",
-    "int8_rerank_topk",
+    "int8_rerank_topk", "simhash_near_dups",
     # behavior-touched r12: temporal_instability now scores absent
     # feature columns 0.0 (ref parity) instead of raising; both ingest
     # streams gained crashed-compaction recovery, the legacy-decisions
     # layout guard, and dedup-on-auto-compaction
     "temporal_instability_scores", "streaming_ingest_decisions",
     "streaming_vector_decisions",
-    # rotation: 16 of the 44-query r07 cohort (last driver attestation
+    # rotation: 15 of the 44-query r07 cohort (last driver attestation
     # r07 — five rounds overdue; ledger in COVERAGE.md). The remaining
-    # 28 (ingest_internal_near_decisions, int8_cosine_topk,
-    # interpolate_daily, interval_efficiency, ivf_ann_topk,
-    # json_props_daily, large_volume_customers, media_frame_sample,
-    # minhash_signatures — displaced by the session-5 nine — plus
-    # multiformat_ts_parse, pack_sequences,
+    # 29 (incremental_ingest_decisions, ingest_internal_near_decisions,
+    # int8_cosine_topk, interpolate_daily, interval_efficiency,
+    # ivf_ann_topk, json_props_daily, large_volume_customers,
+    # media_frame_sample, minhash_signatures — displaced by the
+    # session-5 ten — plus multiformat_ts_parse, pack_sequences,
     # pii_redact_stats, pipe_split_union, quality_adjusted_label,
     # quality_score, region_revenue, rollup_nation_year, semantic_dedup,
     # semantic_dedup_bucketed, som_daily_agg,
@@ -10675,7 +10714,6 @@ _FRONT_ORDER = [
     "corpus_clean", "cosine_topk", "daily_modal_type", "doc_fingerprint",
     "dup_ngram_profile", "embedding_near_dup",
     "embedding_near_dup_bucketed", "hash_split", "hrv_time_domain",
-    "incremental_ingest_decisions",
 ]
 
 

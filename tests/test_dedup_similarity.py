@@ -560,3 +560,30 @@ def test_prefix_jaccard_join_hand_example(spark):
     assert abs(out[(1, 2)] - 0.8) < 1e-9
     assert abs(out[(2, 4)] - 0.8) < 1e-9
     assert set(out) == {(1, 2), (1, 4), (2, 4)}
+
+
+def test_simhash_band_blocking_exact_at_pigeonhole_radius(spark, sf_dir):
+    """4 bands x 7 bits: a pair within hamming 3 must share a full band
+    (pigeonhole), so the blocked join at max_hamming=3 must equal the
+    unblocked brute-force hamming join exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blocked = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_near_dups(docs, max_hamming=3).collect()
+    }
+    fp = dedup.simhash_fingerprints(docs)
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert blocked == brute
+    assert len(blocked) > 0

@@ -57,12 +57,12 @@ def test_attestation_window_is_stable():
     KMV distinct sketch, the Efraimidis-Spirakis weighted draw, LPA
     communities, the stream-stream interval join, the containment
     decontamination screen, the per-source Zipf fit, the Benford
-    first-digit audit, and the int8 asymmetric re-rank under the gate)
-    + the 3
+    first-digit audit, and the int8 re-rank + SimHash near-dup pairs
+    promoted under the gate) + the 3
     r12-behavior-touched queries (temporal_instability's missing-column
     guard; both ingest streams' crashed-compaction recovery + layout
-    guard) + 16 of the 44-query r07 cohort (five rounds overdue; the
-    remaining 28 — ingest_internal_near_decisions through
+    guard) + 15 of the 44-query r07 cohort (five rounds overdue; the
+    remaining 29 — incremental_ingest_decisions through
     minhash_signatures displaced by
     session 5, plus multiformat_ts_parse through user_sessions in
     ledger order — spill to r13 — ledger in COVERAGE.md). Rows-only
@@ -89,16 +89,16 @@ def test_attestation_window_is_stable():
         "weighted_sample_topk", "host_lpa_communities",
         "streaming_attribution_join", "decontaminate_containment",
         "zipf_law_fit", "benford_digit_audit", "int8_rerank_topk",
+        "simhash_near_dups",
         # behavior-touched r12
         "temporal_instability_scores", "streaming_ingest_decisions",
         "streaming_vector_decisions",
-        # r07-cohort rotation (16 of 44)
+        # r07-cohort rotation (15 of 44)
         "apply_mixture_sample", "auc_persistence", "bpe_token_stats",
         "calibration_bins", "char_ngram_entropy", "circadian_midpoint",
         "corpus_clean", "cosine_topk", "daily_modal_type",
         "doc_fingerprint", "dup_ngram_profile", "embedding_near_dup",
         "embedding_near_dup_bucketed", "hash_split", "hrv_time_domain",
-        "incremental_ingest_decisions",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry
