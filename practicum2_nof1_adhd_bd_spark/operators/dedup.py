@@ -311,11 +311,26 @@ def jaccard_verify(
     )
 
 
-def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """28-bit SimHash over distinct word tokens, one fingerprint per doc.
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    features: str = "words",
+) -> DataFrame:
+    """28-bit SimHash over distinct features, one fingerprint per doc.
 
-    Per token: 28-bit md5-derived hash; for each bit position, sum +1/-1
-    over tokens; the fingerprint sets the bits whose sum is positive.
+    ``features="words"`` (default, the attested simhash_fingerprints
+    form) hashes distinct word tokens; ``features="shingles"`` hashes
+    distinct 3-word shingles — the published corpus-dedup grain
+    (Charikar/Manku et al. use shingle-like features), and the one that
+    stays discriminative when the word vocabulary is tiny: on this
+    synthetic corpus the word-grain fingerprint space collapses (every
+    doc shares most of the 31-word vocab) while the shingle grain
+    tracks the planted near-dups.
+
+    Per feature: 28-bit md5-derived hash; for each bit position, sum
+    +1/-1 over features; the fingerprint sets the bits whose sum is
+    positive.
 
     Shaped like the MinHash path (explode -> md5 -> grouped sums) rather
     than nested higher-order lambdas: HOF lambdas evaluate interpreted per
@@ -326,9 +341,18 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "d
     fingerprint 0 (explode_outer + the NULL-token guard), matching the
     lambda form bit-for-bit.
     """
-    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    if features == "shingles":
+        # shingle grain EXCLUDES featureless docs (no rows -> no
+        # fingerprint): a <3-token doc has no shingle evidence, and a
+        # fingerprint-0 placeholder would pair all such docs at
+        # hamming 0. The words grain keeps its fingerprint-0 contract.
+        toks = word_shingles(F.col(text_col), 3)
+        explode_fn = F.explode
+    else:
+        toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+        explode_fn = F.explode_outer
     ex = fan_out(df, id_col).select(
-        F.col(id_col), F.explode_outer(toks).alias("_t")
+        F.col(id_col), explode_fn(toks).alias("_t")
     ).withColumn(
         "_h", F.conv(F.substring(F.md5(F.col("_t")), 1, 7), 16, 10).cast("bigint")
     )
@@ -354,14 +378,17 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 6,
+    features: str = "words",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
     Candidate generation: 4 bands of 7 bits each (pigeonhole: any pair with
     <= 3 differing bits shares at least one exact band) — bucket equijoin,
-    then exact hamming filter via bit_count(xor).
+    then exact hamming filter via bit_count(xor). At ``max_hamming <= 3``
+    the banding is therefore EXACT (blocked == brute force); wider radii
+    trade recall like any banding.
     """
-    fp = simhash_fingerprints(df, text_col, id_col)
+    fp = simhash_fingerprints(df, text_col, id_col, features=features)
     banded = fp.select(
         id_col,
         "simhash",

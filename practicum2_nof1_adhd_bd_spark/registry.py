@@ -7614,7 +7614,8 @@ def q_simhash_fingerprints(spark, sf_dir):
     "simhash_near_dups",
     f"""
     WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
-    t AS (SELECT doc_id, list_distinct(words) AS toks FROM w),
+    t AS (SELECT doc_id, {_SHINGLES} AS toks FROM w
+          WHERE len(words) >= 3),
     h AS (SELECT doc_id,
                  list_transform(toks, tk -> ('0x' || substr(md5(tk), 1, 7))::BIGINT) AS hs
           FROM t),
@@ -7644,9 +7645,14 @@ def q_simhash_near_dups(spark, sf_dir):
     equals the brute-force quadratic join (pinned in
     tests/test_dedup_similarity.py), the same no-false-negative
     property the prefix join has for Jaccard. Pure integer algebra end
-    to end; the oracle replays fingerprint, banding, join, verify."""
+    to end; the oracle replays fingerprint, banding, join, verify.
+    SHINGLE-grain features (the published corpus-dedup grain): the
+    word-grain fingerprint space collapses on this tiny-vocabulary
+    corpus (52k indistinct pairs at sf0.01) while the shingle grain
+    tracks exactly the planted near-dups (23); featureless (<3-token)
+    docs carry no fingerprint rather than a degenerate 0."""
     docs = _cat(spark, sf_dir).documents
-    return dedup.simhash_near_dups(docs, max_hamming=3)
+    return dedup.simhash_near_dups(docs, max_hamming=3, features="shingles")
 
 
 @register(

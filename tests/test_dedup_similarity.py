@@ -587,3 +587,23 @@ def test_simhash_band_blocking_exact_at_pigeonhole_radius(spark, sf_dir):
     }
     assert blocked == brute
     assert len(blocked) > 0
+
+
+def test_simhash_shingle_grain_discriminates_and_drops_featureless(spark):
+    """Shingle-grain fingerprints: near-identical docs pair, unrelated
+    docs don't (word-grain would put all same-vocab docs at hamming 0),
+    and a <3-token doc carries NO fingerprint instead of a degenerate 0
+    that would pair every short doc."""
+    docs = _docs(spark)
+    fp = dedup.simhash_fingerprints(docs, features="shingles")
+    by_id = {r["doc_id"]: r["simhash"] for r in fp.collect()}
+    assert 5 not in by_id          # featureless doc excluded
+    assert by_id[1] == by_id[4]    # exact dup -> identical fingerprint
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dups(
+            docs, max_hamming=3, features="shingles"
+        ).collect()
+    }
+    assert pairs[(1, 4)] == 0
+    assert all(3 not in p and 5 not in p for p in pairs)

@@ -250,6 +250,20 @@ QUERIES = [
     "shipmode_priority_counts",
     # url_canonical_dedup excluded: constant-size fixture (like
     # iphone_backup_scan) — covered by the dedicated --url-rows probe
+    # round-12 session-5 additions. Excluded for cause:
+    # host_lpa_communities (constant-size formula fixture);
+    # simhash_near_dups + decontaminate_containment (document
+    # replication makes every replica an exact dup / a 1.0-containment
+    # hit, so pair output degenerates to the C(10,2)-per-group blowup
+    # already characterized by the minhash_lsh_pairs footnote);
+    # streaming_attribution_join (availableNow stream measures stream
+    # machinery, not throughput).
+    "setsim_prefix_join",
+    "kmv_distinct_estimate",
+    "weighted_sample_topk",
+    "zipf_law_fit",
+    "benford_digit_audit",
+    "int8_rerank_topk",
 ]
 
 # artifact-serving queries: run once UNTIMED first so _land_once builds
