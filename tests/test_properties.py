@@ -655,3 +655,91 @@ def test_bpe_fit_and_encode_match_pure_python(spark, docs, k):
         ]
         assert enc[i]["encoded"] == " ".join(want), (i, t)
         assert enc[i]["n_subwords"] == len(want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.sampled_from([4, 8]),
+)
+@_settings
+def test_kmv_estimate_cross_engine_any_input(spark, rows, k):
+    """KMV sketch + estimator must byte-match the DuckDB replay for ANY
+    (group, value) stream — the sketch's whole contract is that the
+    distributed two-level merge is replayable by a sequential engine."""
+    import duckdb
+
+    from practicum2_nof1_adhd_bd_spark.operators import sketches
+
+    df = spark.createDataFrame(rows, "g string, v long").repartition(5)
+    got = {
+        (r["g"]): (r["sketch_size"], r["kmv_estimate"])
+        for r in sketches.kmv_estimate(df, ["g"], "v", k=k).collect()
+    }
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (g VARCHAR, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    orc = con.sql(f"""
+        WITH h AS (SELECT DISTINCT g,
+                       ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
+                   FROM t),
+        r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+              FROM h),
+        sk AS (SELECT g, count(*) AS n, max(CASE WHEN rn = {k} THEN h END) AS hk
+               FROM r WHERE rn <= {k} GROUP BY g)
+        SELECT g, n,
+               round(CASE WHEN n < {k} THEN n * 1.0
+                          ELSE {k - 1}.0 * 1152921504606846976 / hk END, 4)
+        FROM sk
+    """).fetchall()
+    assert got == {g: (n, est) for g, n, est in orc}
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=0,
+            max_size=8,
+        ).map(" ".join),
+        min_size=2,
+        max_size=10,
+    )
+)
+@_settings
+def test_prefix_join_equals_brute_force_any_corpus(spark, texts):
+    """The prefix-filter lemma is an ANY-input guarantee, not a fixture
+    property: for every random corpus (including empty docs, dup docs,
+    single-shingle docs) the filtered join must equal the quadratic
+    one."""
+    from practicum2_nof1_adhd_bd_spark.operators import dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    fast = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.prefix_jaccard_join(df).collect()
+    }
+    sh = df.select(
+        "doc_id", dedup.word_shingles(F.col("text"), 3).alias("toks")
+    ).filter(F.size("toks") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect("a.toks", "b.toks"))
+    uni = F.size(F.array_union("a.toks", "b.toks"))
+    brute = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(2 * inter >= uni)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(inter / uni, 6).alias("jaccard"),
+        )
+        .collect()
+    }
+    assert fast == brute
