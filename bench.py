@@ -138,6 +138,8 @@ HEADLINE = [
     "benford_digit_audit",
     "int8_rerank_topk",
     "simhash_near_dups",
+    "funnel_conversion",
+    "retention_cohorts",
 ]
 
 

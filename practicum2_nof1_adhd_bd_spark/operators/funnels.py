@@ -1,0 +1,134 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+The two classic product/behavior-analytics shapes over an event stream
+(the MATCH_RECOGNIZE-lite tier): a funnel asks "how many users performed
+step A, then B after A, then C after B", retention asks "of the users
+who first appeared in week W, how many were active W+k".
+
+Both are pure relational algebra designed around ONE user-keyed shuffle:
+the funnel is a chain of conditional-min aggregations on the same
+user_id key (Spark reuses the exchange — each later stage consumes the
+previous stage's partitioning), and retention is two aggregations (first
+seen, then (cohort, offset) distinct counts). No sequential per-user
+state, no UDFs, so both scan-scale to firehose event volumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    step_horizon: str | None = None,
+) -> DataFrame:
+    """Ordered funnel: one row per step with the count of users whose
+    FIRST qualifying event for step i occurs at-or-after their first
+    qualifying event for step i-1 (the standard strictly-ordered,
+    earliest-completion funnel semantics — re-orderings don't count,
+    repeat events before the previous step don't count).
+
+    ``step_horizon`` (a SQL interval string, e.g. "INTERVAL 6 HOURS")
+    additionally requires each step within that horizon of the PREVIOUS
+    step's anchor — the conversion-window form every funnel product
+    uses; None means unbounded.
+
+    Plan shape: stage i is a conditional min over the user key joined to
+    stage i-1's anchor — every stage shuffles on the SAME key, so after
+    the first exchange the rest are co-partitioned. Output is
+    steps-cardinality rows: (step, step_name, n_users,
+    conv_from_prev, conv_from_first), ratios at 6dp.
+    """
+    ev = events.select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("t"),
+        F.col(type_col).alias("k"),
+    )
+    # stage 1: first occurrence of the entry step
+    anchors = (
+        ev.filter(F.col("k") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("t1"))
+    )
+    counts = [anchors.count()]
+    prev, prev_col = anchors, "t1"
+    for i, step in enumerate(steps[1:], start=2):
+        win = (
+            (F.col("t") >= F.col(prev_col))
+            if step_horizon is None
+            else (F.col("t") >= F.col(prev_col))
+            & (F.col("t") <= F.col(prev_col) + F.expr(step_horizon))
+        )
+        nxt = (
+            ev.filter(F.col("k") == step)
+            .join(prev, "u")
+            .filter(win)
+            .groupBy("u", *[c for c in prev.columns if c.startswith("t")])
+            .agg(F.min("t").alias(f"t{i}"))
+        )
+        counts.append(nxt.count())
+        prev, prev_col = nxt, f"t{i}"
+    spark = events.sparkSession
+    rows = []
+    for i, (step, n) in enumerate(zip(steps, counts)):
+        conv_prev = None if i == 0 else (
+            round(n / counts[i - 1], 6) if counts[i - 1] else None
+        )
+        conv_first = round(n / counts[0], 6) if counts[0] else None
+        rows.append((i + 1, step, n, conv_prev, conv_first))
+    return spark.createDataFrame(
+        rows,
+        "step int, step_name string, n_users bigint, "
+        "conv_from_prev double, conv_from_first double",
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_weeks: int = 8,
+) -> DataFrame:
+    """Weekly cohort retention: cohort = Monday of the user's first
+    event week; week_offset = whole weeks between the event and the
+    user's first event; one row per (cohort_week, week_offset) with the
+    distinct active users and the retention ratio against the cohort
+    size (offset 0 is the cohort size itself, ratio 1.0 by
+    construction).
+
+    Two aggregations: first-seen per user (one user-keyed shuffle),
+    then distinct users per (cohort, offset) — the event stream never
+    shuffles more than once at user grain, and the output is bounded by
+    weeks^2, not users.
+    """
+    ev = events.select(
+        F.col(user_col).alias("u"), F.to_date(ts_col).alias("d")
+    )
+    first = ev.groupBy("u").agg(F.min("d").alias("first_d"))
+    joined = ev.join(first, "u").select(
+        "u",
+        F.date_trunc("week", "first_d").cast("date").alias("cohort_week"),
+        # explicit floor: Spark's double->int cast truncates but
+        # DuckDB's CAST rounds-to-nearest — floor() is the one form
+        # both engines agree on
+        F.floor(F.datediff(F.col("d"), F.col("first_d")) / 7).cast("int").alias(
+            "week_offset"
+        ),
+    ).filter(F.col("week_offset") <= max_weeks)
+    active = joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("u").alias("n_active")
+    )
+    size = active.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return active.join(size, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )

@@ -5785,6 +5785,81 @@ def q_stratified_sample_k(spark, sf_dir):
 
 
 @register(
+    "funnel_conversion",
+    """
+    WITH e AS (SELECT user_id AS u, ts AS t, event_type AS k FROM events),
+    s1 AS (SELECT u, min(t) AS t1 FROM e WHERE k = 'signup' GROUP BY u),
+    s2 AS (SELECT e.u, min(t) AS t2 FROM e JOIN s1 USING (u)
+           WHERE k = 'click' AND t >= t1 AND t <= t1 + INTERVAL 6 HOUR
+           GROUP BY e.u),
+    s3 AS (SELECT e.u, min(t) AS t3 FROM e JOIN s2 USING (u)
+           WHERE k = 'purchase' AND t >= t2 AND t <= t2 + INTERVAL 6 HOUR
+           GROUP BY e.u),
+    c AS (SELECT (SELECT count(*) FROM s1) AS n1,
+                 (SELECT count(*) FROM s2) AS n2,
+                 (SELECT count(*) FROM s3) AS n3)
+    SELECT 1 AS step, 'signup' AS step_name, CAST(n1 AS BIGINT) AS n_users,
+           CAST(NULL AS DOUBLE) AS conv_from_prev,
+           round(n1 * 1.0 / n1, 6) AS conv_from_first FROM c
+    UNION ALL SELECT 2, 'click', n2, round(n2 * 1.0 / n1, 6),
+           round(n2 * 1.0 / n1, 6) FROM c
+    UNION ALL SELECT 3, 'purchase', n3, round(n3 * 1.0 / n2, 6),
+           round(n3 * 1.0 / n1, 6) FROM c
+    """,
+)
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered conversion funnel (funnels.funnel_steps): users whose
+    first signup is followed by a click within 6 hours, then a purchase
+    within 6 hours of that click — strictly-ordered earliest-completion
+    semantics with a conversion window, the MATCH_RECOGNIZE-lite shape
+    every product-analytics stack ships. Each stage is a conditional
+    min on the SAME user key (post-first-exchange stages are
+    co-partitioned); the 6-hour horizon makes the fixture discriminate
+    (150 -> 14 -> 4 at sf0.01, vs all-1.0 unbounded). Out-of-order and
+    pre-anchor repeats are excluded by construction; semantics pinned
+    in tests/test_funnels.py."""
+    ev = _cat(spark, sf_dir).events
+    from .operators import funnels
+
+    return funnels.funnel_steps(
+        ev, ["signup", "click", "purchase"], step_horizon="INTERVAL 6 HOURS"
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH e AS (SELECT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+    f AS (SELECT u, min(d) AS first_d FROM e GROUP BY u),
+    j AS (SELECT e.u, CAST(date_trunc('week', f.first_d) AS DATE) AS cohort_week,
+                 CAST(floor((e.d - f.first_d) / 7.0) AS INT) AS week_offset
+          FROM e JOIN f USING (u)
+          WHERE CAST(floor((e.d - f.first_d) / 7.0) AS INT) <= 8),
+    a AS (SELECT cohort_week, week_offset, count(DISTINCT u) AS n_active
+          FROM j GROUP BY 1, 2),
+    s AS (SELECT cohort_week, n_active AS cohort_size FROM a
+          WHERE week_offset = 0)
+    SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+           round(a.n_active * 1.0 / s.cohort_size, 6) AS retention
+    FROM a JOIN s USING (cohort_week)
+    """,
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention (funnels.retention_cohorts): cohort =
+    ISO-Monday of each user's first event week, one row per
+    (cohort_week, week_offset) with distinct active users and the
+    retention ratio — the other classic event-analytics shape beside
+    the funnel. Two user-keyed aggregations, output bounded by weeks^2
+    not users. Cross-engine pitfall pinned in source: the week offset
+    uses explicit floor() because Spark's double->int cast truncates
+    while DuckDB's rounds to nearest; tests in tests/test_funnels.py."""
+    ev = _cat(spark, sf_dir).events
+    from .operators import funnels
+
+    return funnels.retention_cohorts(ev)
+
+
+@register(
     "benford_digit_audit",
     """
     WITH v AS (SELECT CAST(TRY_CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS s
@@ -10694,20 +10769,22 @@ _FRONT_ORDER = [
     "setsim_prefix_join", "kmv_distinct_estimate", "weighted_sample_topk",
     "host_lpa_communities", "streaming_attribution_join",
     "decontaminate_containment", "zipf_law_fit", "benford_digit_audit",
-    "int8_rerank_topk", "simhash_near_dups",
+    "int8_rerank_topk", "simhash_near_dups", "funnel_conversion",
+    "retention_cohorts",
     # behavior-touched r12: temporal_instability now scores absent
     # feature columns 0.0 (ref parity) instead of raising; both ingest
     # streams gained crashed-compaction recovery, the legacy-decisions
     # layout guard, and dedup-on-auto-compaction
     "temporal_instability_scores", "streaming_ingest_decisions",
     "streaming_vector_decisions",
-    # rotation: 15 of the 44-query r07 cohort (last driver attestation
+    # rotation: 13 of the 44-query r07 cohort (last driver attestation
     # r07 — five rounds overdue; ledger in COVERAGE.md). The remaining
-    # 29 (incremental_ingest_decisions, ingest_internal_near_decisions,
+    # 31 (hash_split, hrv_time_domain, incremental_ingest_decisions,
+    # ingest_internal_near_decisions,
     # int8_cosine_topk, interpolate_daily, interval_efficiency,
     # ivf_ann_topk, json_props_daily, large_volume_customers,
     # media_frame_sample, minhash_signatures — displaced by the
-    # session-5 ten — plus multiformat_ts_parse, pack_sequences,
+    # session-5 twelve — plus multiformat_ts_parse, pack_sequences,
     # pii_redact_stats, pipe_split_union, quality_adjusted_label,
     # quality_score, region_revenue, rollup_nation_year, semantic_dedup,
     # semantic_dedup_bucketed, som_daily_agg,
@@ -10719,7 +10796,7 @@ _FRONT_ORDER = [
     "calibration_bins", "char_ngram_entropy", "circadian_midpoint",
     "corpus_clean", "cosine_topk", "daily_modal_type", "doc_fingerprint",
     "dup_ngram_profile", "embedding_near_dup",
-    "embedding_near_dup_bucketed", "hash_split", "hrv_time_domain",
+    "embedding_near_dup_bucketed",
 ]
 
 

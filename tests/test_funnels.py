@@ -1,0 +1,85 @@
+"""Ordered funnels and cohort retention — hand-checkable semantics."""
+
+import datetime as dt
+
+from practicum2_nof1_adhd_bd_spark.operators import funnels
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime.fromisoformat(t), k) for u, t, k in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+def test_funnel_order_and_horizon_semantics(spark):
+    """User 1 completes in order; user 2 clicks BEFORE signing up
+    (excluded — order matters); user 3 clicks 7h after signup
+    (excluded by the 6h horizon); user 4 signs up only."""
+    ev = _ev(spark, [
+        (1, "2024-01-01 10:00:00", "signup"),
+        (1, "2024-01-01 11:00:00", "click"),
+        (2, "2024-01-01 09:00:00", "click"),
+        (2, "2024-01-01 10:00:00", "signup"),
+        (3, "2024-01-01 10:00:00", "signup"),
+        (3, "2024-01-01 17:00:01", "click"),
+        (4, "2024-01-01 10:00:00", "signup"),
+    ])
+    out = {r["step_name"]: r for r in funnels.funnel_steps(
+        ev, ["signup", "click"], step_horizon="INTERVAL 6 HOURS"
+    ).collect()}
+    assert out["signup"]["n_users"] == 4
+    assert out["click"]["n_users"] == 1
+    assert out["click"]["conv_from_first"] == 0.25
+    assert out["signup"]["conv_from_prev"] is None
+
+
+def test_funnel_anchor_is_first_qualifying_event(spark):
+    """Earliest-completion: the SECOND signup would make the click
+    qualify, but the anchor is the FIRST signup — the click at +10h
+    is outside its horizon and must not count."""
+    ev = _ev(spark, [
+        (1, "2024-01-01 00:00:00", "signup"),
+        (1, "2024-01-01 08:00:00", "signup"),
+        (1, "2024-01-01 10:00:00", "click"),
+    ])
+    out = {r["step_name"]: r["n_users"] for r in funnels.funnel_steps(
+        ev, ["signup", "click"], step_horizon="INTERVAL 6 HOURS"
+    ).collect()}
+    assert out == {"signup": 1, "click": 0}
+
+
+def test_retention_cohorts_hand_case(spark):
+    """Two cohorts: users 1-2 start week of Jan 1 (Monday), user 3
+    starts week of Jan 8. User 1 returns in weeks 1 and 2, user 2
+    never returns, user 3 returns in its week 1."""
+    ev = _ev(spark, [
+        (1, "2024-01-02 10:00:00", "view"),
+        (1, "2024-01-09 10:00:00", "view"),   # +7d -> offset 1
+        (1, "2024-01-16 10:00:00", "view"),   # +14d -> offset 2
+        (2, "2024-01-03 10:00:00", "view"),
+        (3, "2024-01-10 10:00:00", "view"),
+        (3, "2024-01-17 10:00:00", "view"),   # offset 1
+    ])
+    out = {(str(r["cohort_week"]), r["week_offset"]): (r["n_active"], r["cohort_size"], r["retention"])
+           for r in funnels.retention_cohorts(ev).collect()}
+    assert out[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert out[("2024-01-01", 2)] == (1, 2, 0.5)
+    assert out[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert out[("2024-01-08", 1)] == (1, 1, 1.0)
+    assert len(out) == 5
+
+
+def test_retention_offset_floors_partial_weeks(spark):
+    """A return 6 days later is still week offset 0; 8 days later is
+    offset 1 — the floor() semantics both engines share."""
+    ev = _ev(spark, [
+        (1, "2024-01-02 10:00:00", "view"),
+        (1, "2024-01-08 10:00:00", "view"),   # +6d -> offset 0
+        (2, "2024-01-02 10:00:00", "view"),
+        (2, "2024-01-10 10:00:00", "view"),   # +8d -> offset 1
+    ])
+    out = {(r["week_offset"]): r["n_active"]
+           for r in funnels.retention_cohorts(ev).collect()}
+    assert out[0] == 2 and out[1] == 1
