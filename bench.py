@@ -140,6 +140,7 @@ HEADLINE = [
     "simhash_near_dups",
     "funnel_conversion",
     "retention_cohorts",
+    "event_transitions",
 ]
 
 

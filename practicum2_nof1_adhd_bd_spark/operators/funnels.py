@@ -132,3 +132,46 @@ def retention_cohorts(
         "cohort_size",
         F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order event-type transition matrix: for each ordered pair
+    (from_type, to_type), the count of consecutive-event transitions
+    across all users and the row-normalized probability — the Markov
+    view of behavior that funnels sample one path of.
+
+    Each user's stream is ordered by (ts, event_id) — the id tiebreak
+    makes same-timestamp ordering deterministic in both engines. One
+    user-keyed window (lead) + one (from, to) count; the transition
+    matrix is |types|^2 rows regardless of corpus size, and the window
+    partitions by user so no single task ever holds more than one
+    user's stream.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u").orderBy("t", "eid")
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("k"),
+    )
+    pairs = (
+        ev.withColumn("nxt", F.lead("k").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("k").alias("from_type"), F.col("nxt").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return pairs.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("row_total"), 6).alias("p"),
+    )

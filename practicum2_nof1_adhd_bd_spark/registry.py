@@ -5860,6 +5860,38 @@ def q_retention_cohorts(spark, sf_dir):
 
 
 @register(
+    "event_transitions",
+    """
+    WITH e AS (SELECT user_id AS u, ts AS t, event_id AS eid,
+                      event_type AS k
+               FROM events),
+    p AS (SELECT k AS from_type,
+                 lead(k) OVER (PARTITION BY u ORDER BY t, eid) AS to_type
+          FROM e),
+    c AS (SELECT from_type, to_type, count(*) AS n
+          FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+            FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.n,
+           round(c.n * 1.0 / tot.row_total, 6) AS p
+    FROM c JOIN tot USING (from_type)
+    """,
+)
+def q_event_transitions(spark, sf_dir):
+    """First-order event-type transition matrix
+    (funnels.event_transitions): consecutive-event (from, to) counts
+    per user stream with row-normalized probabilities — the Markov
+    view of behavior that funnels sample one path of. Ordering is
+    (ts, event_id) so same-timestamp events order identically in both
+    engines; one user-partitioned lead window + one |types|^2-bounded
+    count. Hand-stream semantics in tests/test_funnels.py."""
+    ev = _cat(spark, sf_dir).events
+    from .operators import funnels
+
+    return funnels.event_transitions(ev)
+
+
+@register(
     "benford_digit_audit",
     """
     WITH v AS (SELECT CAST(TRY_CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS s
@@ -10770,21 +10802,22 @@ _FRONT_ORDER = [
     "host_lpa_communities", "streaming_attribution_join",
     "decontaminate_containment", "zipf_law_fit", "benford_digit_audit",
     "int8_rerank_topk", "simhash_near_dups", "funnel_conversion",
-    "retention_cohorts",
+    "retention_cohorts", "event_transitions",
     # behavior-touched r12: temporal_instability now scores absent
     # feature columns 0.0 (ref parity) instead of raising; both ingest
     # streams gained crashed-compaction recovery, the legacy-decisions
     # layout guard, and dedup-on-auto-compaction
     "temporal_instability_scores", "streaming_ingest_decisions",
     "streaming_vector_decisions",
-    # rotation: 13 of the 44-query r07 cohort (last driver attestation
+    # rotation: 12 of the 44-query r07 cohort (last driver attestation
     # r07 — five rounds overdue; ledger in COVERAGE.md). The remaining
-    # 31 (hash_split, hrv_time_domain, incremental_ingest_decisions,
+    # 32 (embedding_near_dup_bucketed, hash_split, hrv_time_domain,
+    # incremental_ingest_decisions,
     # ingest_internal_near_decisions,
     # int8_cosine_topk, interpolate_daily, interval_efficiency,
     # ivf_ann_topk, json_props_daily, large_volume_customers,
     # media_frame_sample, minhash_signatures — displaced by the
-    # session-5 twelve — plus multiformat_ts_parse, pack_sequences,
+    # session-5 thirteen — plus multiformat_ts_parse, pack_sequences,
     # pii_redact_stats, pipe_split_union, quality_adjusted_label,
     # quality_score, region_revenue, rollup_nation_year, semantic_dedup,
     # semantic_dedup_bucketed, som_daily_agg,
@@ -10796,7 +10829,6 @@ _FRONT_ORDER = [
     "calibration_bins", "char_ngram_entropy", "circadian_midpoint",
     "corpus_clean", "cosine_topk", "daily_modal_type", "doc_fingerprint",
     "dup_ngram_profile", "embedding_near_dup",
-    "embedding_near_dup_bucketed",
 ]
 
 

@@ -83,3 +83,39 @@ def test_retention_offset_floors_partial_weeks(spark):
     out = {(r["week_offset"]): r["n_active"]
            for r in funnels.retention_cohorts(ev).collect()}
     assert out[0] == 2 and out[1] == 1
+
+
+def test_event_transitions_hand_stream(spark):
+    """User 1: a->b->b; user 2: b->a. Transitions: (a,b)=1, (b,b)=1,
+    (b,a)=1; row-normalized p: a->b 1.0; b->a 0.5, b->b 0.5. Streams
+    never cross users."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "a"),
+        (1, "2024-01-01 11:00:00", 2, "b"),
+        (1, "2024-01-01 12:00:00", 3, "b"),
+        (2, "2024-01-01 10:30:00", 4, "b"),
+        (2, "2024-01-01 10:45:00", 5, "a"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, dt.datetime.fromisoformat(t), e, k) for u, t, e, k in rows],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    out = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+           for r in funnels.event_transitions(ev).collect()}
+    assert out == {("a", "b"): (1, 1.0), ("b", "b"): (1, 0.5), ("b", "a"): (1, 0.5)}
+
+
+def test_event_transitions_same_ts_orders_by_event_id(spark):
+    """Two same-timestamp events order by event_id — the deterministic
+    tiebreak the oracle relies on."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 2, "b"),
+        (1, "2024-01-01 10:00:00", 1, "a"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, dt.datetime.fromisoformat(t), e, k) for u, t, e, k in rows],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    out = [(r["from_type"], r["to_type"])
+           for r in funnels.event_transitions(ev).collect()]
+    assert out == [("a", "b")]
