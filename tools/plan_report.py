@@ -658,6 +658,32 @@ NOTES = {
         "lets a 1000-partition sum byte-match the sequential oracle; the "
         "OLS finish is scalar arithmetic on one row per source."
     ),
+    "benford_digit_audit": (
+        "One scan into a 9-group hash aggregate — audit cost IS scan "
+        "cost; the single cross join against the 1-row total is an "
+        "explicit broadcast, and the only transcendental (log10) "
+        "evaluates on nine constants."
+    ),
+    "simhash_near_dups": (
+        "Fingerprints are a fused explode -> md5 -> 28 map-side-combined "
+        "bit sums (one row of ints per doc crosses the wire); the 4x7 "
+        "band explode turns the pair search into a bucket equijoin, and "
+        "the hamming verify is one bit_count(xor) per candidate — text "
+        "is never compared, only 28-bit integers."
+    ),
+    "retention_cohorts": (
+        "Two aggregations: first-seen per user (the stream's ONE "
+        "user-grain shuffle) and distinct-users per (cohort, offset); "
+        "the cohort-size join is against a weeks-cardinality frame, so "
+        "the output and every post-shuffle frame are bounded by the "
+        "calendar, not the user base."
+    ),
+    "event_transitions": (
+        "A single user-partitioned lead window (each task holds one "
+        "user's stream, never the corpus) followed by a |types|^2-"
+        "bounded count and a broadcast row-total join — the matrix is "
+        "constant-size output regardless of event volume."
+    ),
 }
 
 
