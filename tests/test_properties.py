@@ -743,3 +743,59 @@ def test_prefix_join_equals_brute_force_any_corpus(spark, texts):
         .collect()
     }
     assert fast == brute
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),          # user
+            st.integers(min_value=0, max_value=100),        # minutes
+            st.sampled_from(["a", "b", "c"]),               # step/type
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    horizon_min=st.sampled_from([10, 30]),
+)
+@_settings
+def test_funnel_matches_pure_python_any_stream(spark, events, horizon_min):
+    """Funnel semantics differentially pinned: for ANY event stream the
+    distributed chain of conditional mins must match a transparent
+    sequential simulation of 'first a, first b within h after that,
+    first c within h after that'."""
+    from practicum2_nof1_adhd_bd_spark.operators import funnels
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(minutes=m), k) for u, m, k in events
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["step_name"]: r["n_users"]
+        for r in funnels.funnel_steps(
+            df, ["a", "b", "c"], step_horizon=f"INTERVAL {horizon_min} MINUTES"
+        ).collect()
+    }
+
+    h = dt.timedelta(minutes=horizon_min)
+    by_user: dict = {}
+    for u, t, k in rows:
+        by_user.setdefault(u, []).append((t, k))
+    n = {"a": 0, "b": 0, "c": 0}
+    for evs in by_user.values():
+        anchor = None
+        for step in ("a", "b", "c"):
+            cands = [
+                t for t, k in evs
+                if k == step
+                and (anchor is None or (anchor <= t <= anchor + h))
+            ]
+            if step == "a":
+                cands = [t for t, k in evs if k == "a"]
+            if not cands:
+                break
+            anchor = min(cands)
+            n[step] += 1
+    assert got == n

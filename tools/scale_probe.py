@@ -264,6 +264,13 @@ QUERIES = [
     "zipf_law_fit",
     "benford_digit_audit",
     "int8_rerank_topk",
+    # the event-analytics trio: event replicas KEEP their user ids, so
+    # 10x means 10x-denser per-user streams — the hot-key stress case
+    # for user-keyed windows/aggs — while the output grain (steps /
+    # weeks^2 / types^2) stays constant
+    "funnel_conversion",
+    "retention_cohorts",
+    "event_transitions",
 ]
 
 # artifact-serving queries: run once UNTIMED first so _land_once builds
