@@ -799,3 +799,100 @@ def test_funnel_matches_pure_python_any_stream(spark, events, horizon_min):
             anchor = min(cands)
             n[step] += 1
     assert got == n
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),     # user
+            st.integers(min_value=0, max_value=70),    # day offset
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_settings
+def test_retention_matches_pure_python_any_stream(spark, events):
+    """Retention differentially pinned: cohort Monday, floored week
+    offsets, distinct-user counts — vs a transparent dict simulation."""
+    from practicum2_nof1_adhd_bd_spark.operators import funnels
+
+    base = dt.date(2024, 1, 3)  # a Wednesday: exercises Monday truncation
+    rows = [
+        (u, dt.datetime.combine(base + dt.timedelta(days=d), dt.time(12)))
+        for u, d in events
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): (
+            r["n_active"], r["cohort_size"], r["retention"]
+        )
+        for r in funnels.retention_cohorts(df, max_weeks=8).collect()
+    }
+
+    first = {}
+    for u, t in rows:
+        d = t.date()
+        if u not in first or d < first[u]:
+            first[u] = d
+    cells: dict = {}
+    for u, t in rows:
+        d = t.date()
+        off = (d - first[u]).days // 7
+        if off > 8:
+            continue
+        monday = first[u] - dt.timedelta(days=first[u].weekday())
+        cells.setdefault((str(monday), off), set()).add(u)
+    sizes = {cw: len(us) for (cw, off), us in cells.items() if off == 0}
+    exp = {
+        (cw, off): (len(us), sizes[cw], round(len(us) / sizes[cw], 6))
+        for (cw, off), us in cells.items()
+    }
+    assert got == exp
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),    # user
+            st.integers(min_value=0, max_value=50),   # minute (may collide)
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+@_settings
+def test_transitions_match_pure_python_any_stream(spark, events):
+    """Transition matrix differentially pinned, including the
+    (ts, event_id) tiebreak on colliding timestamps."""
+    from practicum2_nof1_adhd_bd_spark.operators import funnels
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(minutes=m), i, k)
+        for i, (u, m, k) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in funnels.event_transitions(df).collect()
+    }
+
+    streams: dict = {}
+    for u, t, i, k in rows:
+        streams.setdefault(u, []).append((t, i, k))
+    counts: dict = {}
+    for evs in streams.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    totals: dict = {}
+    for (a, _), n in counts.items():
+        totals[a] = totals.get(a, 0) + n
+    exp = {
+        (a, b): (n, round(n / totals[a], 6)) for (a, b), n in counts.items()
+    }
+    assert got == exp
