@@ -608,6 +608,74 @@ def q_streaming_daily_stats(spark, sf_dir):
 
 
 @register(
+    "streaming_sliding_stats",
+    """
+    WITH g AS (SELECT value,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS e
+               FROM events),
+    w AS (SELECT value, (e // 21600) * 21600 - k * 21600 AS ws
+          FROM g, (SELECT unnest(range(0, 4)) AS k) t)
+    SELECT ws AS window_start_epoch,
+           count(*) AS n_events,
+           min(value) AS value_min,
+           max(value) AS value_max,
+           round(CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
+                 / count(value), 6) AS value_mean
+    FROM w GROUP BY 1
+    """,
+)
+def q_streaming_sliding_stats(spark, sf_dir):
+    """§2.9: SLIDING-window streaming aggregate under attestation
+    (streaming.sliding_stats_stream) — 1-day windows every 6 hours, the
+    overlapping-window shape that completes the streaming taxonomy
+    beside tumbling, session, and the stream-stream join. Every event
+    contributes to exactly window/slide = 4 windows; Spark's slide grid
+    is epoch-aligned, so the oracle regenerates the same 4 starts per
+    event with integer arithmetic ((e DIV 21600)*21600 - k*21600) and
+    the window start is emitted as epoch seconds (no cross-engine
+    timestamp rendering). Order-exact aggregates only, same
+    attestation-grade discipline as streaming_daily_stats."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming import sliding_stats_stream
+
+    cat = _cat(spark, sf_dir)
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
+    fp = _source_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    src = _land_once(
+        os.path.join(tempfile.gettempdir(), f"spark_graft_stream_src{tag}"),
+        fp,
+        lambda tmp: cat.events.select("ts", "value")
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+    stream = spark.readStream.schema("ts timestamp, value double").parquet(src)
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    q = (
+        sliding_stats_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_sliding_stats: stream did not finish in 300s"
+            )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)  # single-use by design
+    return spark.table(name)
+
+
+@register(
     "streaming_attribution_join",
     """
     SELECT a.event_id AS click_id, b.event_id AS purchase_id,
@@ -10802,22 +10870,22 @@ _FRONT_ORDER = [
     "host_lpa_communities", "streaming_attribution_join",
     "decontaminate_containment", "zipf_law_fit", "benford_digit_audit",
     "int8_rerank_topk", "simhash_near_dups", "funnel_conversion",
-    "retention_cohorts", "event_transitions",
+    "retention_cohorts", "event_transitions", "streaming_sliding_stats",
     # behavior-touched r12: temporal_instability now scores absent
     # feature columns 0.0 (ref parity) instead of raising; both ingest
     # streams gained crashed-compaction recovery, the legacy-decisions
     # layout guard, and dedup-on-auto-compaction
     "temporal_instability_scores", "streaming_ingest_decisions",
     "streaming_vector_decisions",
-    # rotation: 12 of the 44-query r07 cohort (last driver attestation
+    # rotation: 11 of the 44-query r07 cohort (last driver attestation
     # r07 — five rounds overdue; ledger in COVERAGE.md). The remaining
-    # 32 (embedding_near_dup_bucketed, hash_split, hrv_time_domain,
-    # incremental_ingest_decisions,
+    # 33 (embedding_near_dup, embedding_near_dup_bucketed, hash_split,
+    # hrv_time_domain, incremental_ingest_decisions,
     # ingest_internal_near_decisions,
     # int8_cosine_topk, interpolate_daily, interval_efficiency,
     # ivf_ann_topk, json_props_daily, large_volume_customers,
     # media_frame_sample, minhash_signatures — displaced by the
-    # session-5 thirteen — plus multiformat_ts_parse, pack_sequences,
+    # session-5 fourteen — plus multiformat_ts_parse, pack_sequences,
     # pii_redact_stats, pipe_split_union, quality_adjusted_label,
     # quality_score, region_revenue, rollup_nation_year, semantic_dedup,
     # semantic_dedup_bucketed, som_daily_agg,
@@ -10828,7 +10896,7 @@ _FRONT_ORDER = [
     "apply_mixture_sample", "auc_persistence", "bpe_token_stats",
     "calibration_bins", "char_ngram_entropy", "circadian_midpoint",
     "corpus_clean", "cosine_topk", "daily_modal_type", "doc_fingerprint",
-    "dup_ngram_profile", "embedding_near_dup",
+    "dup_ngram_profile",
 ]
 
 

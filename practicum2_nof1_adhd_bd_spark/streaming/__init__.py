@@ -5,6 +5,7 @@ from .daily_stream import (
     dedup_stream,
     enriched_daily_stream,
     sessionize_stream,
+    sliding_stats_stream,
 )
 from .stateful import shift_detector_stream
 
@@ -16,4 +17,5 @@ __all__ = [
     "enriched_daily_stream",
     "sessionize_stream",
     "shift_detector_stream",
+    "sliding_stats_stream",
 ]

@@ -220,3 +220,48 @@ def attribution_join_stream(
         & (F.col(f"r.{ts_col}") <= F.col(f"t.{ts_col}") + F.expr(horizon_sql))
     )
     return t.join(r, cond, "inner")
+
+
+def sliding_stats_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 day",
+    slide: str = "6 hours",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Sliding-window aggregate — the overlapping-window shape that
+    completes the streaming taxonomy beside the tumbling day
+    (daily_exact_stream), session windows (sessionize_stream) and the
+    stream-stream interval join: every event contributes to
+    window/slide overlapping windows (4 here), the trailing-day view a
+    monitoring dashboard reads every 6 hours.
+
+    Attestation grade like daily_exact_stream: order-exact aggregates
+    only (count/min/max + decimal-sum), and the window START is emitted
+    as epoch SECONDS — Spark's slide grid is epoch-aligned, so the
+    batch oracle can regenerate exactly the same 4 window starts per
+    event with integer arithmetic (floor(e/slide)*slide - k*slide), no
+    timestamp-rendering ambiguity between engines.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(value_col).alias("value_min"),
+            F.max(value_col).alias("value_max"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(28,12)")).cast("double")
+                / F.count(value_col),
+                6,
+            ).alias("value_mean"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start_epoch"),
+            "n_events",
+            "value_min",
+            "value_max",
+            "value_mean",
+        )
+    )

@@ -58,12 +58,13 @@ def test_attestation_window_is_stable():
     communities, the stream-stream interval join, the containment
     decontamination screen, the per-source Zipf fit, the Benford
     first-digit audit, the int8 re-rank + SimHash near-dup pairs
-    promoted under the gate, and the funnel/retention/transition
-    event-analytics trio) + the 3
+    promoted under the gate, the funnel/retention/transition
+    event-analytics trio, and the sliding-window streaming aggregate)
+    + the 3
     r12-behavior-touched queries (temporal_instability's missing-column
     guard; both ingest streams' crashed-compaction recovery + layout
-    guard) + 12 of the 44-query r07 cohort (five rounds overdue; the
-    remaining 32 — embedding_near_dup_bucketed through
+    guard) + 11 of the 44-query r07 cohort (five rounds overdue; the
+    remaining 33 — embedding_near_dup through
     minhash_signatures displaced by
     session 5, plus multiformat_ts_parse through user_sessions in
     ledger order — spill to r13 — ledger in COVERAGE.md). Rows-only
@@ -91,15 +92,15 @@ def test_attestation_window_is_stable():
         "streaming_attribution_join", "decontaminate_containment",
         "zipf_law_fit", "benford_digit_audit", "int8_rerank_topk",
         "simhash_near_dups", "funnel_conversion", "retention_cohorts",
-        "event_transitions",
+        "event_transitions", "streaming_sliding_stats",
         # behavior-touched r12
         "temporal_instability_scores", "streaming_ingest_decisions",
         "streaming_vector_decisions",
-        # r07-cohort rotation (12 of 44)
+        # r07-cohort rotation (11 of 44)
         "apply_mixture_sample", "auc_persistence", "bpe_token_stats",
         "calibration_bins", "char_ngram_entropy", "circadian_midpoint",
         "corpus_clean", "cosine_topk", "daily_modal_type",
-        "doc_fingerprint", "dup_ngram_profile", "embedding_near_dup",
+        "doc_fingerprint", "dup_ngram_profile",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry

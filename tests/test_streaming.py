@@ -1529,3 +1529,27 @@ def test_attribution_join_stream_horizon_edges(spark, tmp_path):
     assert q.awaitTermination(120)
     got = {(r["tid"], r["rid"]) for r in spark.sql("SELECT * FROM attrib_t").collect()}
     assert got == {(1, 2), (1, 4), (7, 8)}
+
+
+def test_sliding_stats_stream_overlap_semantics(spark, tmp_path):
+    """1-day windows sliding 6h: every event lands in exactly 4 windows,
+    and a window's stats only cover events inside [start, start+1d)."""
+    from practicum2_nof1_adhd_bd_spark.streaming import sliding_stats_stream
+
+    src, batch = _write_source(spark, tmp_path)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = _run_stream(
+        spark, sliding_stats_stream(stream), "sliding_t", tmp_path
+    ).collect()
+    total_events = sum(r["n_events"] for r in out)
+    assert total_events == len(ROWS) * 4  # each event in 4 windows
+    by_start = {r["window_start_epoch"]: r for r in out}
+    # grid-aligned: every start is a multiple of 6h
+    assert all(s % 21600 == 0 for s in by_start)
+    # the window starting exactly at 2024-01-01 00:00 UTC covers all
+    # three day-1 events and none of day-2's
+    import datetime as dt2
+
+    s0 = int(dt2.datetime(2024, 1, 1, tzinfo=dt2.timezone.utc).timestamp())
+    assert by_start[s0]["n_events"] == 3
+    assert by_start[s0]["value_min"] == 5.0 and by_start[s0]["value_max"] == 20.0
