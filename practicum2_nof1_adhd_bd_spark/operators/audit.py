@@ -321,16 +321,27 @@ def benford_digit_audit(
         .filter(F.col("digit") != "")
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("digit").cast("int").alias("digit"), "n")
     )
-    total = counts.agg(F.sum("n").alias("_total"))
+    # constant 1-9 spine: a digit with ZERO observations must still emit
+    # its chi-square term (total * exp_d) — dropping it understates chi2
+    # precisely on the most anomalous (fabricated/template) data the
+    # audit exists to flag.
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    full = spine.join(counts, "digit", "left").select(
+        "digit", F.coalesce("n", F.lit(0).cast("long")).alias("n")
+    )
+    total = full.agg(F.sum("n").alias("_total"))
     exp = (
         F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
     )
     obs = F.col("n") / F.col("_total")
     return (
-        counts.crossJoin(F.broadcast(total))
+        full.crossJoin(F.broadcast(total))
         .select(
-            F.col("digit").cast("int").alias("digit"),
+            "digit",
             "n",
             F.round(obs, 6).alias("obs_freq"),
             F.round(exp, 6).alias("exp_freq"),

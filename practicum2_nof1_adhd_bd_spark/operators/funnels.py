@@ -40,9 +40,17 @@ def funnel_steps(
 
     Plan shape: stage i is a conditional min over the user key joined to
     stage i-1's anchor — every stage shuffles on the SAME key, so after
-    the first exchange the rest are co-partitioned. Output is
-    steps-cardinality rows: (step, step_name, n_users,
-    conv_from_prev, conv_from_first), ratios at 6dp.
+    the first exchange the rest are co-partitioned. All stage anchors
+    are then left-joined into one per-user wide frame and every step
+    count comes out of a SINGLE aggregation — one lazy plan, one action,
+    no per-stage ``.count()`` (which would re-execute every earlier
+    stage's lineage, O(steps^2) scans) and no driver-side
+    ``createDataFrame``. Repeated stage subplans inside the wide frame
+    dedupe via ReusedExchange (every join keys on ``u``). Output is
+    steps-cardinality rows: (step, step_name, n_users, conv_from_prev,
+    conv_from_first); ratios via F.round — HALF_UP, the engine-wide
+    half-away-from-zero rule DuckDB's round() shares (Python's round()
+    is banker's and flips the value hash on exact 7-decimal ties).
     """
     ev = events.select(
         F.col(user_col).alias("u"), F.col(ts_col).alias("t"),
@@ -54,7 +62,7 @@ def funnel_steps(
         .groupBy("u")
         .agg(F.min("t").alias("t1"))
     )
-    counts = [anchors.count()]
+    frames = [anchors]
     prev, prev_col = anchors, "t1"
     for i, step in enumerate(steps[1:], start=2):
         win = (
@@ -65,25 +73,47 @@ def funnel_steps(
         )
         nxt = (
             ev.filter(F.col("k") == step)
-            .join(prev, "u")
+            .join(prev.select("u", prev_col), "u")
             .filter(win)
-            .groupBy("u", *[c for c in prev.columns if c.startswith("t")])
+            .groupBy("u")
             .agg(F.min("t").alias(f"t{i}"))
         )
-        counts.append(nxt.count())
+        frames.append(nxt)
         prev, prev_col = nxt, f"t{i}"
-    spark = events.sparkSession
-    rows = []
-    for i, (step, n) in enumerate(zip(steps, counts)):
-        conv_prev = None if i == 0 else (
-            round(n / counts[i - 1], 6) if counts[i - 1] else None
+    wide = frames[0]
+    for f in frames[1:]:
+        wide = wide.join(f, "u", "left")
+    counts = wide.agg(
+        *[F.count(f"t{i}").alias(f"c{i}") for i in range(1, len(steps) + 1)]
+    )
+    structs = [
+        F.struct(
+            F.lit(i).alias("step"),
+            F.lit(step).alias("step_name"),
+            F.col(f"c{i}").alias("n_users"),
+            (
+                F.lit(None).cast("long") if i == 1 else F.col(f"c{i-1}")
+            ).alias("n_prev"),
+            F.col("c1").alias("n_first"),
         )
-        conv_first = round(n / counts[0], 6) if counts[0] else None
-        rows.append((i + 1, step, n, conv_prev, conv_first))
-    return spark.createDataFrame(
-        rows,
-        "step int, step_name string, n_users bigint, "
-        "conv_from_prev double, conv_from_first double",
+        for i, step in enumerate(steps, start=1)
+    ]
+    per_step = (
+        counts.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    )
+    return per_step.select(
+        "step",
+        "step_name",
+        "n_users",
+        F.when(
+            F.col("n_prev").isNull() | (F.col("n_prev") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(F.col("n_users") / F.col("n_prev"), 6))
+        .alias("conv_from_prev"),
+        F.when(F.col("n_first") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("n_users") / F.col("n_first"), 6))
+        .alias("conv_from_first"),
     )
 
 

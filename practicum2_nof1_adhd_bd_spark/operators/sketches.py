@@ -15,12 +15,18 @@ value-hash oracle, and the merge law is plain set algebra:
 
     bottomk(A ∪ B) = bottomk(bottomk(A) ∪ bottomk(B))
 
-which is exactly how the two-level plan below distributes: per-partition
-partial sketches (k rows each) are exploded and re-sketched — the only
-corpus-wide shuffle carries <= k rows per (group, input-partition), never
-the distinct values themselves. The result is partitioning-invariant, so
-the sf0.01 oracle attests the same bytes a 1000-executor merge would
-produce.
+which is exactly how the two-level plan below distributes: the partial
+sketch is taken INSIDE each input partition (an Arrow-batched
+mapInPandas pass that keeps at most k distinct hashes per group in
+memory and emits at most k rows per (group, partition)), so the only
+corpus-wide shuffle carries <= k rows per (group, input-partition) —
+never the distinct values themselves. A groupBy(collect_set) partial
+could not honor that bound: collect_set's partial-aggregation buffer
+packs ALL of a partition's distinct hashes into one array row BEFORE
+any slice applies, which is both an O(distinct-per-partition) shuffle
+and a single-giant-row executor-memory hazard at the 100-TB shape.
+The result is partitioning-invariant, so the sf0.01 oracle attests the
+same bytes a 1000-executor merge would produce.
 """
 
 from __future__ import annotations
@@ -40,22 +46,40 @@ def kmv_sketch(
     k: int = 64,
 ) -> DataFrame:
     """Per-group bottom-k sketch: ``kmin`` (sorted array of the k smallest
-    distinct hashes) via per-partition partials + one k-bounded merge."""
+    distinct hashes) via per-partition bottom-k partials + one k-bounded
+    merge. Hashing stays JVM-side (hash64_md5); only (group, h) rows
+    cross the Arrow boundary, and the partial's working set is capped at
+    k rows per group plus one incoming batch."""
     part = df.select(
         *group_cols,
         hash64_md5(F.col(value_col).cast("string")).alias("h"),
-        F.spark_partition_id().alias("_pid"),
     )
-    # partial sketch per input partition: collect_set dedupes map-side
-    # within the (group, partition) cell — bounded by one partition's
-    # distinct values — then the slice caps what enters the shuffle at k.
-    partial = part.groupBy(*group_cols, "_pid").agg(
+    gcols = list(group_cols)
+
+    def _partial_bottomk(batches):
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            cur = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            cur = cur.drop_duplicates()
+            if gcols:
+                cur = (
+                    cur.sort_values("h", kind="mergesort")
+                    .groupby(gcols, sort=False, dropna=False)
+                    .head(k)
+                )
+            else:
+                cur = cur.nsmallest(k, "h")
+            acc = cur.reset_index(drop=True)
+        if acc is not None and len(acc):
+            yield acc
+
+    partial = part.mapInPandas(_partial_bottomk, schema=part.schema)
+    # merge shuffle: <= k rows per (group, input partition); the final
+    # collect_set buffer is bounded by k * num_partitions per group.
+    return partial.groupBy(*group_cols).agg(
         F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("kmin")
-    )
-    return (
-        partial.select(*group_cols, F.explode("kmin").alias("h"))
-        .groupBy(*group_cols)
-        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("kmin"))
     )
 
 

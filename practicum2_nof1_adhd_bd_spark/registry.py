@@ -5966,9 +5966,12 @@ def q_event_transitions(spark, sf_dir):
                FROM orders WHERE o_totalprice > 0),
     d AS (SELECT regexp_extract(s, '[1-9]') AS digit FROM v
           WHERE s IS NOT NULL AND regexp_extract(s, '[1-9]') <> ''),
-    c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+    c0 AS (SELECT CAST(digit AS INT) AS digit, count(*) AS n FROM d GROUP BY 1),
+    nine AS (SELECT CAST(x AS INT) AS digit FROM range(1, 10) t(x)),
+    c AS (SELECT nine.digit, COALESCE(c0.n, 0) AS n
+          FROM nine LEFT JOIN c0 USING (digit)),
     t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
-    SELECT CAST(digit AS INT) AS digit, n,
+    SELECT digit, n,
            round(n * 1.0 / total, 6) AS obs_freq,
            round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS exp_freq,
            round(total * (n * 1.0 / total - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))

@@ -224,9 +224,16 @@ def test_benford_audit_recognizes_benford_and_flat_data(spark):
 
     flat = spark.range(1000).select((F.col("id") % 7 + 5000).alias("v"))
     frows = {r["digit"]: r for r in audit.benford_digit_audit(flat, "v").collect()}
-    assert set(frows) == {5}  # every value leads with 5
+    # zero-observation digits still emit their chi2 term (total * exp_d):
+    # dropping them would understate chi2 exactly on fabricated data
+    assert set(frows) == set(range(1, 10))
     assert frows[5]["obs_freq"] == 1.0
     assert frows[5]["chi2_term"] > 1000  # massive deviation flagged
+    for d in set(range(1, 10)) - {5}:
+        assert frows[d]["n"] == 0
+        assert frows[d]["obs_freq"] == 0.0
+        # (obs - exp)^2 / exp * total with obs=0 reduces to total * exp
+        assert abs(frows[d]["chi2_term"] - 1000 * frows[d]["exp_freq"]) < 1e-3
 
 
 def test_benford_audit_ignores_nonpositive_and_reads_decimal_digit(spark):
@@ -239,4 +246,4 @@ def test_benford_audit_ignores_nonpositive_and_reads_decimal_digit(spark):
     )
     rows = {r["digit"]: r["n"]
             for r in audit.benford_digit_audit(df, "v", digits_scale=4).collect()}
-    assert rows == {4: 2}
+    assert rows == {4: 2, **{d: 0 for d in range(1, 10) if d != 4}}
