@@ -527,6 +527,7 @@ def _multitable_buckets(
     n_planes: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-vector sign buckets for every LSH table in ONE corpus pass:
     (id, vec, b0..b{L-1}). All L*P dots run in a single codegen
@@ -540,8 +541,19 @@ def _multitable_buckets(
     ride as a broadcast dim-row constant table (one column per
     (table, plane)) — a literal-array element_at per aggregate would
     rebuild the array per exploded row (CreateArray is not
-    constant-folded)."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    constant-folded).
+
+    Driver-side cost matters here as much as the plan: the L*P agg and
+    bucket expressions are built as PARSED STRINGS (one py4j call each)
+    rather than Column-API compositions (~5 py4j round-trips per
+    operator), and the planes table goes through Arrow
+    (spark.createDataFrame(pandas)) rather than row-at-a-time Python
+    conversion — together these cut ~2s of pure driver/py4j latency per
+    call at L=10, P=8 (the r12 bench's ann_multiprobe_topk finding).
+    ``dim`` skips the first() probe job when the caller already knows
+    the vector width (e.g. it collected the query vector)."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = embeddings.select(F.col(id_col), F.col(vec_col), dvec.alias("v"))
     ex = fan_out(base, id_col).select(
@@ -552,31 +564,40 @@ def _multitable_buckets(
     all_planes = [
         md5_planes(n_planes, dim, salt=f"{t}:") for t in range(n_tables)
     ]
-    rows = [
-        tuple(
-            [j]
-            + [all_planes[t][i][j] for t in range(n_tables) for i in range(n_planes)]
-        )
-        for j in range(dim)
-    ]
-    planes_df = spark.createDataFrame(
-        rows, ", ".join(["pos int"] + [f"{c} double" for c in names])
+    import pandas as pd
+
+    planes_pd = pd.DataFrame(
+        {
+            "pos": pd.Series(range(dim), dtype="int32"),
+            **{
+                f"_c{t}_{i}": pd.Series(
+                    all_planes[t][i], dtype="float64"
+                )
+                for t in range(n_tables)
+                for i in range(n_planes)
+            },
+        }
     )
+    planes_df = spark.createDataFrame(planes_pd)
     aggs = [
-        F.sum(F.col("val") * F.col(f"_c{t}_{i}")).alias(f"_d{t}_{i}")
+        F.expr(f"sum(val * _c{t}_{i}) AS _d{t}_{i}")
         for t in range(n_tables)
         for i in range(n_planes)
     ]
     joined = ex.join(F.broadcast(planes_df), "pos")
-    agg = joined.groupBy(id_col).agg(F.first(vec_col).alias(vec_col), *aggs)
-    bucket_cols = []
-    for t in range(n_tables):
-        bucket = None
-        for i in range(n_planes):
-            bit = (F.col(f"_d{t}_{i}") > 0).cast("int")
-            term = bit * F.lit(2**i)
-            bucket = term if bucket is None else bucket + term
-        bucket_cols.append(bucket.alias(f"b{t}"))
+    agg = joined.groupBy(id_col).agg(
+        F.expr(f"first({vec_col}) AS {vec_col}"), *aggs
+    )
+    bucket_cols = [
+        F.expr(
+            " + ".join(
+                f"CAST(_d{t}_{i} > 0 AS INT) * {2**i}"
+                for i in range(n_planes)
+            )
+            + f" AS b{t}"
+        )
+        for t in range(n_tables)
+    ]
     return agg.select(F.col(id_col), F.col(vec_col), *bucket_cols)
 
 
@@ -798,11 +819,16 @@ def multiprobe_candidates(
     else:
         qv = [float(x) for x in query_vec]
     probe_sets = multiprobe_bucket_sets(qv, n_tables, n_planes, n_flips)
-    b = _multitable_buckets(embeddings, n_tables, n_planes, id_col, vec_col)
-    cond = None
-    for t, probes in enumerate(probe_sets):
-        hit = F.col(f"b{t}").isin(probes)
-        cond = hit if cond is None else cond | hit
+    # the collected query vector pins dim — no extra first() probe job
+    b = _multitable_buckets(
+        embeddings, n_tables, n_planes, id_col, vec_col, dim=len(qv)
+    )
+    cond = F.expr(
+        " OR ".join(
+            f"b{t} IN ({', '.join(str(p) for p in probes)})"
+            for t, probes in enumerate(probe_sets)
+        )
+    )
     return b.filter(cond).select(id_col, vec_col), qv
 
 

@@ -1955,6 +1955,141 @@ def _with_buckets(
     )
 
 
+def hashed_char_ngram_buckets(
+    text_col: Column, n: int = 3, n_buckets: int = 4096
+) -> Column:
+    """Hashing-trick feature ids over CHARACTER n-grams — the fastText
+    langid feature family (Joulin et al. 2016): char n-grams carry the
+    orthographic signal (accents, digraphs, script) that word features
+    miss, and the fixed bucket space bounds the model by bucket count,
+    never vocabulary. Same md5-prefix bucket device as
+    hashed_gram_buckets so a DuckDB oracle replays assignment exactly.
+
+    The position transform is an interpreted higher-order function
+    (one substr per char position) — acceptable here because the
+    resulting model SCORES via a broadcast join; at petabyte scoring
+    scale the gram pass is still one scan with no shuffle."""
+    t = F.lower(text_col)
+    grams = F.when(
+        F.length(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (n - 1)),
+            lambda i: t.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
+        % F.lit(n_buckets),
+    )
+
+
+def langid_classifier_nb(
+    train: DataFrame,
+    score: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    ngram: int = 3,
+) -> DataFrame:
+    """Learned language-ID SCORING path (the fastText-langid shape the
+    CCNet pipeline pairs with its quality filter; Joulin et al. 2016 /
+    Wenzek et al. 2020): multiclass multinomial Naive Bayes over
+    binarized hashed char-``ngram`` indicators. Per class c and bucket
+    j the frozen weight is w_cj = ln((c_cj + a) / (T_c + aB)) with
+    class prior ln(n_c / N) and per-class OOV weight ln(a / (T_c + aB))
+    for buckets a document has but class c never saw — analytic counts,
+    so the ENTIRE path (training counts -> weights -> per-class scores
+    -> argmax) is SQL-replayable, like quality_classifier_nb.
+
+    Prediction is argmax over ROUNDED (6dp) per-class scores with the
+    class name as tie-break — rounding before the argmax is what makes
+    the pick engine-exact (raw double sums can differ in the last bits
+    across summation orders).
+
+    Scale shape: one gram pass per side; training is two hash
+    aggregations to a <= n_buckets * n_classes weight frame that
+    BROADCASTS into the scoring join; the per-document argmax is a
+    |classes|-row window. Nothing collects. Returns one row per scored
+    document: (id, lang_pred, score, n_feats)."""
+    from pyspark.sql import Window
+
+    aB = alpha * n_buckets
+
+    def _buckets(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    hashed_char_ngram_buckets(
+                        F.col(text_col), ngram, n_buckets
+                    )
+                )
+            ).alias("bucket"),
+        )
+
+    lab = train.select(F.col(id_col), F.col(label_col).alias("_c"))
+    counts = (
+        _buckets(train)
+        .join(lab, id_col)
+        .groupBy("_c", "bucket")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    totals = counts.groupBy("_c").agg(
+        F.sum("_cnt").cast("double").alias("_tc")
+    )
+    weights = counts.join(totals, "_c").select(
+        "_c",
+        "bucket",
+        F.log((F.col("_cnt") + F.lit(alpha)) / (F.col("_tc") + F.lit(aB))).alias(
+            "_w"
+        ),
+    )
+    nclass = lab.groupBy("_c").agg(F.count(F.lit(1)).alias("_nc"))
+    ntot = nclass.agg(F.sum("_nc").cast("double").alias("_n"))
+    meta = (
+        nclass.join(totals, "_c")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "_c",
+            F.log(F.col("_nc") / F.col("_n")).alias("_prior"),
+            F.log(F.lit(alpha) / (F.col("_tc") + F.lit(aB))).alias("_oov"),
+        )
+    )
+    sb = _buckets(score)
+    nfeats = sb.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_feats"))
+    present = (
+        sb.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col, "_c")
+        .agg(F.sum("_w").alias("_sw"), F.count(F.lit(1)).alias("_np"))
+    )
+    spine = (
+        score.select(id_col)
+        .join(nfeats, id_col, "left")
+        .select(id_col, F.coalesce("n_feats", F.lit(0)).alias("n_feats"))
+        .crossJoin(F.broadcast(meta))
+    )
+    scored = spine.join(present, [id_col, "_c"], "left").select(
+        id_col,
+        "_c",
+        "n_feats",
+        F.round(
+            F.col("_prior")
+            + F.coalesce("_sw", F.lit(0.0))
+            + (F.col("n_feats") - F.coalesce("_np", F.lit(0))) * F.col("_oov"),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("_c"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("_c").alias("lang_pred"), "score", "n_feats")
+    )
+
+
 def quality_classifier_nb(
     train: DataFrame,
     score: DataFrame,

@@ -931,3 +931,105 @@ def test_zipf_fit_single_token_group_null_r2(spark):
     row = textops.zipf_law_fit(df).collect()[0]
     assert row["zipf_alpha"] == 0.0
     assert row["r2"] is None
+
+
+def test_langid_classifier_nb_closed_form(spark):
+    """Hand-check the multiclass NB langid scorer on a corpus small
+    enough to compute by hand: char-trigram indicators binarize,
+    per-class weights are smoothed multinomial log-likelihoods, unseen
+    (bucket, class) pairs get the per-class OOV weight, the prior is
+    ln(n_c/N), and the argmax runs over ROUNDED scores with the class
+    name as tie-break."""
+    import hashlib
+    import math
+
+    from practicum2_nof1_adhd_bd_spark.operators import textops
+
+    B = 64
+    train = spark.createDataFrame(
+        [
+            (0, "aaab aaba", "aa"),
+            (2, "abaa baaa", "aa"),
+            (4, "zzzy zyzz", "zz"),
+            (6, "yzzz zzyz", "zz"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    score = spark.createDataFrame(
+        [(1, "aaba baaa"), (3, "zyzz yzzz"), (5, "q")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textops.langid_classifier_nb(
+            train, score, n_buckets=B
+        ).collect()
+    }
+
+    def buckets(t):
+        t = t.lower()
+        grams = [t[i : i + 3] for i in range(len(t) - 2)] if len(t) >= 3 else []
+        return {
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+            for g in grams
+        }
+
+    from collections import Counter
+
+    cls_docs = {
+        "aa": ["aaab aaba", "abaa baaa"],
+        "zz": ["zzzy zyzz", "yzzz zzyz"],
+    }
+    counts = {c: Counter() for c in cls_docs}
+    for c, docs in cls_docs.items():
+        for t in docs:
+            counts[c].update(buckets(t))
+    totals = {c: sum(v.values()) for c, v in counts.items()}
+
+    def score_doc(t, c):
+        bs = buckets(t)
+        s = math.log(2 / 4)  # uniform priors: 2 docs per class
+        for j in bs:
+            s += math.log((counts[c].get(j, 0) + 1.0) / (totals[c] + B))
+        return round(s, 6)
+
+    for doc_id, text, want_lang in [(1, "aaba baaa", "aa"), (3, "zyzz yzzz", "zz")]:
+        exp = {c: score_doc(text, c) for c in cls_docs}
+        assert out[doc_id]["lang_pred"] == want_lang, doc_id
+        assert abs(out[doc_id]["score"] - max(exp.values())) < 1e-6, doc_id
+        assert out[doc_id]["n_feats"] == len(buckets(text))
+    # featureless doc: every class scores its bare prior (equal here),
+    # so the tie-break picks the lexicographically-first class name
+    assert out[5]["n_feats"] == 0
+    assert out[5]["lang_pred"] == "aa"
+
+
+def test_langid_classifier_learns_on_signal_bearing_corpus(spark):
+    """The sf* documents fixture draws every lang's text from one
+    shared vocabulary (labels uncorrelated with text), where collapsing
+    to the majority prior is Bayes-optimal — so the discrimination
+    proof lives here: on a corpus whose languages have disjoint
+    character distributions, held-out accuracy must exceed 90%."""
+    from practicum2_nof1_adhd_bd_spark.operators import textops
+
+    vocab = {
+        "aa": ["alba", "banda", "cabal", "dabba", "abacad"],
+        "mm": ["mono", "nomon", "ommon", "minim", "momnon"],
+        "zz": ["zyxy", "xyzzy", "yzzyx", "zxyzx", "xyxzy"],
+    }
+    langs = sorted(vocab)
+    rows = []
+    for i in range(120):
+        lang = langs[i % 3]
+        ws = vocab[lang]
+        text = " ".join(ws[(i + j) % len(ws)] for j in range(8))
+        rows.append((i, text, lang))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    train = docs.filter("doc_id % 2 = 0")
+    held = docs.filter("doc_id % 2 = 1")
+    pred = textops.langid_classifier_nb(train, held, n_buckets=256)
+    joined = pred.join(docs.select("doc_id", "lang"), "doc_id")
+    n = joined.count()
+    correct = joined.filter("lang_pred = lang").count()
+    assert n == 60
+    assert correct / n > 0.9, f"{correct}/{n}"
