@@ -102,6 +102,48 @@ def canonical_url(url: Column) -> Column:
     return F.when(scheme == F.lit(""), F.lit(None).cast("string")).otherwise(canon)
 
 
+def _robots_runs(
+    robots_df: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """Typed robots.txt lines with their agent-group run ids: ``(host,
+    pos, kind, val, run_id)`` where kind in (agent, disallow, allow,
+    delay). A line belongs to the nearest preceding RUN of consecutive
+    ``User-agent`` lines — recovered distributively: posexplode the
+    lines, flag agent-run STARTS (an agent line whose previous line
+    isn't one, via lag), running-sum the flags into a run id (the
+    gaps-and-islands device). All windows partition by host: robots
+    files are bounded (hundreds of lines), so per-host state never
+    grows with the corpus."""
+    from pyspark.sql import Window
+
+    lines = robots_df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "_l"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace("_l", r"#.*$", "")).alias("line"),
+    ).filter(F.col("line") != "")
+    kind = (
+        F.when(F.lower("line").rlike(r"^user-agent\s*:"), F.lit("agent"))
+        .when(F.lower("line").rlike(r"^disallow\s*:"), F.lit("disallow"))
+        .when(F.lower("line").rlike(r"^allow\s*:"), F.lit("allow"))
+        .when(F.lower("line").rlike(r"^crawl-delay\s*:"), F.lit("delay"))
+    )
+    val = F.trim(F.regexp_extract("line", r":(.*)$", 1))
+    w = Window.partitionBy("host").orderBy("pos")
+    typed = lines.select(
+        "host", "pos", kind.alias("kind"), val.alias("val")
+    ).filter(F.col("kind").isNotNull())
+    return typed.withColumn(
+        "_new_run",
+        (
+            (F.col("kind") == "agent")
+            & (F.coalesce(F.lag("kind").over(w), F.lit("")) != "agent")
+        ).cast("int"),
+    ).withColumn("run_id", F.sum("_new_run").over(w))
+
+
 def parse_robots(
     robots_df: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
 ) -> DataFrame:
@@ -119,33 +161,7 @@ def parse_robots(
     are bounded (hundreds of lines), so per-host state never grows with
     the corpus. Prefix matching downstream is literal (original REP);
     the ``*``/``$`` wildcard extension is a documented non-goal."""
-    from pyspark.sql import Window
-
-    lines = robots_df.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "_l"),
-    ).select(
-        "host",
-        "pos",
-        F.trim(F.regexp_replace("_l", r"#.*$", "")).alias("line"),
-    ).filter(F.col("line") != "")
-    kind = (
-        F.when(F.lower("line").rlike(r"^user-agent\s*:"), F.lit("agent"))
-        .when(F.lower("line").rlike(r"^disallow\s*:"), F.lit("disallow"))
-        .when(F.lower("line").rlike(r"^allow\s*:"), F.lit("allow"))
-    )
-    val = F.trim(F.regexp_extract("line", r":(.*)$", 1))
-    w = Window.partitionBy("host").orderBy("pos")
-    typed = lines.select(
-        "host", "pos", kind.alias("kind"), val.alias("val")
-    ).filter(F.col("kind").isNotNull())
-    runs = typed.withColumn(
-        "_new_run",
-        (
-            (F.col("kind") == "agent")
-            & (F.coalesce(F.lag("kind").over(w), F.lit("")) != "agent")
-        ).cast("int"),
-    ).withColumn("run_id", F.sum("_new_run").over(w))
+    runs = _robots_runs(robots_df, host_col, txt_col)
     agents = (
         runs.filter(F.col("kind") == "agent")
         .select("host", "run_id", F.lower("val").alias("agent"))
@@ -241,6 +257,122 @@ def robots_screen(
             "crawlable", F.coalesce(F.col("_win.a") == 1, F.lit(True))
         )
         .drop("_win")
+    )
+
+
+def crawl_delays(
+    robots_df: DataFrame,
+    agent: str = "graftbot",
+    default_delay: float = 1.0,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-host effective ``Crawl-delay`` for ``agent`` under REP's
+    exclusive-group rule: if ANY group on the host names the exact
+    agent, only that group's declarations apply (a ``*`` group's delay
+    is shadowed even when the exact group declares none — the same
+    shadowing robots_screen proves for rules); otherwise the ``*``
+    group's delay applies; a host with no applicable declaration (or an
+    unparsable value — try_cast) falls back to ``default_delay``.
+    Multiple delay lines in the selected group take the MAX (the polite
+    reading, and deterministic). Returns ``(host, crawl_delay)`` — one
+    bounded row per host, a broadcastable dim at any crawl size."""
+    runs = _robots_runs(robots_df, host_col, txt_col)
+    a = F.lit(agent.lower())
+    agents = (
+        runs.filter(F.col("kind") == "agent")
+        .select("host", "run_id", F.lower("val").alias("agent"))
+        .distinct()
+    )
+    has_exact = agents.groupBy("host").agg(
+        F.max((F.col("agent") == a).cast("int")).alias("_he")
+    )
+    delays = (
+        runs.filter(F.col("kind") == "delay")
+        .select(
+            "host", "run_id", F.expr("try_cast(val AS DOUBLE)").alias("_d")
+        )
+        .filter(F.col("_d").isNotNull() & (F.col("_d") >= 0))
+    )
+    selected = (
+        delays.join(agents, ["host", "run_id"])
+        .join(has_exact, "host")
+        .filter(
+            ((F.col("_he") == 1) & (F.col("agent") == a))
+            | ((F.col("_he") == 0) & (F.col("agent") == "*"))
+        )
+        .groupBy("host")
+        .agg(F.max("_d").alias("_delay"))
+    )
+    # every robots host gets a row (declared delay or the default), so
+    # the frontier join below can distinguish "no robots" from "robots
+    # without a delay" only if the caller cares — both land on default
+    hosts = robots_df.select(F.col(host_col).alias("host")).distinct()
+    return hosts.join(selected, "host", "left").select(
+        "host",
+        F.coalesce("_delay", F.lit(float(default_delay))).alias(
+            "crawl_delay"
+        ),
+    )
+
+
+def crawl_frontier(
+    urls_df: DataFrame,
+    robots_df: DataFrame,
+    agent: str = "graftbot",
+    url_col: str = "url",
+    priority_col: str = "priority",
+    default_delay: float = 1.0,
+    horizon_s: float = 60.0,
+    robots_host_col: str = "host",
+    robots_txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-host politeness frontier — the scheduling step between the
+    robots permission screen and the fetcher: each candidate URL gets a
+    fetch slot on its host's clock, ``fetch_at_s = slot *
+    crawl_delay``, slots assigned by (priority DESC, url ASC) rank so
+    the highest-priority URLs fetch first and ties are deterministic.
+    Only slots inside ``horizon_s`` are emitted, so the OUTPUT is
+    bounded by hosts * (horizon / delay) — it scales with the number of
+    hosts, never with the size of the candidate list (the property that
+    makes a 100-TB frontier plannable per scheduling wave; URLs that
+    miss the horizon simply re-enter the next wave's candidate set).
+
+    Plan shape: crawl_delays is a per-host dim that BROADCASTS into the
+    candidate side; the only shuffle is the per-host rank window (hash
+    on host). A mega-host's window sorts only its own partition and the
+    horizon cap bounds what it emits."""
+    from pyspark.sql import Window
+
+    delays = crawl_delays(
+        robots_df, agent, default_delay, robots_host_col, robots_txt_col
+    )
+    auth = F.regexp_extract(F.col(url_col), r"^[A-Za-z]+://([^/?]+)", 1)
+    u = urls_df.withColumn(
+        "host",
+        F.lower(
+            F.regexp_replace(
+                F.regexp_replace(auth, r"^[^@]*@", ""), r":\d+$", ""
+            )
+        ),
+    )
+    j = u.join(F.broadcast(delays), "host", "left").withColumn(
+        "crawl_delay",
+        F.coalesce("crawl_delay", F.lit(float(default_delay))),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col(priority_col).desc(), F.col(url_col)
+    )
+    return (
+        j.withColumn("slot", F.row_number().over(w) - 1)
+        .withColumn(
+            "fetch_at_s", F.round(F.col("slot") * F.col("crawl_delay"), 6)
+        )
+        .filter(F.col("fetch_at_s") < horizon_s)
+        .select(
+            "host", url_col, priority_col, "slot", "crawl_delay",
+            "fetch_at_s",
+        )
     )
 
 

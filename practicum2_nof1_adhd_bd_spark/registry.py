@@ -3267,6 +3267,84 @@ def q_robots_screen_decisions(spark, sf_dir):
 
 
 @register(
+    "crawl_frontier_slots",
+    """
+    WITH u AS (
+        SELECT i, i % 4 AS k, i // 4 AS n,
+               CAST((i * 7) % 13 AS INT) AS priority
+        FROM generate_series(0, 119) t(i)
+    ),
+    c AS (
+        SELECT ['a.com','b.com','c.com','d.com'][1 + CAST(k AS INT)] AS host,
+               'http://' || ['a.com','b.com','c.com','d.com'][1 + CAST(k AS INT)]
+                   || '/p' || n AS url,
+               priority,
+               CAST(CASE k WHEN 0 THEN 5.0 WHEN 1 THEN 2.0 ELSE 1.0 END
+                    AS DOUBLE) AS crawl_delay
+        FROM u
+    ),
+    r AS (
+        SELECT host, url, priority, crawl_delay,
+               row_number() OVER (PARTITION BY host
+                                  ORDER BY priority DESC, url) - 1 AS slot
+        FROM c
+    )
+    SELECT host, url, priority, slot, crawl_delay,
+           round(slot * crawl_delay, 6) AS fetch_at_s
+    FROM r WHERE slot * crawl_delay < 20
+    """,
+)
+def q_crawl_frontier_slots(spark, sf_dir):
+    """Per-host politeness frontier (urls.crawl_frontier — the
+    scheduling step between robots_screen and the fetcher, r12 verdict
+    #5): each candidate URL gets a fetch slot on its host's clock at
+    slot * Crawl-delay, slots by (priority DESC, url ASC) rank, only
+    slots inside the 20s horizon emitted — so output scales with hosts
+    x (horizon/delay), never with candidate-list size. Fixture: 30
+    candidates on each of four hosts whose robots exercise the delay
+    selection table — a.com declares 5s under ``*``; b.com declares 10s
+    under ``*`` but 2s under the exact agent (exact wins); c.com has
+    robots but no delay (default 1s); d.com declares 9s under ``*``
+    while an exact graftbot group EXISTS without a delay (REP exclusive
+    groups: the ``*`` delay is shadowed, default applies). Emitted
+    slots: 4 + 10 + 20 + 20 = 54. The oracle replays the rank/slot
+    arithmetic against the hand-derived delay table, exactly like
+    robots_screen_decisions' truth table; delay parsing itself is
+    pinned in tests/test_urls.py."""
+    i = F.col("id")
+    k = i % 4
+    n = F.expr("id DIV 4").cast("string")
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in ("a.com", "b.com", "c.com", "d.com")]),
+        (k + 1).cast("int"),
+    )
+    u = spark.range(120).select(
+        F.concat(F.lit("http://"), host, F.lit("/p"), n).alias("url"),
+        ((i * 7) % 13).cast("int").alias("priority"),
+    )
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nCrawl-delay: 5\nDisallow: /tmp\n"),
+            (
+                "b.com",
+                "User-agent: *\nCrawl-delay: 10\n\n"
+                "User-agent: graftbot\nCrawl-delay: 2\n",
+            ),
+            ("c.com", "User-agent: *\nDisallow: /tmp\n"),
+            (
+                "d.com",
+                "User-agent: graftbot\nDisallow: /q\n\n"
+                "User-agent: *\nCrawl-delay: 9\n",
+            ),
+        ],
+        "host string, robots_txt string",
+    )
+    return urls.crawl_frontier(
+        u, robots, agent="graftbot", horizon_s=20.0
+    )
+
+
+@register(
     "html_text_extract",
     """
     WITH d AS (SELECT i FROM generate_series(0, 139) t(i)),

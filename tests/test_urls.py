@@ -178,3 +178,93 @@ def test_robots_screen_longest_match_and_group_selection(spark):
     # plan contract: the rules side broadcasts; the crawl never shuffles
     plan = urls.robots_screen(df, robots)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_crawl_delays_selection_table(spark):
+    """REP exclusive-group delay selection: exact agent group wins when
+    it declares a delay; an exact group WITHOUT a delay still shadows
+    the * group's delay (default applies); no declaration or an
+    unparsable value falls back to the default; multiple delay lines in
+    the selected group take the max."""
+    from practicum2_nof1_adhd_bd_spark.operators import urls
+
+    robots = spark.createDataFrame(
+        [
+            ("star.com", "User-agent: *\nCrawl-delay: 7\n"),
+            (
+                "exact.com",
+                "User-agent: *\nCrawl-delay: 10\n\n"
+                "User-agent: graftbot\nCrawl-delay: 2\n",
+            ),
+            (
+                "shadow.com",
+                "User-agent: graftbot\nDisallow: /q\n\n"
+                "User-agent: *\nCrawl-delay: 9\n",
+            ),
+            ("none.com", "User-agent: *\nDisallow: /tmp\n"),
+            ("bad.com", "User-agent: *\nCrawl-delay: soon\n"),
+            (
+                "multi.com",
+                "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 8\n",
+            ),
+        ],
+        "host string, robots_txt string",
+    )
+    out = {
+        r["host"]: r["crawl_delay"]
+        for r in urls.crawl_delays(robots, "graftbot", 1.5).collect()
+    }
+    assert out == {
+        "star.com": 7.0,
+        "exact.com": 2.0,
+        "shadow.com": 1.5,
+        "none.com": 1.5,
+        "bad.com": 1.5,
+        "multi.com": 8.0,
+    }
+
+
+def test_crawl_frontier_bounded_by_horizon_and_priority_order(spark):
+    """Slots assign by (priority desc, url asc) per host; only slots
+    inside the horizon emit; unknown hosts (no robots row) get the
+    default delay."""
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import urls
+
+    u = spark.createDataFrame(
+        [
+            ("http://slow.com/a", 1),
+            ("http://slow.com/b", 9),
+            ("http://slow.com/c", 9),
+            ("http://mystery.com/x", 5),
+            ("http://mystery.com/y", 4),
+        ],
+        "url string, priority int",
+    )
+    robots = spark.createDataFrame(
+        [("slow.com", "User-agent: *\nCrawl-delay: 6\n")],
+        "host string, robots_txt string",
+    )
+    rows = {
+        r["url"]: r
+        for r in urls.crawl_frontier(
+            u, robots, "graftbot", default_delay=2.0, horizon_s=12.0
+        ).collect()
+    }
+    # slow.com: b (prio 9) slot 0, c (prio 9, url tie-break) slot 1 at
+    # 6s; a (prio 1) slot 2 = 12s — outside the 12s horizon, dropped
+    assert set(rows) == {
+        "http://slow.com/b", "http://slow.com/c",
+        "http://mystery.com/x", "http://mystery.com/y",
+    }
+    assert rows["http://slow.com/b"]["slot"] == 0
+    assert rows["http://slow.com/c"]["fetch_at_s"] == 6.0
+    assert rows["http://mystery.com/x"]["crawl_delay"] == 2.0
+    assert rows["http://mystery.com/y"]["fetch_at_s"] == 2.0
+    # plan contract: the delay dim broadcasts
+    plan = (
+        urls.crawl_frontier(u, robots)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
