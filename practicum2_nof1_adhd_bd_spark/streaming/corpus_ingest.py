@@ -161,6 +161,175 @@ def _guard_decisions_layout(spark, decisions_dir: str) -> None:
             )
 
 
+ARCHIVE_BATCH = -1
+
+
+def _decision_batch_dirs(spark, decisions_dir: str) -> list[int]:
+    """Numeric ids of the ``batch=N`` partition directories under a
+    decisions sink (the archive dir ``batch=-1`` included when present).
+    One listStatus call; dir count is what the retention policy bounds."""
+    fs, path, _ = _hadoop_fs(spark, decisions_dir)
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _finish_decisions_compaction(spark, decisions_dir: str) -> None:
+    """Second half of the decisions-archive swap, idempotent at every
+    crash point: given a COMPLETE precompact dir (``_SUCCESS`` present),
+    delete the batch dirs it covers (their ids are the dir's distinct
+    ``src_batch`` values — bounded, one row per archived batch), delete
+    the old archive (its rows are subsumed: the precompact was written
+    as old-archive ∪ candidates), and rename the precompact into place
+    as ``batch=-1``."""
+    fs, _, jvm = _hadoop_fs(spark, decisions_dir)
+    pre_str = decisions_dir.rstrip("/") + "__decisions_precompact"
+    pre = jvm.org.apache.hadoop.fs.Path(pre_str)
+    covered = [
+        r["src_batch"]
+        for r in spark.read.parquet(pre_str)
+        .select("src_batch")
+        .distinct()
+        .collect()
+        if r["src_batch"] is not None
+    ]
+    for bid in covered:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{decisions_dir}/batch={int(bid)}"
+            ),
+            True,
+        )
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(
+            f"{decisions_dir}/batch={ARCHIVE_BATCH}"
+        ),
+        True,
+    )
+    fs.rename(
+        pre,
+        jvm.org.apache.hadoop.fs.Path(
+            f"{decisions_dir}/batch={ARCHIVE_BATCH}"
+        ),
+    )
+
+
+def recover_decisions_compaction(spark, decisions_dir: str) -> bool:
+    """Crash recovery for the decisions-archive swap, mirroring
+    ``similarity.recover_interrupted_compaction``: a crash after the
+    precompact dir finished writing but before the swap completed leaves
+    ``{decisions_dir}__decisions_precompact`` behind — finish the swap
+    (idempotent). A PARTIAL precompact (no ``_SUCCESS``) referenced
+    nothing yet and is simply discarded. Returns True when it acted."""
+    fs, _, jvm = _hadoop_fs(spark, decisions_dir)
+    pre = jvm.org.apache.hadoop.fs.Path(
+        decisions_dir.rstrip("/") + "__decisions_precompact"
+    )
+    if not fs.exists(pre):
+        return False
+    success = jvm.org.apache.hadoop.fs.Path(
+        decisions_dir.rstrip("/") + "__decisions_precompact/_SUCCESS"
+    )
+    if not fs.exists(success):
+        fs.delete(pre, True)
+        return True
+    _finish_decisions_compaction(spark, decisions_dir)
+    return True
+
+
+def compact_decisions(
+    spark,
+    decisions_dir: str,
+    up_to_batch: int,
+    schema: str = DECISION_SCHEMA,
+) -> int:
+    """Roll every committed ``batch=N`` dir with ``0 <= N <=
+    up_to_batch`` into the single archive partition ``batch=-1``,
+    preserving per-row provenance as a ``src_batch`` DATA column (the
+    partition-dir form of provenance is what the retention trades away
+    for a bounded dir count). Readers of the root see the identical
+    decision rows before and after (doc_id/status/matched_id — what
+    every consumer selects); the appended ``batch`` partition value
+    becomes -1 for archived rows, with the original id recoverable from
+    src_batch. Legacy flat files migrated under ``batch=-1`` (the
+    _guard_decisions_layout escape hatch) simply carry a null
+    src_batch.
+
+    Crash-safe by the compact_index two-phase protocol: the combined
+    frame (old archive ∪ candidates) is written COMPLETELY to a sibling
+    ``__decisions_precompact`` dir first, then the swap (delete covered
+    batch dirs -> delete old archive -> rename) runs; every crash point
+    is recoverable by ``recover_decisions_compaction`` because the
+    precompact names the dirs it covers in its own src_batch column.
+    Only call for batches that can no longer be replayed (foreachBatch
+    replays at most the last uncommitted batch, so anything below the
+    committed frontier is safe). Returns the number of dirs archived."""
+    recover_decisions_compaction(spark, decisions_dir)
+    dirs = _decision_batch_dirs(spark, decisions_dir)
+    cands = [b for b in dirs if 0 <= b <= up_to_batch]
+    if not cands:
+        return 0
+    fs, _, jvm = _hadoop_fs(spark, decisions_dir)
+    pre_str = decisions_dir.rstrip("/") + "__decisions_precompact"
+    pre = jvm.org.apache.hadoop.fs.Path(pre_str)
+    fs.delete(pre, True)  # stale partial write from an earlier crash
+    cand_df = (
+        spark.read.schema(schema + ", batch int")
+        .option("basePath", decisions_dir)
+        .parquet(*[f"{decisions_dir}/batch={b}" for b in cands])
+        .withColumn("src_batch", F.col("batch").cast("int"))
+        .drop("batch")
+    )
+    combined = cand_df
+    if ARCHIVE_BATCH in dirs:
+        old = spark.read.schema(schema + ", src_batch int").parquet(
+            f"{decisions_dir}/batch={ARCHIVE_BATCH}"
+        )
+        combined = combined.unionByName(old)
+    combined.write.mode("overwrite").parquet(pre_str)
+    _finish_decisions_compaction(spark, decisions_dir)
+    return len(cands)
+
+
+def maybe_compact_decisions(
+    spark,
+    decisions_dir: str,
+    current_batch_id: int,
+    max_batch_dirs: int = 64,
+    keep_last: int = 8,
+    schema: str = DECISION_SCHEMA,
+) -> int:
+    """Retention POLICY for the per-batch decisions sink — the
+    decisions-side twin of ``similarity.maybe_compact_index`` (r12
+    verdict #6): one ``batch=N`` dir lands per micro-batch forever, so
+    at streaming cadence the sink reproduces the many-small-files
+    pathology the index policy solves. When the live dir count exceeds
+    ``max_batch_dirs``, every committed dir older than the newest
+    ``keep_last`` rolls into the ``batch=-1`` archive (provenance moves
+    from the dir name to the src_batch column). Call in the batch gap
+    AFTER the commit marker: batches at or below current_batch_id are
+    final and can never be replayed. Returns dirs archived (0 = under
+    threshold)."""
+    live = [
+        b
+        for b in _decision_batch_dirs(spark, decisions_dir)
+        if b >= 0
+    ]
+    if len(live) <= max_batch_dirs:
+        return 0
+    return compact_decisions(
+        spark, decisions_dir, current_batch_id - keep_last, schema
+    )
+
+
 def batch_committed(spark, index_dir: str, batch_id: int) -> bool:
     """True iff ``batch_id`` already ran to completion against this index
     (its commit marker exists). foreachBatch is at-least-once: after a
@@ -426,6 +595,8 @@ def ingest_stream(
     k: int = 3,
     est_threshold: float = 0.8,
     auto_compact_max_files: int | None = None,
+    decisions_max_dirs: int | None = None,
+    decisions_keep_last: int = 8,
     key_expr=None,
 ):
     """Wire the screen into a foreachBatch stream: each micro-batch reads
@@ -479,6 +650,10 @@ def ingest_stream(
         # it first; with auto-compaction running in every batch gap this
         # crash window recurs for the life of the stream.
         recover_interrupted_compaction(spark, index_dir)
+        # a crash mid decisions-archive swap parks the archive at the
+        # __decisions_precompact sibling — finish (or discard) it before
+        # anything reads or writes the sink
+        recover_decisions_compaction(spark, decisions_dir)
         _guard_decisions_layout(spark, decisions_dir)
         if batch_committed(spark, index_dir, batch_id):
             return  # at-least-once replay of a fully committed batch
@@ -643,6 +818,14 @@ def ingest_stream(
                 # protocol above) are repaired here
                 dedup_cols=[id_col],
                 cursor=batch_id,
+            )
+        if decisions_max_dirs is not None:
+            # decisions-side retention (maybe_compact_decisions): runs
+            # AFTER the commit marker, so every archived batch is final
+            maybe_compact_decisions(
+                spark, decisions_dir, batch_id,
+                max_batch_dirs=decisions_max_dirs,
+                keep_last=decisions_keep_last,
             )
 
     return (

@@ -54,6 +54,8 @@ from .corpus_ingest import (
     _index_exists,
     batch_committed,
     mark_batch_committed,
+    maybe_compact_decisions,
+    recover_decisions_compaction,
 )
 
 VINDEX_SCHEMA = sim.VECTOR_INDEX_SCHEMA
@@ -213,6 +215,8 @@ def ingest_vector_stream(
     n_bits: int = 4,
     probe_hamming: int = 0,
     auto_compact_max_files: int | None = None,
+    decisions_max_dirs: int | None = None,
+    decisions_keep_last: int = 8,
 ):
     """foreachBatch wiring: quantize the batch once (localCheckpoint —
     shared by the bucket collect, the screen, and the append without a
@@ -240,6 +244,7 @@ def ingest_vector_stream(
         # BEFORE the existence checks (else cold-start logic rebuilds
         # from an empty index); then refuse legacy flat decisions dirs
         sim.recover_interrupted_compaction(spark, index_dir)
+        recover_decisions_compaction(spark, decisions_dir)
         _guard_decisions_layout(spark, decisions_dir)
         if batch_committed(spark, index_dir, batch_id):
             return  # at-least-once replay of a fully committed batch
@@ -298,6 +303,16 @@ def ingest_vector_stream(
                 # of the stream's id_col (see VINDEX_SCHEMA)
                 dedup_cols=["vec_id"],
                 cursor=batch_id,
+            )
+        if decisions_max_dirs is not None:
+            # decisions-side retention, same contract as
+            # corpus_ingest.ingest_stream: runs AFTER the commit marker,
+            # so every archived batch is final
+            maybe_compact_decisions(
+                spark, decisions_dir, batch_id,
+                max_batch_dirs=decisions_max_dirs,
+                keep_last=decisions_keep_last,
+                schema=VDECISION_SCHEMA,
             )
 
     return (

@@ -1553,3 +1553,214 @@ def test_sliding_stats_stream_overlap_semantics(spark, tmp_path):
     s0 = int(dt2.datetime(2024, 1, 1, tzinfo=dt2.timezone.utc).timestamp())
     assert by_start[s0]["n_events"] == 3
     assert by_start[s0]["value_min"] == 5.0 and by_start[s0]["value_max"] == 20.0
+
+
+def test_decisions_retention_policy_archives_and_preserves_rows(
+    spark, tmp_path
+):
+    """maybe_compact_decisions: under threshold nothing moves; over it,
+    committed batches older than keep_last roll into the batch=-1
+    archive with provenance moved to the src_batch column, the contract
+    read (explicit schema over the root) returns the identical row
+    multiset, and a second invocation is a no-op."""
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+
+    dec = str(tmp_path / "dec")
+    for b in range(10):
+        spark.createDataFrame(
+            [(100 * b + i, "admitted", None) for i in range(3)],
+            ci.DECISION_SCHEMA,
+        ).coalesce(1).write.parquet(f"{dec}/batch={b}")
+    want = sorted(
+        map(
+            tuple,
+            spark.read.schema(ci.DECISION_SCHEMA)
+            .parquet(dec)
+            .select("doc_id", "status", "matched_id")
+            .collect(),
+        )
+    )
+    # under threshold: untouched
+    assert ci.maybe_compact_decisions(spark, dec, 9, max_batch_dirs=16) == 0
+    assert ci._decision_batch_dirs(spark, dec) == list(range(10))
+    # over threshold: batches 0..(9 - keep_last) archive
+    n = ci.maybe_compact_decisions(
+        spark, dec, 9, max_batch_dirs=4, keep_last=3
+    )
+    assert n == 7  # batches 0..6
+    assert ci._decision_batch_dirs(spark, dec) == [-1, 7, 8, 9]
+    got = sorted(
+        map(
+            tuple,
+            spark.read.schema(ci.DECISION_SCHEMA)
+            .parquet(dec)
+            .select("doc_id", "status", "matched_id")
+            .collect(),
+        )
+    )
+    assert got == want
+    # provenance moved into the archive's src_batch column
+    arch = spark.read.parquet(f"{dec}/batch=-1")
+    assert sorted(
+        r["src_batch"] for r in arch.select("src_batch").distinct().collect()
+    ) == list(range(7))
+    # idempotent: live dirs now under threshold
+    assert ci.maybe_compact_decisions(
+        spark, dec, 9, max_batch_dirs=4, keep_last=3
+    ) == 0
+    # re-archiving later batches merges INTO the existing archive
+    assert ci.compact_decisions(spark, dec, 8) == 2
+    assert ci._decision_batch_dirs(spark, dec) == [-1, 9]
+    got2 = sorted(
+        map(
+            tuple,
+            spark.read.schema(ci.DECISION_SCHEMA)
+            .parquet(dec)
+            .select("doc_id", "status", "matched_id")
+            .collect(),
+        )
+    )
+    assert got2 == want
+
+
+def test_decisions_compaction_crash_recovery(spark, tmp_path):
+    """Crash injection around the archive swap: a COMPLETE precompact
+    dir (crash after write, before swap) is finished by recovery —
+    covered batch dirs deleted, archive in place, no duplicate rows; a
+    PARTIAL precompact (no _SUCCESS) is discarded untouched."""
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+
+    dec = str(tmp_path / "dec")
+    for b in range(4):
+        spark.createDataFrame(
+            [(10 * b + i, "admitted", None) for i in range(2)],
+            ci.DECISION_SCHEMA,
+        ).coalesce(1).write.parquet(f"{dec}/batch={b}")
+    want = sorted(
+        map(
+            tuple,
+            spark.read.schema(ci.DECISION_SCHEMA)
+            .parquet(dec)
+            .select("doc_id", "status", "matched_id")
+            .collect(),
+        )
+    )
+    # simulate the crash: write the combined precompact COMPLETELY
+    # (batches 0-1), then "crash" before the swap
+    pre = dec + "__decisions_precompact"
+    spark.read.schema(ci.DECISION_SCHEMA + ", batch int").option(
+        "basePath", dec
+    ).parquet(f"{dec}/batch=0", f"{dec}/batch=1").withColumn(
+        "src_batch", F.col("batch").cast("int")
+    ).drop("batch").write.parquet(pre)
+    assert ci.recover_decisions_compaction(spark, dec)
+    assert ci._decision_batch_dirs(spark, dec) == [-1, 2, 3]
+    got = sorted(
+        map(
+            tuple,
+            spark.read.schema(ci.DECISION_SCHEMA)
+            .parquet(dec)
+            .select("doc_id", "status", "matched_id")
+            .collect(),
+        )
+    )
+    assert got == want
+    # partial precompact: discard, sink untouched
+    import os
+    import shutil
+
+    spark.createDataFrame(
+        [(999, "admitted", None, 2)], ci.DECISION_SCHEMA + ", src_batch int"
+    ).write.parquet(pre)
+    os.remove(os.path.join(pre, "_SUCCESS"))
+    assert ci.recover_decisions_compaction(spark, dec)
+    assert not os.path.exists(pre)
+    assert ci._decision_batch_dirs(spark, dec) == [-1, 2, 3]
+    got2 = sorted(
+        map(
+            tuple,
+            spark.read.schema(ci.DECISION_SCHEMA)
+            .parquet(dec)
+            .select("doc_id", "status", "matched_id")
+            .collect(),
+        )
+    )
+    assert got2 == want
+
+
+def test_ingest_stream_decisions_retention_end_to_end(spark, tmp_path):
+    """ingest_stream(decisions_max_dirs=...): the retention policy runs
+    in the live stream's batch gaps and the decisions read-back stays
+    identical to an unretained control run."""
+    import json
+
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+
+    base = "sphinx of black quartz judge my streaming vow"
+
+    def harness(sub, **kw):
+        root = tmp_path / sub
+        src = root / "src"
+        src.mkdir(parents=True)
+        dirs = (str(root / "index"), str(root / "dec"), str(root / "ckpt"))
+
+        def land(name, rows):
+            p = src / f".{name}.tmp"
+            with open(p, "w") as f:
+                for doc_id, text in rows:
+                    f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+            p.rename(src / name)
+
+        def run_once():
+            stream = spark.readStream.schema(
+                "doc_id bigint, text string"
+            ).json(str(src))
+            q = ci.ingest_stream(stream, *dirs, **kw)
+            assert q.awaitTermination(120)
+
+        return land, run_once, dirs[1]
+
+    batches = [
+        [(1, base), (2, "batch zero unique words")],
+        [(11, base), (12, "batch one novel phrasing")],
+        [(21, base), (22, "batch two more material")],
+        [(31, base), (32, "batch three final text")],
+    ]
+
+    land, run_once, c_dec = harness("control")
+    for b, rows in enumerate(batches):
+        land(f"b{b}.json", rows)
+        run_once()
+    want = sorted(
+        map(
+            tuple,
+            spark.read.schema(ci.DECISION_SCHEMA)
+            .parquet(c_dec)
+            .select("doc_id", "status", "matched_id")
+            .collect(),
+        )
+    )
+
+    land, run_once, r_dec = harness(
+        "retained", decisions_max_dirs=1, decisions_keep_last=1
+    )
+    for b, rows in enumerate(batches):
+        land(f"b{b}.json", rows)
+        run_once()
+    got = sorted(
+        map(
+            tuple,
+            spark.read.schema(ci.DECISION_SCHEMA)
+            .parquet(r_dec)
+            .select("doc_id", "status", "matched_id")
+            .collect(),
+        )
+    )
+    assert got == want
+    # the retained sink really did archive: batch=-1 present, fewer
+    # live dirs than batches
+    dirs = ci._decision_batch_dirs(spark, r_dec)
+    assert -1 in dirs
+    assert len([d for d in dirs if d >= 0]) < len(batches)
