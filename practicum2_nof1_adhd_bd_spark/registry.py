@@ -11004,63 +11004,45 @@ _register_cluster_best_keeper()
 # whole registry, no entry stale-after-rewrite.
 _FRONT_ORDER = [
     "daily_event_stats",  # canary: green every round since r03
-    # new this round (r12): the TPC-H Q11/Q16 shapes (global-scalar
-    # HAVING over a checkpointed grain; NOT-IN exclusion as broadcast
-    # anti + two-phase distinct), the learned quality-classifier scoring
-    # path (NBSVM weights + logistic link, fully SQL-replayed), the
-    # learned BPE tokenizer (distributed merge loop + frozen-table
-    # encode vs reference-computed merge literals), and incremental
-    # cluster maintenance (oracle = full recompute, so the hash match
-    # IS the incremental == batch proof)
-    "important_stock_parts", "parts_supplier_counts",
-    "quality_classifier_scores", "bpe_learned_encode",
-    "incremental_cluster_parity", "forecast_revenue_change",
-    "promo_revenue_share", "shipmode_priority_counts",
-    "boilerplate_strip_report", "warc_response_scan",
-    "url_canonical_dedup", "streaming_url_seen_decisions",
-    "html_text_extract", "crawl_silver_scan", "robots_screen_decisions",
-    "host_pagerank",
-    # new in r12 session 4: PMI phrase mining, degree-oriented triangle
-    # counting, the SCD2 medallion upsert (merge == rebuild proof),
-    # the bucketed interval-overlap join (blocked == exhaustive proof),
-    # and Z-order layout cell stats
-    "pmi_collocations", "host_triangle_count", "scd2_merge_parity",
-    "session_episode_overlap", "zorder_cell_stats",
-    # new in r12 session 5: the prefix-filtered set-similarity join
-    # (exact Jaccard pairs, no blocking loss), the KMV bottom-k distinct
-    # sketch, the Efraimidis-Spirakis weighted draw, LPA communities,
-    # and the watermarked stream-stream interval join
-    "setsim_prefix_join", "kmv_distinct_estimate", "weighted_sample_topk",
-    "host_lpa_communities", "streaming_attribution_join",
-    "decontaminate_containment", "zipf_law_fit", "benford_digit_audit",
-    "int8_rerank_topk", "simhash_near_dups", "funnel_conversion",
-    "retention_cohorts", "event_transitions", "streaming_sliding_stats",
-    # behavior-touched r12: temporal_instability now scores absent
-    # feature columns 0.0 (ref parity) instead of raising; both ingest
-    # streams gained crashed-compaction recovery, the legacy-decisions
-    # layout guard, and dedup-on-auto-compaction
-    "temporal_instability_scores", "streaming_ingest_decisions",
-    "streaming_vector_decisions",
-    # rotation: 11 of the 44-query r07 cohort (last driver attestation
-    # r07 — five rounds overdue; ledger in COVERAGE.md). The remaining
-    # 33 (embedding_near_dup, embedding_near_dup_bucketed, hash_split,
-    # hrv_time_domain, incremental_ingest_decisions,
-    # ingest_internal_near_decisions,
-    # int8_cosine_topk, interpolate_daily, interval_efficiency,
-    # ivf_ann_topk, json_props_daily, large_volume_customers,
-    # media_frame_sample, minhash_signatures — displaced by the
-    # session-5 fourteen — plus multiformat_ts_parse, pack_sequences,
-    # pii_redact_stats, pipe_split_union, quality_adjusted_label,
-    # quality_score, region_revenue, rollup_nation_year, semantic_dedup,
-    # semantic_dedup_bucketed, som_daily_agg,
-    # sql_top_order_per_customer, tfidf_top_terms,
-    # token_length_profile, top_supplier_revenue, topk_customers,
-    # tz_cutover_daily, union_sum_fusion, user_sessions) spill to r13
-    # with the aging r08 cohort.
-    "apply_mixture_sample", "auc_persistence", "bpe_token_stats",
-    "calibration_bins", "char_ngram_entropy", "circadian_midpoint",
-    "corpus_clean", "cosine_topk", "daily_modal_type", "doc_fingerprint",
-    "dup_ngram_profile",
+    # new r13 (capped at 2 — the r12 verdict's consolidation mandate):
+    # the learned fastText-style langid scorer, and the politeness
+    # crawl frontier
+    "langid_classifier_scores", "crawl_frontier_slots",
+    # behavior-touched r13: funnel_steps moved to one lazy plan +
+    # HALF_UP rounding; benford gained the 1-9 digit spine; the KMV
+    # partial sketch moved to a capped per-partition bottom-k;
+    # langid_confusion re-pointed at the learned scorer; the
+    # _multitable_buckets expression-string rewrite (construction-only,
+    # outputs oracle-identical) touches int8_rerank_topk,
+    # multitable_index_topk and the two ann_* queries below; all three
+    # ingest streams gained the decisions-retention recovery hook
+    "funnel_conversion", "benford_digit_audit", "kmv_distinct_estimate",
+    "langid_confusion", "int8_rerank_topk", "multitable_index_topk",
+    "streaming_ingest_decisions", "streaming_vector_decisions",
+    "streaming_url_seen_decisions",
+    # touched AND r08-cohort rotation (double duty)
+    "ann_multiprobe_topk", "ann_multitable_topk",
+    # stale rotation, the r13 consolidation payload: the ENTIRE 33-query
+    # r07 remainder (ledger in COVERAGE.md) ...
+    "embedding_near_dup", "embedding_near_dup_bucketed", "hash_split",
+    "hrv_time_domain", "incremental_ingest_decisions",
+    "ingest_internal_near_decisions", "int8_cosine_topk",
+    "interpolate_daily", "interval_efficiency", "ivf_ann_topk",
+    "json_props_daily", "large_volume_customers", "media_frame_sample",
+    "minhash_signatures", "multiformat_ts_parse", "pack_sequences",
+    "pii_redact_stats", "pipe_split_union", "quality_adjusted_label",
+    "quality_score", "region_revenue", "rollup_nation_year",
+    "semantic_dedup", "semantic_dedup_bucketed", "som_daily_agg",
+    "sql_top_order_per_customer", "tfidf_top_terms",
+    "token_length_profile", "top_supplier_revenue", "topk_customers",
+    "tz_cutover_daily", "union_sum_fusion", "user_sessions",
+    # ... plus the head of the 39-query r08 cohort in ledger order (the
+    # ann_* pair above also belongs to it: 38 stale-cohort entries this
+    # window). The 34-query r08 remainder (calendar_month_folds ...
+    # winnow_fingerprints, ledger order) is owed to r14, which clears
+    # the whole debt: no entry older than r09 after r14.
+    "asof_snapshot_select", "boundary_range_join",
+    "bucket_balanced_sample",
 ]
 
 

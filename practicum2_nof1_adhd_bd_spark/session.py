@@ -39,6 +39,15 @@ _DEFAULTS = {
     # array expressions are allocation-heavy, so give the collector room
     # (the host has 128 GiB; override via SPARK_GRAFT_DRIVER_MEM).
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    # PySpark 4 captures the Python call site on EVERY DataFrame/Column
+    # API call when this is on (the default) — one extra JVM round-trip
+    # per operator, which r13 profiling measured as a material share of
+    # driver-side plan-build latency on expression-heavy queries
+    # (ann_multiprobe_topk's 80-agg bucket pass). The engine's
+    # error-handling does not rely on Python-side call-site origins, so
+    # trade the debug breadcrumbs for dispatch latency. (The driver's
+    # bare-session oracle gate keeps the Spark default.)
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 

@@ -48,59 +48,48 @@ def test_sample_queries_run_at_sf0001(spark, sf_dir):
 def test_attestation_window_is_stable():
     """The external harness attests the FIRST 50 queries; pin the window so
     a stray registration cannot silently displace an entry before it has
-    been attested. Round-12 window = the canary + the r12-new queries
-    (TPC-H Q6/Q11/Q12/Q14/Q16, the learned quality classifier, the
-    learned BPE tokenizer, incremental cluster parity, boilerplate
-    strip, WARC scan; session 4 adds PMI collocations, triangle
-    counting, the SCD2 upsert, the interval-overlap join, Z-order cell
-    stats; session 5 adds the prefix-filtered set-similarity join, the
-    KMV distinct sketch, the Efraimidis-Spirakis weighted draw, LPA
-    communities, the stream-stream interval join, the containment
-    decontamination screen, the per-source Zipf fit, the Benford
-    first-digit audit, the int8 re-rank + SimHash near-dup pairs
-    promoted under the gate, the funnel/retention/transition
-    event-analytics trio, and the sliding-window streaming aggregate)
-    + the 3
-    r12-behavior-touched queries (temporal_instability's missing-column
-    guard; both ingest streams' crashed-compaction recovery + layout
-    guard) + 11 of the 44-query r07 cohort (five rounds overdue; the
-    remaining 33 — embedding_near_dup through
-    minhash_signatures displaced by
-    session 5, plus multiformat_ts_parse through user_sessions in
-    ledger order — spill to r13 — ledger in COVERAGE.md). Rows-only
+    been attested. Round-13 is the CONSOLIDATION window (r12 verdict #1:
+    pay down the 72-query attestation debt): canary + only 2 r13-new
+    queries (the learned langid scorer, the politeness crawl frontier)
+    + the 11 r13-behavior-touched queries (funnel single-plan/rounding
+    fix, Benford digit spine, KMV capped partial, the re-pointed
+    langid_confusion, the _multitable_buckets expression-string rewrite's
+    four consumers, the three ingest streams under the
+    decisions-retention hook) + 38 stale-cohort entries: the ENTIRE
+    33-query r07 remainder plus the head of the r08 cohort in ledger
+    order (ann_multiprobe_topk / ann_multitable_topk double as
+    behavior-touched). The 34-query r08 remainder is owed to r14 (ledger
+    in COVERAGE.md), which clears the debt entirely. Rows-only
     (no-oracle) queries must NOT occupy window slots."""
     names = list(entrymod.queries())
     window = names[:50]
     oracles = entrymod.oracle_sql()
     assert window[0] == "daily_event_stats"  # cross-round canary
     for must in (
-        # new this round (r12)
-        "important_stock_parts", "parts_supplier_counts",
-        "quality_classifier_scores", "bpe_learned_encode",
-        "incremental_cluster_parity", "forecast_revenue_change",
-        "promo_revenue_share", "shipmode_priority_counts",
-        "boilerplate_strip_report", "warc_response_scan",
-        "url_canonical_dedup", "streaming_url_seen_decisions",
-        "html_text_extract", "crawl_silver_scan",
-        "robots_screen_decisions", "host_pagerank",
-        # new r12 session 4
-        "pmi_collocations", "host_triangle_count", "scd2_merge_parity",
-        "session_episode_overlap", "zorder_cell_stats",
-        # new r12 session 5
-        "setsim_prefix_join", "kmv_distinct_estimate",
-        "weighted_sample_topk", "host_lpa_communities",
-        "streaming_attribution_join", "decontaminate_containment",
-        "zipf_law_fit", "benford_digit_audit", "int8_rerank_topk",
-        "simhash_near_dups", "funnel_conversion", "retention_cohorts",
-        "event_transitions", "streaming_sliding_stats",
-        # behavior-touched r12
-        "temporal_instability_scores", "streaming_ingest_decisions",
-        "streaming_vector_decisions",
-        # r07-cohort rotation (11 of 44)
-        "apply_mixture_sample", "auc_persistence", "bpe_token_stats",
-        "calibration_bins", "char_ngram_entropy", "circadian_midpoint",
-        "corpus_clean", "cosine_topk", "daily_modal_type",
-        "doc_fingerprint", "dup_ngram_profile",
+        # new this round (r13)
+        "langid_classifier_scores", "crawl_frontier_slots",
+        # behavior-touched r13
+        "funnel_conversion", "benford_digit_audit",
+        "kmv_distinct_estimate", "langid_confusion", "int8_rerank_topk",
+        "multitable_index_topk", "streaming_ingest_decisions",
+        "streaming_vector_decisions", "streaming_url_seen_decisions",
+        "ann_multiprobe_topk", "ann_multitable_topk",
+        # the full 33-query r07 remainder
+        "embedding_near_dup", "embedding_near_dup_bucketed", "hash_split",
+        "hrv_time_domain", "incremental_ingest_decisions",
+        "ingest_internal_near_decisions", "int8_cosine_topk",
+        "interpolate_daily", "interval_efficiency", "ivf_ann_topk",
+        "json_props_daily", "large_volume_customers", "media_frame_sample",
+        "minhash_signatures", "multiformat_ts_parse", "pack_sequences",
+        "pii_redact_stats", "pipe_split_union", "quality_adjusted_label",
+        "quality_score", "region_revenue", "rollup_nation_year",
+        "semantic_dedup", "semantic_dedup_bucketed", "som_daily_agg",
+        "sql_top_order_per_customer", "tfidf_top_terms",
+        "token_length_profile", "top_supplier_revenue", "topk_customers",
+        "tz_cutover_daily", "union_sum_fusion", "user_sessions",
+        # r08-cohort head (ledger order)
+        "asof_snapshot_select", "boundary_range_join",
+        "bucket_balanced_sample",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry
