@@ -148,6 +148,9 @@ HEADLINE = [
     "funnel_conversion",
     "retention_cohorts",
     "event_transitions",
+    # round-13 additions (consolidation round: just the two new queries)
+    "langid_classifier_scores",
+    "crawl_frontier_slots",
 ]
 
 
