@@ -1764,3 +1764,89 @@ def test_ingest_stream_decisions_retention_end_to_end(spark, tmp_path):
     dirs = ci._decision_batch_dirs(spark, r_dec)
     assert -1 in dirs
     assert len([d for d in dirs if d >= 0]) < len(batches)
+
+
+def test_vector_ingest_decisions_retention_end_to_end(spark, tmp_path):
+    """ingest_vector_stream(decisions_max_dirs=...): the retention
+    policy runs in the vector stream's batch gaps with the
+    VDECISION_SCHEMA (vec_id grain), decisions stay identical to a
+    control run, and the archive carries src_batch provenance."""
+    import json
+
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+    from practicum2_nof1_adhd_bd_spark.streaming import vector_ingest as vi
+
+    vecs = [
+        [1.0, 0.2, 0.1, 0.05],
+        [-1.0, -0.2, 0.3, 0.4],
+        [0.05, -1.0, 0.2, -0.3],
+        [0.3, 0.4, -1.0, 0.1],
+    ]
+
+    def harness(sub, **kw):
+        root = tmp_path / sub
+        src = root / "src"
+        src.mkdir(parents=True)
+        dirs = (str(root / "index"), str(root / "dec"), str(root / "ckpt"))
+
+        def land(name, rows):
+            p = src / f".{name}.tmp"
+            with open(p, "w") as f:
+                for vec_id, v in rows:
+                    f.write(
+                        json.dumps({"vec_id": vec_id, "embedding": v}) + "\n"
+                    )
+            p.rename(src / name)
+
+        def run_once():
+            stream = spark.readStream.schema(
+                "vec_id bigint, embedding array<double>"
+            ).json(str(src))
+            q = vi.ingest_vector_stream(stream, *dirs, **kw)
+            assert q.awaitTermination(120)
+
+        return land, run_once, dirs[1]
+
+    batches = [
+        [(1, vecs[0]), (2, vecs[1])],
+        [(11, [x * 2 for x in vecs[0]]), (12, vecs[2])],  # 11 near-dups 1
+        [(21, vecs[3]), (22, [x * 3 for x in vecs[2]])],  # 22 near-dups 12
+        [(31, [x * 0.5 for x in vecs[1]])],               # near-dups 2
+    ]
+
+    land, run_once, c_dec = harness("control")
+    for b, rows in enumerate(batches):
+        land(f"b{b}.json", rows)
+        run_once()
+    want = sorted(
+        map(
+            tuple,
+            spark.read.schema(vi.VDECISION_SCHEMA)
+            .parquet(c_dec)
+            .select("vec_id", "status", "matched_id")
+            .collect(),
+        )
+    )
+
+    land, run_once, r_dec = harness(
+        "retained", decisions_max_dirs=1, decisions_keep_last=1
+    )
+    for b, rows in enumerate(batches):
+        land(f"b{b}.json", rows)
+        run_once()
+    got = sorted(
+        map(
+            tuple,
+            spark.read.schema(vi.VDECISION_SCHEMA)
+            .parquet(r_dec)
+            .select("vec_id", "status", "matched_id")
+            .collect(),
+        )
+    )
+    assert got == want
+    dirs = ci._decision_batch_dirs(spark, r_dec)
+    assert -1 in dirs
+    assert len([d for d in dirs if d >= 0]) < len(batches)
+    # archive rows carry vec_id-grain schema + src_batch provenance
+    arch = spark.read.parquet(f"{r_dec}/batch=-1")
+    assert {"vec_id", "status", "matched_id", "src_batch"} <= set(arch.columns)

@@ -622,12 +622,14 @@ NOTES = {
         "document text crosses the wire zero times after tokenization."
     ),
     "kmv_distinct_estimate": (
-        "Two-level sketch merge: the per-partition partial (groupBy "
-        "group, partition_id) caps what enters the exchange at k=64 "
-        "hashes per (group, input partition); the distinct values "
-        "themselves never shuffle. bottomk(bottomk(A) ∪ bottomk(B)) = "
-        "bottomk(A ∪ B) makes the merged estimate partitioning-"
-        "invariant — the property the oracle hash-attests."
+        "Two-level sketch merge: an Arrow-batched per-partition bottom-k "
+        "(mapInPandas, working set capped at k rows per group) emits at "
+        "most k=64 hashes per (group, input partition) into the single "
+        "merge exchange — the distinct values themselves never shuffle, "
+        "and no aggregation buffer ever holds a partition's full "
+        "distinct set (the r12 ADVICE hazard). bottomk(bottomk(A) ∪ "
+        "bottomk(B)) = bottomk(A ∪ B) makes the merged estimate "
+        "partitioning-invariant — the property the oracle hash-attests."
     ),
     "weighted_sample_topk": (
         "The Efraimidis-Spirakis draw compiles to TakeOrderedAndProject: "
