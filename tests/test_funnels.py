@@ -119,3 +119,38 @@ def test_event_transitions_same_ts_orders_by_event_id(spark):
     out = [(r["from_type"], r["to_type"])
            for r in funnels.event_transitions(ev).collect()]
     assert out == [("a", "b")]
+
+
+def test_funnel_steps_is_one_lazy_plan_no_driver_actions(spark):
+    """The r12 ADVICE fix pinned: building the funnel frame must run
+    ZERO Spark jobs (the old implementation ran a .count() per stage,
+    re-executing every earlier stage's lineage O(steps^2)), and the
+    whole result must come from ONE action."""
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import funnels
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "signup"),
+            (1, "2024-01-01 01:00:00", "click"),
+            (2, "2024-01-01 00:00:00", "signup"),
+        ],
+        "user_id int, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out = funnels.funnel_steps(
+        ev, ["signup", "click", "purchase"], step_horizon="INTERVAL 6 HOURS"
+    )
+    after_build = len(tracker.getJobIdsForGroup(None) or [])
+    assert after_build == before, "funnel construction ran Spark jobs"
+    rows = {r["step_name"]: r for r in out.collect()}
+    assert rows["signup"]["n_users"] == 2
+    assert rows["click"]["n_users"] == 1
+    assert rows["click"]["conv_from_prev"] == 0.5
+    assert rows["purchase"]["n_users"] == 0
+    # prev stage converted 1 user, this stage 0 -> 0.0 (a real ratio,
+    # not the step-1 NULL)
+    assert rows["purchase"]["conv_from_prev"] == 0.0
+    assert rows["signup"]["conv_from_prev"] is None
