@@ -8043,6 +8043,69 @@ def q_kmv_distinct_estimate(spark, sf_dir):
 
 
 @register(
+    "token_length_qsketch",
+    """
+    WITH t AS (SELECT lang,
+                      len(regexp_extract_all(text, '\\S+')) AS n_tokens
+               FROM documents),
+    bkt AS (SELECT lang,
+                   CAST(least(greatest(floor(n_tokens / 2.0), 0), 255) AS INT)
+                       AS bucket,
+                   count(*) AS cnt
+            FROM t GROUP BY 1, 2),
+    cum AS (SELECT lang, bucket, cnt,
+                   sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+                   sum(cnt) OVER (PARTITION BY lang) AS total
+            FROM bkt),
+    p AS (SELECT unnest([0.1::DOUBLE, 0.5::DOUBLE, 0.9::DOUBLE]) AS p)
+    SELECT lang, p,
+           round(2.0 * (bucket + (ceil(p * total) - (cum - cnt)) / cnt), 6)
+               AS q_est,
+           CAST(total AS BIGINT) AS total_n
+    FROM cum CROSS JOIN p
+    WHERE cum >= ceil(p * total) AND (cum - cnt) < ceil(p * total)
+    """,
+)
+def q_token_length_qsketch(spark, sf_dir):
+    """Stored mergeable quantile sketch (sketches.qhist_sketch — the
+    deterministic fixed-grid alternative to KLL/t-digest, r12 verdict
+    #7): per-language token-count histograms over 256 two-token-wide
+    buckets, built as TWO separate snapshot sketches (even / odd
+    doc_ids — the stored-artifact-per-snapshot shape), merged with
+    qhist_merge (bucket-count addition, the EXACT merge law), then
+    p10/p50/p90 estimated by rank location + in-bucket interpolation.
+    The oracle computes the histogram over the WHOLE corpus in one
+    pass, so the value-hash match IS the merge proof — merged snapshot
+    sketches reproduce the whole-corpus sketch bit-for-bit (the
+    incremental_cluster_parity / scd2_merge_parity oracle device).
+    Unlike approx_percentile's engine-private KLL state, this sketch
+    persists as plain (group, bucket, n) parquet rows and merges across
+    snapshots forever with zero drift; estimates are within one bucket
+    width of the exact order statistic (accuracy + merge-invariance
+    pinned in tests/test_sketches.py). Late-r13 addition: enters the
+    r14 attestation window with the r08 remainder (COVERAGE.md)."""
+    docs = _cat(spark, sf_dir).documents
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(textops.tokens(F.col("text"))).cast("double").alias(
+            "n_tokens"
+        ),
+    )
+    knobs = dict(n_buckets=256, lo=0.0, hi=512.0)
+    snap_a = sketches.qhist_sketch(
+        t.filter(F.col("doc_id") % 2 == 0), ["lang"], "n_tokens", **knobs
+    )
+    snap_b = sketches.qhist_sketch(
+        t.filter(F.col("doc_id") % 2 == 1), ["lang"], "n_tokens", **knobs
+    )
+    merged = sketches.qhist_merge(snap_a, snap_b)
+    return sketches.qhist_quantiles(
+        merged, ["lang"], [0.1, 0.5, 0.9], **knobs
+    )
+
+
+@register(
     "chunk_dedup_profile",
     """
     WITH t AS (

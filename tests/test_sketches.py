@@ -55,3 +55,64 @@ def test_kmv_sketch_carries_k_smallest_hashes(spark):
         int(hashlib.md5(v.encode()).hexdigest()[:15], 16) for v in vals
     )[:8]
     assert got == exp
+
+
+def test_qhist_merge_invariance_bit_exact(spark):
+    """The fixed-grid sketch's merge law is EXACT: sketching two halves
+    and merging yields the identical (group, bucket, n) rows as
+    sketching the whole — under any split and any partitioning."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 37) % 450).cast("double").alias("v"),
+    )
+    knobs = dict(n_buckets=128, lo=0.0, hi=512.0)
+    whole = sketches.qhist_sketch(df, ["g"], "v", **knobs)
+    a = sketches.qhist_sketch(
+        df.filter(F.col("id") % 2 == 0).repartition(7), ["g"], "v", **knobs
+    )
+    b = sketches.qhist_sketch(
+        df.filter(F.col("id") % 2 == 1).repartition(3), ["g"], "v", **knobs
+    )
+    merged = sketches.qhist_merge(a, b)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_qhist_quantiles_within_one_bucket_width(spark):
+    """Estimates land within one bucket width of the exact order
+    statistic, and the rank-location rule finds exactly one bucket per
+    (group, p)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(5000).select(
+        F.lit("g").alias("g"),
+        ((F.col("id") * 7919) % 997).cast("double").alias("v"),
+    )
+    knobs = dict(n_buckets=256, lo=0.0, hi=1024.0)  # width 4
+    sk = sketches.qhist_sketch(df, ["g"], "v", **knobs)
+    probs = [0.1, 0.5, 0.9]
+    out = {
+        r["p"]: r
+        for r in sketches.qhist_quantiles(sk, ["g"], probs, **knobs).collect()
+    }
+    assert len(out) == 3
+    exact = df.agg(
+        *[F.expr(f"percentile(v, {p})").alias(str(p)) for p in probs]
+    ).collect()[0]
+    for p in probs:
+        assert abs(out[p]["q_est"] - exact[str(p)]) <= 4.0, p
+        assert out[p]["total_n"] == 5000
+
+
+def test_qhist_clamps_out_of_domain_values(spark):
+    """Values outside [lo, hi) land in the edge buckets — an
+    out-of-domain outlier shifts tail mass, never crashes or drops."""
+    df = spark.createDataFrame(
+        [("g", -50.0), ("g", 5.0), ("g", 999999.0)], "g string, v double"
+    )
+    sk = sketches.qhist_sketch(df, ["g"], "v", n_buckets=16, lo=0.0, hi=16.0)
+    rows = {r["bucket"]: r["n"] for r in sk.collect()}
+    assert rows == {0: 1, 5: 1, 15: 1}
