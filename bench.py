@@ -148,9 +148,11 @@ HEADLINE = [
     "funnel_conversion",
     "retention_cohorts",
     "event_transitions",
-    # round-13 additions (consolidation round: just the two new queries)
+    # round-13 additions (consolidation round: the two new queries +
+    # the late-r13 mergeable quantile sketch)
     "langid_classifier_scores",
     "crawl_frontier_slots",
+    "token_length_qsketch",
 ]
 
 
