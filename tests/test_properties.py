@@ -896,3 +896,51 @@ def test_transitions_match_pure_python_any_stream(spark, events):
         (a, b): (n, round(n / totals[a], 6)) for (a, b), n in counts.items()
     }
     assert got == exp
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-10.0, max_value=600.0, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    ),
+    split_mod=st.integers(min_value=2, max_value=5),
+)
+@_settings
+def test_qhist_merge_equals_whole_and_bounds_error(spark, vals, split_mod):
+    """Any split of any input: merged per-part sketches == whole-corpus
+    sketch row-for-row, and every quantile estimate lands within one
+    bucket width of numpy's exact order statistic (after clamping values
+    into the grid's domain, which is what the edge buckets encode)."""
+    import numpy as np
+
+    from practicum2_nof1_adhd_bd_spark.operators import sketches
+
+    knobs = dict(n_buckets=64, lo=0.0, hi=512.0)
+    width = (knobs["hi"] - knobs["lo"]) / knobs["n_buckets"]
+    df = spark.createDataFrame(
+        [(i, "g", float(v)) for i, v in enumerate(vals)],
+        "i long, g string, v double",
+    )
+    whole = sketches.qhist_sketch(df, ["g"], "v", **knobs)
+    parts = [
+        sketches.qhist_sketch(
+            df.filter(f"i % {split_mod} = {r}"), ["g"], "v", **knobs
+        )
+        for r in range(split_mod)
+    ]
+    merged = sketches.qhist_merge(*parts)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    probs = [0.25, 0.5, 0.75]
+    out = {
+        r["p"]: r["q_est"]
+        for r in sketches.qhist_quantiles(
+            merged, ["g"], probs, **knobs
+        ).collect()
+    }
+    clamped = np.clip(np.array(vals), knobs["lo"], knobs["hi"] - 1e-9)
+    for p in probs:
+        exact = float(np.quantile(clamped, p, method="inverted_cdf"))
+        assert abs(out[p] - exact) <= width + 1e-6, (p, out[p], exact)
