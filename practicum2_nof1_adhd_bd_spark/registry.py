@@ -8042,9 +8042,12 @@ def q_kmv_distinct_estimate(spark, sf_dir):
     )
 
 
-@register(
-    "token_length_qsketch",
-    """
+# Shared DuckDB replay for the qhist family: the WHOLE-corpus
+# histogram + rank-location quantiles. Both the two-snapshot batch
+# merge (token_length_qsketch) and the micro-batch stream
+# (streaming_qsketch_stats) attest against it — the exact merge law
+# is what makes split == whole, so the hash match IS the merge proof.
+_QSKETCH_ORACLE = """
     WITH t AS (SELECT lang,
                       len(regexp_extract_all(text, '\\S+')) AS n_tokens
                FROM documents),
@@ -8064,7 +8067,12 @@ def q_kmv_distinct_estimate(spark, sf_dir):
            CAST(total AS BIGINT) AS total_n
     FROM cum CROSS JOIN p
     WHERE cum >= ceil(p * total) AND (cum - cnt) < ceil(p * total)
-    """,
+    """
+
+
+@register(
+    "token_length_qsketch",
+    _QSKETCH_ORACLE,
 )
 def q_token_length_qsketch(spark, sf_dir):
     """Stored mergeable quantile sketch (sketches.qhist_sketch — the
@@ -8100,6 +8108,78 @@ def q_token_length_qsketch(spark, sf_dir):
         t.filter(F.col("doc_id") % 2 == 1), ["lang"], "n_tokens", **knobs
     )
     merged = sketches.qhist_merge(snap_a, snap_b)
+    return sketches.qhist_quantiles(
+        merged, ["lang"], [0.1, 0.5, 0.9], **knobs
+    )
+
+
+@register("streaming_qsketch_stats", _QSKETCH_ORACLE)
+def q_streaming_qsketch_stats(spark, sf_dir):
+    """Incremental percentile maintenance over a LIVE stream
+    (streaming/qsketch_ingest.py): the documents table lands as a
+    3-file source, maxFilesPerTrigger=1 splits it into three real
+    micro-batches, and each batch appends only its own (lang, bucket,
+    n) sketch under batch={id} (overwrite = replay-idempotent —
+    exactly-once needs NO marker here because there is one output and
+    per-batch counts replace, never add). The returned quantiles come
+    from the bucket-grain sum over everything landed
+    (read_merged_sketch); the oracle computes the whole-corpus
+    histogram in one pass, so the value-hash match proves
+    stream-accumulated == batch-whole — the exact merge law doing the
+    attestation, as in token_length_qsketch. This is the stored
+    percentile artifact a 100-TB corpus refreshes per ingest wave
+    without ever re-scanning history; dir retention reuses the
+    decisions-sink archive policy verbatim (same layout). Per-invocation
+    uuid dirs stay on disk (fixture-sized); parity and accumulation
+    semantics pinned in tests/test_streaming.py. Late-r13 addition:
+    enters the r14 attestation window with the r08 remainder."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming import qsketch_ingest as qi
+
+    cat = _cat(spark, sf_dir)
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
+    fp = _source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    src = _land_once(
+        os.path.join(
+            tempfile.gettempdir(), f"spark_graft_qsketch_src{tag}"
+        ),
+        fp,
+        lambda tmp: cat.documents.select(
+            "doc_id",
+            "lang",
+            F.size(textops.tokens(F.col("text"))).cast("double").alias(
+                "n_tokens"
+            ),
+        )
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, lang string, n_tokens double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    work = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_qsketch_{uuid.uuid4().hex[:8]}"
+    )
+    sketch_dir = os.path.join(work, "sketch")
+    ckpt = os.path.join(work, "ckpt")
+    knobs = dict(n_buckets=256, lo=0.0, hi=512.0)
+    q = qi.qsketch_stream(
+        stream, sketch_dir, ckpt, ["lang"], "n_tokens", **knobs
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_qsketch_stats: stream did not finish in 300s"
+        )
+    merged = qi.read_merged_sketch(spark, sketch_dir, ["lang"])
     return sketches.qhist_quantiles(
         merged, ["lang"], [0.1, 0.5, 0.9], **knobs
     )

@@ -1850,3 +1850,111 @@ def test_vector_ingest_decisions_retention_end_to_end(spark, tmp_path):
     # archive rows carry vec_id-grain schema + src_batch provenance
     arch = spark.read.parquet(f"{r_dec}/batch=-1")
     assert {"vec_id", "status", "matched_id", "src_batch"} <= set(arch.columns)
+
+
+def test_qsketch_stream_accumulates_across_batches_and_runs(spark, tmp_path):
+    """Incremental percentile maintenance: micro-batches append only
+    their own bucket counts; the merged read equals the one-pass sketch
+    of everything streamed so far, and a SECOND stream run over newly
+    landed files (same checkpoint) continues accumulating without
+    re-reading history."""
+    import json
+
+    from practicum2_nof1_adhd_bd_spark.operators import sketches
+    from practicum2_nof1_adhd_bd_spark.streaming import qsketch_ingest as qi
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sketch_dir = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    knobs = dict(n_buckets=32, lo=0.0, hi=64.0)
+
+    def land(name, rows):
+        p = src / f".{name}.tmp"
+        with open(p, "w") as f:
+            for g, v in rows:
+                f.write(json.dumps({"g": g, "v": v}) + "\n")
+        p.rename(src / name)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("g string, v double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = qi.qsketch_stream(
+            stream, sketch_dir, ckpt, ["g"], "v", **knobs
+        )
+        assert q.awaitTermination(120)
+
+    b1 = [("a", float(v)) for v in (1, 5, 5, 9, 33)]
+    b2 = [("a", float(v)) for v in (2, 40, 40)] + [("b", 7.0)]
+    land("f1.json", b1)
+    land("f2.json", b2)
+    run_once()
+
+    all_rows = b1 + b2
+    whole = sketches.qhist_sketch(
+        spark.createDataFrame(all_rows, "g string, v double"),
+        ["g"], "v", **knobs,
+    )
+    merged = qi.read_merged_sketch(spark, sketch_dir, ["g"])
+    assert sorted(map(tuple, merged.select("g", "bucket", "n").collect())) \
+        == sorted(map(tuple, whole.collect()))
+
+    # second RUN over a newly landed file: the checkpoint consumes only
+    # the new file, and the artifact keeps accumulating
+    b3 = [("b", float(v)) for v in (7, 7, 50)]
+    land("f3.json", b3)
+    run_once()
+    whole2 = sketches.qhist_sketch(
+        spark.createDataFrame(all_rows + b3, "g string, v double"),
+        ["g"], "v", **knobs,
+    )
+    merged2 = qi.read_merged_sketch(spark, sketch_dir, ["g"])
+    assert sorted(map(tuple, merged2.select("g", "bucket", "n").collect())) \
+        == sorted(map(tuple, whole2.collect()))
+
+
+def test_qsketch_stream_retention_preserves_merged_sketch(spark, tmp_path):
+    """compact_max_dirs wiring: batch dirs roll into the batch=-1
+    archive mid-stream and the merged sketch is unchanged — counts are
+    summable wherever they live."""
+    import json
+
+    from practicum2_nof1_adhd_bd_spark.operators import sketches
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+    from practicum2_nof1_adhd_bd_spark.streaming import qsketch_ingest as qi
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sketch_dir = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    knobs = dict(n_buckets=16, lo=0.0, hi=16.0)
+    rows = []
+    for b in range(5):
+        batch = [("g", float((b * 3 + j) % 16)) for j in range(4)]
+        rows += batch
+        p = src / f".f{b}.json.tmp"
+        with open(p, "w") as f:
+            for g, v in batch:
+                f.write(json.dumps({"g": g, "v": v}) + "\n")
+        p.rename(src / f"f{b}.json")
+    stream = (
+        spark.readStream.schema("g string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = qi.qsketch_stream(
+        stream, sketch_dir, ckpt, ["g"], "v",
+        compact_max_dirs=1, keep_last=1, **knobs,
+    )
+    assert q.awaitTermination(120)
+    dirs = ci._decision_batch_dirs(spark, sketch_dir)
+    assert -1 in dirs and len([d for d in dirs if d >= 0]) < 5
+    whole = sketches.qhist_sketch(
+        spark.createDataFrame(rows, "g string, v double"), ["g"], "v", **knobs
+    )
+    merged = qi.read_merged_sketch(spark, sketch_dir, ["g"])
+    assert sorted(map(tuple, merged.select("g", "bucket", "n").collect())) \
+        == sorted(map(tuple, whole.collect()))
