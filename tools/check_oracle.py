@@ -39,6 +39,12 @@ def normalize(rows, columns):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--window",
+        action="store_true",
+        help="check exactly the first-50 attestation window (the set the "
+        "driver's CORRECTNESS gate runs)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -65,7 +71,10 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = args.names or list(qs)
+    if args.window:
+        names = list(qs)[:50] + args.names
+    else:
+        names = args.names or list(qs)
     n_pass = n_fail = n_rows_only = 0
     for name in names:
         t0 = time.time()
