@@ -586,7 +586,10 @@ def _multitable_buckets(
     ]
     joined = ex.join(F.broadcast(planes_df), "pos")
     agg = joined.groupBy(id_col).agg(
-        F.expr(f"first({vec_col}) AS {vec_col}"), *aggs
+        # backtick-quote the caller-supplied identifier: expression
+        # strings (unlike the Column API) must escape names containing
+        # spaces/dots/hyphens or they mis-parse / mis-bind
+        F.expr(f"first(`{vec_col}`) AS `{vec_col}`"), *aggs
     )
     bucket_cols = [
         F.expr(

@@ -54,6 +54,13 @@ def kmv_sketch(
         *group_cols,
         hash64_md5(F.col(value_col).cast("string")).alias("h"),
     )
+    # Null values hash to null. They MUST be dropped before the Arrow
+    # boundary: a null in an int64 batch forces pandas to float64, whose
+    # 53-bit mantissa cannot hold 60-bit hashes exactly, so distinct
+    # hashes would collapse depending on which partition the null landed
+    # in — breaking partitioning-invariance. Dropping them also restores
+    # the set semantics of the old collect_set partial (ignores nulls).
+    part = part.filter(F.col("h").isNotNull())
     gcols = list(group_cols)
 
     def _partial_bottomk(batches):
@@ -176,7 +183,15 @@ def qhist_quantiles(
     (type-1 rank on the bucketed mass) and interpolate linearly inside
     it — every step is window/scalar algebra a SQL oracle replays
     exactly. Output: (group..., p, q_est, total_n); estimates are
-    within one bucket width of the exact order statistic."""
+    within one bucket width of the exact order statistic.
+
+    ``probs`` must lie in (0, 1]: p=0 would satisfy no bucket
+    (rank 0 precedes all cumulative mass) and p>1 would exceed every
+    rank, so either would silently DROP its (group, p) row from the
+    output instead of erroring — validate at entry."""
+    bad = [p for p in probs if not (0.0 < float(p) <= 1.0)]
+    if bad:
+        raise ValueError(f"probs must be in (0, 1], got {bad}")
     from pyspark.sql import Window
 
     width = (hi - lo) / n_buckets

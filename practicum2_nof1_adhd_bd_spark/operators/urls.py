@@ -218,8 +218,10 @@ def robots_screen(
     raw_path = F.regexp_extract(F.col(url_col), r"^[A-Za-z]+://[^/]+(/.*)$", 1)
     # authority first, then strip userinfo and port — a bare
     # "[^/:?@]+" capture would stop BEFORE the @ and mis-key
-    # user@host URLs on the userinfo
-    auth = F.regexp_extract(F.col(url_col), r"^[A-Za-z]+://([^/?]+)", 1)
+    # user@host URLs on the userinfo; the capture must also stop at
+    # '#': a path-less URL with a fragment (http://a.com#x) would
+    # otherwise keep the fragment in the host and miss the robots join
+    auth = F.regexp_extract(F.col(url_col), r"^[A-Za-z]+://([^/?#]+)", 1)
     u = urls_df.withColumn(
         "_path", F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     ).withColumn(
@@ -339,15 +341,26 @@ def crawl_frontier(
     miss the horizon simply re-enter the next wave's candidate set).
 
     Plan shape: crawl_delays is a per-host dim that BROADCASTS into the
-    candidate side; the only shuffle is the per-host rank window (hash
-    on host). A mega-host's window sorts only its own partition and the
-    horizon cap bounds what it emits."""
+    candidate side. Only ranks <= ceil(horizon / delay) can survive the
+    horizon filter, so a salted PRE-RANK top-K bounds the final window:
+    phase 1 ranks within (host, salt-of-url) sub-partitions — a
+    mega-host's backlog sort is spread over ``n_salts`` tasks, each
+    sorting backlog/n_salts rows — and keeps only sub-rank <= cap
+    (exact: every global top-cap row is within the top-cap of its own
+    salt bucket). Phase 2's per-host window then ranks at most
+    n_salts * cap rows per host — bounded by the horizon, never by the
+    backlog. Two exchanges instead of one, but neither sorts a
+    mega-host's entire candidate list."""
     from pyspark.sql import Window
 
+    n_salts = 32
     delays = crawl_delays(
         robots_df, agent, default_delay, robots_host_col, robots_txt_col
     )
-    auth = F.regexp_extract(F.col(url_col), r"^[A-Za-z]+://([^/?]+)", 1)
+    # host capture stops at '/', '?', AND '#': a path-less URL with a
+    # fragment (http://a.com#x) must not keep the fragment in the host —
+    # it would miss the robots-delay join and split the politeness clock
+    auth = F.regexp_extract(F.col(url_col), r"^[A-Za-z]+://([^/?#]+)", 1)
     u = urls_df.withColumn(
         "host",
         F.lower(
@@ -360,11 +373,26 @@ def crawl_frontier(
         "crawl_delay",
         F.coalesce("crawl_delay", F.lit(float(default_delay))),
     )
+    # rank r survives iff (r-1) * delay < horizon  =>  r <= ceil(h/d);
+    # delay == 0 means every slot fits the horizon — no cap applies
+    cap = F.when(
+        F.col("crawl_delay") > 0,
+        F.ceil(F.lit(float(horizon_s)) / F.col("crawl_delay")),
+    )
+    wsub = Window.partitionBy("host", "_salt").orderBy(
+        F.col(priority_col).desc(), F.col(url_col)
+    )
+    pre = (
+        j.withColumn("_salt", F.crc32(F.col(url_col)) % n_salts)
+        .withColumn("_subrank", F.row_number().over(wsub))
+        .filter(cap.isNull() | (F.col("_subrank") <= cap))
+        .drop("_salt", "_subrank")
+    )
     w = Window.partitionBy("host").orderBy(
         F.col(priority_col).desc(), F.col(url_col)
     )
     return (
-        j.withColumn("slot", F.row_number().over(w) - 1)
+        pre.withColumn("slot", F.row_number().over(w) - 1)
         .withColumn(
             "fetch_at_s", F.round(F.col("slot") * F.col("crawl_delay"), 6)
         )

@@ -11147,45 +11147,36 @@ _register_cluster_best_keeper()
 # whole registry, no entry stale-after-rewrite.
 _FRONT_ORDER = [
     "daily_event_stats",  # canary: green every round since r03
-    # new r13 (capped at 2 — the r12 verdict's consolidation mandate):
-    # the learned fastText-style langid scorer, and the politeness
-    # crawl frontier
-    "langid_classifier_scores", "crawl_frontier_slots",
-    # behavior-touched r13: funnel_steps moved to one lazy plan +
-    # HALF_UP rounding; benford gained the 1-9 digit spine; the KMV
-    # partial sketch moved to a capped per-partition bottom-k;
-    # langid_confusion re-pointed at the learned scorer; the
-    # _multitable_buckets expression-string rewrite (construction-only,
-    # outputs oracle-identical) touches int8_rerank_topk,
-    # multitable_index_topk and the two ann_* queries below; all three
-    # ingest streams gained the decisions-retention recovery hook
-    "funnel_conversion", "benford_digit_audit", "kmv_distinct_estimate",
-    "langid_confusion", "int8_rerank_topk", "multitable_index_topk",
-    "streaming_ingest_decisions", "streaming_vector_decisions",
-    "streaming_url_seen_decisions",
-    # touched AND r08-cohort rotation (double duty)
-    "ann_multiprobe_topk", "ann_multitable_topk",
-    # stale rotation, the r13 consolidation payload: the ENTIRE 33-query
-    # r07 remainder (ledger in COVERAGE.md) ...
-    "embedding_near_dup", "embedding_near_dup_bucketed", "hash_split",
-    "hrv_time_domain", "incremental_ingest_decisions",
-    "ingest_internal_near_decisions", "int8_cosine_topk",
-    "interpolate_daily", "interval_efficiency", "ivf_ann_topk",
-    "json_props_daily", "large_volume_customers", "media_frame_sample",
-    "minhash_signatures", "multiformat_ts_parse", "pack_sequences",
-    "pii_redact_stats", "pipe_split_union", "quality_adjusted_label",
-    "quality_score", "region_revenue", "rollup_nation_year",
-    "semantic_dedup", "semantic_dedup_bucketed", "som_daily_agg",
-    "sql_top_order_per_customer", "tfidf_top_terms",
-    "token_length_profile", "top_supplier_revenue", "topk_customers",
-    "tz_cutover_daily", "union_sum_fusion", "user_sessions",
-    # ... plus the head of the 39-query r08 cohort in ledger order (the
-    # ann_* pair above also belongs to it: 38 stale-cohort entries this
-    # window). The 34-query r08 remainder (calendar_month_folds ...
-    # winnow_fingerprints, ledger order) is owed to r14, which clears
-    # the whole debt: no entry older than r09 after r14.
-    "asof_snapshot_select", "boundary_range_join",
-    "bucket_balanced_sample",
+    # r14 window: the ENTIRE 34-query r08 attestation remainder (the
+    # "Owed to r14" ledger in COVERAGE.md, r13 verdict #1) — after this
+    # round no registry entry's last driver green predates r09 —
+    # in ledger order:
+    "calendar_month_folds", "cda_probe", "coalescing_merge",
+    "csv_permissive_scan", "daily_median_stats", "daily_pivot_sum",
+    "date_spine_unify", "dedup_by_key", "duplicate_spans",
+    "gaps_islands_segments", "gopher_quality_flags",
+    "incremental_near_dup", "ivf_lloyd_topk", "language_id",
+    "local_supplier_volume", "medallion_silver_scan",
+    "media_decode_features", "media_real_decode", "media_resize_scan",
+    "missingness_profile", "outer_join_daily", "point_in_interval",
+    "pretraining_split_report", "rolling_7d_mean_by_user",
+    "rolling_corr_7d", "safe_ratio_daily", "segment_zscore_month",
+    "semantic_dedup_ivf", "simhash_fingerprints", "snapshot_diff_report",
+    "token_stats", "topk_per_group", "unigram_surprisal",
+    "winnow_fingerprints",
+    # late-r13 additions never driver-attested (judge-verified locally
+    # in r13; enter per the decontaminate_fuzzy precedent):
+    "token_length_qsketch", "streaming_qsketch_stats",
+    # behavior-touched r14: the KMV partial now drops null hashes
+    # before the Arrow boundary (r13 ADVICE high — float64 mantissa
+    # corruption); crawl_frontier gained the '#'-terminated host
+    # capture + the salted pre-rank top-cap bound (r13 verdict #2) and
+    # robots_screen the same host-regex fix; _multitable_buckets
+    # backtick-quotes interpolated identifiers (construction-only)
+    # touching the four ANN queries below
+    "kmv_distinct_estimate", "crawl_frontier_slots",
+    "robots_screen_decisions", "ann_multiprobe_topk",
+    "ann_multitable_topk", "int8_rerank_topk", "multitable_index_topk",
 ]
 
 

@@ -48,48 +48,40 @@ def test_sample_queries_run_at_sf0001(spark, sf_dir):
 def test_attestation_window_is_stable():
     """The external harness attests the FIRST 50 queries; pin the window so
     a stray registration cannot silently displace an entry before it has
-    been attested. Round-13 is the CONSOLIDATION window (r12 verdict #1:
-    pay down the 72-query attestation debt): canary + only 2 r13-new
-    queries (the learned langid scorer, the politeness crawl frontier)
-    + the 11 r13-behavior-touched queries (funnel single-plan/rounding
-    fix, Benford digit spine, KMV capped partial, the re-pointed
-    langid_confusion, the _multitable_buckets expression-string rewrite's
-    four consumers, the three ingest streams under the
-    decisions-retention hook) + 38 stale-cohort entries: the ENTIRE
-    33-query r07 remainder plus the head of the r08 cohort in ledger
-    order (ann_multiprobe_topk / ann_multitable_topk double as
-    behavior-touched). The 34-query r08 remainder is owed to r14 (ledger
-    in COVERAGE.md), which clears the debt entirely. Rows-only
+    been attested. Round-14 clears the attestation debt (r13 verdict
+    #1): canary + the ENTIRE 34-query r08 remainder (COVERAGE.md "Owed
+    to r14" ledger — after this window no registry entry's last driver
+    green predates r09) + the 2 late-r13 qsketch queries never
+    driver-attested + the r14 behavior-touched set (KMV null-hash
+    filter, crawl_frontier host-regex + salted pre-rank cap,
+    robots_screen host-regex, the _multitable_buckets backtick-quoting
+    rewrite's four ANN consumers) + the r14-new queries. Rows-only
     (no-oracle) queries must NOT occupy window slots."""
     names = list(entrymod.queries())
     window = names[:50]
     oracles = entrymod.oracle_sql()
     assert window[0] == "daily_event_stats"  # cross-round canary
     for must in (
-        # new this round (r13)
-        "langid_classifier_scores", "crawl_frontier_slots",
-        # behavior-touched r13
-        "funnel_conversion", "benford_digit_audit",
-        "kmv_distinct_estimate", "langid_confusion", "int8_rerank_topk",
-        "multitable_index_topk", "streaming_ingest_decisions",
-        "streaming_vector_decisions", "streaming_url_seen_decisions",
-        "ann_multiprobe_topk", "ann_multitable_topk",
-        # the full 33-query r07 remainder
-        "embedding_near_dup", "embedding_near_dup_bucketed", "hash_split",
-        "hrv_time_domain", "incremental_ingest_decisions",
-        "ingest_internal_near_decisions", "int8_cosine_topk",
-        "interpolate_daily", "interval_efficiency", "ivf_ann_topk",
-        "json_props_daily", "large_volume_customers", "media_frame_sample",
-        "minhash_signatures", "multiformat_ts_parse", "pack_sequences",
-        "pii_redact_stats", "pipe_split_union", "quality_adjusted_label",
-        "quality_score", "region_revenue", "rollup_nation_year",
-        "semantic_dedup", "semantic_dedup_bucketed", "som_daily_agg",
-        "sql_top_order_per_customer", "tfidf_top_terms",
-        "token_length_profile", "top_supplier_revenue", "topk_customers",
-        "tz_cutover_daily", "union_sum_fusion", "user_sessions",
-        # r08-cohort head (ledger order)
-        "asof_snapshot_select", "boundary_range_join",
-        "bucket_balanced_sample",
+        # the full 34-query r08 remainder (ledger order)
+        "calendar_month_folds", "cda_probe", "coalescing_merge",
+        "csv_permissive_scan", "daily_median_stats", "daily_pivot_sum",
+        "date_spine_unify", "dedup_by_key", "duplicate_spans",
+        "gaps_islands_segments", "gopher_quality_flags",
+        "incremental_near_dup", "ivf_lloyd_topk", "language_id",
+        "local_supplier_volume", "medallion_silver_scan",
+        "media_decode_features", "media_real_decode", "media_resize_scan",
+        "missingness_profile", "outer_join_daily", "point_in_interval",
+        "pretraining_split_report", "rolling_7d_mean_by_user",
+        "rolling_corr_7d", "safe_ratio_daily", "segment_zscore_month",
+        "semantic_dedup_ivf", "simhash_fingerprints",
+        "snapshot_diff_report", "token_stats", "topk_per_group",
+        "unigram_surprisal", "winnow_fingerprints",
+        # late-r13, never driver-attested
+        "token_length_qsketch", "streaming_qsketch_stats",
+        # behavior-touched r14
+        "kmv_distinct_estimate", "crawl_frontier_slots",
+        "robots_screen_decisions", "ann_multiprobe_topk",
+        "ann_multitable_topk", "int8_rerank_topk", "multitable_index_topk",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry

@@ -423,3 +423,19 @@ def test_ivf_pq_topk_full_probe_full_rerank_matches_bruteforce(spark):
     assert [(r["vec_id"], r["cosine"]) for r in out] == [
         (r["vec_id"], r["cosine"]) for r in exp
     ]
+
+
+def test_multitable_buckets_accept_quoted_identifiers(spark):
+    """The expression-string rewrite interpolates caller identifiers
+    into SQL (r13 ADVICE): names needing backticks (spaces, dots,
+    hyphens) must still parse and bind — the Column API accepted them
+    before the rewrite, so the string path must too."""
+    emb = _emb(spark).select(
+        F.col("vec_id").alias("vec id"),
+        F.col("embedding").alias("my-embedding"),
+    )
+    out = sim.multitable_lsh_candidates(
+        emb, 0, n_tables=2, n_planes=4, probe_hamming=1,
+        id_col="vec id", vec_col="my-embedding",
+    ).collect()
+    assert 0 in {r["vec id"] for r in out}

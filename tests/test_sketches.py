@@ -57,6 +57,48 @@ def test_kmv_sketch_carries_k_smallest_hashes(spark):
     assert got == exp
 
 
+def test_kmv_null_values_ignored_and_partition_invariant(spark):
+    """Null values must not poison the sketch (r13 ADVICE high): a null
+    hash entering the Arrow partial turns the int64 batch into float64,
+    whose 53-bit mantissa collapses distinct 60-bit hashes — and WHICH
+    hashes collapse depends on where the null lands, breaking
+    partitioning-invariance. Nulls are dropped pre-Arrow, so the sketch
+    over a null-bearing column equals the sketch over its non-null
+    subset, exactly, under any partitioning."""
+    df = spark.range(5000).select(
+        F.lit("g").alias("g"),
+        F.when(F.col("id") % 7 != 0, F.col("id") % 1201).alias("v"),
+    )
+    clean = df.filter(F.col("v").isNotNull())
+    got1 = sketches.kmv_sketch(df.repartition(1), ["g"], "v", k=64)
+    got13 = sketches.kmv_sketch(df.repartition(13), ["g"], "v", k=64)
+    exp = sketches.kmv_sketch(clean, ["g"], "v", k=64)
+    kmin = exp.collect()[0]["kmin"]
+    assert got1.collect()[0]["kmin"] == kmin
+    assert got13.collect()[0]["kmin"] == kmin
+    # hashes stay int64-exact end to end (no float64 round-trip)
+    assert all(isinstance(h, int) for h in kmin)
+
+
+def test_qhist_quantiles_rejects_out_of_range_probs(spark):
+    """p=0 satisfies no bucket and p>1 exceeds every rank — both would
+    silently DROP their (group, p) output row; entry validation turns
+    that into an error (r13 ADVICE)."""
+    import pytest
+
+    sk = sketches.qhist_sketch(
+        spark.range(10).select(
+            F.lit("g").alias("g"), F.col("id").cast("double").alias("v")
+        ),
+        ["g"], "v", n_buckets=16, lo=0.0, hi=16.0,
+    )
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="probs"):
+            sketches.qhist_quantiles(
+                sk, ["g"], [0.5, bad], n_buckets=16, lo=0.0, hi=16.0
+            )
+
+
 def test_qhist_merge_invariance_bit_exact(spark):
     """The fixed-grid sketch's merge law is EXACT: sketching two halves
     and merging yields the identical (group, bucket, n) rows as

@@ -268,3 +268,108 @@ def test_crawl_frontier_bounded_by_horizon_and_priority_order(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_crawl_frontier_fragment_only_url_keys_host(spark):
+    """A path-less URL with a fragment (http://a.com#x) must key on the
+    bare host: the '#'-terminated authority capture (r13 ADVICE) keeps
+    the fragment out of the host, so the robots delay join lands and
+    the URL shares its host's politeness clock."""
+    from practicum2_nof1_adhd_bd_spark.operators import urls
+
+    u = spark.createDataFrame(
+        [("http://slow.com#frag", 9), ("http://slow.com/a", 1)],
+        "url string, priority int",
+    )
+    robots = spark.createDataFrame(
+        [("slow.com", "User-agent: *\nCrawl-delay: 6\n")],
+        "host string, robots_txt string",
+    )
+    rows = {
+        r["url"]: r
+        for r in urls.crawl_frontier(
+            u, robots, "graftbot", default_delay=1.0, horizon_s=100.0
+        ).collect()
+    }
+    assert rows["http://slow.com#frag"]["host"] == "slow.com"
+    assert rows["http://slow.com#frag"]["crawl_delay"] == 6.0
+    # same host clock: the fragment URL (prio 9) takes slot 0, /a slot 1
+    assert rows["http://slow.com#frag"]["slot"] == 0
+    assert rows["http://slow.com/a"]["fetch_at_s"] == 6.0
+    # robots_screen keys the same way: the fragment URL matches its
+    # host's rules (path defaults to "/")
+    screened = {
+        r["url"]: r["crawlable"]
+        for r in urls.robots_screen(
+            u,
+            spark.createDataFrame(
+                [("slow.com", "User-agent: *\nDisallow: /\n")],
+                "host string, robots_txt string",
+            ),
+            "graftbot",
+        ).collect()
+    }
+    assert screened["http://slow.com#frag"] is False
+
+
+def test_crawl_frontier_mega_host_bounded_and_exact(spark):
+    """One host holding ~90% of the candidate backlog (the skew case the
+    salted pre-rank bound exists for, r13 verdict #2): the schedule must
+    be IDENTICAL to the unbounded definition — top ceil(horizon/delay)
+    by (priority desc, url asc) per host — while the final per-host
+    window only ever ranks the salted survivors, never the backlog."""
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import urls
+
+    n_big = 900
+    big = spark.range(n_big).select(
+        F.concat(F.lit("http://big.com/p"), F.col("id")).alias("url"),
+        ((F.col("id") * 13) % 97).cast("int").alias("priority"),
+    )
+    small = spark.range(100).select(
+        F.concat(F.lit("http://tiny.org/q"), F.col("id")).alias("url"),
+        F.lit(1).cast("int").alias("priority"),
+    )
+    u = big.unionByName(small).repartition(8)
+    robots = spark.createDataFrame(
+        [("big.com", "User-agent: *\nCrawl-delay: 2\n")],
+        "host string, robots_txt string",
+    )
+    out = urls.crawl_frontier(
+        u, robots, "graftbot", default_delay=1.0, horizon_s=10.0
+    ).collect()
+    # big.com: delay 2, horizon 10 -> slots 0..4 (5 rows);
+    # tiny.org: delay 1 -> slots 0..9 (10 rows)
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host["big.com"]) == 5
+    assert len(by_host["tiny.org"]) == 10
+    # replay the unbounded definition driver-side for big.com
+    cand = sorted(
+        (-((i * 13) % 97), f"http://big.com/p{i}") for i in range(n_big)
+    )[:5]
+    exp_urls = [url for _, url in cand]
+    got = sorted(by_host["big.com"], key=lambda r: r["slot"])
+    assert [r["url"] for r in got] == exp_urls
+    assert [r["fetch_at_s"] for r in got] == [0.0, 2.0, 4.0, 6.0, 8.0]
+
+
+def test_crawl_frontier_zero_delay_keeps_every_candidate(spark):
+    """Crawl-delay 0 means every slot fits the horizon: the pre-rank cap
+    must not apply (no division by zero, no dropped rows)."""
+    from pyspark.sql import functions as F
+
+    from practicum2_nof1_adhd_bd_spark.operators import urls
+
+    u = spark.range(50).select(
+        F.concat(F.lit("http://zero.net/"), F.col("id")).alias("url"),
+        F.lit(1).cast("int").alias("priority"),
+    )
+    robots = spark.createDataFrame(
+        [("zero.net", "User-agent: *\nCrawl-delay: 0\n")],
+        "host string, robots_txt string",
+    )
+    out = urls.crawl_frontier(u, robots, "graftbot", horizon_s=5.0)
+    assert out.count() == 50
