@@ -157,6 +157,9 @@ HEADLINE = [
     "langid_classifier_scores",
     "crawl_frontier_slots",
     "token_length_qsketch",
+    # round-14 additions (streaming_frontier_slots excluded: availableNow
+    # stream per repeat measures stream machinery, the standing rule)
+    "doc_size_qsketch_log",
 ]
 
 

@@ -227,3 +227,115 @@ def qhist_quantiles(
             F.col("_total").alias("total_n"),
         )
     )
+
+
+def _log_bucket_lo(v: "F.Column") -> "F.Column":
+    """Lower edge of ``v``'s leading-two-decimal-digits band, the
+    log-spaced bucket key: values 0..99 are their own bucket (exact),
+    a d-digit value (d >= 3) buckets to first-two-digits * 10^(d-2)
+    (relative width <= 1/10), negatives land in the visible underflow
+    bucket -1. Built with STRING algebra only (substr + zero-padding,
+    never floor(log10(v))): integer->string rendering is identical in
+    Spark and DuckDB, while libm log/pow differ in the last ulp at
+    bucket boundaries — the cross-engine hazard the fixed grid never
+    had and this grid must not introduce."""
+    s = v.cast("string")
+    d = F.length(s)
+    band = F.concat(
+        F.substring(s, 1, 2), F.repeat(F.lit("0"), (d - 2).cast("int"))
+    ).cast("long")
+    return (
+        F.when(v < 0, F.lit(-1).cast("long"))
+        .when(d <= 2, v.cast("long"))
+        .otherwise(band)
+    )
+
+
+def _log_bucket_width(lo: "F.Column") -> "F.Column":
+    """Width of the log bucket whose lower edge is ``lo``: 1 below 100
+    (and for the underflow bucket), else 10^(digits(lo)-2) — again via
+    string padding, not pow()."""
+    return F.when(lo < 100, F.lit(1).cast("long")).otherwise(
+        F.concat(
+            F.lit("1"),
+            F.repeat(F.lit("0"), (F.length(lo.cast("string")) - 2).cast("int")),
+        ).cast("long")
+    )
+
+
+def qhist_log_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Auto-ranged log-spaced quantile-histogram sketch for UNBOUNDED
+    non-negative integer domains (document sizes, byte lengths — the
+    domains where qhist_sketch's fixed [lo, hi) grid silently clamps
+    outliers into its edge buckets, r13 verdict #3). Buckets are
+    leading-two-decimal-digits bands: exact below 100, relative width
+    <= 1/10 above, growing with the data — no a-priori range at all.
+
+    Everything that made the fixed grid attestable survives: bucket
+    assignment is deterministic integer/string algebra (bit-identical
+    in Spark and DuckDB — no libm log whose last ulp differs at
+    boundaries), the sketch is pure (group, bucket_lo, n) counts, and
+    the merge law is literal bucket addition (qhist_merge applies
+    unchanged), so merged snapshot sketches equal the whole-corpus
+    sketch EXACTLY. Size: <= 90 occupied buckets per decade per group
+    — ~170 rows cover 1..10^9 — independent of row count. Quantile
+    estimates carry <= ~10% relative error plus in-bucket
+    interpolation (vs the fixed grid's one ABSOLUTE bucket width).
+
+    Values are truncated to long at entry (the domain is counts/sizes);
+    nulls drop, negatives land in the visible underflow bucket -1."""
+    v = F.col(value_col).cast("long")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols, _log_bucket_lo(v).alias("bucket_lo"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def qhist_log_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    probs: list[float],
+) -> DataFrame:
+    """Quantile estimates from a log-grid sketch: rank location on the
+    bucketed mass (exactly qhist_quantiles' rule) with each bucket's
+    edge/width recovered from ``bucket_lo`` itself — no grid knobs to
+    thread through. Output: (group..., p, q_est, total_n)."""
+    bad = [p for p in probs if not (0.0 < float(p) <= 1.0)]
+    if bad:
+        raise ValueError(f"probs must be in (0, 1], got {bad}")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket_lo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(*group_cols)
+    cum = (
+        sketch.withColumn("_cum", F.sum("n").over(w))
+        .withColumn("_total", F.sum("n").over(wg))
+        .withColumn("_before", F.col("_cum") - F.col("n"))
+    )
+    probs_df = F.broadcast(
+        sketch.sparkSession.createDataFrame(
+            [(float(p),) for p in probs], "p double"
+        )
+    )
+    rank = F.ceil(F.col("p") * F.col("_total"))
+    lo = F.col("bucket_lo")
+    est = lo + _log_bucket_width(lo) * (rank - F.col("_before")) / F.col("n")
+    return (
+        cum.crossJoin(probs_df)
+        .filter((F.col("_cum") >= rank) & (F.col("_before") < rank))
+        .select(
+            *group_cols,
+            "p",
+            F.round(est, 6).alias("q_est"),
+            F.col("_total").alias("total_n"),
+        )
+    )

@@ -351,12 +351,31 @@ def crawl_frontier(
     n_salts * cap rows per host — bounded by the horizon, never by the
     backlog. Two exchanges instead of one, but neither sorts a
     mega-host's entire candidate list."""
-    from pyspark.sql import Window
-
-    n_salts = 32
     delays = crawl_delays(
         robots_df, agent, default_delay, robots_host_col, robots_txt_col
     )
+    return frontier_schedule(
+        urls_df, delays, url_col, priority_col, default_delay, horizon_s
+    )
+
+
+def frontier_schedule(
+    urls_df: DataFrame,
+    delays: DataFrame,
+    url_col: str = "url",
+    priority_col: str = "priority",
+    default_delay: float = 1.0,
+    horizon_s: float = 60.0,
+) -> DataFrame:
+    """The scheduling half of ``crawl_frontier``, taking an
+    already-derived ``(host, crawl_delay)`` dim — split out so the
+    streaming frontier can collect the bounded dim ONCE at stream start
+    and rebuild it per micro-batch instead of re-parsing robots.txt
+    every wave. Semantics identical to crawl_frontier (which delegates
+    here)."""
+    from pyspark.sql import Window
+
+    n_salts = 32
     # host capture stops at '/', '?', AND '#': a path-less URL with a
     # fragment (http://a.com#x) must not keep the fragment in the host —
     # it would miss the robots-delay join and split the politeness clock

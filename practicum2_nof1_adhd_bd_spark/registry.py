@@ -3345,6 +3345,162 @@ def q_crawl_frontier_slots(spark, sf_dir):
 
 
 @register(
+    "streaming_frontier_slots",
+    """
+    WITH u AS (
+        SELECT i, i % 4 AS k, i // 4 AS n,
+               CAST((i * 7) % 13 AS INT) AS priority,
+               CAST(i // 40 AS INT) AS wave
+        FROM generate_series(0, 119) t(i)
+    ),
+    c AS (
+        SELECT wave,
+               ['a.com','b.com','c.com','d.com'][1 + CAST(k AS INT)] AS host,
+               'http://' || ['a.com','b.com','c.com','d.com'][1 + CAST(k AS INT)]
+                   || '/p' || n AS url,
+               priority,
+               CAST(CASE k WHEN 0 THEN 5.0 WHEN 1 THEN 2.0 ELSE 1.0 END
+                    AS DOUBLE) AS crawl_delay
+        FROM u
+    ),
+    w0 AS (SELECT host, url, priority, crawl_delay,
+                  row_number() OVER (PARTITION BY host
+                                     ORDER BY priority DESC, url) - 1 AS slot
+           FROM c WHERE wave = 0),
+    c1 AS (SELECT host, url, priority, crawl_delay FROM c WHERE wave = 1
+           UNION ALL
+           SELECT host, url, priority, crawl_delay FROM w0
+           WHERE slot * crawl_delay >= 20),
+    w1 AS (SELECT host, url, priority, crawl_delay,
+                  row_number() OVER (PARTITION BY host
+                                     ORDER BY priority DESC, url) - 1 AS slot
+           FROM c1),
+    c2 AS (SELECT host, url, priority, crawl_delay FROM c WHERE wave = 2
+           UNION ALL
+           SELECT host, url, priority, crawl_delay FROM w1
+           WHERE slot * crawl_delay >= 20),
+    w2 AS (SELECT host, url, priority, crawl_delay,
+                  row_number() OVER (PARTITION BY host
+                                     ORDER BY priority DESC, url) - 1 AS slot
+           FROM c2)
+    SELECT CAST(b AS INT) AS batch, host, url, priority,
+           CAST(slot AS INT) AS slot, crawl_delay,
+           round(slot * crawl_delay, 6) AS fetch_at_s
+    FROM (
+        SELECT 0 AS b, * FROM w0 WHERE slot * crawl_delay < 20
+        UNION ALL SELECT 1, * FROM w1 WHERE slot * crawl_delay < 20
+        UNION ALL SELECT 2, * FROM w2 WHERE slot * crawl_delay < 20
+    )
+    """,
+)
+def q_streaming_frontier_slots(spark, sf_dir):
+    """Persistent STREAMING crawl frontier (streaming/frontier_ingest.py,
+    r13 verdict #7): the politeness scheduler as a keyed ingest stream
+    with a parquet-backed backlog. The 120-candidate fixture of
+    crawl_frontier_slots lands as THREE wave files (strictly increasing
+    mtimes pin the FileStreamSource order; maxFilesPerTrigger=1 makes
+    each a real micro-batch); every wave merges new candidates with the
+    stored backlog, schedules the union under the 20s horizon, lands
+    emitted slots under batch={id} (overwrite = replay-idempotent) and
+    the unscheduled remainder as the next backlog snapshot
+    (state={id}, replace semantics — replay recomputes from the
+    untouched previous snapshot). a.com (delay 5, capacity 4/wave,
+    10 new candidates/wave) genuinely accretes backlog: waves emit its
+    top-4 of 10, 16, then 22 candidates, and 18 remain queued at the
+    end — the overflow path the batch operator only promises. The
+    oracle unrolls the three waves as chained CTEs (the iterative-
+    algorithm device), so the value hash attests wave composition,
+    cross-wave re-queueing, AND per-wave schedule arithmetic at once.
+    Retention/replay semantics pinned in tests/test_streaming.py."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming import frontier_ingest as fi
+
+    hostlist = ("a.com", "b.com", "c.com", "d.com")
+
+    def _write_waves(tmp: str) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(tmp, exist_ok=True)
+        base = 1_700_000_000
+        for w in range(3):
+            ids = range(40 * w, 40 * w + 40)
+            tbl = pa.table(
+                {
+                    "url": [
+                        f"http://{hostlist[i % 4]}/p{i // 4}" for i in ids
+                    ],
+                    "priority": pa.array(
+                        [(i * 7) % 13 for i in ids], type=pa.int32()
+                    ),
+                }
+            )
+            p = os.path.join(tmp, f"wave{w}.parquet")
+            pq.write_table(tbl, p)
+            # FileStreamSource orders new files by modification time:
+            # 60s apart pins wave k -> batch k deterministically
+            os.utime(p, (base + 60 * w, base + 60 * w))
+
+    src = _land_once(
+        os.path.join(tempfile.gettempdir(), "spark_graft_frontier_src"),
+        "fixture_v1",  # sf-independent formula fixture
+        _write_waves,
+    )
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nCrawl-delay: 5\nDisallow: /tmp\n"),
+            (
+                "b.com",
+                "User-agent: *\nCrawl-delay: 10\n\n"
+                "User-agent: graftbot\nCrawl-delay: 2\n",
+            ),
+            ("c.com", "User-agent: *\nDisallow: /tmp\n"),
+            (
+                "d.com",
+                "User-agent: graftbot\nDisallow: /q\n\n"
+                "User-agent: *\nCrawl-delay: 9\n",
+            ),
+        ],
+        "host string, robots_txt string",
+    )
+    # the bounded per-host dim, derived ONCE through the real REP path
+    delays_rows = [
+        (r["host"], r["crawl_delay"])
+        for r in urls.crawl_delays(robots, "graftbot", 1.0).collect()
+    ]
+    stream = (
+        spark.readStream.schema("url string, priority int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_frontier_{uuid.uuid4().hex[:8]}",
+    )
+    q = fi.frontier_stream(
+        stream,
+        delays_rows,
+        slots_dir=os.path.join(work, "slots"),
+        backlog_dir=os.path.join(work, "backlog"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        default_delay=1.0,
+        horizon_s=20.0,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_frontier_slots: stream did not finish in 300s"
+        )
+    return fi.read_all_slots(spark, os.path.join(work, "slots")).select(
+        "batch", "host", "url", "priority", "slot", "crawl_delay",
+        "fetch_at_s",
+    )
+
+
+@register(
     "html_text_extract",
     """
     WITH d AS (SELECT i FROM generate_series(0, 139) t(i)),
@@ -8113,6 +8269,70 @@ def q_token_length_qsketch(spark, sf_dir):
     )
 
 
+@register(
+    "doc_size_qsketch_log",
+    """
+    WITH t AS (SELECT source, n_chars AS v FROM documents
+               WHERE n_chars IS NOT NULL),
+    bkt AS (
+        SELECT source,
+               CASE WHEN v < 0 THEN -1
+                    WHEN v <= 99 THEN v
+                    ELSE CAST(substr(CAST(v AS VARCHAR), 1, 2)
+                              || repeat('0', length(CAST(v AS VARCHAR)) - 2)
+                              AS BIGINT)
+               END AS bucket_lo,
+               count(*) AS cnt
+        FROM t GROUP BY 1, 2),
+    cum AS (SELECT source, bucket_lo, cnt,
+                   sum(cnt) OVER (PARTITION BY source
+                                  ORDER BY bucket_lo) AS cum,
+                   sum(cnt) OVER (PARTITION BY source) AS total
+            FROM bkt),
+    p AS (SELECT unnest([0.05::DOUBLE, 0.5::DOUBLE,
+                         0.95::DOUBLE, 1.0::DOUBLE]) AS p)
+    SELECT source, p,
+           round(bucket_lo
+                 + (CASE WHEN bucket_lo < 100 THEN 1
+                         ELSE CAST('1' || repeat('0',
+                              length(CAST(bucket_lo AS VARCHAR)) - 2)
+                              AS BIGINT) END)
+                   * (ceil(p * total) - (cum - cnt)) / cnt, 6) AS q_est,
+           CAST(total AS BIGINT) AS total_n
+    FROM cum CROSS JOIN p
+    WHERE cum >= ceil(p * total) AND (cum - cnt) < ceil(p * total)
+    """,
+)
+def q_doc_size_qsketch_log(spark, sf_dir):
+    """Auto-ranged LOG-grid quantile sketch over document sizes
+    (sketches.qhist_log_sketch, r13 verdict #3): the fixed-grid qhist
+    needs an a-priori [lo, hi) and silently clamps outliers into its
+    edge buckets — the wrong default for unbounded domains like
+    document byte/char sizes. The log grid buckets by
+    leading-two-decimal-digits band (exact below 100, <= 10% relative
+    width above) with NO range knob, built from pure integer/string
+    algebra so Spark and DuckDB agree bit-for-bit (libm log at bucket
+    boundaries is the cross-engine hazard this deliberately avoids),
+    and keeps the fixed grid's EXACT bucket-addition merge law —
+    attested here the same way as token_length_qsketch: two snapshot
+    sketches (even/odd doc_ids) merged with qhist_merge must reproduce
+    the oracle's whole-corpus histogram, then p5/p50/p95/p100 located
+    by rank + in-bucket interpolation. Clamp-loss-vs-log-accuracy
+    property pinned in tests/test_sketches.py."""
+    docs = _cat(spark, sf_dir).documents
+    t = docs.select("doc_id", "source", "n_chars")
+    a = sketches.qhist_log_sketch(
+        t.filter(F.col("doc_id") % 2 == 0), ["source"], "n_chars"
+    )
+    b = sketches.qhist_log_sketch(
+        t.filter(F.col("doc_id") % 2 == 1), ["source"], "n_chars"
+    )
+    merged = sketches.qhist_merge(a, b)
+    return sketches.qhist_log_quantiles(
+        merged, ["source"], [0.05, 0.5, 0.95, 1.0]
+    )
+
+
 @register("streaming_qsketch_stats", _QSKETCH_ORACLE)
 def q_streaming_qsketch_stats(spark, sf_dir):
     """Incremental percentile maintenance over a LIVE stream
@@ -11177,6 +11397,9 @@ _FRONT_ORDER = [
     "kmv_distinct_estimate", "crawl_frontier_slots",
     "robots_screen_decisions", "ann_multiprobe_topk",
     "ann_multitable_topk", "int8_rerank_topk", "multitable_index_topk",
+    # new r14: the auto-ranged log-grid quantile sketch (verdict #3)
+    # and the persistent streaming crawl frontier (verdict #7)
+    "doc_size_qsketch_log", "streaming_frontier_slots",
 ]
 
 

@@ -82,6 +82,8 @@ def test_attestation_window_is_stable():
         "kmv_distinct_estimate", "crawl_frontier_slots",
         "robots_screen_decisions", "ann_multiprobe_topk",
         "ann_multitable_topk", "int8_rerank_topk", "multitable_index_topk",
+        # new r14
+        "doc_size_qsketch_log", "streaming_frontier_slots",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry

@@ -158,3 +158,67 @@ def test_qhist_clamps_out_of_domain_values(spark):
     sk = sketches.qhist_sketch(df, ["g"], "v", n_buckets=16, lo=0.0, hi=16.0)
     rows = {r["bucket"]: r["n"] for r in sk.collect()}
     assert rows == {0: 1, 5: 1, 15: 1}
+
+
+def test_qhist_log_merge_invariance_bit_exact(spark):
+    """The log grid keeps the fixed grid's EXACT merge law: sketching
+    two halves and merging yields identical (group, bucket_lo, n) rows
+    as sketching the whole, under any split and partitioning."""
+    df = spark.range(4000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        ((F.col("id") * 7919) % 100000).alias("v"),
+    )
+    whole = sketches.qhist_log_sketch(df, ["g"], "v")
+    a = sketches.qhist_log_sketch(
+        df.filter(F.col("id") % 3 == 0).repartition(5), ["g"], "v"
+    )
+    b = sketches.qhist_log_sketch(
+        df.filter(F.col("id") % 3 != 0).repartition(2), ["g"], "v"
+    )
+    merged = sketches.qhist_merge(a, b)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_qhist_log_unbounded_domain_beats_fixed_grid_clamp(spark):
+    """The clamp-loss property (r13 verdict #3): on a heavy-tailed
+    domain spanning 1..10^8, the FIXED grid sized for [0, 1024) clamps
+    all tail mass into its top bucket — its p95 estimate cannot exceed
+    the grid ceiling and misses the true order statistic by orders of
+    magnitude — while the auto-ranged LOG grid, with no range knob at
+    all, stays within its ~10% relative-width guarantee."""
+    # ids 0..999 -> v = 10^(id % 9): nine decades, no a-priori range
+    df = spark.range(1000).select(
+        F.lit("g").alias("g"),
+        F.pow(F.lit(10.0), (F.col("id") % 9).cast("double")).cast("long").alias("v"),
+    )
+    exact_p95 = df.selectExpr("percentile(v, 0.95) AS q").collect()[0]["q"]
+    assert exact_p95 >= 10**8  # the tail the fixed grid cannot see
+
+    fixed = sketches.qhist_sketch(
+        df, ["g"], "v", n_buckets=256, lo=0.0, hi=1024.0
+    )
+    fixed_p95 = sketches.qhist_quantiles(
+        fixed, ["g"], [0.95], n_buckets=256, lo=0.0, hi=1024.0
+    ).collect()[0]["q_est"]
+    assert fixed_p95 <= 1024.0  # clamped: off by ~5 orders of magnitude
+
+    logsk = sketches.qhist_log_sketch(df, ["g"], "v")
+    log_p95 = sketches.qhist_log_quantiles(logsk, ["g"], [0.95]).collect()[
+        0
+    ]["q_est"]
+    assert abs(log_p95 - exact_p95) / exact_p95 <= 0.11, log_p95
+
+
+def test_qhist_log_exact_below_100_and_underflow_bucket(spark):
+    """Values 0..99 are their own bucket (quantiles exact there);
+    negatives land in the visible underflow bucket -1, never silently
+    clamped into real mass."""
+    df = spark.createDataFrame(
+        [("g", -7), ("g", 0), ("g", 42), ("g", 99), ("g", 12345)],
+        "g string, v long",
+    )
+    sk = {r["bucket_lo"]: r["n"] for r in
+          sketches.qhist_log_sketch(df, ["g"], "v").collect()}
+    assert sk == {-1: 1, 0: 1, 42: 1, 99: 1, 12000: 1}

@@ -1958,3 +1958,121 @@ def test_qsketch_stream_retention_preserves_merged_sketch(spark, tmp_path):
     merged = qi.read_merged_sketch(spark, sketch_dir, ["g"])
     assert sorted(map(tuple, merged.select("g", "bucket", "n").collect())) \
         == sorted(map(tuple, whole.collect()))
+
+
+def _frontier_delays():
+    # hand-pinned dim: slow.com throttled, others default at join time
+    return [("slow.com", 4.0), ("fast.com", 1.0)]
+
+
+def test_frontier_stream_requeues_overflow_across_waves(spark, tmp_path):
+    """The streaming frontier's backlog is real: a capacity-limited host
+    (delay 4, horizon 8 -> 2 slots/wave) emits its wave-1 top-2 and
+    re-queues the rest; wave 2 schedules the re-queued candidates AHEAD
+    of lower-priority new arrivals; the final backlog snapshot holds
+    exactly what was never scheduled."""
+    from practicum2_nof1_adhd_bd_spark.streaming import frontier_ingest as fi
+
+    slots = str(tmp_path / "slots")
+    backlog = str(tmp_path / "backlog")
+    w1 = spark.createDataFrame(
+        [(f"http://slow.com/a{i}", 10 - i) for i in range(5)],
+        "url string, priority int",
+    )
+    fi.process_wave(
+        spark, w1, 0, _frontier_delays(), slots, backlog, horizon_s=8.0
+    )
+    got0 = {r["url"]: r["slot"] for r in
+            spark.read.parquet(f"{slots}/batch=0").collect()}
+    # top-2 by priority: a0 (10) slot 0, a1 (9) slot 1
+    assert got0 == {"http://slow.com/a0": 0, "http://slow.com/a1": 1}
+    # wave 2: new low-priority candidates; re-queued a2 (8) and a3 (7)
+    # outrank them
+    w2 = spark.createDataFrame(
+        [("http://slow.com/b0", 1), ("http://fast.com/c0", 1)],
+        "url string, priority int",
+    )
+    fi.process_wave(
+        spark, w2, 1, _frontier_delays(), slots, backlog, horizon_s=8.0
+    )
+    got1 = {r["url"]: r["slot"] for r in
+            spark.read.parquet(f"{slots}/batch=1").collect()}
+    assert got1 == {
+        "http://slow.com/a2": 0, "http://slow.com/a3": 1,
+        "http://fast.com/c0": 0,
+    }
+    left = {r["url"] for r in
+            fi.read_backlog(spark, backlog, before_batch=2).collect()}
+    assert left == {"http://slow.com/a4", "http://slow.com/b0"}
+
+
+def test_frontier_wave_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running wave N with the same
+    batch_id (crash replay) must land byte-identical slots AND backlog —
+    the replay reads state={N-1}, never its own crashed state={N}."""
+    from practicum2_nof1_adhd_bd_spark.streaming import frontier_ingest as fi
+
+    slots = str(tmp_path / "slots")
+    backlog = str(tmp_path / "backlog")
+    w1 = spark.createDataFrame(
+        [(f"http://slow.com/a{i}", i) for i in range(6)],
+        "url string, priority int",
+    )
+    fi.process_wave(
+        spark, w1, 0, _frontier_delays(), slots, backlog, horizon_s=8.0
+    )
+    w2 = spark.createDataFrame(
+        [("http://slow.com/z", 99)], "url string, priority int"
+    )
+    fi.process_wave(
+        spark, w2, 1, _frontier_delays(), slots, backlog, horizon_s=8.0
+    )
+    first_slots = sorted(
+        map(tuple, spark.read.parquet(f"{slots}/batch=1").collect())
+    )
+    first_backlog = sorted(
+        map(tuple, fi.read_backlog(spark, backlog, 2).collect())
+    )
+    # crash replay of wave 1 (state=1 exists from the "crashed" attempt)
+    fi.process_wave(
+        spark, w2, 1, _frontier_delays(), slots, backlog, horizon_s=8.0
+    )
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{slots}/batch=1").collect())
+    ) == first_slots
+    assert sorted(
+        map(tuple, fi.read_backlog(spark, backlog, 2).collect())
+    ) == first_backlog
+
+
+def test_frontier_stream_retention_and_state_pruning(spark, tmp_path):
+    """End-to-end: slots-dir retention reuses the decisions archive
+    (batch=-1 + src_batch provenance) and read_all_slots surfaces the
+    ORIGINAL wave ids; unreachable backlog snapshots are pruned as waves
+    advance (only the last keep_states survive)."""
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+    from practicum2_nof1_adhd_bd_spark.streaming import frontier_ingest as fi
+
+    slots = str(tmp_path / "slots")
+    backlog = str(tmp_path / "backlog")
+    all_expected = []
+    for b in range(5):
+        wave = spark.createDataFrame(
+            [(f"http://fast.com/w{b}_{j}", 5) for j in range(2)],
+            "url string, priority int",
+        )
+        fi.process_wave(
+            spark, wave, b, _frontier_delays(), slots, backlog,
+            horizon_s=8.0, keep_states=2,
+            compact_max_dirs=1, keep_last=1,
+        )
+        all_expected += [(b, f"http://fast.com/w{b}_{j}") for j in range(2)]
+    dirs = ci._decision_batch_dirs(spark, slots)
+    assert -1 in dirs and len([d for d in dirs if d >= 0]) < 5
+    got = sorted(
+        (r["batch"], r["url"])
+        for r in fi.read_all_slots(spark, slots).collect()
+    )
+    assert got == sorted(all_expected)
+    # state pruning: the current snapshot plus keep_states=2 prior ones
+    assert fi._state_ids(spark, backlog) == [2, 3, 4]
