@@ -18,9 +18,11 @@ Two implementations of the same operator:
   path this container exercises end-to-end in tests.
 - shift_detector_tws: the Spark 4 state-v2 API (transformWithStateInPandas,
   named ValueState slots on a RocksDB store, timers/TTL available). Its
-  driver-worker handshake needs the optional google.protobuf dependency,
-  absent in this container, so its test importorskips; the implementation
-  is complete and the semantics are pinned to the v1 twin.
+  driver-worker handshake needs the optional google.protobuf dependency;
+  tests/conftest.py exposes a local pure-Python runtime behind a shim
+  when no installed copy exists, so the test executes end-to-end in this
+  container (RocksDB store included) with semantics pinned to the v1
+  twin.
 """
 
 from __future__ import annotations

@@ -6,6 +6,70 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _ensure_protobuf_runtime() -> None:
+    """Make ``google.protobuf`` importable when no installed copy exists,
+    so the Spark-4 state-v2 path (transformWithStateInPandas — its
+    driver/worker handshake is protobuf-serialized) actually EXECUTES in
+    this container instead of auto-skipping (r13 verdict #5).
+
+    Strategy: if the real package is absent, expose a pure-Python
+    protobuf runtime already present on the machine (the gcloud SDK
+    ships one under its appengine platform dir) through a shim dir
+    containing ONLY a ``google`` symlink — never the SDK's whole
+    platform tree, which carries dozens of other top-level modules that
+    would shadow real imports. Runs at conftest import, BEFORE any
+    SparkSession exists: the JVM inherits os.environ at launch and
+    passes PYTHONPATH on to every forked Python worker, which is where
+    the protobuf handshake actually runs. The fallback runtime may be
+    one minor version behind pyspark's gencode (6.32 vs 6.33 — wire
+    format is stable across that), so the documented
+    TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK escape hatch is set in
+    fallback mode only; a real installed protobuf short-circuits all of
+    this."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    candidates = [
+        "/usr/lib/google-cloud-sdk/platform/google_appengine",
+    ]
+    for root in candidates:
+        if not os.path.isfile(
+            os.path.join(root, "google", "protobuf", "__init__.py")
+        ):
+            continue
+        shim = os.path.join(
+            os.environ.get("TMPDIR", "/tmp"), "spark_graft_pb_shim"
+        )
+        os.makedirs(shim, exist_ok=True)
+        link = os.path.join(shim, "google")
+        target = os.path.join(root, "google")
+        if os.path.islink(link):
+            if os.readlink(link) != target:
+                os.remove(link)
+                os.symlink(target, link)
+        elif not os.path.exists(link):
+            os.symlink(target, link)
+        sys.path.append(shim)
+        os.environ["PYTHONPATH"] = (
+            os.environ["PYTHONPATH"] + os.pathsep + shim
+            if os.environ.get("PYTHONPATH")
+            else shim
+        )
+        os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+        try:
+            import google.protobuf  # noqa: F401
+        except ImportError:
+            sys.path.remove(shim)
+        else:
+            return
+
+
+_ensure_protobuf_runtime()
+
+
 @pytest.fixture(scope="session")
 def spark():
     from practicum2_nof1_adhd_bd_spark.session import get_spark

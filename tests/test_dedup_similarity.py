@@ -607,3 +607,40 @@ def test_simhash_shingle_grain_discriminates_and_drops_featureless(spark):
     }
     assert pairs[(1, 4)] == 0
     assert all(3 not in p and 5 not in p for p in pairs)
+
+
+def test_prefix_candidates_grow_linearly_at_10x_docs(spark):
+    """The 10x scaling property of the exact set-similarity join (r13
+    verdict #8): when the corpus grows 10x WITH its vocabulary (the
+    Heaps-law web-corpus shape), prefix-collision candidates must track
+    the prefix-lemma bound — near-linear in docs — not the 100x growth
+    of the C(n,2) pair space. Fixture: each doc carries mostly
+    corpus-unique words plus a few shared stopwords; every 10th doc has
+    a planted near-dup partner. Unique words make prefix tokens
+    genuinely rare (df ~ 1-2), so candidates stay proportional to true
+    pairs; the stopwords keep a dense high-df tail that the rarity
+    ranking must keep OUT of the prefix."""
+    from practicum2_nof1_adhd_bd_spark.operators import dedup
+
+    def corpus(n):
+        rows = []
+        for i in range(n):
+            if i % 10 == 1:
+                # near-dup of the previous doc: 11 of 12 words shared
+                base = i - 1
+                words = [f"w{base}x{j}" for j in range(11)] + ["tail"]
+            else:
+                words = [f"w{i}x{j}" for j in range(11)] + [
+                    f"stop{i % 3}"
+                ]
+            rows.append((i, " ".join(words)))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    n1, n2 = 300, 3000
+    c1 = dedup.prefix_join_candidates(corpus(n1), k=3).count()
+    c2 = dedup.prefix_join_candidates(corpus(n2), k=3).count()
+    # every planted pair must be a candidate (exactness floor)...
+    assert c1 >= n1 // 10 and c2 >= n2 // 10
+    # ...and growth is ~linear: well under 2x the doc growth factor,
+    # nowhere near the 100x of pairs-squared
+    assert c2 / c1 <= 20, (c1, c2)

@@ -1033,3 +1033,173 @@ def test_langid_classifier_learns_on_signal_bearing_corpus(spark):
     correct = joined.filter("lang_pred = lang").count()
     assert n == 60
     assert correct / n > 0.9, f"{correct}/{n}"
+
+
+# Real natural-language sentences (everyday prose, varied topics) for the
+# text-correlated langid pin — the sf fixture's labels are uncorrelated
+# with text by construction, so THIS is where model quality (not just
+# oracle parity) is asserted on genuinely distinguishable languages.
+_REAL_LANG_SENTENCES = {
+    "en": [
+        "The weather this morning was cold and the streets were quiet.",
+        "She finished reading the book before the train arrived.",
+        "Our neighbors planted tomatoes and herbs in their garden.",
+        "The museum opens at nine and closes after sunset.",
+        "He could not remember where he had left his keys.",
+        "Children were playing football in the park all afternoon.",
+        "The bakery on the corner sells fresh bread every day.",
+        "We should leave early because the roads will be busy.",
+        "The meeting was postponed until next Thursday morning.",
+        "A small boat drifted slowly across the calm lake.",
+        "They have been friends since their first year of school.",
+        "The recipe calls for two eggs and a cup of flour.",
+        "I forgot my umbrella so I waited under the bridge until the rain stopped.",
+        "The old clock in the kitchen has not worked for many years.",
+        "Please write your name and address at the top of the page.",
+        "The mountain path becomes dangerous when the snow begins to melt.",
+        "My grandmother always told us stories before we went to sleep.",
+        "The price of vegetables has gone up again at the market this week.",
+        "He opened the window to let some fresh air into the room.",
+        "The library was full of students preparing for their final exams.",
+    ],
+    "de": [
+        "Das Wetter war heute Morgen kalt und die Straßen waren leer.",
+        "Sie hat das Buch gelesen, bevor der Zug angekommen ist.",
+        "Unsere Nachbarn haben Tomaten und Kräuter im Garten gepflanzt.",
+        "Das Museum öffnet um neun Uhr und schließt nach Sonnenuntergang.",
+        "Er konnte sich nicht erinnern, wo er seine Schlüssel gelassen hatte.",
+        "Die Kinder spielten den ganzen Nachmittag Fußball im Park.",
+        "Die Bäckerei an der Ecke verkauft jeden Tag frisches Brot.",
+        "Wir sollten früh losfahren, weil die Straßen voll sein werden.",
+        "Die Besprechung wurde auf nächsten Donnerstag verschoben.",
+        "Ein kleines Boot trieb langsam über den ruhigen See.",
+        "Sie sind seit dem ersten Schuljahr gute Freunde.",
+        "Das Rezept braucht zwei Eier und eine Tasse Mehl.",
+        "Ich habe meinen Regenschirm vergessen und wartete unter der Brücke, bis der Regen aufhörte.",
+        "Die alte Uhr in der Küche funktioniert seit vielen Jahren nicht mehr.",
+        "Bitte schreiben Sie Ihren Namen und Ihre Adresse oben auf die Seite.",
+        "Der Bergweg wird gefährlich, wenn der Schnee zu schmelzen beginnt.",
+        "Meine Großmutter hat uns immer Geschichten erzählt, bevor wir schlafen gingen.",
+        "Die Preise für Gemüse sind diese Woche auf dem Markt wieder gestiegen.",
+        "Er öffnete das Fenster, um frische Luft ins Zimmer zu lassen.",
+        "Die Bibliothek war voller Studenten, die sich auf ihre Prüfungen vorbereiteten.",
+    ],
+    "fr": [
+        "Le temps était froid ce matin et les rues étaient calmes.",
+        "Elle a fini de lire le livre avant l'arrivée du train.",
+        "Nos voisins ont planté des tomates et des herbes dans leur jardin.",
+        "Le musée ouvre à neuf heures et ferme après le coucher du soleil.",
+        "Il ne se souvenait plus où il avait laissé ses clés.",
+        "Les enfants ont joué au football dans le parc tout l'après-midi.",
+        "La boulangerie du coin vend du pain frais tous les jours.",
+        "Nous devrions partir tôt parce que les routes seront chargées.",
+        "La réunion a été reportée à jeudi matin prochain.",
+        "Un petit bateau dérivait lentement sur le lac tranquille.",
+        "Ils sont amis depuis leur première année d'école.",
+        "La recette demande deux œufs et une tasse de farine.",
+        "J'ai oublié mon parapluie alors j'ai attendu sous le pont que la pluie s'arrête.",
+        "La vieille horloge de la cuisine ne fonctionne plus depuis des années.",
+        "Veuillez écrire votre nom et votre adresse en haut de la page.",
+        "Le sentier de montagne devient dangereux quand la neige commence à fondre.",
+        "Ma grand-mère nous racontait toujours des histoires avant de dormir.",
+        "Le prix des légumes a encore augmenté au marché cette semaine.",
+        "Il a ouvert la fenêtre pour laisser entrer un peu d'air frais.",
+        "La bibliothèque était pleine d'étudiants qui préparaient leurs examens.",
+    ],
+    "es": [
+        "El tiempo estaba frío esta mañana y las calles estaban tranquilas.",
+        "Ella terminó de leer el libro antes de que llegara el tren.",
+        "Nuestros vecinos plantaron tomates y hierbas en su jardín.",
+        "El museo abre a las nueve y cierra después del atardecer.",
+        "Él no podía recordar dónde había dejado sus llaves.",
+        "Los niños jugaron al fútbol en el parque toda la tarde.",
+        "La panadería de la esquina vende pan fresco todos los días.",
+        "Deberíamos salir temprano porque las carreteras estarán llenas.",
+        "La reunión fue aplazada hasta el próximo jueves por la mañana.",
+        "Un pequeño barco flotaba despacio por el lago tranquilo.",
+        "Son amigos desde su primer año de escuela.",
+        "La receta lleva dos huevos y una taza de harina.",
+        "Olvidé mi paraguas así que esperé bajo el puente hasta que dejó de llover.",
+        "El viejo reloj de la cocina lleva muchos años sin funcionar.",
+        "Por favor escriba su nombre y su dirección en la parte superior de la página.",
+        "El sendero de la montaña se vuelve peligroso cuando la nieve empieza a derretirse.",
+        "Mi abuela siempre nos contaba cuentos antes de dormir.",
+        "El precio de las verduras ha subido otra vez en el mercado esta semana.",
+        "Abrió la ventana para dejar entrar un poco de aire fresco.",
+        "La biblioteca estaba llena de estudiantes preparando sus exámenes finales.",
+    ],
+    "it": [
+        "Il tempo stamattina era freddo e le strade erano tranquille.",
+        "Ha finito di leggere il libro prima che arrivasse il treno.",
+        "I nostri vicini hanno piantato pomodori ed erbe nel loro giardino.",
+        "Il museo apre alle nove e chiude dopo il tramonto.",
+        "Non riusciva a ricordare dove avesse lasciato le chiavi.",
+        "I bambini hanno giocato a calcio nel parco tutto il pomeriggio.",
+        "La panetteria all'angolo vende pane fresco ogni giorno.",
+        "Dovremmo partire presto perché le strade saranno piene.",
+        "La riunione è stata rinviata a giovedì mattina prossimo.",
+        "Una piccola barca andava lentamente alla deriva sul lago calmo.",
+        "Sono amici dal loro primo anno di scuola.",
+        "La ricetta richiede due uova e una tazza di farina.",
+        "Ho dimenticato l'ombrello così ho aspettato sotto il ponte finché la pioggia non è finita.",
+        "Il vecchio orologio della cucina non funziona da molti anni.",
+        "Per favore scrivete il vostro nome e il vostro indirizzo in cima alla pagina.",
+        "Il sentiero di montagna diventa pericoloso quando la neve comincia a sciogliersi.",
+        "Mia nonna ci raccontava sempre delle storie prima di dormire.",
+        "Il prezzo delle verdure è aumentato di nuovo al mercato questa settimana.",
+        "Ha aperto la finestra per far entrare un po' d'aria fresca.",
+        "La biblioteca era piena di studenti che preparavano gli esami finali.",
+    ],
+    "pt": [
+        "O tempo estava frio esta manhã e as ruas estavam tranquilas.",
+        "Ela terminou de ler o livro antes de o comboio chegar.",
+        "Os nossos vizinhos plantaram tomates e ervas no jardim.",
+        "O museu abre às nove e fecha depois do pôr do sol.",
+        "Ele não conseguia lembrar onde tinha deixado as chaves.",
+        "As crianças jogaram futebol no parque toda a tarde.",
+        "A padaria da esquina vende pão fresco todos os dias.",
+        "Devíamos sair cedo porque as estradas vão estar cheias.",
+        "A reunião foi adiada para a próxima quinta-feira de manhã.",
+        "Um pequeno barco flutuava devagar pelo lago calmo.",
+        "São amigos desde o primeiro ano de escola.",
+        "A receita leva dois ovos e uma chávena de farinha.",
+        "Esqueci o meu guarda-chuva por isso esperei debaixo da ponte até a chuva parar.",
+        "O velho relógio da cozinha não funciona há muitos anos.",
+        "Por favor escreva o seu nome e a sua morada no topo da página.",
+        "O caminho da montanha torna-se perigoso quando a neve começa a derreter.",
+        "A minha avó contava-nos sempre histórias antes de dormirmos.",
+        "O preço dos legumes subiu outra vez no mercado esta semana.",
+        "Ele abriu a janela para deixar entrar um pouco de ar fresco.",
+        "A biblioteca estava cheia de estudantes a preparar os exames finais.",
+    ],
+}
+
+
+def test_langid_classifier_real_languages_above_90pct(spark):
+    """Model QUALITY pin on real text (r13 verdict #6): six natural
+    languages, twenty genuine sentences each, 15/5 train/held-out split
+    per language — held-out accuracy of the char-trigram NB scorer must
+    exceed 90%. This includes the hard pairs (es/pt/it share romance
+    orthography), so passing means the scorer discriminates on actual
+    character distributions, not fixture artifacts. The synthetic
+    signal-bearing pin (disjoint vocabularies) remains alongside; the
+    langid_confusion ORACLE is untouched — this test asserts quality,
+    parity stays with the driver gate."""
+    from practicum2_nof1_adhd_bd_spark.operators import textops
+
+    rows = []
+    i = 0
+    for lang in sorted(_REAL_LANG_SENTENCES):
+        for s in _REAL_LANG_SENTENCES[lang]:
+            rows.append((i, s, lang))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # per-language 15/5 split, held-out spread across the block
+    train = docs.filter("doc_id % 4 != 3")
+    held = docs.filter("doc_id % 4 = 3")
+    pred = textops.langid_classifier_nb(train, held, n_buckets=4096)
+    joined = pred.join(docs.select("doc_id", "lang"), "doc_id")
+    n = joined.count()
+    correct = joined.filter("lang_pred = lang").count()
+    assert n == 30
+    assert correct / n > 0.9, f"{correct}/{n}"
