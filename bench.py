@@ -160,6 +160,7 @@ HEADLINE = [
     # round-14 additions (streaming_frontier_slots excluded: availableNow
     # stream per repeat measures stream machinery, the standing rule)
     "doc_size_qsketch_log",
+    "qsketch_drift_psi",
 ]
 
 

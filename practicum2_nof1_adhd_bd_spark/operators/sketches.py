@@ -339,3 +339,54 @@ def qhist_log_quantiles(
             F.col("_total").alias("total_n"),
         )
     )
+
+
+def qhist_psi(
+    sk_a: DataFrame,
+    sk_b: DataFrame,
+    group_cols: list[str],
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between two stored qhist sketches
+    (fixed OR log grid — any per-group (bucket, n) count frame): the
+    drift check a 100-TB corpus runs between snapshot artifacts WITHOUT
+    rescanning either snapshot. PSI = sum_i (p_i - q_i) * ln(p_i / q_i)
+    over the union bucket domain, with a symmetric add-``alpha``
+    pseudo-count so buckets present on one side only contribute finite
+    mass (the standard smoothing; alpha=0.5 is Jeffreys). Rule of
+    thumb: PSI < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 major.
+
+    Cross-engine discipline: each bucket's term is cast to
+    DECIMAL(28,12) at the sum (double summation order differs between
+    engines' partial aggregates), finishing scalar math in double;
+    ln() runs on identical doubles in both engines. Output: (group...,
+    n_buckets, psi) — one row per group, bounded by groups."""
+    from pyspark.sql import Window
+
+    key = [c for c in sk_a.columns if c not in set(group_cols) | {"n"}]
+    a = sk_a.withColumnRenamed("n", "n_a")
+    b = sk_b.withColumnRenamed("n", "n_b")
+    j = (
+        a.join(b, [*group_cols, *key], "full")
+        .fillna(0, ["n_a", "n_b"])
+    )
+    wg = Window.partitionBy(*group_cols)
+    j = (
+        j.withColumn("_ta", F.sum("n_a").over(wg))
+        .withColumn("_tb", F.sum("n_b").over(wg))
+        .withColumn("_nb", F.count(F.lit(1)).over(wg))
+    )
+    p = (F.col("n_a") + F.lit(alpha)) / (
+        F.col("_ta") + F.lit(alpha) * F.col("_nb")
+    )
+    q = (F.col("n_b") + F.lit(alpha)) / (
+        F.col("_tb") + F.lit(alpha) * F.col("_nb")
+    )
+    term = ((p - q) * F.log(p / q)).cast("decimal(28,12)")
+    return (
+        j.groupBy(*group_cols)
+        .agg(
+            F.max("_nb").alias("n_buckets"),
+            F.round(F.sum(term).cast("double"), 6).alias("psi"),
+        )
+    )

@@ -8333,6 +8333,82 @@ def q_doc_size_qsketch_log(spark, sf_dir):
     )
 
 
+@register(
+    "qsketch_drift_psi",
+    """
+    WITH e AS (SELECT event_type,
+                      CAST(trunc(value) AS BIGINT) AS v,
+                      (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 2
+                          AS side
+               FROM events
+               WHERE value IS NOT NULL AND ts IS NOT NULL),
+    bkt AS (SELECT event_type, side,
+                   CASE WHEN v < 0 THEN -1
+                        WHEN v <= 99 THEN v
+                        ELSE CAST(substr(CAST(v AS VARCHAR), 1, 2)
+                                  || repeat('0',
+                                     length(CAST(v AS VARCHAR)) - 2)
+                                  AS BIGINT)
+                   END AS bucket_lo,
+                   count(*) AS n
+            FROM e GROUP BY 1, 2, 3),
+    j AS (SELECT event_type, bucket_lo,
+                 coalesce(sum(CASE WHEN side = 0 THEN n END), 0) AS n_a,
+                 coalesce(sum(CASE WHEN side = 1 THEN n END), 0) AS n_b
+          FROM bkt GROUP BY 1, 2),
+    t AS (SELECT event_type, n_a, n_b,
+                 sum(n_a) OVER (PARTITION BY event_type) AS ta,
+                 sum(n_b) OVER (PARTITION BY event_type) AS tb,
+                 count(*) OVER (PARTITION BY event_type) AS nb
+          FROM j)
+    SELECT event_type, CAST(max(nb) AS BIGINT) AS n_buckets,
+           round(CAST(sum(CAST(
+                 ((n_a + 0.5) / (ta + 0.5 * nb)
+                  - (n_b + 0.5) / (tb + 0.5 * nb))
+                 * ln(((n_a + 0.5) / (ta + 0.5 * nb))
+                      / ((n_b + 0.5) / (tb + 0.5 * nb)))
+                 AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
+    FROM t GROUP BY event_type
+    """,
+)
+def q_qsketch_drift_psi(spark, sf_dir):
+    """Drift between STORED sketch artifacts (sketches.qhist_psi, r14):
+    Population Stability Index between two log-grid value sketches —
+    even vs odd calendar days of the events stream, per event_type —
+    computed entirely from the (group, bucket, n) artifacts, never the
+    rows. This is how a 100-TB corpus monitors distribution shift
+    between ingest snapshots: the per-snapshot sketches already exist
+    (token_length_qsketch / streaming_qsketch_stats store them), so the
+    drift check is a bucket-grain join of two frames whose size is
+    groups x occupied buckets, independent of corpus size — no rescan.
+    PSI terms use symmetric Jeffreys add-0.5 smoothing over the union
+    bucket domain (one-side-only buckets contribute finite mass) and
+    are DECIMAL(28,12)-cast at the sum so both engines aggregate
+    identically regardless of partial-agg order; ln() runs on identical
+    doubles. Value-to-long uses trunc semantics in BOTH engines (Spark's
+    double->long cast truncates; DuckDB CAST rounds, so the oracle says
+    trunc() explicitly)."""
+    ev = _cat(spark, sf_dir).events.filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "event_type",
+        "value",
+        (
+            F.expr(
+                "unix_timestamp(CAST(ts AS TIMESTAMP)) DIV 86400"
+            )
+            % 2
+        ).alias("side"),
+    )
+    a = sketches.qhist_log_sketch(
+        ev.filter(F.col("side") == 0), ["event_type"], "value"
+    )
+    b = sketches.qhist_log_sketch(
+        ev.filter(F.col("side") == 1), ["event_type"], "value"
+    )
+    return sketches.qhist_psi(a, b, ["event_type"])
+
+
 @register("streaming_qsketch_stats", _QSKETCH_ORACLE)
 def q_streaming_qsketch_stats(spark, sf_dir):
     """Incremental percentile maintenance over a LIVE stream
@@ -11397,9 +11473,11 @@ _FRONT_ORDER = [
     "kmv_distinct_estimate", "crawl_frontier_slots",
     "robots_screen_decisions", "ann_multiprobe_topk",
     "ann_multitable_topk", "int8_rerank_topk", "multitable_index_topk",
-    # new r14: the auto-ranged log-grid quantile sketch (verdict #3)
-    # and the persistent streaming crawl frontier (verdict #7)
+    # new r14: the auto-ranged log-grid quantile sketch (verdict #3),
+    # the persistent streaming crawl frontier (verdict #7), and PSI
+    # drift between stored sketch artifacts
     "doc_size_qsketch_log", "streaming_frontier_slots",
+    "qsketch_drift_psi",
 ]
 
 

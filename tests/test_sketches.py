@@ -222,3 +222,28 @@ def test_qhist_log_exact_below_100_and_underflow_bucket(spark):
     sk = {r["bucket_lo"]: r["n"] for r in
           sketches.qhist_log_sketch(df, ["g"], "v").collect()}
     assert sk == {-1: 1, 0: 1, 42: 1, 99: 1, 12000: 1}
+
+
+def test_qhist_psi_identity_disjoint_and_smoothing(spark):
+    """PSI contract: identical sketches score ~0; disjoint distributions
+    score large (>0.25, the classic 'major shift' line); buckets present
+    on one side only get finite smoothed mass (no inf/NaN)."""
+    df_a = spark.range(1000).select(
+        F.lit("g").alias("g"), (F.col("id") % 50).alias("v")
+    )
+    sk_a = sketches.qhist_log_sketch(df_a, ["g"], "v")
+    same = sketches.qhist_psi(sk_a, sk_a, ["g"]).collect()[0]
+    assert same["psi"] == 0.0
+    # disjoint: values 1000..1049 vs 0..49
+    df_b = spark.range(1000).select(
+        F.lit("g").alias("g"), (F.col("id") % 50 + 1000).alias("v")
+    )
+    sk_b = sketches.qhist_log_sketch(df_b, ["g"], "v")
+    dis = sketches.qhist_psi(sk_a, sk_b, ["g"]).collect()[0]
+    assert dis["psi"] > 0.25
+    import math
+
+    assert math.isfinite(dis["psi"])
+    # union domain: 50 exact sub-100 buckets + the single 1000-1099
+    # log band holding all of side b, fully disjoint
+    assert dis["n_buckets"] == 51
