@@ -631,6 +631,31 @@ NOTES = {
         "bottomk(B)) = bottomk(A ∪ B) makes the merged estimate "
         "partitioning-invariant — the property the oracle hash-attests."
     ),
+    "crawl_frontier_slots": (
+        "The per-host delay dim BROADCASTS onto the candidates; the "
+        "salted pre-rank (r14) ranks within (host, crc32 % 32) "
+        "sub-partitions and keeps sub-rank <= ceil(horizon/delay), so "
+        "the final per-host window sorts at most 32 x cap rows — a "
+        "mega-host's backlog sort spreads over 32 tasks and never runs "
+        "whole in one. Two bounded exchanges replace one unbounded sort; "
+        "emitted slots stay hosts x (horizon/delay) regardless of "
+        "backlog depth."
+    ),
+    "doc_size_qsketch_log": (
+        "Two snapshot scans collapse to (source, bucket_lo) counts "
+        "map-side before their single merge exchange — the sketch, not "
+        "the corpus, shuffles (<= 90 buckets per decade per group). "
+        "Bucket assignment is codegen'd string algebra (no libm log at "
+        "boundaries); quantiles run a window over the bucket-grain "
+        "frame plus a broadcast 4-row probs cross join."
+    ),
+    "qsketch_drift_psi": (
+        "Drift from ARTIFACTS: both sides are bucket-grain sketch "
+        "frames, so the full-outer union-domain join, the per-group "
+        "total windows, and the decimal-summed PSI aggregate all run on "
+        "(groups x occupied buckets) rows — corpus size never appears "
+        "after the two sketch scans' map-side partial aggs."
+    ),
     "weighted_sample_topk": (
         "The Efraimidis-Spirakis draw compiles to TakeOrderedAndProject: "
         "each partition surfaces only its local k smallest exponential "
