@@ -8334,6 +8334,100 @@ def q_doc_size_qsketch_log(spark, sf_dir):
 
 
 @register(
+    "streaming_kmv_distinct",
+    """
+    WITH t AS (SELECT lang,
+                      len(regexp_extract_all(text, '\\S+')) AS v
+               FROM documents),
+    h AS (SELECT DISTINCT lang,
+                 ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT
+                     AS h
+          FROM t),
+    r AS (SELECT lang, h,
+                 row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+          FROM h)
+    SELECT lang, CAST(count(*) AS BIGINT) AS sketch_size,
+           round(CASE WHEN count(*) < 64 THEN count(*) * 1.0
+                      ELSE 63.0 * 1152921504606846976
+                           / max(CASE WHEN rn = 64 THEN h END) END,
+                 4) AS kmv_estimate
+    FROM r WHERE rn <= 64 GROUP BY lang
+    """,
+)
+def q_streaming_kmv_distinct(spark, sf_dir):
+    """Streaming distinct-count maintenance (qsketch_ingest.kmv_stream,
+    r14): the KMV bottom-k sketch kept fresh per ingest wave, the
+    cardinality twin of streaming_qsketch_stats — per-language distinct
+    token-count values over the SAME 3-file documents stream (shared
+    landed source). Each micro-batch lands only its own bottom-64
+    hashes under batch={id} (overwrite = replay-idempotent; <= groups x
+    64 hashes per batch regardless of batch size); the returned
+    estimate comes from the dedup+slice merged read, and the bottom-k
+    merge law — bottomk(A ∪ B) = bottomk(bottomk(A) ∪ bottomk(B)) —
+    means the oracle's WHOLE-corpus replay (row_number <= 64 over
+    distinct md5 hashes) must hash-match the stream accumulation
+    bit-for-bit. This is how a 100-TB corpus tracks distinct
+    users/URLs/values per ingest wave without ever re-scanning or
+    shuffling the distinct values themselves."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming import qsketch_ingest as qi
+
+    cat = _cat(spark, sf_dir)
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
+    fp = _source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    src = _land_once(
+        os.path.join(
+            tempfile.gettempdir(), f"spark_graft_qsketch_src{tag}"
+        ),
+        fp,
+        lambda tmp: cat.documents.select(
+            "doc_id",
+            "lang",
+            F.size(textops.tokens(F.col("text"))).cast("double").alias(
+                "n_tokens"
+            ),
+        )
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, lang string, n_tokens double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("lang", F.col("n_tokens").cast("long").alias("n_tok"))
+    )
+    work = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_kmv_{uuid.uuid4().hex[:8]}"
+    )
+    sketch_dir = os.path.join(work, "sketch")
+    q = qi.kmv_stream(
+        stream, sketch_dir, os.path.join(work, "ckpt"), ["lang"], "n_tok"
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_kmv_distinct: stream did not finish in 300s"
+        )
+    merged = qi.read_merged_kmv(spark, sketch_dir, ["lang"], k=64)
+    est = F.when(
+        F.size("kmin") < 64, F.size("kmin").cast("double")
+    ).otherwise(
+        F.lit(63.0) * F.lit(sketches.HASH_SPACE) / F.element_at("kmin", 64)
+    )
+    return merged.select(
+        "lang",
+        F.size("kmin").cast("long").alias("sketch_size"),
+        F.round(est, 4).alias("kmv_estimate"),
+    )
+
+
+@register(
     "qsketch_drift_psi",
     """
     WITH e AS (SELECT event_type,
@@ -11477,7 +11571,7 @@ _FRONT_ORDER = [
     # the persistent streaming crawl frontier (verdict #7), and PSI
     # drift between stored sketch artifacts
     "doc_size_qsketch_log", "streaming_frontier_slots",
-    "qsketch_drift_psi",
+    "qsketch_drift_psi", "streaming_kmv_distinct",
 ]
 
 

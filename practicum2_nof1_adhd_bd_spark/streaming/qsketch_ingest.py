@@ -94,3 +94,71 @@ def read_merged_sketch(
     ``streaming_qsketch_stats`` oracle hash-attests."""
     df = spark.read.parquet(sketch_dir)
     return df.groupBy(*group_cols, "bucket").agg(F.sum("n").alias("n"))
+
+
+def kmv_stream(
+    stream_df: DataFrame,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    compact_max_dirs: int | None = None,
+    keep_last: int = 8,
+):
+    """Streaming distinct-count maintenance — the KMV twin of
+    ``qsketch_stream``, by the bottom-k merge law: bottomk(A ∪ B) =
+    bottomk(bottomk(A) ∪ bottomk(B)), so each micro-batch lands only
+    its OWN bottom-k hashes (exploded (group, h) rows, <= k per group)
+    under ``batch={id}`` with overwrite (replay-idempotent, same as the
+    qhist sink), and any later reader recovers the exact whole-stream
+    sketch with one dedup + slice. Per-batch state: <= groups x k
+    64-bit hashes — independent of batch row count. Retention reuses
+    the decisions archive verbatim: archived rows keep their h values
+    and the merged read dedups, so compaction never changes the
+    estimate."""
+    from ..operators.sketches import kmv_sketch
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        recover_decisions_compaction(spark, sketch_dir)
+        sk = kmv_sketch(batch, group_cols, value_col, k).select(
+            *group_cols, F.explode("kmin").alias("h")
+        )
+        sk.coalesce(1).write.mode("overwrite").parquet(
+            f"{sketch_dir}/batch={batch_id}"
+        )
+        if compact_max_dirs is not None:
+            schema = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in sk.schema
+            )
+            maybe_compact_decisions(
+                spark,
+                sketch_dir,
+                batch_id,
+                max_batch_dirs=compact_max_dirs,
+                keep_last=keep_last,
+                schema=schema,
+            )
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_merged_kmv(
+    spark, sketch_dir: str, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """The whole-stream bottom-k sketch from every landed batch (live
+    batch=N dirs and the batch=-1 archive alike): dedup the union of
+    per-batch hashes and keep the k smallest per group — exactly
+    kmv_sketch's output shape, by the merge law. The collect_set
+    buffer is bounded by k x landed dirs per group, never by stream
+    volume."""
+    df = spark.read.parquet(sketch_dir)
+    return df.groupBy(*group_cols).agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("kmin")
+    )

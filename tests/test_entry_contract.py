@@ -84,7 +84,7 @@ def test_attestation_window_is_stable():
         "ann_multitable_topk", "int8_rerank_topk", "multitable_index_topk",
         # new r14
         "doc_size_qsketch_log", "streaming_frontier_slots",
-        "qsketch_drift_psi",
+        "qsketch_drift_psi", "streaming_kmv_distinct",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry

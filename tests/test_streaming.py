@@ -2076,3 +2076,69 @@ def test_frontier_stream_retention_and_state_pruning(spark, tmp_path):
     assert got == sorted(all_expected)
     # state pruning: the current snapshot plus keep_states=2 prior ones
     assert fi._state_ids(spark, backlog) == [2, 3, 4]
+
+
+def test_kmv_stream_accumulates_and_respects_retention(spark, tmp_path):
+    """Streaming KMV: per-batch bottom-k hashes land under batch=N; the
+    merged read equals the one-pass sketch of everything streamed (the
+    bottom-k merge law), stays equal after a second run over newly
+    landed files, AND after the retention policy folds batch dirs into
+    the archive (dedup makes archived rows harmless)."""
+    import json
+
+    from practicum2_nof1_adhd_bd_spark.operators import sketches
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+    from practicum2_nof1_adhd_bd_spark.streaming import qsketch_ingest as qi
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sketch_dir = str(tmp_path / "kmv")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        p = src / f".{name}.tmp"
+        with open(p, "w") as f:
+            for g, v in rows:
+                f.write(json.dumps({"g": g, "v": v}) + "\n")
+        p.rename(src / name)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("g string, v long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = qi.kmv_stream(
+            stream, sketch_dir, ckpt, ["g"], "v", k=8,
+            compact_max_dirs=1, keep_last=1,
+        )
+        assert q.awaitTermination(120)
+
+    b1 = [("a", v) for v in (1, 5, 5, 9, 33, 2, 7, 8, 11, 13)]
+    b2 = [("a", v) for v in (2, 40, 41, 42, 43, 44)] + [("b", 7)]
+    land("f1.json", b1)
+    land("f2.json", b2)
+    run_once()
+    whole = sketches.kmv_sketch(
+        spark.createDataFrame(b1 + b2, "g string, v long"), ["g"], "v", k=8
+    )
+    merged = qi.read_merged_kmv(spark, sketch_dir, ["g"], k=8)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    # second run over a new file keeps accumulating off the checkpoint
+    b3 = [("b", v) for v in (7, 50, 51)]
+    land("f3.json", b3)
+    run_once()
+    whole2 = sketches.kmv_sketch(
+        spark.createDataFrame(b1 + b2 + b3, "g string, v long"),
+        ["g"], "v", k=8,
+    )
+    merged2 = qi.read_merged_kmv(spark, sketch_dir, ["g"], k=8)
+    assert sorted(map(tuple, merged2.collect())) == sorted(
+        map(tuple, whole2.collect())
+    )
+    # retention actually folded dirs (compact_max_dirs=1) and the merged
+    # sketch above was read straight through the archive
+    dirs = ci._decision_batch_dirs(spark, sketch_dir)
+    assert -1 in dirs
