@@ -161,6 +161,7 @@ HEADLINE = [
     # stream per repeat measures stream machinery, the standing rule)
     "doc_size_qsketch_log",
     "qsketch_drift_psi",
+    "embedding_cell_drift",
 ]
 
 

@@ -10302,6 +10302,53 @@ def q_ivf_lloyd_topk(spark, sf_dir):
     return sim.ivf_lloyd_topk(emb, query_id=0, k=10, n_cells=8, n_probe=2)
 
 
+@register(
+    "embedding_cell_drift",
+    f"""
+    WITH {_lloyd_prefix_ctes(8)},
+    j AS (SELECT cell,
+                 sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+                 sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b
+          FROM a3 GROUP BY cell),
+    t AS (SELECT cell, n_a, n_b,
+                 sum(n_a) OVER () AS ta,
+                 sum(n_b) OVER () AS tb,
+                 count(*) OVER () AS nb
+          FROM j)
+    SELECT CAST(max(nb) AS BIGINT) AS n_buckets,
+           round(CAST(sum(CAST(
+                 ((n_a + 0.5) / (ta + 0.5 * nb)
+                  - (n_b + 0.5) / (tb + 0.5 * nb))
+                 * ln(((n_a + 0.5) / (ta + 0.5 * nb))
+                      / ((n_b + 0.5) / (tb + 0.5 * nb)))
+                 AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
+    FROM t
+    """,
+)
+def q_embedding_cell_drift(spark, sf_dir):
+    """Embedding-distribution drift via IVF cell occupancy (r14): train
+    the deterministic Lloyd quantizer ONCE on the whole corpus
+    (sim._lloyd_fit — the same build ivf_lloyd_topk attests), split the
+    assignment by vec_id parity as two snapshots, and score PSI between
+    their cell-occupancy distributions (sketches.qhist_psi — the cell
+    histogram IS a sketch with bucket = cell). This is the ANN-health
+    check a 100-TB vector store runs between refreshes: if new
+    embeddings drift away from the trained coarse quantizer, cell
+    occupancy skews, probe pruning degrades, and the quantizer needs
+    retraining — detected here from two (cell, n) frames of n_cells
+    rows each, never a vector rescan. The oracle replays the full
+    chain: the shared 2-round Lloyd CTE prefix, per-parity cell counts,
+    Jeffreys-smoothed decimal-summed PSI."""
+    emb = _cat(spark, sf_dir).embeddings
+    final, _cent, _base = sim._lloyd_fit(emb, n_cells=8, n_iters=2)
+    counts = lambda side: (  # noqa: E731
+        final.filter(F.col("vec_id") % 2 == side)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return sketches.qhist_psi(counts(0), counts(1), [])
+
+
 def _pq_adc_oracle(
     m: int = 4, d: int = 16, k_codes: int = 8, rerank: int = 50, k: int = 10
 ) -> str:
@@ -11572,6 +11619,7 @@ _FRONT_ORDER = [
     # drift between stored sketch artifacts
     "doc_size_qsketch_log", "streaming_frontier_slots",
     "qsketch_drift_psi", "streaming_kmv_distinct",
+    "embedding_cell_drift",
 ]
 
 
