@@ -1067,3 +1067,62 @@ def test_robots_parse_and_delay_match_pure_python_reference(spark, lines):
         "crawl_delay"
     ]
     assert got_delay == _ref_delay(txt, "graftbot", 1.5)
+
+
+def _ref_log_bucket(v: int) -> tuple[int, int]:
+    """Pure-Python reference for the log-grid bucket: (lo, width)."""
+    if v < 0:
+        return (-1, 1)
+    if v <= 99:
+        return (v, 1)
+    s = str(v)
+    return (int(s[:2] + "0" * (len(s) - 2)), 10 ** (len(s) - 2))
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(min_value=-5, max_value=200),
+            st.integers(min_value=0, max_value=10**18),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    split=st.integers(min_value=2, max_value=5),
+)
+@_settings
+def test_qhist_log_bucket_matches_reference_and_merge_law(
+    spark, vals, split
+):
+    """Differential fuzz for the log-grid sketch: for ANY longs
+    (negatives, the exact sub-100 band, multi-decade tails up to 10^18)
+    the distributed bucket assignment matches the pure-Python
+    leading-two-digits reference — every value inside [lo, lo+width),
+    width <= max(1, v/10) — and sketching any split of the rows then
+    merging equals sketching the whole (the exact merge law, under the
+    partitioning hypothesis picks)."""
+    from practicum2_nof1_adhd_bd_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, v long"
+    )
+    got = {
+        r["bucket_lo"]: r["n"]
+        for r in sketches.qhist_log_sketch(df, [], "v").collect()
+    }
+    want: dict[int, int] = {}
+    for v in vals:
+        lo, width = _ref_log_bucket(v)
+        assert lo <= v < lo + width or v < 0
+        if v >= 0:
+            assert width <= max(1, v / 10 + 1)
+        want[lo] = want.get(lo, 0) + 1
+    assert got == want
+    parts = [
+        df.filter(F.col("i") % split == r).repartition(1 + r % 3)
+        for r in range(split)
+    ]
+    merged = sketches.qhist_merge(
+        *[sketches.qhist_log_sketch(p, [], "v") for p in parts]
+    )
+    assert {r["bucket_lo"]: r["n"] for r in merged.collect()} == want

@@ -241,6 +241,9 @@ def test_qhist_psi_identity_disjoint_and_smoothing(spark):
     sk_b = sketches.qhist_log_sketch(df_b, ["g"], "v")
     dis = sketches.qhist_psi(sk_a, sk_b, ["g"]).collect()[0]
     assert dis["psi"] > 0.25
+    # PSI is symmetric: (p-q)ln(p/q) is invariant under side swap
+    rev = sketches.qhist_psi(sk_b, sk_a, ["g"]).collect()[0]
+    assert rev["psi"] == dis["psi"]
     import math
 
     assert math.isfinite(dis["psi"])
