@@ -162,6 +162,7 @@ HEADLINE = [
     "doc_size_qsketch_log",
     "qsketch_drift_psi",
     "embedding_cell_drift",
+    "cms_token_freq",
 ]
 
 

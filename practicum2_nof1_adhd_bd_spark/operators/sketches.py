@@ -390,3 +390,73 @@ def qhist_psi(
             F.round(F.sum(term).cast("double"), 6).alias("psi"),
         )
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan '05) — the FREQUENCY
+    member of the mergeable-sketch family this engine stores beside KMV
+    (distinct counts) and qhist (quantiles): ``depth`` independent
+    md5-derived hash rows of ``width`` counters; a value's estimate is
+    the MIN over its row counters, one-sided (never an undercount) with
+    overcount <= 2N/width at >= 1-(1/2)^depth probability.
+
+    Same attestation discipline as the siblings: counters are pure
+    addition, so the merge law cms(A ∪ B) = cms(A) +_cell cms(B) is
+    EXACT and partitioning-invariant, and the md5 bucket assignment is
+    bit-identical in SQL — the whole sketch, not just its answers,
+    value-hash attests. Sketch size: <= depth x width rows, independent
+    of stream length; the only shuffle carries cell counts (map-side
+    partial combine absorbs the token stream)."""
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(depth)])
+    ).alias("r")
+    ex = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("string").alias("_v"), rows
+    )
+    b = (
+        hash64_md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("_v")))
+        % width
+    ).alias("b")
+    return ex.groupBy("r", b).agg(F.count(F.lit(1)).alias("n"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates from a CMS: min over the depth rows of
+    the item's counters (absent cell = 0). ``items`` is a bounded probe
+    frame; the sketch side is <= depth x width rows, so the join
+    broadcasts at any corpus size. Output: (items..., cms_est)."""
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(depth)])
+    ).alias("r")
+    probe = items.select(
+        F.col(value_col),
+        F.col(value_col).cast("string").alias("_v"),
+        rows,
+    ).withColumn(
+        "b",
+        hash64_md5(
+            F.concat(F.col("r").cast("string"), F.lit(":"), F.col("_v"))
+        )
+        % width,
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["r", "b"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_est"))
+    )
+
+
+# CMS merge is literal cell addition on (r, b) — qhist_merge's
+# keys-are-everything-but-n contract already implements it exactly.
+cms_merge = qhist_merge

@@ -8428,6 +8428,76 @@ def q_streaming_kmv_distinct(spark, sf_dir):
 
 
 @register(
+    "cms_token_freq",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+        FROM documents),
+    rr AS (SELECT unnest(range(0, 4)) AS r),
+    sk AS (
+        SELECT r,
+               ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token),
+                               1, 15))::BIGINT % 512 AS b,
+               count(*) AS n
+        FROM tok, rr GROUP BY 1, 2),
+    exact AS (SELECT token, count(*) AS n_exact FROM tok GROUP BY 1),
+    top AS (SELECT token, CAST(n_exact AS BIGINT) AS n_exact
+            FROM exact ORDER BY n_exact DESC, token LIMIT 15),
+    est AS (
+        SELECT t.token, t.n_exact, min(coalesce(s.n, 0)) AS cms_est
+        FROM top t
+        CROSS JOIN rr
+        LEFT JOIN sk s ON s.r = rr.r
+             AND s.b = ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':'
+                                       || t.token), 1, 15))::BIGINT % 512
+        GROUP BY 1, 2)
+    SELECT token, n_exact, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - n_exact AS BIGINT) AS overcount
+    FROM est
+    """,
+)
+def q_cms_token_freq(spark, sf_dir):
+    """Count-Min sketch (sketches.cms_sketch, r14) — the FREQUENCY
+    member completing the mergeable-sketch family (KMV = distinct,
+    qhist = quantiles, CMS = point frequencies): 4 md5-derived hash
+    rows x 512 counters over the whole document token stream, built as
+    TWO per-snapshot sketches (even/odd doc_ids) merged by exact cell
+    addition (cms_merge == qhist_merge — one contract), then the 15
+    most frequent tokens' estimates joined to their exact counts so
+    every row carries its own measured one-sided error (overcount >= 0
+    always; <= 2N/512 w.h.p.). The oracle replays hashing, cell
+    counts, and the min-over-rows estimate — the merge law is what
+    makes the split build hash-match the whole-corpus replay. At
+    100 TB this is the artifact that answers "how often does this
+    token/URL/n-gram appear" per ingest wave from depth x width rows,
+    never a corpus scan."""
+    docs = _cat(spark, sf_dir).documents
+    tok = docs.select(
+        "doc_id", F.explode(textops.tokens(F.col("text"))).alias("token")
+    )
+    knobs = dict(depth=4, width=512)
+    sk = sketches.cms_merge(
+        sketches.cms_sketch(
+            tok.filter(F.col("doc_id") % 2 == 0), "token", **knobs
+        ),
+        sketches.cms_sketch(
+            tok.filter(F.col("doc_id") % 2 == 1), "token", **knobs
+        ),
+    )
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+    top = exact.orderBy(F.desc("n_exact"), "token").limit(15)
+    est = sketches.cms_estimate(sk, top, "token", **knobs)
+    return top.join(est, "token").select(
+        "token",
+        "n_exact",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("n_exact")).cast("long").alias(
+            "overcount"
+        ),
+    )
+
+
+@register(
     "qsketch_drift_psi",
     """
     WITH e AS (SELECT event_type,
@@ -11619,7 +11689,7 @@ _FRONT_ORDER = [
     # drift between stored sketch artifacts
     "doc_size_qsketch_log", "streaming_frontier_slots",
     "qsketch_drift_psi", "streaming_kmv_distinct",
-    "embedding_cell_drift",
+    "embedding_cell_drift", "cms_token_freq",
 ]
 
 

@@ -85,7 +85,7 @@ def test_attestation_window_is_stable():
         # new r14
         "doc_size_qsketch_log", "streaming_frontier_slots",
         "qsketch_drift_psi", "streaming_kmv_distinct",
-        "embedding_cell_drift",
+        "embedding_cell_drift", "cms_token_freq",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry

@@ -250,3 +250,35 @@ def test_qhist_psi_identity_disjoint_and_smoothing(spark):
     # union domain: 50 exact sub-100 buckets + the single 1000-1099
     # log band holding all of side b, fully disjoint
     assert dis["n_buckets"] == 51
+
+
+def test_cms_one_sided_error_and_merge_invariance(spark):
+    """Count-Min contract: estimates NEVER undercount (cms_est >=
+    exact, for every queried value), the merge law is exact cell
+    addition under any split/partitioning, and an unseen value's
+    estimate is bounded by the sketch's collision mass (width >> n
+    here, so small)."""
+    df = spark.range(2000).select(
+        F.concat(F.lit("t"), (F.col("id") % 73).cast("string")).alias("v")
+    )
+    knobs = dict(depth=4, width=256)
+    whole = sketches.cms_sketch(df, "v", **knobs)
+    a = sketches.cms_sketch(
+        df.filter(F.col("id") % 2 == 0).repartition(5), "v", **knobs
+    )
+    b = sketches.cms_sketch(
+        df.filter(F.col("id") % 2 == 1).repartition(2), "v", **knobs
+    )
+    merged = sketches.cms_merge(a, b)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    exact = df.groupBy("v").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = sketches.cms_estimate(merged, exact.select("v"), "v", **knobs)
+    rows = est.join(exact, "v").collect()
+    assert len(rows) == 73
+    assert all(r["cms_est"] >= r["n_exact"] for r in rows)
+    # total overcount across all 73 values stays within the CMS bound's
+    # ballpark (2N/width per value on average-collision terms)
+    over = sum(r["cms_est"] - r["n_exact"] for r in rows)
+    assert over <= 73 * 2 * 2000 / 256
