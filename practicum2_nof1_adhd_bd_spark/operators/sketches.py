@@ -435,7 +435,11 @@ def cms_estimate(
     """Point-frequency estimates from a CMS: min over the depth rows of
     the item's counters (absent cell = 0). ``items`` is a bounded probe
     frame; the sketch side is <= depth x width rows, so the join
-    broadcasts at any corpus size. Output: (items..., cms_est)."""
+    broadcasts at any corpus size. Output: (``value_col``, cms_est) —
+    the probe's OTHER columns are not carried through (the groupBy is on
+    the probed value alone); callers needing them re-join on value_col,
+    as cms_token_freq does with its exact counts (r14 ADVICE: docstring
+    previously promised (items..., cms_est))."""
     rows = F.explode(
         F.array(*[F.lit(r) for r in range(depth)])
     ).alias("r")

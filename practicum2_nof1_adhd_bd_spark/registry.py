@@ -8502,8 +8502,8 @@ def q_cms_token_freq(spark, sf_dir):
     """
     WITH e AS (SELECT event_type,
                       CAST(trunc(value) AS BIGINT) AS v,
-                      (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 2
-                          AS side
+                      (((CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 2)
+                       + 2) % 2 AS side
                FROM events
                WHERE value IS NOT NULL AND ts IS NOT NULL),
     bkt AS (SELECT event_type, side,
@@ -8551,17 +8551,17 @@ def q_qsketch_drift_psi(spark, sf_dir):
     identically regardless of partial-agg order; ln() runs on identical
     doubles. Value-to-long uses trunc semantics in BOTH engines (Spark's
     double->long cast truncates; DuckDB CAST rounds, so the oracle says
-    trunc() explicitly)."""
+    trunc() explicitly). Day parity uses FLOOR division + non-negative
+    modulo in BOTH engines (r14 ADVICE: Spark DIV truncates toward zero
+    while DuckDB // floors, so pre-1970 timestamps would flip sides;
+    floor+pmod vs (//, then %+2%2) agree for ALL epochs)."""
     ev = _cat(spark, sf_dir).events.filter(
         F.col("value").isNotNull() & F.col("ts").isNotNull()
     ).select(
         "event_type",
         "value",
-        (
-            F.expr(
-                "unix_timestamp(CAST(ts AS TIMESTAMP)) DIV 86400"
-            )
-            % 2
+        F.expr(
+            "pmod(FLOOR(unix_timestamp(CAST(ts AS TIMESTAMP)) / 86400), 2)"
         ).alias("side"),
     )
     a = sketches.qhist_log_sketch(

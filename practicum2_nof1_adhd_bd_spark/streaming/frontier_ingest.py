@@ -199,8 +199,12 @@ def frontier_stream(
 def read_all_slots(spark, slots_dir: str) -> DataFrame:
     """Every emitted slot across waves, with its wave id as the ``batch``
     partition column (archived rows surface their original id from
-    src_batch when the retention policy has folded dirs)."""
-    df = spark.read.parquet(slots_dir)
+    src_batch when the retention policy has folded dirs). mergeSchema
+    is forced on (r14 ADVICE): only the batch=-1 archive carries the
+    src_batch column, and without schema merging Spark takes the schema
+    from ONE file footer — provenance would then depend on file-listing
+    order (a live footer wins -> archived rows silently read batch=-1)."""
+    df = spark.read.option("mergeSchema", "true").parquet(slots_dir)
     if "src_batch" in df.columns:
         df = df.withColumn(
             "batch",

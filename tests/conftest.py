@@ -64,7 +64,63 @@ def _ensure_protobuf_runtime() -> None:
         except ImportError:
             sys.path.remove(shim)
         else:
+            if not _fallback_major_matches_gencode():
+                # r14 ADVICE: the escape hatch must not mask a GENUINE
+                # incompatibility — if the fallback runtime's major
+                # version differs from the major pyspark's gencode was
+                # built against, undo the shim entirely (state-v2 tests
+                # then skip instead of running on a broken runtime).
+                sys.path.remove(shim)
+                os.environ["PYTHONPATH"] = os.pathsep.join(
+                    p
+                    for p in os.environ["PYTHONPATH"].split(os.pathsep)
+                    if p != shim
+                )
+                del os.environ[
+                    "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
+                ]
+                for mod in [
+                    m for m in sys.modules if m.startswith("google")
+                ]:
+                    del sys.modules[mod]
             return
+
+
+def _fallback_major_matches_gencode() -> bool:
+    """True when the shimmed runtime's protobuf MAJOR version equals the
+    major that pyspark's generated pb2 modules validate against (read
+    textually from the gencode — importing it would trip the very check
+    the env var disables). Wire format is stable across minors, so the
+    minor-version skew the escape hatch exists for (6.32 runtime vs 6.33
+    gencode) passes; a major skew does not. Defensive: unknown layout or
+    unparseable gencode -> True (prior behavior)."""
+    import glob
+    import re
+
+    try:
+        import google.protobuf as gp
+        import pyspark
+
+        runtime_major = int(gp.__version__.split(".")[0])
+        pb2s = glob.glob(
+            os.path.join(
+                os.path.dirname(pyspark.__file__),
+                "sql",
+                "streaming",
+                "proto",
+                "*_pb2.py",
+            )
+        )
+        if not pb2s:
+            return True
+        with open(pb2s[0]) as fh:
+            m = re.search(
+                r"ValidateProtobufRuntimeVersion\(\s*[^,]+,\s*(\d+),",
+                fh.read(),
+            )
+        return m is None or int(m.group(1)) == runtime_major
+    except Exception:
+        return True
 
 
 _ensure_protobuf_runtime()
