@@ -36,6 +36,43 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+# ---- parsed-string twins of the Column-API expression builders ----
+# Driver-side py4j latency dominates the serving queries' wall time at
+# bench scale (r13/r14 SCALING §2f3: each Column-API operator is ~2-5
+# py4j round trips; a higher-order lambda is ~15+). These helpers emit
+# the SAME Catalyst expressions as their Column twins — one parse call
+# per whole SELECT instead of one per operator — so executed values are
+# bit-identical; only construction latency changes.
+
+
+def _darr_sql(vec: list[float]) -> str:
+    """A literal double-array SQL expression. CAST('<repr>' AS DOUBLE)
+    round-trips exactly (Python float repr is shortest-exact; the SQL
+    string->double parse is correctly rounded), matching what F.lit
+    would have shipped over py4j — verified in tests/test_similarity.py."""
+    return (
+        "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in vec) + ")"
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """String twin of _dot — same sequential fold, same init literal."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """String twin of cosine(). a/b re-evaluate per use exactly as the
+    Column form's expression tree does (no CSE either way — identical
+    plan, identical float sequence)."""
+    return (
+        f"({_dot_sql(a, b)} / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+    )
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     query_id: int | None,
@@ -54,15 +91,18 @@ def cosine_topk_bruteforce(
     array fold; top-k is orderBy+limit which Spark executes as
     per-partition TakeOrdered (no full sort shuffle).
     """
-    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = embeddings.select(F.col(id_col), dvec.alias("v"))
+    base = embeddings.selectExpr(
+        f"`{id_col}`",
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS v",
+    )
     if query_vec is not None:
-        qv = F.array([F.lit(float(x)) for x in query_vec])
-        scored = base.select(
-            F.col(id_col), F.col("v"), qv.alias("qv")
-        )
+        # the literal query array inlines straight into the cosine
+        # expression (parsed once — the F.lit-per-component form was
+        # ~2 py4j calls per element; see _darr_sql)
+        scored = base
         if query_id is not None:
             scored = scored.filter(F.col(id_col) != query_id)
+        qv_sql = _darr_sql([float(x) for x in query_vec])
     else:
         query = base.filter(F.col(id_col) == query_id).select(
             F.col(id_col).alias("query_id"), F.col("v").alias("qv")
@@ -70,10 +110,11 @@ def cosine_topk_bruteforce(
         scored = base.join(
             F.broadcast(query), F.col(id_col) != F.col("query_id")
         )
+        qv_sql = "qv"
     return (
-        scored.select(
-            id_col,
-            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine"),
+        scored.selectExpr(
+            f"`{id_col}`",
+            f"round({_cosine_sql('v', qv_sql)}, 6) AS cosine",
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
@@ -543,15 +584,20 @@ def _multitable_buckets(
     rebuild the array per exploded row (CreateArray is not
     constant-folded).
 
-    Driver-side cost matters here as much as the plan: the L*P agg and
-    bucket expressions are built as PARSED STRINGS (one py4j call each)
-    rather than Column-API compositions (~5 py4j round-trips per
-    operator), and the planes table goes through Arrow
-    (spark.createDataFrame(pandas)) rather than row-at-a-time Python
-    conversion — together these cut ~2s of pure driver/py4j latency per
-    call at L=10, P=8 (the r12 bench's ann_multiprobe_topk finding).
-    ``dim`` skips the first() probe job when the caller already knows
-    the vector width (e.g. it collected the query vector)."""
+    Driver-side cost matters here as much as the plan (r13/r14 bench:
+    the 2x-floor flags on the serving queries were pure plan-BUILD
+    latency). Three construction-side levers, zero plan change:
+    the ENTIRE L*P aggregate — dots AND the sign-bucket algebra — is ONE
+    parsed struct expression (one py4j call instead of 80 F.expr calls +
+    a second 10-expression select; a struct of aggregates is a legal
+    aggregate expression, and `_s.*` expands in declared field order);
+    the planes table goes through Arrow (spark.createDataFrame(pandas))
+    rather than row-at-a-time conversion; and the planes DataFrame is
+    CACHED per (session, L, P, dim) — it is a deterministic md5 constant
+    table, so bench repeats and multi-query sessions skip its ~0.1-0.6s
+    Arrow localization entirely. ``dim`` skips the first() probe job
+    when the caller already knows the vector width (e.g. it collected
+    the query vector)."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -560,12 +606,46 @@ def _multitable_buckets(
         F.col(id_col), F.col(vec_col), F.posexplode("v").alias("pos", "val")
     )
     spark = embeddings.sparkSession
-    names = [f"_c{t}_{i}" for t in range(n_tables) for i in range(n_planes)]
+    planes_df = _planes_table(spark, n_tables, n_planes, dim)
+    # backtick-quote the caller-supplied identifier: expression strings
+    # (unlike the Column API) must escape names containing spaces/dots/
+    # hyphens or they mis-parse / mis-bind. The bucket bit algebra reads
+    # each sum(val * _c{t}_{i}) exactly where the old two-step form read
+    # its _d{t}_{i} alias — same aggregate, same post-agg projection.
+    buckets = ", ".join(
+        "("
+        + " + ".join(
+            f"CAST(sum(val * _c{t}_{i}) > 0 AS INT) * {2**i}"
+            for i in range(n_planes)
+        )
+        + f") AS b{t}"
+        for t in range(n_tables)
+    )
+    joined = ex.join(F.broadcast(planes_df), "pos")
+    agg = joined.groupBy(id_col).agg(
+        F.expr(
+            f"struct(first(`{vec_col}`) AS `{vec_col}`, {buckets}) AS _s"
+        )
+    )
+    return agg.select(id_col, "_s.*")
+
+
+_PLANES_TABLES: dict[tuple[str, int, int, int], DataFrame] = {}
+
+
+def _planes_table(spark, n_tables: int, n_planes: int, dim: int) -> DataFrame:
+    """The broadcast constant table of md5 plane components — one column
+    per (table, plane), one row per vector position. Deterministic in its
+    key, so cached per Spark application (applicationId is unique per
+    context, so a stopped-and-restarted session can never serve a stale
+    DataFrame the way an id()-keyed cache could)."""
+    key = (spark.sparkContext.applicationId, n_tables, n_planes, dim)
+    cached = _PLANES_TABLES.get(key)
+    if cached is not None:
+        return cached
     all_planes = [
         md5_planes(n_planes, dim, salt=f"{t}:") for t in range(n_tables)
     ]
-    import pandas as pd
-
     planes_pd = pd.DataFrame(
         {
             "pos": pd.Series(range(dim), dtype="int32"),
@@ -578,30 +658,9 @@ def _multitable_buckets(
             },
         }
     )
-    planes_df = spark.createDataFrame(planes_pd)
-    aggs = [
-        F.expr(f"sum(val * _c{t}_{i}) AS _d{t}_{i}")
-        for t in range(n_tables)
-        for i in range(n_planes)
-    ]
-    joined = ex.join(F.broadcast(planes_df), "pos")
-    agg = joined.groupBy(id_col).agg(
-        # backtick-quote the caller-supplied identifier: expression
-        # strings (unlike the Column API) must escape names containing
-        # spaces/dots/hyphens or they mis-parse / mis-bind
-        F.expr(f"first(`{vec_col}`) AS `{vec_col}`"), *aggs
-    )
-    bucket_cols = [
-        F.expr(
-            " + ".join(
-                f"CAST(_d{t}_{i} > 0 AS INT) * {2**i}"
-                for i in range(n_planes)
-            )
-            + f" AS b{t}"
-        )
-        for t in range(n_tables)
-    ]
-    return agg.select(F.col(id_col), F.col(vec_col), *bucket_cols)
+    df = spark.createDataFrame(planes_pd)
+    _PLANES_TABLES[key] = df
+    return df
 
 
 def multitable_lsh_candidates(
@@ -1267,49 +1326,45 @@ def int8_rerank_topk(
     artifact form's id-keyed fetch). Recall is bounded above by the
     probe stage's candidate recall; int8 ranking fidelity costs ~0-2
     points of it at practical rerank depths (SCALING §2c measures the
-    operating point). The top-R frame is eagerly localCheckpointed so
-    the exact stage never recomputes the candidate scan (the
-    two-consumer subplan rule)."""
+    operating point).
+
+    Construction is parsed-string selectExpr throughout (r14 verdict #1:
+    the 2.7x-floor flag was py4j plan-build latency — the qlit array
+    alone was ~130 round trips, each cosine fold ~50 more; the string
+    twins parse to the SAME Catalyst expressions in ~4 calls total).
+    The top-R frame feeds exactly ONE consumer (the broadcast id-fetch),
+    so it is NOT checkpointed — the r14 eager localCheckpoint paid a
+    full extra job submission + materialization for a subplan the single
+    action would only have run once anyway."""
     cand, qv = multiprobe_candidates(
         embeddings, query_id, n_tables, n_planes, n_flips, id_col, vec_col
     )
-    cand = cand.filter(F.col(id_col) != F.lit(query_id))
-    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scaled = cand.select(F.col(id_col), dvec.alias("v")).withColumn(
-        "scale",
-        F.greatest(
-            F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))),
-            F.lit(1e-12),
-        )
-        / 127.0,
-    )
-    qlit = F.array([F.lit(float(x)) for x in qv])
+    qarr = _darr_sql(qv)
+    deq = "transform(v, x -> round(x / scale) * scale)"
     coarse = (
-        scaled.select(
-            F.col(id_col),
-            cosine(
-                F.transform(
-                    F.col("v"),
-                    lambda x: F.round(x / F.col("scale")) * F.col("scale"),
-                ),
-                qlit,
-            ).alias("_approx"),
+        cand.filter(F.col(id_col) != F.lit(query_id))
+        .selectExpr(
+            f"`{id_col}`",
+            f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS v",
+        )
+        .selectExpr(
+            f"`{id_col}`",
+            "v",
+            "greatest(array_max(transform(v, x -> abs(x))), 1E-12D)"
+            " / CAST(127.0 AS DOUBLE) AS scale",
+        )
+        .selectExpr(
+            f"`{id_col}`", f"{_cosine_sql(deq, qarr)} AS _approx"
         )
         .orderBy(F.desc("_approx"), F.asc(id_col))
         .limit(rerank)
-        .localCheckpoint(eager=True)
     )
     exact = embeddings.join(F.broadcast(coarse.select(id_col)), id_col)
+    dv = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
     return (
-        exact.select(
-            F.col(id_col),
-            F.round(
-                cosine(
-                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
-                    qlit,
-                ),
-                6,
-            ).alias("cosine"),
+        exact.selectExpr(
+            f"`{id_col}`",
+            f"round({_cosine_sql(dv, qarr)}, 6) AS cosine",
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
