@@ -347,6 +347,289 @@ def resize_media(blobs: DataFrame, width: int, height: int) -> DataFrame:
     ).mapInPandas(rz, schema)
 
 
+# --- real pure-Python animated-container codec: GIF87a/89a + LZW ---------
+# (r14 verdict #3: frame sampling was the one digest-stub-grade capability;
+# the BMP/WAV precedent shows the pattern — a writer half synthesizes real
+# container bytes, a reader half actually decodes them, and the value-hash
+# oracle replays the generation formula so a match proves the full
+# encode->decode round trip.)
+
+
+def _lzw_encode(indices: list[int], mcs: int) -> bytes:
+    """GIF variable-width LZW encoder (LSB-first bit packing): clear code
+    2^mcs, EOI 2^mcs+1, code width grows from mcs+1 as the table fills,
+    table reset at 4096 codes (the 12-bit GIF ceiling)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    bits: list[tuple[int, int]] = []  # (code, width)
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return {bytes([i]): i for i in range(1 << mcs)}, eoi + 1, mcs + 1
+
+    table, next_code, width = fresh()
+    bits.append((clear, width))
+    buf = b""
+    for idx in indices:
+        nxt = buf + bytes([idx])
+        if nxt in table:
+            buf = nxt
+            continue
+        bits.append((table[buf], width))
+        table[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == 4096:
+            bits.append((clear, width))
+            table, next_code, width = fresh()
+        buf = nxt[-1:]
+    if buf:
+        bits.append((table[buf], width))
+    bits.append((eoi, width))
+    out = bytearray()
+    acc = n_acc = 0
+    for code, w in bits:
+        acc |= code << n_acc
+        n_acc += w
+        while n_acc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+    if n_acc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int, n_px: int) -> list[int]:
+    """Mirror of _lzw_encode: the decoder's table runs one entry behind
+    the encoder's, so its width grows at (1 << width) - 1 — the classic
+    early-change compensation (round-trip fuzz-pinned in
+    tests/test_biomarkers_multimodal.py across width boundaries)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pos = 0
+
+    def read(w: int) -> int:
+        nonlocal pos
+        v = 0
+        for i in range(w):
+            v |= ((data[pos >> 3] >> (pos & 7)) & 1) << i
+            pos += 1
+        return v
+
+    out: list[int] = []
+    table: dict[int, bytes] = {}
+    next_code, width = eoi + 1, mcs + 1
+    prev: bytes | None = None
+    while len(out) < n_px and (pos >> 3) < len(data):
+        code = read(width)
+        if code == clear:
+            table = {i: bytes([i]) for i in range(1 << mcs)}
+            next_code, width, prev = eoi + 1, mcs + 1, None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code}")
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+    return out[:n_px]
+
+
+def make_gif(
+    frames: list[list[int]], width: int, height: int, n_colors: int = 8
+) -> bytes:
+    """Serialize indexed-pixel frames (row-major, values < n_colors) as a
+    real animated GIF89a: logical screen descriptor + global gray-ramp
+    color table, per frame a graphic-control extension + image descriptor
+    + LZW-compressed pixel data in <=255-byte sub-blocks, trailer."""
+    import math
+
+    gct_bits = max(1, math.ceil(math.log2(n_colors)))
+    mcs = max(2, gct_bits)  # GIF requires LZW min code size >= 2
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (gct_bits - 1), 0, 0)
+    for i in range(1 << gct_bits):
+        g = (i * 255) // max(1, (1 << gct_bits) - 1)
+        out += bytes((g, g, g))
+    for px in frames:
+        out += b"\x21\xf9\x04\x00\x04\x00\x00\x00"  # GCE: 4cs delay
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(mcs)
+        data = _lzw_encode(px, mcs)
+        for off in range(0, len(data), 255):
+            chunk = data[off : off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def _walk_gif_frames(
+    b: bytes, every_n: int
+) -> tuple[int, list[tuple[int, int, int, list[int]]]]:
+    """(n_frames, [(frame_idx, w, h, pixel_indices) for sampled frames]).
+
+    The scale contract: NON-sampled frames are skipped by sub-block
+    length hops only — their LZW data is never decoded — so sampling
+    every Nth frame of a long animation costs O(bytes/255) header walks
+    plus decode work proportional to the sampled frames alone."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags = struct.unpack_from("<HHB", b, 6)
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (1 << ((flags & 0x07) + 1))
+    frames: list[tuple[int, int, int, list[int]]] = []
+    fidx = 0
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected block 0x{block:02x}")
+        left, top, fw, fh, iflags = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        if iflags & 0x80:
+            pos += 3 * (1 << ((iflags & 0x07) + 1))
+        mcs = b[pos]
+        pos += 1
+        sample = fidx % every_n == 0
+        chunks = bytearray()
+        while b[pos] != 0:
+            ln = b[pos]
+            if sample:
+                chunks += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        if sample:
+            frames.append(
+                (fidx, fw, fh, _lzw_decode(bytes(chunks), mcs, fw * fh))
+            )
+        fidx += 1
+    return fidx, frames
+
+
+def synthetic_gif_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 4,
+    height: int = 4,
+    n_colors: int = 8,
+) -> DataFrame:
+    """Deterministic REAL animated GIFs from a text corpus: each doc
+    becomes a 2 + (len(text) % 4)-frame GIF whose frame f's 16 pixel
+    indices are md5(f"{text}:{f}") digest bytes mod n_colors — the same
+    synthesis-formula discipline as synthetic_media_table, so a SQL
+    oracle can replay every pixel without decoding anything."""
+    out_schema = StructType.fromDDL(
+        f"media_id bigint, blob binary, meta struct<{BLOB_META_DDL}>, "
+        "bucket bigint"
+    )
+    n_px = width * height
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                n_frames = 2 + (len(text) % 4)
+                frames = []
+                for f in range(n_frames):
+                    digest = hashlib.md5(f"{text}:{f}".encode("utf-8")).digest()
+                    frames.append(
+                        [digest[p % 16] % n_colors for p in range(n_px)]
+                    )
+                blob = make_gif(frames, width, height, n_colors)
+                meta = {"media_type": "video", "width": width,
+                        "height": height, "n_frames": n_frames,
+                        "sample_rate": None}
+                bucket = int.from_bytes(
+                    hashlib.md5(blob).digest()[:4], "big") % 64
+                rows.append((int(mid), blob, meta, bucket))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "blob", "meta", "bucket"]
+            )
+
+    from ..sources.readers import fan_out
+
+    return fan_out(df.select(id_col, text_col), id_col).mapInPandas(
+        gen, out_schema
+    )
+
+
+def gif_frame_features(blobs: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling over animated-GIF bytes: walk the container,
+    LZW-decode every ``every_n``-th frame, and emit per-frame statistics
+    over the decoded pixel INDICES — mean, min/max, and a position-
+    weighted checksum (sum over (pos+1) * value) that attests the exact
+    pixel ORDER round-tripped through the LZW layer, which a mean alone
+    cannot see. Skipped frames cost only sub-block length hops.
+
+    Integer arithmetic throughout (mean is an exact /n_px of an int sum),
+    so there is no float-summation hazard between engines. Arrow-batched
+    mapInPandas, narrow map — no shuffle; the explode to frame grain
+    happens after decode on 16-int rows, never on blobs."""
+    schema = StructType.fromDDL(
+        "media_id bigint, frame_idx int, n_frames int, "
+        "mean_idx double, px_min int, px_max int, pos_checksum bigint"
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                b = bytes(blob)
+                if b[:6] not in (b"GIF87a", b"GIF89a"):
+                    continue
+                n_frames, frames = _walk_gif_frames(b, every_n)
+                for fidx, fw, fh, px in frames:
+                    n = fw * fh
+                    rows.append(
+                        (
+                            int(mid),
+                            fidx,
+                            n_frames,
+                            round(sum(px) / n, 6),
+                            min(px),
+                            max(px),
+                            sum((p + 1) * v for p, v in enumerate(px)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "n_frames", "mean_idx",
+                         "px_min", "px_max", "pos_checksum"],
+            )
+
+    from ..sources.readers import fan_out
+
+    return fan_out(blobs.select("media_id", "blob"), "media_id").mapInPandas(
+        feats, schema
+    )
+
+
 def audio_frame_features(
     blobs: DataFrame,
     frame: int = 4,

@@ -240,3 +240,64 @@ def test_audio_frame_features_known_values(spark):
     # frame 1: [0,0,0,50] -> zero counted non-negative: 0 flips, peak 50
     assert f1["zero_crossings"] == 0 and f1["peak"] == 50
     assert f1["n_in_frame"] == 4
+
+
+def test_lzw_roundtrip_fuzz():
+    """Codec-pair fuzz across width-boundary crossings, the cScSc
+    special case, and the 4096-code table reset — the GIF walker's
+    correctness rests on this pair."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    for _ in range(60):
+        n = rng.choice([1, 2, 16, 100, 777, 3000, 9000])
+        alpha = rng.choice([4, 8, 16, 256])
+        mcs = max(2, math.ceil(math.log2(alpha)))
+        seq = [rng.randrange(alpha) for _ in range(n)]
+        assert multimodal._lzw_decode(
+            multimodal._lzw_encode(seq, mcs), mcs, n
+        ) == seq
+    # pathological repetition drives code == next_code (cScSc) densely
+    seq = ([3, 3, 3, 3, 7] * 2000)[:5000]
+    assert multimodal._lzw_decode(
+        multimodal._lzw_encode(seq, 3), 3, 5000
+    ) == seq
+
+
+def test_gif_walker_samples_and_skips():
+    """make_gif -> _walk_gif_frames round trip; every_n skips frames
+    WITHOUT decoding them (only sampled indices come back)."""
+    import random
+
+    rng = random.Random(3)
+    frames = [[rng.randrange(8) for _ in range(16)] for _ in range(5)]
+    gif = multimodal.make_gif(frames, 4, 4, 8)
+    assert gif[:6] == b"GIF89a" and gif[-1] == 0x3B
+    nf, got = multimodal._walk_gif_frames(gif, 1)
+    assert nf == 5 and [g[3] for g in got] == frames
+    nf, got = multimodal._walk_gif_frames(gif, 2)
+    assert [g[0] for g in got] == [0, 2, 4]
+    assert [g[3] for g in got] == [frames[0], frames[2], frames[4]]
+
+
+def test_gif_frame_features_known_values(spark):
+    """One synthesized doc, hand-replayed formula: frame pixels are
+    md5(f'{text}:{f}') digest bytes mod 8; every_n=2 keeps frames 0, 2."""
+    import hashlib
+
+    docs = spark.createDataFrame([(1, "abcd")], "doc_id long, text string")
+    gifs = multimodal.synthetic_gif_table(docs)
+    out = {
+        r["frame_idx"]: r
+        for r in multimodal.gif_frame_features(gifs, every_n=2).collect()
+    }
+    n_frames = 2 + (len("abcd") % 4)  # = 2
+    assert set(out) == {0} if n_frames == 2 else {0, 2}
+    for fidx, r in out.items():
+        digest = hashlib.md5(f"abcd:{fidx}".encode()).digest()
+        px = [digest[p] % 8 for p in range(16)]
+        assert r["n_frames"] == n_frames
+        assert r["mean_idx"] == round(sum(px) / 16, 6)
+        assert r["px_min"] == min(px) and r["px_max"] == max(px)
+        assert r["pos_checksum"] == sum((p + 1) * v for p, v in enumerate(px))

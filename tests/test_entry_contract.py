@@ -200,3 +200,63 @@ def test_bench_floors_ledger_covers_headline():
     floors = bench._load_floors("BENCH_FLOORS.json", sf="0.1")
     assert floors, "floors ledger missing"
     assert all(v > 0 for v in floors.values())
+
+
+def test_land_once_age_gated_reap_and_lock(tmp_path):
+    """r14 verdict #8: a fresh sibling landing (possibly mid-read in a
+    concurrent process) must survive a reap; a superseded copy from a
+    past round is reaped; re-land is a no-op; concurrent landers
+    serialize on the prefix flock instead of double-writing."""
+    import os
+    import threading
+    import time
+
+    from practicum2_nof1_adhd_bd_spark import registry
+
+    prefix = str(tmp_path / "land")
+    old, fresh = f"{prefix}_oldfp", f"{prefix}_freshfp"
+    os.makedirs(old)
+    os.makedirs(fresh)
+    past = time.time() - registry._LAND_REAP_AGE_S - 60
+    os.utime(old, (past, past))
+
+    writes = []
+
+    def _mk(tmp):
+        os.makedirs(tmp)
+        writes.append(tmp)
+
+    path = registry._land_once(prefix, "newfp", _mk)
+    assert path.endswith("_newfp") and os.path.isdir(path)
+    assert not os.path.exists(old), "hours-old superseded copy reaped"
+    assert os.path.isdir(fresh), "fresh sibling must survive (read guard)"
+    # idempotent: an existing landing is never rewritten
+    registry._land_once(prefix, "newfp", _mk)
+    assert len(writes) == 1
+
+    # two concurrent landers of DIFFERENT fingerprints: the flock
+    # serializes the critical sections, and neither reaps the other's
+    # just-landed (fresh) dir
+    order = []
+
+    def _slow_mk(tmp):
+        os.makedirs(tmp)
+        order.append("a-write")
+        time.sleep(0.3)
+
+    def _b():
+        registry._land_once(
+            prefix, "fpB", lambda t: (os.makedirs(t), order.append("b-write"))
+        )
+
+    t_a = threading.Thread(
+        target=lambda: registry._land_once(prefix, "fpA", _slow_mk)
+    )
+    t_b = threading.Thread(target=_b)
+    t_a.start()
+    time.sleep(0.05)
+    t_b.start()
+    t_a.join()
+    t_b.join()
+    assert os.path.isdir(f"{prefix}_fpA") and os.path.isdir(f"{prefix}_fpB")
+    assert order.index("a-write") < order.index("b-write")
