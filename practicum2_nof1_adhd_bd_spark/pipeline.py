@@ -141,6 +141,80 @@ def main(argv: list[str] | None = None) -> None:
         print(f"{layer}: {path}")
 
 
+def _ddl_of(df: DataFrame) -> str:
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+
+def build_bucketed_facts(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_buckets: int = 8
+) -> dict[str, str]:
+    """Bucketed (bucketBy) fact layout — the 100-TB repeated-join
+    amortization (r14 verdict #4): orders and lineitem land clustered AND
+    sorted on the join key into the same bucket count, so EVERY future
+    fact-fact join or re-aggregation on the order key is Exchange-free —
+    the shuffle both sides of a plain-parquet join would pay per query is
+    paid exactly once, at write time.
+
+    The pre-write ``repartition(n_buckets, key)`` uses the same Murmur3
+    hash as the bucket spec, so each write task holds exactly one
+    bucket's rows -> one well-sized file per bucket (the multitable-index
+    lesson: commit/listing overhead, not data bytes, dominates small
+    artifacts). Metadata is dropped after the write — the files are the
+    artifact; any session re-declares them with CREATE TABLE ...
+    CLUSTERED BY ... LOCATION (ensure_bucketed_facts), which is how a
+    real deployment shares one bucketed layout across many readers."""
+    cat = Catalog(spark, sf_dir)
+    paths: dict[str, str] = {}
+    for name, df, key in (
+        ("orders", cat.orders, "o_orderkey"),
+        ("lineitem", cat.lineitem, "l_orderkey"),
+    ):
+        path = os.path.join(out_dir, name)
+        tmp_tbl = f"bkt_build_{name}_{os.getpid()}"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+        (
+            df.repartition(n_buckets, F.col(key))
+            .write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(tmp_tbl)
+        )
+        spark.sql(f"DROP TABLE {tmp_tbl}")  # external: files stay
+        paths[name] = path
+    return paths
+
+
+def ensure_bucketed_facts(
+    spark: SparkSession,
+    paths: dict[str, str],
+    tag: str,
+    sf_dir: str,
+    n_buckets: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Re-declare the landed bucketed files in THIS session's catalog
+    (CREATE TABLE IF NOT EXISTS ... CLUSTERED BY ... LOCATION — bucket
+    ids ride in the file names, the spec rides in the DDL) and return
+    (orders, lineitem). ``tag`` keys the table names per source
+    fingerprint so a regenerated sf_dir never aliases stale metadata."""
+    cat = Catalog(spark, sf_dir)
+    out = []
+    for name, src, key in (
+        ("orders", cat.orders, "o_orderkey"),
+        ("lineitem", cat.lineitem, "l_orderkey"),
+    ):
+        tbl = f"bkt_{name}_{tag}"
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {tbl} ({_ddl_of(src)}) "
+            f"USING PARQUET CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{paths[name]}'"
+        )
+        out.append(spark.table(tbl))
+    return out[0], out[1]
+
+
 def run_medallion(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, str]:
     """Full lifecycle: bronze -> silver -> gold, file-materialized like the
     reference's stage handoff. Returns the layer paths. Each build_* step is

@@ -11417,6 +11417,77 @@ _register_medallion_silver()
 
 
 @register(
+    "bucketed_join_scan",
+    """
+    SELECT o.o_orderkey, o.o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_e4
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def q_bucketed_join_scan(spark, sf_dir):
+    """Pre-bucketed fact-fact sort-merge join with ZERO Exchange (r14
+    verdict #4 — the standard 100-TB repeated-join amortization this
+    engine demonstrated everywhere except in its stored-layout form):
+    orders and lineitem land ONCE per source fingerprint as bucketBy(8,
+    orderkey).sortBy Parquet (pipeline.build_bucketed_facts — one file
+    per bucket via a hash-matched pre-repartition), any session
+    re-declares the files with CREATE TABLE ... CLUSTERED BY ... LOCATION
+    (ensure_bucketed_facts), and the served join + per-order
+    re-aggregation runs with NO shuffle anywhere in the executed plan:
+    the bucketed scans already satisfy both the join's and the
+    groupBy's required distribution (hash on a PREFIX of the grouping
+    keys co-locates them). Plan-asserted — zero Exchange operators,
+    Bucketed: true on both scans — in tests/test_bucketing.py; the
+    oracle computes the same join over the raw tables, so the bucketed
+    files' CONTENT is value-hash attested too. merge hint pins SMJ (the
+    point is the exchange-free shuffle join; broadcast would dodge the
+    demonstration at toy scale)."""
+    import os
+    import tempfile
+
+    from . import pipeline
+
+    fp = _source_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+    fp += "_" + _source_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))
+    prefix = os.path.join(tempfile.gettempdir(), "spark_graft_bktfacts_v1")
+    root = _land_once(
+        prefix, fp,
+        lambda tmp: pipeline.build_bucketed_facts(spark, sf_dir, tmp),
+    )
+    orders, lineitem = pipeline.ensure_bucketed_facts(
+        spark,
+        {"orders": os.path.join(root, "orders"),
+         "lineitem": os.path.join(root, "lineitem")},
+        tag=fp.replace(".", "_"),
+        sf_dir=sf_dir,
+    )
+    return (
+        orders.hint("merge")
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            # revenue in exact 1e-4-dollar INTEGER units: prices are
+            # cents-exact and discounts percent-exact in this data, so
+            # cents * (100 - pct) is a bigint and the sum has NO float
+            # path at all — per-ORDER sums are small enough to land on
+            # .xx5 rounding ties where every double/decimal round idiom
+            # eventually disagrees across engines (measured: 3-5 flips
+            # per 15k orders at sf0.01)
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("revenue_e4"),
+        )
+    )
+
+
+@register(
     "csv_permissive_scan",
     """
     WITH g AS (SELECT unnest(range(0, 3000)) AS i),

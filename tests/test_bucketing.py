@@ -32,3 +32,34 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_fact")
         spark.sql("DROP TABLE IF EXISTS bt_dim")
+
+
+def test_bucketed_join_scan_zero_exchange(spark, sf_dir):
+    """The registry's served form (r14 verdict #4): bucketed fact-fact
+    SMJ + per-order re-aggregation with ZERO Exchange anywhere in the
+    executed plan — the bucketed scans satisfy both the join's and the
+    groupBy's distribution (hash on a prefix of the grouping keys)."""
+    from practicum2_nof1_adhd_bd_spark import registry
+
+    df = registry.QUERIES["bucketed_join_scan"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan[:2000]
+    # AQE prints the scans in both the final and initial plan sections
+    assert plan.count("Bucketed: true") >= 2, "both scans must be bucketed"
+
+
+def test_bucketed_facts_one_file_per_bucket(spark, tmp_path, sf_dir):
+    """The hash-matched pre-repartition yields exactly one file per
+    bucket — commit/listing overhead tracks bucket count, not tasks."""
+    import glob
+
+    from practicum2_nof1_adhd_bd_spark import pipeline
+
+    paths = pipeline.build_bucketed_facts(
+        spark, sf_dir, str(tmp_path), n_buckets=4
+    )
+    for p in paths.values():
+        files = glob.glob(f"{p}/part-*")
+        assert len(files) == 4, files
