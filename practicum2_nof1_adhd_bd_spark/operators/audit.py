@@ -290,6 +290,38 @@ def audit_exit_code(report: DataFrame) -> int:
     return int(row["code"] or 0)
 
 
+def sketch_drift_rows(
+    psi: DataFrame,
+    key_col: str,
+    check_prefix: str = "sketch_drift_psi",
+    warn_psi: float = 0.10,
+    crit_psi: float = 0.25,
+) -> DataFrame:
+    """Fold sketch-level drift measurements (sketches.qhist_psi /
+    embedding_cell_drift output: one row per group with a ``psi``
+    column) into the audit report's severity model (r14 verdict #7), so
+    distribution monitoring composes with the reference's QC exit-code
+    contract (ref etl_audit.py:1513-1741): PSI uses the standard
+    population-stability bands — < 0.10 stable (OK), 0.10-0.25 moderate
+    shift (WARNING), > 0.25 significant shift (CRITICAL). One audit row
+    per monitored group; ``audit_exit_code`` then folds them with every
+    other check, making sketch drift a CI gate rather than a dashboard
+    curiosity. The input frame is sketch-grain (groups x buckets already
+    reduced to groups), so this is a projection over a handful of rows
+    no matter the corpus size behind the sketches."""
+    return psi.select(
+        F.concat(
+            F.lit(check_prefix + ":"), F.col(key_col).cast("string")
+        ).alias("check_name"),
+        F.when(F.col("psi") > crit_psi, "CRITICAL")
+        .when(F.col("psi") > warn_psi, "WARNING")
+        .otherwise("OK")
+        .alias("severity"),
+        F.round(F.col("psi"), 6).alias("metric"),
+        F.lit(float(warn_psi)).alias("threshold"),
+    )
+
+
 def benford_digit_audit(
     df: DataFrame, value_col: str, digits_scale: int = 2
 ) -> DataFrame:

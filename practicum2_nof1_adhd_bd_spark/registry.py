@@ -4596,7 +4596,40 @@ _DAILY_FULL_STATS = """
                count(*) FILTER (WHERE date_part('hour', ts) = 23) AS c23,
                count(*) FILTER (WHERE date_part('hour', ts) = 0) AS c0
         FROM events
-    )
+    ),
+    se AS (SELECT event_type,
+                  CAST(trunc(value) AS BIGINT) AS v,
+                  (((CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 2)
+                   + 2) % 2 AS side
+           FROM events
+           WHERE value IS NOT NULL AND ts IS NOT NULL),
+    sbkt AS (SELECT event_type, side,
+                    CASE WHEN v < 0 THEN -1
+                         WHEN v <= 99 THEN v
+                         ELSE CAST(substr(CAST(v AS VARCHAR), 1, 2)
+                                   || repeat('0',
+                                      length(CAST(v AS VARCHAR)) - 2)
+                                   AS BIGINT)
+                    END AS bucket_lo,
+                    count(*) AS n
+             FROM se GROUP BY 1, 2, 3),
+    sj AS (SELECT event_type, bucket_lo,
+                  coalesce(sum(CASE WHEN side = 0 THEN n END), 0) AS n_a,
+                  coalesce(sum(CASE WHEN side = 1 THEN n END), 0) AS n_b
+           FROM sbkt GROUP BY 1, 2),
+    st AS (SELECT event_type, n_a, n_b,
+                  sum(n_a) OVER (PARTITION BY event_type) AS ta,
+                  sum(n_b) OVER (PARTITION BY event_type) AS tb,
+                  count(*) OVER (PARTITION BY event_type) AS nb
+           FROM sj),
+    spsi AS (SELECT event_type,
+                    round(CAST(sum(CAST(
+                          ((n_a + 0.5) / (ta + 0.5 * nb)
+                           - (n_b + 0.5) / (tb + 0.5 * nb))
+                          * ln(((n_a + 0.5) / (ta + 0.5 * nb))
+                               / ((n_b + 0.5) / (tb + 0.5 * nb)))
+                          AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
+             FROM st GROUP BY event_type)
     SELECT 'duplicate_dates' AS check_name,
            CASE WHEN n_rows > n_dates THEN 'CRITICAL' ELSE 'OK' END AS severity,
            round(CAST(n_rows - n_dates AS DOUBLE), 6) AS metric,
@@ -4664,6 +4697,12 @@ _DAILY_FULL_STATS = """
            round(abs(c23 - c0) * 100.0 / greatest(c23 + c0, 1), 6),
            CAST(0.0 AS DOUBLE)
     FROM hb
+    UNION ALL
+    SELECT 'sketch_drift_psi:' || event_type,
+           CASE WHEN psi > 0.25 THEN 'CRITICAL'
+                WHEN psi > 0.10 THEN 'WARNING' ELSE 'OK' END,
+           round(psi, 6), CAST(0.10 AS DOUBLE)
+    FROM spsi
     """,
 )
 def q_etl_audit_report(spark, sf_dir):
@@ -4674,7 +4713,12 @@ def q_etl_audit_report(spark, sf_dir):
     events->daily->unified consistency rows (:482-517), one severity-tagged
     row per check, plus the hourly-grain drill-down (hour coverage, empty
     (day,hour) slots, midnight-wrap imbalance — ref
-    src/etl/sleep_hourly_audit.py:1-889; audit.audit_hourly_frame)."""
+    src/etl/sleep_hourly_audit.py:1-889; audit.audit_hourly_frame), plus
+    (r14 verdict #7) sketch-drift severity rows: the even-vs-odd-day PSI
+    from the stored log-grid sketches folds into the same
+    CRITICAL/WARNING bands (0.25/0.10 — the standard PSI stability
+    cuts), so audit_exit_code gates on distribution shift exactly as the
+    reference's CI contract gates on fabrication/coverage."""
     from .operators import audit
 
     ev = _cat(spark, sf_dir).events
@@ -4693,6 +4737,11 @@ def q_etl_audit_report(spark, sf_dir):
         .unionByName(audit.audit_value_ranges(d))
         .unionByName(audit.audit_cross_layer(ev, d, unified))
         .unionByName(audit.audit_hourly_frame(ev))
+        .unionByName(
+            audit.sketch_drift_rows(
+                _day_parity_qsketch_psi(spark, sf_dir), "event_type"
+            )
+        )
     )
 
 
@@ -8628,6 +8677,13 @@ def q_qsketch_drift_psi(spark, sf_dir):
     modulo in BOTH engines (r14 ADVICE: Spark DIV truncates toward zero
     while DuckDB // floors, so pre-1970 timestamps would flip sides;
     floor+pmod vs (//, then %+2%2) agree for ALL epochs)."""
+    return _day_parity_qsketch_psi(spark, sf_dir)
+
+
+def _day_parity_qsketch_psi(spark, sf_dir):
+    """Shared construction for qsketch_drift_psi and the audit's drift
+    rows: log-grid value sketches of even vs odd calendar days per
+    event_type, PSI between them (sketches.qhist_psi)."""
     ev = _cat(spark, sf_dir).events.filter(
         F.col("value").isNotNull() & F.col("ts").isNotNull()
     ).select(

@@ -247,3 +247,31 @@ def test_benford_audit_ignores_nonpositive_and_reads_decimal_digit(spark):
     rows = {r["digit"]: r["n"]
             for r in audit.benford_digit_audit(df, "v", digits_scale=4).collect()}
     assert rows == {4: 2, **{d: 0 for d in range(1, 10) if d != 4}}
+
+
+def test_sketch_drift_rows_severity_bands_and_exit_code(spark):
+    """PSI stability cuts: <0.10 OK, 0.10-0.25 WARNING, >0.25 CRITICAL;
+    audit_exit_code folds drift with the other checks (r14 verdict #7)."""
+    psi = spark.createDataFrame(
+        [("stable", 0.03), ("moderate", 0.18), ("shifted", 0.40)],
+        "event_type string, psi double",
+    )
+    rows = {
+        r["check_name"]: r
+        for r in audit.sketch_drift_rows(psi, "event_type").collect()
+    }
+    assert rows["sketch_drift_psi:stable"]["severity"] == "OK"
+    assert rows["sketch_drift_psi:moderate"]["severity"] == "WARNING"
+    assert rows["sketch_drift_psi:shifted"]["severity"] == "CRITICAL"
+    assert rows["sketch_drift_psi:shifted"]["metric"] == 0.4
+    assert rows["sketch_drift_psi:stable"]["threshold"] == 0.1
+    # exit-code contract: CRITICAL drift alone gates the pipeline at 2;
+    # without it the WARNING row gates at 1; stable-only exits 0
+    report = audit.sketch_drift_rows(psi, "event_type")
+    assert audit.audit_exit_code(report) == 2
+    assert audit.audit_exit_code(
+        report.filter("check_name != 'sketch_drift_psi:shifted'")
+    ) == 1
+    assert audit.audit_exit_code(
+        report.filter("check_name = 'sketch_drift_psi:stable'")
+    ) == 0
