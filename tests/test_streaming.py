@@ -2142,3 +2142,53 @@ def test_kmv_stream_accumulates_and_respects_retention(spark, tmp_path):
     # sketch above was read straight through the archive
     dirs = ci._decision_batch_dirs(spark, sketch_dir)
     assert -1 in dirs
+
+
+def test_frontier_state_depth_flat_at_110_waves(spark, tmp_path):
+    """r14 verdict #6: drive 110 real waves through process_wave with a
+    persistently-throttled host so the backlog carries work across every
+    wave. State-dir count must stay flat at keep_states+1 the whole way
+    (never one dir per wave), the slots sink must stay compacted, and
+    the wave-grain accounting must close exactly: emitted + final
+    backlog == everything ever enqueued."""
+    from practicum2_nof1_adhd_bd_spark.streaming import corpus_ingest as ci
+    from practicum2_nof1_adhd_bd_spark.streaming import frontier_ingest as fi
+
+    slots = str(tmp_path / "slots")
+    backlog = str(tmp_path / "backlog")
+    n_waves, per_wave = 110, 3
+    # slow.com at delay 4.0 under an 8s horizon -> capacity 2 slots/wave,
+    # so each 3-candidate wave leaves one URL for the next wave: a real,
+    # growing backlog riding the state snapshots across all 110 waves
+    max_state_dirs = 0
+    for b in range(n_waves):
+        wave = spark.createDataFrame(
+            [(f"http://slow.com/w{b}_{j}", 5) for j in range(per_wave)],
+            "url string, priority int",
+        )
+        fi.process_wave(
+            spark, wave, b, _frontier_delays(), slots, backlog,
+            horizon_s=8.0, keep_states=2,
+            compact_max_dirs=4, keep_last=2,
+        )
+        max_state_dirs = max(max_state_dirs, len(fi._state_ids(spark, backlog)))
+    assert max_state_dirs <= 3, "state dirs must stay flat at keep_states+1"
+    assert fi._state_ids(spark, backlog) == [107, 108, 109]
+    live_dirs = [
+        d for d in ci._decision_batch_dirs(spark, slots) if d >= 0
+    ]
+    assert len(live_dirs) <= 4 + 2, "slots sink must stay compacted"
+    emitted = fi.read_all_slots(spark, slots)
+    n_emitted = emitted.count()
+    final_backlog = fi.read_backlog(spark, backlog, n_waves).count()
+    assert n_emitted == 2 * n_waves, "2 slots per wave (capacity-bound)"
+    assert n_emitted + final_backlog == n_waves * per_wave
+    # provenance intact through compaction at depth: every wave id 0..109
+    # appears exactly twice in the folded archive + live dirs
+    per_batch = {
+        r["batch"]: r["n"]
+        for r in emitted.groupBy("batch").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert per_batch == {b: 2 for b in range(n_waves)}

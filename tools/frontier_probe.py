@@ -152,6 +152,47 @@ def _stream_wave(spark) -> dict:
     return out
 
 
+def _depth(spark, n_waves: int = 120) -> dict:
+    """r14 verdict #6: drive n_waves real waves (throttled host -> a
+    backlog rides every state snapshot) and show per-wave wall stays
+    FLAT with depth — the REPLACE-state design's claim is that wave N
+    costs the same as wave 5 because it only ever reads state={N-1},
+    never the history. Reports early/late per-wave medians and the max
+    state-dir count observed (must be keep_states+1)."""
+    import statistics
+
+    from practicum2_nof1_adhd_bd_spark.streaming import (
+        frontier_ingest as fi,
+    )
+
+    work = tempfile.mkdtemp(prefix="frontier_depth_")
+    slots, backlog = os.path.join(work, "s"), os.path.join(work, "b")
+    delays = [("slow.com", 4.0)]
+    walls, max_dirs = [], 0
+    for b in range(n_waves):
+        wave = spark.createDataFrame(
+            [(f"http://slow.com/w{b}_{j}", 5) for j in range(3)],
+            "url string, priority int",
+        )
+        t0 = time.time()
+        fi.process_wave(
+            spark, wave, b, delays, slots, backlog,
+            horizon_s=8.0, keep_states=2,
+            compact_max_dirs=4, keep_last=2,
+        )
+        walls.append(time.time() - t0)
+        max_dirs = max(max_dirs, len(fi._state_ids(spark, backlog)))
+    return {
+        "n_waves": n_waves,
+        "early_median_s": round(statistics.median(walls[5:15]), 3),
+        "late_median_s": round(statistics.median(walls[-15:-5]), 3),
+        "max_state_dirs": max_dirs,
+        "final_backlog_rows": fi.read_backlog(
+            spark, backlog, n_waves
+        ).count(),
+    }
+
+
 def main() -> None:
     from practicum2_nof1_adhd_bd_spark.session import get_spark
 
@@ -159,7 +200,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     print(
         json.dumps(
-            {"mega_host": _mega_host(spark), "stream_wave": _stream_wave(spark)}
+            {
+                "mega_host": _mega_host(spark),
+                "stream_wave": _stream_wave(spark),
+                "depth": _depth(spark),
+            }
         )
     )
 
