@@ -163,6 +163,11 @@ HEADLINE = [
     "qsketch_drift_psi",
     "embedding_cell_drift",
     "cms_token_freq",
+    # round-15 additions: real GIF frame decode; the bucketed
+    # zero-Exchange fact-fact SMJ (bucketed_join_scan lands its layout
+    # via _land_once, so repeats measure SERVING — the amortized state)
+    "media_frame_decode",
+    "bucketed_join_scan",
 ]
 
 

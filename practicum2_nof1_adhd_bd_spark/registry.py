@@ -11854,42 +11854,72 @@ _register_cluster_best_keeper()
 # whole registry, no entry stale-after-rewrite.
 _FRONT_ORDER = [
     "daily_event_stats",  # canary: green every round since r03
-    # r14 window: the ENTIRE 34-query r08 attestation remainder (the
-    # "Owed to r14" ledger in COVERAGE.md, r13 verdict #1) — after this
-    # round no registry entry's last driver green predates r09 —
-    # in ledger order:
-    "calendar_month_folds", "cda_probe", "coalescing_merge",
-    "csv_permissive_scan", "daily_median_stats", "daily_pivot_sum",
-    "date_spine_unify", "dedup_by_key", "duplicate_spans",
-    "gaps_islands_segments", "gopher_quality_flags",
-    "incremental_near_dup", "ivf_lloyd_topk", "language_id",
-    "local_supplier_volume", "medallion_silver_scan",
-    "media_decode_features", "media_real_decode", "media_resize_scan",
-    "missingness_profile", "outer_join_daily", "point_in_interval",
-    "pretraining_split_report", "rolling_7d_mean_by_user",
-    "rolling_corr_7d", "safe_ratio_daily", "segment_zscore_month",
-    "semantic_dedup_ivf", "simhash_fingerprints", "snapshot_diff_report",
-    "token_stats", "topk_per_group", "unigram_surprisal",
-    "winnow_fingerprints",
-    # late-r13 additions never driver-attested (judge-verified locally
-    # in r13; enter per the decontaminate_fuzzy precedent):
-    "token_length_qsketch", "streaming_qsketch_stats",
-    # behavior-touched r14: the KMV partial now drops null hashes
-    # before the Arrow boundary (r13 ADVICE high — float64 mantissa
-    # corruption); crawl_frontier gained the '#'-terminated host
-    # capture + the salted pre-rank top-cap bound (r13 verdict #2) and
-    # robots_screen the same host-regex fix; _multitable_buckets
-    # backtick-quotes interpolated identifiers (construction-only)
-    # touching the four ANN queries below
-    "kmv_distinct_estimate", "crawl_frontier_slots",
-    "robots_screen_decisions", "ann_multiprobe_topk",
-    "ann_multitable_topk", "int8_rerank_topk", "multitable_index_topk",
-    # new r14: the auto-ranged log-grid quantile sketch (verdict #3),
-    # the persistent streaming crawl frontier (verdict #7), and PSI
-    # drift between stored sketch artifacts
-    "doc_size_qsketch_log", "streaming_frontier_slots",
-    "qsketch_drift_psi", "streaming_kmv_distinct",
-    "embedding_cell_drift", "cms_token_freq",
+    # new r15: real animated-GIF frame decode (r14 verdict #3) and the
+    # bucketed zero-Exchange fact-fact SMJ (r14 verdict #4)
+    "media_frame_decode",
+    "bucketed_join_scan",
+    # behavior-touched r15: qsketch_drift_psi under the floor-division
+    # day-parity fix (r14 ADVICE); streaming_frontier_slots under the
+    # mergeSchema provenance fix (r14 ADVICE); etl_audit_report under
+    # the sketch-drift severity rows (r14 verdict #7); and the
+    # similarity plan-build rewrite's oracled consumers (parsed-string
+    # expression twins + cached planes table + dropped single-consumer
+    # checkpoint — construction-only, outputs oracle-identical, r14
+    # verdict #1): the four _multitable_buckets consumers and the
+    # cosine_topk_bruteforce consumers
+    "qsketch_drift_psi",
+    "streaming_frontier_slots",
+    "etl_audit_report",
+    "int8_rerank_topk",
+    "ann_multitable_topk",
+    "ann_multiprobe_topk",
+    "multitable_index_topk",
+    "cosine_topk",
+    "ann_axis_topk",
+    "ivf_ann_topk",
+    # oldest-cohort rotation (r14 verdict #2): the first 37 of the
+    # 43-query last-green-r10 cohort in ledger order (hybrid_rrf_topk
+    # and ann_lsh_topk double-duty as similarity-rewrite-touched); the
+    # remaining 6 (sole_return_supplier, stratified_sample_k,
+    # user_last_value, vector_index_topk, volume_shipping,
+    # xml_records_scan) spill to the r16 window — ledger in COVERAGE.md
+    "anchor_first_window",
+    "ann_lsh_topk",
+    "audio_frame_features",
+    "bigram_surprisal",
+    "bm25_topk",
+    "chunk_dedup_profile",
+    "cluster_best_keeper",
+    "cosine_topk_vectorized",
+    "cube_segment_priority",
+    "customer_order_distribution",
+    "customer_spend_quartiles",
+    "daily_tag_sets",
+    "dedup_clusters",
+    "disjunctive_brand_revenue",
+    "duplicate_span_cut",
+    "encrypted_backup_scan",
+    "encrypted_payload_scan",
+    "heavy_hitter_tokens",
+    "hybrid_rrf_topk",
+    "idle_customer_balance",
+    "incremental_exact_dedup",
+    "incremental_vector_decisions",
+    "iphone_backup_scan",
+    "ivf_index_topk",
+    "ivf_pq_topk",
+    "ivfpq_index_topk",
+    "market_share",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "ngram_novelty",
+    "pq_adc_topk",
+    "reagg_consistency",
+    "repetition_profile",
+    "returned_item_report",
+    "salted_join_revenue",
+    "salted_priority_counts",
+    "small_quantity_revenue",
 ]
 
 

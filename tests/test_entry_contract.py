@@ -48,44 +48,43 @@ def test_sample_queries_run_at_sf0001(spark, sf_dir):
 def test_attestation_window_is_stable():
     """The external harness attests the FIRST 50 queries; pin the window so
     a stray registration cannot silently displace an entry before it has
-    been attested. Round-14 clears the attestation debt (r13 verdict
-    #1): canary + the ENTIRE 34-query r08 remainder (COVERAGE.md "Owed
-    to r14" ledger — after this window no registry entry's last driver
-    green predates r09) + the 2 late-r13 qsketch queries never
-    driver-attested + the r14 behavior-touched set (KMV null-hash
-    filter, crawl_frontier host-regex + salted pre-rank cap,
-    robots_screen host-regex, the _multitable_buckets backtick-quoting
-    rewrite's four ANN consumers) + the r14-new queries. Rows-only
-    (no-oracle) queries must NOT occupy window slots."""
+    been attested. Round-15 window (r14 verdict #2): canary + the 2
+    r15-new queries (GIF frame decode, bucketed zero-Exchange join) +
+    the r15 behavior-touched set (floor-division day-parity fix,
+    frontier mergeSchema fix, audit drift rows, the similarity
+    plan-build rewrite's oracled consumers) + the first 37 of the
+    43-query last-green-r10 cohort in ledger order (the remaining 6
+    spill to r16 — COVERAGE.md ledger). Rows-only (no-oracle) queries
+    must NOT occupy window slots."""
     names = list(entrymod.queries())
     window = names[:50]
     oracles = entrymod.oracle_sql()
     assert window[0] == "daily_event_stats"  # cross-round canary
     for must in (
-        # the full 34-query r08 remainder (ledger order)
-        "calendar_month_folds", "cda_probe", "coalescing_merge",
-        "csv_permissive_scan", "daily_median_stats", "daily_pivot_sum",
-        "date_spine_unify", "dedup_by_key", "duplicate_spans",
-        "gaps_islands_segments", "gopher_quality_flags",
-        "incremental_near_dup", "ivf_lloyd_topk", "language_id",
-        "local_supplier_volume", "medallion_silver_scan",
-        "media_decode_features", "media_real_decode", "media_resize_scan",
-        "missingness_profile", "outer_join_daily", "point_in_interval",
-        "pretraining_split_report", "rolling_7d_mean_by_user",
-        "rolling_corr_7d", "safe_ratio_daily", "segment_zscore_month",
-        "semantic_dedup_ivf", "simhash_fingerprints",
-        "snapshot_diff_report", "token_stats", "topk_per_group",
-        "unigram_surprisal", "winnow_fingerprints",
-        # late-r13, never driver-attested
-        "token_length_qsketch", "streaming_qsketch_stats",
-        # behavior-touched r14
-        "kmv_distinct_estimate", "crawl_frontier_slots",
-        "robots_screen_decisions", "ann_multiprobe_topk",
-        "ann_multitable_topk", "int8_rerank_topk", "multitable_index_topk",
-        # new r14
-        "doc_size_qsketch_log", "streaming_frontier_slots",
-        "qsketch_drift_psi", "streaming_kmv_distinct",
-        "embedding_cell_drift", "cms_token_freq",
+        # new r15
+        "media_frame_decode", "bucketed_join_scan",
+        # behavior-touched r15
+        "qsketch_drift_psi", "streaming_frontier_slots",
+        "etl_audit_report", "int8_rerank_topk", "ann_multitable_topk",
+        "ann_multiprobe_topk", "multitable_index_topk", "cosine_topk",
+        "ann_axis_topk", "ivf_ann_topk",
+        # the 37-query r10-cohort slice (ledger order; hybrid_rrf_topk
+        # and ann_lsh_topk double-duty as rewrite-touched)
+        "anchor_first_window", "ann_lsh_topk", "audio_frame_features",
+        "bigram_surprisal", "bm25_topk", "chunk_dedup_profile",
+        "cluster_best_keeper", "cosine_topk_vectorized",
+        "cube_segment_priority", "customer_order_distribution",
+        "customer_spend_quartiles", "daily_tag_sets", "dedup_clusters",
+        "disjunctive_brand_revenue", "duplicate_span_cut",
+        "encrypted_backup_scan", "encrypted_payload_scan",
+        "heavy_hitter_tokens", "hybrid_rrf_topk", "idle_customer_balance",
+        "incremental_exact_dedup", "incremental_vector_decisions",
+        "iphone_backup_scan", "ivf_index_topk", "ivf_pq_topk",
+        "ivfpq_index_topk", "market_share", "minhash_lsh_pairs",
+        "ngram_jaccard_pairs", "ngram_novelty", "pq_adc_topk",
+        "reagg_consistency", "repetition_profile", "returned_item_report",
+        "salted_join_revenue", "salted_priority_counts",
+        "small_quantity_revenue",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry
