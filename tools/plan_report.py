@@ -17,6 +17,18 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NOTES = {
+    "bucketed_join_scan": (
+        "Pre-bucketed fact-fact SMJ: both scans report Bucketed: true and "
+        "the ENTIRE plan — join AND per-order re-aggregation — has zero "
+        "Exchange operators; the shuffle was paid once at layout-write "
+        "time (SCALING 2v: 7.7x per repeated join at sf0.1)."
+    ),
+    "media_frame_decode": (
+        "Narrow two-stage mapInPandas (synthesize GIFs, walk+LZW-decode "
+        "sampled frames) — no shuffle anywhere; parallelism comes from "
+        "fan_out's id-hash repartition of the tiny doc frame, and at real "
+        "scale from the input splits themselves."
+    ),
     "daily_event_stats": (
         "Filter and day-truncation sit on the scan; partial aggregation "
         "runs map-side, so the shuffle carries one row per (day, partial) — "
