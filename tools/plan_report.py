@@ -162,7 +162,9 @@ NOTES = {
         "Every audit family (daily, range, cross-layer, hourly) reduces "
         "its scan to a 1-row scalar frame map-side; the report is a union "
         "of scalar projections, so the whole 12-check battery costs the "
-        "underlying scans and nothing wider."
+        "underlying scans and nothing wider. The r15 sketch-drift rows "
+        "add two log-grid sketch builds + the bucket-grain PSI join — "
+        "frames sized groups x occupied buckets, never event rows."
     ),
     "iphone_backup_scan": (
         "binaryFile blob scan -> executor-side sqlite3 mapInPandas (one "
