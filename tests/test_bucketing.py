@@ -63,3 +63,31 @@ def test_bucketed_facts_one_file_per_bucket(spark, tmp_path, sf_dir):
     for p in paths.values():
         files = glob.glob(f"{p}/part-*")
         assert len(files) == 4, files
+
+
+def test_bucketed_layout_prunes_buckets_for_point_lookup(spark, tmp_path, sf_dir):
+    """The same layout that kills the join shuffle also serves point
+    lookups at 1/N cost: an equality filter on the bucket key prunes the
+    scan to ONE bucket (SelectedBucketsCount: 1 out of N) — at 100 TB a
+    key fetch touches one bucket's files, not the table."""
+    from practicum2_nof1_adhd_bd_spark import pipeline
+
+    paths = pipeline.build_bucketed_facts(
+        spark, sf_dir, str(tmp_path), n_buckets=4
+    )
+    orders, _ = pipeline.ensure_bucketed_facts(
+        spark, paths, tag="prune", sf_dir=sf_dir, n_buckets=4
+    )
+    # the auto-bucketed-scan heuristic turns the bucketed read OFF when
+    # no join/agg needs the distribution — but that also forfeits bucket
+    # PRUNING, which is exactly what a point lookup wants; pin it on
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        df = orders.filter("o_orderkey = 7")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 4" in plan, plan[:1500]
+    finally:
+        spark.conf.set(key, prev)
