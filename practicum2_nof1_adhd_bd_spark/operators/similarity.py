@@ -49,7 +49,9 @@ def _darr_sql(vec: list[float]) -> str:
     """A literal double-array SQL expression. CAST('<repr>' AS DOUBLE)
     round-trips exactly (Python float repr is shortest-exact; the SQL
     string->double parse is correctly rounded), matching what F.lit
-    would have shipped over py4j — verified in tests/test_similarity.py."""
+    would have shipped over py4j — bit-exactness vs the F.lit/Column
+    forms is asserted in tests/test_similarity_ml.py
+    (test_sql_expression_twins_bit_exact)."""
     return (
         "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in vec) + ")"
     )
@@ -639,10 +641,15 @@ def _planes_table(spark, n_tables: int, n_planes: int, dim: int) -> DataFrame:
     key, so cached per Spark application (applicationId is unique per
     context, so a stopped-and-restarted session can never serve a stale
     DataFrame the way an id()-keyed cache could)."""
-    key = (spark.sparkContext.applicationId, n_tables, n_planes, dim)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, n_tables, n_planes, dim)
     cached = _PLANES_TABLES.get(key)
     if cached is not None:
         return cached
+    # purge entries from stopped contexts so JVM-side DataFrame handles
+    # don't accumulate across session restarts in a long-lived process
+    for stale in [k for k in _PLANES_TABLES if k[0] != app_id]:
+        del _PLANES_TABLES[stale]
     all_planes = [
         md5_planes(n_planes, dim, salt=f"{t}:") for t in range(n_tables)
     ]
@@ -1410,8 +1417,14 @@ def int8_rerank_topk(
     # cut as a broadcast semi join instead (same rule as query_ivfpq).
     ids = [r[0] for r in coarse.select(id_col).collect()]
     if len(ids) > 1000:
+        # carry the id field's real DataType so a string/decimal id
+        # column joins without a miscast (ADVICE r15)
+        from pyspark.sql.types import StructField, StructType
+
+        id_field = embeddings.schema[id_col]
         ids_df = embeddings.sparkSession.createDataFrame(
-            [(int(i),) for i in ids], f"`{id_col}` bigint"
+            [(i,) for i in ids],
+            StructType([StructField(id_col, id_field.dataType, False)]),
         )
         exact = embeddings.join(F.broadcast(ids_df), id_col, "semi")
     else:

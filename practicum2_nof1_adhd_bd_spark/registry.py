@@ -11544,6 +11544,70 @@ def q_bucketed_join_scan(spark, sf_dir):
 
 
 @register(
+    "bucketed_point_lookup",
+    """
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+           l.l_linenumber, l.l_quantity, l.l_extendedprice
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey = 142
+    ORDER BY l.l_linenumber
+    """,
+)
+def q_bucketed_point_lookup(spark, sf_dir):
+    """Bucket-PRUNED point lookup on the bucketed fact layout (r15
+    verdict #8, SCALING §2v): an equality filter on the bucket key lets
+    FileSourceScanExec open exactly ONE bucket's files per table
+    (SelectedBucketsCount: 1 out of 8 — plan-asserted in
+    tests/test_bucketing.py), so the serving cost of "give me order X
+    and its line items" is 1/N of the table regardless of table size —
+    at 100 TB with 4096 buckets that is a ~25 GB scan further cut by
+    the sortBy(key) layout's row-group min/max stats, not a 100 TB one.
+    The two pruned scans then join WITHOUT any Exchange (both sides
+    bucketed on the key). Key 142 is a fixed literal (a real key at
+    every shipped SF: orderkeys are 0..N-1, N >= 1500 at sf0.001) —
+    the point-lookup serving contract is that the caller KNOWS the key.
+    Reuses the bucketed_join_scan landing (same fingerprint), so no
+    extra build. No aggregation anywhere: every output value is read
+    straight from parquet, bit-identical across engines."""
+    import os
+    import tempfile
+
+    from . import pipeline
+
+    fp = _source_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+    fp += "_" + _source_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))
+    prefix = os.path.join(tempfile.gettempdir(), "spark_graft_bktfacts_v1")
+    root = _land_once(
+        prefix, fp,
+        lambda tmp: pipeline.build_bucketed_facts(spark, sf_dir, tmp),
+    )
+    orders, lineitem = pipeline.ensure_bucketed_facts(
+        spark,
+        {"orders": os.path.join(root, "orders"),
+         "lineitem": os.path.join(root, "lineitem")},
+        tag=fp.replace(".", "_"),
+        sf_dir=sf_dir,
+    )
+    # merge hint keeps the bucketed scans alive: without it the planner
+    # picks a broadcast join and DISABLES bucket-aware scanning
+    # ("Bucketed: false (disabled by query planner)"), which silently
+    # forfeits the one-bucket prune — the entire point of this path
+    return (
+        orders.filter(F.col("o_orderkey") == 142)
+        .hint("merge")
+        .join(
+            lineitem.filter(F.col("l_orderkey") == 142),
+            orders.o_orderkey == lineitem.l_orderkey,
+        )
+        .select(
+            "o_orderkey", "o_orderpriority", "o_totalprice",
+            "l_linenumber", "l_quantity", "l_extendedprice",
+        )
+        .orderBy("l_linenumber")
+    )
+
+
+@register(
     "csv_permissive_scan",
     """
     WITH g AS (SELECT unnest(range(0, 3000)) AS i),

@@ -293,7 +293,7 @@ def test_gif_frame_features_known_values(spark):
         for r in multimodal.gif_frame_features(gifs, every_n=2).collect()
     }
     n_frames = 2 + (len("abcd") % 4)  # = 2
-    assert set(out) == {0} if n_frames == 2 else {0, 2}
+    assert set(out) == ({0} if n_frames == 2 else {0, 2})
     for fidx, r in out.items():
         digest = hashlib.md5(f"abcd:{fidx}".encode()).digest()
         px = [digest[p] % 8 for p in range(16)]

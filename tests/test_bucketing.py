@@ -91,3 +91,24 @@ def test_bucketed_layout_prunes_buckets_for_point_lookup(spark, tmp_path, sf_dir
         assert "SelectedBucketsCount: 1 out of 4" in plan, plan[:1500]
     finally:
         spark.conf.set(key, prev)
+
+
+def test_bucketed_point_lookup_prunes_to_one_bucket(spark, sf_dir):
+    """The serving path (r15 verdict #8): an equality filter on the
+    bucket key must prune BOTH scans to exactly one bucket
+    (SelectedBucketsCount: 1 out of 8) and join them with no Exchange —
+    the 1/N point-lookup cost model SCALING §2v claims."""
+    from practicum2_nof1_adhd_bd_spark import registry
+
+    df = registry.QUERIES["bucketed_point_lookup"](spark, sf_dir)
+    rows = df.collect()
+    assert rows, "lookup key must exist in the shipped testdata"
+    assert [r["l_linenumber"] for r in rows] == sorted(
+        r["l_linenumber"] for r in rows
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints scans in final + initial sections; every printed scan
+    # must carry the one-bucket selection
+    n_sel = plan.count("SelectedBucketsCount: 1 out of 8")
+    assert n_sel >= 2, plan[:2000]
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]

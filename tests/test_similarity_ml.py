@@ -439,3 +439,62 @@ def test_multitable_buckets_accept_quoted_identifiers(spark):
         id_col="vec id", vec_col="my-embedding",
     ).collect()
     assert 0 in {r["vec id"] for r in out}
+
+
+def test_sql_expression_twins_bit_exact(spark):
+    """_darr_sql/_cosine_sql are parsed-string twins of the
+    F.lit/Column-API builders (r15 plan-build rewrite). They must
+    produce BIT-IDENTICAL doubles — the value-hash oracles depend on
+    the string path evaluating the same float sequence the Column
+    path did (ADVICE r15: this equivalence was only attested
+    indirectly)."""
+    import math
+    import struct
+
+    vec = [0.1, -2.7182818284590455, 1e-300, 3.14159, 0.0]
+    df = spark.createDataFrame(
+        [([0.3, 0.77, -1e-299, 2.5, 9.9],)], "v array<double>"
+    )
+    sql_row = df.selectExpr(
+        f"{sim._darr_sql(vec)} AS lit_arr",
+        f"{sim._cosine_sql('v', sim._darr_sql(vec))} AS cos_sql",
+    ).collect()[0]
+    col_row = df.select(
+        F.array(*[F.lit(x) for x in vec]).alias("lit_arr"),
+        sim.cosine(
+            F.col("v"), F.array(*[F.lit(x) for x in vec])
+        ).alias("cos_col"),
+    ).collect()[0]
+    assert sql_row["lit_arr"] == col_row["lit_arr"]  # exact, incl 1e-300
+    assert struct.pack("<d", sql_row["cos_sql"]) == struct.pack(
+        "<d", col_row["cos_col"]
+    )
+    assert not math.isnan(sql_row["cos_sql"])
+
+
+def test_int8_rerank_deep_path_non_bigint_id(spark):
+    """The >1000-survivor deep-rerank path ships the id cut as a
+    broadcast semi join; it must carry the id field's REAL DataType
+    (ADVICE r15: it hardcoded bigint, breaking string/int ids that the
+    <=1000 isin() path handled)."""
+    import hashlib
+
+    rows = []
+    for i in range(1200):
+        h = hashlib.md5(f"v{i}".encode()).digest()
+        rows.append((f"id_{i:04d}", [h[j] / 255.0 for j in range(8)]))
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    deep = sim.int8_rerank_topk(
+        emb, "id_0000", k=5, n_tables=4, n_planes=2, n_flips=2,
+        rerank=1150,
+    ).collect()
+    shallow = sim.int8_rerank_topk(
+        emb, "id_0000", k=5, n_tables=4, n_planes=2, n_flips=2,
+        rerank=900,
+    ).collect()
+    assert len(deep) == 5
+    # the deep (broadcast-semi) and shallow (isin) fetch paths must
+    # agree on the exact-cosine ranking of the shared survivors
+    assert [(r["vec_id"], r["cosine"]) for r in deep] == [
+        (r["vec_id"], r["cosine"]) for r in shallow
+    ]
