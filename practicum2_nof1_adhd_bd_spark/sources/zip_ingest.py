@@ -17,10 +17,13 @@ Scale notes:
 - Members are streamed one at a time and each input batch yields one
   output frame per archive, so executor memory holds one archive + one
   member, not the whole listing.
-- AES-encrypted ZIPs (the reference's pyzipper path) need a codec the
-  container lacks; ``read_zip_members`` raises on them only when the
-  member is actually read, and the encrypted branch is gated the same way
-  the multimodal codecs are.
+- AES-encrypted ZIPs (the reference's pyzipper path, ref
+  run_full_pipeline.py:498-520 ``--zepp-password``) decrypt in the same
+  executor-side loop via ``zip_crypto`` (the public WinZip AE-1/AE-2
+  scheme: PBKDF2 keys, LE-counter AES-CTR, encrypt-then-MAC) — pass
+  ``password=``; the PBKDF2 work factor is per-member and parallelizes
+  with the archives. Without a password an encrypted member raises only
+  when actually read, same gating as the multimodal codecs.
 """
 
 from __future__ import annotations
@@ -42,6 +45,7 @@ def read_zip_members(
     spark: SparkSession,
     path: str,
     pattern: str | None = None,
+    password: bytes | None = None,
 ) -> DataFrame:
     """One row per (archive, member) with the member's decompressed bytes.
 
@@ -49,7 +53,14 @@ def read_zip_members(
     applied INSIDE the executor-side loop, so non-matching members are
     never decompressed (the moral twin of predicate pushdown; the
     reference's extract-then-glob does the opposite).
+
+    ``password`` unlocks WinZip-AES members (method 99): the PBKDF2 +
+    AES-CTR + HMAC-verify pipeline in ``zip_crypto`` runs right here in
+    the executor loop, and a wrong password or corrupt member raises
+    from the task (fail-loud, like the keybag path in backup_crypto).
     """
+    from . import zip_crypto
+
     raw = spark.read.format("binaryFile").load(path)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -61,7 +72,31 @@ def read_zip_members(
                             continue
                         if pattern and not fnmatch.fnmatch(info.filename, pattern):
                             continue
-                        data = zf.read(info)
+                        if info.compress_type == zip_crypto.AES_METHOD:
+                            aes = zip_crypto.parse_aes_extra(info.extra)
+                            if aes is None:
+                                raise ValueError(
+                                    f"{info.filename}: method 99 without a "
+                                    "WinZip-AES extra field"
+                                )
+                            if password is None:
+                                raise ValueError(
+                                    f"{info.filename} is WinZip-AES "
+                                    "encrypted; pass password="
+                                )
+                            _, strength, actual = aes
+                            data = zip_crypto.decrypt_member(
+                                zip_crypto.read_raw_member(
+                                    blob,
+                                    info.header_offset,
+                                    info.compress_size,
+                                ),
+                                password,
+                                strength,
+                                actual,
+                            )
+                        else:
+                            data = zf.read(info)
                         # one Arrow batch per member: peak executor memory
                         # really is one archive + one decompressed member,
                         # never the whole decompressed listing
@@ -82,6 +117,7 @@ def csv_lines_from_zip(
     path: str,
     pattern: str = "*.csv",
     encoding: str = "utf-8",
+    password: bytes | None = None,
 ) -> DataFrame:
     """Flatten matching CSV members into (src_path, member_name, line) rows
     — ready for ``from_csv``/``split`` parsing with an explicit schema, the
@@ -89,7 +125,7 @@ def csv_lines_from_zip(
     line-split happen as codegen'd expressions, not in Python."""
     from pyspark.sql import functions as F
 
-    members = read_zip_members(spark, path, pattern)
+    members = read_zip_members(spark, path, pattern, password=password)
     return members.select(
         "src_path",
         "member_name",

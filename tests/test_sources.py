@@ -453,3 +453,72 @@ def test_warc_scan_split_robustness(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
     assert split == whole
+
+
+def _write_aes_zip(path, password=b"pw"):
+    from practicum2_nof1_adhd_bd_spark.sources import zip_crypto
+
+    members = [
+        ("data_0.csv", b"day,value\n1,10\n2,20\n3,30"),
+        ("data_1.csv", b"day,value\n1,100\n2,200"),
+        ("notes.txt", b"decoy member"),
+    ]
+    zip_crypto.synthesize_encrypted_zip(str(path), members, password)
+    return members
+
+
+def test_winzip_aes_roundtrip_all_strengths(tmp_path):
+    """The pure-bytes codec: synthesize -> parse -> decrypt at every AES
+    strength; wrong password fails the verifier BEFORE any decrypt work,
+    a flipped ciphertext byte fails the 10-byte HMAC."""
+    import io
+    import zipfile
+
+    from practicum2_nof1_adhd_bd_spark.sources import zip_crypto as zc
+
+    import pytest
+
+    pt = b"x,y\n" + b"1,2\n" * 500
+    for strength in (1, 2, 3):
+        p = tmp_path / f"s{strength}.zip"
+        zc.synthesize_encrypted_zip(str(p), [("m.csv", pt)], b"k", strength)
+        blob = p.read_bytes()
+        info = zipfile.ZipFile(io.BytesIO(blob)).infolist()[0]
+        assert info.compress_type == zc.AES_METHOD
+        ver, s, actual = zc.parse_aes_extra(info.extra)
+        assert (ver, s, actual) == (2, strength, 8)
+        raw = zc.read_raw_member(blob, info.header_offset, info.compress_size)
+        assert zc.decrypt_member(raw, b"k", s, actual) == pt
+        with pytest.raises(ValueError, match="wrong password"):
+            zc.decrypt_member(raw, b"K", s, actual)
+        salt_len = {1: 8, 2: 12, 3: 16}[strength]
+        flip = salt_len + 2 + 5
+        bad = raw[:flip] + bytes([raw[flip] ^ 1]) + raw[flip + 1:]
+        with pytest.raises(ValueError, match="authentication"):
+            zc.decrypt_member(bad, b"k", s, actual)
+
+
+def test_encrypted_zip_members_distributed(spark, tmp_path):
+    """End-to-end executor-side decrypt: members come back byte-exact
+    through binaryFile + mapInPandas, the pattern filter skips the decoy,
+    and a wrong password fails the TASK (fail-loud)."""
+    from pyspark.errors import PythonException
+
+    from practicum2_nof1_adhd_bd_spark.sources import zip_ingest
+
+    import pytest
+
+    members = _write_aes_zip(tmp_path / "enc.zip", b"pw")
+    out = zip_ingest.read_zip_members(
+        spark, str(tmp_path / "enc.zip"), pattern="*.csv", password=b"pw"
+    ).collect()
+    got = {r["member_name"]: bytes(r["member_bytes"]) for r in out}
+    assert got == {n: b for n, b in members if n.endswith(".csv")}
+    with pytest.raises(PythonException, match="wrong password"):
+        zip_ingest.read_zip_members(
+            spark, str(tmp_path / "enc.zip"), password=b"nope"
+        ).collect()
+    with pytest.raises(PythonException, match="pass password="):
+        zip_ingest.read_zip_members(
+            spark, str(tmp_path / "enc.zip")
+        ).collect()
