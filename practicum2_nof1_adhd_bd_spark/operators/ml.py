@@ -638,3 +638,139 @@ def selection_rule_report(
             (F.row_number().over(w) == 1) & (F.col("n_folds_used") > 0)
         ).cast("int"),
     )
+
+
+# ---- exact linear SHAP (r15 verdict #6) ----
+# Cramer's-rule solution of the 3x3 centered normal equations and the
+# closed-form linear SHAP that follows. These templates are shared
+# VERBATIM with the DuckDB oracle (registry imports them), so both
+# engines parse the same scalar expression tree and evaluate the same
+# IEEE operation sequence — the whole attestation rests on that.
+SHAP_DET_SQL = (
+    "(s11*(s22*s33 - s23*s23) - s12*(s12*s33 - s23*s13)"
+    " + s13*(s12*s23 - s22*s13))"
+)
+SHAP_W_SQL = {
+    1: "((c1*(s22*s33 - s23*s23) - s12*(c2*s33 - s23*c3)"
+       " + s13*(c2*s23 - s22*c3)) / det)",
+    2: "((s11*(c2*s33 - s23*c3) - c1*(s12*s33 - s13*s23)"
+       " + s13*(s12*c3 - c2*s13)) / det)",
+    3: "((s11*(s22*c3 - c2*s23) - s12*(s12*c3 - c2*s13)"
+       " + c1*(s12*s23 - s22*s13)) / det)",
+}
+
+
+def linear_shap_attribution(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    scale: float = 1024.0,
+) -> DataFrame:
+    """EXACT linear SHAP attribution (ref src/etl/ml7_analysis.py:238-320,
+    shap.LinearExplainer over the fold logreg): for a linear model the
+    SHAP value of feature j on sample x is closed-form w_j*(x_j - mu_j)
+    (mu = background mean, independent-features LinearExplainer), so the
+    reference's "mean |SHAP| per feature" summary is pure column algebra
+    — no sampling, no explainer library, and a full DuckDB oracle,
+    unlike the |corr|*sigma_y surrogate this supersedes
+    (feature_attribution, now the documented fallback for when a model
+    can't be fit).
+
+    The model here is the least-squares linear probability fit of the
+    3-class label — CLOSED-FORM OLS via Cramer's rule on the centered
+    3x3 normal equations, so training itself is attestable column
+    algebra (logreg_fold_cv's iterative weights stay rows-only by
+    nature; for attribution RANKING the linear-model family is what the
+    reference's LinearExplainer assumes anyway).
+
+    Engine-exactness: feature sums use integer units (features are
+    integer-valued or 6-dp fixed-point, so means are exact ratios of
+    BIGINTs); centered values are scaled by 1/1024 — a power of two, so
+    the division is float-EXACT — keeping every product far below the
+    ~9e3 double->DECIMAL(28,12) cast-divergence hazard; products sum as
+    DECIMAL(28,12) (order-invariant); the Cramer scalars run in double
+    through expression text shared verbatim with the oracle. Mean |SHAP|
+    is scale-invariant (w'_j = w_j*s, z_j = (x_j-mu_j)/s), so the output
+    is in ORIGINAL feature units.
+
+    Two frame scans (means, then centered moments broadcast-joined) +
+    one 1-row solve — the same shape at any corpus size."""
+    assert len(feature_cols) == 3, "Cramer templates are written for 3x3"
+    dec = "decimal(28,12)"
+    y = F.col(label_col).cast("double")
+    n_and_sums = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        # exact integer-unit sums: features are integer-valued doubles or
+        # 6-dp fixed-point, so the e6 recovery is exact
+        *[
+            F.sum(F.round(F.col(c) * 1e6).cast("long")).alias(f"_sx{j}_e6")
+            for j, c in enumerate(feature_cols, 1)
+        ],
+        F.sum(F.round(y * 1e6).cast("long")).alias("_sy_e6"),
+    ).select(
+        "n",
+        *[
+            (F.col(f"_sx{j}_e6") / 1e6 / F.col("n")).alias(f"mu{j}")
+            for j in range(1, 4)
+        ],
+        (F.col("_sy_e6") / 1e6 / F.col("n")).alias("muy"),
+    )
+    centered = df.crossJoin(F.broadcast(n_and_sums)).select(
+        "n",
+        *[
+            ((F.col(c) - F.col(f"mu{j}")) / scale).alias(f"z{j}")
+            for j, c in enumerate(feature_cols, 1)
+        ],
+        (y - F.col("muy")).alias("zy"),
+    )
+    mom = centered.groupBy("n").agg(
+        *[
+            F.sum((F.col(f"z{i}") * F.col(f"z{j}")).cast(dec))
+            .cast("double")
+            .alias(f"s{i}{j}")
+            for i in range(1, 4)
+            for j in range(i, 4)
+        ],
+        *[
+            F.sum((F.col(f"z{j}") * F.col("zy")).cast(dec))
+            .cast("double")
+            .alias(f"c{j}")
+            for j in range(1, 4)
+        ],
+        *[
+            F.sum(F.abs(F.col(f"z{j}")).cast(dec))
+            .cast("double")
+            .alias(f"mad{j}")
+            for j in range(1, 4)
+        ],
+    )
+    solved = (
+        mom.withColumn("det", F.expr(SHAP_DET_SQL))
+        # guard BEFORE any /det is built: ANSI mode makes a zero
+        # divisor fatal, not null (degenerate = collinear features)
+        .filter(F.col("det") != 0)
+        .select(
+            "n",
+            *[
+                F.expr(SHAP_W_SQL[j]).alias(f"w{j}")
+                for j in range(1, 4)
+            ],
+            *[F.col(f"mad{j}") for j in range(1, 4)],
+        )
+    )
+    stack = ", ".join(
+        f"'{c}', round(abs(w{j}) * mad{j} / n, 6),"
+        f" round(w{j} / {scale!r}, 9)"
+        for j, c in enumerate(feature_cols, 1)
+    )
+    unpiv = solved.select(
+        F.expr(
+            f"stack(3, {stack}) AS (feature, mean_abs_shap, weight)"
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("mean_abs_shap"), F.asc("feature"))
+    return unpiv.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    )

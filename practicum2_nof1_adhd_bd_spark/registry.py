@@ -11854,7 +11854,13 @@ ORACLES["jsonl_corpus_scan"] = """
 def q_feature_attribution_topk(spark, sf_dir):
     """Feature-attribution ranking (SHAP-analog for linear models,
     ref src/etl/ml7_analysis.py:238-320): |corr(x,y)|*sigma_y per feature
-    over the daily label frame — closed-form, so exactly oracle-checkable."""
+    over the daily label frame — closed-form, so exactly oracle-checkable.
+
+    DEMOTED to documented fallback (r15 verdict #6): this statistic is a
+    model-free SURROGATE for when no linear model can be fit (e.g.
+    collinear features make the normal equations singular).
+    shap_attribution_topk is the exact form — true LinearExplainer
+    algebra over a closed-form-trained model."""
     from .operators import ml
 
     return ml.feature_attribution(
@@ -11862,6 +11868,115 @@ def q_feature_attribution_topk(spark, sf_dir):
         ["value_mean", "n_events", "n_users"],
         "label_3cls",
     )
+
+
+def _register_shap_attribution() -> None:
+    """Exact linear SHAP (r15 verdict #6): the oracle shares the Cramer
+    expression templates VERBATIM with operators/ml.py, so both engines
+    evaluate the same IEEE scalar tree over the same order-invariant
+    decimal moments."""
+    from .operators.ml import SHAP_DET_SQL, SHAP_W_SQL
+
+    frame_sql = """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS date,
+             CAST(round(avg(value), 6) AS DOUBLE) AS value_mean,
+             CAST(count(*) AS DOUBLE) AS n_events,
+             CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users
+      FROM events GROUP BY 1
+    ),
+    q AS (SELECT quantile_cont(value_mean, 0.25) AS p_lo,
+                 quantile_cont(value_mean, 0.75) AS p_hi
+          FROM d),
+    lab AS (
+      SELECT d.*,
+             CAST(CASE WHEN value_mean <= p_lo THEN -1
+                       WHEN value_mean >= p_hi THEN 1
+                       ELSE 0 END AS DOUBLE) AS y
+      FROM d, q
+    )"""
+    mad = ", ".join(
+        f"CAST(sum(CAST(abs(z{j}) AS DECIMAL(28,12))) AS DOUBLE) AS mad{j}"
+        for j in range(1, 4)
+    )
+    smoms = ", ".join(
+        f"CAST(sum(CAST(z{i} * z{j} AS DECIMAL(28,12))) AS DOUBLE) AS s{i}{j}"
+        for i in range(1, 4) for j in range(i, 4)
+    )
+    cmoms = ", ".join(
+        f"CAST(sum(CAST(z{j} * zy AS DECIMAL(28,12))) AS DOUBLE) AS c{j}"
+        for j in range(1, 4)
+    )
+    arms = "\n      UNION ALL\n".join(
+        f"      SELECT '{c}' AS feature,"
+        f" round(abs(w{j}) * mad{j} / n, 6) AS mean_abs_shap,"
+        f" round(w{j} / 1024.0, 9) AS weight FROM solved"
+        for j, c in enumerate(("value_mean", "n_events", "n_users"), 1)
+    )
+    sql = f"""{frame_sql},
+    ms AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(round(value_mean * 1e6) AS BIGINT)) AS BIGINT) / 1e6
+                 / CAST(count(*) AS DOUBLE) AS mu1,
+             CAST(sum(CAST(round(n_events * 1e6) AS BIGINT)) AS BIGINT) / 1e6
+                 / CAST(count(*) AS DOUBLE) AS mu2,
+             CAST(sum(CAST(round(n_users * 1e6) AS BIGINT)) AS BIGINT) / 1e6
+                 / CAST(count(*) AS DOUBLE) AS mu3,
+             CAST(sum(CAST(round(y * 1e6) AS BIGINT)) AS BIGINT) / 1e6
+                 / CAST(count(*) AS DOUBLE) AS muy
+      FROM lab
+    ),
+    cen AS (
+      SELECT n,
+             (value_mean - mu1) / 1024.0 AS z1,
+             (n_events - mu2) / 1024.0 AS z2,
+             (n_users - mu3) / 1024.0 AS z3,
+             (y - muy) AS zy
+      FROM lab, ms
+    ),
+    mom AS (
+      SELECT n, {smoms}, {cmoms}, {mad}
+      FROM cen GROUP BY n
+    ),
+    solved AS (
+      SELECT n, mad1, mad2, mad3,
+             {SHAP_W_SQL[1]} AS w1,
+             {SHAP_W_SQL[2]} AS w2,
+             {SHAP_W_SQL[3]} AS w3
+      FROM (SELECT mom.*, {SHAP_DET_SQL} AS det FROM mom)
+      WHERE det <> 0
+    ),
+    a AS (
+{arms}
+    )
+    SELECT feature, mean_abs_shap, weight,
+           CAST(row_number() OVER (ORDER BY mean_abs_shap DESC, feature)
+                AS BIGINT) AS rank
+    FROM a
+    """
+
+    @register("shap_attribution_topk", sql)
+    def q_shap_attribution_topk(spark, sf_dir):
+        """EXACT linear-SHAP feature ranking (r15 verdict #6; ref
+        src/etl/ml7_analysis.py:238-320 shap.LinearExplainer): per-sample
+        SHAP of a linear model is closed-form w_j*(x_j - mu_j), so the
+        reference's mean-|SHAP| top-k is pure column algebra over a
+        closed-form OLS fit (Cramer 3x3 on centered, power-of-two-scaled
+        decimal moments — see ml.linear_shap_attribution for the
+        engine-exactness design). Supersedes the |corr|*sigma_y
+        surrogate feature_attribution_topk, now the documented fallback
+        for singular designs."""
+        from .operators import ml
+
+        return ml.linear_shap_attribution(
+            _daily_label_frame(spark, sf_dir),
+            ["value_mean", "n_events", "n_users"],
+            "label_3cls",
+        )
+
+
+_register_shap_attribution()
+
 
 
 # ---------------------------------------------------------------------------

@@ -498,3 +498,52 @@ def test_int8_rerank_deep_path_non_bigint_id(spark):
     assert [(r["vec_id"], r["cosine"]) for r in deep] == [
         (r["vec_id"], r["cosine"]) for r in shallow
     ]
+
+
+def test_linear_shap_matches_numpy_closed_form(spark):
+    """ml.linear_shap_attribution must equal the numpy normal-equations
+    solve + mean|w_j (x_j - mu_j)| — the LinearExplainer closed form the
+    reference computes via the shap package (ml7_analysis.py:238-320)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n = 500
+    x1 = np.round(rng.uniform(30, 220, n), 6)
+    x2 = rng.randint(50, 3000, n).astype(float)
+    x3 = rng.randint(1, 500, n).astype(float)
+    sig = 0.01 * x1 - 0.002 * x2 + 0.005 * x3
+    y = (sig + rng.normal(0, 1, n) > 0.5).astype(float) - (sig < -2).astype(
+        float
+    )
+    df = spark.createDataFrame(
+        [tuple(map(float, r)) for r in zip(x1, x2, x3, y)],
+        "f1 double, f2 double, f3 double, lab double",
+    )
+    out = ml.linear_shap_attribution(df, ["f1", "f2", "f3"], "lab").collect()
+    X = np.column_stack([x1, x2, x3])
+    Xc = X - X.mean(0)
+    w = np.linalg.solve(Xc.T @ Xc, Xc.T @ (y - y.mean()))
+    shap = np.abs(w * Xc).mean(0)
+    assert len(out) == 3
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    assert [r["feature"] for r in by_rank] == [
+        f"f{j+1}" for j in np.argsort(-shap)
+    ]
+    for r in out:
+        j = int(r["feature"][1]) - 1
+        assert abs(r["mean_abs_shap"] - shap[j]) < 1e-5
+        assert abs(r["weight"] - w[j]) < 1e-7
+
+
+def test_linear_shap_singular_design_is_empty(spark):
+    """A degenerate design (constant feature -> a zero row/column in the
+    normal equations, det exactly 0) must yield an EMPTY frame (the
+    caller falls back to the feature_attribution surrogate), never an
+    ANSI division error."""
+    rows = [(float(i), 5.0, 3.0 * i, float(i % 3 - 1)) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "f1 double, f2 double, f3 double, lab double"
+    )
+    assert (
+        ml.linear_shap_attribution(df, ["f1", "f2", "f3"], "lab").count() == 0
+    )
