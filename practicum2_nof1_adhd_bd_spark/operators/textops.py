@@ -687,8 +687,9 @@ def unigram_surprisal(
     rare-token soup).
 
     Two passes: (1) one explode -> map-side-combined count builds the
-    vocabulary frame; its total is a window over that tiny frame.
-    (2) the corpus explodes again and equi-joins token->logp.
+    vocabulary frame; the corpus token TOTAL comes from a separate
+    explode-free size() scan (see below). (2) the corpus explodes again
+    and equi-joins token->logp.
 
     ``broadcast_vocab`` (default) force-broadcasts the vocab side, making
     the scoring pass shuffle-free — valid only while the vocabulary fits
@@ -703,10 +704,16 @@ def unigram_surprisal(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_t")
     )
     vocab = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_n"))
-    # corpus token total as a 1-row broadcast, NOT an unpartitioned window:
-    # web-scale vocabularies run to 10^8 rows, and a partitionBy() window
-    # would drag them all through one task.
-    total = vocab.agg(F.sum("_n").alias("_tot"))
+    # corpus token total as a 1-row broadcast, NOT an unpartitioned window
+    # (a web-scale vocab would drag 10^8 rows through one task) and NOT
+    # an aggregate OVER the vocab frame (r15 verdict #4: that form paid a
+    # second full explode->groupBy->exchange chain plus a SinglePartition
+    # re-aggregation — AQE reused the exchanges but not the explode work,
+    # ~25% of the query's wall). sum(size(tokens)) is the same BIGINT
+    # from one explode-free columnar scan: -log2(_n/_tot) is bit-identical.
+    total = df.agg(
+        F.sum(F.size(tokens(F.lower(F.col(text_col))))).alias("_tot")
+    )
     vocab = vocab.crossJoin(F.broadcast(total)).select(
         "_t", (-F.log2(F.col("_n") / F.col("_tot"))).alias("_bits")
     )
