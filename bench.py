@@ -168,6 +168,13 @@ HEADLINE = [
     # via _land_once, so repeats measure SERVING — the amortized state)
     "media_frame_decode",
     "bucketed_join_scan",
+    # round-16 additions: the one-bucket-pruned point lookup (serving
+    # path on the same landed layout as bucketed_join_scan); WinZip-AES
+    # member decrypt (fixture lands once, repeats measure the
+    # PBKDF2+CTR+MAC+inflate executor path); exact linear SHAP
+    "bucketed_point_lookup",
+    "encrypted_zip_scan",
+    "shap_attribution_topk",
 ]
 
 

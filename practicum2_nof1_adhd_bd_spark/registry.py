@@ -12110,73 +12110,72 @@ _register_cluster_best_keeper()
 # whole registry, no entry stale-after-rewrite.
 _FRONT_ORDER = [
     "daily_event_stats",  # canary: green every round since r03
-    # new r15: real animated-GIF frame decode (r14 verdict #3) and the
-    # bucketed zero-Exchange fact-fact SMJ (r14 verdict #4)
-    "media_frame_decode",
-    "bucketed_join_scan",
-    # behavior-touched r15: qsketch_drift_psi under the floor-division
-    # day-parity fix (r14 ADVICE); streaming_frontier_slots under the
-    # mergeSchema provenance fix (r14 ADVICE); etl_audit_report under
-    # the sketch-drift severity rows (r14 verdict #7); and the
-    # similarity plan-build rewrite's oracled consumers (parsed-string
-    # expression twins + cached planes table + dropped single-consumer
-    # checkpoint — construction-only, outputs oracle-identical, r14
-    # verdict #1): the four _multitable_buckets consumers and the
-    # cosine_topk_bruteforce consumers
-    "qsketch_drift_psi",
-    "streaming_frontier_slots",
-    "etl_audit_report",
+    # new r16: the bucket-pruned point lookup (r15 verdict #8), the
+    # WinZip-AES encrypted ZIP ingest (r15 verdict #5) and the exact
+    # linear-SHAP attribution (r15 verdict #6)
+    "bucketed_point_lookup",
+    "encrypted_zip_scan",
+    "shap_attribution_topk",
+    # behavior-touched r16: unigram_surprisal under the explode-free
+    # token-total rewrite (r15 verdict #4 — output verified identical,
+    # plan drops one explode chain + the BNLJ); int8_rerank_topk under
+    # the deep-rerank id-DataType fix (r15 ADVICE — construction-only
+    # on the <=1000 path the oracle exercises)
+    "unigram_surprisal",
     "int8_rerank_topk",
-    "ann_multitable_topk",
-    "ann_multiprobe_topk",
-    "multitable_index_topk",
-    "cosine_topk",
-    "ann_axis_topk",
-    "ivf_ann_topk",
-    # oldest-cohort rotation (r14 verdict #2): the first 37 of the
-    # 43-query last-green-r10 cohort in ledger order (hybrid_rrf_topk
-    # and ann_lsh_topk double-duty as similarity-rewrite-touched); the
-    # remaining 6 (sole_return_supplier, stratified_sample_k,
-    # user_last_value, vector_index_topk, volume_shipping,
-    # xml_records_scan) spill to the r16 window — ledger in COVERAGE.md
-    "anchor_first_window",
-    "ann_lsh_topk",
-    "audio_frame_features",
-    "bigram_surprisal",
-    "bm25_topk",
-    "chunk_dedup_profile",
-    "cluster_best_keeper",
-    "cosine_topk_vectorized",
-    "cube_segment_priority",
-    "customer_order_distribution",
-    "customer_spend_quartiles",
-    "daily_tag_sets",
-    "dedup_clusters",
-    "disjunctive_brand_revenue",
-    "duplicate_span_cut",
-    "encrypted_backup_scan",
-    "encrypted_payload_scan",
-    "heavy_hitter_tokens",
-    "hybrid_rrf_topk",
-    "idle_customer_balance",
-    "incremental_exact_dedup",
-    "incremental_vector_decisions",
-    "iphone_backup_scan",
-    "ivf_index_topk",
-    "ivf_pq_topk",
-    "ivfpq_index_topk",
-    "market_share",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "ngram_novelty",
-    "pq_adc_topk",
-    "reagg_consistency",
-    "repetition_profile",
-    "returned_item_report",
-    "salted_join_revenue",
-    "salted_priority_counts",
-    "small_quantity_revenue",
+    # the 6 owed r10-cohort queries (r15 verdict #1, COVERAGE.md spill
+    # ledger) — after these, no entry's last driver-green predates r11
+    "sole_return_supplier",
+    "stratified_sample_k",
+    "user_last_value",
+    "vector_index_topk",
+    "volume_shipping",
+    "xml_records_scan",
+    # oldest-cohort rotation: the first 38 of the 44-query
+    # last-green-r11 cohort in ledger order; the remaining 6
+    # (streaming_daily_stats, streaming_sessions, trigram_surprisal,
+    # union_mean_fusion, unit_coercion_hours, zip_ingest_scan) spill
+    # to the r17 window — ledger in COVERAGE.md
+    "auto_segment_triggers",
+    "bloom_screen_decisions",
+    "decontaminate_fuzzy",
+    "decontaminate_ngram",
+    "dominant_source_change",
+    "dsir_select_topk",
+    "exact_dedup",
+    "excess_shipment_suppliers",
+    "feature_attribution_topk",
+    "fold_class_check",
+    "forward_fill_daily",
+    "global_zscore",
+    "high_activity_blocks",
+    "jsonl_corpus_scan",
+    "ks_drift",
+    "label_halves_drift",
+    "lag_persistence",
+    "late_shipment_priority",
+    "macro_summary",
+    "majority_baseline",
+    "min_cost_supplier",
+    "missing_days_per_user",
+    "nation_profit_share",
+    "nway_outer_merge",
+    "pbsi_composite",
+    "per_class_metrics",
+    "pipeline_report",
+    "pricing_summary",
+    "quantile_3way_label",
+    "quantile_3way_label_approx",
+    "rolling_7d_mean",
+    "rolling_modal_label",
+    "selection_rule_report",
+    "shipping_priority",
+    "sliding_seq_stats",
+    "snapshot_provenance",
+    "source_mixture_weights",
+    "stratified_baseline",
 ]
+
 
 
 def _reorder() -> None:

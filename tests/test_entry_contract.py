@@ -48,43 +48,43 @@ def test_sample_queries_run_at_sf0001(spark, sf_dir):
 def test_attestation_window_is_stable():
     """The external harness attests the FIRST 50 queries; pin the window so
     a stray registration cannot silently displace an entry before it has
-    been attested. Round-15 window (r14 verdict #2): canary + the 2
-    r15-new queries (GIF frame decode, bucketed zero-Exchange join) +
-    the r15 behavior-touched set (floor-division day-parity fix,
-    frontier mergeSchema fix, audit drift rows, the similarity
-    plan-build rewrite's oracled consumers) + the first 37 of the
-    43-query last-green-r10 cohort in ledger order (the remaining 6
-    spill to r16 — COVERAGE.md ledger). Rows-only (no-oracle) queries
+    been attested. Round-16 window (r15 verdict #1): canary + the 3
+    r16-new queries (bucket-pruned point lookup, WinZip-AES encrypted
+    ZIP scan, exact linear SHAP) + the r16 behavior-touched pair
+    (unigram_surprisal explode-free total, int8_rerank_topk deep-path
+    id-type fix) + the 6 owed r10-cohort queries + the first 38 of the
+    44-query last-green-r11 cohort in ledger order (the remaining 6
+    spill to r17 — COVERAGE.md ledger). Rows-only (no-oracle) queries
     must NOT occupy window slots."""
     names = list(entrymod.queries())
     window = names[:50]
     oracles = entrymod.oracle_sql()
     assert window[0] == "daily_event_stats"  # cross-round canary
     for must in (
-        # new r15
-        "media_frame_decode", "bucketed_join_scan",
-        # behavior-touched r15
-        "qsketch_drift_psi", "streaming_frontier_slots",
-        "etl_audit_report", "int8_rerank_topk", "ann_multitable_topk",
-        "ann_multiprobe_topk", "multitable_index_topk", "cosine_topk",
-        "ann_axis_topk", "ivf_ann_topk",
-        # the 37-query r10-cohort slice (ledger order; hybrid_rrf_topk
-        # and ann_lsh_topk double-duty as rewrite-touched)
-        "anchor_first_window", "ann_lsh_topk", "audio_frame_features",
-        "bigram_surprisal", "bm25_topk", "chunk_dedup_profile",
-        "cluster_best_keeper", "cosine_topk_vectorized",
-        "cube_segment_priority", "customer_order_distribution",
-        "customer_spend_quartiles", "daily_tag_sets", "dedup_clusters",
-        "disjunctive_brand_revenue", "duplicate_span_cut",
-        "encrypted_backup_scan", "encrypted_payload_scan",
-        "heavy_hitter_tokens", "hybrid_rrf_topk", "idle_customer_balance",
-        "incremental_exact_dedup", "incremental_vector_decisions",
-        "iphone_backup_scan", "ivf_index_topk", "ivf_pq_topk",
-        "ivfpq_index_topk", "market_share", "minhash_lsh_pairs",
-        "ngram_jaccard_pairs", "ngram_novelty", "pq_adc_topk",
-        "reagg_consistency", "repetition_profile", "returned_item_report",
-        "salted_join_revenue", "salted_priority_counts",
-        "small_quantity_revenue",
+        # new r16
+        "bucketed_point_lookup", "encrypted_zip_scan",
+        "shap_attribution_topk",
+        # behavior-touched r16
+        "unigram_surprisal", "int8_rerank_topk",
+        # the 6 owed r10-cohort queries (r15 verdict #1)
+        "sole_return_supplier", "stratified_sample_k", "user_last_value",
+        "vector_index_topk", "volume_shipping", "xml_records_scan",
+        # the 38-query r11-cohort slice (ledger order)
+        "auto_segment_triggers", "bloom_screen_decisions",
+        "decontaminate_fuzzy", "decontaminate_ngram",
+        "dominant_source_change", "dsir_select_topk", "exact_dedup",
+        "excess_shipment_suppliers", "feature_attribution_topk",
+        "fold_class_check", "forward_fill_daily", "global_zscore",
+        "high_activity_blocks", "jsonl_corpus_scan", "ks_drift",
+        "label_halves_drift", "lag_persistence", "late_shipment_priority",
+        "macro_summary", "majority_baseline", "min_cost_supplier",
+        "missing_days_per_user", "nation_profit_share", "nway_outer_merge",
+        "pbsi_composite", "per_class_metrics", "pipeline_report",
+        "pricing_summary", "quantile_3way_label",
+        "quantile_3way_label_approx", "rolling_7d_mean",
+        "rolling_modal_label", "selection_rule_report", "shipping_priority",
+        "sliding_seq_stats", "snapshot_provenance", "source_mixture_weights",
+        "stratified_baseline",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry
