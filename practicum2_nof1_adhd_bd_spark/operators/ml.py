@@ -491,14 +491,16 @@ def feature_attribution(
     feature_cols: list[str],
     label_col: str,
 ) -> DataFrame:
-    """Closed-form feature-attribution ranking — the DataFrame-math analog
-    of the reference's SHAP top-k summary (ref src/etl/ml7_analysis.py:
-    238-320 ranks |SHAP|; for linear models mean |SHAP| of a standardized
-    feature is |coef|*sigma_x = |corr(x,y)|*sigma_y).
+    """Model-FREE feature-attribution ranking — the |corr(x,y)|*sigma_y
+    statistic (for a standardized single-feature linear model, mean
+    |SHAP| = |coef|*sigma_x = |corr(x,y)|*sigma_y; ref
+    src/etl/ml7_analysis.py:238-320 ranks |SHAP|).
 
-    Pure aggregates (one scan computes every corr + sigma_y), so it is
-    deterministic and SQL-expressible — unlike model-derived importances,
-    it keeps an exact DuckDB oracle. Output: feature, attribution, rank.
+    Since r16 this is the documented FALLBACK for designs where
+    ``linear_shap_attribution`` (the exact multi-feature LinearExplainer
+    closed form) cannot fit — singular/degenerate normal equations. Pure
+    aggregates (one scan computes every corr + sigma_y), deterministic
+    and SQL-expressible. Output: feature, attribution, rank.
     """
     from pyspark.sql.window import Window
 

@@ -46,6 +46,12 @@ def main():
         "driver's CORRECTNESS gate runs)",
     )
     ap.add_argument("names", nargs="*")
+    ap.add_argument(
+        "--json-out",
+        default="",
+        help="also write a machine-readable sweep artifact (r15 verdict "
+        "#2: land a committed full-registry sweep record every round)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -76,6 +82,7 @@ def main():
     else:
         names = args.names or list(qs)
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -84,10 +91,12 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"status": "fail", "err": f"spark: {e}"[:300]}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"rows-only {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            results[name] = {"status": "rows_only", "rows": len(srows)}
             n_rows_only += 1
             continue
         try:
@@ -96,6 +105,7 @@ def main():
             drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"status": "fail", "err": f"duckdb: {e}"[:300]}
             n_fail += 1
             continue
         status = []
@@ -113,11 +123,34 @@ def main():
                 status.append(f"values differ, first diffs: {diffs}")
         if status:
             print(f"FAIL {name}: {'; '.join(status)}")
+            results[name] = {"status": "fail", "err": "; ".join(status)[:300]}
             n_fail += 1
         else:
             print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            results[name] = {
+                "status": "pass",
+                "rows": len(srows),
+                "sec": round(time.time() - t0, 1),
+            }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if args.json_out:
+        import json
+
+        with open(args.json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": args.sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rows_only,
+                    "n_total": len(names),
+                    "queries": results,
+                },
+                f,
+                indent=0,
+                sort_keys=True,
+            )
     return 1 if n_fail else 0
 
 

@@ -109,7 +109,37 @@ NOTES = {
         "Two passes over the exploded tokens: the vocabulary aggregate "
         "(map-side combined, bounded by vocab size) and the scoring join — "
         "the vocab->bits frame BROADCASTS, so corpus text never shuffles; "
-        "the per-doc combine rides the doc_id fan-out partitioning."
+        "the per-doc combine rides the doc_id fan-out partitioning. The "
+        "corpus token TOTAL is an explode-free sum(size(tokens)) columnar "
+        "scan (r16: the old aggregate-over-the-vocab-frame form re-paid "
+        "the full explode->groupBy->exchange chain plus a SinglePartition "
+        "re-agg; AQE reused the exchanges but not the explode work — "
+        "~25% of wall)."
+    ),
+    "bucketed_point_lookup": (
+        "Bucket-PRUNED point lookup on the bucketed fact layout: the "
+        "equality filter on the bucket key opens exactly ONE bucket's "
+        "files per table (SelectedBucketsCount: 1 out of 8) and the "
+        "pruned join needs no hash Exchange — 1/N of the table per "
+        "lookup at any scale, further cut by sortBy row-group stats. The "
+        "merge hint keeps bucketed scans alive; the planner's broadcast "
+        "choice would silently forfeit the prune."
+    ),
+    "encrypted_zip_scan": (
+        "binaryFile scan -> Arrow-batched mapInPandas WinZip-AES decrypt "
+        "(PBKDF2 keys, LE-counter AES-CTR keystream in ONE cipher call "
+        "per member, HMAC verify) -> codegen'd decode/split/aggregate. "
+        "No shuffle until the per-member rollup's tiny exchange; archive "
+        "grain parallelism, and the decoy member is skipped BEFORE any "
+        "PBKDF2 work by the member-pattern filter."
+    ),
+    "shap_attribution_topk": (
+        "Two frame scans (integer-unit means, then centered decimal "
+        "moments broadcast-joined back over the daily frame) + a 1-row "
+        "Cramer solve + a 3-row unpivot: every aggregation map-side "
+        "combines to a single scalar row, so the plan is two daily-grain "
+        "aggregates at ANY corpus size — attribution over 100 TB of "
+        "events costs exactly the two daily aggregations it rides on."
     ),
     "tfidf_top_terms": (
         "ONE corpus pass: tf and per-source distinct-doc counts share a "

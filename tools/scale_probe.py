@@ -1114,6 +1114,99 @@ def probe_sf1_suite(spark, sf_dir: str, factor: int) -> dict:
     return out
 
 
+# classes for the FULL-suite probe (r15 verdict #7): a >3x ratio is a
+# flag ONLY for "scaling" queries — the others have a documented reason
+# their ratio is off-model.
+PAIR_QUADRATIC = {
+    # replication makes every replica a true (near-)dup of its original:
+    # TRUE pair/span output grows C(factor,2)-per-group — the documented
+    # worst case, not a plan property (SCALING §2p-10x)
+    "minhash_lsh_pairs", "setsim_prefix_join", "semantic_dedup_ivf",
+    "simhash_near_dups", "decontaminate_fuzzy", "decontaminate_containment",
+    "embedding_near_dup", "embedding_near_dup_bucketed",
+    "duplicate_spans", "duplicate_span_cut", "chunk_dedup_profile",
+}
+FIXTURE_CONSTANT = {
+    # synthesized formula fixtures whose size does not track sf_dir: the
+    # 10x run re-lands the same-sized fixture under the new fingerprint,
+    # so ratio ~1 is the EXPECTED result, not evidence of scaling
+    "media_decode_features", "media_real_decode", "media_frame_decode",
+    "cda_probe", "warc_response_scan", "url_canonical_dedup",
+    "html_text_extract", "crawl_silver_scan", "robots_screen_decisions",
+    "host_pagerank", "host_triangle_count", "host_lpa_communities",
+    "crawl_frontier_slots", "encrypted_zip_scan", "scd2_merge_parity",
+    "pmi_collocations", "boilerplate_strip_report",
+    "bloom_screen_decisions", "bucketed_point_lookup",
+}
+
+
+def probe_sf1_full(spark, sf_dir: str, factor: int, slow_cutoff: float = 25.0) -> dict:
+    """FULL-headline 10x composition check (r15 verdict #7 — §2w covered
+    only the top-10; the long tail is where a silent super-linear query
+    would hide). Times EVERY bench.HEADLINE query at sf0.1 and at the
+    replicated factor-x dir: per query, one untimed warm run (lands any
+    _land_once artifact for the new fingerprint), then median of 3 timed
+    repeats — dropped to 1 repeat once a first timed run exceeds
+    ``slow_cutoff`` seconds (the known pair-quadratic tail; a single
+    run is noisy but the flag threshold is 3x, not 10%).
+
+    Classes: 'pair-quadratic' ratios track TRUE output growth under
+    replication; 'fixture-constant' fixtures don't scale with sf_dir so
+    ratio ~1 is expected; everything else is 'scaling' and a ratio > 3
+    flags it. Suite sums are reported over the scaling class only."""
+    import statistics
+
+    import bench
+    from practicum2_nof1_adhd_bd_spark import registry
+
+    dst = os.path.join(tempfile.gettempdir(), f"spark_graft_sf1x{factor}")
+    if not os.path.exists(os.path.join(dst, "lineitem.parquet")):
+        replicate(spark, sf_dir, dst, factor)
+
+    def med(name: str, d: str) -> float:
+        fn = registry.QUERIES[name]
+        fn(spark, d).write.format("noop").mode("overwrite").save()  # warm
+        spark.catalog.clearCache()
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+            spark.catalog.clearCache()
+            if runs[0] > slow_cutoff:
+                break
+        return round(statistics.median(runs), 2)
+
+    out: dict = {"factor": factor, "queries": {}}
+    flagged = []
+    for name in bench.HEADLINE:
+        cls = (
+            "pair-quadratic" if name in PAIR_QUADRATIC
+            else "fixture-constant" if name in FIXTURE_CONSTANT
+            else "scaling"
+        )
+        t1 = med(name, sf_dir)
+        t10 = med(name, dst)
+        ratio = round(t10 / max(t1, 1e-9), 1)
+        out["queries"][name] = {
+            "sf0.1_s": t1, "sf1_s": t10, "ratio": ratio, "class": cls,
+        }
+        if cls == "scaling" and ratio > 3.0:
+            flagged.append(name)
+        print(f"{name}: {t1} -> {t10} ({ratio}x, {cls})", flush=True)
+    scaling = {
+        n: q for n, q in out["queries"].items() if q["class"] == "scaling"
+    }
+    out["scaling_n"] = len(scaling)
+    out["scaling_sf0.1_s"] = round(sum(q["sf0.1_s"] for q in scaling.values()), 1)
+    out["scaling_sf1_s"] = round(sum(q["sf1_s"] for q in scaling.values()), 1)
+    out["scaling_suite_ratio"] = round(
+        out["scaling_sf1_s"] / max(out["scaling_sf0.1_s"], 1e-9), 2
+    )
+    out["flagged_over_3x"] = flagged
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--xml-mb", type=int, default=200)
@@ -1197,6 +1290,13 @@ def main() -> None:
         "power-law-ish graph at n and --factor x n edges",
     )
     ap.add_argument(
+        "--sf1-full",
+        action="store_true",
+        help="run the FULL-headline sf1-equivalent probe (every "
+        "bench.HEADLINE query at sf0.1 and factor x sf0.1, with "
+        "pair-quadratic / fixture-constant classes annotated)",
+    )
+    ap.add_argument(
         "--sf1-suite",
         action="store_true",
         help="run ONLY the sf1-equivalent suite probe: the top-10 most "
@@ -1215,6 +1315,13 @@ def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    if args.sf1_full:
+        res = probe_sf1_full(spark, args.sf_dir, args.factor)
+        with open("SCALING_2W_FULL.json", "w") as f:
+            json.dump(res, f, indent=0, sort_keys=True)
+        print(json.dumps({k: v for k, v in res.items() if k != "queries"}))
+        return
 
     if args.sf1_suite:
         print(json.dumps(probe_sf1_suite(spark, args.sf_dir, args.factor)))
