@@ -919,8 +919,20 @@ def bigram_surprisal(
     # c(w1) = occurrences of w1 as a context == sum over the bigram-vocab
     # frame — no second corpus pass.
     c1 = c12.groupBy("_w1").agg(F.sum("_c12").alias("_c1"))
-    vsize = base.select(F.explode("_w").alias("_t")).agg(
-        F.count_distinct("_t").alias("_v")
+    # V = distinct tokens, WITHOUT a second corpus explode (r16, the
+    # unigram_surprisal lesson): every token is a w1 or a w2 of some
+    # bigram except the token of a single-token doc, so the distinct
+    # runs over the VOCAB-sized c12 keys (its exchange is reused) plus
+    # the rare 1-token docs — exactly the same integer V.
+    vsize = (
+        c12.select(F.col("_w1").alias("_t"))
+        .union(c12.select(F.col("_w2").alias("_t")))
+        .union(
+            base.filter(F.size("_w") == 1).select(
+                F.element_at("_w", 1).alias("_t")
+            )
+        )
+        .agg(F.count_distinct("_t").alias("_v"))
     )
     model = (
         c12.join(c1, "_w1")
@@ -1732,9 +1744,14 @@ def trigram_surprisal(
     )
     mtok = mbase.select(F.explode("_w").alias("_w3"))
     uni_counts = mtok.groupBy("_w3").agg(F.count(F.lit(1)).alias("_c3"))
-    totals = mtok.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.count_distinct("_w3").alias("_v"),
+    # N and V from the VOCAB-sized unigram frame (r16, the
+    # unigram_surprisal lesson): aggregating mtok directly re-ran the
+    # whole corpus explode for a 2-scalar row (no exchange below the
+    # partial agg to reuse); over uni_counts the token exchange is
+    # reused and the pass is vocab-sized. Same integers exactly.
+    totals = uni_counts.agg(
+        F.sum("_c3").alias("_n"),
+        F.count(F.lit(1)).alias("_v"),
     )
 
     def _m(frame):

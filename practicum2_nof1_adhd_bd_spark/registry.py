@@ -12123,6 +12123,12 @@ _FRONT_ORDER = [
     # on the <=1000 path the oracle exercises)
     "unigram_surprisal",
     "int8_rerank_topk",
+    # late-r16 behavior-touched: bigram/trigram under the same
+    # explode-free model-scalar rewrites (V from the vocab-sized gram
+    # frames / N,V from the unigram frame — construction-only, same
+    # integers, oracle-identical)
+    "bigram_surprisal",
+    "trigram_surprisal",
     # the 6 owed r10-cohort queries (r15 verdict #1, COVERAGE.md spill
     # ledger) — after these, no entry's last driver-green predates r11
     "sole_return_supplier",
@@ -12131,11 +12137,13 @@ _FRONT_ORDER = [
     "vector_index_topk",
     "volume_shipping",
     "xml_records_scan",
-    # oldest-cohort rotation: the first 38 of the 44-query
-    # last-green-r11 cohort in ledger order; the remaining 6
-    # (streaming_daily_stats, streaming_sessions, trigram_surprisal,
-    # union_mean_fusion, unit_coercion_hours, zip_ingest_scan) spill
-    # to the r17 window — ledger in COVERAGE.md
+    # oldest-cohort rotation: the first 36 of the 44-query
+    # last-green-r11 cohort in ledger order (trigram_surprisal
+    # double-duties above as behavior-touched); the remaining 7
+    # (source_mixture_weights, stratified_baseline,
+    # streaming_daily_stats, streaming_sessions, union_mean_fusion,
+    # unit_coercion_hours, zip_ingest_scan) spill to the r17 window —
+    # ledger in COVERAGE.md
     "auto_segment_triggers",
     "bloom_screen_decisions",
     "decontaminate_fuzzy",
@@ -12172,8 +12180,6 @@ _FRONT_ORDER = [
     "shipping_priority",
     "sliding_seq_stats",
     "snapshot_provenance",
-    "source_mixture_weights",
-    "stratified_baseline",
 ]
 
 

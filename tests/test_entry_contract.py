@@ -50,11 +50,12 @@ def test_attestation_window_is_stable():
     a stray registration cannot silently displace an entry before it has
     been attested. Round-16 window (r15 verdict #1): canary + the 3
     r16-new queries (bucket-pruned point lookup, WinZip-AES encrypted
-    ZIP scan, exact linear SHAP) + the r16 behavior-touched pair
+    ZIP scan, exact linear SHAP) + the r16 behavior-touched set
     (unigram_surprisal explode-free total, int8_rerank_topk deep-path
-    id-type fix) + the 6 owed r10-cohort queries + the first 38 of the
-    44-query last-green-r11 cohort in ledger order (the remaining 6
-    spill to r17 — COVERAGE.md ledger). Rows-only (no-oracle) queries
+    id-type fix, bigram/trigram explode-free model scalars) + the 6
+    owed r10-cohort queries + the first 36 of the 44-query
+    last-green-r11 cohort in ledger order (the remaining 7 spill to
+    r17 — COVERAGE.md ledger). Rows-only (no-oracle) queries
     must NOT occupy window slots."""
     names = list(entrymod.queries())
     window = names[:50]
@@ -66,6 +67,7 @@ def test_attestation_window_is_stable():
         "shap_attribution_topk",
         # behavior-touched r16
         "unigram_surprisal", "int8_rerank_topk",
+        "bigram_surprisal", "trigram_surprisal",
         # the 6 owed r10-cohort queries (r15 verdict #1)
         "sole_return_supplier", "stratified_sample_k", "user_last_value",
         "vector_index_topk", "volume_shipping", "xml_records_scan",
@@ -83,8 +85,7 @@ def test_attestation_window_is_stable():
         "pricing_summary", "quantile_3way_label",
         "quantile_3way_label_approx", "rolling_7d_mean",
         "rolling_modal_label", "selection_rule_report", "shipping_priority",
-        "sliding_seq_stats", "snapshot_provenance", "source_mixture_weights",
-        "stratified_baseline",
+        "sliding_seq_stats", "snapshot_provenance",
     ):
         assert must in window, must
     # every window slot must carry a value-hash oracle: a rows-only entry
