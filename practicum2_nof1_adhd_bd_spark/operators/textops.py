@@ -1031,8 +1031,12 @@ def char_ngram_entropy(
 
     Grams explode to (doc, gram) rows and combine twice (doc+gram counts,
     then per-doc entropy) — both aggregates are map-side combinable and
-    fan_out's id partitioning keeps the second combine co-located, so the
-    plan is scan + one explode + local aggs; no corpus-wide shuffle.
+    the ALIGNED id partitioning keeps both combines co-located, so the
+    plan is one text shuffle + one explode + local aggs. align=True is
+    load-bearing (r16, caught by the full 10x probe): with enough input
+    splits the conditional fan_out no-oped, the partitioning went
+    undeclared, and Catalyst shuffled the near-all-distinct (doc, gram)
+    frame instead — ~20x the bytes of the text exchange it saved.
     """
     s = F.lower(F.col(text_col))
     ln = F.length(s)
@@ -1045,7 +1049,7 @@ def char_ngram_entropy(
             lambda i: F.substring(s, F.lit(0) + i, n),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ex = fan_out(df, id_col).select(
+    ex = fan_out(df, id_col, align=True).select(
         F.col(id_col), F.explode_outer(grams).alias("_g")
     )
     cnt = ex.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))

@@ -78,7 +78,7 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     return Catalog(spark, sf_dir).table(name)
 
 
-def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
+def fan_out(df: DataFrame, *key_cols: str, align: bool = False) -> DataFrame:
     """Widen a narrow input for compute-heavy per-row stages.
 
     Small parquet files arrive as a single partition (one row group), which
@@ -87,9 +87,25 @@ def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
     cluster's default parallelism, repartition up (hash on ``key_cols`` when
     given, round-robin otherwise). At real scale file scans already produce
     >= parallelism splits, so this is a no-op — no extra shuffle.
+
+    ``align=True`` repartitions on ``key_cols`` UNCONDITIONALLY — for
+    plans whose downstream aggregates rely on the declared key
+    partitioning to stay exchange-free. The r16 full 10x probe caught
+    the silent failure mode of the conditional form: with enough input
+    splits the repartition no-ops, the partitioning is no longer
+    declared, and Catalyst inserts exchanges over the EXPLODED frame —
+    shuffling near-full gram volume (~20x the text bytes for char
+    3-grams) instead of the text rows this shuffle would have cost.
+    Aligning is the right trade exactly when the exploded frame's
+    post-combine volume exceeds the input's.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    parts = df.rdd.getNumPartitions()
+    if align and key_cols:
+        return df.repartition(
+            max(parts, target), *[F.col(c) for c in key_cols]
+        )
+    if parts >= target:
         return df
     if key_cols:
         return df.repartition(target, *[F.col(c) for c in key_cols])

@@ -1136,7 +1136,13 @@ FIXTURE_CONSTANT = {
     "host_pagerank", "host_triangle_count", "host_lpa_communities",
     "crawl_frontier_slots", "encrypted_zip_scan", "scd2_merge_parity",
     "pmi_collocations", "boilerplate_strip_report",
-    "bloom_screen_decisions", "bucketed_point_lookup",
+    "bloom_screen_decisions",
+}
+SERVING_BOUNDED = {
+    # cost is DESIGNED to be independent of corpus size (a bucket-pruned
+    # point lookup reads 1/N of the table regardless of N): ratio ~1 at
+    # 10x is the claim under test succeeding, not a fixture artifact
+    "bucketed_point_lookup",
 }
 
 
@@ -1183,6 +1189,7 @@ def probe_sf1_full(spark, sf_dir: str, factor: int, slow_cutoff: float = 25.0) -
         cls = (
             "pair-quadratic" if name in PAIR_QUADRATIC
             else "fixture-constant" if name in FIXTURE_CONSTANT
+            else "serving-bounded" if name in SERVING_BOUNDED
             else "scaling"
         )
         t1 = med(name, sf_dir)
