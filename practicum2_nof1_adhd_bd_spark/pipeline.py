@@ -211,6 +211,11 @@ def ensure_bucketed_facts(
             f"USING PARQUET CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
             f"INTO {n_buckets} BUCKETS LOCATION '{paths[name]}'"
         )
+        # the landing may have been rebuilt since this session first
+        # declared the table (r16: _land_once reap + re-land between two
+        # reads left a cached file index pointing at deleted part files
+        # -> FAILED_READ_FILE); drop the cached listing, it relists lazily
+        spark.sql(f"REFRESH TABLE {tbl}")
         out.append(spark.table(tbl))
     return out[0], out[1]
 

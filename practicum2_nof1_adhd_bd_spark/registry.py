@@ -61,7 +61,14 @@ def _land_once(prefix: str, fp: str, write_fn) -> str:
     _LAND_REAP_AGE_S — a fresh landing may still be feeding a long
     read on the other process, while a genuinely superseded copy from a
     past round is hours old. Bounded pileup (<= one round's siblings) is
-    the price of never deleting under a reader."""
+    the price of never deleting under a reader.
+
+    The age gate measures NON-USE, not creation (r16): every reuse bumps
+    the landing's mtime, so a long-lived landing that two sibling
+    fingerprints alternate over (the r16 full 10x probe's sf0.1/sf10
+    bucketed facts) can never age out mid-session — without the bump,
+    landing B's reap deleted >3h-old landing A between two of the SAME
+    process's reads of A (caught as FAILED_READ_FILE in the probe)."""
     import fcntl
     import glob as _glob
     import os
@@ -92,6 +99,13 @@ def _land_once(prefix: str, fp: str, write_fn) -> str:
                     os.rename(tmp, src)
                 except OSError:
                     shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                # reuse = use: refresh the age gate so an actively-read
+                # landing is never reaped by a sibling's _land_once
+                try:
+                    os.utime(src)
+                except OSError:
+                    pass
         finally:
             fcntl.flock(lf, fcntl.LOCK_UN)
     return src

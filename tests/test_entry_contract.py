@@ -260,3 +260,29 @@ def test_land_once_age_gated_reap_and_lock(tmp_path):
     t_b.join()
     assert os.path.isdir(f"{prefix}_fpA") and os.path.isdir(f"{prefix}_fpB")
     assert order.index("a-write") < order.index("b-write")
+
+
+def test_land_once_reuse_refreshes_age_gate(tmp_path):
+    """r16 (caught by the full 10x probe): the reap age gate must measure
+    NON-USE, not creation. A landing two sibling fingerprints alternate
+    over would otherwise age past the gate while actively read, and the
+    sibling's _land_once would delete it between two of the same
+    process's reads (FAILED_READ_FILE mid-probe). Reuse bumps mtime, so
+    an in-use landing survives any sibling's reap."""
+    import os
+    import time
+
+    from practicum2_nof1_adhd_bd_spark import registry
+
+    prefix = str(tmp_path / "land")
+    aged = f"{prefix}_activefp"
+    os.makedirs(aged)
+    past = time.time() - registry._LAND_REAP_AGE_S - 60
+    os.utime(aged, (past, past))
+
+    # reuse (a query touching the old-but-active landing) refreshes it
+    registry._land_once(prefix, "activefp", lambda t: os.makedirs(t))
+    assert time.time() - os.stat(aged).st_mtime < 60, "reuse must bump mtime"
+    # a sibling fingerprint landing right after must NOT reap it
+    registry._land_once(prefix, "otherfp", lambda t: os.makedirs(t))
+    assert os.path.isdir(aged), "active landing reaped by sibling"
