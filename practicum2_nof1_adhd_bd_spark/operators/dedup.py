@@ -1291,14 +1291,21 @@ def _prefix_filter_parts(
     size-ratio pruned with exact integer cross-multiplication."""
     from pyspark.sql import Window
 
-    sh = (
-        fan_out(df, id_col)
-        .select(
-            F.col(id_col), word_shingles(F.col(text_col), k).alias("toks")
-        )
-        .filter(F.size("toks") > 0)
+    # The shingle array is exploded INLINE — no ``.alias("toks")``
+    # projection, no size(toks)>0 filter. Explode drops empty arrays
+    # anyway, and the two-step form is not free: InferFiltersFromGenerate
+    # infers ``size(toks) > 0`` over the aliased ATTRIBUTE, projection
+    # collapse substitutes the full shingle transform into it, and
+    # Catalyst pushes that filter through fan_out's repartition Exchange
+    # down to the single-split scan — evaluating the whole interpreted
+    # shingle expression on ONE core before any parallelism exists (r16
+    # measured two 5.4 s single-task stages gating the critical path at
+    # sf0.1; guide §4.4's duplicated-expensive-expression pathology in
+    # pure-SQL form). With the expression inline the rule does not fire.
+    tok = fan_out(df, id_col).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), k)).alias("token"),
     )
-    tok = sh.select(id_col, F.explode("toks").alias("token"))
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # global rarity rank: vocab-sized single-partition window — the
     # dictionary, not the corpus, flows through it (the published
@@ -1383,14 +1390,27 @@ def prefix_jaccard_join(
     """
     num, den = int(threshold_num), int(threshold_den)
     docs, cand = _prefix_filter_parts(df, text_col, id_col, k, num, den)
-    da = docs.select(F.col(id_col).alias("id_a"), F.col("ranks").alias("ranks_a"))
-    db = docs.select(F.col(id_col).alias("id_b"), F.col("ranks").alias("ranks_b"))
+    da = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("ranks").alias("ranks_a"),
+        F.col("n").alias("n_a"),
+    )
+    db = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("ranks").alias("ranks_b"),
+        F.col("n").alias("n_b"),
+    )
+    # |A ∪ B| = |A| + |B| − |A ∩ B|: ranks arrays are SETS (distinct
+    # shingles × injective rank map) with their sizes already carried as
+    # ``n``, so the array_union allocation per candidate pair is pure
+    # waste — one array_intersect does all the set work (r16, guide §2.3
+    # "don't compute things you throw away"). n >= 1 for every doc that
+    # reaches ``docs``, so uni >= 1 and the old uni > 0 guard is vacuous.
     ver = (
         cand.join(da, "id_a")
         .join(db, "id_b")
         .withColumn("inter", F.size(F.array_intersect("ranks_a", "ranks_b")))
-        .withColumn("uni", F.size(F.array_union("ranks_a", "ranks_b")))
-        .filter(F.col("uni") > 0)
+        .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
         .filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("uni"))
     )
     return ver.select(

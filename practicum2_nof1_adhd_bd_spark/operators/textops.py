@@ -764,8 +764,15 @@ def repetition_profile(
     base = tok_layer.select(
         id_col, F.size("_toks").cast("long").alias("n_tokens"), "_chars"
     )
-    ex = tok_layer.select(
-        id_col, F.posexplode("_toks").alias("_pos", "_t")
+    # posexplode the token expression INLINE, not the aliased "_toks":
+    # InferFiltersFromGenerate infers size>0 only over attribute children,
+    # and that filter pushes below fan_out's exchange into a serial
+    # pre-parallelism tokenize of the corpus (r16, the setsim lesson).
+    # The fan_out subtree is identical to tok_layer's, so the repartition
+    # exchange is still reused at runtime.
+    ex = fan_out(df, id_col).select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("_pos", "_t"),
     )
     w = Window.partitionBy(id_col).orderBy("_pos")
     leads = [F.col("_t")] + [
@@ -901,14 +908,21 @@ def bigram_surprisal(
     base = fan_out(df, id_col).select(
         F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_w")
     )
+    # slice length guarded to >= 0 so the size(_w) >= 2 pre-filter can go:
+    # exploding an empty pair array drops the same rows, and the explicit
+    # filter was not free — Catalyst pushed it through fan_out's
+    # repartition down to the single-split scan, paying a serial
+    # pre-exchange tokenize of the whole corpus (r16, the
+    # setsim_prefix_join lesson; plans/r16/bigram_surprisal_before.txt
+    # shows the regexp filter under the Exchange).
+    n1 = F.greatest(F.size("_w") - 1, F.lit(0))
     pairs = F.zip_with(
-        F.slice(F.col("_w"), 1, F.size("_w") - 1),
-        F.slice(F.col("_w"), 2, F.size("_w") - 1),
+        F.slice(F.col("_w"), 1, n1),
+        F.slice(F.col("_w"), 2, n1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     big = (
-        base.filter(F.size("_w") >= 2)
-        .select(F.col(id_col), F.explode(pairs).alias("_p"))
+        base.select(F.col(id_col), F.explode(pairs).alias("_p"))
         .select(
             F.col(id_col),
             F.col("_p.w1").alias("_w1"),
@@ -1694,8 +1708,14 @@ def trigram_surprisal(
         base = fan_out(frame, id_col).select(
             F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_w")
         )
-        n2 = F.size("_w") - 1
-        n3 = F.size("_w") - 2
+        # slice lengths clamped to >= 0: short docs yield empty gram
+        # arrays (explode drops them), so the size(_w) >= {2,3} filters
+        # are unnecessary — and they were not free: Catalyst pushed each
+        # through fan_out's repartition to the single-split scan, paying
+        # a serial pre-exchange tokenize per consumer (r16, the
+        # setsim_prefix_join lesson).
+        n2 = F.greatest(F.size("_w") - 1, F.lit(0))
+        n3 = F.greatest(F.size("_w") - 2, F.lit(0))
         p23 = F.zip_with(
             F.slice(F.col("_w"), 2, n3),
             F.slice(F.col("_w"), 3, n3),
@@ -1719,8 +1739,7 @@ def trigram_surprisal(
 
     mbase, mtri, mpair = _grams(model_df)
     tri_counts = (
-        mbase.filter(F.size("_w") >= 3)
-        .select(F.explode(mtri).alias("_t"))
+        mbase.select(F.explode(mtri).alias("_t"))
         .select(
             F.col("_t.w1").alias("_w1"),
             F.col("_t.w2").alias("_w2"),
@@ -1736,8 +1755,7 @@ def trigram_surprisal(
         "_w1", "_w2", "_w3", (F.col("_c123") / F.col("_c12")).alias("_s3")
     )
     big_counts = (
-        mbase.filter(F.size("_w") >= 2)
-        .select(F.explode(mpair).alias("_p"))
+        mbase.select(F.explode(mpair).alias("_p"))
         .select(F.col("_p.w2").alias("_w2"), F.col("_p.w3").alias("_w3"))
         .groupBy("_w2", "_w3")
         .agg(F.count(F.lit(1)).alias("_c23"))
@@ -1746,7 +1764,14 @@ def trigram_surprisal(
     big_model = big_counts.join(big_ctx, "_w2").select(
         "_w2", "_w3", (F.col("_c23") / F.col("_c2")).alias("_s2")
     )
-    mtok = mbase.select(F.explode("_w").alias("_w3"))
+    # explode the token expression INLINE (not the aliased "_w"):
+    # InferFiltersFromGenerate only infers size>0 filters over attribute
+    # children, and the inferred filter re-tokenizes the corpus serially
+    # below the fan_out exchange; the rebuilt fan_out subtree is
+    # identical to mbase's, so the exchange is still reused at runtime.
+    mtok = fan_out(model_df, id_col).select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_w3")
+    )
     uni_counts = mtok.groupBy("_w3").agg(F.count(F.lit(1)).alias("_c3"))
     # N and V from the VOCAB-sized unigram frame (r16, the
     # unigram_surprisal lesson): aggregating mtok directly re-ran the
@@ -1763,8 +1788,7 @@ def trigram_surprisal(
 
     sbase, stri, _sp = _grams(df)
     pos = (
-        sbase.filter(F.size("_w") >= 3)
-        .select(F.col(id_col), F.explode(stri).alias("_t"))
+        sbase.select(F.col(id_col), F.explode(stri).alias("_t"))
         .select(
             F.col(id_col),
             F.col("_t.w1").alias("_w1"),
@@ -2583,17 +2607,24 @@ def pmi_collocations(
     base = fan_out(df, id_col).select(
         F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_w")
     )
-    tok = base.select(F.explode("_w").alias("_t"))
+    # token explode INLINE and pair slice lengths clamped to >= 0 with
+    # the size(_w) >= 2 filter dropped (empty pair arrays explode to
+    # nothing): both the inferred size(_t-expr)>0 filter and the explicit
+    # one pushed below fan_out's repartition into serial pre-exchange
+    # tokenizes of the corpus (r16, the setsim_prefix_join lesson).
+    tok = fan_out(df, id_col).select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_t")
+    )
     uni = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
     tot = uni.agg(F.sum("_c").alias("_n"))
+    np = F.greatest(F.size("_w") - 1, F.lit(0))
     pairs = F.zip_with(
-        F.slice(F.col("_w"), 1, F.size("_w") - 1),
-        F.slice(F.col("_w"), 2, F.size("_w") - 1),
+        F.slice(F.col("_w"), 1, np),
+        F.slice(F.col("_w"), 2, np),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     bp = (
-        base.filter(F.size("_w") >= 2)
-        .select(F.explode(pairs).alias("_p"))
+        base.select(F.explode(pairs).alias("_p"))
         .select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
     )
     c12 = (
