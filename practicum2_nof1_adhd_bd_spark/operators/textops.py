@@ -2066,17 +2066,26 @@ def langid_classifier_nb(
     the pick engine-exact (raw double sums can differ in the last bits
     across summation orders).
 
-    Scale shape: one gram pass per side; training is two hash
-    aggregations to a <= n_buckets * n_classes weight frame that
-    BROADCASTS into the scoring join; the per-document argmax is a
-    |classes|-row window. Nothing collects. Returns one row per scored
-    document: (id, lang_pred, score, n_feats)."""
-    from pyspark.sql import Window
-
+    Scale shape (r16): ONE gram pass per side. The score half explodes
+    once, with the per-document indicator count riding the exploded
+    rows (explode_outer keeps gram-less docs), so neither a second
+    n_feats explode nor a spine re-scan of the corpus exists; the one
+    heavy (id, class) aggregate is localCheckpointed (narrow
+    docs x classes metadata — the guide's "decide on small rows"
+    frame) because its two consumers (per-doc spine, per-class
+    presence) prune different columns and would otherwise each re-run
+    the explode. Training counts checkpoint the same way (<= n_buckets
+    * n_classes rows) so weights/totals/meta share one train pass. The
+    final argmax is a map-side min_by over (-score, class) — the
+    window shuffle is gone. Values are bit-identical to the r15
+    two-pass form (same aggregation grains, same rounding before
+    argmax). Returns one row per scored document:
+    (id, lang_pred, score, n_feats)."""
     aB = alpha * n_buckets
 
-    def _buckets(df: DataFrame) -> DataFrame:
-        return df.select(
+    lab = train.select(F.col(id_col), F.col(label_col).alias("_c"))
+    counts = (
+        train.select(
             F.col(id_col),
             F.explode(
                 F.array_distinct(
@@ -2086,13 +2095,10 @@ def langid_classifier_nb(
                 )
             ).alias("bucket"),
         )
-
-    lab = train.select(F.col(id_col), F.col(label_col).alias("_c"))
-    counts = (
-        _buckets(train)
         .join(lab, id_col)
         .groupBy("_c", "bucket")
         .agg(F.count(F.lit(1)).alias("_cnt"))
+        .localCheckpoint(eager=False)
     )
     totals = counts.groupBy("_c").agg(
         F.sum("_cnt").cast("double").alias("_tc")
@@ -2115,19 +2121,37 @@ def langid_classifier_nb(
             F.log(F.lit(alpha) / (F.col("_tc") + F.lit(aB))).alias("_oov"),
         )
     )
-    sb = _buckets(score)
-    nfeats = sb.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_feats"))
-    present = (
-        sb.join(F.broadcast(weights), "bucket")
+    # one explode of the score half; n_feats (the distinct-bucket count)
+    # rides every exploded row, explode_outer keeps gram-less docs as a
+    # null-bucket row so no corpus spine re-scan is needed
+    sb = (
+        score.select(
+            F.col(id_col),
+            F.array_distinct(
+                hashed_char_ngram_buckets(F.col(text_col), ngram, n_buckets)
+            ).alias("_b"),
+        )
+        .select(
+            F.col(id_col),
+            F.greatest(F.size("_b"), F.lit(0)).alias("n_feats"),
+            F.explode_outer("_b").alias("bucket"),
+        )
+    )
+    per_class = (
+        sb.join(F.broadcast(weights), "bucket", "left")
         .groupBy(id_col, "_c")
-        .agg(F.sum("_w").alias("_sw"), F.count(F.lit(1)).alias("_np"))
+        .agg(
+            F.sum("_w").alias("_sw"),
+            F.count("_w").alias("_np"),
+            F.max("n_feats").alias("n_feats"),
+        )
+        .localCheckpoint(eager=False)
     )
-    spine = (
-        score.select(id_col)
-        .join(nfeats, id_col, "left")
-        .select(id_col, F.coalesce("n_feats", F.lit(0)).alias("n_feats"))
-        .crossJoin(F.broadcast(meta))
+    nf = per_class.groupBy(id_col).agg(F.max("n_feats").alias("n_feats"))
+    present = per_class.filter(F.col("_c").isNotNull()).select(
+        id_col, "_c", "_sw", "_np"
     )
+    spine = nf.crossJoin(F.broadcast(meta))
     scored = spine.join(present, [id_col, "_c"], "left").select(
         id_col,
         "_c",
@@ -2139,11 +2163,17 @@ def langid_classifier_nb(
             6,
         ).alias("score"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("_c"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, F.col("_c").alias("lang_pred"), "score", "n_feats")
+    best = scored.groupBy(id_col).agg(
+        F.min_by(
+            F.struct("_c", "score", "n_feats"),
+            F.struct((-F.col("score")).alias("_s"), F.col("_c").alias("_t")),
+        ).alias("_b")
+    )
+    return best.select(
+        id_col,
+        F.col("_b._c").alias("lang_pred"),
+        F.col("_b.score").alias("score"),
+        F.col("_b.n_feats").alias("n_feats"),
     )
 
 
