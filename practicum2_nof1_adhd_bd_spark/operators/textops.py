@@ -1918,11 +1918,14 @@ def dsir_importance(
     )
     cc = ptok.groupBy("_w").agg(F.count(F.lit(1)).alias("_cc"))
     ct = ttok.groupBy("_w").agg(F.count(F.lit(1)).alias("_ct"))
+    # consumed by both scalars and model: materialize the vocab-sized
+    # count frame once or the two explode+count passes re-run per
+    # consumer (column pruning defeats exchange reuse; r16, guide §3.3)
     counts = cc.join(ct, "_w", "full_outer").select(
         "_w",
         F.coalesce("_cc", F.lit(0)).alias("_cc"),
         F.coalesce("_ct", F.lit(0)).alias("_ct"),
-    )
+    ).localCheckpoint(eager=False)
     scalars = counts.agg(
         F.sum("_cc").alias("_nc"),
         F.sum("_ct").alias("_nt"),
@@ -2208,6 +2211,11 @@ def quality_classifier_nb(
     """
     tb = _with_buckets(train, text_col, id_col, n_buckets)
     lab = train.select(F.col(id_col), F.col(label_col).cast("int").alias("_y"))
+    # counts is consumed by both scalars and weights, and scalars by three
+    # downstream joins; column pruning makes each consumer's subtree
+    # non-canonical (no exchange reuse), so without materialization the
+    # train-side gram explode executes three times. localCheckpoint the
+    # <= n_buckets-row frame once (r16, guide §3.3).
     counts = (
         tb.join(lab, id_col)
         .groupBy("bucket")
@@ -2215,16 +2223,21 @@ def quality_classifier_nb(
             F.sum("_y").alias("_pos"),
             F.sum(1 - F.col("_y")).alias("_neg"),
         )
+        .localCheckpoint(eager=False)
     )
-    scalars = counts.agg(
-        F.sum("_pos").alias("_post"), F.sum("_neg").alias("_negt")
-    ).crossJoin(
-        F.broadcast(
-            lab.agg(
-                F.sum("_y").alias("_npos"),
-                F.sum(1 - F.col("_y")).alias("_nneg"),
+    scalars = (
+        counts.agg(
+            F.sum("_pos").alias("_post"), F.sum("_neg").alias("_negt")
+        )
+        .crossJoin(
+            F.broadcast(
+                lab.agg(
+                    F.sum("_y").alias("_npos"),
+                    F.sum(1 - F.col("_y")).alias("_nneg"),
+                )
             )
         )
+        .localCheckpoint(eager=False)
     )
     aB = alpha * n_buckets
 
@@ -2267,7 +2280,6 @@ def quality_classifier_nb(
             ).alias("quality_prob"),
         )
         .withColumn("keep", F.col("quality_prob") >= 0.5)
-        .orderBy(id_col)
     )
 
 
