@@ -929,7 +929,17 @@ def bigram_surprisal(
             F.col("_p.w2").alias("_w2"),
         )
     )
-    c12 = big.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c12"))
+    # c12 feeds c1, both vsize branches and the model join; the join-key
+    # null filters Catalyst pushes below each consumer's exchange make the
+    # subtrees non-canonical, so without materialization the bigram
+    # explode+count chain executed FOUR times (executed-plan evidence in
+    # plans/r16/bigram_surprisal_after.txt). One lazy localCheckpoint of
+    # the vocab-sized frame collapses them (r16, guide SS3.3).
+    c12 = (
+        big.groupBy("_w1", "_w2")
+        .agg(F.count(F.lit(1)).alias("_c12"))
+        .localCheckpoint(eager=False)
+    )
     # c(w1) = occurrences of w1 as a context == sum over the bigram-vocab
     # frame — no second corpus pass.
     c1 = c12.groupBy("_w1").agg(F.sum("_c12").alias("_c1"))
@@ -1747,6 +1757,9 @@ def trigram_surprisal(
         )
         .groupBy("_w1", "_w2", "_w3")
         .agg(F.count(F.lit(1)).alias("_c123"))
+        # consumed by tri_ctx and tri_model with different pushed null
+        # filters below the exchange (no reuse): materialize once (r16)
+        .localCheckpoint(eager=False)
     )
     tri_ctx = tri_counts.groupBy("_w1", "_w2").agg(
         F.sum("_c123").alias("_c12")
@@ -1759,6 +1772,7 @@ def trigram_surprisal(
         .select(F.col("_p.w2").alias("_w2"), F.col("_p.w3").alias("_w3"))
         .groupBy("_w2", "_w3")
         .agg(F.count(F.lit(1)).alias("_c23"))
+        .localCheckpoint(eager=False)
     )
     big_ctx = big_counts.groupBy("_w2").agg(F.sum("_c23").alias("_c2"))
     big_model = big_counts.join(big_ctx, "_w2").select(
@@ -1772,7 +1786,11 @@ def trigram_surprisal(
     mtok = fan_out(model_df, id_col).select(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("_w3")
     )
-    uni_counts = mtok.groupBy("_w3").agg(F.count(F.lit(1)).alias("_c3"))
+    uni_counts = (
+        mtok.groupBy("_w3")
+        .agg(F.count(F.lit(1)).alias("_c3"))
+        .localCheckpoint(eager=False)
+    )
     # N and V from the VOCAB-sized unigram frame (r16, the
     # unigram_surprisal lesson): aggregating mtok directly re-ran the
     # whole corpus explode for a 2-scalar row (no exchange below the
