@@ -397,6 +397,7 @@ def cms_sketch(
     value_col: str,
     depth: int = 4,
     width: int = 1024,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan '05) — the FREQUENCY
     member of the mergeable-sketch family this engine stores beside KMV
@@ -411,18 +412,29 @@ def cms_sketch(
     bit-identical in SQL — the whole sketch, not just its answers,
     value-hash attests. Sketch size: <= depth x width rows, independent
     of stream length; the only shuffle carries cell counts (map-side
-    partial combine absorbs the token stream)."""
+    partial combine absorbs the token stream).
+
+    ``weight_col`` (r16): build from a PRE-AGGREGATED (value, count)
+    frame — each row adds ``weight_col`` to its cells instead of 1.
+    Cell-exact equivalence to the row-grain build (counters are pure
+    addition; pinned in tests/test_sketches.py), while the md5 bucket
+    hash runs once per distinct value instead of once per occurrence —
+    the vocab-vs-stream hashing win at corpus scale."""
     rows = F.explode(
         F.array(*[F.lit(r) for r in range(depth)])
     ).alias("r")
-    ex = df.filter(F.col(value_col).isNotNull()).select(
-        F.col(value_col).cast("string").alias("_v"), rows
-    )
+    cols = [F.col(value_col).cast("string").alias("_v"), rows]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).alias("_wt"))
+    ex = df.filter(F.col(value_col).isNotNull()).select(*cols)
     b = (
         hash64_md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("_v")))
         % width
     ).alias("b")
-    return ex.groupBy("r", b).agg(F.count(F.lit(1)).alias("n"))
+    agg = (
+        F.sum("_wt") if weight_col is not None else F.count(F.lit(1))
+    ).alias("n")
+    return ex.groupBy("r", b).agg(agg)
 
 
 def cms_estimate(

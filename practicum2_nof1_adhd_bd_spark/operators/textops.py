@@ -2675,8 +2675,21 @@ def pmi_collocations(
     tok = fan_out(df, id_col).select(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("_t")
     )
-    uni = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
-    tot = uni.agg(F.sum("_c").alias("_n"))
+    # uni joins onto the pair frame twice (w1 and w2): the different
+    # pushed isnotnull filters make the subtrees non-canonical, so the
+    # token explode+count ran once per consumer — materialize the
+    # vocab-sized frame once (r16, the bigram_surprisal lesson)
+    uni = (
+        tok.groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    # N and NB as explode-free columnar scans (r15 unigram lesson):
+    # sum(size(tokens)) / sum(size-1 clamped) are the same BIGINTs the
+    # explode-and-count form pays a full corpus pass each for
+    tot = df.agg(
+        F.sum(F.size(tokens(F.lower(F.col(text_col))))).alias("_n")
+    )
     np = F.greatest(F.size("_w") - 1, F.lit(0))
     pairs = F.zip_with(
         F.slice(F.col("_w"), 1, np),
@@ -2692,7 +2705,13 @@ def pmi_collocations(
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .filter(F.col("pair_count") >= min_count)
     )
-    nb = bp.agg(F.count(F.lit(1)).alias("_nb"))
+    nb = df.agg(
+        F.sum(
+            F.greatest(
+                F.size(tokens(F.lower(F.col(text_col)))) - 1, F.lit(0)
+            )
+        ).alias("_nb")
+    )
     uside = F.broadcast(uni) if broadcast_vocab else uni
     scored = (
         c12.join(uside.select(F.col("_t").alias("w1"), F.col("_c").alias("_c1")), "w1")

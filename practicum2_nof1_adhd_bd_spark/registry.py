@@ -8611,17 +8611,33 @@ def q_cms_token_freq(spark, sf_dir):
     tok = docs.select(
         "doc_id", F.explode(textops.tokens(F.col("text"))).alias("token")
     )
+    # ONE tokenize+explode pass pre-aggregated to (side, token, count)
+    # and materialized (r16): the two per-snapshot sketch builds and the
+    # exact counts previously each re-ran the corpus explode (3 passes),
+    # and the weighted cms_sketch build hashes the vocab, not the
+    # stream. Cell- and count-exact: counters are pure addition.
+    tcnt = (
+        tok.groupBy((F.col("doc_id") % 2).alias("_side"), "token")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .localCheckpoint(eager=False)
+    )
     knobs = dict(depth=4, width=512)
     sk = sketches.cms_merge(
         sketches.cms_sketch(
-            tok.filter(F.col("doc_id") % 2 == 0), "token", **knobs
+            tcnt.filter(F.col("_side") == 0), "token",
+            weight_col="_cnt", **knobs
         ),
         sketches.cms_sketch(
-            tok.filter(F.col("doc_id") % 2 == 1), "token", **knobs
+            tcnt.filter(F.col("_side") == 1), "token",
+            weight_col="_cnt", **knobs
         ),
     )
-    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
-    top = exact.orderBy(F.desc("n_exact"), "token").limit(15)
+    exact = tcnt.groupBy("token").agg(F.sum("_cnt").alias("n_exact"))
+    top = (
+        exact.orderBy(F.desc("n_exact"), "token")
+        .limit(15)
+        .localCheckpoint(eager=False)
+    )
     est = sketches.cms_estimate(sk, top, "token", **knobs)
     return top.join(est, "token").select(
         "token",

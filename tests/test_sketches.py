@@ -282,3 +282,20 @@ def test_cms_one_sided_error_and_merge_invariance(spark):
     # ballpark (2N/width per value on average-collision terms)
     over = sum(r["cms_est"] - r["n_exact"] for r in rows)
     assert over <= 73 * 2 * 2000 / 256
+
+
+def test_cms_weighted_build_matches_row_grain(spark):
+    """r16 weight_col contract: building a CMS from a pre-aggregated
+    (value, count) frame is CELL-EXACT against the row-grain build —
+    counters are pure addition, so summing weights == counting rows."""
+    df = spark.range(3000).select(
+        F.concat(F.lit("w"), (F.col("id") % 57).cast("string")).alias("v")
+    )
+    knobs = dict(depth=4, width=128)
+    rowgrain = sketches.cms_sketch(df, "v", **knobs)
+    pre = df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    weighted = sketches.cms_sketch(pre, "v", weight_col="cnt", **knobs)
+    assert sorted(map(tuple, weighted.collect())) == sorted(
+        map(tuple, rowgrain.collect())
+    )
+    assert dict(weighted.dtypes)["n"] == dict(rowgrain.dtypes)["n"]

@@ -46,6 +46,9 @@ def main() -> None:
             df.explain("formatted")
         txt = buf.getvalue()
         tree = txt.split("\n\n")[0]
+        # count only the AQE-final tree, not the appended initial plan
+        if "== Initial Plan ==" in tree:
+            tree = tree.split("== Initial Plan ==")[0]
         gens = len(re.findall(r"\bGenerate\b", tree))
         ex = len(re.findall(r"\bExchange\b", tree))
         reuse = len(re.findall(r"ReusedExchange", tree))
