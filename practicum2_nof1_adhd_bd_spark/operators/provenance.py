@@ -98,16 +98,59 @@ def table_manifest(
 def provenance_manifest(
     frames: dict[str, tuple[DataFrame, list[str]]]
 ) -> DataFrame:
-    """Manifest over a snapshot: one row per table, unioned in name order
-    so the output is deterministic regardless of dict insertion order."""
-    parts = [
-        table_manifest(df, name, cols)
-        for name, (df, cols) in sorted(frames.items())
-    ]
-    out = parts[0]
+    """Manifest over a snapshot: one row per table.
+
+    r16 restructure (guide §2.4): instead of N independent
+    ``table_manifest`` subtrees — each paying its own fan-out Exchange of
+    the rendered row strings plus a single-row aggregation Exchange (2N
+    shuffles, 2N stage boundaries) — every table's rows are tagged with
+    the table name and unioned at the (table_name, rendered-row) grain,
+    so ONE grouped aggregate with map-side partials produces all digests:
+    the only remaining exchange carries one row per table per partition.
+    Rendering and md5 run map-side inside the scan stage, which at real
+    scale parallelizes via the input splits themselves; locally the
+    per-branch scans of all N tables schedule concurrently, replacing the
+    fan-out repartition's artificial parallelism. Values are identical:
+    bit_xor/count are grouped by table exactly as before. Tables with
+    zero rows produce no group, so the static name spine is re-attached
+    with a broadcast left join to keep the (name, 0, 0) contract."""
+    names = sorted(frames)
+    parts = []
+    for name in names:
+        df, cols = frames[name]
+        rendered = ", ".join(f"CAST({c} AS STRING)" for c in cols)
+        parts.append(
+            df.selectExpr(
+                f"'{name}' AS table_name",
+                f"concat_ws('|', {rendered}) AS _row",
+            )
+        )
+    allr = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        allr = allr.unionByName(p)
+    # one conditional fan-out of the UNION (not one per table): small
+    # local snapshots arrive as a handful of splits, which would
+    # serialize the biggest table's md5 onto one core; at real scale the
+    # scans already fan out and this is a no-op. Net exchange count is
+    # 2 (this + the 10-rows-per-partition agg) vs 2N before.
+    from ..sources.readers import fan_out
+
+    allr = fan_out(allr)
+    digest = "CAST(conv(substring(md5(_row), 1, 15), 16, 10) AS BIGINT)"
+    agg = allr.groupBy("table_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.expr(f"bit_xor({digest})"), F.lit(0)).alias(
+            "content_digest"
+        ),
+    )
+    spine = parts[0].sparkSession.createDataFrame(
+        [(n,) for n in names], "table_name string"
+    )
+    return spine.join(F.broadcast(agg), "table_name", "left").select(
+        "table_name",
+        F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+        F.coalesce("content_digest", F.lit(0)).alias("content_digest"),
+    )
 
 
 def manifest_oracle_sql(tables: dict[str, list[str]]) -> str:

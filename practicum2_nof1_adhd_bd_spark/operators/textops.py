@@ -703,17 +703,20 @@ def unigram_surprisal(
     tok = fan_out(df, id_col).select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_t")
     )
-    vocab = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_n"))
-    # corpus token total as a 1-row broadcast, NOT an unpartitioned window
-    # (a web-scale vocab would drag 10^8 rows through one task) and NOT
-    # an aggregate OVER the vocab frame (r15 verdict #4: that form paid a
-    # second full explode->groupBy->exchange chain plus a SinglePartition
-    # re-aggregation — AQE reused the exchanges but not the explode work,
-    # ~25% of the query's wall). sum(size(tokens)) is the same BIGINT
-    # from one explode-free columnar scan: -log2(_n/_tot) is bit-identical.
-    total = df.agg(
-        F.sum(F.size(tokens(F.lower(F.col(text_col))))).alias("_tot")
+    # vocab has two consumers (the total re-aggregation and the scoring
+    # join) whose pruned/filtered subtrees are non-canonical — without
+    # materialization each re-ran the explode+groupBy chain (the r15
+    # verdict-#4 regression). One lazy localCheckpoint of the vocab-sized
+    # frame lets the corpus token TOTAL come from a vocab re-aggregation
+    # (sum of counts == sum(size(tokens)), the same BIGINT exactly)
+    # instead of the r16 interim explode-free size() scan — one corpus
+    # pass fewer, -log2(_n/_tot) bit-identical.
+    vocab = (
+        tok.groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=False)
     )
+    total = vocab.agg(F.sum("_n").alias("_tot"))
     vocab = vocab.crossJoin(F.broadcast(total)).select(
         "_t", (-F.log2(F.col("_n") / F.col("_tot"))).alias("_bits")
     )
@@ -921,43 +924,49 @@ def bigram_surprisal(
         F.slice(F.col("_w"), 2, n1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    # each doc additionally emits ONE null-padded edge row (null, t1):
+    # pair w2's cover tokens 2..n, the edge row token 1, so V (distinct
+    # tokens) derives from the count frame alone — the former third
+    # corpus tokenize (base.filter(size == 1)) is gone, and the edge
+    # rows drop out of the scoring inner join on the null key (r16).
+    edge_uni = F.when(
+        F.size("_w") >= 1,
+        F.array(
+            F.struct(
+                F.lit(None).cast("string").alias("w1"),
+                F.element_at("_w", 1).alias("w2"),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     big = (
-        base.select(F.col(id_col), F.explode(pairs).alias("_p"))
+        base.select(
+            F.col(id_col), F.explode(F.concat(pairs, edge_uni)).alias("_p")
+        )
         .select(
             F.col(id_col),
             F.col("_p.w1").alias("_w1"),
             F.col("_p.w2").alias("_w2"),
         )
     )
-    # c12 feeds c1, both vsize branches and the model join; the join-key
-    # null filters Catalyst pushes below each consumer's exchange make the
-    # subtrees non-canonical, so without materialization the bigram
-    # explode+count chain executed FOUR times (executed-plan evidence in
+    # c12g feeds c1, vsize and the model join; the join-key null filters
+    # Catalyst pushes below each consumer's exchange make the subtrees
+    # non-canonical, so without materialization the bigram explode+count
+    # chain executed FOUR times (executed-plan evidence in
     # plans/r16/bigram_surprisal_after.txt). One lazy localCheckpoint of
     # the vocab-sized frame collapses them (r16, guide SS3.3).
-    c12 = (
+    c12g = (
         big.groupBy("_w1", "_w2")
         .agg(F.count(F.lit(1)).alias("_c12"))
         .localCheckpoint(eager=False)
     )
+    c12 = c12g.filter(F.col("_w1").isNotNull())
     # c(w1) = occurrences of w1 as a context == sum over the bigram-vocab
     # frame — no second corpus pass.
     c1 = c12.groupBy("_w1").agg(F.sum("_c12").alias("_c1"))
-    # V = distinct tokens, WITHOUT a second corpus explode (r16, the
-    # unigram_surprisal lesson): every token is a w1 or a w2 of some
-    # bigram except the token of a single-token doc, so the distinct
-    # runs over the VOCAB-sized c12 keys (its exchange is reused) plus
-    # the rare 1-token docs — exactly the same integer V.
-    vsize = (
-        c12.select(F.col("_w1").alias("_t"))
-        .union(c12.select(F.col("_w2").alias("_t")))
-        .union(
-            base.filter(F.size("_w") == 1).select(
-                F.element_at("_w", 1).alias("_t")
-            )
-        )
-        .agg(F.count_distinct("_t").alias("_v"))
-    )
+    # V = distinct tokens over the count frame's w2 column (edge rows
+    # included): exactly the same integer as the former
+    # w1-keys ∪ w2-keys ∪ single-token-docs union.
+    vsize = c12g.agg(F.count_distinct("_w2").alias("_v"))
     model = (
         c12.join(c1, "_w1")
         .crossJoin(F.broadcast(vsize))
@@ -1747,9 +1756,47 @@ def trigram_surprisal(
         )
         return base, tri, pair
 
-    mbase, mtri, mpair = _grams(model_df)
-    tri_counts = (
-        mbase.select(F.explode(mtri).alias("_t"))
+    mbase, mtri, _mpair = _grams(model_df)
+    # ONE model-corpus explode builds all three gram grains (r16):
+    # alongside the trigram structs, each doc emits two null-padded edge
+    # rows — (null, t1, t2) for n>=2 and (null, null, t1) for n>=1 — so
+    # the finest-grain count frame g123 derives the LOWER orders exactly:
+    #   trigrams  = rows with w1 IS NOT NULL                 (j = 1..n-2)
+    #   bigrams   = (w2, w3) of rows with w2 IS NOT NULL     (trigram rows
+    #               cover positions 2..n-1, the edge row position 1)
+    #   unigrams  = w3 of EVERY row (trigram rows cover t3..tn, edge rows
+    #               t2 and t1 — each token exactly once)
+    # Counts are integer sums, bit-identical to the former three separate
+    # corpus explodes; only the pass count changes (3 tokenizes -> 1).
+    _null_s = F.lit(None).cast("string")
+    _empty3 = F.array().cast(
+        "array<struct<w1:string,w2:string,w3:string>>"
+    )
+    _n = F.size("_w")
+    edge_bi = F.when(
+        _n >= 2,
+        F.array(
+            F.struct(
+                _null_s.alias("w1"),
+                F.element_at("_w", 1).alias("w2"),
+                F.element_at("_w", 2).alias("w3"),
+            )
+        ),
+    ).otherwise(_empty3)
+    edge_uni = F.when(
+        _n >= 1,
+        F.array(
+            F.struct(
+                _null_s.alias("w1"),
+                _null_s.alias("w2"),
+                F.element_at("_w", 1).alias("w3"),
+            )
+        ),
+    ).otherwise(_empty3)
+    g123 = (
+        mbase.select(
+            F.explode(F.concat(mtri, edge_bi, edge_uni)).alias("_t")
+        )
         .select(
             F.col("_t.w1").alias("_w1"),
             F.col("_t.w2").alias("_w2"),
@@ -1757,10 +1804,11 @@ def trigram_surprisal(
         )
         .groupBy("_w1", "_w2", "_w3")
         .agg(F.count(F.lit(1)).alias("_c123"))
-        # consumed by tri_ctx and tri_model with different pushed null
-        # filters below the exchange (no reuse): materialize once (r16)
+        # five consumers with different pushed filters/prunings below
+        # the exchange (no reuse): materialize the vocab-sized frame once
         .localCheckpoint(eager=False)
     )
+    tri_counts = g123.filter(F.col("_w1").isNotNull())
     tri_ctx = tri_counts.groupBy("_w1", "_w2").agg(
         F.sum("_c123").alias("_c12")
     )
@@ -1768,34 +1816,18 @@ def trigram_surprisal(
         "_w1", "_w2", "_w3", (F.col("_c123") / F.col("_c12")).alias("_s3")
     )
     big_counts = (
-        mbase.select(F.explode(mpair).alias("_p"))
-        .select(F.col("_p.w2").alias("_w2"), F.col("_p.w3").alias("_w3"))
+        g123.filter(F.col("_w2").isNotNull())
         .groupBy("_w2", "_w3")
-        .agg(F.count(F.lit(1)).alias("_c23"))
-        .localCheckpoint(eager=False)
+        .agg(F.sum("_c123").alias("_c23"))
     )
     big_ctx = big_counts.groupBy("_w2").agg(F.sum("_c23").alias("_c2"))
     big_model = big_counts.join(big_ctx, "_w2").select(
         "_w2", "_w3", (F.col("_c23") / F.col("_c2")).alias("_s2")
     )
-    # explode the token expression INLINE (not the aliased "_w"):
-    # InferFiltersFromGenerate only infers size>0 filters over attribute
-    # children, and the inferred filter re-tokenizes the corpus serially
-    # below the fan_out exchange; the rebuilt fan_out subtree is
-    # identical to mbase's, so the exchange is still reused at runtime.
-    mtok = fan_out(model_df, id_col).select(
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("_w3")
-    )
-    uni_counts = (
-        mtok.groupBy("_w3")
-        .agg(F.count(F.lit(1)).alias("_c3"))
-        .localCheckpoint(eager=False)
-    )
+    uni_counts = g123.groupBy("_w3").agg(F.sum("_c123").alias("_c3"))
     # N and V from the VOCAB-sized unigram frame (r16, the
-    # unigram_surprisal lesson): aggregating mtok directly re-ran the
-    # whole corpus explode for a 2-scalar row (no exchange below the
-    # partial agg to reuse); over uni_counts the token exchange is
-    # reused and the pass is vocab-sized. Same integers exactly.
+    # unigram_surprisal lesson): both are re-aggregations of g123, so no
+    # corpus pass exists beyond the single explode above.
     totals = uni_counts.agg(
         F.sum("_c3").alias("_n"),
         F.count(F.lit(1)).alias("_v"),
