@@ -2012,7 +2012,7 @@ def dsir_importance(
 
 
 def hashed_gram_buckets(
-    text_col: Column, n_buckets: int = 4096
+    text_col: Column, n_buckets: int = 4096, binarized: bool = False
 ) -> Column:
     """Hashing-trick feature ids for a document: unigrams AND word
     bigrams hashed into a FIXED ``n_buckets``-dimensional space — the
@@ -2026,8 +2026,13 @@ def hashed_gram_buckets(
     md5 is bit-identical across engines, so a DuckDB oracle can replay
     bucket assignment exactly (the `('0x'||substr(md5(g),1,8))::BIGINT`
     device). Returns an array<bigint> of bucket ids, one per gram
-    occurrence (callers binarize with array_distinct / DISTINCT where
-    NBSVM-style indicators are wanted)."""
+    occurrence; ``binarized=True`` returns the distinct bucket set
+    instead. Binarized callers should prefer the flag over their own
+    ``array_distinct``: the per-gram hash lambda is an INTERPRETED
+    higher-order expression, so deduplicating the gram STRINGS first
+    (native codegen) cuts its evaluations by the text's duplication
+    factor, and distinct(hash(distinct(grams))) == distinct(hash(grams))
+    exactly (r16)."""
     w = tokens(F.lower(text_col))
     pair_len = F.greatest(F.size(w) - 1, F.lit(0))
     bigrams = F.zip_with(
@@ -2035,13 +2040,17 @@ def hashed_gram_buckets(
         F.slice(w, F.lit(2), pair_len),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    return F.transform(
-        F.concat(w, bigrams),
+    grams = F.concat(w, bigrams)
+    if binarized:
+        grams = F.array_distinct(grams)
+    out = F.transform(
+        grams,
         lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast(
             "bigint"
         )
         % F.lit(n_buckets),
     )
+    return F.array_distinct(out) if binarized else out
 
 
 def _with_buckets(
@@ -2053,15 +2062,14 @@ def _with_buckets(
     return df.select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(
-                hashed_gram_buckets(F.col(text_col), n_buckets)
-            )
+            hashed_gram_buckets(F.col(text_col), n_buckets, binarized=True)
         ).alias("bucket"),
     )
 
 
 def hashed_char_ngram_buckets(
-    text_col: Column, n: int = 3, n_buckets: int = 4096
+    text_col: Column, n: int = 3, n_buckets: int = 4096,
+    binarized: bool = False,
 ) -> Column:
     """Hashing-trick feature ids over CHARACTER n-grams — the fastText
     langid feature family (Joulin et al. 2016): char n-grams carry the
@@ -2083,15 +2091,22 @@ def hashed_char_ngram_buckets(
     lambda, and it references nothing but its own element (binarization
     must dedup at BUCKET level per document, which array_distinct does
     row-locally — exploding grams and hashing at row grain would need a
-    (doc, bucket) distinct shuffle instead)."""
+    (doc, bucket) distinct shuffle instead). ``binarized=True`` dedups
+    the gram STRINGS before that interpreted hash lambda (native
+    codegen, ~2x fewer evaluations on this corpus) and returns the
+    distinct bucket set — distinct(hash(distinct(g))) ==
+    distinct(hash(g)) exactly (r16)."""
     grams = F.regexp_extract_all(
         F.lower(text_col), F.lit(f"(?s)(?=(.{{{n}}}))"), 1
     )
-    return F.transform(
+    if binarized:
+        grams = F.array_distinct(grams)
+    out = F.transform(
         grams,
         lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
         % F.lit(n_buckets),
     )
+    return F.array_distinct(out) if binarized else out
 
 
 def langid_classifier_nb(
@@ -2141,10 +2156,8 @@ def langid_classifier_nb(
         train.select(
             F.col(id_col),
             F.explode(
-                F.array_distinct(
-                    hashed_char_ngram_buckets(
-                        F.col(text_col), ngram, n_buckets
-                    )
+                hashed_char_ngram_buckets(
+                    F.col(text_col), ngram, n_buckets, binarized=True
                 )
             ).alias("bucket"),
         )
@@ -2180,8 +2193,8 @@ def langid_classifier_nb(
     sb = (
         score.select(
             F.col(id_col),
-            F.array_distinct(
-                hashed_char_ngram_buckets(F.col(text_col), ngram, n_buckets)
+            hashed_char_ngram_buckets(
+                F.col(text_col), ngram, n_buckets, binarized=True
             ).alias("_b"),
         )
         .select(
