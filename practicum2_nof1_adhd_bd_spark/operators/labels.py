@@ -87,8 +87,10 @@ def refined_exact_quantile_thresholds(
     1. count + GK sketch bounds at p +- 3/accuracy (the sketch's rank
        error is deterministically <= n/accuracy, so the bracket is
        guaranteed to cover the target order statistics);
-    2. counts of rows strictly below each bracket's low bound (converts
-       global rank to in-bracket rank);
+    2. ONE merged aggregate for neighbor widening and the
+       below-raw-bound counts (converts global rank to in-bracket rank;
+       the widened-bound correction is recovered from the candidate
+       frame itself — see the inline note);
     3. a range filter down to the bracketed candidates — O(n/accuracy)
        rows, bounded by the accuracy knob, not the data — which alone get
        sorted (per-cut row_number on the tiny frame).
@@ -119,14 +121,24 @@ def refined_exact_quantile_thresholds(
         F.col("_b")[2].alias("lo2"),
         F.col("_b")[3].alias("hi2"),
     ).persist()
-    # Widen each bracket to its immediate neighbor values: for n <= accuracy
-    # the sketch is exact and the raw bracket can collapse onto a single
-    # order statistic, excluding the adjacent one that interpolation needs.
+    # Widen each bracket to its immediate neighbor values (for n <=
+    # accuracy the sketch is exact and the raw bracket can collapse onto
+    # a single order statistic, excluding the adjacent one interpolation
+    # needs) AND count rows strictly below each RAW low bound — one merged
+    # corpus pass (r16; formerly two sequential passes, because the below
+    # counts were taken against the widened bounds which exist only after
+    # the widening aggregate). The below count against the EFFECTIVE low
+    # bound is recovered exactly in the candidate frame: the only values
+    # below the raw bound that enter the widened bracket are the copies
+    # of prv (the maximum value < raw low), so
+    #   #{v < coalesce(prv, lo)} == braw - #{bracket rows with _v < lo}.
     nb = vals.crossJoin(F.broadcast(stats)).agg(
         F.max(F.when(v < F.col("lo1"), v)).alias("prv1"),
         F.min(F.when(v > F.col("hi1"), v)).alias("nxt1"),
         F.max(F.when(v < F.col("lo2"), v)).alias("prv2"),
         F.min(F.when(v > F.col("hi2"), v)).alias("nxt2"),
+        F.sum((v < F.col("lo1")).cast("long")).alias("braw1"),
+        F.sum((v < F.col("lo2")).cast("long")).alias("braw2"),
     )
     eb = stats.crossJoin(F.broadcast(nb)).select(
         "n",
@@ -134,12 +146,12 @@ def refined_exact_quantile_thresholds(
         F.coalesce("nxt1", "hi1").alias("hi1"),
         F.coalesce("prv2", "lo2").alias("lo2"),
         F.coalesce("nxt2", "hi2").alias("hi2"),
+        F.col("lo1").alias("raw1"),
+        F.col("lo2").alias("raw2"),
+        "braw1",
+        "braw2",
     ).persist()
     with_b = vals.crossJoin(F.broadcast(eb))
-    below = with_b.agg(
-        F.sum((v < F.col("lo1")).cast("long")).alias("below1"),
-        F.sum((v < F.col("lo2")).cast("long")).alias("below2"),
-    ).persist()
     cand = (
         with_b.select(
             v.alias("_v"),
@@ -156,21 +168,36 @@ def refined_exact_quantile_thresholds(
         srow = stats.first()
         stats_out["n"] = srow["n"]
         stats_out["bracket_rows"] = cand.count()
-    ranked = cand.withColumn(
-        "rk", F.row_number().over(Window.partitionBy("cut").orderBy("_v"))
-    )
     # global target rank r = p*(n-1) (0-based); order stats at floor/ceil(r)
-    scalars = stats.crossJoin(below).select(
-        "n", "below1", "below2",
+    scalars = eb.select(
+        "n", "raw1", "raw2", "braw1", "braw2",
         (F.lit(p1) * (F.col("n") - 1)).alias("r1"),
         (F.lit(p2) * (F.col("n") - 1)).alias("r2"),
     )
-    j = ranked.crossJoin(F.broadcast(scalars))
+    wcut = Window.partitionBy("cut")
+    j = (
+        cand.crossJoin(F.broadcast(scalars))
+        .withColumn("rk", F.row_number().over(wcut.orderBy("_v")))
+        # copies of prv inside this cut's bracket: both windows share the
+        # cut partitioning, so no second exchange
+        .withColumn(
+            "eqc",
+            F.sum(
+                (
+                    F.col("_v")
+                    < F.when(F.col("cut") == 1, F.col("raw1")).otherwise(
+                        F.col("raw2")
+                    )
+                ).cast("long")
+            ).over(wcut),
+        )
+    )
     picked = j.select(
         "cut", "_v", "n",
         F.when(F.col("cut") == 1, F.col("r1")).otherwise(F.col("r2")).alias("r"),
-        (F.col("rk") - 1 + F.when(F.col("cut") == 1, F.col("below1"))
-         .otherwise(F.col("below2"))).alias("grk"),
+        (F.col("rk") - 1 - F.col("eqc")
+         + F.when(F.col("cut") == 1, F.col("braw1"))
+         .otherwise(F.col("braw2"))).alias("grk"),
     ).filter(
         (F.col("grk") == F.floor("r")) | (F.col("grk") == F.ceil("r"))
     )
@@ -197,7 +224,7 @@ def refined_exact_quantile_thresholds(
     try:
         row = out.collect()
     finally:
-        for f in (below, eb, stats, vals):
+        for f in (eb, stats, vals):
             f.unpersist()
     return df.sparkSession.createDataFrame(row, out.schema)
 
