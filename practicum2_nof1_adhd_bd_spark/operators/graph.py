@@ -337,10 +337,15 @@ def label_propagation(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).filter(F.col("src") != F.col("dst"))
+    # lazy checkpoints throughout: lineage is truncated identically, but
+    # no blocking per-round job is submitted — all rounds run inside the
+    # final action's single job, each checkpoint materializing when its
+    # first consumer computes it (r16; eager=True cost one synchronous
+    # driver round-trip per iteration)
     sym = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
@@ -355,7 +360,7 @@ def label_propagation(
             votes.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("node", "lab")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("community_size"))
     return labels.join(sizes, "lab").select(

@@ -427,7 +427,7 @@ def _lloyd_fit(
         ).alias("cell"),
         F.col("v").alias("cv"),
     ).withColumn("cc", _dot(F.col("cv"), F.col("cv")))
-    cent = cent.localCheckpoint(eager=True)
+    cent = cent.localCheckpoint(eager=False)
 
     def assign(c: DataFrame) -> DataFrame:
         # argmin as ONE corpus exchange: the vector rides the partial
@@ -458,7 +458,7 @@ def _lloyd_fit(
                 ).alias("cv")
             )
             .withColumn("cc", _dot(F.col("cv"), F.col("cv")))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
     final = assign(cent)
@@ -1983,7 +1983,7 @@ def pq_fit_encode(
             )
         ),
     ).withColumn("cc", _dot(F.col("cv"), F.col("cv")))
-    cent = cent.localCheckpoint(eager=True)
+    cent = cent.localCheckpoint(eager=False)
 
     def assign(c: DataFrame) -> DataFrame:
         j = sub.join(F.broadcast(c), "sub")
@@ -2011,7 +2011,7 @@ def pq_fit_encode(
                 ).alias("cv")
             )
             .withColumn("cc", _dot(F.col("cv"), F.col("cv")))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
     final = assign(cent)
