@@ -696,8 +696,13 @@ def linear_shap_attribution(
     is in ORIGINAL feature units.
 
     Two frame scans (means, then centered moments broadcast-joined) +
-    one 1-row solve — the same shape at any corpus size."""
+    one 1-row solve — the same shape at any corpus size. The input is
+    materialized once (lazy localCheckpoint): callers pass an
+    aggregate-grain frame (daily features — bounded rows at any corpus
+    size), and without the cut each of the two scans re-runs the
+    caller's full upstream aggregation (r16)."""
     assert len(feature_cols) == 3, "Cramer templates are written for 3x3"
+    df = df.localCheckpoint(eager=False)
     dec = "decimal(28,12)"
     y = F.col(label_col).cast("double")
     n_and_sums = df.agg(

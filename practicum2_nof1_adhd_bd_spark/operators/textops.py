@@ -472,8 +472,6 @@ def containment_decontaminate(
     containment) eval hit is kept with a deterministic (containment
     desc, eval id asc) tie-break.
     """
-    from pyspark.sql import Window
-
     from .dedup import word_shingles
 
     num, den = int(threshold_num), int(threshold_den)
@@ -492,19 +490,25 @@ def containment_decontaminate(
         .agg(F.count(F.lit(1)).alias("inter"))
         .filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("n_ev"))
     )
-    w = Window.partitionBy(id_col).orderBy(
-        (F.col("inter") / F.col("n_ev")).desc(), F.col("eval_id").asc()
+    # best eval hit per train doc as a map-side-combinable min_by argmin
+    # over (-containment, eval_id) — same deterministic pick as the
+    # former row_number window without its per-doc sort; float negation
+    # is exact, so the ordering is identical (r16)
+    best = hits.groupBy(id_col).agg(
+        F.min_by(
+            F.struct("eval_id", "inter", "n_ev"),
+            F.struct(
+                (-(F.col("inter") / F.col("n_ev"))).alias("_nc"),
+                F.col("eval_id").alias("_e"),
+            ),
+        ).alias("_b")
     )
-    return (
-        hits.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            id_col,
-            "eval_id",
-            F.col("inter").alias("n_shared"),
-            F.col("n_ev").alias("n_eval_shingles"),
-            F.round(F.col("inter") / F.col("n_ev"), 6).alias("containment"),
-        )
+    return best.select(
+        id_col,
+        F.col("_b.eval_id").alias("eval_id"),
+        F.col("_b.inter").alias("n_shared"),
+        F.col("_b.n_ev").alias("n_eval_shingles"),
+        F.round(F.col("_b.inter") / F.col("_b.n_ev"), 6).alias("containment"),
     )
 
 
