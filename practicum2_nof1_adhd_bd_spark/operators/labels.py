@@ -286,6 +286,11 @@ def quantile_3way_label(
     with the data.
     """
     if exact and bounded:
+        # bounded callers pass AGGREGATE-grain frames (daily/calendar);
+        # materialize once so the threshold pass and the labeling pass
+        # don't each re-run the caller's full upstream aggregation (r16,
+        # the linear_shap_attribution lesson)
+        df = df.localCheckpoint(eager=False)
         thresholds = exact_quantile_thresholds(df, value_col, probs)
     elif exact:
         thresholds = refined_exact_quantile_thresholds(df, value_col, probs)
