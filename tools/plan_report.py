@@ -49,7 +49,9 @@ NOTES = {
     ),
     "quantile_3way_label": (
         "Exact percentile (oracle contract) with bounded state: GK-sketch "
-        "brackets + below-bracket counts localize the cut ranks, and only "
+        "brackets + below-raw-bound counts (merged into the widening "
+        "aggregate since r16 — three corpus passes total) localize the "
+        "cut ranks, and only "
         "the O(n/accuracy) bracketed slice gets ranked — bit-equal to the "
         "builtin percentile without its single-task value-map merge. The "
         "1-row threshold frame then BROADCASTS over the labeling scan; no "
@@ -110,11 +112,10 @@ NOTES = {
         "(map-side combined, bounded by vocab size) and the scoring join — "
         "the vocab->bits frame BROADCASTS, so corpus text never shuffles; "
         "the per-doc combine rides the doc_id fan-out partitioning. The "
-        "corpus token TOTAL is an explode-free sum(size(tokens)) columnar "
-        "scan (r16: the old aggregate-over-the-vocab-frame form re-paid "
-        "the full explode->groupBy->exchange chain plus a SinglePartition "
-        "re-agg; AQE reused the exchanges but not the explode work — "
-        "~25% of wall)."
+        "corpus token TOTAL re-aggregates the localCheckpointed vocab "
+        "frame (sum of counts == sum(size(tokens)) exactly), so no third "
+        "corpus pass exists at any scale (r16; the interim explode-free "
+        "size() scan still read every text byte once)."
     ),
     "bucketed_point_lookup": (
         "Bucket-PRUNED point lookup on the bucketed fact layout: the "
@@ -183,10 +184,14 @@ NOTES = {
         "cardinality) and broadcasts the 1-row thresholds."
     ),
     "snapshot_provenance": (
-        "Per-table manifest = one narrow projection + map-side-combined "
-        "bit_xor/count partial per table; each per-table exchange carries "
-        "one row per partition, and the union is 10 single-row frames — "
-        "cost is exactly one scan per table at any scale."
+        "All tables' rows tag with the table name and union at the "
+        "rendered-row grain, so ONE grouped aggregate digests every "
+        "table with map-side bit_xor/count partials — the only "
+        "exchanges are one conditional fan-out of the union and the "
+        "10-rows-per-partition aggregation (20 Exchange -> 2, r16); a "
+        "broadcast left join onto the static name spine keeps the "
+        "(name, 0, 0) empty-table contract. Cost is still exactly one "
+        "scan per table at any scale."
     ),
     "etl_audit_report": (
         "Every audit family (daily, range, cross-layer, hourly) reduces "
@@ -229,7 +234,9 @@ NOTES = {
         "collapses the n_cells fan-out BEFORE the exchange and carries "
         "the vector through the aggregate (ONE corpus exchange per "
         "assignment, no corpus join-back) -> posexplode partial-avg "
-        "recompute; tiny centroid frames localCheckpoint per round so "
+        "recompute; tiny centroid frames localCheckpoint per round (lazy "
+        "since r16: each materializes inside the next broadcast build, "
+        "no blocking per-iteration job) so "
         "the lineage re-runs no corpus pass. Probe + in-cell TakeOrdered."
     ),
     "embedding_near_dup_bucketed": (
@@ -295,7 +302,8 @@ NOTES = {
     ),
     "semantic_dedup_ivf": (
         "Lloyd assignment (broadcast centroids, one corpus exchange per "
-        "iteration, min_by partial agg) is eagerly checkpointed, then "
+        "iteration, min_by partial agg) is checkpointed (lazily since "
+        "r16), then "
         "consumed by both sides of the cell-blocked quadratic verify — "
         "without the checkpoint the full fit would run twice (no subplan "
         "sharing). Pair graph and component loop run on pair-sized "
@@ -605,13 +613,16 @@ NOTES = {
         "than the line table."
     ),
     "trigram_surprisal": (
-        "One explode over the model corpus feeds all three count "
-        "levels (contexts re-aggregate the gram frames, never the "
-        "corpus); one explode over the scored corpus probes the three "
-        "models as broadcast left joins. At open-vocabulary scale the "
-        "model frames outgrow broadcast and broadcast_model=False "
-        "switches the probes to shuffle joins on the gram keys — the "
-        "documented regime for order 3 (SCALING 2h)."
+        "ONE explode over the model corpus builds every count level: "
+        "null-padded edge rows ((null,t1,t2)/(null,null,t1)) ride the "
+        "trigram stream so the finest-grain count frame derives bigram "
+        "and unigram counts exactly (r16 — formerly three separate "
+        "corpus tokenizes); contexts re-aggregate the checkpointed gram "
+        "frame, never the corpus. One explode over the scored corpus "
+        "probes the three models as broadcast left joins. At "
+        "open-vocabulary scale the model frames outgrow broadcast and "
+        "broadcast_model=False switches the probes to shuffle joins on "
+        "the gram keys — the documented regime for order 3 (SCALING 2h)."
     ),
     "shipmode_priority_counts": (
         "TPC-H Q12: the ship-year range is pushed to the lineitem scan; "
@@ -718,7 +729,9 @@ NOTES = {
         "Each LPA round is one edge-grain hash join (messages along "
         "edges) + a (node, label) count that collapses hub fan-in to "
         "distinct incident labels before the per-node top-1 window; the "
-        "per-round localCheckpoint keeps the returned plan flat (it "
+        "per-round localCheckpoint (lazy since r16 — rounds chain inside "
+        "one job, no per-round driver barrier) keeps the returned plan "
+        "flat (it "
         "reads the final round's checkpoint, not K stacked joins), the "
         "same lineage-cut discipline as host_pagerank."
     ),
