@@ -187,6 +187,11 @@ def temporal_instability(
     present = [c for c in feature_cols if c in features_df.columns]
     n = len(present)
     stack_cols = ", ".join(f"'{c}', `{c}`" for c in present)
+    # the features frame is DATE-grain by this operator's containment
+    # spec (bounded rows at any corpus size) and has two consumers (the
+    # distinct-dates probe and the melt): materialize once so neither
+    # re-runs the caller's upstream aggregation (r16)
+    features_df = features_df.localCheckpoint(eager=False)
     seg_of_date = (
         features_df.select(date_col)
         .distinct()
