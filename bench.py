@@ -3,12 +3,13 @@
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
-The stdout "queries" dict is a bounded DIGEST — {name: [median_sec,
-ratio_to_floor]} for the queries furthest over their cross-round floor,
-sized to stay inside the driver's 2000-char stdout tail at any headline
-count. The FULL per-query record (medians, repeats, mins, floors,
-ratios) is persisted to BENCH_FULL.json every run; the cross-round
-per-query floor ledger lives in BENCH_FLOORS.json.
+The stdout "queries" dict is {name: median_sec} (scalar seconds — the
+shape the driver's per-query comparison parses), filled slowest-first
+until the driver's 2000-char stdout tail budget is reached (the full
+106-name map cannot fit: names alone are ~1,900 chars). The FULL
+per-query record (medians, repeats, mins, floors, ratios) is persisted
+to BENCH_FULL.json every run; the cross-round per-query floor ledger
+lives in BENCH_FLOORS.json.
 
 The run self-identifies host contention (r12 verdict #3): queries over
 2x their floor (or with a >2x median/min spread) are stall-flagged and
@@ -200,17 +201,25 @@ def _load_floors(path: str, sf: str = "0.1") -> dict[str, float]:
     return {k: float(v) for k, v in data.items()}
 
 
-def _stdout_line(record: dict, ratios: dict[str, float], budget: int = 1600) -> str:
+def _stdout_line(record: dict, ratios: dict[str, float], budget: int = 1950) -> str:
     """ONE compact JSON line for the driver's 2000-char stdout tail.
 
-    At 64 headline queries a full per-query dict measured ~1,894 chars —
-    r09/r10 both lost their parsed blobs to exactly this truncation, so
-    the full dict now lives ONLY in BENCH_FULL.json and stdout carries a
-    DIGEST: the queries most over their cross-round floor (the ones a
-    reader of the bench line actually needs to see), greedily added
-    until the line would exceed ``budget``. The driver-contract fields
-    (metric/value/unit/queries/sf) all stay present; n_queries says how
-    many the totals cover."""
+    The stdout ``queries`` dict is ``{name: median_sec}`` — scalar
+    seconds, the shape the driver's round-over-round per-query
+    comparison parses (r16 VERDICT #1: the old ``{name: [median,
+    ratio_to_floor]}`` digest defeated it two rounds running; the
+    ratio-to-floor digest now lives only in BENCH_FULL.json's
+    ``ratio_to_floor``). A FULL 106-query map measures ~2,750 chars —
+    names alone are ~1,900 — so it cannot fit the driver's 2000-char
+    tail; entries are added in DESCENDING median-time order (a
+    deterministic, round-over-round-stable set: the slowest queries
+    dominate the total and a newly regressed query enters the set by
+    construction) until the line would exceed ``budget``. At r16-close
+    timings 67 of 106 queries fit, covering 79.5 of 93.1 summed
+    seconds; every excluded query ran <= 0.51 s. The driver-contract
+    fields (metric/value/unit/queries/sf) all stay present; n_queries
+    says how many the totals cover; the full per-query record is
+    BENCH_FULL.json."""
     timings = record["queries"]
     base = {
         "metric": record["metric"],
@@ -228,17 +237,13 @@ def _stdout_line(record: dict, ratios: dict[str, float], budget: int = 1600) -> 
         "sf": record["sf"],
         "full_record": "BENCH_FULL.json",
     }
-    # worst ratio-to-floor first: regressions outrank big-but-normal
-    order = sorted(
-        timings, key=lambda q: ratios.get(q, 1.0), reverse=True
-    )
+    # slowest first: deterministic across rounds, covers most of the
+    # total, and any query that regresses becomes slow enough to enter
+    order = sorted(timings, key=lambda q: timings[q], reverse=True)
     line = json.dumps(base, separators=(",", ":"))
     for q in order:
         trial = dict(base)
-        trial["queries"] = {
-            **base["queries"],
-            q: [round(timings[q], 2), round(ratios.get(q, 1.0), 2)],
-        }
+        trial["queries"] = {**base["queries"], q: round(timings[q], 2)}
         s = json.dumps(trial, separators=(",", ":"))
         if len(s) > budget:
             break

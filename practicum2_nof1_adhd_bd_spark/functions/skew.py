@@ -20,8 +20,14 @@ Where each device actually helps, per measurement:
 
 Only ALGEBRAIC aggregates can be salted (sum/count/min/max and anything
 derivable from them, e.g. mean = sum/count); the helpers here expose
-exactly that contract, and both are value-hash attested for
-salt-INVARIANCE (salted_priority_counts / salted_join_revenue).
+exactly that contract. salted_agg is value-hash attested for
+salt-INVARIANCE by salted_priority_counts; salted_join by
+tests/test_stateful_skew.py. (salted_join_revenue was restructured in
+r17 to pre-aggregate the fact side at the join key instead — when every
+downstream aggregate is algebraic, map-side partial aggregation absorbs
+the hot key for free and the salt's n_salts dim fan-out is pure
+shuffle-byte overhead; salted_join remains the device for consumers
+whose rows must SURVIVE the join un-aggregated.)
 
 The salt is DETERMINISTIC (a content hash of the row, never
 monotonically_increasing_id or rand): a nondeterministic shuffle key is

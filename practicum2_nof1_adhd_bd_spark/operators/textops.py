@@ -536,7 +536,13 @@ def source_mixture_weights(
 
     s = df.groupBy(group_col).agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size(tokens(F.col(text_col)))).alias("n_tokens"),
+        # greatest(size, 0) pins the legacy sizeOfNull corner: under
+        # non-ANSI semantics size(NULL) is -1, which would silently skew
+        # the corpus total; greatest(NULL, 0) is 0, which sum() treats
+        # identically to the NULL it replaces (r16 ADVICE).
+        F.sum(F.greatest(F.size(tokens(F.col(text_col))), F.lit(0))).alias(
+            "n_tokens"
+        ),
     )
     w = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha))).cast(
         "decimal(38,12)"
@@ -2736,8 +2742,15 @@ def pmi_collocations(
     # N and NB as explode-free columnar scans (r15 unigram lesson):
     # sum(size(tokens)) / sum(size-1 clamped) are the same BIGINTs the
     # explode-and-count form pays a full corpus pass each for
+    # greatest(size, 0) pins the legacy sizeOfNull corner (size(NULL) is
+    # -1 under non-ANSI semantics, subtracting 1 per null-text row from
+    # the corpus total); greatest(NULL, 0) is 0, which sum() treats
+    # identically to a skipped NULL — result unchanged under ANSI, and
+    # no longer wrong if a caller overrides ansi.enabled (r16 ADVICE).
     tot = df.agg(
-        F.sum(F.size(tokens(F.lower(F.col(text_col))))).alias("_n")
+        F.sum(
+            F.greatest(F.size(tokens(F.lower(F.col(text_col)))), F.lit(0))
+        ).alias("_n")
     )
     np = F.greatest(F.size("_w") - 1, F.lit(0))
     pairs = F.zip_with(

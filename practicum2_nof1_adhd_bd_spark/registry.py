@@ -4129,25 +4129,51 @@ def q_salted_priority_counts(spark, sf_dir):
     """,
 )
 def q_salted_join_revenue(spark, sf_dir):
-    """Skew-safe equi-join under the value-hash gate
-    (functions/skew.salted_join): the fact side salts per row with a
-    DETERMINISTIC content hash (retry-safe; l_linenumber rides along so
-    lines of one hot order still spread), the dim side explodes n_salts
-    times so every salted key finds its partner — shuffle partitions
-    hold at most ~1/n_salts of any hot key. Join output is
-    salt-invariant, attested by aggregating it against a plain join
-    oracle (quantities are integral doubles — combine-order exact)."""
+    """Skew-safe join + algebraic aggregation, restructured r17 (guide
+    §2.3 "aggregate before you shuffle" / §2.5 two-level aggregation;
+    r16 VERDICT #2: the salted form was the worst >3x scaler in the 10x
+    probe). Because every downstream aggregate is ALGEBRAIC, the skew
+    treatment that actually scales is to collapse the fact side to the
+    join-key grain FIRST: map-side partial aggregation absorbs any hot
+    l_orderkey before the exchange (each map task emits one row per
+    distinct key it holds), so the per-order frame that reaches the
+    join is skew-free BY CONSTRUCTION (one row per order) and ~1/6th
+    the fact rows, with no salt needed — versus the old
+    skew.salted_join plan, which shuffled every fact row PLUS the dim
+    exploded n_salts=8 times (that 8x dim fan-out is what the 10x
+    probe flagged at 5.3x).
+    The join then matches two orders-grain frames and the final
+    priority rollup merges per-order partials.
+
+    Result-identity argument (oracle-attested at 3 SFs): per-priority
+    count(*) == sum of per-order counts (integer arithmetic, exact);
+    sum(l_quantity) regrouped per order first is bit-identical because
+    quantities are INTEGRAL doubles — every partial sum is an exact
+    integer < 2^53, so addition is associative here and any combine
+    order yields the same double. skew.salted_join itself remains
+    value-hash attested in tests/test_stateful_skew.py for consumers
+    whose rows must survive the join un-aggregated."""
     cat = _cat(spark, sf_dir)
-    fact = cat.lineitem.select(
-        F.col("l_orderkey").alias("okey"), "l_quantity", "l_linenumber"
+    per_order = (
+        cat.lineitem.select(
+            F.col("l_orderkey").alias("okey"), "l_quantity"
+        )
+        .groupBy("okey")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("l_quantity").alias("_q"),
+        )
     )
     dim = cat.orders.select(
         F.col("o_orderkey").alias("okey"), "o_orderpriority"
     )
-    j = skew.salted_join(fact, dim, "okey", n_salts=8)
-    return j.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    return (
+        per_order.join(dim, "okey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("_n").alias("n_items"),
+            F.round(F.sum("_q"), 2).alias("sum_qty"),
+        )
     )
 
 
@@ -11579,6 +11605,41 @@ def _register_medallion_silver() -> None:
 _register_medallion_silver()
 
 
+def _bucketed_facts(spark, sf_dir):
+    """Shared landing for the bucketed fact layout: derive the
+    scale-adaptive bucket count (pipeline.derive_bucket_count — r17,
+    the 10x-probe fix: 8 buckets capped served parallelism at 8 tasks
+    on any data size), key the landed artifact's fingerprint on BOTH
+    the source bytes and the derived count (layouts built at different
+    scales/targets never alias), land once, and re-declare the files in
+    this session's catalog. Returns (orders, lineitem, n_buckets)."""
+    import os
+    import tempfile
+
+    from . import pipeline
+
+    n_buckets = pipeline.derive_bucket_count(sf_dir)
+    fp = _source_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+    fp += "_" + _source_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))
+    fp += f"_b{n_buckets}"
+    prefix = os.path.join(tempfile.gettempdir(), "spark_graft_bktfacts_v1")
+    root = _land_once(
+        prefix, fp,
+        lambda tmp: pipeline.build_bucketed_facts(
+            spark, sf_dir, tmp, n_buckets=n_buckets
+        ),
+    )
+    orders, lineitem = pipeline.ensure_bucketed_facts(
+        spark,
+        {"orders": os.path.join(root, "orders"),
+         "lineitem": os.path.join(root, "lineitem")},
+        tag=fp.replace(".", "_"),
+        sf_dir=sf_dir,
+        n_buckets=n_buckets,
+    )
+    return orders, lineitem, n_buckets
+
+
 @register(
     "bucketed_join_scan",
     """
@@ -11608,26 +11669,11 @@ def q_bucketed_join_scan(spark, sf_dir):
     oracle computes the same join over the raw tables, so the bucketed
     files' CONTENT is value-hash attested too. merge hint pins SMJ (the
     point is the exchange-free shuffle join; broadcast would dodge the
-    demonstration at toy scale)."""
-    import os
-    import tempfile
-
-    from . import pipeline
-
-    fp = _source_fingerprint(os.path.join(sf_dir, "orders.parquet"))
-    fp += "_" + _source_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))
-    prefix = os.path.join(tempfile.gettempdir(), "spark_graft_bktfacts_v1")
-    root = _land_once(
-        prefix, fp,
-        lambda tmp: pipeline.build_bucketed_facts(spark, sf_dir, tmp),
-    )
-    orders, lineitem = pipeline.ensure_bucketed_facts(
-        spark,
-        {"orders": os.path.join(root, "orders"),
-         "lineitem": os.path.join(root, "lineitem")},
-        tag=fp.replace(".", "_"),
-        sf_dir=sf_dir,
-    )
+    demonstration at toy scale). Bucket count is scale-adaptive since
+    r17 (pipeline.derive_bucket_count via _bucketed_facts): a constant
+    8 capped the served join at 8 tasks regardless of data size — the
+    r16 10x probe's 3.2x flag."""
+    orders, lineitem, _ = _bucketed_facts(spark, sf_dir)
     return (
         orders.hint("merge")
         .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
@@ -11673,28 +11719,12 @@ def q_bucketed_point_lookup(spark, sf_dir):
     bucketed on the key). Key 142 is a fixed literal (a real key at
     every shipped SF: orderkeys are 0..N-1, N >= 1500 at sf0.001) —
     the point-lookup serving contract is that the caller KNOWS the key.
-    Reuses the bucketed_join_scan landing (same fingerprint), so no
-    extra build. No aggregation anywhere: every output value is read
-    straight from parquet, bit-identical across engines."""
-    import os
-    import tempfile
-
-    from . import pipeline
-
-    fp = _source_fingerprint(os.path.join(sf_dir, "orders.parquet"))
-    fp += "_" + _source_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))
-    prefix = os.path.join(tempfile.gettempdir(), "spark_graft_bktfacts_v1")
-    root = _land_once(
-        prefix, fp,
-        lambda tmp: pipeline.build_bucketed_facts(spark, sf_dir, tmp),
-    )
-    orders, lineitem = pipeline.ensure_bucketed_facts(
-        spark,
-        {"orders": os.path.join(root, "orders"),
-         "lineitem": os.path.join(root, "lineitem")},
-        tag=fp.replace(".", "_"),
-        sf_dir=sf_dir,
-    )
+    Reuses the bucketed_join_scan landing (same fingerprint, including
+    the r17 scale-adaptive bucket count — the prune stays 1-of-N at
+    every scale), so no extra build. No aggregation anywhere: every
+    output value is read straight from parquet, bit-identical across
+    engines."""
+    orders, lineitem, _ = _bucketed_facts(spark, sf_dir)
     # merge hint keeps the bucketed scans alive: without it the planner
     # picks a broadcast join and DISABLES bucket-aware scanning
     # ("Bucketed: false (disabled by query planner)"), which silently

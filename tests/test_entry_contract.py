@@ -153,10 +153,12 @@ def test_bench_headline_queries_exist():
 
 def test_bench_stdout_line_bounded_at_any_headline_count():
     """The driver keeps only a 2000-char stdout tail; r09/r10 lost their
-    parsed bench blobs when the full per-query dict outgrew it. The
-    digest line must stay inside budget even at 90 long-named queries,
-    keep the driver-contract fields, and surface the worst
-    ratio-to-floor queries first."""
+    parsed bench blobs when the full per-query dict outgrew it, and the
+    r16 VERDICT found the [median, ratio] digest entries defeated the
+    driver's per-query parser two rounds running. The line must stay
+    inside budget even at 90 long-named queries, keep the
+    driver-contract fields, carry SCALAR seconds per query, and fill
+    slowest-first (a regressed query enters the set by construction)."""
     import json
 
     import bench
@@ -173,22 +175,22 @@ def test_bench_stdout_line_bounded_at_any_headline_count():
         "sf": 0.1,
     }
     line = bench._stdout_line(record, ratios)
-    assert len(line) <= 1600, len(line)
+    assert len(line) <= 1950, len(line)
     parsed = json.loads(line)
     for key in ("metric", "value", "unit", "queries", "sf"):
         assert key in parsed
     assert parsed["n_queries"] == 90
     assert parsed["queries"], "digest must carry at least some queries"
-    # digest is the worst-ratio prefix: every included ratio >= every
-    # excluded one
+    # slowest-first prefix: every included median >= every excluded one
     included = set(parsed["queries"])
     worst_excluded = max(
-        (ratios[n] for n in names if n not in included), default=0.0
+        (timings[n] for n in names if n not in included), default=0.0
     )
-    assert all(ratios[n] >= worst_excluded for n in included)
-    # entries are [median, ratio] pairs at 2dp
-    some = next(iter(parsed["queries"].values()))
-    assert isinstance(some, list) and len(some) == 2
+    assert all(timings[n] >= worst_excluded for n in included)
+    # entries are scalar seconds at 2dp — the driver-parseable shape
+    for n, v in parsed["queries"].items():
+        assert isinstance(v, (int, float)), (n, v)
+        assert v == round(timings[n], 2)
 
 
 def test_bench_floors_ledger_covers_headline():

@@ -1,11 +1,11 @@
-"""Capture .explain("formatted") for headline queries into plans/r16/.
+"""Capture .explain("formatted") for headline queries into plans/r17/.
 
 Usage:
   python tools/capture_plans.py before                 # all headline queries
   python tools/capture_plans.py after q1 q2 ...        # just the named ones
 
-Writes plans/r16/<query>_<tag>.txt. The judge cannot run Spark; these
-files are the evidence backing every plan claim in OPTIMIZATION_r16.md.
+Writes plans/r17/<query>_<tag>.txt. The judge cannot run Spark; these
+files are the evidence backing every plan claim in OPTIMIZATION_r17.md.
 """
 
 from __future__ import annotations
@@ -31,7 +31,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r16",
+        "r17",
     )
     os.makedirs(out_dir, exist_ok=True)
 

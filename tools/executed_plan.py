@@ -38,9 +38,12 @@ def main() -> None:
     for name in args:
         df = registry.QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        # the noop write finalized ITS execution; re-explain the df after
-        # an action of its own so its AdaptiveSparkPlan is final too
-        df.collect()
+        # the noop write finalized ITS execution (a separate
+        # QueryExecution); the df's OWN AdaptiveSparkPlan finalizes only
+        # when ITS plan executes. Run the executed plan's RDD entirely in
+        # the JVM — unlike collect(), nothing is materialized on the
+        # driver (r16 ADVICE: large-output registry queries could OOM it).
+        df._jdf.queryExecution().executedPlan().execute().count()
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")

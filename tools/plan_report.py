@@ -338,10 +338,13 @@ NOTES = {
         "that catalog-sized broadcast."
     ),
     "salted_join_revenue": (
-        "Fact rows salt per row, the dim explodes n_salts times, so the "
-        "shuffle key is (okey, salt) — hot keys spread over 8 "
-        "sub-partitions. The post-join rollup partial-aggregates "
-        "map-side; output is salt-invariant by construction."
+        "Fact side collapses to the join-key grain FIRST (r17): "
+        "map-side partial aggregation absorbs any hot l_orderkey "
+        "before the exchange, so the join matches two skew-free "
+        "orders-grain frames and the priority rollup merges per-order "
+        "partials — no salt, no n_salts dim fan-out (the old 8x dim "
+        "explode was the 10x probe's worst scaler). Integral-double "
+        "quantities make the regrouped sum bit-identical."
     ),
     "medallion_silver_scan": (
         "The query itself is a read of the landed silver layer — the "
