@@ -180,12 +180,22 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # out_deg is read twice per round (degree attach + dangling split)
+    # across every round; with_deg twice per round — both checkpoint
+    # lazily so consumers share one materialization instead of re-running
+    # the upstream join chain (r17, the triangle_count/LPA device).
+    out_deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint(eager=False)
+    )
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iter):
-        with_deg = ranks.join(
-            out_deg, ranks["node"] == out_deg["src"], "left"
-        ).select("node", "rank", "out_deg")
+        with_deg = (
+            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left")
+            .select("node", "rank", "out_deg")
+            .localCheckpoint(eager=False)
+        )
         dangling = with_deg.filter(F.col("out_deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
@@ -213,7 +223,7 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.round("rank", 9).alias("rank"))
 
@@ -240,16 +250,24 @@ def triangle_count(
     two self-equi-joins on edge keys — standard exchanges, no driver
     state, no collect."""
     a, b = F.col(src_col), F.col(dst_col)
+    # multi-consumer frames checkpoint lazily (r17, guide §5/§3.3):
+    # e feeds deg + dd, deg feeds both broadcast attachments + the final
+    # left join, oriented feeds both wedge sides + the closure probe —
+    # without the cuts each consumer re-ran the whole upstream chain
+    # (the committed before-plan is 6,286 lines / 184 Exchange refs of
+    # duplicated subtrees; plan build alone dominated the fixture query)
     e = (
         edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
     )
     dd = e.join(
         F.broadcast(deg.select(F.col("node").alias("a"), F.col("degree").alias("_da"))),
@@ -265,7 +283,7 @@ def triangle_count(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("_dv"),
-    )
+    ).localCheckpoint(eager=False)
     o1 = oriented.select(
         F.col("u"), F.col("v").alias("v1"), F.col("_dv").alias("_d1")
     )
@@ -327,13 +345,12 @@ def label_propagation(
     Scale shape: one round = an edge-grain hash join (messages flow
     along edges), a (node, label) count — which collapses a hub's
     millions of neighbor messages to its distinct incident labels
-    before the top-1 window sees them — and a per-node top-1 window
-    bounded by distinct-label degree. Work is O(E) per round with no
+    before the top-1 pick sees them — and a per-node top-1 as a
+    map-side min_by aggregate (no window sort; r17). Work is O(E) per
+    round with no
     dependence on round number; localCheckpoint truncates the iterative
     lineage exactly as pagerank() does.
     """
-    from pyspark.sql import Window
-
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).filter(F.col("src") != F.col("dst"))
@@ -350,16 +367,25 @@ def label_propagation(
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )
-    w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("lab").asc())
     for _ in range(n_iter):
         msgs = sym.join(labels.withColumnRenamed("node", "dst"), "dst").select(
             F.col("src").alias("node"), "lab"
         )
         votes = msgs.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("n"))
+        # top-1 as a map-side min_by over (-n, lab) (r17, guide §2.4):
+        # the r16 row_number window re-exchanged votes on (node) and
+        # SORTED every partition just to keep one row per node; min of
+        # the (-n, lab) struct is the same "highest count, smallest
+        # label" winner (counts are exact BIGINTs, negation is lossless)
+        # with a partial aggregate instead of a sort.
         labels = (
-            votes.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("node", "lab")
+            votes.groupBy("node")
+            .agg(
+                F.min_by(
+                    F.col("lab"),
+                    F.struct((-F.col("n")).alias("_nn"), F.col("lab")),
+                ).alias("lab")
+            )
             .localCheckpoint(eager=False)
         )
     sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("community_size"))

@@ -353,12 +353,12 @@ def ivf_lloyd_topk(
     query probes its ``n_probe`` nearest cells (cosine), and only their
     members are exact-ranked.
 
-    Scale shape: the centroid frame (n_cells rows) broadcasts into every
-    assignment; assignment is a map-side partial min_by groupBy that
-    collapses the n_cells fan-out BEFORE the exchange and carries the
-    vector through the aggregate — one corpus exchange per assignment,
-    no join back to the corpus; centroid recompute is a posexplode +
-    (cell, pos) partial avg. Each
+    Scale shape: the centroid frame (n_cells rows) collapses to ONE
+    broadcast array row per assignment, and assignment is a NARROW
+    per-row fold over it (r17) — zero corpus exchanges, zero joins back
+    to the corpus; centroid recompute is a posexplode +
+    (cell, pos) partial avg whose map-side combine leaves only
+    n_partitions x n_cells x dim rows on the wire. Each
     iteration is one full corpus pass — which is why the iteration count
     is fixed and small, and why the MLlib path caps its fit set
     (ivf_kmeans_topk.max_fit_rows). Tiny centroid frames are eagerly
@@ -430,19 +430,45 @@ def _lloyd_fit(
     cent = cent.localCheckpoint(eager=False)
 
     def assign(c: DataFrame) -> DataFrame:
-        # argmin as ONE corpus exchange: the vector rides the partial
-        # aggregate (every fan-out row of an id carries the identical v,
-        # so first() is value-deterministic) instead of a corpus-sized
-        # join back to base, which would exchange the corpus twice per
-        # iteration (once for the groupBy, once for the join)
-        j = base.crossJoin(F.broadcast(c))
-        d2 = F.col("vv") - 2 * _dot(F.col("v"), F.col("cv")) + F.col("cc")
-        return j.groupBy(id_col).agg(
-            F.min_by(F.col("cell"), F.struct(d2.alias("d"), F.col("cell"))).alias(
-                "cell"
+        # argmin as a NARROW per-row fold (r17, guide §2.4): the n_cells
+        # centroids collapse to ONE broadcast row holding the sorted
+        # (cell, cv, cc) array, and each corpus row picks its nearest
+        # cell by folding that array — no crossJoin row fan-out and no
+        # corpus-wide exchange. The r16 form's groupBy(id) shuffled the
+        # whole (id, v, vv) corpus per assignment even though every
+        # fan-out row of an id already sat in one partition (the partial
+        # aggregate had collapsed the group before the exchange — the
+        # exchange moved fully-aggregated rows). Distances are the
+        # bit-identical expression (vv - 2*dot(v, cv) + cc, same _dot
+        # fold), the fold runs in ascending cell order with a strict <,
+        # so ties keep the smallest cell — exactly min_by's
+        # struct(d, cell) order on the finite, non-null distances this
+        # corpus produces (the premise every cosine consumer already
+        # makes).
+        carr = c.agg(
+            F.array_sort(F.collect_list(F.struct("cell", "cv", "cc"))).alias(
+                "_cents"
+            )
+        )
+        cand = F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                (
+                    F.col("vv") - 2 * _dot(F.col("v"), s["cv"]) + s["cc"]
+                ).alias("d"),
+                s["cell"].alias("cell"),
             ),
-            F.first("v").alias("v"),
-            F.first("vv").alias("vv"),
+        )
+        best = F.aggregate(
+            cand,
+            F.struct(
+                F.lit(float("inf")).alias("d"),
+                F.lit(-1).cast("integer").alias("cell"),
+            ),
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+        )
+        return base.crossJoin(F.broadcast(carr)).select(
+            F.col(id_col), best["cell"].alias("cell"), "v", "vv"
         )
 
     for _ in range(n_iters):
@@ -1908,6 +1934,7 @@ def pq_fit_encode(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    passthrough: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic PQ codebook fit + corpus encode. Returns
     ``(codes(vec_id, codes array<int>), cent(sub, code, cv, cc))``.
@@ -1920,10 +1947,12 @@ def pq_fit_encode(
     engine-neutral and SQL-replayable (no RNG). All m sub-quantizers
     train in ONE pass per iteration over an exploded (vec_id, sub, sv)
     frame: F.inline fans each row out to its m slices in the scan
-    projection (no join), assignment is the broadcast-centroids +
-    map-side min_by argmin keyed (vec_id, sub) — one exchange per
-    iteration carrying 1/m-width slices — and recompute is the same
-    posexplode + (sub, code, pos) partial avg as _lloyd_fit.
+    projection (no join), assignment is a NARROW per-row argmin fold
+    over the broadcast per-sub codeword arrays (r17 — zero corpus
+    exchanges), and recompute is the same posexplode +
+    (sub, code, pos) partial avg as _lloyd_fit. The final encode never
+    explodes at all: one fold per row emits the whole codes array in
+    sub order, so the corpus crosses no exchange end to end.
 
     Scale note: like ivf_kmeans_topk's max_fit_rows, a 100-TB fit would
     first prune the exploded frame to a deterministic md5-prefix sample
@@ -1937,7 +1966,9 @@ def pq_fit_encode(
     dim = len(embeddings.select(vec_col).first()[0])
     d = dim // m
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = embeddings.select(F.col(id_col), dvec.alias("v"))
+    base = embeddings.select(
+        F.col(id_col), *[F.col(c) for c in passthrough], dvec.alias("v")
+    )
     sub = base.select(
         id_col,
         F.inline(
@@ -1986,14 +2017,38 @@ def pq_fit_encode(
     cent = cent.localCheckpoint(eager=False)
 
     def assign(c: DataFrame) -> DataFrame:
-        j = sub.join(F.broadcast(c), "sub")
-        d2 = F.col("svv") - 2 * _dot(F.col("sv"), F.col("cv")) + F.col("cc")
-        return j.groupBy(id_col, "sub").agg(
-            F.min_by(
-                F.col("code"), F.struct(d2.alias("d"), F.col("code"))
-            ).alias("code"),
-            F.first("sv").alias("sv"),
-            F.first("svv").alias("svv"),
+        # narrow per-(id, sub) argmin (r17, guide §2.4): per sub-space
+        # the k_codes codewords collapse to one array row; the broadcast
+        # join on "sub" attaches it without exchanging the sliced
+        # corpus, and the fold replaces the r16 k_codes-way fan-out +
+        # groupBy(id, sub) corpus exchange. Distances are the
+        # bit-identical expression, fold ascending by code with strict <
+        # == min_by's struct(d, code) tie-to-smallest-code (same finite-
+        # distance premise as _lloyd_fit.assign).
+        carr = c.groupBy("sub").agg(
+            F.array_sort(F.collect_list(F.struct("code", "cv", "cc"))).alias(
+                "_cw"
+            )
+        )
+        cand = F.transform(
+            F.col("_cw"),
+            lambda w: F.struct(
+                (
+                    F.col("svv") - 2 * _dot(F.col("sv"), w["cv"]) + w["cc"]
+                ).alias("d"),
+                w["code"].alias("code"),
+            ),
+        )
+        best = F.aggregate(
+            cand,
+            F.struct(
+                F.lit(float("inf")).alias("d"),
+                F.lit(-1).cast("integer").alias("code"),
+            ),
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+        )
+        return sub.join(F.broadcast(carr), "sub").select(
+            F.col(id_col), "sub", best["code"].alias("code"), "sv", "svv"
         )
 
     for _ in range(n_iters):
@@ -2014,12 +2069,52 @@ def pq_fit_encode(
             .localCheckpoint(eager=False)
         )
 
-    final = assign(cent)
-    codes = final.groupBy(id_col).agg(
+    # final encode: all m argmins in ONE narrow pass straight off the
+    # un-exploded corpus (r17) — the r16 form exploded to (id, sub) rows,
+    # assigned each, then paid a groupBy(id) exchange + collect_list just
+    # to re-assemble the codes array whose order (sub 0..m-1) this
+    # transform produces by construction. Per sub the slice/norm/distance
+    # expressions are the exact ones the exploded form evaluated, so the
+    # argmin (strict <, ascending code) picks identical codes.
+    # ``passthrough`` columns of the input ride along so callers that
+    # need (cell, codes) rows (IVFADC) skip a corpus self-join too.
+    flat = cent.agg(
+        F.array_sort(
+            F.collect_list(F.struct("sub", "code", "cv", "cc"))
+        ).alias("_cwf")
+    )
+
+    def _code_for(s: Column) -> Column:
+        sv = F.slice(F.col("v"), s * d + 1, F.lit(d))
+        svv = _dot(sv, sv)
+        # element_at references each codeword struct in place — slicing
+        # _cwf would copy k_codes centroid arrays per row per sub
+        cand = F.transform(
+            F.sequence(F.lit(1), F.lit(k_codes)),
+            lambda j: F.element_at(F.col("_cwf"), s * k_codes + j),
+        )
+        scored = F.transform(
+            cand,
+            lambda w: F.struct(
+                (svv - 2 * _dot(sv, w["cv"]) + w["cc"]).alias("d"),
+                w["code"].alias("code"),
+            ),
+        )
+        return F.aggregate(
+            scored,
+            F.struct(
+                F.lit(float("inf")).alias("d"),
+                F.lit(-1).cast("integer").alias("code"),
+            ),
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+        )["code"]
+
+    codes = base.crossJoin(F.broadcast(flat)).select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough],
         F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "code"))),
-            lambda s: s["code"],
-        ).alias("codes")
+            F.sequence(F.lit(0), F.lit(m - 1)), _code_for
+        ).alias("codes"),
     )
     return codes, cent
 
@@ -2170,12 +2265,18 @@ def ivf_pq_topk(
         id_col,
         "cell",
         F.zip_with("v", "cv", lambda a, b: a - b).alias("rv"),
-    )
+        # ~8 build jobs consume the residual frame (dim probe, PQ seed
+        # pass, per-iteration recomputes, the encode); the lazy
+        # checkpoint materializes the coarse assignment + residual once
+        # instead of per job (r17, guide §5 reuse rule)
+    ).localCheckpoint(eager=False)
+    # "cell" rides the encode pass (pq_fit_encode passthrough, r17), so
+    # no corpus self-join is needed to pair each row's cell with its codes
     codes, books = pq_fit_encode(
         resid, m=m, k_codes=k_codes, n_iters=n_iters,
-        id_col=id_col, vec_col="rv",
+        id_col=id_col, vec_col="rv", passthrough=("cell",),
     )
-    enc = resid.select(id_col, "cell").join(codes, id_col)
+    enc = codes
 
     row = (
         embeddings.filter(F.col(id_col) == query_id)
@@ -2330,14 +2431,16 @@ def write_ivfpq_index(
         id_col,
         "cell",
         F.zip_with("v", "cv", lambda a, b: a - b).alias("rv"),
-    )
+        # ~8 build jobs consume the residual frame (dim probe, PQ seed
+        # pass, per-iteration recomputes, the encode); the lazy
+        # checkpoint materializes the coarse assignment + residual once
+        # instead of per job (r17, guide §5 reuse rule)
+    ).localCheckpoint(eager=False)
     codes, books = pq_fit_encode(
         resid, m=m, k_codes=k_codes, n_iters=n_iters,
-        id_col=id_col, vec_col="rv",
+        id_col=id_col, vec_col="rv", passthrough=("cell",),
     )
-    rows = resid.select(F.col(id_col).alias("vec_id"), "cell").join(
-        codes.select(F.col(id_col).alias("vec_id"), "codes"), "vec_id"
-    )
+    rows = codes.select(F.col(id_col).alias("vec_id"), "cell", "codes")
     rows.repartition(
         rows.sparkSession.sparkContext.defaultParallelism, "cell"
     ).write.partitionBy("cell").mode("overwrite").parquet(path)

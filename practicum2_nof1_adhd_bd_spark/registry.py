@@ -10673,12 +10673,28 @@ def q_embedding_cell_drift(spark, sf_dir):
     Jeffreys-smoothed decimal-summed PSI."""
     emb = _cat(spark, sf_dir).embeddings
     final, _cent, _base = sim._lloyd_fit(emb, n_cells=8, n_iters=2)
-    counts = lambda side: (  # noqa: E731
-        final.filter(F.col("vec_id") % 2 == side)
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # both parity histograms from ONE corpus pass (r17, guide §1.2):
+    # the per-side filter+groupBy form scanned and assigned the corpus
+    # twice; a conditional count per parity in one (cell) aggregate
+    # yields the same BIGINTs, and the n_cells-row result checkpoints
+    # lazily so the two qhist_psi inputs share the single pass. A cell
+    # whose members are all one parity now carries an explicit 0 where
+    # the filtered form omitted the row — identical after qhist_psi's
+    # full join + fillna(0).
+    odd = F.col("vec_id") % 2 == 1
+    both = (
+        final.groupBy("cell")
+        .agg(
+            F.count(F.when(~odd, F.lit(1))).alias("n_a"),
+            F.count(F.when(odd, F.lit(1))).alias("n_b"),
+        )
+        .localCheckpoint(eager=False)
     )
-    return sketches.qhist_psi(counts(0), counts(1), [])
+    return sketches.qhist_psi(
+        both.select("cell", F.col("n_a").alias("n")),
+        both.select("cell", F.col("n_b").alias("n")),
+        [],
+    )
 
 
 def _pq_adc_oracle(
@@ -11071,10 +11087,21 @@ def _register_semantic_dedup_ivf() -> None:
         both sides and Spark shares no subplan across branches. Oracle
         reuses the attested Lloyd CTE prefix, so the trained-quantizer
         blocking is value-hash attested end to end."""
+        from .sources.readers import fan_out
+
         emb = _cat(spark, sf_dir).embeddings
         assigned, _cent, _base = sim._lloyd_fit(emb, n_cells=8, n_iters=2)
-        cells = assigned.select(
-            "vec_id", F.col("v").alias("embedding"), "cell"
+        # fan_out restores the executor-wide layout the r16 assignment
+        # exchange used to leave behind (r17: _lloyd_fit's assign is now
+        # a narrow map, so a small-file scan would feed the QUADRATIC
+        # in-cell verify from a single partition); hash-by-id matches
+        # the old post-groupBy partitioning, and at real scale the scan
+        # already yields >= parallelism splits so this no-ops.
+        cells = fan_out(
+            assigned.select(
+                "vec_id", F.col("v").alias("embedding"), "cell"
+            ),
+            "vec_id",
         ).localCheckpoint(eager=True)
         pairs = sim.embedding_near_dup_pairs(
             cells, threshold=0.5, block_col="cell"
