@@ -1081,17 +1081,21 @@ def char_ngram_entropy(
     undeclared, and Catalyst shuffled the near-all-distinct (doc, gram)
     frame instead — ~20x the bytes of the text exchange it saved.
     """
-    s = F.lower(F.col(text_col))
-    ln = F.length(s)
-    # sequence(1, 0) DESCENDS in Spark, so short/NULL docs must take the
-    # empty-array branch explicitly.
-    grams = F.when(
-        ln >= n,
-        F.transform(
-            F.sequence(F.lit(1), ln - (n - 1)),
-            lambda i: F.substring(s, F.lit(0) + i, n),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # ONE codegen'd regexp scan per doc (r17, guide §4 — the
+    # hashed_char_ngram_buckets device): the zero-width lookahead
+    # captures the n chars ahead at every position, (?s) so
+    # newline-spanning grams keep substring semantics. The former
+    # transform-over-positions lambda evaluated INTERPRETED per element
+    # AND CollapseProject inlined lower(text) into every element's
+    # evaluation — O(len^2) per document, which the 10x probe exposed as
+    # a 4.9x data-scaling ratio (the r16 align fix removed the gram
+    # shuffle but not this per-doc tax). Same gram values in the same
+    # order: positions with < n chars left yield no match, so short/NULL
+    # docs produce the same empty/NULL array explode_outer keeps as a
+    # null row.
+    grams = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(f"(?s)(?=(.{{{n}}}))"), 1
+    )
     ex = fan_out(df, id_col, align=True).select(
         F.col(id_col), F.explode_outer(grams).alias("_g")
     )
