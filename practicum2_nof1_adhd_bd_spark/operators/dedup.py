@@ -40,15 +40,31 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 def word_shingles(col: Column, k: int = 3) -> Column:
     """k-word shingles as an array of strings (distinct).
 
-    Built with transform(sequence(...)) over the token array — stays inside
-    codegen; no explode, so shingling adds zero shuffle.
+    Built as a zip_with chain over k clamped slices of the token array
+    (r17, guide §4): the former transform(sequence(positions)) lambda
+    referenced the tokenize EXPRESSION, and expressions captured by a
+    higher-order-function lambda are re-evaluated per element (no
+    subexpression elimination reaches inside the lambda) — the text
+    re-tokenized once per shingle POSITION, O(len^2) per document (the
+    duplicate_spans docstring's measured 6.3 s vs 0.2 s disease, live
+    in every minhash/simhash/decontaminate caller of this helper).
+    zip_with's inputs are plain arguments, evaluated once per call, so
+    the tokenize runs k times per row instead of n. Values unchanged:
+    element i is token_i .. token_{i+k-1} joined by single spaces
+    (tokens are \\S+ runs — never null/empty, so concat == concat_ws),
+    clamped slices make short docs empty, and the n >= k guard keeps
+    the NULL-text result the exact empty array it always was.
     """
     toks = tokens(F.lower(col))
     n = F.size(toks)
-    # guard: Spark sequence(1, 0) is DESCENDING, not empty — short docs get
-    # an explicit empty array.
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    np_ = F.greatest(n - (k - 1), F.lit(0))
+    sh = F.slice(toks, 1, np_)
+    for i in range(1, k):
+        sh = F.zip_with(
+            sh,
+            F.slice(toks, i + 1, np_),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.when(n >= k, F.array_distinct(sh)).otherwise(
         F.array().cast("array<string>")
     )

@@ -30,6 +30,28 @@ def tokens(col: Column) -> Column:
     return F.regexp_extract_all(col, F.lit(r"\S+"), 0)
 
 
+def _pos_grams(toks: Column, k: int) -> Column:
+    """Positional (non-distinct) k-word grams as a zip_with chain over k
+    clamped slices of the token array (r17, guide §4 — the word_shingles
+    fix): zip_with's inputs are plain arguments evaluated once per call,
+    while the former transform(sequence(positions)) lambda re-evaluated
+    the captured tokenize expression per ELEMENT (no subexpression
+    elimination inside HOF lambdas) — O(len^2) per document. Element i
+    is token_i .. token_{i+k-1} joined by single spaces (tokens are \\S+
+    runs, never null/empty, so concat == concat_ws); short and NULL
+    docs keep the exact empty array the guarded form produced."""
+    n = F.size(toks)
+    np_ = F.greatest(n - (k - 1), F.lit(0))
+    sh = F.slice(toks, 1, np_)
+    for i in range(1, k):
+        sh = F.zip_with(
+            sh,
+            F.slice(toks, i + 1, np_),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: n_tokens, n_chars, avg token length, distinct ratio."""
     toks = tokens(F.col(text_col))
@@ -1274,12 +1296,9 @@ def dup_ngram_profile(
     signals used to drop templated or boilerplate text). Pure per-row
     Catalyst expressions — scan-scales, nothing shuffles."""
     toks = tokens(F.lower(F.col(text_col)))
-    n = F.size(toks)
 
     def grams(k: int) -> Column:
-        idx = F.sequence(F.lit(1), n - (k - 1))
-        s = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-        return F.when(n >= k, s).otherwise(F.array().cast("array<string>"))
+        return _pos_grams(toks, k)
 
     def dup_frac(g: Column) -> Column:
         return F.round(
@@ -1313,14 +1332,7 @@ def ngram_novelty(
     never text. Linear in total gram occurrences at any corpus size.
     """
     toks = tokens(F.lower(F.col(text_col)))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    grams = F.when(
-        n >= k,
-        F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = F.array_distinct(_pos_grams(toks, k))
     dg = (
         fan_out(df, id_col)
         .select(F.col(id_col), F.explode_outer(grams).alias("g"))
