@@ -358,7 +358,14 @@ def label_propagation(
     # no blocking per-round job is submitted — all rounds run inside the
     # final action's single job, each checkpoint materializing when its
     # first consumer computes it (r16; eager=True cost one synchronous
-    # driver round-trip per iteration)
+    # driver round-trip per iteration). Storage trade-off (r16 ADVICE):
+    # each round's checkpoint blocks stay persisted on executors for the
+    # session lifetime (superseded rounds can't be unpersisted from in
+    # here — with lazy checkpoints round k's blocks are still needed
+    # until k+1 materializes, which this builder never observes), and
+    # localCheckpoint data is unrecoverable on executor loss; a
+    # long-lived cluster session would wrap the returned frame's action
+    # in its own cleanup. Accepted: K node-grain frames per invocation.
     sym = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()

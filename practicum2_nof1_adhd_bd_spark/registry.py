@@ -6953,7 +6953,14 @@ def q_quality_classifier_scores(spark, sf_dir):
     iteratively-TRAINED twin is `quality_classifier_fit` (rows-only by
     nature). Train is two hash aggs to a <=4,096-row weight frame that
     broadcasts into the scoring join; class totals ride 1-row
-    broadcasts; nothing collects."""
+    broadcasts; nothing collects.
+
+    Output ORDER is not part of this query's contract (r16 ADVICE): the
+    r16 optimization dropped the output-only sort, so rows arrive in
+    partition order while the declared oracle SQL keeps its ORDER BY —
+    the attestation (driver gate and tools/check_oracle.py) compares
+    order-insensitively, which is the declared comparison for every
+    query in this registry."""
     docs = _cat(spark, sf_dir).documents
     train = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
         "label", (F.col("n_chars") >= 250).cast("int")
