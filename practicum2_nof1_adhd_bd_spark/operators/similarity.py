@@ -2143,15 +2143,26 @@ def pq_adc_topk(
     arrays — zero joins, zero shuffles, whole-stage codegen over rows
     that are m small ints wide. approx_cos rounds to 6dp before the
     top-``rerank`` cut (ulp-robust cross-engine ordering, vec_id
-    tie-break), survivors are eagerly localCheckpointed (two-consumer
-    rule) and re-ranked exact via a broadcast id fetch.
+    tie-break); survivors carry their raw vector through the cut
+    (pq_fit_encode passthrough), so the exact re-rank is a rerank-row
+    projection — no second corpus scan, no broadcast id fetch, and the
+    whole serve is ONE action (r17; the r16 eager checkpoint + id-join
+    re-read the corpus to fetch rows the coarse scan had already read).
 
     At 100 TB: the coarse scan reads m bytes per vector instead of
     512 — the table that doesn't fit in cluster RAM as float64 does as
     PQ codes — and recall is bounded by code granularity; rerank depth
     trades it back (SCALING §2c measures the operating point)."""
+    # the raw vector column rides the encode pass (passthrough), so the
+    # exact re-rank reads the top-``rerank`` survivors' vectors straight
+    # off the coarse cut — the r16 form re-scanned the WHOLE corpus with
+    # a broadcast id-join just to fetch <= rerank rows the coarse scan
+    # had already read (r17, guide §1.2 one-pass rule). Float arrays are
+    # half the bytes of the casted doubles, and the TakeOrdered heap
+    # carries only rerank rows per partition, so the carry is ~free.
     codes, cent = pq_fit_encode(
-        embeddings, m, k_codes, n_iters, id_col, vec_col
+        embeddings, m, k_codes, n_iters, id_col, vec_col,
+        passthrough=(vec_col,),
     )
     row = (
         embeddings.filter(F.col(id_col) == query_id)
@@ -2194,17 +2205,19 @@ def pq_adc_topk(
         adc_cc = t_cc if adc_cc is None else adc_cc + t_cc
     approx = adc_ip / (F.lit(qnorm) * F.sqrt(adc_cc))
 
+    # single consumer now (the re-rank select below), and the whole
+    # serve is ONE action — the r16 eager localCheckpoint paid an extra
+    # synchronous job to materialize a frame the single action would
+    # only have run once anyway (the int8_rerank lesson).
     coarse = (
         codes.filter(F.col(id_col) != query_id)
-        .select(id_col, F.round(approx, 6).alias("_approx"))
+        .select(id_col, F.round(approx, 6).alias("_approx"), vec_col)
         .orderBy(F.desc("_approx"), F.asc(id_col))
         .limit(rerank)
-        .localCheckpoint(eager=True)
     )
     qlit = F.array([F.lit(x) for x in qv])
-    exact = embeddings.join(F.broadcast(coarse.select(id_col)), id_col)
     return (
-        exact.select(
+        coarse.select(
             F.col(id_col),
             F.round(
                 cosine(
@@ -2265,16 +2278,23 @@ def ivf_pq_topk(
         id_col,
         "cell",
         F.zip_with("v", "cv", lambda a, b: a - b).alias("rv"),
+        # the casted vector rides to the coarse cut so the exact re-rank
+        # reads the <= rerank survivors' vectors off the candidate scan
+        # instead of re-scanning the whole corpus with a broadcast
+        # id-join (r17, guide §1.2); costs one extra vector column in
+        # the checkpoint, saves a full corpus pass per serve
+        F.col("v").alias("_ov"),
         # ~8 build jobs consume the residual frame (dim probe, PQ seed
         # pass, per-iteration recomputes, the encode); the lazy
         # checkpoint materializes the coarse assignment + residual once
         # instead of per job (r17, guide §5 reuse rule)
     ).localCheckpoint(eager=False)
-    # "cell" rides the encode pass (pq_fit_encode passthrough, r17), so
-    # no corpus self-join is needed to pair each row's cell with its codes
+    # "cell" and "_ov" ride the encode pass (pq_fit_encode passthrough,
+    # r17), so no corpus self-join is needed to pair each row's cell and
+    # raw vector with its codes
     codes, books = pq_fit_encode(
         resid, m=m, k_codes=k_codes, n_iters=n_iters,
-        id_col=id_col, vec_col="rv", passthrough=("cell",),
+        id_col=id_col, vec_col="rv", passthrough=("cell", "_ov"),
     )
     enc = codes
 
@@ -2295,26 +2315,22 @@ def ivf_pq_topk(
         cw[(int(r["sub"]), int(r["code"]))] = (list(r["cv"]), float(r["cc"]))
     probes, approx = _ivfpq_probe_and_approx(cells, cw, qv, m, k_codes, n_probe)
 
+    # single consumer + single action now: the eager checkpoint's extra
+    # synchronous job and the corpus-rescanning broadcast id-join are
+    # both gone — the carried "_ov" IS the transform(cast double) the
+    # re-rank used to recompute on re-fetched rows, bit-identical
     coarse = (
         enc.filter(F.col("cell").isin(probes))
         .filter(F.col(id_col) != query_id)
-        .select(id_col, F.round(approx, 6).alias("_approx"))
+        .select(id_col, F.round(approx, 6).alias("_approx"), "_ov")
         .orderBy(F.desc("_approx"), F.asc(id_col))
         .limit(rerank)
-        .localCheckpoint(eager=True)
     )
     qlit = F.array([F.lit(x) for x in qv])
-    exact = embeddings.join(F.broadcast(coarse.select(id_col)), id_col)
     return (
-        exact.select(
+        coarse.select(
             F.col(id_col),
-            F.round(
-                cosine(
-                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
-                    qlit,
-                ),
-                6,
-            ).alias("cosine"),
+            F.round(cosine(F.col("_ov"), qlit), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
