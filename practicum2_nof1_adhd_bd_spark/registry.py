@@ -8352,9 +8352,30 @@ def q_kmv_distinct_estimate(spark, sf_dir):
     usable, but not oracle-attestable; KMV is. Merge-invariance and
     the small-set exact path are pinned in tests/test_sketches.py."""
     li = _cat(spark, sf_dir).lineitem
-    sk = sketches.kmv_estimate(li, ["l_returnflag"], "l_orderkey", k=64)
-    ex = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("n_exact")
+    # Both halves share ONE distinct (flag, orderkey) frame (r17, guide
+    # §1.2/§2.4): the exact side's countDistinct already paid a full
+    # partial-distinct + exchange on exactly these columns, and KMV of a
+    # multiset equals KMV of its distinct support (kmv_sketch dedups
+    # hashes before and after the merge), so the sketch reads the same
+    # frame instead of re-scanning parquet and md5-hashing every
+    # duplicate row. AQE stage reuse cannot dedupe the two branches on
+    # its own (the sketch's MapInPandas blocks the join's
+    # isnotnull(flag) pushdown, so the subtrees never canonicalize
+    # equal — checked against the executed plan), hence the lazy
+    # localCheckpoint (this round's standing multi-consumer device).
+    # count(col) over the distinct pairs is countDistinct(col) by
+    # definition (both drop nulls). The operator's own standalone
+    # contract (k-bounded shuffle straight off the scan) is unchanged —
+    # this is query wiring, pinned by the oracle at 3 SFs and
+    # test_kmv_distinct_support_invariance.
+    pairs = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sk = sketches.kmv_estimate(pairs, ["l_returnflag"], "l_orderkey", k=64)
+    ex = pairs.groupBy("l_returnflag").agg(
+        F.count("l_orderkey").alias("n_exact")
     )
     return sk.join(ex, "l_returnflag").select(
         "l_returnflag",

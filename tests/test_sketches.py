@@ -299,3 +299,18 @@ def test_cms_weighted_build_matches_row_grain(spark):
         map(tuple, rowgrain.collect())
     )
     assert dict(weighted.dtypes)["n"] == dict(rowgrain.dtypes)["n"]
+
+
+def test_kmv_distinct_support_invariance(spark):
+    """KMV of a multiset equals KMV of its distinct support: the sketch
+    keeps the k smallest DISTINCT hashes, so duplicate rows cannot move
+    it — the invariance that lets kmv_distinct_estimate build the
+    sketch from the exact side's already-paid distinct frame (r17)."""
+    dup = spark.range(12000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 311).alias("v"),
+    )
+    sup = dup.select("g", "v").distinct()
+    a = sorted(map(tuple, sketches.kmv_sketch(dup, ["g"], "v", k=64).collect()))
+    b = sorted(map(tuple, sketches.kmv_sketch(sup, ["g"], "v", k=64).collect()))
+    assert a == b
