@@ -441,23 +441,21 @@ NOTES = {
         "serving scan is ZERO-shuffle — per-query lookup tables are "
         "driver-side literals, scoring is a fixed-order element_at "
         "chain in whole-stage codegen over rows that are m small ints "
-        "wide. Only the top-rerank survivors touch full-precision "
-        "vectors (broadcast id fetch). At 100 TB the coarse scan reads "
-        "m bytes/vector — 64-128x less than the float corpus."
+        "wide. The top-rerank survivors carry their raw vector through "
+        "the coarse cut (encode passthrough, r17), so the exact re-rank "
+        "is a projection over rerank rows — one corpus scan, one "
+        "action, no broadcast id-join re-read. At 100 TB the coarse "
+        "scan reads m bytes/vector — 64-128x less than the float "
+        "corpus."
     ),
     "ivf_pq_topk": (
-        "IVFADC serving: cell membership + codes are the only corpus "
-        "columns touched; the probe set, per-cell query dots and all "
-        "three ADC tables are driver-side literals, so the coarse scan "
-        "is a zero-shuffle codegen filter+project. Residual encoding "
-        "rides the same broadcast joins the coarse fit already paid."
-    ),
-    "ivf_pq_topk": (
-        "The in-memory IVFADC twin: its bench cost (~5-6 s at sf0.1) is "
-        "BUILD-per-run — two deterministic Lloyd fits (coarse + residual "
-        "codebooks, one corpus exchange per iteration) plus the encode "
-        "join — not serving. The artifact form (ivfpq_index_topk) pays "
-        "that once at write time and serves warm in ~1.2 s; this query "
+        "The in-memory IVFADC twin: its bench cost (~3-4 s at sf0.1) is "
+        "BUILD-per-run — two deterministic narrow-map Lloyd fits "
+        "(coarse + residual codebooks, zero corpus exchanges, r17) plus "
+        "the passthrough encode — not serving; the re-rank reads the "
+        "survivors' carried vectors instead of re-scanning the corpus "
+        "(r17). The artifact form (ivfpq_index_topk) pays the build "
+        "once at write time and serves warm in ~0.7 s; this query "
         "exists to put the full build path under the value-hash gate."
     ),
     "ivfpq_index_topk": (
@@ -683,9 +681,13 @@ NOTES = {
         "Two-level sketch merge: an Arrow-batched per-partition bottom-k "
         "(mapInPandas, working set capped at k rows per group) emits at "
         "most k=64 hashes per (group, input partition) into the single "
-        "merge exchange — the distinct values themselves never shuffle, "
-        "and no aggregation buffer ever holds a partition's full "
-        "distinct set (the r12 ADVICE hazard). bottomk(bottomk(A) ∪ "
+        "merge exchange, and no aggregation buffer ever holds a "
+        "partition's full distinct set (the r12 ADVICE hazard). Both "
+        "query halves read ONE lazily checkpointed distinct "
+        "(flag, orderkey) frame (r17): the exact count already paid "
+        "that exchange, and KMV of a multiset equals KMV of its "
+        "distinct support, so the sketch hashes the distinct pairs "
+        "instead of re-scanning parquet. bottomk(bottomk(A) ∪ "
         "bottomk(B)) = bottomk(A ∪ B) makes the merged estimate "
         "partitioning-invariant — the property the oracle hash-attests."
     ),
